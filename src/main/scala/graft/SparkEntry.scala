@@ -1,13 +1,26 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory (SURVEY §2 + pipeline ops);
+  * `oracleSql` holds the DuckDB-equivalent SQL for every query whose
+  * semantics are ANSI-SQL-expressible (the rest get rows-only checks).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the 5-way join + aggregation (TPC-H Q5 flavor) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.queries("q11_join_multi")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ TextOps.queries ++ VectorOps.queries ++
+      EventOps.queries ++ MultimodalOps.queries
+
+  def oracleSql: Map[String, String] =
+    (Relational.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
+      EventOps.oracle ++ MultimodalOps.oracle)
+      .view.mapValues(_.stripMargin.replaceAll("\\s+", " ").trim).toMap
 }

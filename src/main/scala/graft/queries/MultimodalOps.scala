@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.ld
+import graft.operators.Multimodal
+
+/** Multimodal-column queries: binary payloads (documents' text bytes stand
+  * in for image blobs), metadata decode via mapPartitions, and frame
+  * sampling via byte-range slicing — all with deterministic stub decoders
+  * so the DuckDB oracle can replay them (see operators/Multimodal.scala).
+  */
+object MultimodalOps {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_media_meta" -> ((s, d) => {
+      import s.implicits._
+      val payloads = ld(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      Multimodal.decodeMeta(payloads).orderBy("doc_id")
+    }),
+
+    // Frame sampling: up to 10 fixed-stride 64-byte "frames" per payload,
+    // fingerprinted. explode(sequence) keeps it one codegen stage, no UDF.
+    "q81_frame_sample" -> ((s, d) =>
+      ld(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"),
+          col("n_chars"))
+        .select(col("doc_id"), col("payload"),
+          explode(expr("sequence(0L, least((n_chars - 1) div 64, 9L))"))
+            .as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          expr("md5(substring(payload, cast(frame_idx * 64 + 1 AS int), 64))")
+            .as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q80_media_meta" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                CAST(64 + octet_length(encode(text)) % 960 AS INTEGER) AS width,
+                CAST(64 + (octet_length(encode(text)) * 7) % 536 AS INTEGER) AS height,
+                CASE octet_length(encode(text)) % 3
+                  WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+         FROM documents ORDER BY doc_id""",
+    "q81_frame_sample" ->
+      """SELECT doc_id, frame_idx,
+                md5(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_md5
+         FROM documents, range(0, least((n_chars - 1) // 64, 9) + 1) t(frame_idx)
+         ORDER BY doc_id, frame_idx""",
+  )
+}

@@ -1,0 +1,511 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.ld
+
+/** Core relational operator inventory — SURVEY.md §2 re-expressed Spark-first.
+  *
+  * Covers the reference's whole surface (scan/project/filter/limit/offset,
+  * inner+cross+implicit joins, grouped aggregation with expression keys,
+  * count/sum/avg/min/max, scalar math, casts — reference
+  * `logical_plan/plan.rs:17-50`, `physical_plan/`) plus everything the
+  * reference stubbed or TODO'd (ORDER BY `sql/planner.rs:159-162`, outer
+  * joins, multi-key joins `hash_join.rs:134`, set ops `sql/planner.rs:58-84`,
+  * HAVING, DISTINCT aggregates, windows, subqueries, rollup).
+  *
+  * Conventions for oracle parity (driver hashes values with columns sorted by
+  * name): every computed column is aliased identically in Spark and DuckDB
+  * SQL; accumulation-order-sensitive double aggregates are round()ed; output
+  * rows get a deterministic ORDER BY (harmless under the driver's own sort,
+  * eliminated by Catalyst's EliminateSorts when Bench only count()s).
+  */
+object Relational {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project" -> ((s, d) =>
+      ld(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q02_filter" -> ((s, d) =>
+      ld(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") < 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q03_project_arith" -> ((s, d) =>
+      ld(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).as("charge"),
+        (col("l_orderkey") % 7).as("bucket"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q04_sort_limit_offset" -> ((s, d) =>
+      ld(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(5).limit(10)),
+
+    "q05_agg_global" -> ((s, d) =>
+      ld(s, d, "lineitem").agg(
+        count(lit(1)).as("cnt"),
+        count(col("l_shipdate")).as("cnt_ship"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))),
+
+    "q06_agg_group" -> ((s, d) =>
+      ld(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus").agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Reference's canonical query 4 (`main.rs:36-40`): expression group key.
+    // Divergence (documented SURVEY §7): we include the group key in output.
+    "q07_agg_expr_key" -> ((s, d) =>
+      ld(s, d, "lineitem")
+        .groupBy((col("l_orderkey") % 3).as("k")).agg(
+          count("l_orderkey").as("cnt"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"))
+        .orderBy("k")),
+
+    "q08_agg_distinct" -> ((s, d) =>
+      ld(s, d, "lineitem")
+        .groupBy("l_returnflag").agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
+    "q09_having" -> ((s, d) =>
+      ld(s, d, "orders")
+        .groupBy("o_orderpriority").agg(
+          count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .filter(col("n") > 100)
+        .orderBy("o_orderpriority")),
+
+    "q10_join_broadcast" -> ((s, d) => {
+      val o = ld(s, d, "orders"); val c = ld(s, d, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment").agg(
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // TPC-H Q5 flavor: 5-way join; dims broadcast, fact-side shuffle only on
+    // the join keys Catalyst picks (orderkey); survives 100× scale-up.
+    "q11_join_multi" -> ((s, d) => {
+      val r = ld(s, d, "region"); val n = ld(s, d, "nation")
+      val c = ld(s, d, "customer"); val o = ld(s, d, "orders")
+      val l = ld(s, d, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name").agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q12_join_left" -> ((s, d) => {
+      val c = ld(s, d, "customer"); val o = ld(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey").agg(
+          count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("spent"))
+        .orderBy("c_custkey")
+    }),
+
+    "q13_join_right" -> ((s, d) => {
+      val l = ld(s, d, "lineitem"); val o = ld(s, d, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey"), "right")
+        .groupBy("o_orderkey").agg(count(col("l_orderkey")).as("n_items"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q14_join_full" -> ((s, d) => {
+      val c = ld(s, d, "customer").groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      val p = ld(s, d, "supplier").groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(p, c("c_nationkey") === p("s_nationkey"), "full")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    "q15_join_semi" -> ((s, d) => {
+      val c = ld(s, d, "customer")
+      val big = ld(s, d, "orders").filter(col("o_totalprice") > 450000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "q16_join_anti" -> ((s, d) => {
+      val c = ld(s, d, "customer")
+      val big = ld(s, d, "orders").filter(col("o_totalprice") > 450000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "q17_join_cross" -> ((s, d) =>
+      ld(s, d, "region").crossJoin(ld(s, d, "nation"))
+        .select("r_name", "n_name").orderBy("r_name", "n_name")),
+
+    // Implicit join from WHERE — the reference's one real planner feature
+    // (`sql/planner.rs:305-380`); Catalyst rewrites Filter(CrossJoin)→equi-join.
+    "q18_join_implicit" -> ((s, d) => {
+      graft.Tables.views(s, d)
+      s.sql("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+               FROM customer, orders
+               WHERE c_custkey = o_custkey AND o_totalprice > 480000
+               ORDER BY o_orderkey""")
+    }),
+
+    // Multi-key equi-join (reference only ever used the first key pair —
+    // `hash_join.rs:134`).
+    "q19_join_multikey" -> ((s, d) => {
+      val l = ld(s, d, "lineitem")
+      val ps = l.groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("tot_qty"))
+      l.join(ps, l("l_partkey") === ps("pk") && l("l_suppkey") === ps("sk"))
+        .filter(col("n_lines") >= 2)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "tot_qty")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q20_union_all" -> ((s, d) =>
+      ld(s, d, "customer").select(col("c_nationkey").as("nk"), lit("cust").as("side"))
+        .unionAll(
+          ld(s, d, "supplier").select(col("s_nationkey").as("nk"), lit("supp").as("side")))
+        .orderBy("side", "nk")),
+
+    "q21_union_distinct" -> ((s, d) =>
+      ld(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .union(ld(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy("nk")),
+
+    "q22_intersect" -> ((s, d) =>
+      ld(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(ld(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    "q23_except" -> ((s, d) =>
+      ld(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .except(ld(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    // CAST — parse-only in the reference (`cast.rs:40-88` all todo!()).
+    "q24_cast" -> ((s, d) =>
+      ld(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_linenumber").cast("bigint").as("ln_big"),
+        col("l_orderkey").cast("string").as("ok_str"),
+        col("l_shipdate").cast("date").as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Scalar math incl. a *correct* tan (reference dispatches tan→cos,
+    // `unary.rs:96`). Transcendentals rounded: libm vs Java may differ 1 ulp.
+    "q25_scalar_math" -> ((s, d) =>
+      ld(s, d, "part").select(
+        col("p_partkey"),
+        abs(col("p_size") - 25).as("abs_v"),
+        round(sin(col("p_size").cast("double")), 6).as("sin_v"),
+        round(cos(col("p_size").cast("double")), 6).as("cos_v"),
+        round(tan(col("p_size").cast("double")), 6).as("tan_v"),
+        round(sqrt(col("p_retailprice")), 6).as("sqrt_v"),
+        round(log(col("p_retailprice")), 6).as("ln_v"),
+        floor(col("p_retailprice")).as("floor_v"),
+        ceil(col("p_retailprice")).as("ceil_v"))
+        .orderBy("p_partkey")),
+
+    // String functions — enumerated but todo!() in the reference
+    // (`unary.rs:97-106`).
+    "q26_string_funcs" -> ((s, d) =>
+      ld(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up_name"),
+        lower(col("c_name")).as("lo_name"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_pfx"),
+        concat(col("c_name"), lit("-"), col("c_mktsegment")).as("tagged"),
+        reverse(col("c_name")).as("rev_name"),
+        regexp_replace(col("c_name"), "0", "_").as("subbed"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        trim(concat(lit("  "), col("c_name"), lit("  "))).as("trimmed"))
+        .orderBy("c_custkey")),
+
+    // CASE / NULL semantics / Kleene three-valued logic (`binary.rs:133-148`).
+    "q27_case_null" -> ((s, d) =>
+      ld(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("low").as("band"),
+        nullif(col("o_orderstatus"), lit("O")).as("st_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("st2"),
+        (col("o_totalprice") > 300000 && nullif(lit(1), lit(1)) === 1).as("kleene_and"))
+        .orderBy("o_orderkey")),
+
+    "q28_window" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wr = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+      ld(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"),
+        rank().over(wr).as("rnk"),
+        round(sum("o_totalprice").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("run_sum"),
+        lag("o_totalprice", 1).over(w).as("prev_price"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q29_subq_scalar" -> ((s, d) => {
+      graft.Tables.views(s, d)
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+               ORDER BY o_orderkey""")
+    }),
+
+    "q30_subq_in" -> ((s, d) => {
+      graft.Tables.views(s, d)
+      s.sql("""SELECT p_partkey, p_name FROM part
+               WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+               ORDER BY p_partkey""")
+    }),
+
+    "q31_topk" -> ((s, d) =>
+      ld(s, d, "lineitem")
+        .groupBy("l_partkey").agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_partkey"))
+        .limit(25)),
+
+    "q32_date_funcs" -> ((s, d) =>
+      ld(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("mo_start"))
+        .orderBy("o_orderkey")),
+
+    "q33_rollup" -> ((s, d) =>
+      ld(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus").agg(
+          count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    "q34_distinct" -> ((s, d) =>
+      ld(s, d, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus")),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q02_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+         WHERE l_quantity > 45 AND l_discount < 0.05 ORDER BY l_orderkey, l_linenumber""",
+    "q03_project_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+                l_orderkey % 7 AS bucket
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q04_sort_limit_offset" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5""",
+    "q05_agg_global" ->
+      """SELECT count(*) AS cnt, count(l_shipdate) AS cnt_ship,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(avg(l_extendedprice), 4) AS avg_price,
+                min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+         FROM lineitem""",
+    "q06_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_discount), 6) AS avg_disc,
+                count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q07_agg_expr_key" ->
+      """SELECT l_orderkey % 3 AS k, count(l_orderkey) AS cnt,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(avg(l_extendedprice), 4) AS avg_price,
+                min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+         FROM lineitem GROUP BY 1 ORDER BY k""",
+    "q08_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+                count(DISTINCT l_partkey) AS n_part, count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q09_having" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY o_orderpriority HAVING count(*) > 100
+         ORDER BY o_orderpriority""",
+    "q10_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q11_join_multi" ->
+      """SELECT r_name, n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                count(*) AS n_lines
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q12_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+                round(coalesce(sum(o_totalprice), 0), 2) AS spent
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q13_join_right" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_items
+         FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "q14_join_full" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+              s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+         SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+                coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+         FROM c FULL JOIN s ON c_nationkey = s_nationkey ORDER BY nationkey""",
+    "q15_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+         ORDER BY c_custkey""",
+    "q16_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+         ORDER BY c_custkey""",
+    "q17_join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "q18_join_implicit" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+         FROM customer, orders
+         WHERE c_custkey = o_custkey AND o_totalprice > 480000
+         ORDER BY o_orderkey""",
+    "q19_join_multikey" ->
+      """WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk, count(*) AS n_lines,
+                            round(sum(l_quantity), 2) AS tot_qty
+                     FROM lineitem GROUP BY 1, 2)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, tot_qty
+         FROM lineitem JOIN ps ON l_partkey = pk AND l_suppkey = sk
+         WHERE n_lines >= 2 ORDER BY l_orderkey, l_linenumber""",
+    "q20_union_all" ->
+      """SELECT c_nationkey AS nk, 'cust' AS side FROM customer
+         UNION ALL SELECT s_nationkey AS nk, 'supp' AS side FROM supplier
+         ORDER BY side, nk""",
+    "q21_union_distinct" ->
+      """SELECT c_nationkey AS nk FROM customer
+         UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk""",
+    "q22_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""",
+    "q23_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+         EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""",
+    "q24_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(l_linenumber AS BIGINT) AS ln_big,
+                CAST(l_orderkey AS VARCHAR) AS ok_str,
+                CAST(l_shipdate AS DATE) AS ship_date
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q25_scalar_math" ->
+      """SELECT p_partkey, abs(p_size - 25) AS abs_v,
+                round(sin(CAST(p_size AS DOUBLE)), 6) AS sin_v,
+                round(cos(CAST(p_size AS DOUBLE)), 6) AS cos_v,
+                round(tan(CAST(p_size AS DOUBLE)), 6) AS tan_v,
+                round(sqrt(p_retailprice), 6) AS sqrt_v,
+                round(ln(p_retailprice), 6) AS ln_v,
+                CAST(floor(p_retailprice) AS BIGINT) AS floor_v,
+                CAST(ceil(p_retailprice) AS BIGINT) AS ceil_v
+         FROM part ORDER BY p_partkey""",
+    "q26_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS up_name, lower(c_name) AS lo_name,
+                CAST(length(c_name) AS INTEGER) AS name_len,
+                substr(c_name, 1, 8) AS name_pfx,
+                c_name || '-' || c_mktsegment AS tagged,
+                reverse(c_name) AS rev_name,
+                regexp_replace(c_name, '0', '_', 'g') AS subbed,
+                lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+                trim('  ' || c_name || '  ') AS trimmed
+         FROM customer ORDER BY c_custkey""",
+    "q27_case_null" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_totalprice > 300000 THEN 'high'
+                     WHEN o_totalprice > 150000 THEN 'mid' ELSE 'low' END AS band,
+                nullif(o_orderstatus, 'O') AS st_or_null,
+                coalesce(nullif(o_orderstatus, 'O'), 'open') AS st2,
+                (o_totalprice > 300000 AND nullif(1, 1) = 1) AS kleene_and
+         FROM orders ORDER BY o_orderkey""",
+    "q28_window" ->
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER w AS rn,
+                  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+                  round(sum(o_totalprice) OVER
+                    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+                  lag(o_totalprice, 1) OVER w AS prev_price
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+         ) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q29_subq_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+         ORDER BY o_orderkey""",
+    "q30_subq_in" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+         ORDER BY p_partkey""",
+    "q31_topk" ->
+      """SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem GROUP BY l_partkey
+         ORDER BY revenue DESC, l_partkey LIMIT 25""",
+    "q32_date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS yr,
+                CAST(month(o_orderdate) AS INTEGER) AS mo,
+                CAST(day(o_orderdate) AS INTEGER) AS dom,
+                date_trunc('month', o_orderdate) AS mo_start
+         FROM orders ORDER BY o_orderkey""",
+    "q33_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q34_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+  )
+}

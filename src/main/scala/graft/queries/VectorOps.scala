@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.ld
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float> [64], label) — the ANN surface of a training-data pipeline.
+  *
+  * Dot products use codegen'd higher-order functions (`zip_with` +
+  * `aggregate`), computed in DOUBLE with a fixed left-to-right fold so the
+  * DuckDB oracle can reproduce results bit-for-bit (then round(…,6) guards
+  * the last ulp of libm differences).
+  *
+  * Scale shapes: brute-force kNN broadcasts the (small) query set and scans
+  * the corpus once — linear, no shuffle of the corpus. The LSH variant
+  * buckets both sides by hyperplane signature, turning ANN into an equi-join
+  * on bucket id — the 100 TB path. Centroids are a keyed aggregation.
+  */
+object VectorOps {
+
+  /** Σ a[i]*b[i] in double, sequential fold (deterministic). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** 8 deterministic pseudo-random hyperplanes (hash-seeded, no RNG state —
+    * reproducible across executors and rounds). */
+  private[queries] val hyperplanes: Seq[Seq[Double]] =
+    (0 until 8).map { p =>
+      (0 until 64).map { i =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(s"plane_${p}_$i")
+        (h % 1000) / 1000.0
+      }
+    }
+
+  /** Bucket id: 8 sign bits of hyperplane projections. */
+  private def lshBucket(emb: Column): Column =
+    hyperplanes.zipWithIndex.map { case (w, p) =>
+      when(dot(emb, typedLit(w)) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-5 for 10 probe vectors: the exactness baseline.
+    "q60_knn_brute" -> ((s, d) => {
+      val e = ld(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val sims = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("q_id", "rn")
+    }),
+
+    // LSH-bucketed ANN: same probes, neighbors only from the probe's bucket.
+    "q61_ann_lsh" -> ((s, d) => {
+      val e = ld(s, d, "embeddings")
+        .withColumn("bucket", lshBucket(col("embedding")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("bucket").as("q_bucket"))
+      val sims = e.join(broadcast(q), col("bucket") === col("q_bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("q_id", "rn")
+    }),
+
+    // Embedding near-duplicate pairs (cosine ≥ 0.4 on this corpus — max
+    // pairwise sim is ~0.55). Brute pairwise at 500 rows; the scale path is
+    // the LSH bucket join above.
+    "q62_embed_neardup" -> ((s, d) => {
+      val a = ld(s, d, "embeddings")
+        .select(col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = ld(s, d, "embeddings")
+        .select(col("vec_id").as("vb"), col("embedding").as("eb"))
+      a.crossJoin(broadcast(b))
+        .filter(col("va") < col("vb"))
+        .select(col("va"), col("vb"),
+          round(cosine(col("ea"), col("eb")), 6).as("sim"))
+        .filter(col("sim") >= 0.4)
+        .orderBy("va", "vb")
+    }),
+
+    // Per-label centroids + per-vector distance to own centroid (cluster
+    // quality). Elementwise mean via posexplode → keyed agg → array rebuild.
+    "q63_centroid_dist" -> ((s, d) => {
+      val e = ld(s, d, "embeddings")
+      val cent = e
+        .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg(round(avg("v"), 6).as("c"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label"), expr("transform(pc, x -> x.c)").as("centroid"))
+      e.join(broadcast(cent), "label")
+        .select(col("vec_id"), col("label"),
+          round(sqrt(aggregate(
+            zip_with(col("embedding").cast("array<double>"), col("centroid"),
+              (x, c) => (x - c) * (x - c)),
+            lit(0.0), (acc, v) => acc + v)), 6).as("dist"))
+        .orderBy("vec_id")
+    }),
+  )
+
+  private val duckCos =
+    "list_inner_product(%A, %B) / (sqrt(list_inner_product(%A, %A)) * sqrt(list_inner_product(%B, %B)))"
+  private def dcos(a: String, b: String): String =
+    duckCos.replace("%A", a).replace("%B", b)
+
+  val oracle: Map[String, String] = Map(
+    "q60_knn_brute" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+               q AS (SELECT vec_id AS q_id, ce AS qe FROM c WHERE vec_id < 10),
+               sims AS (SELECT q_id, vec_id AS neighbor_id,
+                               round(${dcos("qe", "ce")}, 6) AS sim
+                        FROM c CROSS JOIN q WHERE vec_id <> q_id),
+               ranked AS (SELECT *, row_number() OVER
+                            (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
+                          FROM sims)
+          SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rn
+          FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""",
+    "q62_embed_neardup" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings)
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 round(${dcos("a.ce", "b.ce")}, 6) AS sim
+          FROM c a JOIN c b ON a.vec_id < b.vec_id
+          WHERE round(${dcos("a.ce", "b.ce")}, 6) >= 0.4
+          ORDER BY va, vb""",
+    "q63_centroid_dist" ->
+      """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+              comp AS (SELECT label, i AS pos, round(avg(ce[i]), 6) AS cv
+                       FROM c, range(1, 65) t(i) GROUP BY 1, 2),
+              cent AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM comp GROUP BY label)
+         SELECT vec_id, c.label,
+                round(sqrt(list_sum(list_transform(range(1, 65),
+                  i -> (ce[i] - centroid[i]) * (ce[i] - centroid[i])))), 6) AS dist
+         FROM c JOIN cent ON c.label = cent.label
+         ORDER BY vec_id""",
+  )
+}
