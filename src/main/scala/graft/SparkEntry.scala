@@ -19,8 +19,11 @@ object SparkEntry {
     Relational.queries ++ TextOps.queries ++ VectorOps.queries ++
       EventOps.queries ++ MultimodalOps.queries
 
+  // No whitespace collapsing: it would also rewrite multi-space string
+  // literals inside the SQL (e.g. trim('  ' || …)). DuckDB takes the SQL
+  // verbatim; Verify JSON-escapes newlines.
   def oracleSql: Map[String, String] =
     (Relational.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
       EventOps.oracle ++ MultimodalOps.oracle)
-      .view.mapValues(_.stripMargin.replaceAll("\\s+", " ").trim).toMap
+      .view.mapValues(_.stripMargin.trim).toMap
 }

@@ -13,9 +13,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Lazy scan of one table; column pruning + predicate pushdown apply. */
-  def ld(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Lazy scan of one table; column pruning + predicate pushdown apply.
+    *
+    * `events.ts` is physically INT64 TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as long and
+    * truncate to a microsecond timestamp — byte-identical to how DuckDB casts
+    * TIMESTAMP_NS to its microsecond TIMESTAMP, so oracles line up. Integer
+    * `div` (not `/1000.0`): epoch-nanos exceed 2^53 and would lose precision
+    * through a double. */
+  def ld(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
 
   /** Register all tables as temp views named exactly like the files, so
     * `spark.sql` text matches the DuckDB oracle text 1:1. */

@@ -41,29 +41,42 @@ object EventOps {
         .orderBy("user_id", "sess_id")
     }),
 
-    "q72_events_pivot" -> ((s, d) =>
-      ld(s, d, "events")
+    // Pivot columns are prefixed n_ (bare `view` is a DuckDB reserved word).
+    "q72_events_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val piv = ld(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hr"))
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .pivot("event_type", types)
         .count()
         .na.fill(0L)
-        .orderBy("hr")),
+      types.foldLeft(piv)((df, t) => df.withColumnRenamed(t, s"n_$t"))
+        .orderBy("hr")
+    }),
 
     // Structured Streaming twin of q70: parquet readStream → event-time
-    // window + watermark → complete-mode memory sink. processAllAvailable
-    // makes it synchronous for the driver/oracle; in production this is
-    // writeStream.trigger(...).toTable with the identical plan.
+    // window + watermark → complete-mode memory sink. Trigger.AvailableNow
+    // processes the whole backlog then terminates the query on its own —
+    // no processAllAvailable/stop race (r1's bench logged an aborted-task
+    // from stop() interrupting an in-flight no-op microbatch). In production
+    // this is writeStream.trigger(...).toTable with the identical plan.
     "q74_stream_hourly" -> ((s, d) => {
-      val schema = ld(s, d, "events").schema
-      val stream = s.readStream.schema(schema)
-        .parquet(s"$d/events.parquet")
+      ld(s, d, "events") // sets the nanosAsLong conf for the raw schema read
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      // The streaming file source wants a directory: list the sf dir but
+      // glob-filter down to the single events file.
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       val name = "graft_stream_hourly"
       val q = stream.writeStream.outputMode("complete")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
       s.table(name)
         .select(col("window.start").as("hr"), col("event_type"), col("n"),
           round(col("sum_value"), 2).as("tot_value"))
@@ -93,11 +106,11 @@ object EventOps {
          FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""",
     "q72_events_pivot" ->
       """SELECT date_trunc('hour', ts) AS hr,
-                count(*) FILTER (WHERE event_type = 'click') AS click,
-                count(*) FILTER (WHERE event_type = 'error') AS error,
-                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-                count(*) FILTER (WHERE event_type = 'signup') AS signup,
-                count(*) FILTER (WHERE event_type = 'view') AS view
+                count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                count(*) FILTER (WHERE event_type = 'view') AS n_view
          FROM events GROUP BY 1 ORDER BY hr""",
     "q74_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,

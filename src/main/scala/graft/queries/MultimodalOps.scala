@@ -21,17 +21,19 @@ object MultimodalOps {
       Multimodal.decodeMeta(payloads).orderBy("doc_id")
     }),
 
-    // Frame sampling: up to 10 fixed-stride 64-byte "frames" per payload,
+    // Frame sampling: up to 10 fixed-stride 64-char "frames" per document,
     // fingerprinted. explode(sequence) keeps it one codegen stage, no UDF.
+    // Slicing is by *characters* on both sides (md5 hashes the UTF-8 bytes of
+    // the slice in Spark and DuckDB alike), and the frame count uses
+    // floor((n_chars-1)/64) so an empty doc yields zero frames in both
+    // engines (Spark `div` truncates toward zero; DuckDB `//` floors).
     "q81_frame_sample" -> ((s, d) =>
       ld(s, d, "documents")
-        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"),
-          col("n_chars"))
-        .select(col("doc_id"), col("payload"),
-          explode(expr("sequence(0L, least((n_chars - 1) div 64, 9L))"))
-            .as("frame_idx"))
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .withColumn("frame_idx", explode(sequence(lit(0L), lit(9L))))
+        .filter(col("frame_idx") <= floor((col("n_chars") - 1) / lit(64.0)))
         .select(col("doc_id"), col("frame_idx"),
-          expr("md5(substring(payload, cast(frame_idx * 64 + 1 AS int), 64))")
+          expr("md5(substring(text, cast(frame_idx * 64 + 1 AS int), 64))")
             .as("frame_md5"))
         .orderBy("doc_id", "frame_idx")),
   )
@@ -48,7 +50,8 @@ object MultimodalOps {
     "q81_frame_sample" ->
       """SELECT doc_id, frame_idx,
                 md5(substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64)) AS frame_md5
-         FROM documents, range(0, least((n_chars - 1) // 64, 9) + 1) t(frame_idx)
+         FROM documents CROSS JOIN range(0, 10) t(frame_idx)
+         WHERE frame_idx <= floor((n_chars - 1) / 64.0)
          ORDER BY doc_id, frame_idx""",
   )
 }
