@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every SparkEntry query runs end-to-end at sf0.001 and returns a sane
+  * shape. (Hash-level correctness is the driver's DuckDB gate — Verify +
+  * tools/check.py; this suite catches runtime breakage in `sbt test`.
+  * Round 1 shipped seven queries that threw on execution and were silently
+  * timed as "fast" — this spec makes that impossible to miss.)
+  */
+class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // Queries where zero rows would itself be a bug at sf0.001.
+  private val mustHaveRows = Set(
+    "q01_scan_project", "q05_agg_global", "q06_agg_group", "q10_join_broadcast",
+    "q11_join_multi", "q17_join_cross", "q28_window", "q31_topk",
+    "q40_dedup_exact", "q41_text_tokens", "q47_simhash", "q60_knn_brute",
+    "q63_centroid_dist", "q70_events_hourly", "q71_sessionize",
+    "q74_stream_hourly", "q80_media_meta", "q81_frame_sample")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sfDir)
+      assert(df.schema.nonEmpty, "schema must not be empty")
+      val n = df.count()
+      assert(n >= 0)
+      if (mustHaveRows(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query with an oracle exists in queries, and oracle SQL is " +
+    "nonempty") {
+    val qs = SparkEntry.queries.keySet
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(qs.contains(name), s"oracle for unknown query $name")
+      assert(sql.trim.nonEmpty)
+    }
+  }
+}
