@@ -16,14 +16,16 @@ object SparkEntry {
     Relational.queries("q11_join_multi")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextOps.queries ++ VectorOps.queries ++
-      EventOps.queries ++ MultimodalOps.queries
+    Relational.queries ++ TextOps.queries ++ TextOps.queries2 ++
+      VectorOps.queries ++ VectorOps.queries2 ++
+      EventOps.queries ++ EventOps.queries2 ++
+      MultimodalOps.queries ++ SinkOps.queries
 
   // No whitespace collapsing: it would also rewrite multi-space string
   // literals inside the SQL (e.g. trim('  ' || …)). DuckDB takes the SQL
   // verbatim; Verify JSON-escapes newlines.
   def oracleSql: Map[String, String] =
     (Relational.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
-      EventOps.oracle ++ MultimodalOps.oracle)
+      EventOps.oracle ++ MultimodalOps.oracle ++ SinkOps.oracle)
       .view.mapValues(_.stripMargin.trim).toMap
 }

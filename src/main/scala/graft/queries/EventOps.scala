@@ -84,7 +84,113 @@ object EventOps {
     }),
   )
 
+  // --- additions beyond the reference: as-of join, session windows,
+  //     streaming dedup, JSON column ops ---
+
+  val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of join: each purchase matched to the user's most recent click at
+    // or before it. Spark has no ASOF operator; the scalable composition is
+    // union-tag → ONE window pass per user (last click ts carried forward)
+    // → filter purchases. One shuffle on user_id, no range cross-join.
+    // DuckDB's native ASOF JOIN is the oracle.
+    "q49_asof_join" -> ((s, d) => {
+      val ev = ld(s, d, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("event_type") === "purchase").cast("int").as("is_p"))
+      // clicks sort before purchases at equal ts, so an equal-ts click is
+      // visible to the purchase (ASOF semantics: p.ts >= c.ts).
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_p"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_click_ts",
+          last(when(col("is_p") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("is_p") === 1)
+        .select(col("event_id"), col("user_id"), col("last_click_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("last_click_ts")))
+            .as("gap_us"))
+        .orderBy("event_id")
+    }),
+
+    // Built-in session windows (30-min inactivity gap) — the declarative
+    // twin of q71's window-function sessionization; same session boundaries.
+    "q75_session_window" -> ((s, d) =>
+      ld(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("tot_value"))
+        .select(col("user_id"), col("sw.start").as("sess_start"),
+          col("n_events"), col("tot_value"))
+        .orderBy("user_id", "sess_start")),
+
+    // Streaming exact dedup: dropDuplicates over the stream keyed on
+    // (user_id, event_type) (state = one bit per key; with a watermark the
+    // state would be bounded at 100 TB), then a batch rollup of the sink.
+    // First-seen row is arrival-order-dependent; the (user_id, event_type)
+    // SET is not — so the rollup is deterministic and oracle-checkable.
+    "q76_stream_dedup" -> ((s, d) => {
+      ld(s, d, "events")
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "graft_stream_dedup"
+      val q = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    // JSON column: parse props ({"k": int}) with a JSON path, aggregate.
+    "q82_json_props" -> ((s, d) =>
+      ld(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type").agg(
+          round(avg("k"), 4).as("avg_k"),
+          max("k").as("max_k"),
+          count(when(col("k") > 50, 1)).as("n_high"))
+        .orderBy("event_type")),
+  )
+
   val oracle: Map[String, String] = Map(
+    "q49_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, ts AS click_ts FROM events
+                    WHERE event_type = 'click')
+         SELECT event_id, p.user_id AS user_id, click_ts AS last_click_ts,
+                epoch_us(ts) - epoch_us(click_ts) AS gap_us
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.click_ts
+         ORDER BY event_id""",
+    "q75_session_window" ->
+      """WITH t AS (SELECT user_id, ts, value,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                    FROM events),
+              s AS (SELECT *, sum(CASE WHEN prev_ts IS NULL
+                                       OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                                  THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+                    FROM t)
+         SELECT user_id, min(ts) AS sess_start, count(*) AS n_events,
+                round(sum(value), 2) AS tot_value
+         FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_start""",
+    "q76_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q82_json_props" ->
+      """SELECT event_type,
+                round(avg(CAST(props->>'k' AS INTEGER)), 4) AS avg_k,
+                max(CAST(props->>'k' AS INTEGER)) AS max_k,
+                count(CASE WHEN CAST(props->>'k' AS INTEGER) > 50 THEN 1 END) AS n_high
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q70_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
                 round(sum(value), 2) AS tot_value, round(avg(value), 4) AS avg_value

@@ -324,6 +324,72 @@ object Relational {
     "q34_distinct" -> ((s, d) =>
       ld(s, d, "lineitem").select("l_returnflag", "l_linestatus")
         .distinct().orderBy("l_returnflag", "l_linestatus")),
+
+    "q35_cube" -> ((s, d) =>
+      ld(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus").agg(
+          count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))),
+
+    "q36_grouping_sets" -> ((s, d) => {
+      graft.Tables.views(s, d)
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                      grouping(l_returnflag) AS g_rf
+               FROM lineitem
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                       (l_returnflag, l_linestatus))
+               ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    }),
+
+    // Generator/UDTF surface (absent in the reference — SURVEY §2.9):
+    // explode a computed array, re-aggregate. Scale shape: Generate is
+    // pipelined inside codegen; the groupBy is one keyed shuffle.
+    "q37_explode_tokens" -> ((s, d) =>
+      ld(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 3)
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))),
+
+    // Approximate aggregates (HLL + quantile sketch) next to their exact
+    // counterparts. No oracle: sketch values are engine-specific; the
+    // rows-only check pins cardinality, the spec pins the error bound.
+    "q38_approx_agg" -> ((s, d) =>
+      ld(s, d, "lineitem")
+        .groupBy("l_returnflag").agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2)
+            .as("approx_median_price"))
+        .orderBy("l_returnflag")),
+
+    // Ordered array aggregation over a keyed group (array column surface).
+    "q39_array_agg" -> ((s, d) =>
+      ld(s, d, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("linenums"),
+          round(sum("l_quantity"), 2).as("tot_qty"))
+        .orderBy("l_orderkey")),
+
+    // Skew-resistant two-phase aggregation (salting): partial agg on
+    // (key, salt) spreads a hot key over 16 reducers, final agg merges.
+    // Result is identical to a direct groupBy — the oracle is the plain
+    // GROUP BY. At 100 TB this is the pattern for power-law keys; here
+    // l_returnflag has only 3 values, the canonical hot-key shape.
+    "q50_salted_agg" -> ((s, d) => {
+      val partial = ld(s, d, "lineitem")
+        .withColumn("salt", col("l_orderkey") % 16)
+        .groupBy("l_returnflag", "salt").agg(
+          count(lit(1)).as("pn"),
+          sum("l_quantity").as("pq"))
+      partial.groupBy("l_returnflag").agg(
+          sum("pn").as("n"),
+          round(sum("pq"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -507,5 +573,30 @@ object Relational {
     "q34_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
          ORDER BY l_returnflag, l_linestatus""",
+    "q35_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q36_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(grouping(l_returnflag) AS INTEGER) AS g_rf
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                 (l_returnflag, l_linestatus))
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q37_explode_tokens" ->
+      """SELECT tok, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         WHERE length(tok) > 3
+         GROUP BY tok ORDER BY n DESC, tok""",
+    "q39_array_agg" ->
+      """SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS linenums,
+                round(sum(l_quantity), 2) AS tot_qty
+         FROM lineitem WHERE l_orderkey < 100
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "q50_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

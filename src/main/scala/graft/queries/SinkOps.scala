@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.ld
+
+/** File sinks + re-scan: the reference has NO writers (SURVEY §2.1 — its
+  * only sink is a materialized Vec<RecordBatch>); at 100 TB the write path
+  * IS the pipeline. Each query writes a derived dataset (partitioned
+  * parquet / CSV), reads it back, and aggregates — the oracle aggregates
+  * the source directly, so the check proves roundtrip fidelity, not just
+  * that a file appeared. Output paths are per-sf so the sf0.01 correctness
+  * run and the sf0.1 bench never clobber each other.
+  */
+object SinkOps {
+
+  private def outDir(d: String, name: String): String = {
+    val sf = d.replaceAll(".*/", "")
+    s"/root/repo/target/sink/$sf/$name"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Partitioned parquet write (the 100 TB layout primitive: one dir per
+    // partition key → partition pruning on re-scan) → read back → agg.
+    "q90_parquet_roundtrip" -> ((s, d) => {
+      val path = outDir(d, "lineitem_by_flag")
+      ld(s, d, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+      s.read.parquet(path)
+        .groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // CSV write + schema'd read-back (text roundtrip fidelity).
+    "q91_csv_roundtrip" -> ((s, d) => {
+      val path = outDir(d, "orders_csv")
+      ld(s, d, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE")
+        .csv(path)
+        .groupBy((col("o_custkey") % 10).as("cust_band")).agg(
+          count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("tot"))
+        .orderBy("cust_band")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q90_parquet_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem WHERE l_quantity > 45
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q91_csv_roundtrip" ->
+      """SELECT o_custkey % 10 AS cust_band, count(*) AS n,
+                round(sum(o_totalprice), 2) AS tot
+         FROM orders WHERE o_totalprice > 400000
+         GROUP BY 1 ORDER BY cust_band""",
+  )
+}

@@ -209,6 +209,23 @@ object TextOps {
     }),
   )
 
+  /** BPE-ish regex tokenizer: letter runs, digit runs, single punctuation —
+    * the pre-tokenization split most BPE vocabularies assume. Pure
+    * projection, pushed down to the scan's output, linear at any scale. */
+  val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_bpe_tokens" -> ((s, d) => {
+      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+      ld(s, d, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpe"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+          .as("n_word"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .as("n_num"))
+        .orderBy("doc_id")
+    }),
+  )
+
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
     * explode tokens → codegen'd hash → one groupBy with 32 ±1-vote sums
     * (map-side combined). The filter()-over-array alternative is an
@@ -242,6 +259,12 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q51_bpe_tokens" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_word,
+                CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_num
+         FROM documents ORDER BY doc_id""",
     "q40_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY canonical_id""",

@@ -129,12 +129,83 @@ object VectorOps {
     }),
   )
 
+  /** IVF-style ANN: coarse quantizer = per-label centroid; each probe
+    * searches only its `nprobe`=2 nearest inverted lists. The 100 TB shape:
+    * the corpus is PARTITIONED by list id (here `label`), a probe touches
+    * nprobe partitions instead of all of them, and the fine search is a
+    * broadcast join against just those lists.
+    */
+  val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_ann_ivf" -> ((s, d) => {
+      val e = withNorm(ld(s, d, "embeddings"))
+      // centroids: elementwise mean per label (same construction as q63)
+      val cent = ld(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg(round(avg("v"), 6).as("c"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("label").as("c_label"),
+          expr("transform(pc, x -> x.c)").as("centroid"))
+        .withColumn("c_nrm", sqrt(dotp(col("centroid"), col("centroid"))))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      // coarse: rank centroids per probe by cosine, keep nprobe=2
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("c_sim").desc, col("c_label"))
+      val lists = probes.crossJoin(broadcast(cent))
+        .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_label"),
+          round(dotp(col("q_emb"), col("centroid")) /
+            (col("q_nrm") * col("c_nrm")), 6).as("c_sim"))
+        .withColumn("crn", row_number().over(wq))
+        .filter(col("crn") <= 2)
+        .select(col("q_id"), col("q_emb"), col("q_nrm"),
+          col("c_label").as("label"))
+      // fine: search only the selected inverted lists
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
+      e.join(broadcast(lists), "label")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(dotp(col("q_emb"), col("emb")) /
+            (col("q_nrm") * col("nrm")), 6).as("sim"))
+        .withColumn("rn", row_number().over(wn))
+        .filter(col("rn") <= 3)
+        .orderBy("q_id", "rn")
+    }),
+  )
+
   private val duckCos =
     "list_inner_product(%A, %B) / (sqrt(list_inner_product(%A, %A)) * sqrt(list_inner_product(%B, %B)))"
   private def dcos(a: String, b: String): String =
     duckCos.replace("%A", a).replace("%B", b)
 
   val oracle: Map[String, String] = Map(
+    "q64_ann_ivf" ->
+      s"""WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce
+                     FROM embeddings),
+               comp AS (SELECT label, i AS pos, round(avg(ce[i]), 6) AS cv
+                        FROM c, range(1, 65) t(i) GROUP BY 1, 2),
+               cent AS (SELECT label AS c_label, list(cv ORDER BY pos) AS centroid
+                        FROM comp GROUP BY label),
+               probes AS (SELECT vec_id AS q_id, ce AS qe FROM c WHERE vec_id < 5),
+               coarse AS (SELECT q_id, qe, c_label,
+                                 round(${dcos("qe", "centroid")}, 6) AS c_sim
+                          FROM probes CROSS JOIN cent),
+               ranked_c AS (SELECT *, row_number() OVER
+                              (PARTITION BY q_id ORDER BY c_sim DESC, c_label) AS crn
+                            FROM coarse),
+               lists AS (SELECT q_id, qe, c_label AS label FROM ranked_c WHERE crn <= 2),
+               fine AS (SELECT q_id, vec_id AS neighbor_id,
+                               round(${dcos("qe", "ce")}, 6) AS sim
+                        FROM c JOIN lists USING (label)
+                        WHERE vec_id <> q_id),
+               ranked AS (SELECT *, row_number() OVER
+                            (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
+                          FROM fine)
+          SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rn
+          FROM ranked WHERE rn <= 3 ORDER BY q_id, rn""",
     "q60_knn_brute" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
                q AS (SELECT vec_id AS q_id, ce AS qe FROM c WHERE vec_id < 10),
