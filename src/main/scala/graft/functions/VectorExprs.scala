@@ -63,4 +63,18 @@ object VectorExprs {
   def dotp(a: Column, b: Column): Column =
     toCol(DotProduct(toExpr(a.cast("array<double>")),
                      toExpr(b.cast("array<double>"))))
+
+  /** Make `graft_dot(a, b)` callable from SQL text in this session —
+    * mirrors the reference's name→function scalar registry seam
+    * (`logical_plan/expression.rs:96-114`) with a native, codegen'd
+    * expression instead of a UDF. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    ColumnBridge.registerFunction(spark, "graft_dot", { args =>
+      require(args.length == 2, "graft_dot takes 2 array arguments")
+      DotProduct(Cast(args(0), ArrayType(DoubleType)),
+                 Cast(args(1), ArrayType(DoubleType)))
+    })
+  }
 }

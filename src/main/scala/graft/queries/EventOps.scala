@@ -13,6 +13,12 @@ import graft.Tables.ld
   */
 object EventOps {
 
+  /** Typed rows for q77's Dataset path (Encoders need stable classes). */
+  final case class SessEvent(user_id: Long, event_id: Long, us: Long,
+                             value: Double)
+  final case class Session(user_id: Long, sess_id: Long, n_events: Long,
+                           tot_value: Double, dur_us: Long)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_events_hourly" -> ((s, d) =>
       ld(s, d, "events")
@@ -146,6 +152,44 @@ object EventOps {
         .orderBy("event_type")
     }),
 
+    // Typed Dataset surface: KeyValueGroupedDataset.flatMapGroups with case
+    // classes + Encoders — the idiomatic Spark replacement for the
+    // reference's per-group accumulator loop (`aggregate/mod.rs:76-97`),
+    // here running imperative per-user sessionization. Scale shape: one
+    // shuffle on the group key; each group's events fit an executor (a
+    // user's events), sorted in-memory. Same output contract as q71, so
+    // the same oracle verifies the typed path against DuckDB.
+    "q77_typed_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val ev = ld(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .as[SessEvent]
+      ev.groupByKey(_.user_id)
+        .flatMapGroups { (uid: Long, it: Iterator[SessEvent]) =>
+          val evs = it.toArray.sortBy(e => (e.us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var sessId = 0L
+          var n = 0L; var tot = 0.0; var minUs = 0L; var maxUs = 0L
+          def flush(): Unit = if (n > 0) {
+            val rounded = java.math.BigDecimal.valueOf(tot)
+              .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+            out += Session(uid, sessId, n, rounded, maxUs - minUs)
+          }
+          var prevUs = Long.MinValue
+          evs.foreach { e =>
+            if (prevUs == Long.MinValue || e.us - prevUs >= 1800L * 1000000L) {
+              flush(); sessId += 1; n = 0; tot = 0.0; minUs = e.us
+            }
+            n += 1; tot += e.value; maxUs = e.us; prevUs = e.us
+          }
+          flush()
+          out
+        }
+        .toDF()
+        .orderBy("user_id", "sess_id")
+    }),
+
     // JSON column: parse props ({"k": int}) with a JSON path, aggregate.
     "q82_json_props" -> ((s, d) =>
       ld(s, d, "events")
@@ -185,6 +229,22 @@ object EventOps {
     "q76_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // identical contract to q71 — verifies the typed flatMapGroups path
+    "q77_typed_sessionize" ->
+      """WITH t AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+                           lag(epoch_us(ts)) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                    FROM events),
+              s AS (SELECT *, CAST(sum(CASE WHEN prev_us IS NULL
+                                            OR us - prev_us >= 1800000000
+                                       THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS sess_id
+                    FROM t)
+         SELECT user_id, sess_id, count(*) AS n_events,
+                round(sum(value), 2) AS tot_value, max(us) - min(us) AS dur_us
+         FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""",
     "q82_json_props" ->
       """SELECT event_type,
                 round(avg(CAST(props->>'k' AS INTEGER)), 4) AS avg_k,

@@ -183,10 +183,8 @@ object TextOps {
         .orderBy("da", "db")
     }),
 
-    // SimHash (32-bit, token-frequency weighted via duplicate tokens).
-    // Pure projection: token hashes once via transform, then per-bit votes
-    // as size(filter(...)) over the hash array — no explode, no shuffle.
-    // Bit b set ⟺ Σ±1 votes > 0 ⟺ 2·|set tokens| > |tokens|.
+    // SimHash (32-bit, token-frequency weighted via duplicate tokens) —
+    // see the relational `simhash` helper below.
     "q47_simhash" -> ((s, d) =>
       simhash(ld(s, d, "documents")).orderBy("doc_id")),
 

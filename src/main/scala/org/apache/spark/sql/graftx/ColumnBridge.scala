@@ -14,4 +14,15 @@ object ColumnBridge {
 
   def toColumn(e: Expression): Column =
     new Column(ExpressionColumnNode(e))
+
+  /** Register a native Expression builder as a SQL-callable function in
+    * this session — the runtime-registration twin of
+    * SparkSessionExtensions.injectFunction (which requires registration at
+    * session build time). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+                       name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

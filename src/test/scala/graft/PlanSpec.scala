@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the scale properties the engine is
+  * designed around must be visible in `explain` — filters and projections
+  * reaching the parquet scan, small dims broadcast, partial aggregation.
+  * These pin the plan, not just the result, so a regression that keeps
+  * answers right but destroys the 100 TB story fails the build.
+  */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: filter is pushed down to the parquet scan") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters:"), p.take(500))
+    assert(p.contains("GreaterThan(l_quantity") || p.contains("l_quantity"),
+      "quantity filter must reach the scan")
+  }
+
+  test("q01: scan reads only the three projected columns") {
+    val p = plan("q01_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_linenumber") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q10: dimension join is a broadcast join (no fact-side shuffle)") {
+    assert(plan("q10_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q06: aggregation is partial+final (map-side combine)") {
+    val p = plan("q06_agg_group")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial and final HashAggregate")
+  }
+
+  test("q47: simhash plan has exactly one shuffle (the doc_id groupBy)") {
+    val p = plan("q47_simhash")
+    // count node headers in the details section ("(5) Exchange"), not raw
+    // substring hits — formatted explain prints each node twice
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    // one hash exchange for the groupBy + one range exchange for the sort
+    assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges):\n$p")
+  }
+
+  test("q62: pair join is broadcast nested-loop over pre-cast arrays " +
+    "(no per-pair cast)") {
+    val p = plan("q62_embed_neardup")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("graft_dot"), "native DotProduct must be in the plan")
+  }
+
+  test("graft_dot is SQL-callable after registerSql") {
+    graft.functions.VectorExprs.registerSql(spark)
+    val v = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(v == 11.0)
+  }
+}
