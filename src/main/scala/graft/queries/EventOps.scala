@@ -190,6 +190,40 @@ object EventOps {
         .orderBy("user_id", "sess_id")
     }),
 
+    // Streaming custom state: mapGroupsWithState maintains a per-user
+    // running event count across microbatches (Update mode). The memory
+    // sink accumulates every per-batch emission, so the final per-user
+    // count is the MAX across emissions — deterministic no matter how
+    // AvailableNow splits the backlog into batches. At 100 TB the state
+    // store is RocksDB-backed and partitioned by the group key; the logic
+    // here is unchanged.
+    "q78_stream_state" -> ((s, d) => {
+      import s.implicits._
+      ld(s, d, "events")
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "graft_stream_state"
+      val counts = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .select(col("user_id")).as[Long]
+        .groupByKey(identity)
+        .mapGroupsWithState[Long, (Long, Long)](
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[Long],
+           state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            (uid, n)
+        }
+        .toDF("user_id", "n")
+      val q = counts.writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).groupBy("user_id").agg(max("n").as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // JSON column: parse props ({"k": int}) with a JSON path, aggregate.
     "q82_json_props" -> ((s, d) =>
       ld(s, d, "events")
@@ -229,6 +263,9 @@ object EventOps {
     "q76_stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q78_stream_state" ->
+      """SELECT user_id, count(*) AS n_events
+         FROM events GROUP BY user_id ORDER BY user_id""",
     // identical contract to q71 — verifies the typed flatMapGroups path
     "q77_typed_sessionize" ->
       """WITH t AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,

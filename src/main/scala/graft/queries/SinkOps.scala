@@ -36,6 +36,51 @@ object SinkOps {
         .orderBy("l_returnflag")
     }),
 
+    // Bucketed tables: both sides written bucketed+sorted on the join key,
+    // so the join needs NO Exchange at read time — the canonical 100 TB
+    // co-located-join layout (bucket pruning + shuffle elimination).
+    // Requires the session catalog (embedded metastore); tables land in
+    // spark.sql.warehouse.dir (default ./spark-warehouse inside the repo).
+    "q92_bucketed_join" -> ((s, d) => {
+      val sf = d.replaceAll(".*/", "").replace(".", "_")
+      val lt = s"graft_l_$sf"; val ot = s"graft_o_$sf"
+      // The default session catalog is in-memory: table NAMES don't survive
+      // a JVM restart but warehouse FILES do, and saveAsTable refuses to
+      // reuse a location it doesn't know about. Drop both layers first.
+      Seq(lt, ot).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = java.nio.file.Paths.get(
+          java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
+            .getPath, t)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      ld(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .format("parquet").saveAsTable(lt)
+      ld(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .format("parquet").saveAsTable(ot)
+      val l = s.table(lt); val o = s.table(ot)
+      // merge hint: at fact×fact scale this join IS a sort-merge join; the
+      // bucket layout then satisfies its distribution+ordering requirement
+      // with ZERO Exchange/Sort (verified in PlanSpec). Without the hint
+      // Spark would broadcast the small test-corpus side and hide the story.
+      l.hint("merge").join(o.hint("merge"),
+          l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").agg(
+          count(lit(1)).as("n_lines"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // CSV write + schema'd read-back (text roundtrip fidelity).
     "q91_csv_roundtrip" -> ((s, d) => {
       val path = outDir(d, "orders_csv")
@@ -64,5 +109,10 @@ object SinkOps {
                 round(sum(o_totalprice), 2) AS tot
          FROM orders WHERE o_totalprice > 400000
          GROUP BY 1 ORDER BY cust_band""",
+    "q92_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )
 }

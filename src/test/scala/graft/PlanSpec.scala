@@ -59,6 +59,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("graft_dot"), "native DotProduct must be in the plan")
   }
 
+  test("q92: bucketed sort-merge join needs no join-side Exchange") {
+    val p = plan("q92_bucketed_join")
+    assert(p.contains("SortMergeJoin"))
+    // only the aggregation exchange + the final orderBy range exchange —
+    // the join itself reads co-located buckets
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges == 2, s"bucket co-location lost ($exchanges exchanges):\n$p")
+  }
+
   test("graft_dot is SQL-callable after registerSql") {
     graft.functions.VectorExprs.registerSql(spark)
     val v = spark.sql(
