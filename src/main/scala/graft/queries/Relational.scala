@@ -374,6 +374,46 @@ object Relational {
           round(sum("l_quantity"), 2).as("tot_qty"))
         .orderBy("l_orderkey")),
 
+    // Statistical aggregates (absent in the reference). Rounded: Spark and
+    // DuckDB accumulate in different orders; only order-stable digits kept.
+    "q52_stats_agg" -> ((s, d) =>
+      ld(s, d, "lineitem")
+        .groupBy("l_returnflag").agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(avg("l_quantity"), 4).as("avg_qty"))
+        .orderBy("l_returnflag")),
+
+    // Non-equi (range) join: lineitem banded by quantity against a small
+    // ranges dim. Broadcasting the dim turns the BNLJ linear — the scale
+    // pattern for range predicates against small lookup tables; for
+    // fact×fact ranges you'd bin both sides to an equi-join key instead.
+    "q53_range_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("tiny", 0.0, 10.0), ("small", 10.0, 20.0), ("mid", 20.0, 30.0),
+        ("large", 30.0, 40.0), ("huge", 40.0, 100.0))
+        .toDF("band", "lo", "hi")
+      val l = ld(s, d, "lineitem")
+      l.join(broadcast(bands),
+          l("l_quantity") >= bands("lo") && l("l_quantity") < bands("hi"))
+        .groupBy("band").agg(
+          count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("band")
+    }),
+
+    // Custom typed Aggregator (UDAF with distributed merge — see
+    // graft.functions.GeoMean): geometric mean of extended price per flag.
+    "q54_custom_udaf" -> ((s, d) => {
+      val geo = udaf(graft.functions.GeoMean)
+      ld(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(geo(col("l_extendedprice")), 2).as("geo_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Skew-resistant two-phase aggregation (salting): partial agg on
     // (key, salt) spreads a hot key over 16 reducers, final agg merges.
     // Result is identical to a direct groupBy — the oracle is the plain
@@ -597,6 +637,25 @@ object Relational {
          GROUP BY l_orderkey ORDER BY l_orderkey""",
     "q50_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q52_stats_agg" ->
+      """SELECT l_returnflag,
+                round(stddev_samp(l_quantity), 4) AS sd_qty,
+                round(var_samp(l_quantity), 4) AS var_qty,
+                round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+                round(avg(l_quantity), 4) AS avg_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q53_range_join" ->
+      """SELECT band, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem
+         JOIN (VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 20.0),
+                      ('mid', 20.0, 30.0), ('large', 30.0, 40.0),
+                      ('huge', 40.0, 100.0)) AS bands(band, lo, hi)
+           ON l_quantity >= lo AND l_quantity < hi
+         GROUP BY band ORDER BY band""",
+    "q54_custom_udaf" ->
+      """SELECT l_returnflag,
+                round(exp(avg(ln(l_extendedprice))), 2) AS geo_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

@@ -81,6 +81,24 @@ object SinkOps {
         .orderBy("o_orderpriority")
     }),
 
+    // Partition pruning: events written partitioned by event_type; the
+    // filtered re-scan reads ONE partition directory (PartitionFilters in
+    // the plan, pinned by PlanSpec) — at 100 TB this is the difference
+    // between scanning 20 TB and 4 TB before the first filter runs.
+    "q93_partition_pruning" -> ((s, d) => {
+      val path = outDir(d, "events_by_type")
+      ld(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(path)
+      s.read.parquet(path)
+        .filter(col("event_type") === "purchase")
+        .groupBy((col("user_id") % 100).as("user_band")).agg(
+          count(lit(1)).as("n"),
+          round(sum("value"), 2).as("tot"))
+        .orderBy("user_band")
+    }),
+
     // CSV write + schema'd read-back (text roundtrip fidelity).
     "q91_csv_roundtrip" -> ((s, d) => {
       val path = outDir(d, "orders_csv")
@@ -114,5 +132,10 @@ object SinkOps {
                 round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q93_partition_pruning" ->
+      """SELECT user_id % 100 AS user_band, count(*) AS n,
+                round(sum(value), 2) AS tot
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY user_band""",
   )
 }

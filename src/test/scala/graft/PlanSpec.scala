@@ -68,6 +68,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges == 2, s"bucket co-location lost ($exchanges exchanges):\n$p")
   }
 
+  test("q93: re-scan of the partitioned write prunes to one partition") {
+    val p = plan("q93_partition_pruning")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.isDefined, "expected PartitionFilters on the scan")
+    assert(pf.get.contains("event_type"), pf.get)
+  }
+
   test("graft_dot is SQL-callable after registerSql") {
     graft.functions.VectorExprs.registerSql(spark)
     val v = spark.sql(
