@@ -136,6 +136,43 @@ object VectorOps {
     * broadcast join against just those lists.
     */
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // One unrolled k-means iteration (k=4, init = vectors 0..3): assign →
+    // recenter → reassign, reporting final cluster sizes and mean distance.
+    // The iterative-ML shape: per iteration one broadcast of k centroids +
+    // one scan of the corpus; at 100 TB the corpus stays partitioned in
+    // place and only the k×64 centroid table moves. Distances are rounded
+    // to 6 decimals BEFORE the argmin (ties broken by centroid id) so the
+    // assignment is bit-stable across engines — the DuckDB oracle unrolls
+    // the same two assignment rounds.
+    "q65_kmeans_iter" -> ((s, d) => {
+      val v = ld(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+      def l2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, z) => acc + z)
+      def assign(cent: DataFrame): DataFrame =
+        v.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("ce"), col("cid"),
+            round(l2(col("ce"), col("cc")), 6).as("d"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d"), col("cid"))).as("m"),
+            first("ce").as("ce"))
+          .select(col("vec_id"), col("ce"),
+            col("m.cid").as("cid"), col("m.d").as("d"))
+      def recenter(a: DataFrame): DataFrame =
+        a.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos").agg(round(avg("x"), 6).as("cv"))
+          .groupBy("cid")
+          .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+          .select(col("cid"), expr("transform(pc, q -> q.cv)").as("cc"))
+      val c0 = v.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("ce").as("cc"))
+      val c1 = recenter(assign(c0))
+      assign(c1).groupBy("cid")
+        .agg(count(lit(1)).as("n"), round(avg("d"), 4).as("avg_d"))
+        .orderBy("cid")
+    }),
+
     "q64_ann_ivf" -> ((s, d) => {
       val e = withNorm(ld(s, d, "embeddings"))
       // centroids: elementwise mean per label (same construction as q63)
@@ -181,7 +218,33 @@ object VectorOps {
   private def dcos(a: String, b: String): String =
     duckCos.replace("%A", a).replace("%B", b)
 
+  private val duckL2 =
+    "round(list_sum(list_transform(range(1, 65), i -> (%V[i] - %C[i]) * (%V[i] - %C[i]))), 6)"
+
   val oracle: Map[String, String] = Map(
+    "q65_kmeans_iter" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+               c0 AS (SELECT vec_id AS cid, ce AS cc FROM v WHERE vec_id < 4),
+               d0 AS (SELECT vec_id, v.ce AS ce, cid,
+                             ${duckL2.replace("%V", "v.ce").replace("%C", "cc")} AS d
+                      FROM v CROSS JOIN c0),
+               a0 AS (SELECT vec_id, ce, cid, d FROM (
+                        SELECT *, row_number() OVER
+                          (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0)
+                      WHERE rn = 1),
+               c1 AS (SELECT cid, list(cv ORDER BY pos) AS cc FROM (
+                        SELECT cid, i AS pos, round(avg(ce[i]), 6) AS cv
+                        FROM a0, range(1, 65) t(i) GROUP BY 1, 2)
+                      GROUP BY cid),
+               d1 AS (SELECT vec_id, v.ce AS ce, cid,
+                             ${duckL2.replace("%V", "v.ce").replace("%C", "cc")} AS d
+                      FROM v CROSS JOIN c1),
+               a1 AS (SELECT vec_id, cid, d FROM (
+                        SELECT *, row_number() OVER
+                          (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+                      WHERE rn = 1)
+          SELECT cid, count(*) AS n, round(avg(d), 4) AS avg_d
+          FROM a1 GROUP BY cid ORDER BY cid""",
     "q64_ann_ivf" ->
       s"""WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce
                      FROM embeddings),
