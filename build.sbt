@@ -10,6 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession (and session-scoped temp views/functions);
+// run them sequentially to keep that safe.
+Test / parallelExecution := false
 run / fork := true
 // Forward forked-run stdout verbatim (no [info] prefix) so Bench's single
 // JSON line reaches the driver's parser unmangled.
