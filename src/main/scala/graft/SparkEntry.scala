@@ -19,7 +19,7 @@ object SparkEntry {
     Relational.queries ++ TextOps.queries ++ TextOps.queries2 ++
       VectorOps.queries ++ VectorOps.queries2 ++
       EventOps.queries ++ EventOps.queries2 ++
-      MultimodalOps.queries ++ SinkOps.queries
+      MultimodalOps.queries ++ MultimodalOps.queries2 ++ SinkOps.queries
 
   // No whitespace collapsing: it would also rewrite multi-space string
   // literals inside the SQL (e.g. trim('  ' || …)). DuckDB takes the SQL

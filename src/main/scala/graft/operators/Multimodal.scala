@@ -37,4 +37,31 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  case class MediaFeatures(doc_id: Long, f0: Long, f1: Long, f2: Long,
+                           f3: Long, f4: Long, f5: Long, f6: Long, f7: Long)
+
+  /** STUB featurizer — stands in for an image/audio embedding model: an
+    * 8-bin histogram of payload bytes mod 8 (deterministic, so the DuckDB
+    * oracle can replay it on ASCII payloads where byte == codepoint). */
+  def featureStub(payload: Array[Byte]): Array[Long] = {
+    val bins = new Array[Long](8)
+    var i = 0
+    while (i < payload.length) { bins((payload(i) & 0xff) % 8) += 1; i += 1 }
+    bins
+  }
+
+  /** (doc_id, payload: binary) → fixed-dim feature row via mapPartitions —
+    * the same per-partition-featurizer lifecycle as decodeMeta: swap
+    * `featureStub` for a real model call (batched per partition) and the
+    * plumbing is production shaped. */
+  def extractFeatures(input: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import input.sparkSession.implicits._
+    input.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val b = featureStub(bytes)
+        MediaFeatures(id, b(0), b(1), b(2), b(3), b(4), b(5), b(6), b(7))
+      }
+    }.toDF()
+  }
 }

@@ -38,7 +38,27 @@ object MultimodalOps {
         .orderBy("doc_id", "frame_idx")),
   )
 
+  val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Feature extraction over binary payloads (stub featurizer = byte
+    // histogram; see operators/Multimodal.scala). Embarrassingly parallel,
+    // one featurizer per partition — the batch shape a real embedding
+    // model call would use.
+    "q83_feature_extract" -> ((s, d) => {
+      import s.implicits._
+      val payloads = ld(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      Multimodal.extractFeatures(payloads).orderBy("doc_id")
+    }),
+  )
+
+  private def bin(b: Int): String =
+    s"len(list_filter(range(1, length(text)+1), i -> unicode(text[i]) % 8 = $b)) AS f$b"
+
   val oracle: Map[String, String] = Map(
+    "q83_feature_extract" ->
+      s"""SELECT doc_id, ${(0 until 8).map(bin).mkString(", ")}
+          FROM documents ORDER BY doc_id""",
     "q80_media_meta" ->
       """SELECT doc_id,
                 CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

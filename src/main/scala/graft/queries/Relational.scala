@@ -356,14 +356,22 @@ object Relational {
     // Approximate aggregates (HLL + quantile sketch) next to their exact
     // counterparts. No oracle: sketch values are engine-specific; the
     // rows-only check pins cardinality, the spec pins the error bound.
-    "q38_approx_agg" -> ((s, d) =>
-      ld(s, d, "lineitem")
-        .groupBy("l_returnflag").agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2)
-            .as("approx_median_price"))
-        .orderBy("l_returnflag")),
+    // The exact COUNT(DISTINCT) runs in its own aggregation: mixing it with
+    // the sketches made Catalyst Expand-duplicate every input row for the
+    // distinct path, and the sketch buffers then updated on the expanded
+    // stream (~2× the work, measured 4.3 s vs ~1.5 s split at sf0.1). The
+    // two 3-row results meet in a broadcast join.
+    "q38_approx_agg" -> ((s, d) => {
+      val l = ld(s, d, "lineitem")
+      val exact = l.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      val approx = l.groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 2)
+          .as("approx_median_price"))
+      exact.join(broadcast(approx), "l_returnflag")
+        .orderBy("l_returnflag")
+    }),
 
     // Ordered array aggregation over a keyed group (array column surface).
     "q39_array_agg" -> ((s, d) =>
