@@ -50,12 +50,30 @@ object MultimodalOps {
         .as[(Long, Array[Byte])]
       Multimodal.extractFeatures(payloads).orderBy("doc_id")
     }),
+
+    // "Resize" for 1-D payloads: 4:1 downsample keeping the first unit of
+    // each stride (regex: swallow up to 3 following chars per kept char) +
+    // fingerprint. A real image resize has identical plumbing: pure
+    // per-row projection, no shuffle, linear at any scale.
+    "q84_resize" -> ((s, d) =>
+      ld(s, d, "documents")
+        .withColumn("resized",
+          regexp_replace(col("text"), "(.)(.{0,3})", "$1"))
+        .select(col("doc_id"), col("n_chars"),
+          length(col("resized")).as("resized_len"),
+          md5(col("resized")).as("resized_md5"))
+        .orderBy("doc_id")),
   )
 
   private def bin(b: Int): String =
     s"len(list_filter(range(1, length(text)+1), i -> unicode(text[i]) % 8 = $b)) AS f$b"
 
   val oracle: Map[String, String] = Map(
+    "q84_resize" ->
+      """SELECT doc_id, n_chars,
+                CAST(length(regexp_replace(text, '(.)(.{0,3})', '\1', 'g')) AS INTEGER) AS resized_len,
+                md5(regexp_replace(text, '(.)(.{0,3})', '\1', 'g')) AS resized_md5
+         FROM documents ORDER BY doc_id""",
     "q83_feature_extract" ->
       s"""SELECT doc_id, ${(0 until 8).map(bin).mkString(", ")}
           FROM documents ORDER BY doc_id""",
