@@ -224,6 +224,41 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // Unpivot (wide → long): the inverse of q72's pivot, via stack().
+    "q73_unpivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = ld(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .pivot("event_type", types).count().na.fill(0L)
+      wide.selectExpr("hr",
+        s"stack(${types.size}, ${types.map(t => s"'$t', `$t`").mkString(", ")}) AS (event_type, n)")
+        .filter(col("n") > 0)
+        .orderBy("hr", "event_type")
+    }),
+
+    // Stream-static join: the streaming fact joins a batch dimension
+    // (high-value users derived once) — the dim is broadcast per
+    // microbatch; no stream-side state. The canonical enrichment shape.
+    "q79_stream_static_join" -> ((s, d) => {
+      val ev = ld(s, d, "events")
+      val bigSpenders = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(sum("value").as("spent"))
+        .filter(col("spent") > 500)
+        .select("user_id")
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val name = "graft_stream_static"
+      val q = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .select(col("user_id"), col("event_type"))
+        .join(broadcast(bigSpenders), "user_id")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).orderBy("event_type")
+    }),
+
     // JSON column: parse props ({"k": int}) with a JSON path, aggregate.
     "q82_json_props" -> ((s, d) =>
       ld(s, d, "events")
@@ -266,6 +301,17 @@ object EventOps {
     "q78_stream_state" ->
       """SELECT user_id, count(*) AS n_events
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q73_unpivot" ->
+      """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+         FROM events GROUP BY 1, 2 HAVING count(*) > 0
+         ORDER BY hr, event_type""",
+    "q79_stream_static_join" ->
+      """SELECT event_type, count(*) AS n
+         FROM events
+         WHERE user_id IN (SELECT user_id FROM events
+                           WHERE event_type = 'purchase'
+                           GROUP BY user_id HAVING sum(value) > 500)
+         GROUP BY event_type ORDER BY event_type""",
     // identical contract to q71 — verifies the typed flatMapGroups path
     "q77_typed_sessionize" ->
       """WITH t AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,

@@ -211,6 +211,44 @@ object TextOps {
     * the pre-tokenization split most BPE vocabularies assume. Pure
     * projection, pushed down to the scan's output, linear at any scale. */
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Dedup keeping the best representative per content key (lowest doc_id
+    // here; in production, highest quality score): one window pass keyed on
+    // the fingerprint — the "canonicalize duplicates" pipeline stage, as
+    // opposed to q40 which only counts them.
+    "q55_dedup_keep_best" -> ((s, d) => {
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      ld(s, d, "documents")
+        .withColumn("fp", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Quality gate by percentile: keep docs whose length is at or above
+    // the corpus's 25th percentile. Two-pass shape: tiny exact-percentile
+    // aggregate broadcast into the filter — at 100 TB the percentile comes
+    // from a sketch (q38) and the filter plan is unchanged.
+    "q56_quality_gate" -> ((s, d) => {
+      val docs = ld(s, d, "documents")
+      val p25 = docs.agg(expr("percentile(n_chars, 0.25)").as("p25"))
+      docs.crossJoin(broadcast(p25))
+        .filter(col("n_chars") >= col("p25"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_kept"),
+          round(avg("n_chars"), 4).as("avg_len"))
+        .orderBy("source")
+    }),
+
+    // Deterministic hash-style sampling: a keyed arithmetic hash mod 100
+    // picks a reproducible ~10% sample — no RNG state, stable across
+    // executors, retries, and engines (unlike df.sample).
+    "q57_det_sample" -> ((s, d) =>
+      ld(s, d, "documents")
+        .filter((col("doc_id") * 48271L) % 100 < 10)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
     "q51_bpe_tokens" -> ((s, d) => {
       val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
       ld(s, d, "documents").select(
@@ -257,6 +295,20 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q55_dedup_keep_best" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+           SELECT *, row_number() OVER
+             (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn = 1 ORDER BY doc_id""",
+    "q56_quality_gate" ->
+      """SELECT source, count(*) AS n_kept, round(avg(n_chars), 4) AS avg_len
+         FROM documents
+         WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.25) FROM documents)
+         GROUP BY source ORDER BY source""",
+    "q57_det_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE (doc_id * 48271) % 100 < 10 ORDER BY doc_id""",
     "q51_bpe_tokens" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe,
