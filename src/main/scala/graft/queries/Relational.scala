@@ -382,6 +382,42 @@ object Relational {
           round(sum("l_quantity"), 2).as("tot_qty"))
         .orderBy("l_orderkey")),
 
+    // Window-function suite beyond q28: ntile, percent_rank, cume_dist,
+    // first/last over a RANGE frame, dense_rank — one shuffle on the
+    // partition key, evaluated in a single window pass per frame spec.
+    "q58_window_suite" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      ld(s, d, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          dense_rank().over(w).as("drank"),
+          first("o_totalprice").over(w).as("min_price_so_far"),
+          round(avg("o_totalprice").over(
+            w.rowsBetween(-2, 0)), 4).as("mov_avg3"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Date/interval arithmetic (Timestamp/Decimal are todo!() in the
+    // reference's type table — sql/planner.rs:516-518).
+    "q59_date_arith" -> ((s, d) =>
+      ld(s, d, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"), col("o_orderdate"),
+          date_add(col("o_orderdate"), 90).as("due_date"),
+          add_months(col("o_orderdate"), 3).as("plus_q"),
+          datediff(lit("1998-12-31").cast("date"), col("o_orderdate"))
+            .as("days_to_eoy"),
+          (quarter(col("o_orderdate"))).as("qtr"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          last_day(col("o_orderdate")).as("month_end"))
+        .orderBy("o_orderkey")),
+
     // Statistical aggregates (absent in the reference). Rounded: Spark and
     // DuckDB accumulate in different orders; only order-stable digits kept.
     "q52_stats_agg" -> ((s, d) =>
@@ -646,6 +682,28 @@ object Relational {
     "q50_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q58_window_suite" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+                CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume,
+                CAST(dense_rank() OVER w AS INTEGER) AS drank,
+                first_value(o_totalprice) OVER w AS min_price_so_far,
+                round(avg(o_totalprice) OVER
+                  (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3
+         FROM orders WHERE o_orderkey < 2000
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
+    "q59_date_arith" ->
+      """SELECT o_orderkey, o_orderdate,
+                CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+                CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_q,
+                datediff('day', o_orderdate, DATE '1998-12-31') AS days_to_eoy,
+                CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+                CAST(dayofweek(o_orderdate) AS INTEGER) + 1 AS dow,
+                last_day(o_orderdate) AS month_end
+         FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""",
     "q52_stats_agg" ->
       """SELECT l_returnflag,
                 round(stddev_samp(l_quantity), 4) AS sd_qty,
