@@ -173,6 +173,31 @@ object VectorOps {
         .orderBy("cid")
     }),
 
+    // Scalar int8 quantization of the embedding corpus (per-dimension
+    // min/max scaling to 0..255) — the embedding-compression stage of a
+    // training-data pipeline (4× storage cut before ANN indexing). Fully
+    // relational: posexplode → tiny per-dim stats aggregate (64 rows,
+    // broadcast) → codegen'd code computation → per-vector checksum. At
+    // 100 TB the stats pass is one map-side-combined aggregation and the
+    // quantization is a pure projection.
+    "q66_vector_quantize" -> ((s, d) => {
+      val exploded = ld(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      val stats = exploded.groupBy("pos")
+        .agg(min("v").as("mn"), max("v").as("mx"))
+        .filter(col("mx") =!= col("mn"))
+      exploded.join(broadcast(stats), "pos")
+        .select(col("vec_id"),
+          round(((col("v") - col("mn")) / (col("mx") - col("mn"))) * 255, 0)
+            .cast("int").as("code"))
+        .groupBy("vec_id").agg(
+          sum("code").as("qsum"),
+          min("code").as("qmin"),
+          max("code").as("qmax"))
+        .orderBy("vec_id")
+    }),
+
     "q64_ann_ivf" -> ((s, d) => {
       val e = withNorm(ld(s, d, "embeddings"))
       // centroids: elementwise mean per label (same construction as q63)
@@ -222,6 +247,16 @@ object VectorOps {
     "round(list_sum(list_transform(range(1, 65), i -> (%V[i] - %C[i]) * (%V[i] - %C[i]))), 6)"
 
   val oracle: Map[String, String] = Map(
+    "q66_vector_quantize" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+              e AS (SELECT vec_id, i AS pos, ce[i] AS v FROM c, range(1, 65) t(i)),
+              stats AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e
+                        GROUP BY pos HAVING max(v) <> min(v)),
+              q AS (SELECT vec_id,
+                           CAST(round(((v - mn) / (mx - mn)) * 255) AS INTEGER) AS code
+                    FROM e JOIN stats USING (pos))
+         SELECT vec_id, CAST(sum(code) AS BIGINT) AS qsum, min(code) AS qmin, max(code) AS qmax
+         FROM q GROUP BY vec_id ORDER BY vec_id""",
     "q65_kmeans_iter" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
                c0 AS (SELECT vec_id AS cid, ce AS cc FROM v WHERE vec_id < 4),
