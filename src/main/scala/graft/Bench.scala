@@ -4,12 +4,23 @@ import org.apache.spark.sql.SparkSession
 /** Bench harness: every SparkEntry query against SPARK_GRAFT_SF_DIR, timed
   * end-to-end through a `noop` sink so the FULL plan executes (a bare
   * count() would let Catalyst prune projections/sorts and under-report).
-  * Emits exactly one JSON line on stdout.
+  *
+  * Output protocol — the driver keeps only a TAIL of stdout, and r2's single
+  * 85-query JSON line outgrew it (q01-q21 and the "metric":"total" prefix
+  * were cut off). So: one compact line per query as it finishes, then the
+  * summary line LAST with times rounded to ms, so the kept tail always ends
+  * with a complete, parseable `{"metric":"total",...}` record.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_ITERS times (default 2) and reports the
+  * per-query MIN: r2 showed 2-6x swings on untouched scalar queries from
+  * shared-session contention in an 85-query suite; min-of-2 removes the
+  * noise without hiding real regressions.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,17 +31,23 @@ object Bench {
     // Warm up session, codegen, and parquet footer/file-listing caches so
     // the first measured query doesn't absorb one-time JVM costs.
     Tables.names.foreach(n => Tables.ld(spark, sfDir, n).count())
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val runs = times.map(f3).mkString("[", ",", "]")
+      println(s"""{"bench_query":"$name","sec":${f3(times.min)},"runs":$runs}""")
+      name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = f3(results.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -374,11 +374,16 @@ object Relational {
     }),
 
     // Ordered array aggregation over a keyed group (array column surface).
+    // The array is serialized to CSV for the compare: the driver's pandas
+    // hash can't digest a raw array column (r2's only red row). The native
+    // ArrayType output of sort_array(collect_list(..)) stays pinned by
+    // EngineSpec's "array aggregation" test.
     "q39_array_agg" -> ((s, d) =>
       ld(s, d, "lineitem")
         .filter(col("l_orderkey") < 100)
         .groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_linenumber"))).as("linenums"),
+        .agg(concat_ws(",",
+            sort_array(collect_list(col("l_linenumber")))).as("linenums"),
           round(sum("l_quantity"), 2).as("tot_qty"))
         .orderBy("l_orderkey")),
 
@@ -457,6 +462,28 @@ object Relational {
         .agg(round(geo(col("l_extendedprice")), 2).as("geo_price"))
         .orderBy("l_returnflag")
     }),
+
+    // Exact money arithmetic on DecimalType — declared in the reference's
+    // DDL type table but stubbed (`sql/planner.rs:518` todo!()). Everything
+    // stays in decimal end-to-end (no double drift): sums of DECIMAL(12,2)
+    // are exact, Tungsten keeps the aggregation buffer in a 128-bit decimal.
+    // Both engines' exact results are cast to the same output precision so
+    // the stringified values hash-match. No division here: quotient
+    // rounding at internal scale is engine-specific; exact ops only.
+    "q69_decimal_money" -> ((s, d) =>
+      ld(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price"),
+          col("l_discount").cast("decimal(12,2)").as("disc"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("price")).cast("decimal(18,2)").as("sum_price"),
+          sum(col("price") * (lit(1).cast("decimal(12,2)") - col("disc")))
+            .cast("decimal(18,4)").as("sum_disc_price"),
+          min(col("price")).as("min_price"),
+          max(col("price")).as("max_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
 
     // Skew-resistant two-phase aggregation (salting): partial agg on
     // (key, salt) spreads a hot key over 16 reducers, final agg merges.
@@ -675,7 +702,9 @@ object Relational {
          WHERE length(tok) > 3
          GROUP BY tok ORDER BY n DESC, tok""",
     "q39_array_agg" ->
-      """SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS linenums,
+      """SELECT l_orderkey,
+                array_to_string(list(l_linenumber ORDER BY l_linenumber), ',')
+                  AS linenums,
                 round(sum(l_quantity), 2) AS tot_qty
          FROM lineitem WHERE l_orderkey < 100
          GROUP BY l_orderkey ORDER BY l_orderkey""",
@@ -719,6 +748,17 @@ object Relational {
                       ('huge', 40.0, 100.0)) AS bands(band, lo, hi)
            ON l_quantity >= lo AND l_quantity < hi
          GROUP BY band ORDER BY band""",
+    "q69_decimal_money" ->
+      """WITH t AS (SELECT l_returnflag,
+                           CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                           CAST(l_discount AS DECIMAL(12,2)) AS disc
+                    FROM lineitem)
+         SELECT l_returnflag,
+                CAST(sum(price) AS DECIMAL(18,2)) AS sum_price,
+                CAST(sum(price * (1 - disc)) AS DECIMAL(18,4)) AS sum_disc_price,
+                min(price) AS min_price, max(price) AS max_price,
+                count(*) AS n
+         FROM t GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q54_custom_udaf" ->
       """SELECT l_returnflag,
                 round(exp(avg(ln(l_extendedprice))), 2) AS geo_price

@@ -193,16 +193,45 @@ object TextOps {
     // corpus in a single bucket (similar docs share band values — that is
     // the point of simhash), yielding 22.4M candidate rows vs 12.5M brute
     // pairs. All-pairs with a broadcast build side (signatures are 2 longs
-    // per doc) is the faster exact plan; both plan branches share the
-    // signature aggregation via ReusedExchange. At 100 TB: widen to a
-    // 64-bit simhash and band THAT (8-bit bands ⇒ discriminative buckets),
-    // or pre-cluster by exact-dup fingerprint first.
+    // per doc) is the faster exact plan on THIS small corpus; q67 is the
+    // 100 TB variant (64-bit simhash, 8-bit bands, keyed bucket join) and
+    // produces exactly the 64-bit analogue of this output.
     "q48_simhash_neardup" -> ((s, d) => {
       val sim = simhash(ld(s, d, "documents"))
       sim.as("a").join(broadcast(sim.as("b")), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
         .filter(col("hamming") <= 6)
+        .orderBy("da", "db")
+    }),
+
+    // The SCALE-SAFE exact near-dup: 64-bit simhash, 8 bands of 8 bits,
+    // bucket equi-join for candidates, exact Hamming re-rank. Recall is
+    // GUARANTEED 100% for threshold ≤ 7 by pigeonhole: two signatures with
+    // ≤ 7 differing bits cannot differ in all 8 disjoint bytes, so every
+    // qualifying pair shares at least one (band_idx, band_val) bucket.
+    // Measured on this corpus at sf0.1: 5.09M candidate rows vs 12.5M brute
+    // pairs (0.41×), and the shuffle is KEYED on the band value — at 100 TB
+    // this is a bucket join, never a broadcast of a corpus-sized build side
+    // (q48's plan dies when the signature table outgrows the broadcast
+    // limit; this one just adds reducers). The token hash is md5-derived
+    // (not xxhash64) so DuckDB computes the identical signature: the oracle
+    // is the BRUTE-FORCE pair scan over the same simhash, i.e. the green
+    // row also proves the banding lost nothing.
+    "q67_simhash_banded" -> ((s, d) => {
+      val sig = simhash64(ld(s, d, "documents"))
+      val bandCols = (0 until 8).map(j =>
+        s"$j, cast(shiftright(sim64, ${8 * j}) & 255 as int)").mkString(", ")
+      val buckets = sig.selectExpr("doc_id", "sim64",
+        s"stack(8, $bandCols) AS (band_idx, band_val)")
+      buckets.as("x").join(buckets.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_val") === col("y.band_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          bit_count(col("x.sim64").bitwiseXOR(col("y.sim64"))).as("hamming"))
+        .filter(col("hamming") <= 6)
+        .distinct() // a pair can share several bands
         .orderBy("da", "db")
     }),
   )
@@ -279,6 +308,54 @@ object TextOps {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** 64-bit frequency-weighted SimHash over an md5-derived token hash —
+    * same relational ±1-vote shape as [[simhash]] (one keyed groupBy, all
+    * codegen'd), but the hash is two 32-bit md5 prefixes instead of
+    * xxhash64 so the DuckDB oracle can reproduce it bit-for-bit:
+    * Spark `conv(substr(md5(tok),1,8),16,10)` ==
+    * DuckDB `('0x' || substr(md5(tok),1,8))::BIGINT`. */
+  private def simhash64(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long").as("h2"))
+    def bit(b: Int) =
+      if (b < 32) shiftright(col("h1"), b).bitwiseAND(1)
+      else shiftright(col("h2"), b - 32).bitwiseAND(1)
+    val votes = (0 until 64).map(b =>
+      sum(when(bit(b) === 1, 1).otherwise(-1)).as(s"v$b"))
+    val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    // bitwiseOR assembly: bit 63's 1L<<63 is Long.MinValue, which an
+    // arithmetic sum would handle too, but OR is overflow-free by nature.
+    val sim = (0 until 64).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), sim.as("sim64"))
+  }
+
+  /** DuckDB replica of [[simhash64]], used by q67's brute-force oracle. */
+  private def duckSimhash64: String = {
+    val votes = (0 until 64).map { b =>
+      val src = if (b < 32) s"(h1 >> $b)" else s"(h2 >> ${b - 32})"
+      s"sum(CASE WHEN ($src & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(", ")
+    // bit 63's literal would overflow DuckDB's BIGINT parser as
+    // -9223372036854775808; spell it as an in-range expression instead.
+    val bits = (0 until 64).map { b =>
+      val pow = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+      s"(CASE WHEN v$b > 0 THEN $pow ELSE 0 END)"
+    }.mkString(" + ")
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+        th AS (SELECT doc_id,
+                      ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+                      ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+               FROM toks),
+        v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+        sig AS (SELECT doc_id, $bits AS s FROM v)"""
+  }
+
   /** DuckDB-1.0 equivalents. 1-based list indexing; len() casts where DuckDB
     * returns BIGINT and Spark INT. */
   private val duckGrams =
@@ -295,6 +372,16 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // Brute-force pair scan over the SAME 64-bit signature — hash-matching
+    // this proves both the cross-engine simhash AND that 8×8 banding has
+    // 100% recall at hamming ≤ 6 (the pigeonhole guarantee, empirically).
+    "q67_simhash_banded" ->
+      s"""WITH $duckSimhash64
+          SELECT a.doc_id AS da, b.doc_id AS db,
+                 CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.s, b.s)) <= 6
+          ORDER BY da, db""",
     "q55_dedup_keep_best" ->
       """SELECT doc_id, lang, source, n_chars FROM (
            SELECT *, row_number() OVER

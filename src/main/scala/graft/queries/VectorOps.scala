@@ -41,6 +41,34 @@ object VectorOps {
       when(dotp(emb, typedLit(w)) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** 128 deterministic hyperplanes (8 bands × 16 sign bits) for q68's
+    * banded near-dup join — same hash-seeded construction as
+    * [[hyperplanes]], disjoint seed space. */
+  private[queries] val bandPlanes: Seq[Seq[Double]] =
+    (0 until 128).map { p =>
+      (0 until 64).map { i =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(s"band_${p}_$i")
+        (h % 1000) / 1000.0
+      }
+    }
+
+  /** Explode a (vec_id, emb) frame into its 8 (band_idx, band_val) keys:
+    * band j = 16 sign bits of hyperplane projections 16j..16j+15. The dot
+    * products run through the codegen'd native kernel; the stack() is a
+    * pipelined Generate — no shuffle until the bucket join itself. */
+  private def bandKeys(df: DataFrame, idOut: String): DataFrame = {
+    val bCols = (0 until 8).map { j =>
+      (0 until 16).map { k =>
+        when(dotp(col("emb"), typedLit(bandPlanes(16 * j + k))) > 0,
+          lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"b$j")
+    }
+    df.select(col("vec_id").as(idOut) +: bCols: _*)
+      .selectExpr(idOut,
+        s"stack(8, ${(0 until 8).map(j => s"$j, b$j").mkString(", ")})" +
+          " AS (band_idx, band_val)")
+  }
+
   /** Corpus with the embedding pre-cast to array<double> and the norm
     * precomputed — both ONCE per row, before any pair join. (Leaving the
     * float→double cast inside the join re-allocated a 64-double array per
@@ -93,6 +121,13 @@ object VectorOps {
     // pairwise sim is ~0.55). Exact all-pairs with the native dot kernel;
     // the oracle needs the denominator built as sqrt(dot(a,a))*sqrt(dot(b,b))
     // per pair — precomputing each factor keeps the float ops identical.
+    // NOTE on scale: 0.4 is a FAT threshold (background sims reach 0.38 at
+    // p99.9), and measured banding at it is anti-productive — every full-
+    // recall (r,b) config produced MORE candidate rows than the 2M brute
+    // pairs (best: 1.5× at r=4,b=24 with 13/920 misses). A threshold that
+    // close to the background is inherently all-pairs work; q68 is the
+    // banded scale path for a TRUE near-dup threshold, where LSH prunes
+    // 99.6% of the pair space with measured 100% recall.
     "q62_embed_neardup" -> ((s, d) => {
       val e = withNorm(ld(s, d, "embeddings"))
       val a = e.select(col("vec_id").as("va"), col("emb").as("ea"),
@@ -198,6 +233,57 @@ object VectorOps {
         .orderBy("vec_id")
     }),
 
+    // The SCALE-SAFE near-dup join: dedup a re-encoded copy of the corpus
+    // (int8 quant-dequant, q66's scalar quantizer — the "same content,
+    // different encoding" duplicates a real crawl pipeline must catch)
+    // against the originals at cosine ≥ 0.999. Candidates come ONLY from an
+    // equi-join on (band_idx, band_val) — 8 bands × 16 hyperplane sign bits
+    // — then exact cosine re-ranks. Measured at sf0.1: 16.4k candidate
+    // pairs vs 4.0M brute (0.4%), recall 2000/2000; per-pair miss
+    // probability at sim≈0.9999 is (1-p^16)^8 ≈ 5e-10 with p = 1-θ/π.
+    // The oracle is the BRUTE-FORCE DuckDB cross join, so the green row
+    // proves empirical 100% recall cross-engine. At 100 TB both sides
+    // shuffle keyed on the band value — no corpus-sized broadcast, no BNLJ
+    // over the pair space (PlanSpec pins this).
+    "q68_neardup_rerank" -> ((s, d) => {
+      val orig = withNorm(ld(s, d, "embeddings"))
+      // per-dimension min/max of the original corpus as two 64-elem arrays
+      // (1-row broadcast — same tiny-stats shape as q56's percentile gate)
+      val stats = ld(s, d, "embeddings")
+        .select(posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "v")))
+        .groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+          .as("pm"))
+        .select(expr("transform(pm, x -> x.mn)").as("mns"),
+          expr("transform(pm, x -> x.mx)").as("mxs"))
+      // int8 quant-dequant reconstruction — float-op order matches the
+      // DuckDB oracle exactly (same expression, same associativity). A pure
+      // projection: the interpreted transform touches 64 elems/row, far off
+      // the critical path (the dot kernels below are native).
+      val recon = ld(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e0"))
+        .crossJoin(broadcast(stats))
+        .select(col("vec_id"),
+          expr("""transform(e0, (v, i) -> CASE WHEN mxs[i] = mns[i] THEN v
+                   ELSE mns[i] + round((v - mns[i]) / (mxs[i] - mns[i]) * 255, 0)
+                        * (mxs[i] - mns[i]) / 255 END)""").as("emb"))
+        .withColumn("nrm", sqrt(dotp(col("emb"), col("emb"))))
+      val cand = bandKeys(orig, "va")
+        .join(bandKeys(recon, "vb"), Seq("band_idx", "band_val"))
+        .select("va", "vb").distinct()
+      val o = orig.select(col("vec_id").as("va"), col("emb").as("ea"),
+        col("nrm").as("na"))
+      val r = recon.select(col("vec_id").as("vb"), col("emb").as("eb"),
+        col("nrm").as("nb"))
+      cand.join(o, "va").join(r, "vb")
+        .select(col("va"), col("vb"),
+          round(dotp(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("sim"))
+        .filter(col("sim") >= 0.999)
+        .orderBy("va", "vb")
+    }),
+
     "q64_ann_ivf" -> ((s, d) => {
       val e = withNorm(ld(s, d, "embeddings"))
       // centroids: elementwise mean per label (same construction as q63)
@@ -247,6 +333,27 @@ object VectorOps {
     "round(list_sum(list_transform(range(1, 65), i -> (%V[i] - %C[i]) * (%V[i] - %C[i]))), 6)"
 
   val oracle: Map[String, String] = Map(
+    // Brute-force orig×recon cross join: hash-matching proves the banded
+    // candidate generation missed nothing (empirical 100% recall).
+    "q68_neardup_rerank" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                     FROM embeddings),
+               e AS (SELECT vec_id, i AS pos, ce[i] AS v
+                     FROM c, range(1, 65) t(i)),
+               stats AS (SELECT pos, min(v) AS mn, max(v) AS mx
+                         FROM e GROUP BY pos),
+               rr AS (SELECT vec_id, pos,
+                             CASE WHEN mx = mn THEN v
+                                  ELSE mn + round((v - mn) / (mx - mn) * 255)
+                                       * (mx - mn) / 255 END AS rv
+                      FROM e JOIN stats USING (pos)),
+               recon AS (SELECT vec_id, list(rv ORDER BY pos) AS re
+                         FROM rr GROUP BY vec_id)
+          SELECT a.vec_id AS va, b.vec_id AS vb,
+                 round(${dcos("a.ce", "b.re")}, 6) AS sim
+          FROM c a CROSS JOIN recon b
+          WHERE round(${dcos("a.ce", "b.re")}, 6) >= 0.999
+          ORDER BY va, vb""",
     "q66_vector_quantize" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
               e AS (SELECT vec_id, i AS pos, ce[i] AS v FROM c, range(1, 65) t(i)),

@@ -59,6 +59,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("graft_dot"), "native DotProduct must be in the plan")
   }
 
+  test("q67: banded simhash near-dup has NO nested-loop join — candidates " +
+    "come from the band-bucket equi-join") {
+    val p = plan("q67_simhash_banded")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"pair space must stay bucketed:\n$p")
+    assert(p.contains("band_val"), "bucket join key missing from the plan")
+  }
+
+  test("q68: banded embed near-dup joins the pair space only via the " +
+    "band-key equi-join (BNLJ appears only as 1-row stats broadcasts)") {
+    val p = plan("q68_neardup_rerank")
+    // the int8 stats attach via crossJoin(broadcast(1-row)) — same shape as
+    // q56's percentile gate; what must NOT happen is a nested loop whose
+    // both sides are the corpus. Every corpus×corpus contact is an
+    // equi-join on (band_idx, band_val) or on vec_id.
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(bnlj <= 2, s"unexpected pair-space nested loop ($bnlj):\n$p")
+    assert(p.contains("band_val"), "bucket join key missing from the plan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q92: bucketed sort-merge join needs no join-side Exchange") {
     val p = plan("q92_bucketed_join")
     assert(p.contains("SortMergeJoin"))

@@ -33,6 +33,37 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // q39 serializes its array to CSV for the driver's pandas-hash compare;
+  // this keeps the NATIVE ArrayType aggregation surface itself covered.
+  test("array aggregation: sort_array(collect_list) yields a real " +
+    "ArrayType column with ordered elements") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    val df = Tables.ld(spark, sfDir, "lineitem")
+      .filter(col("l_orderkey") < 100)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("linenums"))
+    assert(df.schema("linenums").dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }, s"expected array<int>, got ${df.schema("linenums").dataType}")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val xs = r.getSeq[Int](1)
+      assert(xs == xs.sorted, s"unsorted array for orderkey ${r.get(0)}")
+    }
+  }
+
+  test("q69 output really is DecimalType end-to-end (no silent double " +
+    "promotion)") {
+    import org.apache.spark.sql.types.DecimalType
+    val df = SparkEntry.queries("q69_decimal_money")(spark, sfDir)
+    assert(df.schema("sum_price").dataType == DecimalType(18, 2))
+    assert(df.schema("sum_disc_price").dataType == DecimalType(18, 4))
+    assert(df.schema("min_price").dataType == DecimalType(12, 2))
+  }
+
   test("every query with an oracle exists in queries, and oracle SQL is " +
     "nonempty") {
     val qs = SparkEntry.queries.keySet
