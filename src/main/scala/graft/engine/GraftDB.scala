@@ -26,14 +26,30 @@ class GraftDB(val spark: SparkSession) {
 
   /** Register a CSV file as a named table. Mirrors
     * `NaiveDB::create_csv_table` (reference `db.rs:39-46`) with
-    * `CsvConfig{has_header, delimiter}` (reference `csv.rs:23-43`). */
+    * `CsvConfig{has_header, delimiter}` (reference `csv.rs:23-43`).
+    *
+    * `inferRows` mirrors the reference's `max_read_records: Some(3)`
+    * (`csv.rs:37`): types are inferred from only the first n data rows and
+    * that schema is applied to the full scan. Default None = whole-file
+    * inference (documented superset — safer types, one extra pass). */
   def createCsvTable(name: String, path: String, header: Boolean = true,
-                     delimiter: String = ","): DataFrame = {
-    val df = spark.read
+                     delimiter: String = ",",
+                     inferRows: Option[Int] = None): DataFrame = {
+    val reader = spark.read
       .option("header", header.toString)
       .option("delimiter", delimiter)
-      .option("inferSchema", "true")
-      .csv(path)
+    val df = inferRows match {
+      case Some(n) =>
+        val head = spark.read.textFile(path)
+          .limit(n + (if (header) 1 else 0))
+        val schema = spark.read
+          .option("header", header.toString)
+          .option("delimiter", delimiter)
+          .option("inferSchema", "true")
+          .csv(head).schema
+        reader.schema(schema).csv(path)
+      case None => reader.option("inferSchema", "true").csv(path)
+    }
     df.createOrReplaceTempView(name)
     df
   }

@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Lower, Upper}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Demonstrative optimizer rule for the extension seam: collapse nested
+  * idempotent string functions — `upper(upper(x))` → `upper(x)`,
+  * `lower(lower(x))` → `lower(x)`. Catalyst has no built-in rule for this
+  * (ConstantFolding only fires on literal inputs), so the rewrite is
+  * observable in `optimizedPlan` — ExtensionsSpec pins that it fires.
+  */
+object CollapseIdempotentStringFns extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Upper(Upper(c)) => Upper(c)
+      case Lower(Lower(c)) => Lower(c)
+    }
+}
+
+/** Mirrors the reference's ONE optimizer extension point — its `Optimizer`
+  * holds a pluggable rule list (`/root/reference/src/optimizer/mod.rs:12-28`)
+  * with `projection_push_down.rs:12-17` as the single registered rule.
+  * Spark's counterpart is `SparkSessionExtensions`: this class is usable as
+  * `spark.sql.extensions=graft.plans.GraftExtensions` or
+  * `builder.withExtensions(new GraftExtensions)` and injects
+  *   - the optimizer rule above (the seam the reference exposes), and
+  *   - `graft_dot` as a session-wide SQL function (the reference's scalar
+  *     name→function registry, `expression.rs:96-114`) so a session built
+  *     with the extensions needs no imperative registerSql call.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => CollapseIdempotentStringFns)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName,
+        "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot takes 2 array arguments")
+        graft.functions.DotProduct(
+          Cast(args.head, ArrayType(DoubleType)),
+          Cast(args(1), ArrayType(DoubleType)))
+      }))
+  }
+}

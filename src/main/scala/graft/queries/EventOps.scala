@@ -130,9 +130,14 @@ object EventOps {
           col("n_events"), col("tot_value"))
         .orderBy("user_id", "sess_start")),
 
-    // Streaming exact dedup: dropDuplicates over the stream keyed on
-    // (user_id, event_type) (state = one bit per key; with a watermark the
-    // state would be bounded at 100 TB), then a batch rollup of the sink.
+    // Streaming exact dedup with BOUNDED state: watermark + the dedicated
+    // dropDuplicatesWithinWatermark operator, which evicts a key's state
+    // once the watermark passes its event time + delay. The delay here
+    // (200 days) deliberately covers the whole test corpus (~141 days) so
+    // the result is the exact distinct set and the batch oracle still
+    // hash-matches; in production the delay is the real duplicate horizon
+    // (e.g. 24 h) and state is O(keys-per-horizon) instead of O(all keys
+    // ever seen) — the fix for r2's unbounded-state flag.
     // First-seen row is arrival-order-dependent; the (user_id, event_type)
     // SET is not — so the rollup is deterministic and oracle-checkable.
     "q76_stream_dedup" -> ((s, d) => {
@@ -141,8 +146,11 @@ object EventOps {
       val name = "graft_stream_dedup"
       val q = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", "200 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type"))
-        .dropDuplicates("user_id", "event_type")
         .writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -194,9 +202,17 @@ object EventOps {
     // running event count across microbatches (Update mode). The memory
     // sink accumulates every per-batch emission, so the final per-user
     // count is the MAX across emissions — deterministic no matter how
-    // AvailableNow splits the backlog into batches. At 100 TB the state
-    // store is RocksDB-backed and partitioned by the group key; the logic
-    // here is unchanged.
+    // AvailableNow splits the backlog into batches. State is BOUNDED by an
+    // EVENT-time timeout: a key whose last event is 200 days behind the
+    // watermark is evicted (the timeout branch emits its final count and
+    // removes state), so at 100 TB the RocksDB store holds the active
+    // working set, not every user ever seen — the fix for r2's
+    // unbounded-state flag. Event-time (not processing-time) timeouts on
+    // purpose: with Trigger.AvailableNow a processing-time timeout keeps
+    // the query alive waiting for wall-clock to pass (measured: hang);
+    // the watermark clock stops with the data, so termination is clean.
+    // The 200-day horizon exceeds the corpus span (~141 days), so no
+    // timeout fires mid-run and the batch oracle is unchanged.
     "q78_stream_state" -> ((s, d) => {
       import s.implicits._
       ld(s, d, "events")
@@ -204,15 +220,26 @@ object EventOps {
       val name = "graft_stream_state"
       val counts = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .select(col("user_id")).as[Long]
-        .groupByKey(identity)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
         .mapGroupsWithState[Long, (Long, Long)](
-          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-          (uid: Long, rows: Iterator[Long],
+          org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+          (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
            state: org.apache.spark.sql.streaming.GroupState[Long]) =>
-            val n = state.getOption.getOrElse(0L) + rows.size
-            state.update(n)
-            (uid, n)
+            if (state.hasTimedOut) {
+              val n = state.getOption.getOrElse(0L)
+              state.remove() // evict idle key — this is the state bound
+              (uid, n)
+            } else {
+              val n = state.getOption.getOrElse(0L) + rows.size
+              state.update(n)
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + 200L * 24 * 3600 * 1000)
+              (uid, n)
+            }
         }
         .toDF("user_id", "n")
       val q = counts.writeStream.outputMode("update")

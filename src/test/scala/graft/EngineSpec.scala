@@ -129,6 +129,22 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     assert(schema("score").dataType == DoubleType)
   }
 
+  test("csv inferRows=3 mirrors the reference's max_read_records=Some(3) " +
+    "(csv.rs:37): types come from the first 3 data rows only") {
+    val f = java.nio.file.Files.createTempFile("graft_infer", ".csv")
+    // column b looks integral for 3 rows, goes fractional on row 4 —
+    // 3-row inference types it INT (as the reference would); whole-file
+    // inference types it DOUBLE.
+    java.nio.file.Files.writeString(f,
+      "a,b\n1,10\n2,20\n3,30\n4,40.5\n")
+    val db = new graft.engine.GraftDB(spark)
+    val narrow = db.createCsvTable("t_infer3", f.toString, inferRows = Some(3))
+    assert(narrow.schema("b").dataType == IntegerType)
+    val full = db.createCsvTable("t_inferall", f.toString)
+    assert(full.schema("b").dataType == DoubleType)
+    java.nio.file.Files.delete(f)
+  }
+
   test("mem table with projection pruning (memory.rs:31-41)") {
     val schema = StructType(Seq(
       StructField("a", IntegerType), StructField("b", StringType),

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions seam (graft.plans.GraftExtensions) — a fresh
+  * session is required because extensions apply at session construction;
+  * the suite clears the process-wide active/default sessions around it so
+  * getOrCreate doesn't hand back the shared fixture session.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("injectOptimizerRule fires: upper(upper(x)) collapses in " +
+    "optimizedPlan; injected graft_dot is SQL-callable") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      // parquet source (not a local relation) so ConvertToLocalRelation
+      // can't erase the projection before our rule is observable
+      val df = s.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .selectExpr("upper(upper(c_name)) AS u")
+      val before = df.queryExecution.analyzed.toString
+      val after = df.queryExecution.optimizedPlan.toString
+      assert("(?i)upper\\(".r.findAllIn(before).size == 2, before)
+      assert("(?i)upper\\(".r.findAllIn(after).size == 1,
+        s"rule did not fire:\n$after")
+      // semantics unchanged
+      val v = df.limit(1).collect()(0).getString(0)
+      assert(v == v.toUpperCase)
+      // the injected scalar function works without registerSql
+      val d = s.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+        .head().getDouble(0)
+      assert(d == 11.0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
