@@ -286,6 +286,46 @@ object EventOps {
       s.table(name).orderBy("event_type")
     }),
 
+    // Stream-stream inner join: purchases ⋈ clicks on user within a 30-min
+    // event-time window, BOTH sides watermarked — Spark derives state
+    // eviction from the watermarks + the time-range condition (each side
+    // keeps ~90 min of events per user, not the whole history), the
+    // canonical bounded stream-stream join. Inner join output is the
+    // deterministic matched-pair SET regardless of how AvailableNow
+    // batches the backlog (outer variants would need the watermark to
+    // advance past eviction to emit unmatched rows — not guaranteed in a
+    // finite run, so inner is the honest choice here). The range condition
+    // stays on the watermarked TIMESTAMP columns (required for state
+    // eviction analysis); the oracle mirrors it in epoch_us arithmetic.
+    "q85_stream_stream_join" -> ((s, d) => {
+      ld(s, d, "events")
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      def src = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      val name = "graft_stream_stream"
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).groupBy("p_id")
+        .agg(count(lit(1)).as("n_clicks"))
+        .select(col("p_id").as("event_id"), col("n_clicks"))
+        .orderBy("event_id")
+    }),
+
     // JSON column: parse props ({"k": int}) with a JSON path, aggregate.
     "q82_json_props" -> ((s, d) =>
       ld(s, d, "events")
@@ -355,6 +395,14 @@ object EventOps {
          SELECT user_id, sess_id, count(*) AS n_events,
                 round(sum(value), 2) AS tot_value, max(us) - min(us) AS dur_us
          FROM s GROUP BY 1, 2 ORDER BY user_id, sess_id""",
+    "q85_stream_stream_join" ->
+      """SELECT p.event_id, count(*) AS n_clicks
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+          AND epoch_us(c.ts) <= epoch_us(p.ts)
+         GROUP BY p.event_id ORDER BY p.event_id""",
     "q82_json_props" ->
       """SELECT event_type,
                 round(avg(CAST(props->>'k' AS INTEGER)), 4) AS avg_k,
