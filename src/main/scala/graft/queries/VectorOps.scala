@@ -53,21 +53,15 @@ object VectorOps {
     }
 
   /** Explode a (vec_id, emb) frame into its 8 (band_idx, band_val) keys:
-    * band j = 16 sign bits of hyperplane projections 16j..16j+15. The dot
-    * products run through the codegen'd native kernel; the stack() is a
-    * pipelined Generate — no shuffle until the bucket join itself. */
-  private def bandKeys(df: DataFrame, idOut: String): DataFrame = {
-    val bCols = (0 until 8).map { j =>
-      (0 until 16).map { k =>
-        when(dotp(col("emb"), typedLit(bandPlanes(16 * j + k))) > 0,
-          lit(1 << k)).otherwise(lit(0))
-      }.reduce(_ + _).as(s"b$j")
-    }
-    df.select(col("vec_id").as(idOut) +: bCols: _*)
-      .selectExpr(idOut,
-        s"stack(8, ${(0 until 8).map(j => s"$j, b$j").mkString(", ")})" +
-          " AS (band_idx, band_val)")
-  }
+    * band j = 16 sign bits of hyperplane projections 16j..16j+15, computed
+    * by the single compiled HyperplaneBands kernel (the unrolled 128-dot
+    * projection compiled to a 29.8 KB method that HotSpot refused to JIT —
+    * see VectorExprs.HyperplaneBands). posexplode is a pipelined Generate —
+    * no shuffle until the bucket join itself. */
+  private def bandKeys(df: DataFrame, idOut: String): DataFrame =
+    df.select(col("vec_id").as(idOut),
+        graft.functions.VectorExprs.bands(col("emb"), bandPlanes, 16).as("bk"))
+      .select(col(idOut), posexplode(col("bk")).as(Seq("band_idx", "band_val")))
 
   /** Corpus with the embedding pre-cast to array<double> and the norm
     * precomputed — both ONCE per row, before any pair join. (Leaving the
