@@ -5,11 +5,13 @@ import org.apache.spark.sql.SparkSession
   * end-to-end through a `noop` sink so the FULL plan executes (a bare
   * count() would let Catalyst prune projections/sorts and under-report).
   *
-  * Output protocol — the driver keeps only a TAIL of stdout, and r2's single
-  * 85-query JSON line outgrew it (q01-q21 and the "metric":"total" prefix
-  * were cut off). So: one compact line per query as it finishes, then the
-  * summary line LAST with times rounded to ms, so the kept tail always ends
-  * with a complete, parseable `{"metric":"total",...}` record.
+  * Output protocol — the driver keeps only a TAIL of stdout, and r2/r3's
+  * summary line (all ~88 per-query times inline, 2.2 KB) still overflowed it
+  * three rounds running (`"parsed": null`). So: one compact line per query as
+  * it finishes (full detail lives there), and a summary line LAST that is
+  * deliberately SMALL (<1.5 KB): total + sf + the 10 slowest queries only.
+  * Failed queries are marked `"sec":null,"err":true` in their per-query line
+  * and EXCLUDED from min/total, so a crash can't masquerade as a fast run.
   *
   * Each query runs SPARK_GRAFT_BENCH_ITERS times (default 2) and reports the
   * per-query MIN: r2 showed 2-6x swings on untouched scalar queries from
@@ -33,22 +35,33 @@ object Bench {
     Tables.names.foreach(n => Tables.ld(spark, sfDir, n).count())
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
+      // A run that throws yields None — never a (near-zero) elapsed time.
+      val times: Seq[Option[Double]] = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      val runs = times.map(f3).mkString("[", ",", "]")
-      println(s"""{"bench_query":"$name","sec":${f3(times.min)},"runs":$runs}""")
-      name -> times.min
+      val ok = times.flatten
+      val runs = times.map(_.map(f3).getOrElse("null")).mkString("[", ",", "]")
+      val sec = if (ok.nonEmpty) f3(ok.min) else "null"
+      val err = if (ok.size < times.size) ",\"err\":true" else ""
+      println(s"""{"bench_query":"$name","sec":$sec,"runs":$runs$err}""")
+      name -> ok.minOption
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = f3(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val good = results.collect { case (k, Some(v)) => k -> v }
+    val failed = results.collect { case (k, None) => k }
+    val slowest = good.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = f3(good.map(_._2).sum)
+    // Summary stays <1.5 KB and is the absolute last stdout line so the
+    // driver's tail capture always ends with a complete JSON record.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${good.size},"failed":$failedJson,"slowest":$slowest}""")
     spark.stop()
   }
 }

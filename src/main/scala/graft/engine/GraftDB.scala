@@ -31,7 +31,15 @@ class GraftDB(val spark: SparkSession) {
     * `inferRows` mirrors the reference's `max_read_records: Some(3)`
     * (`csv.rs:37`): types are inferred from only the first n data rows and
     * that schema is applied to the full scan. Default None = whole-file
-    * inference (documented superset — safer types, one extra pass). */
+    * inference (documented superset — safer types, one extra pass).
+    *
+    * Sampling caveats (matching the reference's single-file model): the
+    * n-line sample reads physical lines via textFile().limit(), which is
+    * only "the first n records" for a SINGLE file without quoted
+    * multi-line fields. For multi-file paths the sampled lines come from
+    * whichever split lists first, and a quoted newline splits one record
+    * across samples — pass None (whole-file inference with the real CSV
+    * parser) for those inputs. */
   def createCsvTable(name: String, path: String, header: Boolean = true,
                      delimiter: String = ",",
                      inferRows: Option[Int] = None): DataFrame = {

@@ -201,8 +201,7 @@ object EventOps {
     // Streaming custom state: mapGroupsWithState maintains a per-user
     // running event count across microbatches (Update mode). The memory
     // sink accumulates every per-batch emission, so the final per-user
-    // count is the MAX across emissions — deterministic no matter how
-    // AvailableNow splits the backlog into batches. State is BOUNDED by an
+    // count is the MAX across emissions. State is BOUNDED by an
     // EVENT-time timeout: a key whose last event is 200 days behind the
     // watermark is evicted (the timeout branch emits its final count and
     // removes state), so at 100 TB the RocksDB store holds the active
@@ -211,8 +210,16 @@ object EventOps {
     // purpose: with Trigger.AvailableNow a processing-time timeout keeps
     // the query alive waiting for wall-clock to pass (measured: hang);
     // the watermark clock stops with the data, so termination is clean.
-    // The 200-day horizon exceeds the corpus span (~141 days), so no
-    // timeout fires mid-run and the batch oracle is unchanged.
+    // The timeout is anchored to DATA time — max(watermark, this batch's
+    // last event) + 200 days — never the bare watermark: the watermark is 0
+    // during the first data batch, so watermark+horizon would give batch-1
+    // keys a timeout of epoch+200d, far behind the corpus's event times,
+    // and any multi-batch split (several part files, maxFilesPerTrigger)
+    // would evict live keys mid-backlog and silently restart their counts.
+    // Anchored to each key's last event, no key can time out until the
+    // watermark passes its last event + 200 days — beyond the corpus span
+    // (~141 days) — so the result matches the batch oracle regardless of
+    // how AvailableNow splits the backlog.
     "q78_stream_state" -> ((s, d) => {
       import s.implicits._
       ld(s, d, "events")
@@ -234,10 +241,17 @@ object EventOps {
               state.remove() // evict idle key — this is the state bound
               (uid, n)
             } else {
-              val n = state.getOption.getOrElse(0L) + rows.size
+              var n = state.getOption.getOrElse(0L)
+              var lastMs = Long.MinValue
+              rows.foreach { r =>
+                n += 1
+                val t = r._2.getTime
+                if (t > lastMs) lastMs = t
+              }
               state.update(n)
               state.setTimeoutTimestamp(
-                state.getCurrentWatermarkMs() + 200L * 24 * 3600 * 1000)
+                math.max(state.getCurrentWatermarkMs(), lastMs) +
+                  200L * 24 * 3600 * 1000)
               (uid, n)
             }
         }

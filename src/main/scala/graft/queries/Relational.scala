@@ -473,24 +473,24 @@ object Relational {
     // Exact money arithmetic on DecimalType — declared in the reference's
     // DDL type table but stubbed (`sql/planner.rs:518` todo!()). Everything
     // stays in decimal end-to-end (no double drift): sums of DECIMAL(12,2)
-    // are exact, Tungsten keeps the aggregation buffer in a 128-bit decimal.
-    // Both engines' exact results are cast to the same output precision so
-    // the stringified values hash-match. No division here: quotient
-    // rounding at internal scale is engine-specific; exact ops only.
+    // are exact, Tungsten keeps the aggregation buffer in a 128-bit decimal
+    // (decimalMoneyExact below; its DecimalType schema is pinned by
+    // QueriesSmokeSpec). ONLY for the driver compare, the final projection
+    // casts every decimal to a string: the driver reads Spark parquet via
+    // pandas (DECIMAL → decimal.Decimal, stringifies '901.00') but the
+    // DuckDB oracle via .df() (DECIMAL → float64, stringifies '901.0'), so
+    // any trailing-zero value hash-diverges unless both sides emit the same
+    // representation. Both engines render DECIMAL(p,s)→string with all s
+    // fractional digits, so the strings are bit-identical. No division:
+    // quotient rounding at internal scale is engine-specific; exact ops only.
     "q69_decimal_money" -> ((s, d) =>
-      ld(s, d, "lineitem")
-        .select(col("l_returnflag"),
-          col("l_extendedprice").cast("decimal(12,2)").as("price"),
-          col("l_discount").cast("decimal(12,2)").as("disc"))
-        .groupBy("l_returnflag")
-        .agg(
-          sum(col("price")).cast("decimal(18,2)").as("sum_price"),
-          sum(col("price") * (lit(1).cast("decimal(12,2)") - col("disc")))
-            .cast("decimal(18,4)").as("sum_disc_price"),
-          min(col("price")).as("min_price"),
-          max(col("price")).as("max_price"),
-          count(lit(1)).as("n"))
-        .orderBy("l_returnflag")),
+      decimalMoneyExact(s, d).select(
+        col("l_returnflag"),
+        col("sum_price").cast("string").as("sum_price"),
+        col("sum_disc_price").cast("string").as("sum_disc_price"),
+        col("min_price").cast("string").as("min_price"),
+        col("max_price").cast("string").as("max_price"),
+        col("n"))),
 
     // Skew-resistant two-phase aggregation (salting): partial agg on
     // (key, salt) spreads a hot key over 16 reducers, final agg merges.
@@ -509,6 +509,27 @@ object Relational {
         .orderBy("l_returnflag")
     }),
   )
+
+  /** q69's exact-decimal aggregation, pre-stringification. Kept as a named
+    * seam so QueriesSmokeSpec can pin that the arithmetic really runs on
+    * DecimalType (128-bit exact buffers) and is not silently promoted to
+    * double — the public q69 entry stringifies this frame only for the
+    * driver's representation-independent compare.
+    */
+  private[graft] def decimalMoneyExact(s: SparkSession, d: String): DataFrame =
+    ld(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        col("l_discount").cast("decimal(12,2)").as("disc"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("price")).cast("decimal(18,2)").as("sum_price"),
+        sum(col("price") * (lit(1).cast("decimal(12,2)") - col("disc")))
+          .cast("decimal(18,4)").as("sum_disc_price"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
 
   val oracle: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -761,9 +782,11 @@ object Relational {
                            CAST(l_discount AS DECIMAL(12,2)) AS disc
                     FROM lineitem)
          SELECT l_returnflag,
-                CAST(sum(price) AS DECIMAL(18,2)) AS sum_price,
-                CAST(sum(price * (1 - disc)) AS DECIMAL(18,4)) AS sum_disc_price,
-                min(price) AS min_price, max(price) AS max_price,
+                CAST(CAST(sum(price) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price,
+                CAST(CAST(sum(price * (1 - disc)) AS DECIMAL(18,4)) AS VARCHAR)
+                  AS sum_disc_price,
+                CAST(min(price) AS VARCHAR) AS min_price,
+                CAST(max(price) AS VARCHAR) AS max_price,
                 count(*) AS n
          FROM t GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q54_custom_udaf" ->

@@ -82,7 +82,9 @@ class ExpressionSemanticsSpec extends AnyFunSuite with SparkFixture {
       Functions.characterLength(col("s")), Functions.reverseF(col("s")),
       Functions.repeatF(Functions.trimF(col("s")), 2),
       Functions.replaceF(col("s"), "l", "L"),
-      Functions.substrF(Functions.trimF(col("s")), 1, 4)).head()
+      Functions.substrF(Functions.trimF(col("s")), 1, 4),
+      Functions.ltrimF(col("s")), Functions.rtrimF(col("s")),
+      Functions.lowerF(col("s"))).head()
     assert(r.getString(0) == "Hello")
     assert(r.getString(1) == "  HELLO  ")
     assert(r.getInt(2) == 9)
@@ -90,5 +92,8 @@ class ExpressionSemanticsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getString(4) == "HelloHello")
     assert(r.getString(5) == "  HeLLo  ")
     assert(r.getString(6) == "Hell")
+    assert(r.getString(7) == "Hello  ")
+    assert(r.getString(8) == "  Hello")
+    assert(r.getString(9) == "  hello  ")
   }
 }

@@ -16,12 +16,19 @@ class PlanDriftSpec extends AnyFunSuite with SparkFixture {
   private val sfDir = "/root/testdata/sf0.001"
 
   /** Node names from a formatted explain's header tree, e.g.
-    * "* HashAggregate (5)" → "HashAggregate". */
+    * "+- * BroadcastHashJoin Inner BuildRight (20)" → "BroadcastHashJoin".
+    * Takes the FIRST operator token after the tree-art prefix, not the word
+    * adjacent to the id — the latter read "BuildRight" for multi-word
+    * headers, so a join-strategy drift with the same build side compared
+    * equal at the join node. */
   private def shape(explain: String): Seq[String] =
     explain.linesIterator
       .takeWhile(l => !l.startsWith("(1)")) // header tree only
-      .flatMap("""([A-Za-z][A-Za-z0-9]*) \(\d+\)""".r
-        .findFirstMatchIn(_).map(_.group(1)))
+      .flatMap { l =>
+        if ("""\(\d+\)\s*$""".r.findFirstIn(l).isDefined)
+          """[A-Za-z][A-Za-z0-9]*""".r.findFirstIn(l)
+        else None
+      }
       .toSeq
 
   private lazy val committed: String =

@@ -52,6 +52,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges):\n$p")
   }
 
+  test("q45: shingle pipeline is computed once — plan scans documents " +
+    "at most twice (r3 rebuilt it 4x)") {
+    val p = plan("q45_ngram_jaccard")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans <= 2, s"shingle recompute is back ($scans scans):\n$p")
+  }
+
+  test("q46: no BroadcastExchange anywhere — the signature table is " +
+    "corpus-sized and must reach the estimate joins via keyed shuffle") {
+    val p = plan("q46_minhash_lsh")
+    assert(!p.contains("BroadcastExchange"),
+      s"corpus-sized broadcast regressed:\n$p")
+  }
+
   test("q62: pair join is broadcast nested-loop over pre-cast arrays " +
     "(no per-pair cast)") {
     val p = plan("q62_embed_neardup")

@@ -55,13 +55,27 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("q69 output really is DecimalType end-to-end (no silent double " +
-    "promotion)") {
-    import org.apache.spark.sql.types.DecimalType
-    val df = SparkEntry.queries("q69_decimal_money")(spark, sfDir)
-    assert(df.schema("sum_price").dataType == DecimalType(18, 2))
-    assert(df.schema("sum_disc_price").dataType == DecimalType(18, 4))
-    assert(df.schema("min_price").dataType == DecimalType(12, 2))
+  test("q69 arithmetic really is DecimalType end-to-end (no silent double " +
+    "promotion), and only the driver-facing projection stringifies") {
+    import org.apache.spark.sql.types.{DecimalType, StringType}
+    val exact = graft.queries.Relational.decimalMoneyExact(spark, sfDir)
+    assert(exact.schema("sum_price").dataType == DecimalType(18, 2))
+    assert(exact.schema("sum_disc_price").dataType == DecimalType(18, 4))
+    assert(exact.schema("min_price").dataType == DecimalType(12, 2))
+    // The public entry is the same frame stringified for the driver's
+    // pandas-vs-DuckDB compare; every decimal renders all fractional digits.
+    val pub = SparkEntry.queries("q69_decimal_money")(spark, sfDir)
+    Seq("sum_price", "sum_disc_price", "min_price", "max_price").foreach { c =>
+      assert(pub.schema(c).dataType == StringType, s"$c should be string")
+    }
+    val r = pub.orderBy("l_returnflag").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getString(1).matches("""-?\d+\.\d{2}"""),
+        s"sum_price not scale-2 plain notation: ${row.getString(1)}")
+      assert(row.getString(2).matches("""-?\d+\.\d{4}"""),
+        s"sum_disc_price not scale-4 plain notation: ${row.getString(2)}")
+    }
   }
 
   test("every query with an oracle exists in queries, and oracle SQL is " +
