@@ -114,10 +114,33 @@ object VectorExprs {
   def bands(v: Column, planes: Seq[Seq[Double]], rowsPerBand: Int): Column =
     toCol(HyperplaneBands(toExpr(v.cast("array<double>")), planes, rowsPerBand))
 
-  /** Make `graft_dot(a, b)` callable from SQL text in this session —
-    * mirrors the reference's name→function scalar registry seam
-    * (`logical_plan/expression.rs:96-114`) with a native, codegen'd
-    * expression instead of a UDF. */
+  /** Build a HyperplaneBands from SQL-text arguments: the plane matrix and
+    * band width must be FOLDABLE (literal `array(array(...), ...)` and int)
+    * because the expression compiles them into its loop constants — the
+    * same constraint the Column API enforces by taking them as Scala
+    * values. */
+  private[graft] def bandsFromSqlArgs(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    require(args.length == 3,
+      "graft_bands(vec, planes array<array<double>>, rows_per_band) takes 3 arguments")
+    val planesE = Cast(args(1), ArrayType(ArrayType(DoubleType)))
+    require(planesE.foldable, "graft_bands planes must be a literal matrix")
+    val rpbE = Cast(args(2), IntegerType)
+    require(rpbE.foldable, "graft_bands rows_per_band must be a literal int")
+    val pd = planesE.eval().asInstanceOf[ArrayData]
+    val planes = (0 until pd.numElements()).map { i =>
+      val row = pd.getArray(i)
+      (0 until row.numElements()).map(row.getDouble).toSeq
+    }.toSeq
+    HyperplaneBands(Cast(args(0), ArrayType(DoubleType)), planes,
+      rpbE.eval().asInstanceOf[Int])
+  }
+
+  /** Make `graft_dot(a, b)` and `graft_bands(v, planes, rows_per_band)`
+    * callable from SQL text in this session — mirrors the reference's
+    * name→function scalar registry seam (`logical_plan/expression.rs:96-114`)
+    * with native, codegen'd expressions instead of UDFs. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions.Cast
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
@@ -126,5 +149,6 @@ object VectorExprs {
       DotProduct(Cast(args(0), ArrayType(DoubleType)),
                  Cast(args(1), ArrayType(DoubleType)))
     })
+    ColumnBridge.registerFunction(spark, "graft_bands", bandsFromSqlArgs)
   }
 }

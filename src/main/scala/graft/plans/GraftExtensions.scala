@@ -28,9 +28,10 @@ object CollapseIdempotentStringFns extends Rule[LogicalPlan] {
   * `spark.sql.extensions=graft.plans.GraftExtensions` or
   * `builder.withExtensions(new GraftExtensions)` and injects
   *   - the optimizer rule above (the seam the reference exposes), and
-  *   - `graft_dot` as a session-wide SQL function (the reference's scalar
-  *     name→function registry, `expression.rs:96-114`) so a session built
-  *     with the extensions needs no imperative registerSql call.
+  *   - `graft_dot` and `graft_bands` as session-wide SQL functions (the
+  *     reference's scalar name→function registry, `expression.rs:96-114`)
+  *     so a session built with the extensions needs no imperative
+  *     registerSql call.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -45,5 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Cast(args.head, ArrayType(DoubleType)),
           Cast(args(1), ArrayType(DoubleType)))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bands"),
+      new ExpressionInfo(classOf[graft.functions.HyperplaneBands].getName,
+        "graft_bands"),
+      (args: Seq[Expression]) =>
+        graft.functions.VectorExprs.bandsFromSqlArgs(args)))
   }
 }

@@ -35,10 +35,18 @@ class ExtensionsSpec extends AnyFunSuite {
       // semantics unchanged
       val v = df.limit(1).collect()(0).getString(0)
       assert(v == v.toUpperCase)
-      // the injected scalar function works without registerSql
+      // the injected scalar functions work without registerSql
       val d = s.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))")
         .head().getDouble(0)
       assert(d == 11.0)
+      // graft_bands: planes = identity 2x2, one band of 2 rows —
+      // v=(1,-1) signs (+,-) → bit 0 only → band key 1
+      val b = s.sql(
+        """SELECT graft_bands(array(1.0d, -1.0d),
+                              array(array(1.0d, 0.0d), array(0.0d, 1.0d)),
+                              2) AS b""")
+        .head().getSeq[Int](0)
+      assert(b == Seq(1), s"got $b")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

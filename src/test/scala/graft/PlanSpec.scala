@@ -110,11 +110,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(pf.get.contains("event_type"), pf.get)
   }
 
-  test("graft_dot is SQL-callable after registerSql") {
+  test("graft_dot and graft_bands are SQL-callable after registerSql") {
     graft.functions.VectorExprs.registerSql(spark)
     val v = spark.sql(
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .head().getDouble(0)
     assert(v == 11.0)
+    val b = spark.sql(
+      """SELECT graft_bands(array(3.0d, 2.0d),
+                            array(array(1.0d, 0.0d), array(0.0d, -1.0d)),
+                            1) AS b""")
+      .head().getSeq[Int](0)
+    // two 1-row bands: dot>0 → key 1, dot<0 → key 0
+    assert(b == Seq(1, 0), s"got $b")
   }
 }
