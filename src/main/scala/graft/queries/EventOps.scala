@@ -13,6 +13,23 @@ import graft.Tables.ld
   */
 object EventOps {
 
+  /** Run `f` with spark.sql.shuffle.partitions temporarily lowered —
+    * scoped to the streaming start/awaitTermination so the store count is
+    * fixed at query start and the session conf is restored for whatever
+    * runs next. Stateful streaming operators allocate one state store per
+    * shuffle partition (per stateful op, ×2 for a stream-stream join), and
+    * every AvailableNow microbatch pays a fixed per-store maintenance cost
+    * — at this corpus (100k events) the fixed costs dominate. Measured
+    * isolated at sf0.1 going 32 → 8 partitions (min-of-2): q85 10.4 → 8.8,
+    * q76 6.0 → 4.1, q74 within noise. At production volume the same knob
+    * sizes state partitions to throughput, per query. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, old)
+  }
+
   /** Typed rows for q77's Dataset path (Encoders need stable classes). */
   final case class SessEvent(user_id: Long, event_id: Long, us: Long,
                              value: Double)
@@ -78,11 +95,13 @@ object EventOps {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
       val name = "graft_stream_hourly"
-      val q = stream.writeStream.outputMode("complete")
-        .format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = stream.writeStream.outputMode("complete")
+          .format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name)
         .select(col("window.start").as("hr"), col("event_type"), col("n"),
           round(col("sum_value"), 2).as("tot_value"))
@@ -144,17 +163,19 @@ object EventOps {
       ld(s, d, "events")
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
       val name = "graft_stream_dedup"
-      val q = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select(col("user_id"), col("event_type"), col("ts"))
-        .withWatermark("ts", "200 days")
-        .dropDuplicatesWithinWatermark("user_id", "event_type")
-        .select(col("user_id"), col("event_type"))
-        .writeStream.outputMode("append").format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withWatermark("ts", "200 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name).groupBy("event_type")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("event_type")
@@ -256,11 +277,13 @@ object EventOps {
             }
         }
         .toDF("user_id", "n")
-      val q = counts.writeStream.outputMode("update")
-        .format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = counts.writeStream.outputMode("update")
+          .format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name).groupBy("user_id").agg(max("n").as("n_events"))
         .orderBy("user_id")
     }),
@@ -288,15 +311,17 @@ object EventOps {
         .select("user_id")
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
       val name = "graft_stream_static"
-      val q = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .select(col("user_id"), col("event_type"))
-        .join(broadcast(bigSpenders), "user_id")
-        .groupBy("event_type").agg(count(lit(1)).as("n"))
-        .writeStream.outputMode("complete").format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .select(col("user_id"), col("event_type"))
+          .join(broadcast(bigSpenders), "user_id")
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("complete").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name).orderBy("event_type")
     }),
 
@@ -329,11 +354,13 @@ object EventOps {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
           col("c_ts") <= col("p_ts"))
       val name = "graft_stream_stream"
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name).groupBy("p_id")
         .agg(count(lit(1)).as("n_clicks"))
         .select(col("p_id").as("event_id"), col("n_clicks"))

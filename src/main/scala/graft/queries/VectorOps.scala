@@ -326,7 +326,42 @@ object VectorOps {
   private val duckL2 =
     "round(list_sum(list_transform(range(1, 65), i -> (%V[i] - %C[i]) * (%V[i] - %C[i]))), 6)"
 
+  /** Explicit left-associated 64-term dot against a plane literal — NOT
+    * list_inner_product: the bucket needs the exact SIGN of the projection
+    * (no rounding to hide fp-association differences), and `a[1]*w0 +
+    * a[2]*w1 + ...` parses left-associated in both engines, reproducing
+    * DotProduct's sequential fold bit-for-bit. The plane constants print
+    * via Double.toString (shortest round-trip form), so DuckDB parses the
+    * identical binary double. */
+  private def duckPlaneDot(arr: String, w: Seq[Double]): String =
+    w.zipWithIndex.map { case (v, i) => s"$arr[${i + 1}] * ($v)" }
+      .mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    // Full LSH replay: identical deterministic hyperplanes, identical
+    // bucket assignment (sign-exact projections), identical top-5 ranking
+    // — upgrades q61 from the LSH-vs-brute property spec to a real
+    // hash-matched row.
+    "q61_ann_lsh" -> {
+      val bucket = hyperplanes.zipWithIndex.map { case (w, p) =>
+        s"(CASE WHEN ${duckPlaneDot("ce", w)} > 0 THEN ${1 << p} ELSE 0 END)" }
+        .mkString("\n                   + ")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                     FROM embeddings),
+               b AS (SELECT vec_id, ce,
+                     $bucket AS bucket FROM c),
+               probes AS (SELECT vec_id AS q_id, ce AS qe, bucket AS qb
+                          FROM b WHERE vec_id < 10),
+               sims AS (SELECT q_id, x.vec_id AS neighbor_id,
+                               round(${dcos("qe", "x.ce")}, 6) AS sim
+                        FROM b x JOIN probes p ON x.bucket = p.qb
+                                              AND x.vec_id <> p.q_id),
+               r AS (SELECT *, row_number() OVER
+                       (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS rn
+                     FROM sims)
+          SELECT q_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rn
+          FROM r WHERE rn <= 5 ORDER BY q_id, rn"""
+    },
     // Brute-force orig×recon cross join: hash-matching proves the banded
     // candidate generation missed nothing (empirical 100% recall).
     "q68_neardup_rerank" ->
