@@ -19,13 +19,15 @@ object SparkEntry {
     Relational.queries ++ TextOps.queries ++ TextOps.queries2 ++
       VectorOps.queries ++ VectorOps.queries2 ++
       EventOps.queries ++ EventOps.queries2 ++
-      MultimodalOps.queries ++ MultimodalOps.queries2 ++ SinkOps.queries
+      MultimodalOps.queries ++ MultimodalOps.queries2 ++ SinkOps.queries ++
+      PipelineOps.queries
 
   // No whitespace collapsing: it would also rewrite multi-space string
   // literals inside the SQL (e.g. trim('  ' || …)). DuckDB takes the SQL
   // verbatim; Verify JSON-escapes newlines.
   def oracleSql: Map[String, String] =
     (Relational.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
-      EventOps.oracle ++ MultimodalOps.oracle ++ SinkOps.oracle)
+      EventOps.oracle ++ MultimodalOps.oracle ++ SinkOps.oracle ++
+      PipelineOps.oracle)
       .view.mapValues(_.stripMargin.trim).toMap
 }

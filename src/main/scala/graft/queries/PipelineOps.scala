@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.ld
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between raw crawl and tokenizer: incremental (cross-snapshot) dedup,
+  * composite quality gates, shard packing under a token budget, and
+  * per-stratum sampling. Beyond the reference (which has no text surface
+  * at all — `unary.rs:97-106` is todo!()); all pure Catalyst expressions,
+  * windows, and keyed joins — no UDFs, no driver-side loops.
+  */
+object PipelineOps {
+
+  /** Tokens = whitespace splits; the corpus is single-space separated (see
+    * q41's oracle-checked identity length-replace trick). */
+  private val nTokens = "length(text) - length(replace(text, ' ', '')) + 1"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Incremental dedup: a "new batch" of documents is admitted only if its
+    // content fingerprint was never seen in the accumulated snapshot — the
+    // shape every recurring-crawl pipeline runs per ingest. LEFT ANTI join
+    // keyed on the digest: one shuffle each side, no broadcast — at 100 TB
+    // the seen-set is far past any broadcast threshold (it is the whole
+    // historical corpus), so the shuffled anti-join IS the scale plan; the
+    // 16-byte digest keeps exchanged rows narrow. Spark would happily
+    // broadcast the 400-row snapshot here — the hint forces the honest
+    // shape (same reasoning as q46, pinned in PlanSpec).
+    "q94_incremental_dedup" -> ((s, d) => {
+      val docs = ld(s, d, "documents").withColumn("fp", md5(col("text")))
+      val seen = docs.filter(col("doc_id") % 5 =!= 0).select("fp")
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      batch.join(seen.hint("shuffle_hash"), Seq("fp"), "left_anti")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Composite quality gate (Gopher/C4-flavor rules re-expressed for this
+    // corpus): token-count bounds, mean token length band, vocabulary
+    // diversity floor, and a 3-gram repetition ceiling. The repetition
+    // signal reuses the relational shingle pipeline (codegen'd explode +
+    // window + keyed agg — the HOF form measured ~1.6 ms/doc, see
+    // TextOps.shingles); distinct-gram counts join back on doc_id, so the
+    // whole gate is two keyed shuffles regardless of corpus size.
+    "q95_quality_gate_rules" -> ((s, d) => {
+      val distinct3 = TextOps.shingles(s, d)
+        .groupBy("doc_id").agg(count(lit(1)).cast("int").as("d3"))
+      val base = ld(s, d, "documents").selectExpr(
+        "doc_id", "source",
+        s"CAST($nTokens AS INT) AS n_tokens",
+        s"round(length(replace(text, ' ', '')) / CAST($nTokens AS DOUBLE), 4) AS mean_tok_len",
+        s"round(size(array_distinct(split(text, ' '))) / CAST($nTokens AS DOUBLE), 4) AS uniq_ratio")
+      base.join(distinct3, Seq("doc_id"), "left")
+        .withColumn("rep3_ratio",
+          when(col("n_tokens") >= lit(3),
+            round(lit(1) - col("d3") / (col("n_tokens") - lit(2)), 4))
+            .otherwise(lit(0.0)))
+        .withColumn("keep",
+          col("n_tokens").between(10, 1000) &&
+            col("mean_tok_len").between(3.0, 8.0) &&
+            col("uniq_ratio") >= 0.3 && col("rep3_ratio") <= 0.7)
+        .select("doc_id", "source", "n_tokens", "mean_tok_len",
+          "uniq_ratio", "rep3_ratio", "keep")
+        .orderBy("doc_id")
+    }),
+
+    // Shard packing: assign documents to fixed-token-budget training shards
+    // (500 tokens) per source, in deterministic doc_id order — an
+    // exclusive running sum divided by the budget. Windows partition by
+    // source, so the packing parallelizes across strata (a single global
+    // ORDER BY window would serialize the corpus through one task at
+    // 100 TB; per-stratum is how shard writers actually run).
+    "q96_shard_pack" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ld(s, d, "documents")
+        .selectExpr("doc_id", "source", s"CAST($nTokens AS INT) AS n_tokens")
+        .withColumn("shard_id",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(500))
+            .cast("int"))
+        .select("doc_id", "source", "n_tokens", "shard_id")
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sample: ~20% per source, selected by an
+    // md5 order (engine-portable, stable across retries/executors — unlike
+    // df.sample's RNG). Two windows over the same (source, md5) shuffle:
+    // rank within stratum and stratum size; keep rank ≤ ceil(0.2·size).
+    "q97_stratified_sample" -> ((s, d) => {
+      val bySrc = Window.partitionBy("source")
+      val rn = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      ld(s, d, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(rn))
+        .withColumn("n_src", count(lit(1)).over(bySrc))
+        .filter(col("rn") <= ceil(col("n_src") * 0.2))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q94_incremental_dedup" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars, md5(text) AS fp
+                       FROM documents),
+              seen AS (SELECT fp FROM docs WHERE doc_id % 5 <> 0)
+         SELECT doc_id, source, n_chars
+         FROM docs
+         WHERE doc_id % 5 = 0 AND fp NOT IN (SELECT fp FROM seen)
+         ORDER BY doc_id""",
+    "q95_quality_gate_rules" -> {
+      val nTok = "length(text) - length(replace(text, ' ', '')) + 1"
+      s"""WITH g AS (SELECT doc_id, len(list_distinct(${TextOps.duckGrams})) AS d3
+                     FROM documents),
+              base AS (SELECT doc_id, source,
+                              CAST($nTok AS INTEGER) AS n_tokens,
+                              round(length(replace(text, ' ', '')) /
+                                CAST($nTok AS DOUBLE), 4) AS mean_tok_len,
+                              round(len(list_distinct(string_split(text, ' '))) /
+                                CAST($nTok AS DOUBLE), 4) AS uniq_ratio
+                       FROM documents)
+          SELECT base.doc_id, source, n_tokens, mean_tok_len, uniq_ratio,
+                 CASE WHEN n_tokens >= 3
+                      THEN round(1 - d3 / CAST(n_tokens - 2 AS DOUBLE), 4)
+                      ELSE 0.0 END AS rep3_ratio,
+                 (n_tokens BETWEEN 10 AND 1000)
+                   AND (mean_tok_len BETWEEN 3.0 AND 8.0)
+                   AND uniq_ratio >= 0.3
+                   AND (CASE WHEN n_tokens >= 3
+                             THEN round(1 - d3 / CAST(n_tokens - 2 AS DOUBLE), 4)
+                             ELSE 0.0 END) <= 0.7 AS keep
+          FROM base JOIN g ON base.doc_id = g.doc_id
+          ORDER BY base.doc_id"""
+    },
+    "q96_shard_pack" ->
+      """SELECT doc_id, source, n_tokens,
+                CAST(floor((run - n_tokens) / 500) AS INTEGER) AS shard_id
+         FROM (SELECT doc_id, source,
+                      CAST(length(text) - length(replace(text, ' ', '')) + 1
+                        AS INTEGER) AS n_tokens,
+                      sum(length(text) - length(replace(text, ' ', '')) + 1)
+                        OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS run
+               FROM documents)
+         ORDER BY doc_id""",
+    "q97_stratified_sample" ->
+      """SELECT doc_id, source
+         FROM (SELECT doc_id, source,
+                      row_number() OVER
+                        (PARTITION BY source
+                         ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+                      count(*) OVER (PARTITION BY source) AS n_src
+               FROM documents)
+         WHERE rn <= ceil(n_src * 0.2)
+         ORDER BY doc_id""",
+  )
+}

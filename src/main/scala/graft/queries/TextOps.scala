@@ -27,7 +27,7 @@ object TextOps {
     * a re-split of the text per element in its naive form. Downstream set
     * operations are identical modulo 2^-64 hash collisions.
     */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private[queries] def shingles(s: SparkSession, d: String): DataFrame =
     shinglesBy(s, d, (t0, t1, t2) => xxhash64(t0, t1, t2))
 
   /** [[shingles]] with an engine-portable 32-bit md5 gram hash, for queries
@@ -448,7 +448,7 @@ object TextOps {
 
   /** DuckDB-1.0 equivalents. 1-based list indexing; len() casts where DuckDB
     * returns BIGINT and Spark INT. */
-  private val duckGrams =
+  private[queries] val duckGrams =
     """CASE WHEN len(string_split(text, ' ')) >= 3 THEN
          list_transform(range(1, len(string_split(text, ' ')) - 1),
            i -> string_split(text, ' ')[i] || ' ' ||

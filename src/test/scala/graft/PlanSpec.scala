@@ -66,6 +66,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"corpus-sized broadcast regressed:\n$p")
   }
 
+  test("q94: incremental dedup anti-join is a keyed shuffle, not a " +
+    "seen-set broadcast (the seen-set is the whole historical corpus)") {
+    val p = plan("q94_incremental_dedup")
+    assert(!p.contains("BroadcastExchange"),
+      s"seen-set broadcast would die at scale:\n$p")
+    assert(p.contains("LeftAnti"), "anti-join missing")
+  }
+
   test("q62: pair join is broadcast nested-loop over pre-cast arrays " +
     "(no per-pair cast)") {
     val p = plan("q62_embed_neardup")
