@@ -37,12 +37,25 @@ object EventOps {
                            tot_value: Double, dur_us: Long)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // `value` is 2-decimal money: summed as DECIMAL(12,2), which is EXACT
+    // and therefore order-independent — a plain double sum drifted in the
+    // last rounded digit on 3 of 10,800 cells at sf0.1 (parallel partial
+    // aggregation reorders the float adds; rounding can't hide a value
+    // sitting on the .xxxx5 boundary). The 4-decimal average is rounded in
+    // exact INTEGER arithmetic — (2t+n) div 2n is round-half-up of t/n —
+    // because round(double, 4) itself disagrees across engines exactly at
+    // those boundaries (Spark rounds the shortest decimal repr HALF_UP,
+    // DuckDB rounds the raw binary double: 58.47375 → 58.4738 vs 58.4737).
+    // The final /10000.0 yields a ≤4-decimal rational, identical doubles.
     "q70_events_hourly" -> ((s, d) =>
       ld(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum("value"), 2).as("tot_value"),
-          round(avg("value"), 4).as("avg_value"))
+          sum(col("value").cast("decimal(12,2)")).as("tv"))
+        .selectExpr("hr", "event_type", "n",
+          "CAST(tv AS DOUBLE) AS tot_value",
+          """CAST((2 * CAST(tv * 10000 AS BIGINT) + n) DIV (2 * n) AS DOUBLE)
+             / 10000 AS avg_value""")
         .orderBy("hr", "event_type")),
 
     // Sessionization: 30-min inactivity gap, one pass with window functions;
@@ -93,7 +106,10 @@ object EventOps {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+        // exact decimal sum — order-independent across microbatch/partition
+        // splits, same reasoning as q70
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).as("sum_value"))
       val name = "graft_stream_hourly"
       withShufflePartitions(s, 8) {
         val q = stream.writeStream.outputMode("complete")
@@ -104,7 +120,7 @@ object EventOps {
       }
       s.table(name)
         .select(col("window.start").as("hr"), col("event_type"), col("n"),
-          round(col("sum_value"), 2).as("tot_value"))
+          col("sum_value").cast("double").as("tot_value"))
         .orderBy("hr", "event_type")
     }),
   )
@@ -451,9 +467,15 @@ object EventOps {
                 count(CASE WHEN CAST(props->>'k' AS INTEGER) > 50 THEN 1 END) AS n_high
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q70_events_hourly" ->
-      """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
-                round(sum(value), 2) AS tot_value, round(avg(value), 4) AS avg_value
-         FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
+      """SELECT hr, event_type, n,
+                CAST(tv AS DOUBLE) AS tot_value,
+                CAST((2 * CAST(tv * 10000 AS BIGINT) + n) // (2 * n) AS DOUBLE)
+                  / 10000 AS avg_value
+         FROM (SELECT date_trunc('hour', ts) AS hr, event_type,
+                      count(*) AS n,
+                      sum(CAST(value AS DECIMAL(12,2))) AS tv
+               FROM events GROUP BY 1, 2)
+         ORDER BY hr, event_type""",
     "q71_sessionize" ->
       """WITH t AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
                            lag(epoch_us(ts)) OVER
@@ -479,7 +501,7 @@ object EventOps {
          FROM events GROUP BY 1 ORDER BY hr""",
     "q74_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
-                round(sum(value), 2) AS tot_value
+                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS tot_value
          FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
   )
 }

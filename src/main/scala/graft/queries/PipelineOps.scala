@@ -84,6 +84,40 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: flag every corpus document that shares at
+    // least one 5-gram with a held-out "benchmark" slice (doc_id % 97 = 0
+    // stands in for the eval set) — the standard pre-training hygiene pass.
+    // Relational n-gram build (posexplode + window leads, all codegen'd),
+    // 64-bit-hashed before the shuffle, then a LEFT SEMI join keyed on the
+    // gram hash: candidate contact is bounded by shared grams, never a
+    // doc×doc product, and the benchmark gram set is shuffled, not
+    // broadcast (real eval suites are millions of grams).
+    "q98_decontaminate" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = ld(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("tok"),
+          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"),
+          lead("tok", 3).over(w).as("t3"), lead("tok", 4).over(w).as("t4"))
+        .filter(col("t4").isNotNull)
+        .select(col("doc_id"),
+          xxhash64(col("tok"), col("t1"), col("t2"), col("t3"), col("t4"))
+            .as("g5"))
+      val benchGrams = grams.filter(col("doc_id") % 97 === 0)
+        .select("g5").distinct()
+      val flagged = grams.filter(col("doc_id") % 97 =!= 0)
+        .join(benchGrams.hint("shuffle_hash"), Seq("g5"), "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("hit", lit(true))
+      ld(s, d, "documents").filter(col("doc_id") % 97 =!= 0)
+        .select("doc_id", "source")
+        .join(flagged.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .withColumn("contaminated", coalesce(col("hit"), lit(false)))
+        .select("doc_id", "source", "contaminated")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sample: ~20% per source, selected by an
     // md5 order (engine-portable, stable across retries/executors — unlike
     // df.sample's RNG). Two windows over the same (source, md5) shuffle:
@@ -146,6 +180,30 @@ object PipelineOps {
                               ROWS UNBOUNDED PRECEDING) AS run
                FROM documents)
          ORDER BY doc_id""",
+    "q98_decontaminate" -> {
+      // 5-gram list per doc (1-based list indexing), joined on the raw gram
+      // string — equality-equivalent to Spark's 64-bit-hashed join modulo
+      // 2^-64 collisions.
+      val g5 =
+        """CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+             list_transform(range(1, len(string_split(text, ' ')) - 3),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2] || ' ' ||
+                    string_split(text, ' ')[i+3] || ' ' ||
+                    string_split(text, ' ')[i+4])
+           ELSE [] END"""
+      s"""WITH g AS (SELECT doc_id, unnest($g5) AS g5 FROM documents),
+               bench AS (SELECT DISTINCT g5 FROM g WHERE doc_id % 97 = 0),
+               flagged AS (SELECT DISTINCT doc_id FROM g
+                           WHERE doc_id % 97 <> 0
+                             AND g5 IN (SELECT g5 FROM bench))
+          SELECT d.doc_id, d.source,
+                 (f.doc_id IS NOT NULL) AS contaminated
+          FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+          WHERE d.doc_id % 97 <> 0
+          ORDER BY d.doc_id"""
+    },
     "q97_stratified_sample" ->
       """SELECT doc_id, source
          FROM (SELECT doc_id, source,
