@@ -17,7 +17,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     "q11_join_multi", "q17_join_cross", "q28_window", "q31_topk",
     "q40_dedup_exact", "q41_text_tokens", "q47_simhash", "q60_knn_brute",
     "q63_centroid_dist", "q70_events_hourly", "q71_sessionize",
-    "q74_stream_hourly", "q80_media_meta", "q81_frame_sample")
+    "q74_stream_hourly", "q80_media_meta", "q81_frame_sample",
+    "q95_quality_gate_rules", "q96_shard_pack", "q97_stratified_sample",
+    "q98_decontaminate")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
@@ -85,5 +87,18 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
       assert(qs.contains(name), s"oracle for unknown query $name")
       assert(sql.trim.nonEmpty)
     }
+  }
+
+  // Sketches whose output is inherently engine-specific; each must instead
+  // be covered by SketchPropertySpec. Adding a query without an oracle
+  // should be a DELIBERATE act — extend this list AND add a property spec.
+  private val oracleExempt = Set("q38_approx_agg")
+
+  test("every query WITHOUT an oracle is explicitly exempted (no silent " +
+    "rows-only checks)") {
+    val missing = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- oracleExempt
+    assert(missing.isEmpty,
+      s"queries shipped without a DuckDB oracle or exemption: $missing")
   }
 }
