@@ -51,17 +51,22 @@ object Bench {
       val sec = if (ok.nonEmpty) f3(ok.min) else "null"
       val err = if (ok.size < times.size) ",\"err\":true" else ""
       println(s"""{"bench_query":"$name","sec":$sec,"runs":$runs$err}""")
-      name -> ok.minOption
+      (name, ok.minOption, ok.size < times.size)
     }
-    val good = results.collect { case (k, Some(v)) => k -> v }
-    val failed = results.collect { case (k, None) => k }
+    val good = results.collect { case (k, Some(v), _) => k -> v }
+    val failed = results.collect { case (k, None, _) => k }
+    // flaky = succeeded at least once but also threw at least once; the
+    // per-query err line can scroll out of the driver's tail, so surface
+    // them in the summary too — a 50%-reproducible crash must not read as
+    // a green run.
+    val flaky = results.collect { case (k, Some(_), true) => k }
     val slowest = good.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def names(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = f3(good.map(_._2).sum)
     // Summary stays <1.5 KB and is the absolute last stdout line so the
     // driver's tail capture always ends with a complete JSON record.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${good.size},"failed":$failedJson,"slowest":$slowest}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${good.size},"failed":${names(failed)},"flaky":${names(flaky)},"slowest":$slowest}""")
     spark.stop()
   }
 }

@@ -128,13 +128,24 @@ object VectorExprs {
     require(planesE.foldable, "graft_bands planes must be a literal matrix")
     val rpbE = Cast(args(2), IntegerType)
     require(rpbE.foldable, "graft_bands rows_per_band must be a literal int")
-    val pd = planesE.eval().asInstanceOf[ArrayData]
+    // foldable includes NULL literals — reject them here with a clear
+    // message instead of a null-cast ArithmeticException deep in execution
+    val pdRaw = planesE.eval()
+    require(pdRaw != null, "graft_bands planes must not be NULL")
+    val rpbRaw = rpbE.eval()
+    require(rpbRaw != null, "graft_bands rows_per_band must not be NULL")
+    val rpb = rpbRaw.asInstanceOf[Int]
+    val pd = pdRaw.asInstanceOf[ArrayData]
     val planes = (0 until pd.numElements()).map { i =>
       val row = pd.getArray(i)
+      require(row != null, "graft_bands planes rows must not be NULL")
       (0 until row.numElements()).map(row.getDouble).toSeq
     }.toSeq
-    HyperplaneBands(Cast(args(0), ArrayType(DoubleType)), planes,
-      rpbE.eval().asInstanceOf[Int])
+    require(planes.nonEmpty, "graft_bands needs at least one plane")
+    require(rpb > 0 && planes.length % rpb == 0,
+      s"rows_per_band ($rpb) must be positive and divide the plane count " +
+        s"(${planes.length})")
+    HyperplaneBands(Cast(args(0), ArrayType(DoubleType)), planes, rpb)
   }
 
   /** Make `graft_dot(a, b)` and `graft_bands(v, planes, rows_per_band)`

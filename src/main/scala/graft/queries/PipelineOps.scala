@@ -18,6 +18,15 @@ object PipelineOps {
     * q41's oracle-checked identity length-replace trick). */
   private val nTokens = "length(text) - length(replace(text, ' ', '')) + 1"
 
+  /** 4-decimal round-half-up of an integer quotient a/b computed in EXACT
+    * integer space — (2a·10⁴ + b) div 2b — because round(double, 4)
+    * disagrees across engines exactly at .xxxx5 boundaries (57/800 =
+    * 0.07125 → Spark 0.0713, DuckDB 0.0712; the q70 lesson). `op` is the
+    * integral-division operator: Spark `DIV`, DuckDB `//` (identical for
+    * the non-negative operands used here). */
+  private def r4(num: String, den: String, op: String = "DIV") =
+    s"CAST((2 * CAST($num AS BIGINT) * 10000 + ($den)) $op (2 * ($den)) AS DOUBLE) / 10000"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Incremental dedup: a "new batch" of documents is admitted only if its
     // content fingerprint was never seen in the accumulated snapshot — the
@@ -50,12 +59,12 @@ object PipelineOps {
       val base = ld(s, d, "documents").selectExpr(
         "doc_id", "source",
         s"CAST($nTokens AS INT) AS n_tokens",
-        s"round(length(replace(text, ' ', '')) / CAST($nTokens AS DOUBLE), 4) AS mean_tok_len",
-        s"round(size(array_distinct(split(text, ' '))) / CAST($nTokens AS DOUBLE), 4) AS uniq_ratio")
+        s"${r4("length(replace(text, ' ', ''))", nTokens)} AS mean_tok_len",
+        s"${r4("size(array_distinct(split(text, ' ')))", nTokens)} AS uniq_ratio")
       base.join(distinct3, Seq("doc_id"), "left")
         .withColumn("rep3_ratio",
           when(col("n_tokens") >= lit(3),
-            round(lit(1) - col("d3") / (col("n_tokens") - lit(2)), 4))
+            expr(r4("(n_tokens - 2) - d3", "n_tokens - 2")))
             .otherwise(lit(0.0)))
         .withColumn("keep",
           col("n_tokens").between(10, 1000) &&
@@ -94,6 +103,11 @@ object PipelineOps {
     // broadcast (real eval suites are millions of grams).
     "q98_decontaminate" -> ((s, d) => {
       val w = Window.partitionBy("doc_id").orderBy("pos")
+      // The gram pipeline is built ONCE behind a g5-keyed Exchange; the
+      // bench/corpus branches filter AFTER the repartition, so their
+      // exchange subtrees are identical and execute once (AQE stage cache
+      // — the q45 lesson; both semi-join sides then arrive co-partitioned
+      // on g5, and the bench-side distinct needs no further shuffle).
       val grams = ld(s, d, "documents")
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
@@ -104,6 +118,7 @@ object PipelineOps {
         .select(col("doc_id"),
           xxhash64(col("tok"), col("t1"), col("t2"), col("t3"), col("t4"))
             .as("g5"))
+        .repartition(col("g5"))
       val benchGrams = grams.filter(col("doc_id") % 97 === 0)
         .select("g5").distinct()
       val flagged = grams.filter(col("doc_id") % 97 =!= 0)
@@ -147,25 +162,24 @@ object PipelineOps {
          ORDER BY doc_id""",
     "q95_quality_gate_rules" -> {
       val nTok = "length(text) - length(replace(text, ' ', '')) + 1"
+      val rep3 = s"""CASE WHEN n_tokens >= 3
+                          THEN ${r4("(n_tokens - 2) - d3", "n_tokens - 2", "//")}
+                          ELSE 0.0 END"""
       s"""WITH g AS (SELECT doc_id, len(list_distinct(${TextOps.duckGrams})) AS d3
                      FROM documents),
               base AS (SELECT doc_id, source,
                               CAST($nTok AS INTEGER) AS n_tokens,
-                              round(length(replace(text, ' ', '')) /
-                                CAST($nTok AS DOUBLE), 4) AS mean_tok_len,
-                              round(len(list_distinct(string_split(text, ' '))) /
-                                CAST($nTok AS DOUBLE), 4) AS uniq_ratio
+                              ${r4(s"length(replace(text, ' ', ''))", nTok, "//")}
+                                AS mean_tok_len,
+                              ${r4(s"len(list_distinct(string_split(text, ' ')))", nTok, "//")}
+                                AS uniq_ratio
                        FROM documents)
           SELECT base.doc_id, source, n_tokens, mean_tok_len, uniq_ratio,
-                 CASE WHEN n_tokens >= 3
-                      THEN round(1 - d3 / CAST(n_tokens - 2 AS DOUBLE), 4)
-                      ELSE 0.0 END AS rep3_ratio,
+                 $rep3 AS rep3_ratio,
                  (n_tokens BETWEEN 10 AND 1000)
                    AND (mean_tok_len BETWEEN 3.0 AND 8.0)
                    AND uniq_ratio >= 0.3
-                   AND (CASE WHEN n_tokens >= 3
-                             THEN round(1 - d3 / CAST(n_tokens - 2 AS DOUBLE), 4)
-                             ELSE 0.0 END) <= 0.7 AS keep
+                   AND ($rep3) <= 0.7 AS keep
           FROM base JOIN g ON base.doc_id = g.doc_id
           ORDER BY base.doc_id"""
     },

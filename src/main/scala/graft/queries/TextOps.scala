@@ -166,8 +166,14 @@ object TextOps {
         .agg(count(lit(1)).as("n_inter"),
           max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
       inter
+        // 4-decimal Jaccard rounded in exact integer space — (2a·10⁴+b) div
+        // 2b — because round(double,4) splits across engines at .xxxx5
+        // boundaries (the q70/q95 class; n_inter and the union size are
+        // exact integers, so the quotient can land exactly on one).
         .select(col("da"), col("db"), col("n_inter"),
-          round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 4).as("jac"))
+          expr("""CAST((2 * n_inter * 10000 + (na + nb - n_inter))
+                       DIV (2 * (na + nb - n_inter)) AS DOUBLE)
+                  / 10000""").as("jac"))
         .orderBy("da", "db")
     }),
 
@@ -586,7 +592,9 @@ object TextOps {
                            AND a.doc_id < b.doc_id
                          GROUP BY 1, 2)
           SELECT da, db, n_inter,
-                 round(n_inter / (sa.n + sb.n - n_inter), 4) AS jac
+                 CAST((2 * n_inter * 10000 + (sa.n + sb.n - n_inter))
+                      // (2 * (sa.n + sb.n - n_inter)) AS DOUBLE)
+                   / 10000 AS jac
           FROM inter JOIN sizes sa ON da = sa.doc_id
                      JOIN sizes sb ON db = sb.doc_id
           ORDER BY da, db""",

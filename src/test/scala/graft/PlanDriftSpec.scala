@@ -15,19 +15,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanDriftSpec extends AnyFunSuite with SparkFixture {
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** Node names from a formatted explain's header tree, e.g.
-    * "+- * BroadcastHashJoin Inner BuildRight (20)" → "BroadcastHashJoin".
-    * Takes the FIRST operator token after the tree-art prefix, not the word
-    * adjacent to the id — the latter read "BuildRight" for multi-word
-    * headers, so a join-strategy drift with the same build side compared
-    * equal at the join node. */
+  /** Node headers from a formatted explain's header tree with tree-art and
+    * ids stripped: "+- * BroadcastHashJoin Inner BuildRight (20)" →
+    * "BroadcastHashJoin Inner BuildRight". The WHOLE header is kept — an
+    * earlier version kept one token, which let a join-strategy, join-type,
+    * or build-side flip (broadcasting the fact side!) compare equal. */
   private def shape(explain: String): Seq[String] =
     explain.linesIterator
       .takeWhile(l => !l.startsWith("(1)")) // header tree only
       .flatMap { l =>
-        if ("""\(\d+\)\s*$""".r.findFirstIn(l).isDefined)
-          """[A-Za-z][A-Za-z0-9]*""".r.findFirstIn(l)
-        else None
+        """^[\s:+\-*]*(.*?)\s*\(\d+\)\s*$""".r.findFirstMatchIn(l)
+          .map(_.group(1).trim).filter(_.nonEmpty)
       }
       .toSeq
 

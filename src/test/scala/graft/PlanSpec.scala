@@ -74,6 +74,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("LeftAnti"), "anti-join missing")
   }
 
+  test("q98: gram pipeline behind one reusable exchange — at most 3 " +
+    "documents scans in the static plan (gram subtree x2 dedup'd by the " +
+    "AQE stage cache + the cheap final 2-column scan)") {
+    val p = plan("q98_decontaminate")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans <= 3, s"gram recompute crept in ($scans scans):\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"benchmark gram set must shuffle, not broadcast:\n$p")
+  }
+
   test("q62: pair join is broadcast nested-loop over pre-cast arrays " +
     "(no per-pair cast)") {
     val p = plan("q62_embed_neardup")
