@@ -389,9 +389,15 @@ object EventOps {
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .groupBy("event_type").agg(
-          round(avg("k"), 4).as("avg_k"),
+          sum("k").as("sk"), count("k").as("nk"),
           max("k").as("max_k"),
           count(when(col("k") > 50, 1)).as("n_high"))
+        // integer-exact half-up rounding of the int-sum quotient: an avg of
+        // ints can land exactly on a .xxxx5 boundary (sum 1, count 32 →
+        // 0.03125), where round(double,4) splits across engines (q70 class)
+        .selectExpr("event_type",
+          "CAST((2 * sk * 10000 + nk) DIV (2 * nk) AS DOUBLE) / 10000 AS avg_k",
+          "max_k", "n_high")
         .orderBy("event_type")),
   )
 
@@ -462,10 +468,17 @@ object EventOps {
          GROUP BY p.event_id ORDER BY p.event_id""",
     "q82_json_props" ->
       """SELECT event_type,
-                round(avg(CAST(props->>'k' AS INTEGER)), 4) AS avg_k,
-                max(CAST(props->>'k' AS INTEGER)) AS max_k,
-                count(CASE WHEN CAST(props->>'k' AS INTEGER) > 50 THEN 1 END) AS n_high
-         FROM events GROUP BY event_type ORDER BY event_type""",
+                CAST((2 * sk * 10000 + nk) // (2 * nk) AS DOUBLE) / 10000
+                  AS avg_k,
+                max_k, n_high
+         FROM (SELECT event_type,
+                      sum(CAST(props->>'k' AS INTEGER)) AS sk,
+                      count(CAST(props->>'k' AS INTEGER)) AS nk,
+                      max(CAST(props->>'k' AS INTEGER)) AS max_k,
+                      count(CASE WHEN CAST(props->>'k' AS INTEGER) > 50
+                            THEN 1 END) AS n_high
+               FROM events GROUP BY event_type)
+         ORDER BY event_type""",
     "q70_events_hourly" ->
       """SELECT hr, event_type, n,
                 CAST(tv AS DOUBLE) AS tot_value,
