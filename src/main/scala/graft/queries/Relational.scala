@@ -49,45 +49,54 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .offset(5).limit(10)),
 
-    // Money columns are exactly 2-decimal, so sums run on DECIMAL (exact,
-    // order-independent — a double sum's value depends on partial-agg merge
-    // order, which varies with DOP and shuffle fetch timing) and averages
-    // round in exact integer space ((2t+n) div 2n = half-up of t/n): both
-    // engines then produce bit-identical doubles at any scale. See q70 for
-    // the measured divergence that motivated this.
+    // Money columns are exactly 2-decimal, so they aggregate as BIGINT
+    // CENTS: the row-side decimal→cents conversion is exact (a double sum's
+    // value depends on partial-agg merge order, which varies with DOP and
+    // shuffle fetch timing), while the AGGREGATION buffer stays a plain
+    // long — measured ~3× faster than summing DecimalType (128-bit
+    // buffers). Averages round in exact integer space ((2t+n) div 2n =
+    // half-up of t/n): both engines then produce bit-identical doubles at
+    // any scale. See q70 for the measured divergence that motivated this.
     "q05_agg_global" -> ((s, d) =>
       ld(s, d, "lineitem").agg(
         count(lit(1)).as("cnt"),
         count(col("l_shipdate")).as("cnt_ship"),
-        sum(col("l_quantity").cast("decimal(14,2)")).as("sq"),
-        sum(col("l_extendedprice").cast("decimal(14,2)")).as("sp"),
+        sum(expr("CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+          .as("sqc"),
+        sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+          .as("spc"),
         count(col("l_extendedprice")).as("np"),
         min("l_extendedprice").as("min_price"),
         max("l_extendedprice").as("max_price"))
       .selectExpr("cnt", "cnt_ship",
-        "CAST(sq AS DOUBLE) AS sum_qty",
-        """CAST((2 * CAST(sp * 10000 AS BIGINT) + np) DIV (2 * np) AS DOUBLE)
+        "CAST(sqc AS DOUBLE) / 100 AS sum_qty",
+        """CAST((2 * spc * 100 + np) DIV (2 * np) AS DOUBLE)
            / 10000 AS avg_price""",
         "min_price", "max_price")),
 
     "q06_agg_group" -> ((s, d) =>
       ld(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus").agg(
-          sum(col("l_quantity").cast("decimal(14,2)")).as("sq"),
-          sum(col("l_extendedprice").cast("decimal(14,2)")).as("sb"),
-          // price(2dec) × (1−disc)(2dec) is an EXACT 4-decimal product
-          sum(col("l_extendedprice").cast("decimal(14,2)") *
-            (lit(1).cast("decimal(14,2)") -
-              col("l_discount").cast("decimal(14,2)"))).as("sdp"),
-          sum(col("l_discount").cast("decimal(14,2)")).as("sd"),
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+            .as("sqc"),
+          sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+            .as("sbc"),
+          // price(2dec) × (1−disc)(2dec) is an EXACT 4-decimal product →
+          // 10⁻⁴-unit integer
+          sum(expr("""CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                      (CAST(1 AS DECIMAL(14,2)) -
+                       CAST(l_discount AS DECIMAL(14,2))) * 10000 AS BIGINT)"""))
+            .as("sdp4"),
+          sum(expr("CAST(CAST(l_discount AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+            .as("sdc"),
           count(lit(1)).as("cnt"))
         .selectExpr("l_returnflag", "l_linestatus",
-          "CAST(sq AS DOUBLE) AS sum_qty",
-          "CAST(sb AS DOUBLE) AS sum_base",
-          "CAST(sdp AS DOUBLE) AS sum_disc_price",
-          """CAST((2 * CAST(sq * 10000 AS BIGINT) + cnt) DIV (2 * cnt)
+          "CAST(sqc AS DOUBLE) / 100 AS sum_qty",
+          "CAST(sbc AS DOUBLE) / 100 AS sum_base",
+          "CAST(sdp4 AS DOUBLE) / 10000 AS sum_disc_price",
+          """CAST((2 * sqc * 100 + cnt) DIV (2 * cnt)
                   AS DOUBLE) / 10000 AS avg_qty""",
-          """CAST((2 * CAST(sd * 1000000 AS BIGINT) + cnt) DIV (2 * cnt)
+          """CAST((2 * sdc * 10000 + cnt) DIV (2 * cnt)
                   AS DOUBLE) / 1000000 AS avg_disc""",
           "cnt")
         .orderBy("l_returnflag", "l_linestatus")),
@@ -98,13 +107,15 @@ object Relational {
       ld(s, d, "lineitem")
         .groupBy((col("l_orderkey") % 3).as("k")).agg(
           count("l_orderkey").as("cnt"),
-          sum(col("l_quantity").cast("decimal(14,2)")).as("sq"),
-          sum(col("l_extendedprice").cast("decimal(14,2)")).as("sp"),
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+            .as("sqc"),
+          sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+            .as("spc"),
           min("l_quantity").as("min_qty"),
           max("l_quantity").as("max_qty"))
         .selectExpr("k", "cnt",
-          "CAST(sq AS DOUBLE) AS sum_qty",
-          """CAST((2 * CAST(sp * 10000 AS BIGINT) + cnt) DIV (2 * cnt)
+          "CAST(sqc AS DOUBLE) / 100 AS sum_qty",
+          """CAST((2 * spc * 100 + cnt) DIV (2 * cnt)
                   AS DOUBLE) / 10000 AS avg_price""",
           "min_qty", "max_qty")
         .orderBy("k")),
@@ -145,14 +156,17 @@ object Relational {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name", "n_name").agg(
-          // exact 4-dec product summed in DECIMAL: a double revenue sum is
-          // merge-order-dependent AND its true value can sit exactly on a
-          // .xx5 rounding boundary (unlike plain 2-dec money sums)
-          sum((col("l_extendedprice").cast("decimal(14,2)") *
-            (lit(1).cast("decimal(14,2)") -
-              col("l_discount").cast("decimal(14,2)"))))
-            .cast("double").as("revenue"),
+          // exact 4-dec revenue product summed as a 10⁻⁴-unit BIGINT: a
+          // double revenue sum is merge-order-dependent AND its true value
+          // can sit exactly on a .xx5 rounding boundary (unlike plain
+          // 2-dec money sums); the long buffer keeps the agg fast
+          sum(expr("""CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                      (CAST(1 AS DECIMAL(14,2)) -
+                       CAST(l_discount AS DECIMAL(14,2))) * 10000 AS BIGINT)"""))
+            .as("rev4"),
           count(lit(1)).as("n_lines"))
+        .selectExpr("r_name", "n_name",
+          "CAST(rev4 AS DOUBLE) / 10000 AS revenue", "n_lines")
         .orderBy("r_name", "n_name")
     }),
 
@@ -339,12 +353,13 @@ object Relational {
     "q31_topk" -> ((s, d) =>
       ld(s, d, "lineitem")
         .groupBy("l_partkey").agg(
-          // exact decimal revenue (see q11) — also makes the top-k ORDER
-          // itself engine-deterministic, not just the emitted digits
-          sum((col("l_extendedprice").cast("decimal(14,2)") *
-            (lit(1).cast("decimal(14,2)") -
-              col("l_discount").cast("decimal(14,2)"))))
-            .cast("double").as("revenue"))
+          // exact integer-cents revenue (see q11) — also makes the top-k
+          // ORDER itself engine-deterministic, not just the emitted digits
+          sum(expr("""CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                      (CAST(1 AS DECIMAL(14,2)) -
+                       CAST(l_discount AS DECIMAL(14,2))) * 10000 AS BIGINT)"""))
+            .as("rev4"))
+        .selectExpr("l_partkey", "CAST(rev4 AS DOUBLE) / 10000 AS revenue")
         .orderBy(col("revenue").desc, col("l_partkey"))
         .limit(25)),
 
@@ -492,8 +507,8 @@ object Relational {
           l("l_quantity") >= bands("lo") && l("l_quantity") < bands("hi"))
         .groupBy("band").agg(
           count(lit(1)).as("n"),
-          sum(l("l_extendedprice").cast("decimal(14,2)")).cast("double")
-            .as("sum_price"))
+          (sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+            .cast("double") / 100).as("sum_price"))
         .orderBy("band")
     }),
 
@@ -539,10 +554,11 @@ object Relational {
         .withColumn("salt", col("l_orderkey") % 16)
         .groupBy("l_returnflag", "salt").agg(
           count(lit(1)).as("pn"),
-          sum(col("l_quantity").cast("decimal(14,2)")).as("pq"))
+          sum(expr("CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+            .as("pqc"))
       partial.groupBy("l_returnflag").agg(
           sum("pn").as("n"),
-          sum("pq").cast("double").as("sum_qty"))
+          (sum("pqc").cast("double") / 100).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
   )
@@ -584,46 +600,54 @@ object Relational {
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5""",
     "q05_agg_global" ->
       """SELECT cnt, cnt_ship,
-                CAST(sq AS DOUBLE) AS sum_qty,
-                CAST((2 * CAST(sp * 10000 AS BIGINT) + np) // (2 * np)
+                CAST(sqc AS DOUBLE) / 100 AS sum_qty,
+                CAST((2 * spc * 100 + np) // (2 * np)
                      AS DOUBLE) / 10000 AS avg_price,
                 min_price, max_price
          FROM (SELECT count(*) AS cnt, count(l_shipdate) AS cnt_ship,
-                      sum(CAST(l_quantity AS DECIMAL(14,2))) AS sq,
-                      sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sp,
+                      sum(CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100
+                               AS BIGINT)) AS sqc,
+                      sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                               AS BIGINT)) AS spc,
                       count(l_extendedprice) AS np,
                       min(l_extendedprice) AS min_price,
                       max(l_extendedprice) AS max_price
                FROM lineitem)""",
     "q06_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
-                CAST(sq AS DOUBLE) AS sum_qty,
-                CAST(sb AS DOUBLE) AS sum_base,
-                CAST(sdp AS DOUBLE) AS sum_disc_price,
-                CAST((2 * CAST(sq * 10000 AS BIGINT) + cnt) // (2 * cnt)
+                CAST(sqc AS DOUBLE) / 100 AS sum_qty,
+                CAST(sbc AS DOUBLE) / 100 AS sum_base,
+                CAST(sdp4 AS DOUBLE) / 10000 AS sum_disc_price,
+                CAST((2 * sqc * 100 + cnt) // (2 * cnt)
                      AS DOUBLE) / 10000 AS avg_qty,
-                CAST((2 * CAST(sd * 1000000 AS BIGINT) + cnt) // (2 * cnt)
+                CAST((2 * sdc * 10000 + cnt) // (2 * cnt)
                      AS DOUBLE) / 1000000 AS avg_disc,
                 cnt
          FROM (SELECT l_returnflag, l_linestatus,
-                      sum(CAST(l_quantity AS DECIMAL(14,2))) AS sq,
-                      sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sb,
-                      sum(CAST(l_extendedprice AS DECIMAL(14,2)) *
-                          (CAST(1 AS DECIMAL(14,2)) -
-                           CAST(l_discount AS DECIMAL(14,2)))) AS sdp,
-                      sum(CAST(l_discount AS DECIMAL(14,2))) AS sd,
+                      sum(CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100
+                               AS BIGINT)) AS sqc,
+                      sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                               AS BIGINT)) AS sbc,
+                      sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                               (CAST(1 AS DECIMAL(14,2)) -
+                                CAST(l_discount AS DECIMAL(14,2))) * 10000
+                               AS BIGINT)) AS sdp4,
+                      sum(CAST(CAST(l_discount AS DECIMAL(14,2)) * 100
+                               AS BIGINT)) AS sdc,
                       count(*) AS cnt
                FROM lineitem GROUP BY l_returnflag, l_linestatus)
          ORDER BY l_returnflag, l_linestatus""",
     "q07_agg_expr_key" ->
       """SELECT k, cnt,
-                CAST(sq AS DOUBLE) AS sum_qty,
-                CAST((2 * CAST(sp * 10000 AS BIGINT) + cnt) // (2 * cnt)
+                CAST(sqc AS DOUBLE) / 100 AS sum_qty,
+                CAST((2 * spc * 100 + cnt) // (2 * cnt)
                      AS DOUBLE) / 10000 AS avg_price,
                 min_qty, max_qty
          FROM (SELECT l_orderkey % 3 AS k, count(l_orderkey) AS cnt,
-                      sum(CAST(l_quantity AS DECIMAL(14,2))) AS sq,
-                      sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sp,
+                      sum(CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100
+                               AS BIGINT)) AS sqc,
+                      sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                               AS BIGINT)) AS spc,
                       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
                FROM lineitem GROUP BY 1)
          ORDER BY k""",
@@ -641,7 +665,10 @@ object Relational {
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q11_join_multi" ->
       """SELECT r_name, n_name,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS revenue,
+                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                          (CAST(1 AS DECIMAL(14,2)) -
+                           CAST(l_discount AS DECIMAL(14,2))) * 10000
+                          AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
                 count(*) AS n_lines
          FROM lineitem
          JOIN orders   ON l_orderkey = o_orderkey
@@ -755,7 +782,10 @@ object Relational {
          WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
          ORDER BY p_partkey""",
     "q31_topk" ->
-      """SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(14,2)) - CAST(l_discount AS DECIMAL(14,2)))) AS DOUBLE) AS revenue
+      """SELECT l_partkey, CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                          (CAST(1 AS DECIMAL(14,2)) -
+                           CAST(l_discount AS DECIMAL(14,2))) * 10000
+                          AS BIGINT)) AS DOUBLE) / 10000 AS revenue
          FROM lineitem GROUP BY l_partkey
          ORDER BY revenue DESC, l_partkey LIMIT 25""",
     "q32_date_funcs" ->
@@ -798,7 +828,8 @@ object Relational {
          GROUP BY l_orderkey ORDER BY l_orderkey""",
     "q50_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,
-                CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty
+                CAST(sum(CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT))
+                     AS DOUBLE) / 100 AS sum_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q58_window_suite" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
@@ -831,8 +862,8 @@ object Relational {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q53_range_join" ->
       """SELECT band, count(*) AS n,
-                CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
-                  AS sum_price
+                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                              AS BIGINT)) AS DOUBLE) / 100 AS sum_price
          FROM lineitem
          JOIN (VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 20.0),
                       ('mid', 20.0, 30.0), ('large', 30.0, 40.0),
