@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property check of the engine-portable rounding recipe used by the money
+  * and ratio aggregates (q05-q07, q11, q31, q70, q82, q95): for t ≥ 0,
+  * n > 0, `(2·t·10^s + n) div (2·n) / 10^s` must equal
+  * BigDecimal(t / n) rounded HALF_UP at scale s — the definition both
+  * engines reproduce bit-for-bit, unlike round(double, s) which splits at
+  * .5 boundaries (58.47375 → Spark 0.0713 vs DuckDB 0.0712, the q70
+  * incident). Runs the identity in plain Scala AND through Spark's DIV
+  * operator with random cent-sums and counts, including exact-boundary
+  * cases constructed on purpose.
+  */
+class IntegerRoundingPropsSpec extends AnyFunSuite with SparkFixture {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  private def recipe(t: BigInt, n: BigInt, scale: Int): BigDecimal = {
+    val p = BigInt(10).pow(scale)
+    BigDecimal((2 * t * p + n) / (2 * n)) / BigDecimal(p)
+  }
+
+  private def reference(t: BigInt, n: BigInt, scale: Int): BigDecimal =
+    (BigDecimal(t) / BigDecimal(n))
+      .setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+
+  test("(2t*10^s + n) div 2n == BigDecimal HALF_UP at scales 4 and 6, " +
+    "random and boundary-constructed operands") {
+    val gen = Gen.zip(Gen.chooseNum(0L, 1000000000000L),
+      Gen.chooseNum(1L, 10000000L), Gen.oneOf(4, 6))
+    val random = samples(gen, 300).map { case (t, n, s) =>
+      (BigInt(t), BigInt(n), s)
+    }
+    // exact .5-boundary cases: t/n = k/10^s + 1/(2*10^s)  ⇔  t = n(2k+1)/(2*10^s)
+    val boundary = samples(Gen.zip(Gen.chooseNum(0L, 100000L),
+      Gen.chooseNum(1L, 5000L), Gen.oneOf(4, 6)), 300).map {
+      case (k, m, s) =>
+        val n = BigInt(2) * BigInt(10).pow(s) * m
+        val t = (BigInt(2) * k + 1) * m
+        (t, n, s) // t/n is exactly k/10^s + half an ulp — the split point
+    }
+    (random ++ boundary).foreach { case (t, n, s) =>
+      assert(recipe(t, n, s) == reference(t, n, s),
+        s"recipe != HALF_UP for t=$t n=$n scale=$s")
+    }
+    assert(boundary.nonEmpty)
+  }
+
+  test("Spark DIV evaluates the recipe identically to the Scala form") {
+    import spark.implicits._
+    val rows = samples(Gen.zip(Gen.chooseNum(0L, 100000000L),
+      Gen.chooseNum(1L, 100000L)), 100).toSeq
+    val df = rows.toDF("t", "n")
+      .selectExpr("t", "n",
+        "CAST((2 * t * 10000 + n) DIV (2 * n) AS DOUBLE) / 10000 AS r")
+    df.collect().foreach { row =>
+      val (t, n) = (BigInt(row.getLong(0)), BigInt(row.getLong(1)))
+      val expect = reference(t, n, 4).toDouble
+      assert(row.getDouble(2) == expect, s"t=$t n=$n")
+    }
+  }
+}

@@ -1,7 +1,15 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: run each query's parquet
-dump against its DuckDB oracle (columns sorted by name, values hashed)."""
+dump against its DuckDB oracle (columns sorted by name, values hashed).
+
+Driver-faithful read paths matter: the SPARK side is read with pandas
+(pyarrow) and the ORACLE side comes back through DuckDB's .df() — exactly
+like the driver. An earlier version read BOTH sides through DuckDB, which
+normalized DECIMAL columns to float64 on both and MISSED q69's real
+mismatch (pandas surfaces parquet DECIMAL as decimal.Decimal, stringifying
+'901.00' where the oracle's float64 gives '901.0')."""
 import duckdb, json, sys, glob, os, hashlib
+import pandas as pd
 
 out = sys.argv[1] if len(sys.argv) > 1 else "target/verify_out"
 sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -13,10 +21,15 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
-def canon(rel):
-    df = rel.df()
+NULLISH = {"None", "nan", "<NA>", "NaT"}
+def canon(df):
+    # Null spelling differs by read path (pandas boolean-null → 'None',
+    # DuckDB .df() → 'nan') and the real driver compares q27's null booleans
+    # green (CORRECTNESS_r03), so normalize null tokens before hashing;
+    # everything else (decimal trailing zeros etc.) stays verbatim.
     df = df[sorted(df.columns)]
-    rows = sorted(df.astype(str).values.tolist())
+    s = df.astype(str).map(lambda v: "NULL" if v in NULLISH else v)
+    rows = sorted(s.values.tolist())
     return len(df), sorted(df.columns), hashlib.md5(str(rows).encode()).hexdigest()
 
 fails = []
@@ -26,11 +39,11 @@ for name in names:
     files = glob.glob(f"{out}/{name}/*.parquet")
     if not files:
         fails.append((name, "no spark output")); continue
-    sp = canon(con.sql(f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')"))
+    sp = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
     if name not in oracle:
         print(f"{name}: rows={sp[0]} (no oracle)"); continue
     try:
-        du = canon(con.sql(oracle[name]))
+        du = canon(con.sql(oracle[name]).df())
     except Exception as e:
         fails.append((name, f"oracle error: {e}")); continue
     ok = sp == du
