@@ -37,24 +37,26 @@ object EventOps {
                            tot_value: Double, dur_us: Long)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // `value` is 2-decimal money: summed as DECIMAL(12,2), which is EXACT
-    // and therefore order-independent — a plain double sum drifted in the
-    // last rounded digit on 3 of 10,800 cells at sf0.1 (parallel partial
-    // aggregation reorders the float adds; rounding can't hide a value
-    // sitting on the .xxxx5 boundary). The 4-decimal average is rounded in
-    // exact INTEGER arithmetic — (2t+n) div 2n is round-half-up of t/n —
-    // because round(double, 4) itself disagrees across engines exactly at
-    // those boundaries (Spark rounds the shortest decimal repr HALF_UP,
-    // DuckDB rounds the raw binary double: 58.47375 → 58.4738 vs 58.4737).
+    // `value` is 2-decimal money: summed as exact BIGINT cents (row-side
+    // decimal→cents cast, long agg buffer — the q05 pattern), which is
+    // order-independent — a plain double sum drifted in the last rounded
+    // digit on 3 of 10,800 cells at sf0.1 (parallel partial aggregation
+    // reorders the float adds; rounding can't hide a value sitting on the
+    // .xxxx5 boundary). The 4-decimal average is rounded in exact INTEGER
+    // arithmetic — (2t+n) div 2n is round-half-up of t/n — because
+    // round(double, 4) itself disagrees across engines exactly at those
+    // boundaries (Spark rounds the shortest decimal repr HALF_UP, DuckDB
+    // rounds the raw binary double: 58.47375 → 58.4738 vs 58.4737).
     // The final /10000.0 yields a ≤4-decimal rational, identical doubles.
     "q70_events_hourly" -> ((s, d) =>
       ld(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(12,2)")).as("tv"))
+          sum(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+            .as("tvc"))
         .selectExpr("hr", "event_type", "n",
-          "CAST(tv AS DOUBLE) AS tot_value",
-          """CAST((2 * CAST(tv * 10000 AS BIGINT) + n) DIV (2 * n) AS DOUBLE)
+          "CAST(tvc AS DOUBLE) / 100 AS tot_value",
+          """CAST((2 * tvc * 100 + n) DIV (2 * n) AS DOUBLE)
              / 10000 AS avg_value""")
         .orderBy("hr", "event_type")),
 
@@ -106,10 +108,11 @@ object EventOps {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        // exact decimal sum — order-independent across microbatch/partition
+        // exact cents sum — order-independent across microbatch/partition
         // splits, same reasoning as q70
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(12,2)")).as("sum_value"))
+          sum(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+            .as("sum_value"))
       val name = "graft_stream_hourly"
       withShufflePartitions(s, 8) {
         val q = stream.writeStream.outputMode("complete")
@@ -120,7 +123,7 @@ object EventOps {
       }
       s.table(name)
         .select(col("window.start").as("hr"), col("event_type"), col("n"),
-          col("sum_value").cast("double").as("tot_value"))
+          (col("sum_value").cast("double") / 100).as("tot_value"))
         .orderBy("hr", "event_type")
     }),
   )
@@ -481,12 +484,13 @@ object EventOps {
          ORDER BY event_type""",
     "q70_events_hourly" ->
       """SELECT hr, event_type, n,
-                CAST(tv AS DOUBLE) AS tot_value,
-                CAST((2 * CAST(tv * 10000 AS BIGINT) + n) // (2 * n) AS DOUBLE)
+                CAST(tvc AS DOUBLE) / 100 AS tot_value,
+                CAST((2 * tvc * 100 + n) // (2 * n) AS DOUBLE)
                   / 10000 AS avg_value
          FROM (SELECT date_trunc('hour', ts) AS hr, event_type,
                       count(*) AS n,
-                      sum(CAST(value AS DECIMAL(12,2))) AS tv
+                      sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                               AS BIGINT)) AS tvc
                FROM events GROUP BY 1, 2)
          ORDER BY hr, event_type""",
     "q71_sessionize" ->
@@ -514,7 +518,8 @@ object EventOps {
          FROM events GROUP BY 1 ORDER BY hr""",
     "q74_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n,
-                CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS tot_value
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                     AS DOUBLE) / 100 AS tot_value
          FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
   )
 }
