@@ -36,6 +36,41 @@ object SinkOps {
         .orderBy("l_returnflag")
     }),
 
+    // JSON-lines roundtrip: the interchange format every ingest pipeline
+    // meets. Read-back uses the WRITER's schema (inference would widen
+    // types); doubles survive exactly (Spark writes shortest-round-trip
+    // decimal reprs). The aggregate uses the exact-cents pattern so the
+    // oracle (over the source table) proves roundtrip fidelity.
+    "q88_json_roundtrip" -> ((s, d) => {
+      val path = outDir(d, "events_json")
+      val src = ld(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value")
+      src.write.mode("overwrite").json(path)
+      s.read.schema(src.schema).json(path)
+        .groupBy((col("user_id") % 10).as("user_band")).agg(
+          count(lit(1)).as("n"),
+          (sum(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+            .cast("double") / 100).as("tot_value"))
+        .orderBy("user_band")
+    }),
+
+    // ORC roundtrip — the other columnar warehouse format Spark ships
+    // natively; same write→scan→agg shape as q90's parquet path.
+    "q89_orc_roundtrip" -> ((s, d) => {
+      val path = outDir(d, "orders_orc")
+      ld(s, d, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("o_orderpriority").agg(
+          count(lit(1)).as("n"),
+          (sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+            .cast("double") / 100).as("tot"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Bucketed tables: both sides written bucketed+sorted on the join key,
     // so the join needs NO Exchange at read time — the canonical 100 TB
     // co-located-join layout (bucket pruning + shuffle elimination).
@@ -124,6 +159,18 @@ object SinkOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q88_json_roundtrip" ->
+      """SELECT user_id % 10 AS user_band, count(*) AS n,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                     AS DOUBLE) / 100 AS tot_value
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY user_band""",
+    "q89_orc_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                              AS BIGINT)) AS DOUBLE) / 100 AS tot
+         FROM orders WHERE o_totalprice > 300000
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q90_parquet_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
                 round(sum(l_extendedprice), 2) AS sum_price

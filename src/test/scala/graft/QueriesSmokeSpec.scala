@@ -18,6 +18,7 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     "q40_dedup_exact", "q41_text_tokens", "q47_simhash", "q60_knn_brute",
     "q63_centroid_dist", "q70_events_hourly", "q71_sessionize",
     "q74_stream_hourly", "q80_media_meta", "q81_frame_sample",
+    "q89_orc_roundtrip",
     "q95_quality_gate_rules", "q96_shard_pack", "q97_stratified_sample",
     "q98_decontaminate")
 
