@@ -13,21 +13,29 @@ import graft.Tables.ld
   */
 object EventOps {
 
-  /** Run `f` with spark.sql.shuffle.partitions temporarily lowered —
-    * scoped to the streaming start/awaitTermination so the store count is
-    * fixed at query start and the session conf is restored for whatever
-    * runs next. Stateful streaming operators allocate one state store per
-    * shuffle partition (per stateful op, ×2 for a stream-stream join), and
-    * every AvailableNow microbatch pays a fixed per-store maintenance cost
-    * — at this corpus (100k events) the fixed costs dominate. Measured
-    * isolated at sf0.1 going 32 → 8 partitions (min-of-2): q85 10.4 → 8.8,
-    * q76 6.0 → 4.1, q74 within noise. At production volume the same knob
-    * sizes state partitions to throughput, per query. */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try f finally s.conf.set(key, old)
+  /** Run `f` against a CLONED session (`s.newSession()`: shared
+    * SparkContext and persistent catalog, ISOLATED runtime conf and temp
+    * views) whose spark.sql.shuffle.partitions is fixed at `n`. Stateful
+    * streaming operators allocate one state store per shuffle partition
+    * (per stateful op, ×2 for a stream-stream join), and every
+    * AvailableNow microbatch pays a fixed per-store maintenance cost — at
+    * this corpus (100k events) the fixed costs dominate. Measured isolated
+    * at sf0.1 going 32 → 8 partitions (min-of-2): q85 10.4 → 8.8, q76
+    * 6.0 → 4.1, q74 within noise. At production volume the same knob sizes
+    * state partitions to throughput, per query. Cloning instead of the old
+    * mutate-and-restore means a concurrently running query on the parent
+    * session can never observe the temporary value and there is no restore
+    * to race (r4 advice). The memory sink registers its temp view in the
+    * session that STARTS the query, so `f` receives the clone and must
+    * build the source, start the stream, and read the sink through it. */
+  private def withStreamSession[T](s: SparkSession, n: Int)
+                                  (f: SparkSession => T): T = {
+    val ss = s.newSession()
+    // newSession starts from builder-time defaults: re-pin the runtime
+    // confs this corpus depends on (Tables.ld's nanos-parquet read).
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    f(ss)
   }
 
   /** Typed rows for q77's Dataset path (Encoders need stable classes). */
@@ -97,12 +105,11 @@ object EventOps {
     // no processAllAvailable/stop race (r1's bench logged an aborted-task
     // from stop() interrupting an in-flight no-op microbatch). In production
     // this is writeStream.trigger(...).toTable with the identical plan.
-    "q74_stream_hourly" -> ((s, d) => {
-      ld(s, d, "events") // sets the nanosAsLong conf for the raw schema read
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    "q74_stream_hourly" -> ((s, d) => withStreamSession(s, 8) { ss =>
+      val rawSchema = ss.read.parquet(s"$d/events.parquet").schema
       // The streaming file source wants a directory: list the sf dir but
       // glob-filter down to the single events file.
-      val stream = s.readStream.schema(rawSchema)
+      val stream = ss.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -114,14 +121,12 @@ object EventOps {
           sum(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
             .as("sum_value"))
       val name = "graft_stream_hourly"
-      withShufflePartitions(s, 8) {
-        val q = stream.writeStream.outputMode("complete")
-          .format("memory").queryName(name)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(name)
+      val q = stream.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name)
         .select(col("window.start").as("hr"), col("event_type"), col("n"),
           (col("sum_value").cast("double") / 100).as("tot_value"))
         .orderBy("hr", "event_type")
@@ -178,24 +183,21 @@ object EventOps {
     // ever seen) — the fix for r2's unbounded-state flag.
     // First-seen row is arrival-order-dependent; the (user_id, event_type)
     // SET is not — so the rollup is deterministic and oracle-checkable.
-    "q76_stream_dedup" -> ((s, d) => {
-      ld(s, d, "events")
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    "q76_stream_dedup" -> ((s, d) => withStreamSession(s, 8) { ss =>
+      val rawSchema = ss.read.parquet(s"$d/events.parquet").schema
       val name = "graft_stream_dedup"
-      withShufflePartitions(s, 8) {
-        val q = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(d)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          .select(col("user_id"), col("event_type"), col("ts"))
-          .withWatermark("ts", "200 days")
-          .dropDuplicatesWithinWatermark("user_id", "event_type")
-          .select(col("user_id"), col("event_type"))
-          .writeStream.outputMode("append").format("memory").queryName(name)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(name).groupBy("event_type")
+      val q = ss.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", "200 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name).groupBy("event_type")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("event_type")
     }),
@@ -260,12 +262,11 @@ object EventOps {
     // watermark passes its last event + 200 days — beyond the corpus span
     // (~141 days) — so the result matches the batch oracle regardless of
     // how AvailableNow splits the backlog.
-    "q78_stream_state" -> ((s, d) => {
-      import s.implicits._
-      ld(s, d, "events")
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    "q78_stream_state" -> ((s, d) => withStreamSession(s, 8) { ss =>
+      import ss.implicits._
+      val rawSchema = ss.read.parquet(s"$d/events.parquet").schema
       val name = "graft_stream_state"
-      val counts = s.readStream.schema(rawSchema)
+      val counts = ss.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", "1 hour")
@@ -296,14 +297,12 @@ object EventOps {
             }
         }
         .toDF("user_id", "n")
-      withShufflePartitions(s, 8) {
-        val q = counts.writeStream.outputMode("update")
-          .format("memory").queryName(name)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(name).groupBy("user_id").agg(max("n").as("n_events"))
+      val q = counts.writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name).groupBy("user_id").agg(max("n").as("n_events"))
         .orderBy("user_id")
     }),
 
@@ -322,26 +321,26 @@ object EventOps {
     // Stream-static join: the streaming fact joins a batch dimension
     // (high-value users derived once) — the dim is broadcast per
     // microbatch; no stream-side state. The canonical enrichment shape.
-    "q79_stream_static_join" -> ((s, d) => {
-      val ev = ld(s, d, "events")
+    "q79_stream_static_join" -> ((s, d) => withStreamSession(s, 8) { ss =>
+      // the static dim is built on the SAME (cloned) session as the stream
+      // — mixing DataFrames across sessions in one query is unsupported
+      val ev = ld(ss, d, "events")
       val bigSpenders = ev.filter(col("event_type") === "purchase")
         .groupBy("user_id").agg(sum("value").as("spent"))
         .filter(col("spent") > 500)
         .select("user_id")
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val rawSchema = ss.read.parquet(s"$d/events.parquet").schema
       val name = "graft_stream_static"
-      withShufflePartitions(s, 8) {
-        val q = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(d)
-          .select(col("user_id"), col("event_type"))
-          .join(broadcast(bigSpenders), "user_id")
-          .groupBy("event_type").agg(count(lit(1)).as("n"))
-          .writeStream.outputMode("complete").format("memory").queryName(name)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(name).orderBy("event_type")
+      val q = ss.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .select(col("user_id"), col("event_type"))
+        .join(broadcast(bigSpenders), "user_id")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name).orderBy("event_type")
     }),
 
     // Stream-stream inner join: purchases ⋈ clicks on user within a 30-min
@@ -355,10 +354,9 @@ object EventOps {
     // finite run, so inner is the honest choice here). The range condition
     // stays on the watermarked TIMESTAMP columns (required for state
     // eviction analysis); the oracle mirrors it in epoch_us arithmetic.
-    "q85_stream_stream_join" -> ((s, d) => {
-      ld(s, d, "events")
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-      def src = s.readStream.schema(rawSchema)
+    "q85_stream_stream_join" -> ((s, d) => withStreamSession(s, 8) { ss =>
+      val rawSchema = ss.read.parquet(s"$d/events.parquet").schema
+      def src = ss.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val purchases = src.filter(col("event_type") === "purchase")
@@ -373,14 +371,12 @@ object EventOps {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
           col("c_ts") <= col("p_ts"))
       val name = "graft_stream_stream"
-      withShufflePartitions(s, 8) {
-        val q = joined.writeStream.outputMode("append")
-          .format("memory").queryName(name)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(name).groupBy("p_id")
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name).groupBy("p_id")
         .agg(count(lit(1)).as("n_clicks"))
         .select(col("p_id").as("event_id"), col("n_clicks"))
         .orderBy("event_id")

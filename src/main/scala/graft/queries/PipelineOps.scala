@@ -22,8 +22,12 @@ object PipelineOps {
     * integer space — (2a·10⁴ + b) div 2b — because round(double, 4)
     * disagrees across engines exactly at .xxxx5 boundaries (57/800 =
     * 0.07125 → Spark 0.0713, DuckDB 0.0712; the q70 lesson). `op` is the
-    * integral-division operator: Spark `DIV`, DuckDB `//` (identical for
-    * the non-negative operands used here). */
+    * integral-division operator: Spark `DIV`, DuckDB `//`. SCOPE: the two
+    * operators agree only for a ≥ 0 with 2a·10⁴ inside BIGINT — DIV
+    * truncates toward zero and wraps silently on overflow, // floors and
+    * errors — which holds for every count/length ratio here (non-negative,
+    * ≤ ~4.6e14); IntegerRoundingPropsSpec pins both the identity and the
+    * negative-operand limitation. */
   private def r4(num: String, den: String, op: String = "DIV") =
     s"CAST((2 * CAST($num AS BIGINT) * 10000 + ($den)) $op (2 * ($den)) AS DOUBLE) / 10000"
 

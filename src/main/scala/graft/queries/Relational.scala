@@ -55,8 +55,14 @@ object Relational {
     // shuffle fetch timing), while the AGGREGATION buffer stays a plain
     // long — measured ~3× faster than summing DecimalType (128-bit
     // buffers). Averages round in exact integer space ((2t+n) div 2n =
-    // half-up of t/n): both engines then produce bit-identical doubles at
-    // any scale. See q70 for the measured divergence that motivated this.
+    // half-up of t/n): both engines then produce bit-identical doubles.
+    // SCOPE: the identity (and the Spark-DIV ≡ DuckDB-// equivalence) holds
+    // for t ≥ 0 with 2·t·10^s inside BIGINT — true for this corpus's
+    // non-negative money sums (≤ ~4.6e14 cents at scale 4). Negative t
+    // (refunds) splits the operators (DIV truncates toward zero, // floors)
+    // and overflow wraps on Spark but errors on DuckDB; see
+    // IntegerRoundingPropsSpec's negative-operand test pinning the bound.
+    // See q70 for the measured divergence that motivated this.
     "q05_agg_global" -> ((s, d) =>
       ld(s, d, "lineitem").agg(
         count(lit(1)).as("cnt"),

@@ -77,7 +77,15 @@ object SinkOps {
     // Requires the session catalog (embedded metastore); tables land in
     // spark.sql.warehouse.dir (default ./spark-warehouse inside the repo).
     "q92_bucketed_join" -> ((s, d) => {
-      val sf = d.replaceAll(".*/", "").replace(".", "_")
+      // The build-once guard keys the table names on a digest of the FULL
+      // canonical path, not the basename — two corpora sharing a basename
+      // (or a re-pointed symlink) must not silently reuse each other's
+      // bucketed layout (r4 advice). Data regenerated IN PLACE under the
+      // same path mid-session is still assumed immutable: bucketed layout
+      // is write-once-join-many by contract.
+      val sf = java.security.MessageDigest.getInstance("MD5")
+        .digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
       val lt = s"graft_l_$sf"; val ot = s"graft_o_$sf"
       // Bucketed layout is WRITE-ONCE, JOIN-MANY in production; the build
       // runs only when the sf-keyed tables aren't in this session's catalog

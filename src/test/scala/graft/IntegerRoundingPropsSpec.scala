@@ -51,6 +51,29 @@ class IntegerRoundingPropsSpec extends AnyFunSuite with SparkFixture {
     assert(boundary.nonEmpty)
   }
 
+  test("negative t DOCUMENTED limitation: Spark DIV (trunc-toward-zero) " +
+    "breaks the half-up identity, so the recipe is scoped to t >= 0") {
+    import spark.implicits._
+    // t/n = -0.00005 exactly: half-up at scale 4 is -0.0001 (away from
+    // zero magnitude rounds up in HALF_UP terms: -0.00005 -> -0.0001), but
+    // the recipe under truncating DIV gives 0.0 — the divergence the query
+    // comments scope out. DuckDB's `//` floors, giving yet another value,
+    // so a negative money sum would silently disagree across engines.
+    val rows = Seq((-1L, 20000L), (-1L, 2L), (-7L, 3L)).toDF("t", "n")
+      .selectExpr("t", "n",
+        "CAST((2 * t * 10000 + n) DIV (2 * n) AS DOUBLE) / 10000 AS r")
+      .collect()
+    val diverged = rows.exists { row =>
+      val expect = reference(BigInt(row.getLong(0)), BigInt(row.getLong(1)), 4)
+        .toDouble
+      row.getDouble(2) != expect
+    }
+    assert(diverged,
+      "negative operands unexpectedly satisfied the half-up identity — " +
+        "if Spark's DIV semantics changed, re-audit the scoping comments " +
+        "in Relational/PipelineOps")
+  }
+
   test("Spark DIV evaluates the recipe identically to the Scala form") {
     import spark.implicits._
     val rows = samples(Gen.zip(Gen.chooseNum(0L, 100000000L),

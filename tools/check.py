@@ -21,14 +21,16 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
-NULLISH = {"None", "nan", "<NA>", "NaT"}
 def canon(df):
-    # Null spelling differs by read path (pandas boolean-null → 'None',
-    # DuckDB .df() → 'nan') and the real driver compares q27's null booleans
-    # green (CORRECTNESS_r03), so normalize null tokens before hashing;
-    # everything else (decimal trailing zeros etc.) stays verbatim.
+    # Null spelling differs by read path (pandas boolean-null → None,
+    # DuckDB .df() → NaN) and the real driver compares q27's null booleans
+    # green (CORRECTNESS_r03), so normalize TRUE nulls (pd.isna per cell,
+    # BEFORE stringification) to one token; a data value that happens to be
+    # the string 'nan'/'None' stays verbatim and would still flag a genuine
+    # engine mismatch. Everything else (decimal trailing zeros etc.) stays
+    # verbatim too.
     df = df[sorted(df.columns)]
-    s = df.astype(str).map(lambda v: "NULL" if v in NULLISH else v)
+    s = df.astype(str).mask(df.isna(), "NULL")
     rows = sorted(s.values.tolist())
     return len(df), sorted(df.columns), hashlib.md5(str(rows).encode()).hexdigest()
 
