@@ -35,4 +35,10 @@ object Tables {
     * `spark.sql` text matches the DuckDB oracle text 1:1. */
   def views(spark: SparkSession, dir: String): Unit =
     names.foreach(n => ld(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Register only the named tables — each registration re-reads parquet
+    * footers, so SQL queries bind just what they touch (all-10 views()
+    * was 2.3× of q35's whole runtime when q36 called it per-run). */
+  def view(spark: SparkSession, dir: String, only: String*): Unit =
+    only.foreach(n => ld(spark, dir, n).createOrReplaceTempView(n))
 }

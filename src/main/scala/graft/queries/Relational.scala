@@ -153,24 +153,35 @@ object Relational {
 
     // TPC-H Q5 flavor: 5-way join; dims broadcast, fact-side shuffle only on
     // the join keys Catalyst picks (orderkey); survives 100× scale-up.
+    // EAGER AGGREGATION below the join: lineitem revenue collapses to one
+    // row per order BEFORE touching orders — the parquet is
+    // orderkey-clustered, so map-side combine compacts the ~4 lines/order
+    // inside each scan partition and the orderkey shuffle moves per-ORDER
+    // partials, not per-LINE rows; the later custkey shuffle is 4× thinner
+    // too. Sum-of-partial-sums over exact BIGINT cents is
+    // associativity-safe, so results are bit-identical to the direct plan.
+    // At 100 TB this halves-to-quarters every byte the fact table pushes
+    // through the wire (measured sf0.1 min-of-2: 1.88 → 1.35-1.45 s).
     "q11_join_multi" -> ((s, d) => {
       val r = ld(s, d, "region"); val n = ld(s, d, "nation")
       val c = ld(s, d, "customer"); val o = ld(s, d, "orders")
       val l = ld(s, d, "lineitem")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
+      // exact 4-dec revenue product summed as a 10⁻⁴-unit BIGINT: a
+      // double revenue sum is merge-order-dependent AND its true value
+      // can sit exactly on a .xx5 rounding boundary (unlike plain
+      // 2-dec money sums); the long buffer keeps the agg fast
+      val lrev = l.groupBy("l_orderkey").agg(
+        sum(expr("""CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                    (CAST(1 AS DECIMAL(14,2)) -
+                     CAST(l_discount AS DECIMAL(14,2))) * 10000 AS BIGINT)"""))
+          .as("orev4"),
+        count(lit(1)).as("o_lines"))
+      lrev.join(o, lrev("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name", "n_name").agg(
-          // exact 4-dec revenue product summed as a 10⁻⁴-unit BIGINT: a
-          // double revenue sum is merge-order-dependent AND its true value
-          // can sit exactly on a .xx5 rounding boundary (unlike plain
-          // 2-dec money sums); the long buffer keeps the agg fast
-          sum(expr("""CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
-                      (CAST(1 AS DECIMAL(14,2)) -
-                       CAST(l_discount AS DECIMAL(14,2))) * 10000 AS BIGINT)"""))
-            .as("rev4"),
-          count(lit(1)).as("n_lines"))
+          sum("orev4").as("rev4"), sum("o_lines").as("n_lines"))
         .selectExpr("r_name", "n_name",
           "CAST(rev4 AS DOUBLE) / 10000 AS revenue", "n_lines")
         .orderBy("r_name", "n_name")
@@ -226,7 +237,7 @@ object Relational {
     // Implicit join from WHERE — the reference's one real planner feature
     // (`sql/planner.rs:305-380`); Catalyst rewrites Filter(CrossJoin)→equi-join.
     "q18_join_implicit" -> ((s, d) => {
-      graft.Tables.views(s, d)
+      graft.Tables.view(s, d, "customer", "orders")
       s.sql("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
                FROM customer, orders
                WHERE c_custkey = o_custkey AND o_totalprice > 480000
@@ -236,10 +247,24 @@ object Relational {
     // Multi-key equi-join (reference only ever used the first key pair —
     // `hash_join.rs:134`).
     "q19_join_multikey" -> ((s, d) => {
-      val l = ld(s, d, "lineitem")
-      val ps = l.groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      // Self-join sharing ONE exchange: both branches (the per-(part,supp)
+      // aggregate and the probe) hang off the same repartition on the join
+      // keys, so the plan shuffles lineitem ONCE (ReusedExchange) and the
+      // aggregate + join both run exchange-free on top. (part,supp) pairs
+      // are near-unique per line, so partial aggregation would NOT shrink a
+      // second shuffle — sharing beats combining here, the opposite
+      // trade-off from q11's orderkey-clustered eager agg. shuffle_hash
+      // keeps both branches sort-free (SMJ would add two sorts; broadcast
+      // would rebuild the pipeline under BroadcastExchange — the r4 q45
+      // lesson). Measured sf0.1 min-of-2: 1.62 → ~1.0 s.
+      val base = ld(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+        .repartition(col("l_partkey"), col("l_suppkey"))
+      val ps = base.groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("tot_qty"))
-      l.join(ps, l("l_partkey") === ps("pk") && l("l_suppkey") === ps("sk"))
+      base.join(ps.hint("shuffle_hash"),
+          base("l_partkey") === ps("pk") && base("l_suppkey") === ps("sk"))
         .filter(col("n_lines") >= 2)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "tot_qty")
         .orderBy("l_orderkey", "l_linenumber")
@@ -343,14 +368,14 @@ object Relational {
     }),
 
     "q29_subq_scalar" -> ((s, d) => {
-      graft.Tables.views(s, d)
+      graft.Tables.view(s, d, "orders")
       s.sql("""SELECT o_orderkey, o_totalprice FROM orders
                WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
                ORDER BY o_orderkey""")
     }),
 
     "q30_subq_in" -> ((s, d) => {
-      graft.Tables.views(s, d)
+      graft.Tables.view(s, d, "part", "lineitem")
       s.sql("""SELECT p_partkey, p_name FROM part
                WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
                ORDER BY p_partkey""")
@@ -398,7 +423,9 @@ object Relational {
           asc_nulls_first("l_linestatus"))),
 
     "q36_grouping_sets" -> ((s, d) => {
-      graft.Tables.views(s, d)
+      // register only the table the SQL touches — views() re-reads all 10
+      // parquet footers per call and was 2.3× of q35's whole runtime
+      graft.Tables.view(s, d, "lineitem")
       s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n,
                       grouping(l_returnflag) AS g_rf
                FROM lineitem
