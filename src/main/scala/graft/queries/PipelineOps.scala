@@ -153,6 +153,34 @@ object PipelineOps {
         .select("doc_id", "source")
         .orderBy("doc_id")
     }),
+
+    // Per-source EXACT length percentiles — the threshold-derivation pass
+    // every length-filter gate runs before setting its cutoffs (C4 drops
+    // short docs; the cutoff comes from a quantile sweep like this one).
+    // Computed RELATIONALLY rather than with an ordered-set aggregate:
+    // percentile_disc(p) = smallest value whose CDF ≥ p = the value at
+    // row_number ceil(p·n) in per-group sorted order, so one broadcast of
+    // the 20-row group sizes + one streaming window rank + a conditional
+    // min per p gives exact answers with NO per-group value buffering —
+    // WindowExec streams row_number and spills, where Spark's native
+    // percentile()/percentile_disc aggregate collects every group value
+    // into an in-memory map (OOM at 100 TB group sizes). rn·100 ≥ p·100·n
+    // keeps the rank test in exact integer space. At true 100 TB the
+    // one-pass mergeable sketch (approx_percentile) is the first-choice
+    // swap; this exact form is what validates that sketch's error budget.
+    "q87_length_quantiles" -> ((s, d) => {
+      val docs = ld(s, d, "documents").select("doc_id", "source", "n_chars")
+      val sizes = docs.groupBy("source").agg(count(lit(1)).as("nd"))
+      val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      def pAt(p: Int, alias: String) =
+        min(when(col("rn") * 100 >= col("nd") * p, col("n_chars"))).as(alias)
+      docs.join(broadcast(sizes), "source")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source").agg(
+          max("nd").as("n_docs"),
+          pAt(25, "p25"), pAt(50, "p50"), pAt(75, "p75"), pAt(95, "p95"))
+        .orderBy("source")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -232,5 +260,14 @@ object PipelineOps {
                FROM documents)
          WHERE rn <= ceil(n_src * 0.2)
          ORDER BY doc_id""",
+    // quantile_disc implements the same CDF ≥ p definition (probed: n=5,
+    // p=0.95 → 5th element, not floor((n-1)p) indexing)
+    "q87_length_quantiles" ->
+      """SELECT source, count(*) AS n_docs,
+                quantile_disc(n_chars, 0.25) AS p25,
+                quantile_disc(n_chars, 0.50) AS p50,
+                quantile_disc(n_chars, 0.75) AS p75,
+                quantile_disc(n_chars, 0.95) AS p95
+         FROM documents GROUP BY source ORDER BY source""",
   )
 }

@@ -582,6 +582,38 @@ object Relational {
     // Result is identical to a direct groupBy — the oracle is the plain
     // GROUP BY. At 100 TB this is the pattern for power-law keys; here
     // l_returnflag has only 3 values, the canonical hot-key shape.
+    // Hand-salted SKEW JOIN — the join-side twin of q50's salted agg.
+    // l_returnflag has 3 values, so a plain shuffle join on it routes ~1/3
+    // of the fact through ONE reducer; at 100 TB that reducer runs for
+    // hours while 999 executors idle. The fix: replicate the dim row
+    // across 16 salts (dim×16 stays tiny), derive the fact's salt
+    // deterministically from orderkey, and join on (flag, salt) — each hot
+    // key now spreads over 16 reducers, and the result is provably
+    // identical to the unsalted join (the oracle runs the plain join).
+    // AQE's skew split only rescues sort-merge joins after the fact;
+    // salting is the portable fix and the only one for shuffled-hash.
+    // shuffle_hash pins the honest shape (Spark would broadcast the
+    // 48-row dim here and hide the story — the q94 tactic). The
+    // above-average test multiplies cents×count instead of dividing —
+    // exact integer compare, no quotient rounding to diverge (q70 class).
+    "q86_skew_salted_join" -> ((s, d) => {
+      val S = 16
+      val l = ld(s, d, "lineitem")
+      val dim = l.groupBy("l_returnflag").agg(
+        sum(expr("CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+          .as("fqc"),
+        count(lit(1)).as("fn"))
+      val salted = dim.withColumn("salt",
+        explode(sequence(lit(0), lit(S - 1))))
+      val fact = l.select(col("l_returnflag"), col("l_quantity"),
+        (col("l_orderkey") % S).cast("int").as("salt"))
+      fact.join(salted.hint("shuffle_hash"), Seq("l_returnflag", "salt"))
+        .filter(expr(
+          "CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT) * fn > fqc"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_above_avg"))
+        .orderBy("l_returnflag")
+    }),
+
     "q50_salted_agg" -> ((s, d) => {
       val partial = ld(s, d, "lineitem")
         .withColumn("salt", col("l_orderkey") % 16)
@@ -864,6 +896,18 @@ object Relational {
                 CAST(sum(CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT))
                      AS DOUBLE) / 100 AS sum_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the UNSALTED join — salting must be result-invisible
+    "q86_skew_salted_join" ->
+      """WITH f AS (SELECT l_returnflag,
+                           sum(CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100
+                                    AS BIGINT)) AS fqc,
+                           count(*) AS fn
+                    FROM lineitem GROUP BY l_returnflag)
+         SELECT l.l_returnflag, count(*) AS n_above_avg
+         FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+         WHERE CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT) * fn > fqc
+         GROUP BY l.l_returnflag
+         ORDER BY l.l_returnflag""",
     "q58_window_suite" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
                 CAST(ntile(4) OVER w AS INTEGER) AS quartile,
