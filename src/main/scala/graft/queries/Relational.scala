@@ -614,6 +614,38 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Runtime BLOOM-FILTER join (semi-join reduction): a selective filter
+    // on orders means most lineitem rows can't find a partner — Catalyst's
+    // InjectRuntimeFilter builds a bloom filter over the filtered orders'
+    // keys and applies might_contain() to the lineitem scan, pruning the
+    // fact BEFORE its shuffle. At 100 TB this is the difference between
+    // shuffling the whole fact and shuffling the ~1 % that survives; it
+    // composes with (not replaces) dynamic partition pruning. Runs on a
+    // cloned session: the application-side size threshold defaults to
+    // 10 GB (the test fact is 20 MB — the optimization would silently not
+    // fire and the plan pin would test nothing), and broadcast is disabled
+    // because a broadcast join already semi-join-reduces by construction —
+    // at real fact×fact scale neither side broadcasts, which is exactly
+    // when the bloom filter earns its keep. PlanSpec pins
+    // bloom_filter_agg + might_contain in the plan.
+    "q99_runtime_filter_join" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      ss.conf.set("spark.sql.shuffle.partitions", "32")
+      ss.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = ld(ss, d, "orders").filter(col("o_totalprice") > 490000)
+      val l = ld(ss, d, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").agg(
+          count(lit(1)).as("n_lines"),
+          (sum(expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+            .cast("double") / 100).as("tot_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q50_salted_agg" -> ((s, d) => {
       val partial = ld(s, d, "lineitem")
         .withColumn("salt", col("l_orderkey") % 16)
@@ -896,6 +928,15 @@ object Relational {
                 CAST(sum(CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT))
                      AS DOUBLE) / 100 AS sum_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // bloom filtering must be result-invisible: the oracle is the plain join
+    "q99_runtime_filter_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                              AS BIGINT)) AS DOUBLE) / 100 AS tot_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 490000
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
     // the UNSALTED join — salting must be result-invisible
     "q86_skew_salted_join" ->
       """WITH f AS (SELECT l_returnflag,

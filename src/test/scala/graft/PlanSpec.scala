@@ -121,6 +121,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges == 2, s"bucket co-location lost ($exchanges exchanges):\n$p")
   }
 
+  test("q86: salted skew join is a shuffled-hash join on (key, salt) — " +
+    "no broadcast hiding the skew story") {
+    val p = plan("q86_skew_salted_join")
+    assert(p.contains("ShuffledHashJoin"), p.take(800))
+    assert(!p.contains("BroadcastHashJoin"),
+      "dim side must not broadcast — salting is the portable skew fix")
+    assert(p.contains("salt"), "join keys must include the salt")
+  }
+
+  test("q87: exact percentiles run as streaming window rank, not an " +
+    "ordered-set aggregate buffering group values") {
+    val p = plan("q87_length_quantiles")
+    assert(p.contains("Window"), p.take(800))
+    assert(!p.toLowerCase.contains("percentile"),
+      "must not fall back to Spark's in-memory percentile aggregate")
+    // group sizes join back via broadcast (20 rows), fact shuffles once
+    assert(p.contains("BroadcastHashJoin"), "sizes dim should broadcast")
+  }
+
+  test("q99: runtime bloom filter prunes the fact scan before its shuffle") {
+    val p = plan("q99_runtime_filter_join")
+    assert(p.contains("bloom_filter_agg"),
+      "expected a bloom filter built over the filtered orders keys")
+    assert(p.contains("might_contain"),
+      "expected might_contain applied to the lineitem side")
+  }
+
   test("q93: re-scan of the partitioned write prunes to one partition") {
     val p = plan("q93_partition_pruning")
     val pf = p.linesIterator.find(_.contains("PartitionFilters"))
