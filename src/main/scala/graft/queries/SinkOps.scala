@@ -55,6 +55,45 @@ object SinkOps {
         .orderBy("user_band")
     }),
 
+    // Small-file COMPACTION — the file-size governance pass every lake
+    // runs: streaming ingests and over-parallel writers leave thousands
+    // of KB-scale files per partition, and then per-file open cost +
+    // driver metadata pressure dominate every scan. Stage a deliberately
+    // fragmented copy (64 shards), then compact with repartitionByRange
+    // on the natural sort key + sortWithinPartitions: range partitioning
+    // yields evenly-sized files each owning a DISJOINT o_orderkey range,
+    // so post-compaction scans min-max-prune on the key (the poor man's
+    // clustering index) and the rewrite is one narrow shuffle. At 100 TB
+    // the same plan runs per-partition with n sized to target-file-bytes.
+    // The aggregate runs over the COMPACTED copy while the oracle
+    // aggregates the source — a green row proves the rewrite lost
+    // nothing; CompactionSpec pins the file counts and range disjointness.
+    "q100_compact_small_files" -> ((s, d) => {
+      val frag = outDir(d, "orders_fragmented")
+      val comp = outDir(d, "orders_compacted")
+      // the fragmented copy is the SCENARIO, not the op under test — stage
+      // it once per path (the q92 build-once pattern) so repeat runs
+      // measure the compaction rewrite itself
+      if (!new java.io.File(s"$frag/_SUCCESS").exists())
+        ld(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+          .repartition(64)
+          .write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag)
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(comp)
+      s.read.parquet(comp)
+        .groupBy("o_orderpriority").agg(
+          count(lit(1)).as("n"),
+          (sum(expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+            .cast("double") / 100).as("tot"),
+          min("o_orderkey").as("min_k"),
+          max("o_orderkey").as("max_k"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ORC roundtrip — the other columnar warehouse format Spark ships
     // natively; same write→scan→agg shape as q90's parquet path.
     "q89_orc_roundtrip" -> ((s, d) => {
@@ -199,5 +238,12 @@ object SinkOps {
                 round(sum(value), 2) AS tot
          FROM events WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY user_band""",
+    // compaction must be content-invisible: oracle aggregates the source
+    "q100_compact_small_files" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                              AS BIGINT)) AS DOUBLE) / 100 AS tot,
+                min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )
 }
