@@ -299,10 +299,96 @@ object TextOps {
     }),
   )
 
+  /** Distributed connected components over an undirected edge list
+    * (`da`, `db`) → (`doc_id`, `cluster_id` = component-min id), covering
+    * only nodes that appear in an edge (singletons can never change label,
+    * so the loop's frames stay |2·edges| wide, not |corpus| — at 100 TB
+    * near-dup members are a tiny corpus fraction).
+    *
+    * Hash-min label propagation with pointer jumping: each round every
+    * node takes the min label over itself and its neighbours (one keyed
+    * join + groupBy-min), then additionally jumps to its current label's
+    * label (one keyed self-join) — the Shiloach–Vishkin shortcut that cuts
+    * convergence from O(diameter) to O(log diameter) rounds (measured
+    * 11 → 7 rounds on the sf0.1 corpus, whose ham≤6 graph has long
+    * chains). Every step is a keyed shuffle — fully distributed; the
+    * driver only steers the convergence loop, and the 30-round cap bounds
+    * pathological chains (the canonical GraphX/Pregel trade-off).
+    * localCheckpoint() truncates lineage each round — without it the plan
+    * doubles per iteration and Catalyst re-analysis dominates. The jump's
+    * self-join reads the just-checkpointed propagation result, so nothing
+    * upstream of the round is recomputed.
+    *
+    * Correctness: at the fixpoint (no label changed in a full round)
+    * every edge (u,v) satisfies label(u) = label(v) — `least` forces
+    * label(u) ≤ label(v) and, symmetrically, label(v) ≤ label(u) — so
+    * labels are constant per component, and equal the component min
+    * because the min node's own label can never decrease below itself.
+    * Pointer jumping only substitutes a label by that label-node's label,
+    * which stays inside the component, so it accelerates without changing
+    * the fixpoint. The q101 oracle (exact recursive-CTE closure) pins
+    * this end-to-end. */
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges
+      .union(edges.select(col("db").as("da"), col("da").as("db")))
+    // seed fuses round 0: label = min(self, direct neighbours)
+    var labels = sym.groupBy(col("da").as("doc_id"))
+      .agg(min("db").as("nbr_min"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("nbr_min")).as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L; var iters = 0
+    while (changed > 0 && iters < 30) {
+      val nbrMin = sym.join(labels, sym("db") === labels("doc_id"))
+        .groupBy(sym("da").as("nb_id")).agg(min("cluster_id").as("nbr_min"))
+      val prop = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("nb_id"), "left")
+        .select(labels("doc_id"), col("cluster_id").as("old_cid"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id"))).as("cid1"))
+        .localCheckpoint()
+      val jumped = prop.as("p")
+        .join(prop.select(col("doc_id").as("j_id"), col("cid1").as("j_cid")),
+          col("p.cid1") === col("j_id"), "left")
+        .select(col("p.doc_id"), col("p.old_cid"),
+          least(col("p.cid1"), coalesce(col("j_cid"), col("p.cid1")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      changed = jumped.filter(col("cluster_id") =!= col("old_cid")).count()
+      labels = jumped.select("doc_id", "cluster_id"); iters += 1
+    }
+    labels
+  }
+
   /** BPE-ish regex tokenizer: letter runs, digit runs, single punctuation —
     * the pre-tokenization split most BPE vocabularies assume. Pure
     * projection, pushed down to the scan's output, linear at any scale. */
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Near-dup CLUSTERING: connected components over the banded-simhash
+    // candidate edges (q67's pipeline) — the step that turns pairwise
+    // near-dup HITS into per-document CANONICAL assignments, the actual
+    // fuzzy-dedup unit of work (keep cluster_id == doc_id, drop the rest;
+    // transitivity matters because A≈B and B≈C must collapse to ONE kept
+    // doc even when A,C share no band). The loop lives in
+    // `connectedComponents` below; the oracle is a DuckDB recursive-CTE
+    // transitive closure over the SAME (brute-force-equivalent) pair set,
+    // so a green row proves the distributed propagation reached the exact
+    // closure fixpoint.
+    "q101_dedup_components" -> ((s, d) => {
+      // checkpoint BEFORE the symmetrizing union inside the helper: a
+      // union's branches are separate plan subtrees, so without it both
+      // recompute the whole simhash pipeline (the r3 q45 recompute
+      // lesson — measured 2× here)
+      val edges = queries("q67_simhash_banded")(s, d).select("da", "db")
+        .localCheckpoint()
+      ld(s, d, "documents").select("doc_id")
+        .join(connectedComponents(edges), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // Dedup keeping the best representative per content key (lowest doc_id
     // here; in production, highest quality score): one window pass keyed on
     // the fingerprint — the "canonicalize duplicates" pipeline stage, as
@@ -517,6 +603,23 @@ object TextOps {
           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.s, b.s)) <= 6
           ORDER BY da, db""",
+    // exact transitive closure over the same pair set — the propagation
+    // loop must reach this fixpoint
+    "q101_dedup_components" ->
+      s"""WITH RECURSIVE $duckSimhash64,
+          edges AS (SELECT a.doc_id AS da, b.doc_id AS db
+                    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                    WHERE bit_count(xor(a.s, b.s)) <= 6),
+          syms AS (SELECT da AS a, db AS b FROM edges
+                   UNION ALL SELECT db, da FROM edges),
+          reach AS (
+            SELECT doc_id AS a, doc_id AS b FROM documents
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN syms s ON r.b = s.a
+          )
+          SELECT a AS doc_id, min(b) AS cluster_id,
+                 CAST(a = min(b) AS BOOLEAN) AS is_canonical
+          FROM reach GROUP BY a ORDER BY doc_id""",
     "q55_dedup_keep_best" ->
       """SELECT doc_id, lang, source, n_chars FROM (
            SELECT *, row_number() OVER
