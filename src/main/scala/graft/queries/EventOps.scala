@@ -137,6 +137,34 @@ object EventOps {
   //     streaming dedup, JSON column ops ---
 
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Time-RANGE rolling aggregates: per event, stats over the SAME user's
+    // trailing hour — burst/rate-limit detection and the feature-engineering
+    // staple q58's ROWS-frame suite can't express (peers are picked by
+    // timestamp distance, not row count). One shuffle on user_id, then a
+    // per-user ordered scan with a sliding range frame — no self-join, no
+    // point-in-interval explosion; at 100 TB this is the canonical shape
+    // (a time-range self-join would be quadratic per user). Frame bounds
+    // are integral microseconds (unix_micros ↔ epoch_us) so both engines
+    // cut the frame at identical points; the money sum uses the exact
+    // BIGINT-cents recipe (q70) so no result depends on float order; ties
+    // on ts share one frame (RANGE peers), making n_1h/cents_1h
+    // order-independent; gap_us orders by (ts, event_id) — unique — so
+    // lag is deterministic too.
+    "q103_rolling_time_window" -> ((s, d) => {
+      val wr = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3599999999L, 0)
+      val wl = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      ld(s, d, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          count(lit(1)).over(wr).as("n_1h"),
+          sum("cents").over(wr).as("cents_1h"),
+          max("cents").over(wr).as("max_cents_1h"),
+          (col("us") - lag("us", 1).over(wl)).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // As-of join: each purchase matched to the user's most recent click at
     // or before it. Spark has no ASOF operator; the scalable composition is
     // union-tag → ONE window pass per user (last click ts carried forward)
@@ -401,6 +429,20 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q103_rolling_time_window" ->
+      """SELECT event_id, user_id, us,
+                count(*) OVER wr AS n_1h,
+                CAST(sum(cents) OVER wr AS BIGINT) AS cents_1h,
+                max(cents) OVER wr AS max_cents_1h,
+                us - lag(us, 1) OVER wl AS gap_us
+         FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
+                      CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                        AS cents
+               FROM events)
+         WINDOW wr AS (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW),
+                wl AS (PARTITION BY user_id ORDER BY us, event_id)
+         ORDER BY event_id""",
     "q49_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
                     WHERE event_type = 'purchase'),

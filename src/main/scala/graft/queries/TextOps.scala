@@ -299,67 +299,6 @@ object TextOps {
     }),
   )
 
-  /** Distributed connected components over an undirected edge list
-    * (`da`, `db`) → (`doc_id`, `cluster_id` = component-min id), covering
-    * only nodes that appear in an edge (singletons can never change label,
-    * so the loop's frames stay |2·edges| wide, not |corpus| — at 100 TB
-    * near-dup members are a tiny corpus fraction).
-    *
-    * Hash-min label propagation with pointer jumping: each round every
-    * node takes the min label over itself and its neighbours (one keyed
-    * join + groupBy-min), then additionally jumps to its current label's
-    * label (one keyed self-join) — the Shiloach–Vishkin shortcut that cuts
-    * convergence from O(diameter) to O(log diameter) rounds (measured
-    * 11 → 7 rounds on the sf0.1 corpus, whose ham≤6 graph has long
-    * chains). Every step is a keyed shuffle — fully distributed; the
-    * driver only steers the convergence loop, and the 30-round cap bounds
-    * pathological chains (the canonical GraphX/Pregel trade-off).
-    * localCheckpoint() truncates lineage each round — without it the plan
-    * doubles per iteration and Catalyst re-analysis dominates. The jump's
-    * self-join reads the just-checkpointed propagation result, so nothing
-    * upstream of the round is recomputed.
-    *
-    * Correctness: at the fixpoint (no label changed in a full round)
-    * every edge (u,v) satisfies label(u) = label(v) — `least` forces
-    * label(u) ≤ label(v) and, symmetrically, label(v) ≤ label(u) — so
-    * labels are constant per component, and equal the component min
-    * because the min node's own label can never decrease below itself.
-    * Pointer jumping only substitutes a label by that label-node's label,
-    * which stays inside the component, so it accelerates without changing
-    * the fixpoint. The q101 oracle (exact recursive-CTE closure) pins
-    * this end-to-end. */
-  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges
-      .union(edges.select(col("db").as("da"), col("da").as("db")))
-    // seed fuses round 0: label = min(self, direct neighbours)
-    var labels = sym.groupBy(col("da").as("doc_id"))
-      .agg(min("db").as("nbr_min"))
-      .select(col("doc_id"),
-        least(col("doc_id"), col("nbr_min")).as("cluster_id"))
-      .localCheckpoint()
-    var changed = 1L; var iters = 0
-    while (changed > 0 && iters < 30) {
-      val nbrMin = sym.join(labels, sym("db") === labels("doc_id"))
-        .groupBy(sym("da").as("nb_id")).agg(min("cluster_id").as("nbr_min"))
-      val prop = labels
-        .join(nbrMin, labels("doc_id") === nbrMin("nb_id"), "left")
-        .select(labels("doc_id"), col("cluster_id").as("old_cid"),
-          least(col("cluster_id"),
-            coalesce(col("nbr_min"), col("cluster_id"))).as("cid1"))
-        .localCheckpoint()
-      val jumped = prop.as("p")
-        .join(prop.select(col("doc_id").as("j_id"), col("cid1").as("j_cid")),
-          col("p.cid1") === col("j_id"), "left")
-        .select(col("p.doc_id"), col("p.old_cid"),
-          least(col("p.cid1"), coalesce(col("j_cid"), col("p.cid1")))
-            .as("cluster_id"))
-        .localCheckpoint()
-      changed = jumped.filter(col("cluster_id") =!= col("old_cid")).count()
-      labels = jumped.select("doc_id", "cluster_id"); iters += 1
-    }
-    labels
-  }
-
   /** BPE-ish regex tokenizer: letter runs, digit runs, single punctuation —
     * the pre-tokenization split most BPE vocabularies assume. Pure
     * projection, pushed down to the scan's output, linear at any scale. */
@@ -382,7 +321,7 @@ object TextOps {
       val edges = queries("q67_simhash_banded")(s, d).select("da", "db")
         .localCheckpoint()
       ld(s, d, "documents").select("doc_id")
-        .join(connectedComponents(edges), Seq("doc_id"), "left")
+        .join(GraphOps.connectedComponents(edges), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
         .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
@@ -437,6 +376,39 @@ object TextOps {
         size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
           .as("n_num"))
         .orderBy("doc_id")
+    }),
+
+    // Corpus vocabulary statistics: top-10 terms per source by TF-IDF —
+    // the "what characterizes each source" report every curation pipeline
+    // runs before weighting/filtering sources. Two map-side-combined
+    // aggregations over the exploded tokens (term frequency per source,
+    // document frequency corpus-wide), a keyed join on the token, and a
+    // top-k window per source; at 100 TB the token explosion never
+    // materializes — it flows straight into partial aggregation, and the
+    // final frames are vocabulary-sized, not corpus-sized. The corpus size
+    // N is a 1-row scalar aggregate. Ranking uses the ROUNDED score (both
+    // engines order by the same 6-decimal value, token tiebreak), so the
+    // top-k cut is bit-stable cross-engine.
+    "q104_tfidf_terms" -> ((s, d) => {
+      val docs = ld(s, d, "documents")
+      val nDocs = docs.count()
+      val toks = docs.select(col("doc_id"), col("source"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("tok"))
+      val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(dfreq, "tok")
+        .withColumn("score",
+          round(col("tf") *
+            log(lit((nDocs + 1).toDouble) / (col("df") + lit(1.0))), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("source"), col("rk"), col("tok"), col("tf"), col("df"),
+          col("score"))
+        .orderBy("source", "rk")
     }),
   )
 
@@ -634,6 +606,25 @@ object TextOps {
     "q57_det_sample" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE (doc_id * 48271) % 100 < 10 ORDER BY doc_id""",
+    "q104_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id, source,
+                             unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                               AS tok
+                      FROM documents),
+              tf AS (SELECT source, tok, count(*) AS tf
+                     FROM tok GROUP BY 1, 2),
+              dfq AS (SELECT tok, count(DISTINCT doc_id) AS df
+                      FROM tok GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM documents),
+              scored AS (SELECT source, tok, tf, df,
+                                round(tf * ln((n + 1.0) / (df + 1.0)), 6)
+                                  AS score
+                         FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+              r AS (SELECT *, row_number() OVER
+                      (PARTITION BY source ORDER BY score DESC, tok) AS rk
+                    FROM scored)
+         SELECT source, CAST(rk AS INTEGER) AS rk, tok, tf, df, score
+         FROM r WHERE rk <= 10 ORDER BY source, rk""",
     "q51_bpe_tokens" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_bpe,

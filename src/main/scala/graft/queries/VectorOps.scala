@@ -278,6 +278,32 @@ object VectorOps {
         .orderBy("va", "vb")
     }),
 
+    // Embedding near-dup CLUSTERING: q68's banded candidate pairs (orig vs
+    // int8-reconstruction cosine ≥ 0.999, va < vb) fed through the SAME
+    // distributed connected-components primitive as the simhash path
+    // (q101) — the clustering step is similarity-source-agnostic, which is
+    // the point: one graph primitive serves every near-dup detector. The
+    // oracle wraps q68's brute-force pair SQL in an exact recursive-CTE
+    // transitive closure, so a green row proves banded edge generation +
+    // distributed label propagation together reach the exact fixpoint.
+    "q102_embed_components" -> ((s, d) => {
+      // checkpoint before the symmetrizing union inside the helper (the
+      // r3 q45 lesson: union branches are separate subtrees and would
+      // recompute the whole band+rerank pipeline twice)
+      val edges = queries2("q68_neardup_rerank")(s, d)
+        .filter(col("va") < col("vb"))
+        .select(col("va").as("da"), col("vb").as("db"))
+        .localCheckpoint()
+      ld(s, d, "embeddings").select(col("vec_id"))
+        .join(GraphOps.connectedComponents(edges)
+          .select(col("doc_id").as("vec_id"), col("cluster_id")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+        .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
     "q64_ann_ivf" -> ((s, d) => {
       val e = withNorm(ld(s, d, "embeddings"))
       // centroids: elementwise mean per label (same construction as q63)
@@ -317,6 +343,24 @@ object VectorOps {
         .orderBy("q_id", "rn")
     }),
   )
+
+  /** Shared CTE chain for q68/q102's oracles: originals (`c`, as DOUBLE[])
+    * and their int8 quant-dequant reconstructions (`recon`), replaying the
+    * Spark-side quantizer expression-for-expression. */
+  private val duckRecon =
+    """c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                     FROM embeddings),
+               e AS (SELECT vec_id, i AS pos, ce[i] AS v
+                     FROM c, range(1, 65) t(i)),
+               stats AS (SELECT pos, min(v) AS mn, max(v) AS mx
+                         FROM e GROUP BY pos),
+               rr AS (SELECT vec_id, pos,
+                             CASE WHEN mx = mn THEN v
+                                  ELSE mn + round((v - mn) / (mx - mn) * 255)
+                                       * (mx - mn) / 255 END AS rv
+                      FROM e JOIN stats USING (pos)),
+               recon AS (SELECT vec_id, list(rv ORDER BY pos) AS re
+                         FROM rr GROUP BY vec_id)"""
 
   private val duckCos =
     "list_inner_product(%A, %B) / (sqrt(list_inner_product(%A, %A)) * sqrt(list_inner_product(%B, %B)))"
@@ -365,24 +409,30 @@ object VectorOps {
     // Brute-force orig×recon cross join: hash-matching proves the banded
     // candidate generation missed nothing (empirical 100% recall).
     "q68_neardup_rerank" ->
-      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
-                     FROM embeddings),
-               e AS (SELECT vec_id, i AS pos, ce[i] AS v
-                     FROM c, range(1, 65) t(i)),
-               stats AS (SELECT pos, min(v) AS mn, max(v) AS mx
-                         FROM e GROUP BY pos),
-               rr AS (SELECT vec_id, pos,
-                             CASE WHEN mx = mn THEN v
-                                  ELSE mn + round((v - mn) / (mx - mn) * 255)
-                                       * (mx - mn) / 255 END AS rv
-                      FROM e JOIN stats USING (pos)),
-               recon AS (SELECT vec_id, list(rv ORDER BY pos) AS re
-                         FROM rr GROUP BY vec_id)
+      s"""WITH $duckRecon
           SELECT a.vec_id AS va, b.vec_id AS vb,
                  round(${dcos("a.ce", "b.re")}, 6) AS sim
           FROM c a CROSS JOIN recon b
           WHERE round(${dcos("a.ce", "b.re")}, 6) >= 0.999
           ORDER BY va, vb""",
+    // exact transitive closure over q68's brute-force pair set (va < vb) —
+    // the distributed propagation loop must reach this fixpoint
+    "q102_embed_components" ->
+      s"""WITH RECURSIVE $duckRecon,
+               edges AS (SELECT a.vec_id AS da, b.vec_id AS db
+                         FROM c a CROSS JOIN recon b
+                         WHERE a.vec_id < b.vec_id
+                           AND round(${dcos("a.ce", "b.re")}, 6) >= 0.999),
+               syms AS (SELECT da AS a, db AS b FROM edges
+                        UNION ALL SELECT db, da FROM edges),
+               reach AS (
+                 SELECT vec_id AS a, vec_id AS b FROM embeddings
+                 UNION
+                 SELECT r.a, s.b FROM reach r JOIN syms s ON r.b = s.a
+               )
+          SELECT a AS vec_id, min(b) AS cluster_id,
+                 CAST(a = min(b) AS BOOLEAN) AS is_canonical
+          FROM reach GROUP BY a ORDER BY vec_id""",
     "q66_vector_quantize" ->
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
               e AS (SELECT vec_id, i AS pos, ce[i] AS v FROM c, range(1, 65) t(i)),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.TextOps
+import graft.queries.GraphOps
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pins the distributed hash-min + pointer-jumping loop behind
@@ -15,7 +15,7 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkFixture {
 
   private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
-    TextOps.connectedComponents(edges.toDF("da", "db"))
+    GraphOps.connectedComponents(edges.toDF("da", "db"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
