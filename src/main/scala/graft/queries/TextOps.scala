@@ -380,24 +380,30 @@ object TextOps {
 
     // Corpus vocabulary statistics: top-10 terms per source by TF-IDF —
     // the "what characterizes each source" report every curation pipeline
-    // runs before weighting/filtering sources. Two map-side-combined
-    // aggregations over the exploded tokens (term frequency per source,
-    // document frequency corpus-wide), a keyed join on the token, and a
-    // top-k window per source; at 100 TB the token explosion never
-    // materializes — it flows straight into partial aggregation, and the
-    // final frames are vocabulary-sized, not corpus-sized. The corpus size
-    // N is a 1-row scalar aggregate. Ranking uses the ROUNDED score (both
-    // engines order by the same 6-decimal value, token tiebreak), so the
-    // top-k cut is bit-stable cross-engine.
+    // runs before weighting/filtering sources. The corpus is scanned and
+    // token-exploded ONCE: both term frequency (per source) and document
+    // frequency (corpus-wide) derive from a shared per-(doc,token) count
+    // whose scan→Generate→partial-agg→Exchange subtree is identical in
+    // both branches, so ReusedExchange/AQE dedups it — at 100 TB that is
+    // the difference between one corpus pass and two. The explosion never
+    // materializes (it flows straight into map-side-combined partial
+    // aggregation); everything after the shared exchange is
+    // vocabulary-sized, not corpus-sized, and the final join + top-k
+    // window run on those small frames. The corpus size N is a 1-row
+    // scalar aggregate. Ranking uses the ROUNDED score (both engines
+    // order by the same 6-decimal value, token tiebreak), so the top-k
+    // cut is bit-stable cross-engine.
     "q104_tfidf_terms" -> ((s, d) => {
       val docs = ld(s, d, "documents")
       val nDocs = docs.count()
-      val toks = docs.select(col("doc_id"), col("source"),
+      // one (doc_id, source, tok) row per distinct token per document —
+      // doc_id determines source, so (doc_id, tok) is unique here
+      val perDoc = docs.select(col("doc_id"), col("source"),
         explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
           .as("tok"))
-      val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
-      val dfreq = toks.select("doc_id", "tok").distinct()
-        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("c"))
+      val tf = perDoc.groupBy("source", "tok").agg(sum("c").as("tf"))
+      val dfreq = perDoc.groupBy("tok").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("source")
         .orderBy(col("score").desc, col("tok"))
       tf.join(dfreq, "tok")
