@@ -13,16 +13,21 @@ import org.apache.spark.sql.SparkSession
   * Failed queries are marked `"sec":null,"err":true` in their per-query line
   * and EXCLUDED from min/total, so a crash can't masquerade as a fast run.
   *
-  * Each query runs SPARK_GRAFT_BENCH_ITERS times (default 2) and reports the
-  * per-query MIN: r2 showed 2-6x swings on untouched scalar queries from
-  * shared-session contention in an 85-query suite; min-of-2 removes the
-  * noise without hiding real regressions.
+  * Each query runs ONE excluded warm-up pass (absorbs Janino codegen, JIT,
+  * and first-touch cache effects — r2-r6 showed 2-6x swings on untouched
+  * scalar queries from shared-session contention; min-of-2 did NOT remove
+  * it: r6 saw q44 5.35 -> 1.15 s and q31 2.64 s -> off-list with zero code
+  * change) then SPARK_GRAFT_BENCH_ITERS measured runs (default 3) and
+  * reports the per-query MEDIAN — robust to a single interfered run in
+  * either direction, so plan-level wins/regressions are attributable
+  * round-over-round. The warm-up time is still printed per query
+  * (`"warm"`) so a pathological first run stays visible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,9 +39,14 @@ object Bench {
     // the first measured query doesn't absorb one-time JVM costs.
     Tables.names.foreach(n => Tables.ld(spark, sfDir, n).count())
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // A run that throws yields None — never a (near-zero) elapsed time.
-      val times: Seq[Option[Double]] = (1 to iters).map { _ =>
+      def run(): Option[Double] = {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -46,12 +56,16 @@ object Bench {
           None
         }
       }
+      val warm = run() // excluded warm-up
+      val times: Seq[Option[Double]] = (1 to iters).map(_ => run())
       val ok = times.flatten
       val runs = times.map(_.map(f3).getOrElse("null")).mkString("[", ",", "]")
-      val sec = if (ok.nonEmpty) f3(ok.min) else "null"
-      val err = if (ok.size < times.size) ",\"err\":true" else ""
-      println(s"""{"bench_query":"$name","sec":$sec,"runs":$runs$err}""")
-      (name, ok.minOption, ok.size < times.size)
+      val sec = if (ok.nonEmpty) f3(median(ok)) else "null"
+      val anyFail = warm.isEmpty || ok.size < times.size
+      val err = if (anyFail) ",\"err\":true" else ""
+      val warmS = warm.map(f3).getOrElse("null")
+      println(s"""{"bench_query":"$name","sec":$sec,"warm":$warmS,"runs":$runs$err}""")
+      (name, if (ok.nonEmpty) Some(median(ok)) else None, anyFail)
     }
     val good = results.collect { case (k, Some(v), _) => k -> v }
     val failed = results.collect { case (k, None, _) => k }

@@ -15,14 +15,22 @@ object BenchSome {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach(n => Tables.ld(spark, sfDir, n).count())
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     args.foreach { name =>
-      (1 to 2).foreach { run =>
+      // warm-up (run0, excluded) + `iters` measured runs; median reported —
+      // same protocol as Bench so isolated numbers are comparable.
+      val times = (0 to iters).map { run =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"$name: ${e.getMessage}") }
-        println(f"TIMING $name run$run ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"TIMING $name run$run $sec%.2f s" +
+          (if (run == 0) " (warm-up, excluded)" else ""))
+        sec
       }
+      val m = times.drop(1).sorted.apply((iters - 1) / 2)
+      println(f"MEDIAN $name $m%.3f s")
     }
     spark.stop()
   }

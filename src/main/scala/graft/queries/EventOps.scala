@@ -35,6 +35,26 @@ object EventOps {
     // confs this corpus depends on (Tables.ld's nanos-parquet read).
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    // RocksDB state store: the production provider for large state — the
+    // default HDFS-backed store keeps every key in executor heap, which is
+    // the wrong store the moment state outgrows memory (stream-stream join
+    // buffers, dedup sets at 100 TB). RocksDB spills to local disk,
+    // snapshots incrementally, and bounds heap by block cache instead of
+    // state size. Set per cloned session so batch queries are untouched.
+    // Measured trade-off at THIS corpus (100k events, r7 isolated
+    // median-of-3): q85 HDFS 2.18 s → RocksDB 2.61 s → +changelog 2.53 s;
+    // q85 at 4 partitions regressed to 2.93 s (8 kept). The ~0.3 s is
+    // fixed native-store startup across 16 tiny stores — the price of the
+    // config that survives state > heap; at real volume it inverts.
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Changelog checkpointing: commit the per-batch delta instead of a
+    // full RocksDB snapshot upload — the production default for frequent
+    // microbatches, and it trims the per-batch fixed cost that dominates
+    // at this corpus size.
+    ss.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
     f(ss)
   }
 

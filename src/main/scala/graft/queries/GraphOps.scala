@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   * candidate edges, whatever similarity source produced them. */
 object GraphOps {
 
+  /** Pointer jumping makes convergence O(log diameter), so 30 rounds covers
+    * graphs of diameter ~2^30; hitting the cap is a pathology, not scale. */
+  private val MaxRounds = 30
+
   /** Distributed connected components over an undirected edge list
     * (`da`, `db`) → (`doc_id`, `cluster_id` = component-min id), covering
     * only nodes that appear in an edge (singletons can never change label,
@@ -27,8 +31,13 @@ object GraphOps {
     * round; fusing them into one checkpoint + one convergence count is 2,
     * and both variants converge in 7 rounds on the sf0.1 chain-heavy
     * ham≤6 graph (jumping on the pre-propagation label lands one step
-    * behind jumping on cid1, but the fixpoint test absorbs it) — measured
-    * 4.2 → 2.9 s end-to-end for q101. The symmetrized edge frame is
+    * behind jumping on cid1, but the fixpoint test absorbs it). Measured
+    * isolated at sf0.1 (BenchSome, warm-up + median-of-3, r7): q101
+    * 3.93 s with the r6 fused code, 3.63 s after sizing the edge
+    * repartition below (r6's in-comment "4.2 → 2.9 s" claim was a warm
+    * single-shot that the driver bench never reproduced — retracted; the
+    * structural win of 3 jobs/round → 2 stands, the headline number is
+    * this committed median). The symmetrized edge frame is
     * repartitioned on its probe key `db` BEFORE its one-time checkpoint:
     * localCheckpoint preserves outputPartitioning, so the per-round join
     * re-shuffles only the (much smaller) label frame, not the edges —
@@ -49,9 +58,20 @@ object GraphOps {
     * the fixpoint. The q101/q102 oracles (exact recursive-CTE closures)
     * pin this end-to-end. */
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    // Size the edge layout from the data, not the session default: near-dup
+    // edges are a tiny corpus fraction, and shuffle-partition-count
+    // near-empty partitions would pay that many task launches per join per
+    // round. Target ~100k symmetrized edges per partition, capped at the
+    // session default (so a genuinely huge edge frame still spreads).
+    // Both callers localCheckpoint `edges` first, so this count() reads
+    // materialized data rather than re-running the edge pipeline.
+    val defaultParts =
+      edges.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = math.max(2, math.min(defaultParts.toLong,
+      edges.count() * 2 / 100000L + 1).toInt)
     val sym = edges
       .union(edges.select(col("db").as("da"), col("da").as("db")))
-      .repartition(col("db"))
+      .repartition(parts, col("db"))
       .localCheckpoint()
     // seed fuses round 0: label = min(self, direct neighbours)
     var labels = sym.groupBy(col("da").as("doc_id"))
@@ -60,7 +80,7 @@ object GraphOps {
         least(col("doc_id"), col("nbr_min")).as("cluster_id"))
       .localCheckpoint()
     var changed = 1L; var iters = 0
-    while (changed > 0 && iters < 30) {
+    while (changed > 0 && iters < MaxRounds) {
       val nbrMin = sym.join(labels, sym("db") === labels("doc_id"))
         .groupBy(sym("da").as("nb_id")).agg(min("cluster_id").as("nbr_min"))
       val lookup = labels
@@ -79,6 +99,14 @@ object GraphOps {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $iters changed=$changed")
     }
+    // The 30-round cap bounds pathological chains; hitting it means the
+    // returned labels are NOT a converged fixpoint — surface that loudly
+    // instead of silently emitting wrong cluster ids (callers' oracles
+    // would catch it, but a production user has no oracle).
+    if (changed > 0)
+      System.err.println(s"[graft.cc] WARNING: hit the $MaxRounds-round " +
+        s"cap with $changed labels still changing — labels are not " +
+        "converged; component ids may be split")
     labels
   }
 }

