@@ -358,6 +358,52 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // Vocabulary build + per-document coverage — the tokenizer-prep op:
+    // rank tokens by global frequency, keep the top 20 as the vocab (ties
+    // broken by token so the cut is deterministic in both engines), then
+    // score every document by how much of it the vocab covers. Coverage is
+    // integer BASIS POINTS, not a rounded double: k/n then round(,4)
+    // disagrees across engines exactly at .xxxx5 boundaries (the r4 q70
+    // lesson), while (10000·k) div n is exact in both. Scale shape: ONE
+    // (doc_id, tok) explode+agg subtree feeds all three branches (its
+    // Exchange is stage-cache-dedup'd at runtime); the vocab is tiny by
+    // construction (top-K of a keyed agg) → broadcast into the coverage
+    // join; per-doc counts are keyed aggs. At 100 TB only K grows.
+    "q106_vocab_coverage" -> ((s, d) => {
+      val perTok = ld(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val vocab = perTok.groupBy("tok").agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(20).select("tok")
+      val perDoc = perTok.groupBy("doc_id").agg(sum("c").as("n_tok"))
+      val inVocab = perTok.join(broadcast(vocab), "tok")
+        .groupBy("doc_id").agg(sum("c").as("nv"))
+      perDoc.join(inVocab, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("nv"), lit(0L)).as("n_vocab_tok"))
+        .withColumn("cov_bp", expr("(10000 * n_vocab_tok) div n_tok"))
+        .orderBy("doc_id")
+    }),
+
+    // Near-dup clustering over the MINHASH edge source: the same
+    // connected-components primitive as q101 (simhash edges) and q102
+    // (embedding edges), fed by q46's banded minhash candidates — the
+    // third rung proving the CC step is similarity-source-agnostic. The
+    // oracle is an exact recursive-CTE closure over the full-replay
+    // minhash pair set (q46's own oracle CTEs, shared verbatim).
+    "q107_minhash_components" -> ((s, d) => {
+      // checkpoint before the helper's symmetrizing union — else both
+      // union branches recompute the whole minhash pipeline (r3 lesson)
+      val edges = queries("q46_minhash_lsh")(s, d).select("da", "db")
+        .localCheckpoint()
+      ld(s, d, "documents").select("doc_id")
+        .join(GraphOps.connectedComponents(edges), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // Dedup keeping the best representative per content key (lowest doc_id
     // here; in production, highest quality score): one window pass keyed on
     // the fingerprint — the "canonicalize duplicates" pipeline stage, as
@@ -566,32 +612,41 @@ object TextOps {
     s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$w', ''))) / $l"
   }
 
-  val oracle: Map[String, String] = Map(
-    // Full minhash+LSH replay: identical md5-derived gram hash and
-    // permutations, brute-force "shares ≥ 1 band" candidate scan — a green
-    // hash row proves the Spark banding produced EXACTLY the brute-force
-    // candidate set (nothing lost, nothing spurious).
-    "q46_minhash_lsh" -> {
-      val mins = minhashPerms.zipWithIndex.map { case ((a, b), j) =>
-        s"min(($a * gh + $b) % $MinhashP) AS m$j" }
-        .mkString(",\n                      ")
-      val est = (0 until 16).map(j =>
-        s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
-      val bandEq = (0 until 4).map(b =>
-        (0 until 4).map(k => s"a.m${4 * b + k} = b.m${4 * b + k}")
-          .mkString("(", " AND ", ")")).mkString("\n             OR ")
-      s"""WITH docs AS (SELECT doc_id, list_distinct($duckGrams) AS grams
+  /** q46's minhash signature pipeline as a DuckDB CTE body (docs → gram
+    * hash → 16 LCG-permutation minima), shared by the q46 replay oracle
+    * and q107's transitive-closure oracle. */
+  private lazy val duckMinhashSig: String = {
+    val mins = minhashPerms.zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a * gh + $b) % $MinhashP) AS m$j" }
+      .mkString(",\n                      ")
+    s"""docs AS (SELECT doc_id, list_distinct($duckGrams) AS grams
                         FROM documents),
                gh AS (SELECT DISTINCT doc_id,
                              ('0x' || substr(md5(g), 1, 8))::BIGINT AS gh
                       FROM (SELECT doc_id, unnest(grams) AS g FROM docs)),
                sig AS (SELECT doc_id,
                       $mins
-                      FROM gh GROUP BY doc_id)
+                      FROM gh GROUP BY doc_id)"""
+  }
+
+  /** "Shares ≥ 1 of the 4 size-4 minhash bands" predicate over sig a/b. */
+  private lazy val duckMinhashBandEq: String = (0 until 4).map(b =>
+    (0 until 4).map(k => s"a.m${4 * b + k} = b.m${4 * b + k}")
+      .mkString("(", " AND ", ")")).mkString("\n             OR ")
+
+  val oracle: Map[String, String] = Map(
+    // Full minhash+LSH replay: identical md5-derived gram hash and
+    // permutations, brute-force "shares ≥ 1 band" candidate scan — a green
+    // hash row proves the Spark banding produced EXACTLY the brute-force
+    // candidate set (nothing lost, nothing spurious).
+    "q46_minhash_lsh" -> {
+      val est = (0 until 16).map(j =>
+        s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $duckMinhashSig
           SELECT a.doc_id AS da, b.doc_id AS db,
                  round(($est) / 16.0, 4) AS est_jac
           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-          WHERE $bandEq
+          WHERE $duckMinhashBandEq
           ORDER BY da, db"""
     },
     "q47_simhash" ->
@@ -632,6 +687,40 @@ object TextOps {
           edges AS (SELECT a.doc_id AS da, b.doc_id AS db
                     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
                     WHERE bit_count(xor(a.s, b.s)) <= 6),
+          syms AS (SELECT da AS a, db AS b FROM edges
+                   UNION ALL SELECT db, da FROM edges),
+          reach AS (
+            SELECT doc_id AS a, doc_id AS b FROM documents
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN syms s ON r.b = s.a
+          )
+          SELECT a AS doc_id, min(b) AS cluster_id,
+                 CAST(a = min(b) AS BOOLEAN) AS is_canonical
+          FROM reach GROUP BY a ORDER BY doc_id""",
+    "q106_vocab_coverage" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+              pt AS (SELECT doc_id, tok, count(*) AS c
+                     FROM toks GROUP BY 1, 2),
+              vocab AS (SELECT tok FROM (SELECT tok, sum(c) AS n FROM pt
+                                         GROUP BY 1
+                                         ORDER BY n DESC, tok LIMIT 20)),
+              pd AS (SELECT doc_id, sum(c) AS n_tok FROM pt GROUP BY 1),
+              iv AS (SELECT doc_id, sum(c) AS nv
+                     FROM pt JOIN vocab USING (tok) GROUP BY 1)
+         SELECT pd.doc_id,
+                CAST(n_tok AS BIGINT) AS n_tok,
+                CAST(coalesce(nv, 0) AS BIGINT) AS n_vocab_tok,
+                CAST((10000 * coalesce(nv, 0)) // n_tok AS BIGINT) AS cov_bp
+         FROM pd LEFT JOIN iv USING (doc_id)
+         ORDER BY doc_id""",
+    // exact closure over the full-replay minhash candidate set — same
+    // recursive-CTE shape as q101's, edges from q46's shared CTEs
+    "q107_minhash_components" ->
+      s"""WITH RECURSIVE $duckMinhashSig,
+          edges AS (SELECT a.doc_id AS da, b.doc_id AS db
+                    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                    WHERE $duckMinhashBandEq),
           syms AS (SELECT da AS a, db AS b FROM edges
                    UNION ALL SELECT db, da FROM edges),
           reach AS (
