@@ -18,6 +18,27 @@ object PipelineOps {
     * q41's oracle-checked identity length-replace trick). */
   private val nTokens = "length(text) - length(replace(text, ' ', '')) + 1"
 
+  /** Shared relational 5-gram frame (doc_id, g5=xxhash64 of the gram):
+    * posexplode + window leads (all codegen'd), 64-bit-hashed BEFORE the
+    * shuffle, then repartitioned on g5 so consumer branches that filter
+    * AFTER the repartition share one Exchange — AQE's stage cache executes
+    * the subtree once (the q45/q98 lesson; q110's bloom prefilter
+    * intentionally breaks the sharing on its corpus branch — see there). */
+  private def grams5(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    ld(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("tok"),
+        lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"),
+        lead("tok", 3).over(w).as("t3"), lead("tok", 4).over(w).as("t4"))
+      .filter(col("t4").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(col("tok"), col("t1"), col("t2"), col("t3"), col("t4"))
+          .as("g5"))
+      .repartition(col("g5"))
+  }
+
   /** 4-decimal round-half-up of an integer quotient a/b computed in EXACT
     * integer space — (2a·10⁴ + b) div 2b — because round(double, 4)
     * disagrees across engines exactly at .xxxx5 boundaries (57/800 =
@@ -106,23 +127,10 @@ object PipelineOps {
     // doc×doc product, and the benchmark gram set is shuffled, not
     // broadcast (real eval suites are millions of grams).
     "q98_decontaminate" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      // The gram pipeline is built ONCE behind a g5-keyed Exchange; the
-      // bench/corpus branches filter AFTER the repartition, so their
-      // exchange subtrees are identical and execute once (AQE stage cache
-      // — the q45 lesson; both semi-join sides then arrive co-partitioned
-      // on g5, and the bench-side distinct needs no further shuffle).
-      val grams = ld(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .select(col("doc_id"), col("tok"),
-          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"),
-          lead("tok", 3).over(w).as("t3"), lead("tok", 4).over(w).as("t4"))
-        .filter(col("t4").isNotNull)
-        .select(col("doc_id"),
-          xxhash64(col("tok"), col("t1"), col("t2"), col("t3"), col("t4"))
-            .as("g5"))
-        .repartition(col("g5"))
+      // The gram pipeline is built ONCE behind a g5-keyed Exchange (see
+      // grams5); both semi-join sides then arrive co-partitioned on g5,
+      // and the bench-side distinct needs no further shuffle.
+      val grams = grams5(s, d)
       val benchGrams = grams.filter(col("doc_id") % 97 === 0)
         .select("g5").distinct()
       val flagged = grams.filter(col("doc_id") % 97 =!= 0)
@@ -168,6 +176,114 @@ object PipelineOps {
     // keeps the rank test in exact integer space. At true 100 TB the
     // one-pass mergeable sketch (approx_percentile) is the first-choice
     // swap; this exact form is what validates that sketch's error budget.
+    // Fixed-stride overlapping document chunking (size 200 chars, stride
+    // 150) — the context-window prep pass RAG and long-context training
+    // pipelines run before embedding/tokenizing. Pure codegen'd
+    // explode+substr projection: no shuffle, no window, linear in corpus
+    // bytes, embarrassingly parallel across splits at 100 TB. Chunk starts
+    // are every `stride` chars while < n_chars, so the tail chunk clips at
+    // the document end; greatest(0, …) keeps a (degenerate) empty document
+    // as one empty chunk on both engines.
+    "q108_doc_chunks" -> ((s, d) =>
+      ld(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0),
+            greatest(lit(0), floor((col("n_chars") - 1) / 150)).cast("int")))
+            .as("chunk_idx"))
+        .selectExpr("doc_id", "chunk_idx",
+          "substr(text, chunk_idx * 150 + 1, 200) AS chunk")
+        .selectExpr("doc_id", "chunk_idx", "chunk",
+          "length(chunk) AS chunk_chars",
+          "substr(md5(chunk), 1, 8) AS chunk_fp")
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Gopher-style repetition signals: most-common-token share,
+    // most-common-bigram share, and distinct-bigram ratio per document —
+    // the "is this doc a degenerate repeat loop" gate. Relational shape:
+    // one token explode feeds both the unigram and (via a window lead) the
+    // bigram counts; each is a keyed two-level aggregate (map-side partial
+    // combine on (doc_id, term), then a doc_id rollup), so the shuffles
+    // carry per-term counts, never raw tokens², and everything after the
+    // explode is codegen'd. Shares are computed with the exact-integer
+    // round-half-up identity (r4) so both engines emit identical doubles.
+    "q109_token_repetition" -> ((s, d) => {
+      val toks = ld(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val tokStats = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_tok"), sum("c").as("n_tok"))
+      val bgStats = toks
+        .select(col("doc_id"), col("tok"), lead("tok", 1).over(w).as("t1"))
+        .filter(col("t1").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_bg"), sum("c").as("n_bg"),
+          count(lit(1)).as("d_bg"))
+      tokStats.join(bgStats, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "CAST(n_tok AS INT) AS n_tokens",
+          s"${r4("top_tok", "n_tok")} AS top_tok_share",
+          s"""CASE WHEN n_bg IS NOT NULL
+                THEN ${r4("top_bg", "n_bg")} ELSE NULL END
+             AS top_bigram_share""",
+          s"""CASE WHEN n_bg IS NOT NULL
+                THEN ${r4("d_bg", "n_bg")} ELSE NULL END
+             AS uniq_bigram_ratio""")
+        .orderBy("doc_id")
+    }),
+
+    // q98's scale twin: bloom-prefiltered decontamination. The benchmark
+    // gram set is folded into ONE bloom filter (a single-row aggregate —
+    // eval suites are millions of grams ≈ a few MB of bits) that reaches
+    // every corpus task as a scalar-subquery broadcast; corpus grams that
+    // fail might_contain() are dropped BEFORE the exchange (the plan shows
+    // the filter pushed below even the g5 projection), so the semi-join
+    // shuffle carries only FPR-bounded candidates instead of the whole
+    // corpus gram stream — at 100 TB that prunes ~99 % of shuffle bytes.
+    // Trade-off vs q98's single shared gram Exchange: the pushed-down
+    // bloom filter makes the corpus subtree differ from the bench subtree,
+    // so the gram pipeline runs per branch — an extra column-pruned SCAN
+    // bought the shuffle pruning, the right trade when the exchange, not
+    // the scan, is the bottleneck. The exact semi-join then re-checks
+    // survivors, so bloom false positives cannot flag a clean document and
+    // the result equals the exact answer (which is why a DuckDB oracle
+    // exists at all). This is Catalyst's InjectRuntimeFilter pattern made
+    // explicit: the same BloomFilterAggregate / BloomFilterMightContain
+    // expressions the optimizer injects for selective joins, registered
+    // SQL-callable via the ColumnBridge seam (they are not in the public
+    // FunctionRegistry).
+    "q110_bloom_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graftx.ColumnBridge
+      ColumnBridge.registerFunction(s, "graft_bloom_agg",
+        es => new BloomFilterAggregate(es(0), es(1), es(2))
+          .toAggregateExpression())
+      ColumnBridge.registerFunction(s, "graft_bloom_contains",
+        es => BloomFilterMightContain(es(0), es(1)))
+      val grams = grams5(s, d)
+      grams.filter(col("doc_id") % 7 === 0).select("g5")
+        .createOrReplaceTempView("graft_bench_grams")
+      grams.filter(col("doc_id") % 7 =!= 0)
+        .createOrReplaceTempView("graft_corpus_grams")
+      // 100k est. items / 800k bits ⇒ ~3 % FPR at this gram cardinality;
+      // the exact confirm below makes the FPR a throughput knob, not a
+      // correctness one.
+      val candidates = s.sql(
+        """SELECT doc_id, g5 FROM graft_corpus_grams
+           WHERE graft_bloom_contains(
+             (SELECT graft_bloom_agg(g5, 100000L, 800000L)
+              FROM graft_bench_grams), g5)""")
+      val flagged = candidates
+        .join(grams.filter(col("doc_id") % 7 === 0).select("g5").distinct()
+          .hint("shuffle_hash"), Seq("g5"), "left_semi")
+        .select("doc_id").distinct()
+      flagged
+        .join(ld(s, d, "documents").select("doc_id", "source"), Seq("doc_id"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     "q87_length_quantiles" -> ((s, d) => {
       val docs = ld(s, d, "documents").select("doc_id", "source", "n_chars")
       val sizes = docs.groupBy("source").agg(count(lit(1)).as("nd"))
@@ -182,6 +298,19 @@ object PipelineOps {
         .orderBy("source")
     }),
   )
+
+  /** DuckDB 5-gram list per doc (1-based list indexing); joins on the raw
+    * gram string are equality-equivalent to Spark's 64-bit-hashed joins
+    * modulo 2^-64 collisions. Shared by the q98/q110 oracles. */
+  private val duckG5 =
+    """CASE WHEN len(string_split(text, ' ')) >= 5 THEN
+         list_transform(range(1, len(string_split(text, ' ')) - 3),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2] || ' ' ||
+                string_split(text, ' ')[i+3] || ' ' ||
+                string_split(text, ' ')[i+4])
+       ELSE [] END"""
 
   val oracle: Map[String, String] = Map(
     "q94_incremental_dedup" ->
@@ -226,20 +355,8 @@ object PipelineOps {
                               ROWS UNBOUNDED PRECEDING) AS run
                FROM documents)
          ORDER BY doc_id""",
-    "q98_decontaminate" -> {
-      // 5-gram list per doc (1-based list indexing), joined on the raw gram
-      // string — equality-equivalent to Spark's 64-bit-hashed join modulo
-      // 2^-64 collisions.
-      val g5 =
-        """CASE WHEN len(string_split(text, ' ')) >= 5 THEN
-             list_transform(range(1, len(string_split(text, ' ')) - 3),
-               i -> string_split(text, ' ')[i] || ' ' ||
-                    string_split(text, ' ')[i+1] || ' ' ||
-                    string_split(text, ' ')[i+2] || ' ' ||
-                    string_split(text, ' ')[i+3] || ' ' ||
-                    string_split(text, ' ')[i+4])
-           ELSE [] END"""
-      s"""WITH g AS (SELECT doc_id, unnest($g5) AS g5 FROM documents),
+    "q98_decontaminate" ->
+      s"""WITH g AS (SELECT doc_id, unnest($duckG5) AS g5 FROM documents),
                bench AS (SELECT DISTINCT g5 FROM g WHERE doc_id % 97 = 0),
                flagged AS (SELECT DISTINCT doc_id FROM g
                            WHERE doc_id % 97 <> 0
@@ -248,8 +365,7 @@ object PipelineOps {
                  (f.doc_id IS NOT NULL) AS contaminated
           FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
           WHERE d.doc_id % 97 <> 0
-          ORDER BY d.doc_id"""
-    },
+          ORDER BY d.doc_id""",
     "q97_stratified_sample" ->
       """SELECT doc_id, source
          FROM (SELECT doc_id, source,
@@ -260,6 +376,60 @@ object PipelineOps {
                FROM documents)
          WHERE rn <= ceil(n_src * 0.2)
          ORDER BY doc_id""",
+    "q108_doc_chunks" ->
+      """WITH idx AS (SELECT doc_id, text,
+                             unnest(range(0, greatest(0, (n_chars - 1) // 150)
+                                             + 1)) AS ci
+                      FROM documents),
+              c AS (SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+                           substr(text, CAST(ci AS INTEGER) * 150 + 1, 200)
+                             AS chunk
+                    FROM idx)
+         SELECT doc_id, chunk_idx, chunk,
+                CAST(length(chunk) AS INTEGER) AS chunk_chars,
+                substr(md5(chunk), 1, 8) AS chunk_fp
+         FROM c
+         ORDER BY doc_id, chunk_idx""",
+    "q109_token_repetition" -> {
+      val bg2 =
+        """CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+             list_transform(range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1])
+           ELSE [] END"""
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+              tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+              ts AS (SELECT doc_id, max(c) AS top_tok, sum(c) AS n_tok
+                     FROM tc GROUP BY 1),
+              bgr AS (SELECT doc_id, unnest($bg2) AS bg FROM documents),
+              bc AS (SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY 1, 2),
+              bs AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg,
+                            count(*) AS d_bg
+                     FROM bc GROUP BY 1)
+         SELECT ts.doc_id, CAST(n_tok AS INTEGER) AS n_tokens,
+                ${r4("top_tok", "n_tok", "//")} AS top_tok_share,
+                CASE WHEN n_bg IS NOT NULL
+                  THEN ${r4("top_bg", "n_bg", "//")} ELSE NULL END
+                  AS top_bigram_share,
+                CASE WHEN n_bg IS NOT NULL
+                  THEN ${r4("d_bg", "n_bg", "//")} ELSE NULL END
+                  AS uniq_bigram_ratio
+         FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+         ORDER BY ts.doc_id"""
+    },
+    // bloom prefilter + exact confirm ≡ exact flagging (the bloom can only
+    // admit extra CANDIDATES, never extra results), so the oracle is q98's
+    // exact flagged set projected to the contaminated rows.
+    "q110_bloom_decontaminate" ->
+      s"""WITH g AS (SELECT doc_id, unnest($duckG5) AS g5 FROM documents),
+               bench AS (SELECT DISTINCT g5 FROM g WHERE doc_id % 7 = 0),
+               flagged AS (SELECT DISTINCT doc_id FROM g
+                           WHERE doc_id % 7 <> 0
+                             AND g5 IN (SELECT g5 FROM bench))
+          SELECT f.doc_id, d.source
+          FROM flagged f JOIN documents d ON d.doc_id = f.doc_id
+          ORDER BY f.doc_id""",
     // quantile_disc implements the same CDF ≥ p definition (probed: n=5,
     // p=0.95 → 5th element, not floor((n-1)p) indexing)
     "q87_length_quantiles" ->

@@ -72,6 +72,32 @@ object VectorOps {
         col("embedding").cast("array<double>").as("emb"))
       .withColumn("nrm", sqrt(dotp(col("emb"), col("emb"))))
 
+  /** K-means building blocks shared by q65 (one unrolled iteration) and
+    * q111 (SemDeDup clustering stage). Distances are rounded to 6 decimals
+    * BEFORE the argmin, ties broken by centroid id, so the assignment is
+    * bit-stable across engines; per iteration one k×64 centroid broadcast +
+    * one corpus scan — at 100 TB the corpus stays partitioned in place. */
+  private def kAssign(v: DataFrame, cent: DataFrame): DataFrame = {
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, z) => acc + z)
+    v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("ce"), col("cid"),
+        round(l2(col("ce"), col("cc")), 6).as("d"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("m"),
+        first("ce").as("ce"))
+      .select(col("vec_id"), col("ce"),
+        col("m.cid").as("cid"), col("m.d").as("d"))
+  }
+
+  private def kRecenter(a: DataFrame): DataFrame =
+    a.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos").agg(round(avg("x"), 6).as("cv"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+      .select(col("cid"), expr("transform(pc, q -> q.cv)").as("cc"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-5 for 10 probe vectors: the exactness baseline.
     // Probe side broadcast; corpus scanned once; one dot per (probe, vec).
@@ -176,30 +202,55 @@ object VectorOps {
     "q65_kmeans_iter" -> ((s, d) => {
       val v = ld(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
-      def l2(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, z) => acc + z)
-      def assign(cent: DataFrame): DataFrame =
-        v.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("ce"), col("cid"),
-            round(l2(col("ce"), col("cc")), 6).as("d"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("d"), col("cid"))).as("m"),
-            first("ce").as("ce"))
-          .select(col("vec_id"), col("ce"),
-            col("m.cid").as("cid"), col("m.d").as("d"))
-      def recenter(a: DataFrame): DataFrame =
-        a.select(col("cid"), posexplode(col("ce")).as(Seq("pos", "x")))
-          .groupBy("cid", "pos").agg(round(avg("x"), 6).as("cv"))
-          .groupBy("cid")
-          .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
-          .select(col("cid"), expr("transform(pc, q -> q.cv)").as("cc"))
       val c0 = v.filter(col("vec_id") < 4)
         .select(col("vec_id").as("cid"), col("ce").as("cc"))
-      val c1 = recenter(assign(c0))
-      assign(c1).groupBy("cid")
+      val c1 = kRecenter(kAssign(v, c0))
+      kAssign(v, c1).groupBy("cid")
         .agg(count(lit(1)).as("n"), round(avg("d"), 4).as("avg_d"))
         .orderBy("cid")
+    }),
+
+    // SemDeDup-style semantic dedup (cluster-then-dedup-within-cluster,
+    // Abbas et al. 2023): k-means-cluster the embedding corpus (one refine
+    // from the deterministic init, = q65's c1), then within each cluster
+    // flag every vector that has a LOWER-id cluster-mate at cosine ≥ 0.4;
+    // keep = unflagged. The 100 TB story is the whole point: pairwise work
+    // is bounded per cluster (Σ|cluster|²/2 « N² when k grows ~√N), the
+    // pair join is an EQUI-join keyed on cluster id — shuffle_hash, no
+    // corpus broadcast, no BNLJ — and the only broadcast is the k×64
+    // centroid table during assignment. Norms are precomputed per row (the
+    // q62 lesson: a per-pair sqrt re-allocates; per-row it's one column),
+    // and the rounded-cosine threshold + argmin tie-break keep the whole
+    // chain bit-stable against the DuckDB replay.
+    "q111_semdedup" -> ((s, d) => {
+      val v = ld(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+      val c0 = v.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("ce").as("cc"))
+      val c1 = kRecenter(kAssign(v, c0))
+      // One cid-keyed Exchange closes the assignment pipeline; the three
+      // consumers (both pair-join sides + the output frame) rename/filter
+      // AFTER it, so their exchange subtrees are identical and the AQE
+      // stage cache computes the assignment ONCE (the q98 lesson) — and
+      // the pair join's sides arrive co-partitioned on cid.
+      val asg = kAssign(v, c1)
+        .select(col("vec_id"), col("ce"), col("cid"))
+        .withColumn("nrm", sqrt(dotp(col("ce"), col("ce"))))
+        .repartition(col("cid"))
+      val a = asg.select(col("cid"), col("vec_id").as("va"),
+        col("ce").as("ea"), col("nrm").as("na"))
+      val b = asg.select(col("cid"), col("vec_id").as("vb"),
+        col("ce").as("eb"), col("nrm").as("nb"))
+      val dup = a.join(b.hint("shuffle_hash"), Seq("cid"))
+        .filter(col("va") < col("vb"))
+        .filter(round(dotp(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          >= 0.4)
+        .select("vb").distinct()
+        .withColumn("flagged", lit(true))
+      asg.join(dup, asg("vec_id") === dup("vb"), "left")
+        .select(col("vec_id"), col("cid"),
+          (!coalesce(col("flagged"), lit(false))).as("keep"))
+        .orderBy("vec_id")
     }),
 
     // Scalar int8 quantization of the embedding corpus (per-dimension
@@ -466,6 +517,37 @@ object VectorOps {
                       WHERE rn = 1)
           SELECT cid, count(*) AS n, round(avg(d), 4) AS avg_d
           FROM a1 GROUP BY cid ORDER BY cid""",
+    // Same CTE chain as q65 up to the refined assignment (a1 keeps ce),
+    // then the within-cluster pair flags. DuckDB replays the identical
+    // rounded-distance argmin and rounded-cosine threshold.
+    "q111_semdedup" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+               c0 AS (SELECT vec_id AS cid, ce AS cc FROM v WHERE vec_id < 4),
+               d0 AS (SELECT vec_id, v.ce AS ce, cid,
+                             ${duckL2.replace("%V", "v.ce").replace("%C", "cc")} AS d
+                      FROM v CROSS JOIN c0),
+               a0 AS (SELECT vec_id, ce, cid, d FROM (
+                        SELECT *, row_number() OVER
+                          (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0)
+                      WHERE rn = 1),
+               c1 AS (SELECT cid, list(cv ORDER BY pos) AS cc FROM (
+                        SELECT cid, i AS pos, round(avg(ce[i]), 6) AS cv
+                        FROM a0, range(1, 65) t(i) GROUP BY 1, 2)
+                      GROUP BY cid),
+               d1 AS (SELECT vec_id, v.ce AS ce, cid,
+                             ${duckL2.replace("%V", "v.ce").replace("%C", "cc")} AS d
+                      FROM v CROSS JOIN c1),
+               a1 AS (SELECT vec_id, ce, cid FROM (
+                        SELECT *, row_number() OVER
+                          (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+                      WHERE rn = 1),
+               dup AS (SELECT DISTINCT b.vec_id AS vb
+                       FROM a1 a JOIN a1 b
+                         ON a.cid = b.cid AND a.vec_id < b.vec_id
+                       WHERE round(${dcos("a.ce", "b.ce")}, 6) >= 0.4)
+          SELECT a1.vec_id, cid, (dup.vb IS NULL) AS keep
+          FROM a1 LEFT JOIN dup ON a1.vec_id = dup.vb
+          ORDER BY a1.vec_id""",
     "q64_ann_ivf" ->
       s"""WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce
                      FROM embeddings),

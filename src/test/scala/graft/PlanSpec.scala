@@ -148,6 +148,35 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "expected might_contain applied to the lineitem side")
   }
 
+  test("q110: explicit bloom prefilter drops corpus grams BEFORE the " +
+    "g5 exchange (fused into the pre-shuffle gram filter), and the exact " +
+    "semi-join confirm survives") {
+    val p = plan("q110_bloom_decontaminate")
+    val fused = p.linesIterator.exists(l =>
+      l.contains("might_contain") && l.contains("isnotnull(t4"))
+    assert(fused,
+      s"bloom must prune in the gram-build filter, before any Exchange:\n$p")
+    assert(p.contains("LeftSemi"),
+      "exact confirm join missing — bloom false positives would leak")
+  }
+
+  test("q111: semantic-dedup pair join is an equi-join on cluster id, " +
+    "never a pair-space nested loop, and the assignment subtree closes " +
+    "with one shared cid Exchange") {
+    val p = plan("q111_semdedup")
+    assert(!p.contains("CartesianProduct"))
+    // the static plan instantiates the assignment subtree per consumer
+    // (3×), each holding the two k×4-row centroid-attach BNLJs — those are
+    // fine (the broadcast side is k rows); what must NEVER appear is a
+    // nested loop whose BOTH sides are the corpus. Every corpus×corpus
+    // contact goes through the cid equi-join below; at runtime the AQE
+    // stage cache collapses the three identical cid-keyed exchanges.
+    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+    assert(bnlj <= 6, s"unexpected pair-space nested loop ($bnlj):\n$p")
+    assert(p.contains("hashpartitioning(cid"),
+      s"pair-join sides must arrive co-partitioned on cid:\n$p")
+  }
+
   test("q93: re-scan of the partitioned write prunes to one partition") {
     val p = plan("q93_partition_pruning")
     val pf = p.linesIterator.find(_.contains("PartitionFilters"))

@@ -20,7 +20,8 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     "q74_stream_hourly", "q80_media_meta", "q81_frame_sample",
     "q89_orc_roundtrip",
     "q95_quality_gate_rules", "q96_shard_pack", "q97_stratified_sample",
-    "q98_decontaminate")
+    "q98_decontaminate", "q108_doc_chunks", "q109_token_repetition",
+    "q111_semdedup")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
