@@ -418,6 +418,56 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // MinHash calibration: exact 3-gram Jaccard vs the 16-perm minhash
+    // estimate over every same-source pair sharing ≥ 1 shingle, bucketed
+    // by exact-Jaccard decile with the mean absolute estimation error —
+    // the validation pass that JUSTIFIES a minhash threshold before a
+    // production run trusts q46's candidates at 100 TB. Everything stays
+    // in exact integer basis points: jac_bp is the (2a·10⁴+u) div 2u
+    // round-half-up identity, est_bp = matches·625 is exact because 16
+    // divides 10⁴, and the per-bucket mean applies the same integer
+    // identity — no float summation order anywhere, so both engines emit
+    // identical doubles. Scale shape: the portable gram pipeline feeds
+    // both the pair join (keyed on gram hash, same-source bound, as q45)
+    // and the signature aggregate; the per-pair estimate attaches via two
+    // doc_id-keyed shuffle_hash joins against the corpus-sized signature
+    // table — never broadcast.
+    "q112_minhash_calibration" -> ((s, d) => {
+      val sh = shinglesPortable(s, d)
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy("doc_id")).cast("int"))
+        .repartition(col("gh"))
+      val inter = sh.as("a").join(sh.as("b").hint("shuffle_hash"),
+          col("a.gh") === col("b.gh") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("n_inter"),
+          max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
+        .withColumn("jac_bp",
+          expr("""(2 * n_inter * 10000 + (na + nb - n_inter))
+                  DIV (2 * (na + nb - n_inter))"""))
+      val minhashes = minhashPerms.zipWithIndex.map { case ((a, b), j) =>
+        min((lit(a) * col("gh") + lit(b)) % lit(MinhashP)).as(s"m$j") }
+      val sig = shinglesPortable(s, d).groupBy("doc_id")
+        .agg(minhashes.head, minhashes.tail: _*)
+      val matches = (0 until 16).map(j =>
+        when(col(s"sa.m$j") === col(s"sb.m$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      inter
+        .join(sig.as("sa").hint("shuffle_hash"),
+          col("da") === col("sa.doc_id"))
+        .join(sig.as("sb").hint("shuffle_hash"),
+          col("db") === col("sb.doc_id"))
+        .select(col("jac_bp"), (matches * lit(625)).as("est_bp"))
+        .groupBy(expr("CAST(jac_bp DIV 1000 AS INT)").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("est_bp") - col("jac_bp"))).as("sum_abs"))
+        .selectExpr("bucket", "n_pairs",
+          """CAST((2 * sum_abs * 10000 + n_pairs) DIV (2 * n_pairs)
+                  AS DOUBLE) / 10000 AS mean_abs_err_bp""")
+        .orderBy("bucket")
+    }),
+
     // Quality gate by percentile: keep docs whose length is at or above
     // the corpus's 25th percentile. Two-pass shape: tiny exact-percentile
     // aggregate broadcast into the filter — at 100 TB the percentile comes
@@ -648,6 +698,39 @@ object TextOps {
           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
           WHERE $duckMinhashBandEq
           ORDER BY da, db"""
+    },
+    // Full replay of BOTH sides of the calibration: exact Jaccard over the
+    // portable gram hashes AND the 16-perm minhash estimate, in the same
+    // integer-basis-point space as the Spark plan.
+    "q112_minhash_calibration" -> {
+      val est = (0 until 16).map(j =>
+        s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $duckMinhashSig,
+               shp AS (SELECT g.doc_id, d.source, g.gh
+                       FROM gh g JOIN documents d USING (doc_id)),
+               cnt AS (SELECT doc_id, count(*) AS n FROM shp GROUP BY 1),
+               pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                                count(*) AS n_inter
+                         FROM shp a JOIN shp b
+                           ON a.gh = b.gh AND a.source = b.source
+                              AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2),
+               j AS (SELECT da, db,
+                            (2 * n_inter * 10000
+                               + (ca.n + cb.n - n_inter))
+                              // (2 * (ca.n + cb.n - n_inter)) AS jac_bp
+                     FROM pairs
+                     JOIN cnt ca ON ca.doc_id = da
+                     JOIN cnt cb ON cb.doc_id = db),
+               e AS (SELECT jac_bp, ($est) * 625 AS est_bp
+                     FROM j JOIN sig a ON a.doc_id = da
+                            JOIN sig b ON b.doc_id = db)
+          SELECT CAST(jac_bp // 1000 AS INTEGER) AS bucket,
+                 count(*) AS n_pairs,
+                 CAST((2 * sum(abs(est_bp - jac_bp)) * 10000 + count(*))
+                        // (2 * count(*)) AS DOUBLE) / 10000
+                   AS mean_abs_err_bp
+          FROM e GROUP BY 1 ORDER BY 1"""
     },
     "q47_simhash" ->
       s"""WITH $duckSimhash32
