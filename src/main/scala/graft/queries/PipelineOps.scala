@@ -284,6 +284,45 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Content-defined chunking (CDC) dedup: chunk boundaries come from a
+    // rolling 4-char window hash (md5 first hex digit '0', p=1/16,
+    // ~16-char expected chunks — sized to this corpus so duplicated
+    // passages actually recur), so an
+    // insertion near a document's head shifts only the ONE chunk it lands
+    // in — every later boundary re-synchronizes — where q108's fixed-stride
+    // chunks all shift and nothing dedups. The storage-dedup trick applied
+    // to corpus curation: duplicated passages are found by chunk
+    // fingerprint regardless of position. Plan shape: the per-char
+    // position explode is a pipelined codegen Generate whose 1/16
+    // boundary filter runs BEFORE any shuffle, so only boundary rows
+    // (~n_chars/16 per doc) reach the window; the chunk rebuild is one
+    // doc_id-keyed shuffle and the fingerprint stats one md5-keyed
+    // aggregate. At true 100 TB the per-char explode becomes a native
+    // one-pass chunker Expression (the HyperplaneBands pattern); the
+    // relational form keeps the identical boundary definition and the
+    // same two keyed shuffles.
+    "q113_cdc_chunks" -> ((s, d) => {
+      val docs = ld(s, d, "documents").filter(col("n_chars") >= 4)
+      val bnd = docs
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          explode(sequence(lit(4), col("n_chars").cast("int"))).as("i"))
+        .filter(substring(md5(expr("substr(text, i - 3, 4)")), 1, 1) === "0"
+          && col("i") < col("n_chars"))
+        .select(col("doc_id"), col("i"))
+        .union(docs.select(col("doc_id"), lit(0).as("i")))
+      val w = Window.partitionBy("doc_id").orderBy("i")
+      bnd.withColumn("nxt", lead("i", 1).over(w))
+        .join(docs.select("doc_id", "text", "n_chars"), Seq("doc_id"))
+        .selectExpr("doc_id",
+          "substr(text, i + 1, coalesce(nxt, n_chars) - i) AS chunk")
+        .groupBy(md5(col("chunk")).as("fp"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(length(col("chunk"))).as("chunk_chars"))
+        .filter(col("n_occ") > 1)
+        .orderBy("fp")
+    }),
+
     "q87_length_quantiles" -> ((s, d) => {
       val docs = ld(s, d, "documents").select("doc_id", "source", "n_chars")
       val sizes = docs.groupBy("source").agg(count(lit(1)).as("nd"))
@@ -430,6 +469,31 @@ object PipelineOps {
           SELECT f.doc_id, d.source
           FROM flagged f JOIN documents d ON d.doc_id = f.doc_id
           ORDER BY f.doc_id""",
+    "q113_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, n_chars FROM documents
+                    WHERE n_chars >= 4),
+              bnd AS (SELECT doc_id, i
+                      FROM (SELECT doc_id, text, n_chars,
+                                   unnest(range(4, n_chars + 1)) AS i
+                            FROM d)
+                      WHERE substr(md5(substr(text, CAST(i AS INTEGER) - 3,
+                                              4)), 1, 1) = '0'
+                        AND i < n_chars
+                      UNION ALL SELECT doc_id, 0 FROM d),
+              spans AS (SELECT doc_id, i,
+                               lead(i) OVER (PARTITION BY doc_id ORDER BY i)
+                                 AS nxt
+                        FROM bnd),
+              chunks AS (SELECT s.doc_id,
+                                substr(d.text, CAST(s.i AS INTEGER) + 1,
+                                       CAST(coalesce(s.nxt, d.n_chars) - s.i
+                                            AS INTEGER)) AS chunk
+                         FROM spans s JOIN d USING (doc_id))
+         SELECT md5(chunk) AS fp, count(*) AS n_occ,
+                count(DISTINCT doc_id) AS n_docs,
+                CAST(max(length(chunk)) AS INTEGER) AS chunk_chars
+         FROM chunks GROUP BY 1 HAVING count(*) > 1
+         ORDER BY fp""",
     // quantile_disc implements the same CDF ≥ p definition (probed: n=5,
     // p=0.95 → 5th element, not floor((n-1)p) indexing)
     "q87_length_quantiles" ->
