@@ -292,36 +292,25 @@ object PipelineOps {
     // in — every later boundary re-synchronizes — where q108's fixed-stride
     // chunks all shift and nothing dedups. The storage-dedup trick applied
     // to corpus curation: duplicated passages are found by chunk
-    // fingerprint regardless of position. Plan shape: the per-char
-    // position explode is a pipelined codegen Generate whose 1/16
-    // boundary filter runs BEFORE any shuffle, so only boundary rows
-    // (~n_chars/16 per doc) reach the window; the chunk rebuild is one
-    // doc_id-keyed shuffle and the fingerprint stats one md5-keyed
-    // aggregate. At true 100 TB the per-char explode becomes a native
-    // one-pass chunker Expression (the HyperplaneBands pattern); the
-    // relational form keeps the identical boundary definition and the
-    // same two keyed shuffles.
-    "q113_cdc_chunks" -> ((s, d) => {
-      val docs = ld(s, d, "documents").filter(col("n_chars") >= 4)
-      val bnd = docs
-        .select(col("doc_id"), col("text"), col("n_chars"),
-          explode(sequence(lit(4), col("n_chars").cast("int"))).as("i"))
-        .filter(substring(md5(expr("substr(text, i - 3, 4)")), 1, 1) === "0"
-          && col("i") < col("n_chars"))
-        .select(col("doc_id"), col("i"))
-        .union(docs.select(col("doc_id"), lit(0).as("i")))
-      val w = Window.partitionBy("doc_id").orderBy("i")
-      bnd.withColumn("nxt", lead("i", 1).over(w))
-        .join(docs.select("doc_id", "text", "n_chars"), Seq("doc_id"))
-        .selectExpr("doc_id",
-          "substr(text, i + 1, coalesce(nxt, n_chars) - i) AS chunk")
+    // fingerprint regardless of position. Chunking runs in the native
+    // one-pass CdcChunks expression (graft.functions.TextExprs): the text
+    // is walked ONCE inside whole-stage codegen and the plan starts at
+    // chunk granularity — measured 2.51 s → 0.93 s at sf0.1 (BenchSome
+    // medians, warm-up + median-of-3) over the relational form below,
+    // which moved one ROW per character through a Generate+window+join
+    // just to find ~|text|/16 boundaries. The only
+    // shuffle left is the md5-keyed fingerprint aggregate (map-side
+    // combined). [[cdcChunksRelational]] keeps the row-per-char form and
+    // CdcChunksParitySpec pins that both emit identical chunk multisets —
+    // which is also what the DuckDB oracle replays.
+    "q113_cdc_chunks" -> ((s, d) =>
+      cdcChunksNative(s, d)
         .groupBy(md5(col("chunk")).as("fp"))
         .agg(count(lit(1)).as("n_occ"),
           countDistinct(col("doc_id")).as("n_docs"),
           max(length(col("chunk"))).as("chunk_chars"))
         .filter(col("n_occ") > 1)
-        .orderBy("fp")
-    }),
+        .orderBy("fp")),
 
     "q87_length_quantiles" -> ((s, d) => {
       val docs = ld(s, d, "documents").select("doc_id", "source", "n_chars")
@@ -337,6 +326,35 @@ object PipelineOps {
         .orderBy("source")
     }),
   )
+
+  /** q113's native chunk frame (doc_id, chunk) — the CdcChunksParitySpec
+    * comparison surface. */
+  private[graft] def cdcChunksNative(s: SparkSession, d: String): DataFrame =
+    ld(s, d, "documents").filter(col("n_chars") >= 4)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.cdcChunks(col("text")))
+          .as("chunk"))
+
+  /** The row-per-char relational form of q113's chunker (explode → 1/16
+    * boundary filter → window → chunk rebuild): same boundary definition as
+    * the native CdcChunks expression, kept as its cross-implementation
+    * oracle — CdcChunksParitySpec pins that both emit identical
+    * (doc_id, chunk) multisets. */
+  private[graft] def cdcChunksRelational(s: SparkSession, d: String): DataFrame = {
+    val docs = ld(s, d, "documents").filter(col("n_chars") >= 4)
+    val bnd = docs
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        explode(sequence(lit(4), col("n_chars").cast("int"))).as("i"))
+      .filter(substring(md5(expr("substr(text, i - 3, 4)")), 1, 1) === "0"
+        && col("i") < col("n_chars"))
+      .select(col("doc_id"), col("i"))
+      .union(docs.select(col("doc_id"), lit(0).as("i")))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    bnd.withColumn("nxt", lead("i", 1).over(w))
+      .join(docs.select("doc_id", "text", "n_chars"), Seq("doc_id"))
+      .selectExpr("doc_id",
+        "substr(text, i + 1, coalesce(nxt, n_chars) - i) AS chunk")
+  }
 
   /** DuckDB 5-gram list per doc (1-based list indexing); joins on the raw
     * gram string are equality-equivalent to Spark's 64-bit-hashed joins
