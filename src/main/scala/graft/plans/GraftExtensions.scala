@@ -52,5 +52,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bands"),
       (args: Seq[Expression]) =>
         graft.functions.VectorExprs.bandsFromSqlArgs(args)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[graft.functions.CdcChunks].getName,
+        "graft_cdc_chunks"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_cdc_chunks takes 1 string argument")
+        graft.functions.CdcChunks(Cast(args.head,
+          org.apache.spark.sql.types.StringType))
+      }))
   }
 }

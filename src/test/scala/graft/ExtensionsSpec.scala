@@ -47,6 +47,10 @@ class ExtensionsSpec extends AnyFunSuite {
                               2) AS b""")
         .head().getSeq[Int](0)
       assert(b == Seq(1), s"got $b")
+      // graft_cdc_chunks: a 4-char string yields exactly itself
+      val c = s.sql("SELECT graft_cdc_chunks('abcd') AS c")
+        .head().getSeq[String](0)
+      assert(c == Seq("abcd"), s"got $c")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
