@@ -312,6 +312,34 @@ object PipelineOps {
         .filter(col("n_occ") > 1)
         .orderBy("fp")),
 
+    // Balanced source mixture — the data-MIXING step between curation and
+    // tokenizer: every source contributes (approximately) the same number
+    // of tokens, capped at the smallest source's total, so no source
+    // dominates the training mix. Docs are admitted per source in
+    // deterministic md5 order (the q97 recipe — stable across executors,
+    // retries, engines) while the EXCLUSIVE running token sum is under the
+    // budget, so the gate overshoots by at most one document and the
+    // selection is reproducible. Plan: per-source totals → 1-row min
+    // aggregate broadcast; one (source)-keyed window pass does the
+    // running sum — no global sort, parallel across strata, the same
+    // shapes q96/q87 pin.
+    "q114_balanced_mixture" -> ((s, d) => {
+      val toks = ld(s, d, "documents")
+        .selectExpr("doc_id", "source", s"CAST($nTokens AS INT) AS n_tokens")
+      val budget = toks.groupBy("source").agg(sum("n_tokens").as("tot"))
+        .agg(min("tot").as("budget"))
+      val ord = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks
+        .withColumn("cum_before",
+          coalesce(sum("n_tokens").over(ord), lit(0L)))
+        .crossJoin(broadcast(budget))
+        .filter(col("cum_before") < col("budget"))
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     "q87_length_quantiles" -> ((s, d) => {
       val docs = ld(s, d, "documents").select("doc_id", "source", "n_chars")
       val sizes = docs.groupBy("source").agg(count(lit(1)).as("nd"))
@@ -512,6 +540,22 @@ object PipelineOps {
                 CAST(max(length(chunk)) AS INTEGER) AS chunk_chars
          FROM chunks GROUP BY 1 HAVING count(*) > 1
          ORDER BY fp""",
+    "q114_balanced_mixture" ->
+      s"""WITH t AS (SELECT doc_id, source,
+                            CAST($nTokens AS INTEGER) AS n_tokens
+                     FROM documents),
+              b AS (SELECT min(tot) AS budget
+                    FROM (SELECT sum(n_tokens) AS tot FROM t GROUP BY source)),
+              o AS (SELECT doc_id, source, n_tokens,
+                           coalesce(sum(n_tokens) OVER
+                             (PARTITION BY source
+                              ORDER BY md5(doc_id::VARCHAR), doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS cum_before
+                    FROM t)
+         SELECT doc_id, source, n_tokens
+         FROM o, b WHERE cum_before < budget
+         ORDER BY doc_id""",
     // quantile_disc implements the same CDF ≥ p definition (probed: n=5,
     // p=0.95 → 5th element, not floor((n-1)p) indexing)
     "q87_length_quantiles" ->
