@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Bench harness: every SparkEntry query against SPARK_GRAFT_SF_DIR, timed
   * end-to-end through a `noop` sink so the FULL plan executes (a bare
@@ -22,8 +23,38 @@ import org.apache.spark.sql.SparkSession
   * either direction, so plan-level wins/regressions are attributable
   * round-over-round. The warm-up time is still printed per query
   * (`"warm"`) so a pathological first run stays visible.
+  *
+  * CALIBRATION (r8): within-run medians are trustworthy, but round-over-
+  * round totals swung ±35 % from HOST load alone (r7: untouched q19
+  * ≈1.1 → 4.5 s in the driver artifact vs 0.77 s isolated). So the bench
+  * interleaves a fixed synthetic workload — pure CPU + one shuffle, no IO,
+  * independent of every inventory query — measured median-of-3 at start,
+  * then one sample every [[CalEvery]] queries. Every per-query line carries
+  * `"ratio"` = median / (nearest preceding calibration sample): a host
+  * slowdown inflates numerator and denominator together, so the ratio is
+  * the round-over-round comparable number. The summary reports the
+  * calibration med/min/max — max/min far above ~1.5 means the host load
+  * moved DURING the run and absolute seconds from that run are suspect.
   */
 object Bench {
+
+  /** Fixed calibration workload: deterministic, in-memory, plan-stable —
+    * codegen'd hash + modulo, one 1000-key shuffle, keyed agg. ~0.2-0.4 s
+    * at 32 threads; exercises the same resources (CPU, shuffle exchange,
+    * task scheduling) whose contention inflates the inventory queries. */
+  private def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 8000000L, 1L, 32)
+      .select((col("id") % 1000).as("k"), xxhash64(col("id")).as("h"))
+      // avg, not sum: summing 8M xxhash64 longs overflows under ANSI mode
+      .groupBy("k").agg(avg("h").as("a"), max("h").as("m"),
+        count(lit(1)).as("n"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private val CalEvery = 8 // one calibration sample per 8 queries (~+2 % runtime)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,7 +75,14 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Calibration baseline: warm-up + median-of-3 before the first query.
+    calibrate(spark)
+    val calSamples = scala.collection.mutable.ArrayBuffer(
+      median((1 to 3).map(_ => calibrate(spark))))
+    var sinceCal = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (sinceCal >= CalEvery) { calSamples += calibrate(spark); sinceCal = 0 }
+      sinceCal += 1
       // A run that throws yields None — never a (near-zero) elapsed time.
       def run(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -60,27 +98,35 @@ object Bench {
       val times: Seq[Option[Double]] = (1 to iters).map(_ => run())
       val ok = times.flatten
       val runs = times.map(_.map(f3).getOrElse("null")).mkString("[", ",", "]")
-      val sec = if (ok.nonEmpty) f3(median(ok)) else "null"
+      val cal = calSamples.last
+      val med = if (ok.nonEmpty) Some(median(ok)) else None
+      val sec = med.map(f3).getOrElse("null")
+      val ratio = med.map(m => f3(m / cal)).getOrElse("null")
       val anyFail = warm.isEmpty || ok.size < times.size
       val err = if (anyFail) ",\"err\":true" else ""
       val warmS = warm.map(f3).getOrElse("null")
-      println(s"""{"bench_query":"$name","sec":$sec,"warm":$warmS,"runs":$runs$err}""")
-      (name, if (ok.nonEmpty) Some(median(ok)) else None, anyFail)
+      println(s"""{"bench_query":"$name","sec":$sec,"ratio":$ratio,"cal":${f3(cal)},"warm":$warmS,"runs":$runs$err}""")
+      (name, med, anyFail, med.map(_ / cal))
     }
-    val good = results.collect { case (k, Some(v), _) => k -> v }
-    val failed = results.collect { case (k, None, _) => k }
+    val good = results.collect { case (k, Some(v), _, _) => k -> v }
+    val ratios = results.collect { case (k, _, _, Some(r)) => k -> r }.toMap
+    val failed = results.collect { case (k, None, _, _) => k }
     // flaky = succeeded at least once but also threw at least once; the
     // per-query err line can scroll out of the driver's tail, so surface
     // them in the summary too — a 50%-reproducible crash must not read as
     // a green run.
-    val flaky = results.collect { case (k, Some(_), true) => k }
+    val flaky = results.collect { case (k, Some(_), true, _) => k }
     val slowest = good.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val slowestRatio = good.sortBy(-_._2).take(10)
+      .map { case (k, _) => "\"" + k + "\":" + f3(ratios(k)) }
+      .mkString("{", ",", "}")
     def names(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = f3(good.map(_._2).sum)
+    val calJson = s"""{"med":${f3(median(calSamples.toSeq))},"min":${f3(calSamples.min)},"max":${f3(calSamples.max)},"n":${calSamples.size}}"""
     // Summary stays <1.5 KB and is the absolute last stdout line so the
     // driver's tail capture always ends with a complete JSON record.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${good.size},"failed":${names(failed)},"flaky":${names(flaky)},"slowest":$slowest}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${good.size},"cal":$calJson,"failed":${names(failed)},"flaky":${names(flaky)},"slowest":$slowest,"slowest_ratio":$slowestRatio}""")
     spark.stop()
   }
 }

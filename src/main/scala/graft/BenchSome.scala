@@ -1,8 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Dev tool: time a subset of queries (args = query names), same setup as
-  * Bench. `sbt "runMain graft.BenchSome q46_minhash_lsh"`. */
+  * Bench. `sbt "runMain graft.BenchSome q46_minhash_lsh"`. Prints the same
+  * calibration-normalized ratio as Bench (see there) so committed isolated
+  * medians are comparable across differently-loaded hosts. */
 object BenchSome {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,6 +19,19 @@ object BenchSome {
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach(n => Tables.ld(spark, sfDir, n).count())
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    def cal(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 8000000L, 1L, 32)
+        .select((col("id") % 1000).as("k"), xxhash64(col("id")).as("h"))
+        // avg, not sum: summing 8M xxhash64 longs overflows under ANSI mode
+        .groupBy("k").agg(avg("h").as("a"), max("h").as("m"),
+          count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    cal() // warm-up
+    val calMed = (1 to 3).map(_ => cal()).sorted.apply(1)
+    println(f"CALIBRATION $calMed%.3f s (synthetic shuffle+agg, median of 3)")
     args.foreach { name =>
       // warm-up (run0, excluded) + `iters` measured runs; median reported —
       // same protocol as Bench so isolated numbers are comparable.
@@ -30,7 +46,7 @@ object BenchSome {
         sec
       }
       val m = times.drop(1).sorted.apply((iters - 1) / 2)
-      println(f"MEDIAN $name $m%.3f s")
+      println(f"MEDIAN $name $m%.3f s ratio ${m / calMed}%.2f (vs cal $calMed%.3f)")
     }
     spark.stop()
   }

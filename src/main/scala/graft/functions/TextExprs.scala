@@ -37,8 +37,14 @@ case class CdcChunks(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_cdc_chunks"
 
   def compute(u: UTF8String): ArrayData = {
-    val t = u.toString
-    val len = t.length
+    // Positions are CODE POINTS, not UTF-16 code units: the relational twin
+    // and the DuckDB oracle window with substr(text, i-3, 4) over n_chars,
+    // and both engines' substr counts code points — a UTF-16 walk would
+    // shift every boundary after the first non-BMP char (emoji,
+    // supplementary CJK) and could split a surrogate pair mid-chunk.
+    // CdcChunksParitySpec pins native ≡ relational on a non-BMP corpus.
+    val cps = u.toString.codePoints().toArray
+    val len = cps.length
     if (len < 4) return new GenericArrayData(Array.empty[Any])
     val d = CdcChunks.digests.get()
     val bounds = scala.collection.mutable.ArrayBuffer(0)
@@ -46,7 +52,7 @@ case class CdcChunks(child: Expression) extends UnaryExpression {
     while (i < len) { // 1-based window end i ∈ [4, len)
       d.reset()
       val h = d.digest(
-        t.substring(i - 4, i).getBytes(StandardCharsets.UTF_8))
+        new String(cps, i - 4, 4).getBytes(StandardCharsets.UTF_8))
       if ((h(0) & 0xf0) == 0) bounds += i
       i += 1
     }
@@ -54,7 +60,8 @@ case class CdcChunks(child: Expression) extends UnaryExpression {
     val out = new Array[Any](bounds.size - 1)
     var k = 0
     while (k < out.length) {
-      out(k) = UTF8String.fromString(t.substring(bounds(k), bounds(k + 1)))
+      out(k) = UTF8String.fromString(
+        new String(cps, bounds(k), bounds(k + 1) - bounds(k)))
       k += 1
     }
     new GenericArrayData(out)

@@ -28,7 +28,9 @@ object CollapseIdempotentStringFns extends Rule[LogicalPlan] {
   * `spark.sql.extensions=graft.plans.GraftExtensions` or
   * `builder.withExtensions(new GraftExtensions)` and injects
   *   - the optimizer rule above (the seam the reference exposes), and
-  *   - `graft_dot` and `graft_bands` as session-wide SQL functions (the
+  *   - `graft_dot`, `graft_bands`, `graft_cdc_chunks`, and the
+  *     `graft_bloom_agg` / `graft_bloom_contains` pair as session-wide SQL
+  *     functions (the
   *     reference's scalar name→function registry, `expression.rs:96-114`)
   *     so a session built with the extensions needs no imperative
   *     registerSql call.
@@ -52,6 +54,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bands"),
       (args: Seq[Expression]) =>
         graft.functions.VectorExprs.bandsFromSqlArgs(args)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+        "graft_bloom_agg"),
+      (args: Seq[Expression]) => graft.functions.BloomExprs.aggBuilder(args)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+        "graft_bloom_contains"),
+      (args: Seq[Expression]) =>
+        graft.functions.BloomExprs.containsBuilder(args)))
     ext.injectFunction((
       new FunctionIdentifier("graft_cdc_chunks"),
       new ExpressionInfo(classOf[graft.functions.CdcChunks].getName,

@@ -28,8 +28,10 @@ object GraphOps {
     * convergence from O(diameter) to O(log diameter) rounds) is a second
     * keyed self-join against the SAME checkpointed label frame. r5 ran
     * propagate and jump as two separately-checkpointed steps = 3 jobs per
-    * round; fusing them into one checkpoint + one convergence count is 2,
-    * and both variants converge in 7 rounds on the sf0.1 chain-heavy
+    * round; r6 fused them into one checkpoint + one convergence count = 2;
+    * r8 rides the convergence count on the checkpoint job as an observed
+    * metric (see the loop) = ONE job per round,
+    * and all variants converge in 7 rounds on the sf0.1 chain-heavy
     * ham≤6 graph (jumping on the pre-propagation label lands one step
     * behind jumping on cid1, but the fixpoint test absorbs it). Measured
     * isolated at sf0.1 (BenchSome, warm-up + median-of-3, r7): q101
@@ -37,7 +39,16 @@ object GraphOps {
     * repartition below (r6's in-comment "4.2 → 2.9 s" claim was a warm
     * single-shot that the driver bench never reproduced — retracted; the
     * structural win of 3 jobs/round → 2 stands, the headline number is
-    * this committed median). The symmetrized edge frame is
+    * this committed median). r8's observed-metric convergence (one action
+    * per round) measured 3.9-4.4 s isolated on a visibly loaded host
+    * (ratio 11-13× the synthetic calibration run; the same session timed
+    * untouched q32 at 1.3-1.6× its calm-host median) — within noise of
+    * r7, NOT claimed as a local win: the count job it removes reads an
+    * already-checkpointed frame in ~50 ms locally. The win is structural:
+    * one fewer driver→cluster round-trip per round, which is real money
+    * on a 1000-executor cluster where job submission + scheduling is
+    * milliseconds-to-seconds, and AQE already turns the remaining action
+    * into its stage-wise jobs either way. The symmetrized edge frame is
     * repartitioned on its probe key `db` BEFORE its one-time checkpoint:
     * localCheckpoint preserves outputPartitioning, so the per-round join
     * re-shuffles only the (much smaller) label frame, not the edges —
@@ -79,12 +90,36 @@ object GraphOps {
       .select(col("doc_id"),
         least(col("doc_id"), col("nbr_min")).as("cluster_id"))
       .localCheckpoint()
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    // Debug-only job counter proving the one-action-per-round claim below:
+    // GRAFT_CC_DEBUG prints the job-start delta per round (listener bus is
+    // async, so a boundary job can land a line late, but steady-state
+    // rounds print jobs=1).
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    if (debug)
+      edges.sparkSession.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobCount.incrementAndGet(); ()
+          }
+        })
     var changed = 1L; var iters = 0
     while (changed > 0 && iters < MaxRounds) {
       val nbrMin = sym.join(labels, sym("db") === labels("doc_id"))
         .groupBy(sym("da").as("nb_id")).agg(min("cluster_id").as("nbr_min"))
       val lookup = labels
         .select(col("doc_id").as("j_id"), col("cluster_id").as("j_cid"))
+      // ONE action per round: the convergence count rides the checkpoint
+      // job as an observed metric (CollectMetrics accumulates per task —
+      // zero extra jobs, zero extra shuffles) instead of r6/r7's separate
+      // `next.filter(...).count()`, which ran a whole second job per round
+      // over the checkpointed frame. localCheckpoint() executes this
+      // dataset's own queryExecution, so the metric is read back
+      // SYNCHRONOUSLY from the executed plan's accumulators
+      // (observedMetrics) — not via Observation.get, which would block on
+      // the async listener bus once per round.
+      val jobsBefore = jobCount.get()
       val next = labels
         .join(nbrMin, labels("doc_id") === nbrMin("nb_id"), "left")
         .join(lookup, labels("cluster_id") === col("j_id"), "left")
@@ -92,12 +127,18 @@ object GraphOps {
           least(least(col("cluster_id"),
               coalesce(col("nbr_min"), col("cluster_id"))),
             coalesce(col("j_cid"), col("cluster_id"))).as("new_cid"))
-        .localCheckpoint()
-      changed = next.filter(col("new_cid") =!= col("old_cid")).count()
-      labels = next.select(col("doc_id"), col("new_cid").as("cluster_id"))
+        .observe("cc_changed", sum(when(col("new_cid") =!= col("old_cid"), 1L)
+          .otherwise(0L)).as("changed"))
+      val cp = next.localCheckpoint()
+      changed = next.queryExecution.observedMetrics.get("cc_changed") match {
+        case Some(row) if !row.isNullAt(0) => row.getLong(0)
+        case _ => 0L // empty label frame: no rows, no changes
+      }
+      labels = cp.select(col("doc_id"), col("new_cid").as("cluster_id"))
       iters += 1
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc] round $iters changed=$changed")
+      if (debug)
+        System.err.println(s"[cc] round $iters changed=$changed " +
+          s"jobs=${jobCount.get() - jobsBefore}")
     }
     // The 30-round cap bounds pathological chains; hitting it means the
     // returned labels are NOT a converged fixpoint — surface that loudly

@@ -252,31 +252,26 @@ object PipelineOps {
     // expressions the optimizer injects for selective joins, registered
     // SQL-callable via the ColumnBridge seam (they are not in the public
     // FunctionRegistry).
+    // Pure DataFrame API — no session mutation: the bloom pair builds
+    // through graft.functions.BloomExprs (ColumnBridge columns; also
+    // SQL-registered session-wide by GraftExtensions), and the 1-row bloom
+    // frame reaches the corpus filter as a Dataset.scalar() subquery, so
+    // concurrent query builds in one session share nothing mutable (the r7
+    // form registered functions + fixed-name temp views inside this
+    // lambda — a second concurrent build would have raced the view names).
     "q110_bloom_decontaminate" -> ((s, d) => {
-      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
-      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-      import org.apache.spark.sql.graftx.ColumnBridge
-      ColumnBridge.registerFunction(s, "graft_bloom_agg",
-        es => new BloomFilterAggregate(es(0), es(1), es(2))
-          .toAggregateExpression())
-      ColumnBridge.registerFunction(s, "graft_bloom_contains",
-        es => BloomFilterMightContain(es(0), es(1)))
+      import graft.functions.BloomExprs
       val grams = grams5(s, d)
-      grams.filter(col("doc_id") % 7 === 0).select("g5")
-        .createOrReplaceTempView("graft_bench_grams")
-      grams.filter(col("doc_id") % 7 =!= 0)
-        .createOrReplaceTempView("graft_corpus_grams")
+      val bench = grams.filter(col("doc_id") % 7 === 0).select("g5")
       // 100k est. items / 800k bits ⇒ ~3 % FPR at this gram cardinality;
       // the exact confirm below makes the FPR a throughput knob, not a
       // correctness one.
-      val candidates = s.sql(
-        """SELECT doc_id, g5 FROM graft_corpus_grams
-           WHERE graft_bloom_contains(
-             (SELECT graft_bloom_agg(g5, 100000L, 800000L)
-              FROM graft_bench_grams), g5)""")
+      val bloom = bench.agg(
+        BloomExprs.bloomAgg(col("g5"), lit(100000L), lit(800000L)).as("bf"))
+      val candidates = grams.filter(col("doc_id") % 7 =!= 0)
+        .filter(BloomExprs.mightContain(bloom.scalar(), col("g5")))
       val flagged = candidates
-        .join(grams.filter(col("doc_id") % 7 === 0).select("g5").distinct()
-          .hint("shuffle_hash"), Seq("g5"), "left_semi")
+        .join(bench.distinct().hint("shuffle_hash"), Seq("g5"), "left_semi")
         .select("doc_id").distinct()
       flagged
         .join(ld(s, d, "documents").select("doc_id", "source"), Seq("doc_id"))
@@ -298,7 +293,10 @@ object PipelineOps {
     // chunk granularity — measured 2.51 s → 0.93 s at sf0.1 (BenchSome
     // medians, warm-up + median-of-3) over the relational form below,
     // which moved one ROW per character through a Generate+window+join
-    // just to find ~|text|/16 boundaries. The only
+    // just to find ~|text|/16 boundaries. r8 re-measured after the
+    // code-point fix: 0.72 s calm host / 0.81 s loaded host (ratio 2.3×
+    // the synthetic calibration) — BENCH_r07's 3.109 s was in-suite
+    // host-load inflation, not the expression's cost. The only
     // shuffle left is the md5-keyed fingerprint aggregate (map-side
     // combined). [[cdcChunksRelational]] keeps the row-per-char form and
     // CdcChunksParitySpec pins that both emit identical chunk multisets —
@@ -368,8 +366,16 @@ object PipelineOps {
     * the native CdcChunks expression, kept as its cross-implementation
     * oracle — CdcChunksParitySpec pins that both emit identical
     * (doc_id, chunk) multisets. */
-  private[graft] def cdcChunksRelational(s: SparkSession, d: String): DataFrame = {
-    val docs = ld(s, d, "documents").filter(col("n_chars") >= 4)
+  private[graft] def cdcChunksRelational(s: SparkSession, d: String): DataFrame =
+    cdcChunksRelationalFrom(
+      ld(s, d, "documents").select("doc_id", "text", "n_chars"))
+
+  /** Same relational chunker over any (doc_id, text, n_chars) frame —
+    * lets CdcChunksParitySpec drive parity on synthetic non-BMP corpora
+    * the parquet fixtures don't carry. n_chars must be the CODE-POINT
+    * length (Spark's length()), matching the native walk. */
+  private[graft] def cdcChunksRelationalFrom(input: DataFrame): DataFrame = {
+    val docs = input.filter(col("n_chars") >= 4)
     val bnd = docs
       .select(col("doc_id"), col("text"), col("n_chars"),
         explode(sequence(lit(4), col("n_chars").cast("int"))).as("i"))

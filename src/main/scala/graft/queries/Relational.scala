@@ -257,6 +257,10 @@ object Relational {
       // keeps both branches sort-free (SMJ would add two sorts; broadcast
       // would rebuild the pipeline under BroadcastExchange — the r4 q45
       // lesson). Measured sf0.1 min-of-2: 1.62 → ~1.0 s.
+      // ISOLATED MEDIAN (BenchSome, warm-up + median-of-3, r8, untouched
+      // code): 0.77 s calm host / 1.02 s loaded host (ratio 2.9× the
+      // synthetic calibration run) — BENCH_r07's 4.508 s was a host-load
+      // phantom, the q24 class; the plan did not regress.
       val base = ld(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
           "l_quantity")
@@ -401,6 +405,11 @@ object Relational {
         .orderBy(col("revenue").desc, col("l_partkey"))
         .limit(25)),
 
+    // ISOLATED MEDIAN (BenchSome, warm-up + median-of-3, r8, untouched
+    // code): 0.38 s calm host / 0.54 s loaded host (ratio 1.6× the
+    // synthetic calibration run) — BENCH_r07's 3.252 s was a host-load
+    // phantom (same class as q24, proven r7, and q19): a pure codegen'd
+    // date projection over 600 k rows cannot cost 3 s.
     "q32_date_funcs" -> ((s, d) =>
       ld(s, d, "orders").select(
         col("o_orderkey"),

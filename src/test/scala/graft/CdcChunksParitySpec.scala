@@ -37,6 +37,40 @@ class CdcChunksParitySpec extends AnyFunSuite with SparkFixture {
     assert(rebuilt.isEmpty, "chunk concatenation must reproduce the text")
   }
 
+  test("non-BMP text (surrogate pairs): native equals relational and " +
+    "chunks never split a code point") {
+    import spark.implicits._
+    // Emoji + supplementary CJK mixed into ASCII at varying offsets: every
+    // emoji is 2 UTF-16 code units but 1 code point, so a code-unit walk
+    // would shift all later boundaries and could emit half a surrogate
+    // pair. n_chars = Spark length() = code points, matching the corpus.
+    val texts = Seq(
+      "a😀bcdefg hij🚀klm nop qrstu vwxyz",
+      "🍕🍕🍕 pizza pizza pizza 🍕",
+      "mixed 𣎴 supplementary 𣎴 cjk text here ok",
+      "the quick brown fox 🦊 jumps over the lazy dog " * 3,
+      "tail emoji after ascii run 😀😁😂")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+    val native = docs.filter(col("n_chars") >= 4)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.cdcChunks(col("text")))
+          .as("chunk"))
+    val relational = graft.queries.PipelineOps.cdcChunksRelationalFrom(docs)
+    assert(native.exceptAll(relational).isEmpty &&
+      relational.exceptAll(native).isEmpty,
+      "non-BMP chunk multisets differ between native and relational")
+    // a split surrogate pair would surface as an unpaired \ud800-\udfff
+    // char at a chunk edge; rebuilding the text catches it end-to-end
+    val rebuilt = docs
+      .select(col("text"),
+        concat_ws("", graft.functions.TextExprs.cdcChunks(col("text")))
+          .as("rebuilt"))
+      .filter(col("text") =!= col("rebuilt"))
+    assert(rebuilt.isEmpty, "non-BMP chunk concatenation must reproduce text")
+  }
+
   test("strings shorter than the 4-char window produce no chunks; a " +
     "4-char string produces exactly itself") {
     import spark.implicits._

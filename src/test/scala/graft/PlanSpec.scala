@@ -165,14 +165,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     "with one shared cid Exchange") {
     val p = plan("q111_semdedup")
     assert(!p.contains("CartesianProduct"))
-    // the static plan instantiates the assignment subtree per consumer
-    // (3×), each holding the two k×4-row centroid-attach BNLJs — those are
-    // fine (the broadcast side is k rows); what must NEVER appear is a
-    // nested loop whose BOTH sides are the corpus. Every corpus×corpus
-    // contact goes through the cid equi-join below; at runtime the AQE
-    // stage cache collapses the three identical cid-keyed exchanges.
-    val bnlj = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
-    assert(bnlj <= 6, s"unexpected pair-space nested loop ($bnlj):\n$p")
+    // Identify the pair join POSITIVELY instead of bounding the BNLJ count
+    // (r7 asserted bnlj <= 6, which a regressed corpus-pair BNLJ could
+    // slip under if a centroid-attach BNLJ disappeared): the corpus×corpus
+    // contact must be an Inner HASH equi-join keyed on cid on BOTH sides.
+    // The centroid-attach BNLJs that remain are k×4-row broadcasts — fine.
+    val pairJoin =
+      """\(\d+\) (ShuffledHashJoin|SortMergeJoin)\s*\nLeft keys \[1\]: \[cid#\d+L?\]\s*\nRight keys \[1\]: \[cid#\d+L?\]\s*\nJoin type: Inner""".r
+    assert(pairJoin.findFirstIn(p).isDefined,
+      s"pair join must be an Inner hash equi-join on cid:\n$p")
     assert(p.contains("hashpartitioning(cid"),
       s"pair-join sides must arrive co-partitioned on cid:\n$p")
   }
