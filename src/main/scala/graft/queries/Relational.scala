@@ -630,6 +630,70 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // q86's AUTOMATIC twin: the same skewed join (3-value key, broadcast
+    // disabled) left unsalted and handed to AQE's OptimizeSkewedJoin,
+    // which splits oversized post-shuffle partitions on the fact side and
+    // replicates the matching dim partition — the runtime version of what
+    // q86's salt does by construction. SkewJoinSpec pins the EXECUTED
+    // plan: SortMergeJoin(skew=true) + an "AQEShuffleRead skewed" on the
+    // fact side. Getting the rule to fire at all is the documentation
+    // here — it demands exactly this shape (each probed on Spark 4.1):
+    //   1. The dim must arrive with UNKNOWN partitioning (here: written to
+    //      parquet and read back, as a real dim table would) — a groupBy
+    //      dim already satisfies the join's clustering, so EnsureRequire-
+    //      ments inserts no dim-side Exchange and the rule's pattern
+    //      (raw ENSURE_REQUIREMENTS shuffle under BOTH sort sides) never
+    //      matches. An explicit repartition(col) doesn't help either:
+    //      REPARTITION_BY_COL origin is rejected by the same pattern.
+    //   2. The skewed partition splits at map-output granularity, so the
+    //      fact side needs MANY map tasks. A toy-scale parquet is one
+    //      row group = one map task = unsplittable; the round-robin
+    //      repartition(32) below stands in for the thousands of upstream
+    //      tasks a real fact has (and is why salting needs no such prop).
+    //   3. spark.sql.adaptive.autoBroadcastJoinThreshold must ALSO be
+    //      disabled — AQE re-plans the SMJ into a broadcast join from
+    //      runtime stats before skew handling is ever consulted.
+    //   4. forceOptimizeSkewedJoin, because the downstream same-key
+    //      aggregate otherwise vetoes the split (it breaks the join's
+    //      output partitioning; AQE re-shuffles for the agg instead —
+    //      the documented price of the automatic path).
+    // WHEN TO USE WHICH: AQE's split is free to adopt (no query rewrite)
+    // but is engine-specific, only rescues sort-merge/shuffled-hash
+    // shapes matching the pattern above, and splits by map ranges — one
+    // monster key spread across few map outputs still bottlenecks.
+    // q86's salting is a deterministic, engine-portable REWRITE that
+    // spreads even a single hot key over S reducers by construction —
+    // the choice at 100 TB when one key dominates or the join shape
+    // doesn't match the rule. The aggregate itself needs no rescue either
+    // way: partial aggregation shrinks every task to ≤3 rows pre-shuffle.
+    "q116_skew_aqe_join" -> ((s, d) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      ss.conf.set("spark.sql.shuffle.partitions", "32")
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ss.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      ss.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      ss.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      val l = ld(ss, d, "lineitem")
+      val dimPath =
+        s"/root/repo/target/sink/${d.replaceAll(".*/", "")}/q116_dim"
+      l.groupBy("l_returnflag").agg(
+        sum(expr("CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+          .as("fqc"),
+        count(lit(1)).as("fn"))
+        .write.mode("overwrite").parquet(dimPath)
+      l.select(col("l_returnflag"), col("l_quantity")).repartition(32)
+        .join(ss.read.parquet(dimPath), Seq("l_returnflag"))
+        .filter(expr(
+          "CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT) * fn > fqc"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_above_avg"))
+        .orderBy("l_returnflag")
+    }),
+
     // Runtime BLOOM-FILTER join (semi-join reduction): a selective filter
     // on orders means most lineitem rows can't find a partner — Catalyst's
     // InjectRuntimeFilter builds a bloom filter over the filtered orders'
@@ -953,6 +1017,20 @@ object Relational {
          WHERE o_totalprice > 490000
          GROUP BY o_orderpriority
          ORDER BY o_orderpriority""",
+    // the UNSALTED join — salting must be result-invisible; q116 (the AQE
+    // twin) must produce the identical answer, so it shares this oracle
+    // modulo the alias
+    "q116_skew_aqe_join" ->
+      """WITH f AS (SELECT l_returnflag,
+                           sum(CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100
+                                    AS BIGINT)) AS fqc,
+                           count(*) AS fn
+                    FROM lineitem GROUP BY l_returnflag)
+         SELECT l.l_returnflag, count(*) AS n_above_avg
+         FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+         WHERE CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT) * fn > fqc
+         GROUP BY l.l_returnflag
+         ORDER BY l.l_returnflag""",
     // the UNSALTED join — salting must be result-invisible
     "q86_skew_salted_join" ->
       """WITH f AS (SELECT l_returnflag,

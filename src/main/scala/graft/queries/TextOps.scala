@@ -281,22 +281,8 @@ object TextOps {
     // ham ≤ 3 with p = 2^-16 collisions (n can grow 256× for the same
     // candidate density); beyond that, shard on a second signature tier
     // and re-rank, as q68 does for embeddings.
-    "q67_simhash_banded" -> ((s, d) => {
-      val sig = simhash64(ld(s, d, "documents"))
-      val bandCols = (0 until 8).map(j =>
-        s"$j, cast(shiftright(sim64, ${8 * j}) & 255 as int)").mkString(", ")
-      val buckets = sig.selectExpr("doc_id", "sim64",
-        s"stack(8, $bandCols) AS (band_idx, band_val)")
-      buckets.as("x").join(buckets.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-            col("x.band_val") === col("y.band_val") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-          bit_count(col("x.sim64").bitwiseXOR(col("y.sim64"))).as("hamming"))
-        .filter(col("hamming") <= 6)
-        .distinct() // a pair can share several bands
-        .orderBy("da", "db")
-    }),
+    "q67_simhash_banded" -> ((s, d) =>
+      simhashBandedPairs(ld(s, d, "documents")).orderBy("da", "db")),
 
     // q67's band-width-scaling math, DEMONSTRATED: 4 bands of 16 bits over
     // the same 64-bit signature. Pigeonhole gives guaranteed 100% recall at
@@ -577,6 +563,27 @@ object TextOps {
     * xxhash64 so the DuckDB oracle can reproduce it bit-for-bit:
     * Spark `conv(substr(md5(tok),1,8),16,10)` ==
     * DuckDB `('0x' || substr(md5(tok),1,8))::BIGINT`. */
+  /** q67's banded near-dup candidate pairs over ANY (doc_id, text) frame —
+    * 64-bit simhash, 8 bands of 8 bits, bucket equi-join, exact Hamming
+    * re-rank at ≤ 6, distinct pairs. Extracted so q117's curation pipeline
+    * can run the same edge builder over its quality/exact-dedup survivors
+    * instead of the whole table; q67 and q101 consume it unchanged. */
+  private[queries] def simhashBandedPairs(docs: DataFrame): DataFrame = {
+    val sig = simhash64(docs)
+    val bandCols = (0 until 8).map(j =>
+      s"$j, cast(shiftright(sim64, ${8 * j}) & 255 as int)").mkString(", ")
+    val buckets = sig.selectExpr("doc_id", "sim64",
+      s"stack(8, $bandCols) AS (band_idx, band_val)")
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        bit_count(col("x.sim64").bitwiseXOR(col("y.sim64"))).as("hamming"))
+      .filter(col("hamming") <= 6)
+      .distinct() // a pair can share several bands
+  }
+
   private def simhash64(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -625,8 +632,9 @@ object TextOps {
         sig AS (SELECT doc_id, $bits AS s FROM v)"""
   }
 
-  /** DuckDB replica of [[simhash64]], used by q67's brute-force oracle. */
-  private def duckSimhash64: String = {
+  /** DuckDB replica of [[simhash64]], used by q67's brute-force oracle and
+    * (via `from`) by q117's over its dedup-survivor CTE. */
+  private[queries] def duckSimhash64(from: String = "documents"): String = {
     val votes = (0 until 64).map { b =>
       val src = if (b < 32) s"(h1 >> $b)" else s"(h2 >> ${b - 32})"
       s"sum(CASE WHEN ($src & 1) = 1 THEN 1 ELSE -1 END) AS v$b"
@@ -638,7 +646,7 @@ object TextOps {
       s"(CASE WHEN v$b > 0 THEN $pow ELSE 0 END)"
     }.mkString(" + ")
     s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                 FROM documents),
+                 FROM $from),
         th AS (SELECT doc_id,
                       ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
                       ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
@@ -748,7 +756,7 @@ object TextOps {
     // this proves both the cross-engine simhash AND that 8×8 banding has
     // 100% recall at hamming ≤ 6 (the pigeonhole guarantee, empirically).
     "q67_simhash_banded" ->
-      s"""WITH $duckSimhash64
+      s"""WITH ${duckSimhash64()}
           SELECT a.doc_id AS da, b.doc_id AS db,
                  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -757,7 +765,7 @@ object TextOps {
     // Brute-force ham≤3 scan over the same 64-bit signature — green proves
     // 4×16-bit banding has 100% recall at hamming ≤ 3 (pigeonhole).
     "q105_simhash_banded16" ->
-      s"""WITH $duckSimhash64
+      s"""WITH ${duckSimhash64()}
           SELECT a.doc_id AS da, b.doc_id AS db,
                  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -766,7 +774,7 @@ object TextOps {
     // exact transitive closure over the same pair set — the propagation
     // loop must reach this fixpoint
     "q101_dedup_components" ->
-      s"""WITH RECURSIVE $duckSimhash64,
+      s"""WITH RECURSIVE ${duckSimhash64()},
           edges AS (SELECT a.doc_id AS da, b.doc_id AS db
                     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
                     WHERE bit_count(xor(a.s, b.s)) <= 6),

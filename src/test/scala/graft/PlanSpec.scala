@@ -178,6 +178,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"pair-join sides must arrive co-partitioned on cid:\n$p")
   }
 
+  test("q115: frame dHash near-dup pairs only via the band-bucket " +
+    "equi-join — no corpus broadcast, no nested loop") {
+    val p = plan("q115_frame_neardup")
+    assert(!p.contains("BroadcastExchange"),
+      s"frame-signature broadcast would die at corpus scale:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"pair space must stay bucketed:\n$p")
+    assert(p.contains("band_val"), "bucket join key missing from the plan")
+  }
+
   test("q93: re-scan of the partitioned write prunes to one partition") {
     val p = plan("q93_partition_pruning")
     val pf = p.linesIterator.find(_.contains("PartitionFilters"))
