@@ -418,6 +418,68 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Corpus-level repeated-SPAN scrub — the relational stand-in for the
+    // suffix-array exact-substring dedup pass (RefinedWeb/MassiveText run
+    // one between exact-doc and fuzzy dedup): a word-5-gram span occurring
+    // in ≥ 2 distinct documents is cross-document duplicated text, every token
+    // covered by any such span (gram start within 4 positions back) is
+    // removed from EVERY document, and the scrubbed text is re-assembled
+    // in token order. Unlike q98 (which flags whole documents) this
+    // REWRITES the text — the op that actually strips shared headers /
+    // footers / license blocks at scale. Plan: one gram shuffle for the
+    // document-frequency count (map-side combined), one (doc_id, pos)
+    // semi-join to mark span starts, one per-doc window (ROWS 4 PRECEDING)
+    // to widen starts to coverage, one per-doc aggregate to rebuild —
+    // never a corpus broadcast, rebuild state bounded by document length.
+    // The gram key is the engine-portable 32-bit md5 hash (the q46
+    // recipe): a narrower shuffle than raw gram strings, and a collision
+    // collides IDENTICALLY in DuckDB, so the oracle replays bit-for-bit
+    // (at 100 TB you'd swap in xxhash64 and lose the oracle, not the
+    // shape). Output keeps the scrubbed text as an md5 so the row stays
+    // narrow; n_removed records the attrition.
+    "q118_span_scrub" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val toks = ld(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val starts = toks
+        .select(col("doc_id"), col("pos"), col("tok"),
+          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"),
+          lead("tok", 3).over(w).as("t3"), lead("tok", 4).over(w).as("t4"))
+        .filter(col("t4").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          conv(substring(md5(concat_ws(" ", col("tok"), col("t1"),
+            col("t2"), col("t3"), col("t4"))), 1, 8), 16, 10)
+            .cast("long").as("g5"))
+      // df ≥ 2 = "this exact span also appears in some OTHER document" —
+      // the RefinedWeb-style drop-duplicated-spans rule (measured at
+      // sf0.01: 71/500 docs scrubbed, 2550/27165 tokens removed; df ≥ 3
+      // would touch only 3 docs on this corpus)
+      val hot = starts.groupBy("g5")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 2)
+        .select("g5")
+      val flagged = starts
+        .join(hot.hint("shuffle_hash"), Seq("g5"), "left_semi")
+        .select(col("doc_id"), col("pos"), lit(1).as("flag"))
+      val cov = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(-4, 0)
+      // the span-start frame is a corpus fraction — keyed shuffle, never
+      // a broadcast (Spark would happily broadcast it at toy scale)
+      toks.join(flagged.hint("shuffle_hash"), Seq("doc_id", "pos"), "left")
+        .withColumn("covered",
+          max(coalesce(col("flag"), lit(0))).over(cov) === 1)
+        .groupBy("doc_id").agg(
+          count(lit(1)).cast("int").as("n_tokens"),
+          sum(when(col("covered"), 1).otherwise(0)).cast("int")
+            .as("n_removed"),
+          md5(concat_ws(" ", expr(
+            """transform(filter(array_sort(collect_list(
+                 struct(pos, tok, covered))), x -> NOT x.covered),
+               x -> x.tok)"""))).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q87_length_quantiles" -> ((s, d) => {
       val docs = ld(s, d, "documents").select("doc_id", "source", "n_chars")
       val sizes = docs.groupBy("source").agg(count(lit(1)).as("nd"))
@@ -642,6 +704,46 @@ object PipelineOps {
          SELECT doc_id, source, n_tokens
          FROM o, b WHERE cum_before < budget
          ORDER BY doc_id""",
+    // same 5-gram window leads, same portable 32-bit md5 gram hash, same
+    // ROWS-4-PRECEDING coverage widening; string_agg FILTER rebuilds in
+    // token order (coalesce('') matches Spark's concat_ws on empty)
+    "q118_span_scrub" ->
+      """WITH toks AS (SELECT doc_id,
+                              CAST(u.i AS INTEGER) - 1 AS pos,
+                              w[CAST(u.i AS INTEGER)] AS tok
+                       FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                                    unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+                             FROM documents) u),
+              leads AS (SELECT doc_id, pos, tok,
+                               lead(tok, 1) OVER wd AS t1,
+                               lead(tok, 2) OVER wd AS t2,
+                               lead(tok, 3) OVER wd AS t3,
+                               lead(tok, 4) OVER wd AS t4
+                        FROM toks
+                        WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+              starts AS (SELECT doc_id, pos,
+                                ('0x' || substr(md5(tok || ' ' || t1 || ' ' ||
+                                   t2 || ' ' || t3 || ' ' || t4), 1, 8))::BIGINT
+                                  AS g5
+                         FROM leads WHERE t4 IS NOT NULL),
+              hot AS (SELECT g5 FROM starts
+                      GROUP BY g5 HAVING count(DISTINCT doc_id) >= 2),
+              flags AS (SELECT doc_id, pos, 1 AS flag FROM starts
+                        WHERE g5 IN (SELECT g5 FROM hot)),
+              cov AS (SELECT t.doc_id, t.pos, t.tok,
+                             max(coalesce(f.flag, 0)) OVER
+                               (PARTITION BY t.doc_id ORDER BY t.pos
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) = 1
+                               AS covered
+                      FROM toks t LEFT JOIN flags f
+                        ON t.doc_id = f.doc_id AND t.pos = f.pos)
+         SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+                CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS INTEGER)
+                  AS n_removed,
+                md5(coalesce(string_agg(tok, ' ' ORDER BY pos)
+                               FILTER (WHERE NOT covered), ''))
+                  AS scrubbed_md5
+         FROM cov GROUP BY doc_id ORDER BY doc_id""",
     // all five stages replayed in one WITH RECURSIVE chain: quality gate
     // (q95 exprs), exact dedup (min per md5), near-dup closure (q101's
     // recursive CTE over q67's simhash edges computed over sb), exact

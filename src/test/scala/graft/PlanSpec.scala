@@ -188,6 +188,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("band_val"), "bucket join key missing from the plan")
   }
 
+  test("q118: span scrub marks coverage via keyed shuffles — no " +
+    "corpus-fraction broadcast") {
+    val p = plan("q118_span_scrub")
+    assert(!p.contains("BroadcastExchange"),
+      s"span-start frame must shuffle, not broadcast:\n$p")
+    assert(p.contains("LeftSemi"), "hot-gram semi-join missing")
+  }
+
   test("q93: re-scan of the partitioned write prunes to one partition") {
     val p = plan("q93_partition_pruning")
     val pf = p.linesIterator.find(_.contains("PartitionFilters"))
