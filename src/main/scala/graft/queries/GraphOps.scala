@@ -120,6 +120,13 @@ object GraphOps {
       // (observedMetrics) — not via Observation.get, which would block on
       // the async listener bus once per round.
       val jobsBefore = jobCount.get()
+      // (r8 experiment, rejected: a SECOND pointer jump per round — one
+      // more label-sized join — did not reduce the round count on either
+      // the spec graphs or the sf0.1 corpus: the slow tail is nbrMin
+      // propagation walking a chain one hop per round, which label-jumps
+      // cannot shortcut. The O(log n) fix would be Large-Star/Small-Star
+      // edge restructuring, which rewrites the EDGE frame every round —
+      // strictly more expensive at this edge:label ratio.)
       val next = labels
         .join(nbrMin, labels("doc_id") === nbrMin("nb_id"), "left")
         .join(lookup, labels("cluster_id") === col("j_id"), "left")
