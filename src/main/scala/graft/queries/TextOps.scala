@@ -490,6 +490,39 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // BPE merge INDUCTION — the tokenizer-TRAINING counterpart of q51's
+    // tokenizer-application: one merge round of byte-pair encoding,
+    // computed the way it scales to 100 TB. The only corpus-scale work is
+    // the word-frequency aggregate (map-side combined, shuffled on the
+    // word); everything after runs on the VOCABULARY — each distinct word
+    // is char-exploded once and its adjacent-symbol pairs weighted by the
+    // word's corpus frequency, so a word appearing a billion times costs
+    // one row, not a billion. That vocab-not-corpus pivot is exactly how
+    // production BPE trainers make merge counting tractable; subsequent
+    // merge rounds re-tokenize the vocab and repeat (a driver loop like
+    // connectedComponents — one round is the demonstrable unit). Output:
+    // the top-20 merge candidates (count desc, pair asc — the
+    // deterministic tie order both engines share).
+    "q121_bpe_merges" -> ((s, d) => {
+      val wfreq = ld(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val wp = Window.partitionBy("w").orderBy("p")
+      val rk = Window.orderBy(col("pair_cnt").desc, col("a"), col("b"))
+      wfreq
+        .select(col("w"), col("freq"),
+          posexplode(split(col("w"), "")).as(Seq("p", "ch")))
+        .select(col("w"), col("freq"), col("ch").as("a"),
+          lead("ch", 1).over(wp).as("b"))
+        .filter(col("b").isNotNull)
+        .groupBy("a", "b").agg(sum("freq").as("pair_cnt"))
+        .withColumn("rank", row_number().over(rk))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("a"), col("b"), col("pair_cnt"))
+        .orderBy("rank")
+    }),
+
     // Corpus vocabulary statistics: top-10 terms per source by TF-IDF —
     // the "what characterizes each source" report every curation pipeline
     // runs before weighting/filtering sources. The corpus is scanned and
@@ -861,6 +894,27 @@ object TextOps {
                 CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INTEGER) AS n_word,
                 CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_num
          FROM documents ORDER BY doc_id""",
+    // vocab-level pair counting: 1-based char indexing replaces the window
+    // leads (same pairs); rank alias quoted (RANK is a DuckDB keyword)
+    "q121_bpe_merges" ->
+      """WITH wf AS (SELECT w, count(*) AS freq
+                     FROM (SELECT unnest(string_split(text, ' ')) AS w
+                           FROM documents)
+                     WHERE length(w) >= 2 GROUP BY w),
+              ch0 AS (SELECT w, freq,
+                             unnest(range(1, length(w))) AS i
+                      FROM wf),
+              ch AS (SELECT w, freq,
+                            w[CAST(i AS INTEGER)] AS a,
+                            w[CAST(i AS INTEGER) + 1] AS b
+                     FROM ch0),
+              pc AS (SELECT a, b, sum(freq) AS pair_cnt FROM ch
+                     GROUP BY a, b),
+              r AS (SELECT *, row_number() OVER
+                      (ORDER BY pair_cnt DESC, a, b) AS mrank FROM pc)
+         SELECT CAST(mrank AS INTEGER) AS "rank", a, b,
+                CAST(pair_cnt AS BIGINT) AS pair_cnt
+         FROM r WHERE mrank <= 20 ORDER BY mrank""",
     "q40_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY canonical_id""",
