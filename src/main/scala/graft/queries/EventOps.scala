@@ -391,6 +391,41 @@ object EventOps {
       ss.table(name).orderBy("event_type")
     }),
 
+    // STREAMING incremental dedup — q94's per-ingest anti-join run the way
+    // a recurring-crawl pipeline actually deploys it: the "new batch"
+    // arrives as a STREAM of documents, the accumulated snapshot's content
+    // fingerprints are the static side, and each microbatch left-anti
+    // joins against them, admitting only never-seen content. No stream
+    // state at all (the seen-set lives outside the stream, refreshed per
+    // ingest cycle) — the stateful alternative (dropDuplicates over the
+    // fingerprint, q76's shape) would hold the ENTIRE historical digest
+    // set in the state store forever; the stream-static anti-join keeps
+    // the stream stateless and the seen-set where it belongs, in a
+    // (bucketed, at 100 TB) table. Same rows as q94 by construction, so
+    // it shares q94's oracle semantics; the digest is computed per
+    // microbatch row — pure projection, no shuffle on the stream side
+    // until the (broadcast-suppressed in batch; per-microbatch here)
+    // anti-join.
+    "q122_stream_incremental_dedup" -> ((s, d) =>
+      withStreamSession(s, 8) { ss =>
+        val docs = graft.Tables.ld(ss, d, "documents")
+        val seen = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(md5(col("text")).as("fp"))
+        val rawSchema = ss.read.parquet(s"$d/documents.parquet").schema
+        val name = "graft_stream_incr_dedup"
+        val q = ss.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .filter(col("doc_id") % 5 === 0)
+          .withColumn("fp", md5(col("text")))
+          .join(seen, Seq("fp"), "left_anti")
+          .select("doc_id", "source", "n_chars")
+          .writeStream.outputMode("append").format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ss.table(name).orderBy("doc_id")
+      }),
+
     // Stream-stream inner join: purchases ⋈ clicks on user within a 30-min
     // event-time window, BOTH sides watermarked — Spark derives state
     // eviction from the watermarks + the time-range condition (each side
@@ -503,6 +538,16 @@ object EventOps {
                            WHERE event_type = 'purchase'
                            GROUP BY user_id HAVING sum(value) > 500)
          GROUP BY event_type ORDER BY event_type""",
+    // q94's batch semantics exactly — the streaming path must admit the
+    // same never-seen rows
+    "q122_stream_incremental_dedup" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars, md5(text) AS fp
+                       FROM documents),
+              seen AS (SELECT fp FROM docs WHERE doc_id % 5 <> 0)
+         SELECT doc_id, source, n_chars
+         FROM docs
+         WHERE doc_id % 5 = 0 AND fp NOT IN (SELECT fp FROM seen)
+         ORDER BY doc_id""",
     // identical contract to q71 — verifies the typed flatMapGroups path
     "q77_typed_sessionize" ->
       """WITH t AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
