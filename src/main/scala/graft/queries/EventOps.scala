@@ -417,7 +417,10 @@ object EventOps {
           .option("pathGlobFilter", "documents.parquet").parquet(d)
           .filter(col("doc_id") % 5 === 0)
           .withColumn("fp", md5(col("text")))
-          .join(seen, Seq("fp"), "left_anti")
+          // shuffle_hash: the seen-set is the whole historical corpus at
+          // scale — Spark would broadcast the 400-row toy version per
+          // microbatch and hide that (the q94 hint, same reasoning)
+          .join(seen.hint("shuffle_hash"), Seq("fp"), "left_anti")
           .select("doc_id", "source", "n_chars")
           .writeStream.outputMode("append").format("memory").queryName(name)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

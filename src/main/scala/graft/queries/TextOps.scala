@@ -509,6 +509,9 @@ object TextOps {
         .filter(length(col("w")) >= 2)
         .groupBy("w").agg(count(lit(1)).as("freq"))
       val wp = Window.partitionBy("w").orderBy("p")
+      // unpartitioned window is safe HERE only because its input is the
+      // symbol-pair space (alphabet², a few hundred rows after the
+      // vocab-level aggregate) — never the corpus
       val rk = Window.orderBy(col("pair_cnt").desc, col("a"), col("b"))
       wfreq
         .select(col("w"), col("freq"),

@@ -196,6 +196,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("LeftSemi"), "hot-gram semi-join missing")
   }
 
+  test("q117: composed curation pipeline keeps its stage joins keyed — " +
+    "no pair-space product anywhere in the chain") {
+    val p = plan("q117_curation_pipeline")
+    assert(!p.contains("CartesianProduct"), "stage chain must stay keyed")
+    assert(p.contains("LeftSemi"), "decontamination gram contact missing")
+    assert(p.contains("LeftAnti"), "contaminated-doc drop missing")
+  }
+
   test("q93: re-scan of the partitioned write prunes to one partition") {
     val p = plan("q93_partition_pruning")
     val pf = p.linesIterator.find(_.contains("PartitionFilters"))
