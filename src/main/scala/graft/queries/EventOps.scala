@@ -405,7 +405,9 @@ object EventOps {
     // it shares q94's oracle semantics; the digest is computed per
     // microbatch row — pure projection, no shuffle on the stream side
     // until the (broadcast-suppressed in batch; per-microbatch here)
-    // anti-join.
+    // anti-join. ISOLATED MEDIAN (BenchSome, r8, calm host): 0.64 s at
+    // sf0.1 (ratio 2.1× cal) — the cheapest streaming query, because it
+    // carries zero state.
     "q122_stream_incremental_dedup" -> ((s, d) =>
       withStreamSession(s, 8) { ss =>
         val docs = graft.Tables.ld(ss, d, "documents")

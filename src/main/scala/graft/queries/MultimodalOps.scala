@@ -69,7 +69,9 @@ object MultimodalOps {
     // brute-force all-pairs scan over the identical hash, so a green row
     // proves the banding lost nothing. Frames are keyed fid =
     // doc_id·16 + frame_idx (frame_idx ≤ 9) so the pair ordering is one
-    // long compare, unpacked on output.
+    // long compare, unpacked on output. ISOLATED MEDIAN (BenchSome, r8,
+    // calm host): 2.06 s at sf0.1 (ratio 6.9× cal), in line with the
+    // clean full-run median (2.28 s).
     "q115_frame_neardup" -> ((s, d) => {
       val frames = ld(s, d, "documents")
         .select(col("doc_id"), col("text"), col("n_chars"))

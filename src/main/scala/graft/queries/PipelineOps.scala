@@ -360,7 +360,11 @@ object PipelineOps {
     // Stage attrition at sf0.01 (measured via the oracle's CTE counts,
     // oracle-hash-matched end to end): corpus 494 → quality gate 486 →
     // exact dedup 486 → near-dup canonical 413 → decontaminated 412 →
-    // admitted by the mixture budget 308.
+    // admitted by the mixture budget 308. ISOLATED MEDIAN (BenchSome,
+    // warm-up + median-of-3, r8, calm host cal 0.300 s): 7.90 s at sf0.1
+    // (ratio 26×), consistent with the 7.55 s clean full-run median —
+    // roughly half is the embedded connected-components stage (q101 runs
+    // ~4 s standalone), the rest the two gram passes + gate.
     "q117_curation_pipeline" -> ((s, d) => {
       // Stage A: quality gate over the non-benchmark corpus (the % 97
       // slice IS the benchmark, as in q98/q110)
@@ -436,7 +440,8 @@ object PipelineOps {
     // collides IDENTICALLY in DuckDB, so the oracle replays bit-for-bit
     // (at 100 TB you'd swap in xxhash64 and lose the oracle, not the
     // shape). Output keeps the scrubbed text as an md5 so the row stays
-    // narrow; n_removed records the attrition.
+    // narrow; n_removed records the attrition. ISOLATED MEDIAN (BenchSome,
+    // r8, calm host): 1.86 s at sf0.1 (ratio 6.2× cal).
     "q118_span_scrub" -> ((s, d) => {
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val toks = ld(s, d, "documents")

@@ -359,7 +359,9 @@ object VectorOps {
     // search — the compression trick that makes exhaustive ANN affordable
     // at 100 TB. See [[pqAdcRanked]] for the chain and the scale story;
     // this query reports the ADC top-3 per probe, and q120 scores the
-    // shortlist honestly against the exact ranking.
+    // shortlist honestly against the exact ranking. ISOLATED MEDIANS
+    // (BenchSome, r8, calm host): q119 1.76 s / q120 2.06 s at sf0.1
+    // (ratios 5.9× / 6.9× cal).
     "q119_ann_ivfpq" -> ((s, d) =>
       pqAdcRanked(s, d)
         .filter(col("rn") <= 3)
