@@ -68,6 +68,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         graft.functions.BloomExprs.containsBuilder(args)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_dhash64"),
+      new ExpressionInfo(classOf[graft.functions.DHash64].getName,
+        "graft_dhash64"),
+      (args: Seq[Expression]) => graft.functions.ImageExprs.builder(args)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cdc_chunks"),
       new ExpressionInfo(classOf[graft.functions.CdcChunks].getName,
         "graft_cdc_chunks"),

@@ -69,9 +69,11 @@ object MultimodalOps {
     // brute-force all-pairs scan over the identical hash, so a green row
     // proves the banding lost nothing. Frames are keyed fid =
     // doc_id·16 + frame_idx (frame_idx ≤ 9) so the pair ordering is one
-    // long compare, unpacked on output. ISOLATED MEDIAN (BenchSome, r8,
-    // calm host): 2.06 s at sf0.1 (ratio 6.9× cal), in line with the
-    // clean full-run median (2.28 s).
+    // long compare, unpacked on output. ISOLATED MEDIANS (BenchSome, r8,
+    // calm host, calibration-ratio'd): declarative transform()-array hash
+    // 2.06 s at sf0.1 (ratio 6.9× cal); native DHash64 kernel 0.55-0.63 s
+    // (ratio 1.7-2.0×) — 3.3× from moving the per-frame hash out of the
+    // interpreted higher-order lambda into one codegen'd pass.
     "q115_frame_neardup" -> ((s, d) => {
       val frames = ld(s, d, "documents")
         .select(col("doc_id"), col("text"), col("n_chars"))
@@ -81,15 +83,14 @@ object MultimodalOps {
           expr("substring(text, cast(frame_idx * 64 + 1 AS int), 64)")
             .as("frame"))
         .filter(length(col("frame")) === 64)
-        .withColumn("pxs",
-          expr("transform(sequence(1, 64), k -> ascii(substr(frame, k, 1)))"))
-      val dh = (0 until 64).map { b =>
-        val r = b / 8; val c = b % 8
-        when(element_at(col("pxs"), r * 8 + c + 1) >
-            element_at(col("pxs"), r * 8 + ((c + 1) % 8) + 1),
-          lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _)
-      val sig = frames.select(col("fid"), dh.as("dh64"))
+      // hash in the native one-pass DHash64 expression (the CdcChunks
+      // treatment): the declarative twin below builds a 64-element
+      // transform() array — an INTERPRETED higher-order lambda per frame —
+      // plus a 64-term comparison chain; the native kernel walks the
+      // frame's code points once inside whole-stage codegen.
+      // DHashParitySpec pins native ≡ declarative on the corpus.
+      val sig = frames.select(col("fid"),
+        graft.functions.ImageExprs.dhash64(col("frame")).as("dh64"))
       val bandCols = (0 until 4).map(j =>
         s"$j, cast(shiftright(dh64, ${16 * j}) & 65535 as int)")
         .mkString(", ")
@@ -127,6 +128,24 @@ object MultimodalOps {
 
   private def bin(b: Int): String =
     s"len(list_filter(range(1, length(text)+1), i -> unicode(text[i]) % 8 = $b)) AS f$b"
+
+  /** The DECLARATIVE dHash twin — transform() pixel array + 64-term
+    * bitwiseOR chain over a `frame` string column — kept as the
+    * cross-implementation reference for the native DHash64 expression;
+    * DHashParitySpec pins both emit identical hashes over the corpus
+    * frames (the DuckDB oracle replays this same definition). */
+  private[graft] def dhashDeclarativeFrame(df: DataFrame): DataFrame = {
+    val dh = (0 until 64).map { b =>
+      val r = b / 8; val c = b % 8
+      when(element_at(col("pxs"), r * 8 + c + 1) >
+          element_at(col("pxs"), r * 8 + ((c + 1) % 8) + 1),
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("pxs",
+        expr("transform(sequence(1, 64), k -> ascii(substr(frame, k, 1)))"))
+      .withColumn("dh_decl", dh)
+      .drop("pxs")
+  }
 
   /** q115's dHash bit assembly for DuckDB: same row-wrapped 8×8 gradient,
     * bit 63's literal spelled in-range (the duckSimhash64 trick). Distinct
