@@ -87,10 +87,83 @@ object CdcChunks {
   }
 }
 
+/** Native one-pass 64-bit SimHash — the signature kernel behind the banded
+  * near-dup family (q67/q105 directly; q101's edges and q117's pipeline
+  * stage through them). The relational form explodes one row per TOKEN and
+  * aggregates 64 vote columns per document — correct, oracle-replayable,
+  * and expensive: the explode materializes the token stream into the
+  * aggregate and every row updates 64 sum buffers. This expression walks
+  * the document once inside whole-stage codegen, so the plan starts at
+  * (doc_id, sim64) granularity with no Generate and no 64-column
+  * aggregate.
+  *
+  * Definition is IDENTICAL to the relational/DuckDB one (pinned by
+  * SimHashParitySpec): tokens = split(text, " ") KEEPING empties (Java
+  * split limit -1, matching Spark's split and DuckDB's string_split);
+  * each token's md5 contributes ±1 votes per bit — bits 0..31 from the
+  * first 4 digest bytes read big-endian unsigned (= conv(substr(md5,1,8),
+  * 16,10)), bits 32..63 from bytes 4..7; final bit b is set iff its vote
+  * total is strictly positive.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_simhash64"
+
+  def compute(u: UTF8String): Long = {
+    val d = CdcChunks.digests.get()
+    val votes = new Array[Int](64)
+    val toks = u.toString.split(" ", -1)
+    var i = 0
+    while (i < toks.length) {
+      d.reset()
+      val h = d.digest(toks(i).getBytes(StandardCharsets.UTF_8))
+      val h1 = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      val h2 = ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+        ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+      var b = 0
+      while (b < 32) {
+        votes(b) += (if (((h1 >> b) & 1L) == 1L) 1 else -1); b += 1
+      }
+      while (b < 64) {
+        votes(b) += (if (((h2 >> (b - 32)) & 1L) == 1L) 1 else -1); b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sim |= 1L << b; b += 1 }
+    sim
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { x =>
+      val ref = ctx.addReferenceObj("graftSimhash", this,
+        classOf[SimHash64].getName)
+      s"${ev.value} = $ref.compute($x);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExprs {
   /** array<string> of content-defined chunks of `c` — one compiled pass. */
   def cdcChunks(c: Column): Column =
     ColumnBridge.toColumn(CdcChunks(ColumnBridge.toExpression(c.cast("string"))))
+
+  /** 64-bit simhash signature of `c` — one compiled pass. */
+  def simhash64(c: Column): Column =
+    ColumnBridge.toColumn(SimHash64(ColumnBridge.toExpression(c.cast("string"))))
+
+  /** SQL builder for GraftExtensions: graft_simhash64(text). */
+  def simhash64Builder(es: Seq[Expression]): Expression = {
+    require(es.length == 1, "graft_simhash64 takes 1 string argument")
+    SimHash64(org.apache.spark.sql.catalyst.expressions.Cast(
+      es.head, StringType))
+  }
 
   /** Make `graft_cdc_chunks(text)` callable from SQL text in this session. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =

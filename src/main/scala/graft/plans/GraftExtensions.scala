@@ -68,6 +68,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         graft.functions.BloomExprs.containsBuilder(args)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName,
+        "graft_simhash64"),
+      (args: Seq[Expression]) =>
+        graft.functions.TextExprs.simhash64Builder(args)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_dhash64"),
       new ExpressionInfo(classOf[graft.functions.DHash64].getName,
         "graft_dhash64"),

@@ -620,7 +620,24 @@ object TextOps {
       .distinct() // a pair can share several bands
   }
 
-  private def simhash64(docs: DataFrame): DataFrame = {
+  /** 64-bit simhash per doc, via the native one-pass SimHash64 kernel
+    * (graft.functions.TextExprs) — the plan starts at (doc_id, sim64) with
+    * no token explode and no 64-column vote aggregate.
+    * SimHashParitySpec pins native ≡ [[simhash64Relational]], whose
+    * definition is what the DuckDB oracles replay, so the oracle's reach
+    * extends to the kernel. ISOLATED MEDIANS (BenchSome, r8, calm host,
+    * calibration-ratio'd, sf0.1): q67 1.67 → 0.91 s, q105 → 0.61 s,
+    * q101 4.0 → 2.99 s (finally under the 3 s target — the CC loop was
+    * never the fat part; the edge BUILD was), q117 7.6-7.9 → 7.11 s. */
+  private def simhash64(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.TextExprs.simhash64(col("text")).as("sim64"))
+
+  /** The relational vote-aggregate form — kept as the kernel's
+    * cross-implementation reference (and the shape the DuckDB oracles
+    * replay): explode one row per token, 64 ±1-vote sums per doc, bit set
+    * iff votes > 0. */
+  private[graft] def simhash64Relational(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"),
