@@ -366,59 +366,41 @@ object PipelineOps {
     // roughly half is the embedded connected-components stage (q101 runs
     // ~4 s standalone), the rest the two gram passes + gate.
     "q117_curation_pipeline" -> ((s, d) => {
-      // Stage A: quality gate over the non-benchmark corpus (the % 97
-      // slice IS the benchmark, as in q98/q110)
-      val corpus = ld(s, d, "documents").filter(col("doc_id") % 97 =!= 0)
-      val d3 = TextOps.shingles(s, d)
-        .groupBy("doc_id").agg(count(lit(1)).cast("int").as("d3"))
-      val sA = corpus.selectExpr(
-          "doc_id", "source", "text",
-          s"CAST($nTokens AS INT) AS n_tokens",
-          s"${r4("length(replace(text, ' ', ''))", nTokens)} AS mean_tok_len",
-          s"${r4("size(array_distinct(split(text, ' ')))", nTokens)} AS uniq_ratio")
-        .join(d3, Seq("doc_id"), "left")
-        .withColumn("rep3_ratio",
-          when(col("n_tokens") >= lit(3),
-            expr(r4("(n_tokens - 2) - d3", "n_tokens - 2")))
-            .otherwise(lit(0.0)))
-        .filter(col("n_tokens").between(10, 1000) &&
-          col("mean_tok_len").between(3.0, 8.0) &&
-          col("uniq_ratio") >= 0.3 && col("rep3_ratio") <= 0.7)
-        .select("doc_id", "source", "text", "n_tokens")
-      // Stage B: exact dedup — keep the min doc_id per content digest
-      val sB = sA.withColumn("fp", md5(col("text")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("fp").orderBy("doc_id")))
-        .filter(col("rk") === 1)
-        .select("doc_id", "source", "text", "n_tokens")
-      // Stage C: near-dup canonicalize — connected components over banded-
-      // simhash edges of the exact-dedup survivors; keep component minima
-      val edges = TextOps.simhashBandedPairs(sB)
-        .select("da", "db").localCheckpoint()
-      val sC = sB.join(GraphOps.connectedComponents(edges),
-          Seq("doc_id"), "left")
-        .filter(coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
-        .select("doc_id", "source", "text", "n_tokens")
-      // Stage D: decontaminate — drop survivors sharing any 5-gram with
-      // the benchmark slice (exact contact; q110 is the bloom-scale twin)
-      val benchG = grams5From(
-        ld(s, d, "documents").filter(col("doc_id") % 97 === 0))
-        .select("g5").distinct()
-      val hit = grams5From(sC)
-        .join(benchG.hint("shuffle_hash"), Seq("g5"), "left_semi")
-        .select("doc_id").distinct()
-      val sD = sC.join(hit.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
-      // Stage E: balanced mixture — equal-token budget per source (q114)
-      val budget = sD.groupBy("source").agg(sum("n_tokens").as("tot"))
-        .agg(min("tot").as("budget"))
-      val ord = Window.partitionBy("source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      sD.withColumn("cum_before",
-          coalesce(sum("n_tokens").over(ord), lit(0L)))
-        .crossJoin(broadcast(budget))
-        .filter(col("cum_before") < col("budget"))
-        .select("doc_id", "source", "n_tokens")
+      val st = curationStages(s, d)
+      st.admitted.select("doc_id", "source", "n_tokens").orderBy("doc_id")
+    }),
+
+    // The pipeline's AUDIT LOG — the artifact a production curation run
+    // ships NEXT TO the survivors: one row per corpus document with the
+    // stage that dropped it (or 'kept'). Built from the same
+    // [[curationStages]] frames as q117 (both queries re-derive the
+    // identical deterministic chain), so the dispositions reconcile with
+    // q117's output by construction; the DuckDB oracle recomputes every
+    // stage AND the disposition CASE independently. Plan: five doc_id-
+    // keyed membership joins over attrition-shrinking id sets — the
+    // audit costs one extra pass over stage IDS, not over content.
+    // Disposition counts at sf0.01 (oracle-matched): kept 308,
+    // over_budget 104, contaminated 1, near_dup 73, exact_dup 0 (the
+    // corpus' exact dups sit in the benchmark slice at this sf),
+    // low_quality 8.
+    "q123_curation_audit" -> ((s, d) => {
+      val st = curationStages(s, d)
+      def mem(df: DataFrame, name: String) =
+        df.select(col("doc_id"), lit(1).as(name))
+      st.corpus.select("doc_id", "source")
+        .join(mem(st.sA, "in_a"), Seq("doc_id"), "left")
+        .join(mem(st.sB, "in_b"), Seq("doc_id"), "left")
+        .join(mem(st.sC, "in_c"), Seq("doc_id"), "left")
+        .join(mem(st.sD, "in_d"), Seq("doc_id"), "left")
+        .join(mem(st.admitted, "in_e"), Seq("doc_id"), "left")
+        .withColumn("disposition",
+          when(col("in_e") === 1, "kept")
+            .when(col("in_d") === 1, "over_budget")
+            .when(col("in_c") === 1, "contaminated")
+            .when(col("in_b") === 1, "near_dup")
+            .when(col("in_a") === 1, "exact_dup")
+            .otherwise("low_quality"))
+        .select("doc_id", "source", "disposition")
         .orderBy("doc_id")
     }),
 
@@ -500,6 +482,68 @@ object PipelineOps {
     }),
   )
 
+  /** The five curation-stage frames shared by q117 (survivors) and q123
+    * (audit log). Deterministic end to end, so the two queries re-derive
+    * identical stages independently. */
+  private[graft] case class CurationStages(corpus: DataFrame, sA: DataFrame,
+      sB: DataFrame, sC: DataFrame, sD: DataFrame, admitted: DataFrame)
+
+  private[graft] def curationStages(s: SparkSession, d: String): CurationStages = {
+    // Stage A: quality gate over the non-benchmark corpus (the % 97
+    // slice IS the benchmark, as in q98/q110)
+    val corpus = ld(s, d, "documents").filter(col("doc_id") % 97 =!= 0)
+    val d3 = TextOps.shingles(s, d)
+      .groupBy("doc_id").agg(count(lit(1)).cast("int").as("d3"))
+    val sA = corpus.selectExpr(
+        "doc_id", "source", "text",
+        s"CAST($nTokens AS INT) AS n_tokens",
+        s"${r4("length(replace(text, ' ', ''))", nTokens)} AS mean_tok_len",
+        s"${r4("size(array_distinct(split(text, ' ')))", nTokens)} AS uniq_ratio")
+      .join(d3, Seq("doc_id"), "left")
+      .withColumn("rep3_ratio",
+        when(col("n_tokens") >= lit(3),
+          expr(r4("(n_tokens - 2) - d3", "n_tokens - 2")))
+          .otherwise(lit(0.0)))
+      .filter(col("n_tokens").between(10, 1000) &&
+        col("mean_tok_len").between(3.0, 8.0) &&
+        col("uniq_ratio") >= 0.3 && col("rep3_ratio") <= 0.7)
+      .select("doc_id", "source", "text", "n_tokens")
+    // Stage B: exact dedup — keep the min doc_id per content digest
+    val sB = sA.withColumn("fp", md5(col("text")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rk") === 1)
+      .select("doc_id", "source", "text", "n_tokens")
+    // Stage C: near-dup canonicalize — connected components over banded-
+    // simhash edges of the exact-dedup survivors; keep component minima
+    val edges = TextOps.simhashBandedPairs(sB)
+      .select("da", "db").localCheckpoint()
+    val sC = sB.join(GraphOps.connectedComponents(edges),
+        Seq("doc_id"), "left")
+      .filter(coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+      .select("doc_id", "source", "text", "n_tokens")
+    // Stage D: decontaminate — drop survivors sharing any 5-gram with
+    // the benchmark slice (exact contact; q110 is the bloom-scale twin)
+    val benchG = grams5From(
+      ld(s, d, "documents").filter(col("doc_id") % 97 === 0))
+      .select("g5").distinct()
+    val hit = grams5From(sC)
+      .join(benchG.hint("shuffle_hash"), Seq("g5"), "left_semi")
+      .select("doc_id").distinct()
+    val sD = sC.join(hit.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+    // Stage E: balanced mixture — equal-token budget per source (q114)
+    val budget = sD.groupBy("source").agg(sum("n_tokens").as("tot"))
+      .agg(min("tot").as("budget"))
+    val ord = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val admitted = sD.withColumn("cum_before",
+        coalesce(sum("n_tokens").over(ord), lit(0L)))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_before") < col("budget"))
+    CurationStages(corpus, sA, sB, sC, sD, admitted)
+  }
+
   /** q113's native chunk frame (doc_id, chunk) — the CdcChunksParitySpec
     * comparison surface. */
   private[graft] def cdcChunksNative(s: SparkSession, d: String): DataFrame =
@@ -549,6 +593,69 @@ object PipelineOps {
                 string_split(text, ' ')[i+3] || ' ' ||
                 string_split(text, ' ')[i+4])
        ELSE [] END"""
+
+  /** Shared DuckDB CTE chain replaying the five curation stages (quality
+    * gate → exact dedup → near-dup recursive closure → decontamination →
+    * mixture running sums, through `o`/`bdg`); q117 selects the admitted
+    * survivors from it, q123 the per-document dispositions. */
+  private def duckCurationCtes: String = {
+    val rep3 = s"""CASE WHEN n_tokens >= 3
+                        THEN ${r4("(n_tokens - 2) - d3", "n_tokens - 2", "//")}
+                        ELSE 0.0 END"""
+    s"""corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        g3 AS (SELECT doc_id, len(list_distinct(${TextOps.duckGrams}))
+                        AS d3
+               FROM corpus),
+        base AS (SELECT doc_id, source, text,
+                        CAST($nTokens AS INTEGER) AS n_tokens,
+                        ${r4("length(replace(text, ' ', ''))", nTokens, "//")}
+                          AS mean_tok_len,
+                        ${r4("len(list_distinct(string_split(text, ' ')))", nTokens, "//")}
+                          AS uniq_ratio
+                 FROM corpus),
+        sa AS (SELECT base.doc_id, source, text, n_tokens
+               FROM base JOIN g3 ON base.doc_id = g3.doc_id
+               WHERE (n_tokens BETWEEN 10 AND 1000)
+                 AND (mean_tok_len BETWEEN 3.0 AND 8.0)
+                 AND uniq_ratio >= 0.3 AND ($rep3) <= 0.7),
+        sb AS (SELECT a.* FROM sa a
+               JOIN (SELECT md5(text) AS fp, min(doc_id) AS mid
+                     FROM sa GROUP BY 1) m
+                 ON a.doc_id = m.mid),
+        ${TextOps.duckSimhash64("sb")},
+        edges AS (SELECT a.doc_id AS da, b.doc_id AS db
+                  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.s, b.s)) <= 6),
+        syms AS (SELECT da AS a, db AS b FROM edges
+                 UNION ALL SELECT db, da FROM edges),
+        reach AS (SELECT doc_id AS a, doc_id AS b FROM sb
+                  UNION
+                  SELECT r.a, s2.b FROM reach r JOIN syms s2
+                    ON r.b = s2.a),
+        canon AS (SELECT a AS doc_id, min(b) AS cid
+                  FROM reach GROUP BY a),
+        sc AS (SELECT sb.* FROM sb JOIN canon
+                 ON sb.doc_id = canon.doc_id
+               WHERE canon.cid = sb.doc_id),
+        bg AS (SELECT DISTINCT g5
+               FROM (SELECT unnest($duckG5) AS g5
+                     FROM documents WHERE doc_id % 97 = 0)),
+        hits AS (SELECT DISTINCT doc_id
+                 FROM (SELECT doc_id, unnest($duckG5) AS g5 FROM sc)
+                 WHERE g5 IN (SELECT g5 FROM bg)),
+        sd AS (SELECT * FROM sc
+               WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+        bdg AS (SELECT min(tot) AS budget
+                FROM (SELECT sum(n_tokens) AS tot FROM sd
+                      GROUP BY source)),
+        o AS (SELECT doc_id, source, n_tokens,
+                     coalesce(sum(n_tokens) OVER
+                       (PARTITION BY source
+                        ORDER BY md5(doc_id::VARCHAR), doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cum_before
+              FROM sd)"""
+  }
 
   val oracle: Map[String, String] = Map(
     "q94_incremental_dedup" ->
@@ -753,68 +860,28 @@ object PipelineOps {
     // (q95 exprs), exact dedup (min per md5), near-dup closure (q101's
     // recursive CTE over q67's simhash edges computed over sb), exact
     // decontamination (q98 shape), balanced mixture (q114 shape)
-    "q117_curation_pipeline" -> {
-      val rep3 = s"""CASE WHEN n_tokens >= 3
-                          THEN ${r4("(n_tokens - 2) - d3", "n_tokens - 2", "//")}
-                          ELSE 0.0 END"""
-      s"""WITH RECURSIVE
-              corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
-              g3 AS (SELECT doc_id, len(list_distinct(${TextOps.duckGrams}))
-                              AS d3
-                     FROM corpus),
-              base AS (SELECT doc_id, source, text,
-                              CAST($nTokens AS INTEGER) AS n_tokens,
-                              ${r4("length(replace(text, ' ', ''))", nTokens, "//")}
-                                AS mean_tok_len,
-                              ${r4("len(list_distinct(string_split(text, ' ')))", nTokens, "//")}
-                                AS uniq_ratio
-                       FROM corpus),
-              sa AS (SELECT base.doc_id, source, text, n_tokens
-                     FROM base JOIN g3 ON base.doc_id = g3.doc_id
-                     WHERE (n_tokens BETWEEN 10 AND 1000)
-                       AND (mean_tok_len BETWEEN 3.0 AND 8.0)
-                       AND uniq_ratio >= 0.3 AND ($rep3) <= 0.7),
-              sb AS (SELECT a.* FROM sa a
-                     JOIN (SELECT md5(text) AS fp, min(doc_id) AS mid
-                           FROM sa GROUP BY 1) m
-                       ON a.doc_id = m.mid),
-              ${TextOps.duckSimhash64("sb")},
-              edges AS (SELECT a.doc_id AS da, b.doc_id AS db
-                        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-                        WHERE bit_count(xor(a.s, b.s)) <= 6),
-              syms AS (SELECT da AS a, db AS b FROM edges
-                       UNION ALL SELECT db, da FROM edges),
-              reach AS (SELECT doc_id AS a, doc_id AS b FROM sb
-                        UNION
-                        SELECT r.a, s2.b FROM reach r JOIN syms s2
-                          ON r.b = s2.a),
-              canon AS (SELECT a AS doc_id, min(b) AS cid
-                        FROM reach GROUP BY a),
-              sc AS (SELECT sb.* FROM sb JOIN canon
-                       ON sb.doc_id = canon.doc_id
-                     WHERE canon.cid = sb.doc_id),
-              bg AS (SELECT DISTINCT g5
-                     FROM (SELECT unnest($duckG5) AS g5
-                           FROM documents WHERE doc_id % 97 = 0)),
-              hits AS (SELECT DISTINCT doc_id
-                       FROM (SELECT doc_id, unnest($duckG5) AS g5 FROM sc)
-                       WHERE g5 IN (SELECT g5 FROM bg)),
-              sd AS (SELECT * FROM sc
-                     WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
-              bdg AS (SELECT min(tot) AS budget
-                      FROM (SELECT sum(n_tokens) AS tot FROM sd
-                            GROUP BY source)),
-              o AS (SELECT doc_id, source, n_tokens,
-                           coalesce(sum(n_tokens) OVER
-                             (PARTITION BY source
-                              ORDER BY md5(doc_id::VARCHAR), doc_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                                       AND 1 PRECEDING), 0) AS cum_before
-                    FROM sd)
+    "q117_curation_pipeline" ->
+      s"""WITH RECURSIVE $duckCurationCtes
          SELECT doc_id, source, n_tokens
          FROM o, bdg WHERE cum_before < budget
-         ORDER BY doc_id"""
-    },
+         ORDER BY doc_id""",
+    // same stage chain, dispositions recomputed independently of the
+    // Spark-side membership joins
+    "q123_curation_audit" ->
+      s"""WITH RECURSIVE $duckCurationCtes,
+              adm AS (SELECT doc_id FROM o, bdg WHERE cum_before < budget)
+         SELECT c.doc_id, c.source,
+                CASE WHEN c.doc_id IN (SELECT doc_id FROM adm) THEN 'kept'
+                     WHEN c.doc_id IN (SELECT doc_id FROM sd)
+                       THEN 'over_budget'
+                     WHEN c.doc_id IN (SELECT doc_id FROM sc)
+                       THEN 'contaminated'
+                     WHEN c.doc_id IN (SELECT doc_id FROM sb)
+                       THEN 'near_dup'
+                     WHEN c.doc_id IN (SELECT doc_id FROM sa)
+                       THEN 'exact_dup'
+                     ELSE 'low_quality' END AS disposition
+         FROM corpus c ORDER BY c.doc_id""",
     // quantile_disc implements the same CDF ≥ p definition (probed: n=5,
     // p=0.95 → 5th element, not floor((n-1)p) indexing)
     "q87_length_quantiles" ->
