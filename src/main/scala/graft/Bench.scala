@@ -35,6 +35,16 @@ import org.apache.spark.sql.functions._
   * the round-over-round comparable number. The summary reports the
   * calibration med/min/max — max/min far above ~1.5 means the host load
   * moved DURING the run and absolute seconds from that run are suspect.
+  *
+  * DETAIL ARTIFACT (r9): the driver keeps only a stdout TAIL, so r8's run
+  * preserved 1 of 123 per-query ratio lines — the calibration data the r8
+  * protocol exists to produce was being thrown away. Every per-query line
+  * (and the final summary) is therefore ALSO appended to
+  * [[detailPath]] (default `target/bench_detail.jsonl`, override via
+  * SPARK_GRAFT_BENCH_DETAIL). Committing that file per round
+  * (`BENCH_DETAIL_r{N}.jsonl`) makes the round-over-round ratio gate
+  * mechanical: `tools/bench_compare.py old.jsonl new.jsonl` prints every
+  * query whose ratio moved >1.5x.
   */
 object Bench {
 
@@ -66,6 +76,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query detail sink: stdout tail truncation loses the ratio lines
+    // (r8 kept 1 of 123), so mirror every JSON line into a committed file.
+    val detailPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_DETAIL", "target/bench_detail.jsonl")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(detailPath).toAbsolutePath.getParent)
+    val detail = new java.io.PrintWriter(
+      new java.io.FileWriter(detailPath, /*append=*/ false), /*autoFlush=*/ true)
+    def emit(line: String): Unit = { println(line); detail.println(line) }
     // Warm up session, codegen, and parquet footer/file-listing caches so
     // the first measured query doesn't absorb one-time JVM costs.
     Tables.names.foreach(n => Tables.ld(spark, sfDir, n).count())
@@ -81,7 +100,14 @@ object Bench {
       median((1 to 3).map(_ => calibrate(spark))))
     var sinceCal = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (sinceCal >= CalEvery) { calSamples += calibrate(spark); sinceCal = 0 }
+      // In-run samples are median-of-3 like the baseline: a single-shot
+      // sample lets one GC pause skew the ratio of the next CalEvery
+      // queries — the exact noise the calibration exists to remove.
+      // 3 × ~0.3 s every 8 queries keeps overhead well under 2 %.
+      if (sinceCal >= CalEvery) {
+        calSamples += median((1 to 3).map(_ => calibrate(spark)))
+        sinceCal = 0
+      }
       sinceCal += 1
       // A run that throws yields None — never a (near-zero) elapsed time.
       def run(): Option[Double] = {
@@ -105,7 +131,7 @@ object Bench {
       val anyFail = warm.isEmpty || ok.size < times.size
       val err = if (anyFail) ",\"err\":true" else ""
       val warmS = warm.map(f3).getOrElse("null")
-      println(s"""{"bench_query":"$name","sec":$sec,"ratio":$ratio,"cal":${f3(cal)},"warm":$warmS,"runs":$runs$err}""")
+      emit(s"""{"bench_query":"$name","sec":$sec,"ratio":$ratio,"cal":${f3(cal)},"warm":$warmS,"runs":$runs$err}""")
       (name, med, anyFail, med.map(_ / cal))
     }
     val good = results.collect { case (k, Some(v), _, _) => k -> v }
@@ -126,7 +152,8 @@ object Bench {
     val calJson = s"""{"med":${f3(median(calSamples.toSeq))},"min":${f3(calSamples.min)},"max":${f3(calSamples.max)},"n":${calSamples.size}}"""
     // Summary stays <1.5 KB and is the absolute last stdout line so the
     // driver's tail capture always ends with a complete JSON record.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${good.size},"cal":$calJson,"failed":${names(failed)},"flaky":${names(flaky)},"slowest":$slowest,"slowest_ratio":$slowestRatio}""")
+    emit(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${good.size},"cal":$calJson,"failed":${names(failed)},"flaky":${names(flaky)},"slowest":$slowest,"slowest_ratio":$slowestRatio}""")
+    detail.close()
     spark.stop()
   }
 }
