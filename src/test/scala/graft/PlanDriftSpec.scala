@@ -39,7 +39,7 @@ class PlanDriftSpec extends AnyFunSuite with SparkFixture {
       val codeStart = committed.indexOf("```", start)
       val codeEnd = committed.indexOf("```", codeStart + 3)
       val want = shape(committed.substring(codeStart + 3, codeEnd))
-      val got = shape(SparkEntry.queries(name)(spark, sfDir)
+      val got = shape(Plans.flagshipDf(name, spark, sfDir)
         .queryExecution.explainString(ExplainMode.fromString("formatted")))
       assert(got == want,
         s"""$name physical plan drifted from the committed shape.

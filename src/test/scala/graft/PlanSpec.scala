@@ -196,12 +196,30 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("LeftSemi"), "hot-gram semi-join missing")
   }
 
-  test("q117: composed curation pipeline keeps its stage joins keyed — " +
+  test("q117: composed curation chain keeps its stage joins keyed — " +
     "no pair-space product anywhere in the chain") {
-    val p = plan("q117_curation_pipeline")
+    // r9: q117/q123 consume a SHARED checkpointed derivation, so the
+    // five-stage chain no longer appears in the query's own plan. Guard
+    // the chain on the un-pinned derivation (identity pin = the same
+    // stage-building code composed into one plan).
+    val st = graft.queries.PipelineOps.curationStages(spark, sfDir)
+    val p = st.admitted.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct"), "stage chain must stay keyed")
     assert(p.contains("LeftSemi"), "decontamination gram contact missing")
     assert(p.contains("LeftAnti"), "contaminated-doc drop missing")
+  }
+
+  test("q117/q123 consume ONE shared checkpointed derivation — the " +
+    "consumer plan scans materialized frames, not the re-derived chain") {
+    val p117 = plan("q117_curation_pipeline")
+    val p123 = plan("q123_curation_audit")
+    // Both consumers read checkpointed RDD scans; neither re-runs the
+    // five-stage chain (no gram semi-join in the consume-side plan).
+    assert(p117.contains("Scan ExistingRDD"), p117.take(800))
+    assert(p123.contains("Scan ExistingRDD"), p123.take(800))
+    assert(!p117.contains("LeftSemi"),
+      "q117 must consume the checkpointed admitted frame, not re-derive")
   }
 
   test("q93: re-scan of the partitioned write prunes to one partition") {
