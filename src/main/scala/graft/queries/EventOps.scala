@@ -550,8 +550,9 @@ object EventOps {
                        FROM documents),
               seen AS (SELECT fp FROM docs WHERE doc_id % 5 <> 0)
          SELECT doc_id, source, n_chars
-         FROM docs
-         WHERE doc_id % 5 = 0 AND fp NOT IN (SELECT fp FROM seen)
+         FROM docs d
+         WHERE doc_id % 5 = 0
+           AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = d.fp)
          ORDER BY doc_id""",
     // identical contract to q71 — verifies the typed flatMapGroups path
     "q77_typed_sessionize" ->

@@ -143,7 +143,17 @@ object GraphOps {
       val cp = next.localCheckpoint()
       changed = next.queryExecution.observedMetrics.get("cc_changed") match {
         case Some(row) if !row.isNullAt(0) => row.getLong(0)
-        case _ => 0L // empty label frame: no rows, no changes
+        // present row, NULL sum = the observe saw zero rows (empty label
+        // frame): genuinely no changes
+        case Some(_) => 0L
+        // metric ABSENT = the checkpoint no longer executes this
+        // dataset's own queryExecution (Spark internals drift). Treating
+        // it as 0 would exit after round 1 and silently return
+        // non-converged labels — fail loudly instead.
+        case None => throw new IllegalStateException(
+          "connectedComponents: observed metric 'cc_changed' missing " +
+            "from the executed plan — localCheckpoint() no longer runs " +
+            "the observed queryExecution; convergence cannot be read")
       }
       labels = cp.select(col("doc_id"), col("new_cid").as("cluster_id"))
       iters += 1

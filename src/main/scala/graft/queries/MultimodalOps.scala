@@ -12,6 +12,20 @@ import graft.operators.Multimodal
   */
 object MultimodalOps {
 
+  /** The corpus invariant the fixed 0..9 frame cap rests on: n_chars ≤ 640
+    * ⇔ every document's last frame index floor((n_chars-1)/64) ≤ 9, so the
+    * cap drops nothing (measured corpus max: 577 at sf0.1). The oracles
+    * mirror the same cap, so a longer document would stay PARITY-green
+    * while silently truncating — this in-plan assert_true (null on pass,
+    * codegen'd, free) makes that loud instead. fid packing supports 16
+    * frames, so the cap can be raised to 15 (n_chars ≤ 1024) if the
+    * generator ever grows documents. */
+  private def guardFrameCap(docs: DataFrame): DataFrame =
+    docs.withColumn("_cap_ok", assert_true(col("n_chars") <= 640,
+        lit("document exceeds the 10-frame cap (n_chars > 640): raise " +
+          "the frame cap — fid packing supports 16 frames")))
+      .filter(col("_cap_ok").isNull).drop("_cap_ok")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_media_meta" -> ((s, d) => {
       import s.implicits._
@@ -28,8 +42,8 @@ object MultimodalOps {
     // floor((n_chars-1)/64) so an empty doc yields zero frames in both
     // engines (Spark `div` truncates toward zero; DuckDB `//` floors).
     "q81_frame_sample" -> ((s, d) =>
-      ld(s, d, "documents")
-        .select(col("doc_id"), col("text"), col("n_chars"))
+      guardFrameCap(ld(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars")))
         .withColumn("frame_idx", explode(sequence(lit(0L), lit(9L))))
         .filter(col("frame_idx") <= floor((col("n_chars") - 1) / lit(64.0)))
         .select(col("doc_id"), col("frame_idx"),
@@ -75,8 +89,8 @@ object MultimodalOps {
     // (ratio 1.7-2.0×) — 3.3× from moving the per-frame hash out of the
     // interpreted higher-order lambda into one codegen'd pass.
     "q115_frame_neardup" -> ((s, d) => {
-      val frames = ld(s, d, "documents")
-        .select(col("doc_id"), col("text"), col("n_chars"))
+      val frames = guardFrameCap(ld(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars")))
         .withColumn("frame_idx", explode(sequence(lit(0L), lit(9L))))
         .filter(col("frame_idx") <= floor((col("n_chars") - 1) / lit(64.0)))
         .select((col("doc_id") * 16 + col("frame_idx")).as("fid"),

@@ -679,12 +679,11 @@ object Relational {
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
       ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
       val l = ld(ss, d, "lineitem")
-      // per-invocation unique path: a fixed name would let two concurrent
-      // builds in one session clobber each other's dim mid-read (the q110
-      // session-mutation class); the leaked ~1 KB dirs live under target/
-      val dimPath =
-        s"/root/repo/target/sink/${d.replaceAll(".*/", "")}/q116_dim_" +
-          java.util.UUID.randomUUID().toString.take(8)
+      // per-invocation unique scratch path (concurrent builds in one
+      // session can never clobber each other's dim mid-read — the q110
+      // session-mutation class); lives in system tmp and is removed at
+      // JVM exit, so nothing accumulates under target/ across bench runs
+      val dimPath = SinkOps.scratchDir("graft_q116_dim_") + "/dim"
       l.groupBy("l_returnflag").agg(
         sum(expr("CAST(CAST(l_quantity AS DECIMAL(14,2)) * 100 AS BIGINT)"))
           .as("fqc"),

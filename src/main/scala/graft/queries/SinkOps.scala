@@ -14,9 +14,41 @@ import graft.Tables.ld
   */
 object SinkOps {
 
-  private def outDir(d: String, name: String): String = {
-    val sf = d.replaceAll(".*/", "")
-    s"/root/repo/target/sink/$sf/$name"
+  /** Single source of truth for the sink root: <cwd>/target/sink rather
+    * than a literal repo path, so the suite survives the repo living
+    * anywhere. */
+  private[graft] lazy val sinkRoot: java.nio.file.Path =
+    java.nio.file.Paths.get(sys.props("user.dir"), "target", "sink")
+
+  /** Basename of the sf dir, robust to a trailing slash
+    * ("/x/sf0.01/" → "sf0.01", not ""). */
+  private[graft] def sfName(d: String): String = {
+    val t = d.replaceAll("/+$", "")
+    t.substring(t.lastIndexOf('/') + 1)
+  }
+
+  private def outDir(d: String, name: String): String =
+    sinkRoot.resolve(sfName(d)).resolve(name).toString
+
+  /** Per-invocation scratch dir for TRANSIENT writes (q116's dim):
+    * unique (so concurrent invocations never clobber each other — the
+    * q110 session-mutation class), under the system tmp dir (so nothing
+    * accumulates beneath target/ across bench runs), and recursively
+    * removed at JVM exit. */
+  private[graft] def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scala.sys.addShutdownHook {
+      import java.nio.file.Files
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(f => Files.deleteIfExists(f))
+        } finally walk.close()
+      }
+    }
+    p.toString
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
