@@ -360,8 +360,13 @@ object VectorOps {
     // at 100 TB. See [[pqAdcRanked]] for the chain and the scale story;
     // this query reports the ADC top-3 per probe, and q120 scores the
     // shortlist honestly against the exact ranking. ISOLATED MEDIANS
-    // (BenchSome, r8, calm host): q119 1.76 s / q120 2.06 s at sf0.1
-    // (ratios 5.9× / 6.9× cal).
+    // (BenchSome, r9, cal 0.34 s): q119 1.55 s (ratio 4.5×), q120
+    // 3.35 s (9.8× — it now derives BOTH the full-corpus and the q125
+    // IVF-restricted chains; the shared codes/lut subtrees dedup via
+    // ReusedExchange where exchanges align), q125 2.97 s (8.7× — coarse
+    // k-means training + PQ training + the restricted scan; at 100 TB
+    // training amortizes over the index lifetime, the per-query cost is
+    // the probed-list scan only).
     "q119_ann_ivfpq" -> ((s, d) =>
       pqAdcRanked(s, d)
         .filter(col("rn") <= 3)
@@ -377,6 +382,11 @@ object VectorOps {
     // the shortlist-then-exact-re-rank is how PQ is actually deployed, and
     // ITS recall is what decides whether the 64× code compression is safe
     // before a 100 TB index build.) Recall in exact integer basis points.
+    // r9: the curve gains the COMPOSED variant (q125's IVF-restricted
+    // ADC, recall_bp_ivf): shortlist@50 captures 14/15 (93.3 %) vs
+    // full-corpus ADC's 13/15 — scanning only nprobe/nlist = 25 % of the
+    // codes while ranking DEEPER into each probed list, the measured
+    // argument that the composed index serves production traffic.
     // Measured at sf0.01 (M=4, K=16, one refine): shortlist 50 (1 % of
     // corpus) captures 13/15 exact-top-3 (86.7 %), 100 → 93.3 %, 200 →
     // 100 % — the curve this pass exists to produce; ADC's OWN top-3
@@ -391,6 +401,12 @@ object VectorOps {
       val shortlist = pqAdcRanked(s, d)
         .filter(col("rn") <= 50)
         .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+      // the COMPOSED variant's shortlist (q125: ADC within nprobe=2
+      // probed lists) scored on the same exact top-3 — what the curve
+      // loses to coarse-probe misses, not just code quantization
+      val shortIvf = ivfPqRanked(s, d)
+        .filter(col("rn") <= 50)
+        .select(col("q_id"), col("neighbor_id"), lit(1).as("hit_ivf"))
       val v = ld(s, d, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
       val probes = v.filter(col("vec_id") < 5)
@@ -405,11 +421,15 @@ object VectorOps {
         .filter(col("ern") <= 3)
         .select("q_id", "neighbor_id")
       exact3.join(shortlist, Seq("q_id", "neighbor_id"), "left")
+        .join(shortIvf, Seq("q_id", "neighbor_id"), "left")
         .groupBy("q_id").agg(
           count(lit(1)).cast("int").as("k"),
-          sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hit"))
+          sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hit"),
+          sum(coalesce(col("hit_ivf"), lit(0))).cast("int").as("n_hit_ivf"))
         .selectExpr("q_id", "k", "n_hit",
-          "CAST((10000 * n_hit) DIV k AS INT) AS recall_bp")
+          "CAST((10000 * n_hit) DIV k AS INT) AS recall_bp",
+          "n_hit_ivf",
+          "CAST((10000 * n_hit_ivf) DIV k AS INT) AS recall_bp_ivf")
         .orderBy("q_id")
     }),
 
@@ -451,7 +471,75 @@ object VectorOps {
         .filter(col("rn") <= 3)
         .orderBy("q_id", "rn")
     }),
+
+    // IVF × PQ COMPOSED — the query a 100 TB vector index actually
+    // serves (q64 demonstrated the coarse probe, q119 the code scan;
+    // this is their composition). Coarse: a TRAINED quantizer — 8
+    // k-means centroids (deterministic vec_id<8 init + one Lloyd
+    // refine, the exact recipe the PQ codebooks use), vectors assigned
+    // to their nearest centroid = the inverted lists; nprobe=2 per
+    // probe. NOT q64's label lists: the label column is geometrically
+    // random (measured 41 % own-centroid affinity; a label-partitioned
+    // shortlist@50 captured 4/15 of the exact top-3 vs 13/15 for full
+    // ADC), while the trained lists capture 14/15 — the difference
+    // between partitioning by metadata and by geometry, which is the
+    // whole point of IVF. Fine: q119's EXACT codes + LUT (pqCodesLut —
+    // bit-identical training, so q119/q125 agree on the codes by
+    // construction), but the ADC sum runs ONLY over vectors of the
+    // probed lists: the code scan joins the (q_id, cid) probe frame
+    // BEFORE the per-neighbor aggregate, so with nprobe < nlist no
+    // full-corpus ADC happens (PlanSpec pins the restriction join; at
+    // 100 TB codes live cid-partitioned and this join is the partition
+    // prune). FAISS calls this IVFPQ with by_residual=false; residual
+    // encoding is the classic refinement — same topology, PQ trained on
+    // (vector − coarse centroid) — omitted so the code/LUT stages stay
+    // shared verbatim with q119/q120.
+    "q125_ann_ivf_pq" -> ((s, d) =>
+      ivfPqRanked(s, d)
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("neighbor_id"),
+          (col("du").cast("double") / 1e6).as("approx_d"), col("rn"))
+        .orderBy("q_id", "rn")),
   )
+
+  /** q125's composed IVF×PQ chain, ranked pre-top-k — shared with q120's
+    * composed-variant recall column. */
+  private def ivfPqRanked(s: SparkSession, d: String): DataFrame = {
+      def l2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, z) => acc + z)
+      val v = ld(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("ce"))
+      // trained coarse quantizer: deterministic init + one Lloyd refine
+      // (kAssign/kRecenter — the q65/q111 building blocks), then every
+      // vector assigned to its nearest centroid = the inverted lists
+      val c0 = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("ce").as("cc"))
+      val c1 = kRecenter(kAssign(v, c0))
+      val asg = kAssign(v, c1).select(col("vec_id"), col("cid"))
+      val probes = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("ce").as("qe"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("d2"), col("cid"))
+      val lists = probes.crossJoin(broadcast(c1))
+        .select(col("q_id"), col("cid"),
+          round(l2(col("qe"), col("cc")), 6).as("d2"))
+        .withColumn("crn", row_number().over(wq))
+        .filter(col("crn") <= 2)
+        .select(col("q_id"), col("cid"))
+      val (codes, lut) = pqCodesLut(s, d)
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("du"), col("neighbor_id"))
+      codes
+        .join(asg, Seq("vec_id"))
+        .join(broadcast(lists), Seq("cid")) // probed lists only
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(broadcast(lut), Seq("q_id", "m", "code"))
+        .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum("pdu").as("du"))
+        .withColumn("rn", row_number().over(wr))
+  }
 
   /** Shared CTE chain for q68/q102's oracles: originals (`c`, as DOUBLE[])
     * and their int8 quant-dequant reconstructions (`recon`), replaying the
@@ -507,7 +595,12 @@ object VectorOps {
     * while a BIGINT sum is order-free — the q11 exact-cents recipe
     * applied to distances. The DuckDB oracle replays codebooks, codes,
     * LUT, and ranking bit-for-bit. */
-  private def pqAdcRanked(s: SparkSession, d: String): DataFrame = {
+  /** PQ training + encoding shared by q119/q120 (full-corpus ADC) and
+    * q125 (IVF-restricted ADC): returns (codes, lut) — the per-vector
+    * (m, code) assignments and the 5-probe × M × K integer-micro partial
+    * distances. Splitting this out keeps the two consumers bit-identical
+    * in training (same init, same single Lloyd refine, same rounding). */
+  private def pqCodesLut(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val M = 4; val K = 16; val SUB = 16
     def l2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -543,6 +636,11 @@ object VectorOps {
       .join(broadcast(c1), Seq("m"))
       .select(col("q_id"), col("m"), col("cid").as("code"),
         round(l2(col("qsub"), col("cc")) * 1e6, 0).cast("bigint").as("pdu"))
+    (codes, lut)
+  }
+
+  private def pqAdcRanked(s: SparkSession, d: String): DataFrame = {
+    val (codes, lut) = pqCodesLut(s, d)
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("du"), col("neighbor_id"))
     codes.join(broadcast(lut), Seq("m", "code"))
@@ -602,6 +700,59 @@ object VectorOps {
                 (PARTITION BY q_id ORDER BY du, neighbor_id) AS rn
               FROM adc)"""
 
+  /** q125's IVF composition over [[duckPqCtes]]'s codes/lut: trained
+    * coarse centroids (vec_id<8 init + one Lloyd refine, round-6 argmin,
+    * cid tie-break — kAssign/kRecenter verbatim), nprobe=2 coarse probe,
+    * ADC restricted to probed lists — ranked in `rp`. Shared by the q125
+    * oracle and q120's composed-variant recall columns. Uses `probes2`
+    * (not q120's `probes`) to avoid CTE name collisions when both chains
+    * appear in one statement. */
+  private def duckIvfCtes: String = {
+    val coarseL2 =
+      duckL2.replace("%V", "p.qe").replace("%C", "cc1.cc")
+    val a0L2 = duckL2.replace("%V", "c.ce").replace("%C", "cc0.cc")
+    val a1L2 = duckL2.replace("%V", "c.ce").replace("%C", "cc1.cc")
+    s"""cc0 AS (SELECT vec_id AS cid, ce AS cc FROM c WHERE vec_id < 8),
+              ca0 AS (SELECT c.vec_id, c.ce, cc0.cid, $a0L2 AS dd
+                      FROM c CROSS JOIN cc0),
+              ca0w AS (SELECT *, row_number() OVER
+                         (PARTITION BY vec_id ORDER BY dd, cid) AS arn
+                       FROM ca0),
+              casg0 AS (SELECT vec_id, ce, cid FROM ca0w WHERE arn = 1),
+              ccl AS (SELECT cid, CAST(p AS INTEGER) AS p,
+                             round(avg(ce[CAST(p AS INTEGER)]), 6) AS cv
+                      FROM casg0, range(1, 65) t(p)
+                      GROUP BY cid, p),
+              cc1 AS (SELECT cid, list(cv ORDER BY p) AS cc
+                      FROM ccl GROUP BY cid),
+              ca1 AS (SELECT c.vec_id, cc1.cid, $a1L2 AS dd
+                      FROM c CROSS JOIN cc1),
+              ca1w AS (SELECT *, row_number() OVER
+                         (PARTITION BY vec_id ORDER BY dd, cid) AS arn
+                       FROM ca1),
+              asg AS (SELECT vec_id, cid FROM ca1w WHERE arn = 1),
+              probes2 AS (SELECT vec_id AS q_id, ce AS qe FROM c
+                          WHERE vec_id < 5),
+              coarse AS (SELECT q_id, cid, $coarseL2 AS d2
+                         FROM probes2 p CROSS JOIN cc1),
+              cw AS (SELECT *, row_number() OVER
+                       (PARTITION BY q_id ORDER BY d2, cid) AS crn
+                     FROM coarse),
+              lists AS (SELECT q_id, cid FROM cw WHERE crn <= 2),
+              adcp AS (SELECT lists.q_id, v.vec_id AS neighbor_id,
+                              sum(pdu) AS du
+                       FROM codes v
+                       JOIN asg ON v.vec_id = asg.vec_id
+                       JOIN lists ON asg.cid = lists.cid
+                       JOIN lut ON v.m = lut.m AND v.code = lut.code
+                               AND lut.q_id = lists.q_id
+                       WHERE v.vec_id <> lists.q_id
+                       GROUP BY lists.q_id, v.vec_id),
+              rp AS (SELECT *, row_number() OVER
+                       (PARTITION BY q_id ORDER BY du, neighbor_id) AS rn
+                     FROM adcp)"""
+  }
+
   val oracle: Map[String, String] = Map(
     // full PQ replay: same subspace split, same deterministic init + one
     // Lloyd refine (round-6 before argmin, cid tie-break), same
@@ -616,7 +767,9 @@ object VectorOps {
     "q120_pq_recall" -> {
       val exL2 = duckL2.replace("%V", "x.ce").replace("%C", "p.qe")
       s"""WITH $duckPqCtes,
+              $duckIvfCtes,
               adc3 AS (SELECT q_id, neighbor_id FROM r WHERE rn <= 50),
+              adci AS (SELECT q_id, neighbor_id FROM rp WHERE rn <= 50),
               probes AS (SELECT vec_id AS q_id, ce AS qe FROM c
                          WHERE vec_id < 5),
               ed AS (SELECT p.q_id, x.vec_id AS neighbor_id, $exL2 AS d
@@ -631,11 +784,26 @@ object VectorOps {
                               THEN 1 ELSE 0 END) AS INTEGER) AS n_hit,
                 CAST((10000 * sum(CASE WHEN a.neighbor_id IS NOT NULL
                                        THEN 1 ELSE 0 END)) // count(*)
-                     AS INTEGER) AS recall_bp
+                     AS INTEGER) AS recall_bp,
+                CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) AS INTEGER) AS n_hit_ivf,
+                CAST((10000 * sum(CASE WHEN i.neighbor_id IS NOT NULL
+                                       THEN 1 ELSE 0 END)) // count(*)
+                     AS INTEGER) AS recall_bp_ivf
          FROM e3 LEFT JOIN adc3 a
            ON e3.q_id = a.q_id AND e3.neighbor_id = a.neighbor_id
+         LEFT JOIN adci i
+           ON e3.q_id = i.q_id AND e3.neighbor_id = i.neighbor_id
          GROUP BY e3.q_id ORDER BY e3.q_id"""
     },
+    // q119's chain + the coarse probe: per-label centroids (L2), nprobe=2
+    // lists, ADC restricted to vectors of the probed lists
+    "q125_ann_ivf_pq" ->
+      s"""WITH $duckPqCtes,
+              $duckIvfCtes
+         SELECT q_id, neighbor_id, CAST(du AS DOUBLE) / 1000000 AS approx_d,
+                CAST(rn AS INTEGER) AS rn
+         FROM rp WHERE rn <= 3 ORDER BY q_id, rn""",
     // Full LSH replay: identical deterministic hyperplanes, identical
     // bucket assignment (sign-exact projections), identical top-5 ranking
     // — upgrades q61 from the LSH-vs-brute property spec to a real

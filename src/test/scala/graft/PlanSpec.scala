@@ -196,6 +196,24 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("LeftSemi"), "hot-gram semi-join missing")
   }
 
+  test("q125: composed IVF×PQ restricts the ADC scan to probed lists — " +
+    "broadcast list join before the per-neighbor aggregate, no " +
+    "pair-space product") {
+    val p = plan("q125_ann_ivf_pq")
+    // the (q_id, cid) probe frame joins the code scan on cid via
+    // broadcast BEFORE any ADC aggregation: with nprobe < nlist the
+    // full-corpus ADC never runs (at 100 TB this join is the partition
+    // prune over cid-partitioned codes)
+    val bhjBlocks = p.split("BroadcastHashJoin").drop(1)
+    assert(bhjBlocks.exists(_.take(120).contains("[cid#")),
+      s"ADC scan must join the probed-list frame on cid:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), "no unkeyed products")
+    // the only BNLJ crosses are the tiny-broadcast argmin/probe products
+    // (corpus × 8 centroids, probes × centroids) — the kAssign pattern
+    assert(p.linesIterator.count(_.matches("""\(\d+\) BroadcastNestedLoopJoin""")) <= 4,
+      "unexpected extra cross joins")
+  }
+
   test("q117: composed curation chain keeps its stage joins keyed — " +
     "no pair-space product anywhere in the chain") {
     // r9: q117/q123 consume a SHARED checkpointed derivation, so the
