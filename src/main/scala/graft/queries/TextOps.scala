@@ -647,6 +647,38 @@ object TextOps {
           col("score"))
         .orderBy("source", "rk")
     }),
+
+    // Char-bigram LM typicality scoring — the CCNet/KenLM perplexity-
+    // filter rung in its relational shape: TRAIN a corpus language model
+    // (one explode→map-side-combined agg pass; the explosion never
+    // materializes), broadcast the vocab-sized model, then SCORE every
+    // document by aggregating its own bigrams' model statistics. The
+    // production scorer sums log-probabilities; this query scores in the
+    // model's integer domain — per-doc bigram count + sum of corpus
+    // bigram frequencies (typical text scores high, line noise low) — so
+    // the DuckDB oracle is hash-exact (ln() would differ in the last ulp
+    // between JVM and C runtimes and a sum of ~600 logs amplifies that
+    // past any safe rounding). Swapping the score to sum(ln(c/N)) changes
+    // one agg expression, not the plan. At 100 TB: the model is
+    // charset²-bounded (≪ broadcast threshold) so scoring is a
+    // broadcast-join over a single corpus scan; train and score are two
+    // passes here because they read the same snapshot — production trains
+    // once (often on a reference corpus: CCNet scores against Wikipedia,
+    // not against the crawl itself) and amortizes the model over every
+    // scoring run.
+    "q127_lm_score" -> ((s, d) => {
+      val grams = ld(s, d, "documents")
+        .filter(length(col("text")) >= 2) // sequence(1,0) would step -1
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")) - 1)).as("i"),
+          col("text"))
+        .select(col("doc_id"), expr("substring(text, i, 2)").as("bg"))
+      val lm = grams.groupBy("bg").agg(count(lit(1)).as("c"))
+      grams.join(broadcast(lm), "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("c").as("sum_freq"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
@@ -1121,5 +1153,19 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
           FROM inter JOIN sizes sa ON da = sa.doc_id
                      JOIN sizes sb ON db = sb.doc_id
           ORDER BY da, db""",
+    // Same model trained and applied: range() is end-exclusive so i runs
+    // 1..len-1, exactly Spark's sequence(1, len-1); sum(BIGINT) comes
+    // back HUGEINT in DuckDB, so it is cast to match Spark's LongType.
+    "q127_lm_score" ->
+      """WITH g AS (SELECT doc_id, substring(text, CAST(i AS INTEGER), 2) AS bg
+                    FROM (SELECT doc_id, text,
+                                 unnest(range(1, length(text))) AS i
+                          FROM documents WHERE length(text) >= 2)),
+              lm AS (SELECT bg, count(*) AS c FROM g GROUP BY 1)
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(c) AS BIGINT) AS sum_freq
+         FROM g JOIN lm USING (bg)
+         GROUP BY doc_id
+         ORDER BY doc_id""",
   )
 }
