@@ -235,7 +235,65 @@ object SinkOps {
           round(sum("o_totalprice"), 2).as("tot"))
         .orderBy("cust_band")
     }),
+
+    // Z-order (Morton) clustering — the write-time layout optimization
+    // (Delta/Iceberg's OPTIMIZE ZORDER BY) that gives min/max file
+    // skipping on TWO columns at once, where q93's directory partitioning
+    // serves only one. Both dims are normalized to 16 bits by value range
+    // (the range comes from a 1-row broadcast aggregate, not a driver
+    // round-trip), bit-interleaved into a 32-bit Morton code, and files
+    // are assigned by the code's top 4 bits — VALUE-range assignment, so
+    // it is embarrassingly parallel (no global rank/ntile window; this is
+    // exactly how a production z-order write range-partitions) and
+    // oracle-exact. The z-ordered copy is physically written (repartition
+    // on file_id, z-sorted within files, one directory per file) and the
+    // per-file stats come from the READ-BACK — the roundtrip-fidelity
+    // pattern of this file — next to the same stats for a plain
+    // partkey-linear layout straight from the source. The payoff is in
+    // the output itself (measured at sf0.01): linear files bound partkey
+    // to 124 of 2000 but span the FULL 0..99 suppkey range (zero skipping
+    // on the second dim); z-order files bound BOTH dims to exactly 1/4 of
+    // range (pk span 499, sk span 24 — the 4 file bits split 2+2 across
+    // dims), so a two-dim point query prunes 15/16 files.
+    "q129_zorder_layout" -> ((s, d) => {
+      val path = outDir(d, "lineitem_zorder")
+      val li = ld(s, d, "lineitem").select("l_partkey", "l_suppkey")
+      val stats = li.agg(
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+      val zed = li.crossJoin(broadcast(stats))
+        .selectExpr("l_partkey", "l_suppkey",
+          "(l_partkey - min_pk) * 65536 DIV (max_pk - min_pk + 1) AS xb",
+          "(l_suppkey - min_sk) * 65536 DIV (max_sk - min_sk + 1) AS yb")
+        .selectExpr("l_partkey", "l_suppkey", "xb",
+          s"($zInterleave) AS z")
+      zed.selectExpr("l_partkey", "l_suppkey", "z", "z >> 28 AS file_id")
+        .repartition(col("file_id"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").partitionBy("file_id").parquet(path)
+      val zStats = s.read.parquet(path)
+        .groupBy(lit("zorder").as("layout"),
+          col("file_id").cast("long").as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+      val linStats = zed
+        .selectExpr("l_partkey", "l_suppkey", "xb >> 12 AS file_id")
+        .groupBy(lit("linear").as("layout"), col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+          min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+      zStats.unionAll(linStats).orderBy("layout", "file_id")
+    }),
   )
+
+  /** 16-bit × 16-bit Morton interleave over normalized coords `xb`,`yb` —
+    * built once and spliced VERBATIM into both the Spark plan and the
+    * DuckDB oracle (`&`/`<<`/`>>` parse identically in both dialects;
+    * only integer division differs: Spark `DIV` vs DuckDB `//`). */
+  private[queries] val zInterleave: String = (0 until 16).map(b =>
+    s"(((xb >> $b) & 1) << ${2 * b}) + (((yb >> $b) & 1) << ${2 * b + 1})")
+    .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
     "q88_json_roundtrip" ->
@@ -277,5 +335,33 @@ object SinkOps {
                               AS BIGINT)) AS DOUBLE) / 100 AS tot,
                 min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // Both layouts recomputed from the SOURCE (the z-ordered side in
+    // Spark aggregates the read-back, so a green row proves the physical
+    // layout roundtripped); identical Morton expression, '//' for DIV.
+    "q129_zorder_layout" ->
+      s"""WITH st AS (SELECT min(l_partkey) AS min_pk,
+                             max(l_partkey) AS max_pk,
+                             min(l_suppkey) AS min_sk,
+                             max(l_suppkey) AS max_sk
+                      FROM lineitem),
+              b AS (SELECT l_partkey, l_suppkey,
+                           (l_partkey - min_pk) * 65536
+                             // (max_pk - min_pk + 1) AS xb,
+                           (l_suppkey - min_sk) * 65536
+                             // (max_sk - min_sk + 1) AS yb
+                    FROM lineitem CROSS JOIN st),
+              zb AS (SELECT l_partkey, l_suppkey, xb,
+                            ($zInterleave) AS z
+                     FROM b),
+              f AS (SELECT 'zorder' AS layout, z >> 28 AS file_id,
+                           l_partkey, l_suppkey
+                    FROM zb
+                    UNION ALL
+                    SELECT 'linear', xb >> 12, l_partkey, l_suppkey
+                    FROM zb)
+         SELECT layout, file_id, count(*) AS n_rows,
+                min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+                min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+         FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }
