@@ -484,6 +484,54 @@ object PipelineOps {
           pAt(25, "p25"), pAt(50, "p50"), pAt(75, "p75"), pAt(95, "p95"))
         .orderBy("source")
     }),
+
+    // SCD-type-2 MERGE (lakehouse upsert / CDC apply): a change-set is
+    // applied to a dimension snapshot in ONE key-partitioned full-outer
+    // join — exactly the relational core of Delta/Iceberg MERGE INTO
+    // (WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT), plus the
+    // type-2 history: updated keys emit BOTH the closed-out version-1 row
+    // (is_current=false) and the version-2 row; unchanged keys carry
+    // version 1 forward; inserts arrive as version 1. Both version rows
+    // come from the SAME joined row via explode(array(...)) — one join,
+    // one pass, no second scan of either side. The snapshot is the
+    // customer dim minus custkey%7 (so the change window genuinely
+    // inserts); the change-set is the order-value delta per customer
+    // since 2001-06-01, in exact BIGINT cents (this file's money recipe).
+    // At 100 TB: snapshot and change-set shuffle once on the merge key —
+    // the change-set is usually orders of magnitude smaller, so AQE
+    // broadcasts it and the snapshot is never shuffled at all; the
+    // disposition column is the merge audit a production CDC job emits.
+    "q130_scd2_merge" -> ((s, d) => {
+      val dim = ld(s, d, "customer").filter(col("c_custkey") % 7 =!= 0)
+        .selectExpr("c_custkey AS custkey",
+          "CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100 AS BIGINT) AS bal_c")
+      val chg = ld(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2001-06-01"))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100" +
+          " AS BIGINT)")).as("delta_c"))
+      dim.join(chg, Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          when(col("bal_c").isNotNull && col("delta_c").isNotNull, "update")
+            .when(col("delta_c").isNotNull, "insert")
+            .otherwise("unchanged").as("disposition"),
+          explode(expr(
+            """array(
+                 IF(bal_c IS NOT NULL,
+                    named_struct('version', 1, 'bal', bal_c,
+                                 'is_current', delta_c IS NULL),
+                    NULL),
+                 IF(delta_c IS NOT NULL,
+                    named_struct('version', IF(bal_c IS NOT NULL, 2, 1),
+                                 'bal', coalesce(bal_c, 0L) + delta_c,
+                                 'is_current', true),
+                    NULL))""")).as("v"))
+        .filter(col("v").isNotNull)
+        .select(col("custkey"), col("v.version").as("version"),
+          col("v.bal").as("bal_c"), col("v.is_current").as("is_current"),
+          col("disposition"))
+        .orderBy("custkey", "version")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -925,5 +973,35 @@ object PipelineOps {
                 quantile_disc(n_chars, 0.75) AS p75,
                 quantile_disc(n_chars, 0.95) AS p95
          FROM documents GROUP BY source ORDER BY source""",
+    // MERGE replay: same full-outer join, the two SCD2 version rows
+    // emitted as a UNION ALL of the matched/not-matched branches.
+    "q130_scd2_merge" ->
+      """WITH dim AS (SELECT c_custkey AS custkey,
+                             CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100
+                                  AS BIGINT) AS bal_c
+                      FROM customer WHERE c_custkey % 7 <> 0),
+              chg AS (SELECT o_custkey AS custkey,
+                             CAST(sum(CAST(CAST(o_totalprice
+                                    AS DECIMAL(14,2)) * 100 AS BIGINT))
+                                  AS BIGINT) AS delta_c
+                      FROM orders
+                      WHERE o_orderdate >= DATE '2001-06-01'
+                      GROUP BY 1),
+              m AS (SELECT coalesce(d.custkey, c.custkey) AS custkey,
+                           d.bal_c, c.delta_c,
+                           CASE WHEN d.bal_c IS NOT NULL
+                                     AND c.delta_c IS NOT NULL THEN 'update'
+                                WHEN c.delta_c IS NOT NULL THEN 'insert'
+                                ELSE 'unchanged' END AS disposition
+                    FROM dim d FULL OUTER JOIN chg c
+                      ON d.custkey = c.custkey)
+         SELECT custkey, 1 AS version, bal_c,
+                delta_c IS NULL AS is_current, disposition
+         FROM m WHERE bal_c IS NOT NULL
+         UNION ALL
+         SELECT custkey, CASE WHEN bal_c IS NOT NULL THEN 2 ELSE 1 END,
+                coalesce(bal_c, 0) + delta_c, TRUE, disposition
+         FROM m WHERE delta_c IS NOT NULL
+         ORDER BY custkey, version""",
   )
 }
