@@ -741,6 +741,45 @@ object Relational {
           (sum("pqc").cast("double") / 100).as("sum_qty"))
         .orderBy("l_returnflag")
     }),
+
+    // Fixed-point integer PageRank, K=3 rounds, damping 0.85 (= 17/20 in
+    // integer arithmetic), over the undirected part↔supplier bipartite
+    // graph of distinct lineitem pairs (nodes namespaced into one BIGINT
+    // space: part → 2k, supplier → 2k+1). Complements the connected-
+    // components primitive (q101's label propagation) with WEIGHTED
+    // iterative propagation — the other canonical relational-iteration
+    // shape. Scores live in integer micro-units and every contribution is
+    // floor-divided ((r·17) DIV (20·deg)), so each round is bit-exact and
+    // the DuckDB oracle replays all three rounds as a CTE chain — no
+    // float accumulation order to diverge. Undirected edges mean every
+    // node has out-degree ≥ 1: no dangling-mass term. The per-round plan
+    // is one join keyed on src (the edge frame is degree-annotated and
+    // checkpointed ONCE, partitioned by src — each round reshuffles only
+    // the rank frame, |nodes| rows) plus one dst-keyed agg, both map-side
+    // combined; K is fixed and small, the standard production choice
+    // (power iteration to tolerance is the same loop with q101's
+    // observe()-metric convergence read).
+    "q131_pagerank" -> ((s, d) => {
+      val pairs = ld(s, d, "lineitem")
+        .select((col("l_partkey") * 2).as("p"),
+          (col("l_suppkey") * 2 + 1).as("q"))
+        .distinct()
+      val edges = pairs.select(col("p").as("src"), col("q").as("dst"))
+        .unionAll(pairs.select(col("q").as("src"), col("p").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val withDeg = edges.join(deg, "src").localCheckpoint()
+      var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        ranks = withDeg.join(ranks, col("src") === col("node"))
+          .groupBy("dst")
+          .agg(sum(expr("(r * 17) DIV (20 * deg)")).as("inflow"))
+          .select(col("dst").as("node"),
+            (lit(150000L) + col("inflow")).as("r"))
+          .localCheckpoint()
+      }
+      ranks.orderBy("node")
+    }),
   )
 
   /** q69's exact-decimal aggregation, pre-stringification. Kept as a named
@@ -1102,5 +1141,25 @@ object Relational {
       """SELECT l_returnflag,
                 round(exp(avg(ln(l_extendedprice))), 2) AS geo_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // All three fixed-point rounds replayed as a CTE chain ('//' is
+    // DuckDB's floor division, Spark's DIV); HUGEINT sums cast back.
+    "q131_pagerank" -> {
+      val rounds = (1 to 3).map(k =>
+        s"""r$k AS (SELECT dst AS node,
+                           150000 + sum((r * 17) // (20 * deg)) AS r
+                    FROM ed JOIN r${k - 1} ON ed.src = r${k - 1}.node
+                    GROUP BY dst)""").mkString(", ")
+      s"""WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                                l_suppkey * 2 + 1 AS q
+                         FROM lineitem),
+              e AS (SELECT p AS src, q AS dst FROM pairs
+                    UNION ALL SELECT q, p FROM pairs),
+              deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+              ed AS (SELECT e.src, e.dst, deg.deg
+                     FROM e JOIN deg USING (src)),
+              r0 AS (SELECT src AS node, 1000000 AS r FROM deg),
+              $rounds
+         SELECT node, CAST(r AS BIGINT) AS r FROM r3 ORDER BY node"""
+    },
   )
 }
