@@ -65,6 +65,17 @@ object Plans {
       "consume)"),
     "q117_curation_pipeline" ->
       "consume side: select+sort over the checkpointed admitted frame",
+    "q127_lm_score" ->
+      "vocab-sized bigram LM broadcast over the scoring scan",
+    "q128_sparse_cosine" ->
+      "df-pruned posting-list self-join keyed on the gram hash",
+    "q129_zorder_layout" ->
+      "value-range Morton file assignment: no global rank/ntile window",
+    "q130_scd2_merge" ->
+      "one full-outer merge join; both SCD2 version rows from one Generate",
+    // q131_pagerank's consume-side plan is a checkpoint scan + sort (its
+    // per-round join/agg plans are transient, like the CC loop's) — the
+    // round shape is documented in the query's Scaladoc instead.
   )
 
   /** Resolves a flagship name to its DataFrame. Almost always the

@@ -710,17 +710,23 @@ object TextOps {
           conv(substring(md5(concat_ws(" ", col("tok"), col("t1"),
             col("t2"))), 1, 8), 16, 10).cast("long").as("gh"))
         .groupBy("doc_id", "gh").agg(count(lit(1)).as("tf"))
+      // every frame below is corpus-proportional (posting lists, vocab,
+      // per-doc norms) — shuffle_hash-hinted like this file's other pair
+      // joins so the toy-scale plan never pins a corpus broadcast
       val dfq = tf.groupBy("gh").agg(count(lit(1)).as("df"))
-      val keep = tf.join(dfq.filter(col("df").between(2, 20)).select("gh"),
-        "gh")
+      val keep = tf.join(
+        dfq.filter(col("df").between(2, 20)).select("gh")
+          .hint("shuffle_hash"), "gh")
       val norm = keep.groupBy("doc_id").agg(sum(col("tf") * col("tf"))
         .as("n2"))
-      keep.as("a").join(keep.as("b"),
+      keep.as("a").join(keep.as("b").hint("shuffle_hash"),
           col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
-        .join(norm.select(col("doc_id").as("da"), col("n2").as("na2")), "da")
-        .join(norm.select(col("doc_id").as("db"), col("n2").as("nb2")), "db")
+        .join(norm.select(col("doc_id").as("da"), col("n2").as("na2"))
+          .hint("shuffle_hash"), "da")
+        .join(norm.select(col("doc_id").as("db"), col("n2").as("nb2"))
+          .hint("shuffle_hash"), "db")
         .filter(col("dot") * col("dot") * 25 >= col("na2") * col("nb2") * 4)
         .select(col("da"), col("db"), col("dot"), col("na2"), col("nb2"),
           expr("(2 * dot * dot * 10000 + na2 * nb2) DIV (2 * na2 * nb2)")
