@@ -544,6 +544,49 @@ object EventOps {
           "CAST((2 * sk * 10000 + nk) DIV (2 * nk) AS DOUBLE) / 10000 AS avg_k",
           "max_k", "n_high")
         .orderBy("event_type")),
+
+    // INTERVAL-OVERLAP self-join via a time-grid bucket equi-join — the
+    // scalable range-join recipe Spark lacks natively (q49 covers ASOF;
+    // this is the symmetric-overlap case: "which activity intervals of the
+    // same user overlap?"). Naive overlap is a per-user theta-join (BNLJ,
+    // quadratic per user); instead each interval [s, e] (event start +
+    // `value` minutes) explodes to the 6-hour grid cells it spans (≤ 3
+    // cells: max duration 490 min), pairs equi-join on (user_id, cell) —
+    // a keyed shuffle bounded by per-cell occupancy — and each surviving
+    // pair is emitted EXACTLY ONCE with no distinct(): only in the cell
+    // containing max(s_a, s_b), the unique first cell both intervals
+    // occupy (both contain that instant, and neither occupies an earlier
+    // shared cell since one interval starts in this one). Epochs stay in
+    // integral microseconds (unix_micros ↔ epoch_us, the q103 recipe) and
+    // cell ids use integer DIV, so both engines cut identically; the
+    // oracle is the plain quadratic range join — same semantics, different
+    // algorithm. At 100 TB the grid width trades fan-out (cells per
+    // interval) against cell occupancy (join fan-out) — sized so typical
+    // intervals span ~1-2 cells; heavy users are still bounded by the
+    // per-(user, cell) product, the quantity to salt if one user dominates.
+    "q132_interval_join" -> ((s, d) => {
+      val g = 21600000000L // 6 h in micros
+      val iv = ld(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("s0"), col("value"))
+        .withColumn("e0",
+          col("s0") + floor(col("value") * 60).cast("long") * 1000000L)
+        .drop("value")
+      val cells = iv.withColumn("cell",
+        explode(sequence(expr(s"s0 DIV ${g}L"), expr(s"e0 DIV ${g}L"))))
+      cells.as("a").join(cells.as("b").hint("shuffle_hash"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.cell") === col("b.cell") &&
+            col("a.event_id") < col("b.event_id") &&
+            col("a.s0") <= col("b.e0") && col("b.s0") <= col("a.e0") &&
+            col("a.cell") ===
+              expr(s"greatest(a.s0, b.s0) DIV ${g}L"))
+        .select(col("a.event_id").as("ea"), col("b.event_id").as("eb"),
+          col("a.user_id").as("user_id"),
+          expr("(least(a.e0, b.e0) - greatest(a.s0, b.s0)) DIV 1000000")
+            .as("overlap_s"))
+        .orderBy("ea", "eb")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -698,5 +741,20 @@ object EventOps {
                 CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
                      AS DOUBLE) / 100 AS tot_value
          FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
+    // The SEMANTIC spec: a plain quadratic range join — DuckDB's IEJoin
+    // handles it natively, so the oracle needs none of the grid plumbing.
+    "q132_interval_join" ->
+      """WITH iv AS (SELECT event_id, user_id, epoch_us(ts) AS s0,
+                            epoch_us(ts)
+                              + CAST(floor(value * 60) AS BIGINT) * 1000000
+                              AS e0
+                     FROM events)
+         SELECT a.event_id AS ea, b.event_id AS eb, a.user_id AS user_id,
+                (least(a.e0, b.e0) - greatest(a.s0, b.s0)) // 1000000
+                  AS overlap_s
+         FROM iv a JOIN iv b
+           ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND a.s0 <= b.e0 AND b.s0 <= a.e0
+         ORDER BY ea, eb""",
   )
 }

@@ -532,6 +532,33 @@ object PipelineOps {
           col("disposition"))
         .orderBy("custkey", "version")
     }),
+
+    // Deterministic WEIGHTED sample (k = 100, weight ∝ document length):
+    // the "sample long documents proportionally more" pass a mixture tuner
+    // runs, with zero RNG — retry/executor/engine-stable like q97's
+    // uniform md5 recipe, but WEIGHTED. Each doc gets
+    // ceil(n_chars/64) lottery tickets; ticket t's draw is md5(doc_id:t);
+    // a doc's priority is its MINIMUM draw and the k smallest priorities
+    // win. P(doc wins a draw) ∝ its ticket count — the integer-exact
+    // twin of Efraimidis-Spirakis u^(1/w) keys (min of w iid uniforms ~
+    // Beta(1,w), monotone in w), chosen over u^(1/w) itself because pow/ln
+    // are libm-dependent doubles that can flip a rank at the k-boundary
+    // across engines, while hex-string min compares identically everywhere.
+    // Plan: ticket explode is Σ tickets ≈ corpus_chars/64 rows (same cost
+    // class as tokenizing), the min is one map-side-combined keyed agg,
+    // and the global k smallest ride a TakeOrderedAndProject (per-partition
+    // top-k heaps + driver merge of 32·k rows — never a full sort).
+    "q135_weighted_sample" -> ((s, d) =>
+      ld(s, d, "documents")
+        .selectExpr("doc_id", "source",
+          "CAST(greatest(1, (n_chars + 63) DIV 64) AS INT) AS tickets")
+        .withColumn("t", explode(expr("sequence(1, tickets)")))
+        .withColumn("draw",
+          md5(concat_ws(":", col("doc_id"), col("t"))))
+        .groupBy("doc_id", "source", "tickets")
+        .agg(min("draw").as("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(100)),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -1003,5 +1030,17 @@ object PipelineOps {
                 coalesce(bal_c, 0) + delta_c, TRUE, disposition
          FROM m WHERE delta_c IS NOT NULL
          ORDER BY custkey, version""",
+    "q135_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, source,
+                           CAST(greatest(1, (n_chars + 63) // 64) AS INT)
+                             AS tickets
+                    FROM documents),
+              x AS (SELECT doc_id, source, tickets,
+                           min(md5(doc_id || ':' || g)) AS priority
+                    FROM (SELECT t.*, unnest(generate_series(1, tickets)) AS g
+                          FROM t)
+                    GROUP BY 1, 2, 3)
+         SELECT doc_id, source, tickets, priority
+         FROM x ORDER BY priority, doc_id LIMIT 100""",
   )
 }

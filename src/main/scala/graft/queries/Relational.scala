@@ -780,6 +780,70 @@ object Relational {
       }
       ranks.orderBy("node")
     }),
+
+    // Per-node TRIANGLE counting with DEGREE-ORIENTED edges — the third
+    // canonical relational-graph primitive next to q101's connected
+    // components and q131's PageRank (triangle counts drive clustering
+    // coefficients / community strength in curation graphs). Graph:
+    // suppliers co-supplying more parts than chance — the lift test
+    // shared·|parts| > deg_a·deg_b is scale-invariant (a fixed absolute
+    // threshold is degenerate: at sf0.01 every supplier pair shares ≥ 98
+    // parts), integer-exact, and derived per-corpus from one pass. The
+    // naive triangle join is wedges = Σ deg², unbounded under hubs; each
+    // undirected edge is instead directed from the (degree, id)-SMALLER
+    // endpoint to the larger — a total order, so every triangle survives
+    // as exactly ONE wedge (a→b, a→c with π(b) < π(c)) plus one closing-
+    // edge probe, and out-degrees are O(√m)-bounded (arboricity bound):
+    // wedge volume drops from Σ deg² to Σ outdeg² — the classic
+    // MapReduce triangle recipe. All joins are keyed (wedge build on the
+    // apex, closing probe a LEFT SEMI on the directed pair); the only
+    // broadcast is the 1-row part count. Probed here: lift > 1.0 keeps
+    // 18/45 edges (8 triangles) at sf0.001, 2,403/4,950 (18,713) at
+    // sf0.01.
+    "q134_triangle_count" -> ((s, d) => {
+      val ps = ld(s, d, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
+        .distinct()
+      val nparts = ps.agg(countDistinct(col("p")).as("n"))
+      val deg = ps.groupBy("sp").agg(count(lit(1)).as("dg"))
+      val lifted = ps.as("a")
+        .join(ps.as("b").hint("shuffle_hash"),
+          col("a.p") === col("b.p") && col("a.sp") < col("b.sp"))
+        .groupBy(col("a.sp").as("s1"), col("b.sp").as("s2"))
+        .agg(count(lit(1)).as("shared"))
+        .join(deg.select(col("sp").as("s1"), col("dg").as("d1"))
+          .hint("shuffle_hash"), "s1")
+        .join(deg.select(col("sp").as("s2"), col("dg").as("d2"))
+          .hint("shuffle_hash"), "s2")
+        .crossJoin(broadcast(nparts))
+        .filter(col("shared") * col("n") > col("d1") * col("d2"))
+        .select("s1", "s2")
+      val und = lifted.select(col("s1").as("u"), col("s2").as("v"))
+        .unionAll(lifted.select(col("s2").as("u"), col("s1").as("v")))
+      val gdeg = und.groupBy("u").agg(count(lit(1)).as("gd"))
+      // π(x) = (graph-degree, id): a total order over nodes
+      val dir = und
+        .join(gdeg.hint("shuffle_hash"), "u")
+        .join(gdeg.select(col("u").as("v"), col("gd").as("gdv"))
+          .hint("shuffle_hash"), "v")
+        .filter(col("gd") < col("gdv") ||
+          (col("gd") === col("gdv") && col("u") < col("v")))
+        .select("u", "v", "gdv")
+      val tri = dir.as("e1")
+        .join(dir.as("e2").hint("shuffle_hash"),
+          col("e1.u") === col("e2.u") &&
+            (col("e1.gdv") < col("e2.gdv") ||
+              (col("e1.gdv") === col("e2.gdv") && col("e1.v") < col("e2.v"))))
+        .select(col("e1.u").as("na"), col("e1.v").as("nb"),
+          col("e2.v").as("nc"))
+        // π(nb) < π(nc), so the closing edge, if present, is nb→nc
+        .join(dir.select(col("u").as("nb"), col("v").as("nc"))
+          .hint("shuffle_hash"), Seq("nb", "nc"), "left_semi")
+      tri.select(explode(array(col("na"), col("nb"), col("nc")))
+          .as("supplier"))
+        .groupBy("supplier").agg(count(lit(1)).as("n_tri"))
+        .orderBy("supplier")
+    }),
   )
 
   /** q69's exact-decimal aggregation, pre-stringification. Kept as a named
@@ -1161,5 +1225,35 @@ object Relational {
               $rounds
          SELECT node, CAST(r AS BIGINT) AS r FROM r3 ORDER BY node"""
     },
+    "q134_triangle_count" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sp
+                     FROM lineitem),
+              np AS (SELECT count(DISTINCT p) AS n FROM ps),
+              deg AS (SELECT sp, count(*) AS dg FROM ps GROUP BY 1),
+              sh AS (SELECT a.sp AS s1, b.sp AS s2, count(*) AS shared
+                     FROM ps a JOIN ps b ON a.p = b.p AND a.sp < b.sp
+                     GROUP BY 1, 2),
+              lifted AS (SELECT s1, s2 FROM sh, np, deg da, deg db
+                         WHERE da.sp = s1 AND db.sp = s2
+                           AND shared * np.n > da.dg * db.dg),
+              und AS (SELECT s1 AS u, s2 AS v FROM lifted
+                      UNION ALL SELECT s2, s1 FROM lifted),
+              gdeg AS (SELECT u, count(*) AS gd FROM und GROUP BY 1),
+              dir AS (SELECT und.u, und.v, gv.gd AS gdv
+                      FROM und JOIN gdeg gu ON und.u = gu.u
+                               JOIN gdeg gv ON und.v = gv.u
+                      WHERE gu.gd < gv.gd
+                         OR (gu.gd = gv.gd AND und.u < und.v)),
+              tri AS (SELECT e1.u AS na, e1.v AS nb, e2.v AS nc
+                      FROM dir e1 JOIN dir e2 ON e1.u = e2.u
+                       AND (e1.gdv < e2.gdv
+                            OR (e1.gdv = e2.gdv AND e1.v < e2.v))
+                      WHERE EXISTS (SELECT 1 FROM dir e3
+                                    WHERE e3.u = e1.v AND e3.v = e2.v)),
+              nodes AS (SELECT na AS supplier FROM tri
+                        UNION ALL SELECT nb FROM tri
+                        UNION ALL SELECT nc FROM tri)
+         SELECT supplier, count(*) AS n_tri
+         FROM nodes GROUP BY 1 ORDER BY supplier""",
   )
 }
