@@ -733,6 +733,99 @@ object TextOps {
             .as("cos2_bp"))
         .orderBy("da", "db")
     }),
+
+    // BM25 ranked retrieval — the SEARCH-side rung over q128's inverted-
+    // index infrastructure: score every document against a query and
+    // return the top-20. Terms are word-3-grams (the 31-word synthetic
+    // vocabulary makes single-token idf degenerate, q128's measurement);
+    // the query is itself derived deterministically from the corpus (the
+    // 10 highest-df grams inside the discriminative 2..20 df band — a
+    // genuinely tiny frame, so ITS broadcast is honest, unlike a corpus
+    // frame). BM25 (k1 = 1.2, b = 0.75) is computed ENTIRELY in integer
+    // arithmetic so the DuckDB oracle hash-matches: idf is the rational
+    // Robertson form ((N - df + 1)·10⁴) DIV (df + 1) in basis points (no
+    // ln — libm doubles differ across engines, the q127 lesson), the
+    // length norm folds k1(1 - b + b·dl/avgdl) into one micro-unit
+    // denominator with a single floor, and per-term contributions are
+    // floored to milli-units BEFORE the sum, so the total is an
+    // order-free BIGINT sum. Plan: tf/df/dl aggs are map-side combined;
+    // scoring is one broadcast of the 10-row query + a doc_id-keyed join
+    // for dl + the 1-row stats cross; top-20 rides TakeOrderedAndProject.
+    // At 100 TB the posting lists are bucketed by gh and this exact plan
+    // serves each query with one shuffle-free probe per term.
+    "q133_bm25" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val tf = ld(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("tok"),
+          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"),
+          conv(substring(md5(concat_ws(" ", col("tok"), col("t1"),
+            col("t2"))), 1, 8), 16, 10).cast("long").as("gh"))
+        .groupBy("doc_id", "gh").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("total"))
+      val qterms = tf.groupBy("gh").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 20))
+        .orderBy(col("df").desc, col("gh")).limit(10)
+      tf.join(broadcast(qterms), "gh")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          expr("""((nd - df + 1) * 10000 DIV (df + 1)) * 22 * tf * 100000
+                  DIV (tf * 1000000 + 300000 + (900000 * dl * nd) DIV total)
+               """).as("contrib"))
+        .groupBy("doc_id")
+        .agg(sum("contrib").as("score_milli"), count(lit(1)).as("n_terms"))
+        .orderBy(col("score_milli").desc, col("doc_id")).limit(20)
+    }),
+
+    // EXACT Jaccard similarity join (τ = 1/2) via PREFIX FILTERING — the
+    // exact counterpart of q46's MinHash-LSH (probabilistic recall) and
+    // q45's within-source pair scan: full-corpus, zero false negatives,
+    // WITHOUT the all-pairs product. Under any global token order, two
+    // sets with J ≥ τ share ≥ α = ceil(τ/(1+τ)·(|a|+|b|)) grams, and the
+    // α-th largest common gram must sit in the first |x| − ceil(τ|x|) + 1
+    // positions of BOTH sets (since B ≥ τA for any qualifying pair,
+    // α ≥ ceil(τ|x|) — the Xiao/Vernica prefix lemma); so candidates are
+    // generated by equi-joining only those PREFIXES, ordered rarest-first
+    // ((df, gh) — the order that makes prefixes selective), and exact
+    // |a∩b| is counted just for candidate pairs. Every verify join stays
+    // keyed (pair → member grams), shuffle_hash-pinned like this file's
+    // other corpus joins. Measured at sf0.01: 969 candidate pairs from
+    // prefixes vs 124,750 doc pairs all-pairs — 0.8 % of the pair space —
+    // and recall verified 25/25 against the brute all-pairs exact scan
+    // (guaranteed 1.0 by the lemma; measured anyway).
+    "q136_jaccard_prefix" -> ((s, d) => {
+      val sets = shinglesPortable(s, d).select("doc_id", "gh")
+      val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val dfq = sets.groupBy("gh").agg(count(lit(1)).as("df"))
+      val wd = Window.partitionBy("doc_id").orderBy(col("df"), col("gh"))
+      val prefix = sets.join(dfq.hint("shuffle_hash"), "gh")
+        .join(sz.hint("shuffle_hash"), "doc_id")
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") <= col("sz") - expr("(sz + 1) DIV 2") + 1)
+        .select("doc_id", "gh", "sz")
+      val cand = prefix.as("a").join(prefix.as("b").hint("shuffle_hash"),
+          col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.sz").as("sza"), col("b.sz").as("szb"))
+        .distinct()
+      cand
+        .join(sets.select(col("doc_id").as("da"), col("gh"))
+          .hint("shuffle_hash"), "da")
+        .join(sets.select(col("doc_id").as("db"), col("gh"))
+          .hint("shuffle_hash"), Seq("db", "gh"))
+        .groupBy("da", "db", "sza", "szb")
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter") * 3 >= col("sza") + col("szb"))
+        .select(col("da"), col("db"), col("sza"), col("szb"), col("inter"),
+          expr("""(2 * inter * 10000 + (sza + szb - inter))
+                  DIV (2 * (sza + szb - inter))""").as("jacc_bp"))
+        .orderBy("da", "db")
+    }),
   )
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
@@ -1247,6 +1340,57 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
          FROM pairs JOIN nrm na ON da = na.doc_id
                     JOIN nrm nb ON db = nb.doc_id
          WHERE 25 * dot * dot >= 4 * na.n2 * nb.n2
+         ORDER BY da, db""",
+    "q133_bm25" ->
+      s"""WITH tc AS (SELECT doc_id,
+                             ('0x' || substr(md5(g), 1, 8))::BIGINT AS gh,
+                             count(*) AS tf
+                      FROM (SELECT doc_id, unnest($duckGrams) AS g
+                            FROM documents)
+                      GROUP BY 1, 2),
+              dls AS (SELECT doc_id, sum(tf) AS dl FROM tc GROUP BY 1),
+              st AS (SELECT count(*) AS nd, sum(dl) AS total FROM dls),
+              qt AS (SELECT gh, count(*) AS df FROM tc GROUP BY gh
+                     HAVING count(*) BETWEEN 2 AND 20
+                     ORDER BY df DESC, gh LIMIT 10)
+         SELECT doc_id,
+                CAST(sum(((nd - df + 1) * 10000 // (df + 1))
+                         * 22 * tf * 100000
+                         // (tf * 1000000 + 300000
+                             + (900000 * dl * nd) // total))
+                     AS BIGINT) AS score_milli,
+                count(*) AS n_terms
+         FROM tc JOIN qt USING (gh) JOIN dls USING (doc_id), st
+         GROUP BY doc_id
+         ORDER BY score_milli DESC, doc_id LIMIT 20""",
+    "q136_jaccard_prefix" ->
+      s"""WITH sets AS (SELECT DISTINCT doc_id,
+                               ('0x' || substr(md5(g), 1, 8))::BIGINT AS gh
+                        FROM (SELECT doc_id, unnest($duckGrams) AS g
+                              FROM documents)),
+              sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY 1),
+              dfq AS (SELECT gh, count(*) AS df FROM sets GROUP BY 1),
+              pr AS (SELECT s.doc_id, s.gh, z.sz
+                     FROM (SELECT sets.doc_id, sets.gh, dfq.df,
+                                  row_number() OVER
+                                    (PARTITION BY sets.doc_id
+                                     ORDER BY dfq.df, sets.gh) AS rn
+                           FROM sets JOIN dfq USING (gh)) s
+                     JOIN sz z USING (doc_id)
+                     WHERE s.rn <= z.sz - (z.sz + 1) // 2 + 1),
+              cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                              a.sz AS sza, b.sz AS szb
+                       FROM pr a JOIN pr b
+                         ON a.gh = b.gh AND a.doc_id < b.doc_id),
+              iv AS (SELECT da, db, sza, szb, count(*) AS inter
+                     FROM cand
+                     JOIN sets x ON x.doc_id = cand.da
+                     JOIN sets y ON y.doc_id = cand.db AND y.gh = x.gh
+                     GROUP BY 1, 2, 3, 4)
+         SELECT da, db, sza, szb, inter,
+                (2 * inter * 10000 + (sza + szb - inter))
+                  // (2 * (sza + szb - inter)) AS jacc_bp
+         FROM iv WHERE inter * 3 >= sza + szb
          ORDER BY da, db""",
   )
 }
