@@ -76,6 +76,16 @@ object Plans {
     // q131_pagerank's consume-side plan is a checkpoint scan + sort (its
     // per-round join/agg plans are transient, like the CC loop's) — the
     // round shape is documented in the query's Scaladoc instead.
+    "q132_interval_join" -> ("grid-cell interval join: keyed equi-join on " +
+      "(user, cell), exactly-once via the max-start cell, no BNLJ"),
+    "q133_bm25" -> ("BM25: 10-row query broadcast over posting lists, " +
+      "doc_id-keyed dl join, top-20 TakeOrdered"),
+    "q134_triangle_count" -> ("degree-oriented wedge join + left-semi " +
+      "closing-edge probe, all keyed, only the 1-row stats broadcast"),
+    "q135_weighted_sample" -> ("ticket explode → map-side-combined min " +
+      "agg → global top-k TakeOrdered, no full sort"),
+    "q136_jaccard_prefix" -> ("prefix-token candidate equi-join + keyed " +
+      "exact-intersection verify, no all-pairs product"),
   )
 
   /** Resolves a flagship name to its DataFrame. Almost always the

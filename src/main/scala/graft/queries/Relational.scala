@@ -785,10 +785,18 @@ object Relational {
     // canonical relational-graph primitive next to q101's connected
     // components and q131's PageRank (triangle counts drive clustering
     // coefficients / community strength in curation graphs). Graph:
-    // suppliers co-supplying more parts than chance — the lift test
-    // shared·|parts| > deg_a·deg_b is scale-invariant (a fixed absolute
-    // threshold is degenerate: at sf0.01 every supplier pair shares ≥ 98
-    // parts), integer-exact, and derived per-corpus from one pass. The
+    // suppliers co-supplying SIGNIFICANTLY more parts than chance. A fixed
+    // absolute threshold is degenerate (at sf0.01 every supplier pair
+    // shares ≥ 98 parts) and bare lift (shared·n > deg_a·deg_b) keeps
+    // ~half of all pairs at every sf (the mean is 1 by construction); the
+    // shipped test is lift > 1 AND one hypergeometric sd above expectation
+    // — (shared·n − da·db)²·(n−1) ≥ da·db·(n−da)·(n−db), exact in
+    // DECIMAL(38) (BIGINT overflows past sf0.1) and mirrored by HUGEINT in
+    // the oracle — which ADAPTS with scale: the sd shrinks relative to the
+    // mean as |parts| grows, so bigger corpora give sparser, more
+    // meaningful graphs (probed: 5/45 edges at sf0.001, 767/4,950 → 676
+    // triangles at sf0.01, 79,403/499,500 → 686 k at sf0.1 — vs 242 k
+    // edges / 19.1 M triangles under bare lift). The
     // naive triangle join is wedges = Σ deg², unbounded under hubs; each
     // undirected edge is instead directed from the (degree, id)-SMALLER
     // endpoint to the larger — a total order, so every triangle survives
@@ -797,9 +805,7 @@ object Relational {
     // wedge volume drops from Σ deg² to Σ outdeg² — the classic
     // MapReduce triangle recipe. All joins are keyed (wedge build on the
     // apex, closing probe a LEFT SEMI on the directed pair); the only
-    // broadcast is the 1-row part count. Probed here: lift > 1.0 keeps
-    // 18/45 edges (8 triangles) at sf0.001, 2,403/4,950 (18,713) at
-    // sf0.01.
+    // broadcast is the 1-row part count.
     "q134_triangle_count" -> ((s, d) => {
       val ps = ld(s, d, "lineitem")
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
@@ -817,9 +823,21 @@ object Relational {
           .hint("shuffle_hash"), "s2")
         .crossJoin(broadcast(nparts))
         .filter(col("shared") * col("n") > col("d1") * col("d2"))
+        .filter(expr(
+          """CAST(shared * n - d1 * d2 AS DECIMAL(38, 0))
+               * (shared * n - d1 * d2) * (n - 1)
+             >= CAST(d1 AS DECIMAL(38, 0)) * d2 * (n - d1) * (n - d2)"""))
         .select("s1", "s2")
-      val und = lifted.select(col("s1").as("u"), col("s2").as("v"))
-        .unionAll(lifted.select(col("s2").as("u"), col("s1").as("v")))
+      // The edge list is consumed by SIX downstream references (und ×2,
+      // dir ×3 via the wedge join and closing probe); without pinning it,
+      // Catalyst re-expands the whole ps-self-join subtree per reference
+      // (measured: a 252-Exchange plan, 10.5 s at sf0.1). One
+      // localCheckpoint materializes the |E|-sized frame once — the same
+      // edge-frame pin q101/q131 use; in production this is the persisted
+      // edge table every graph pass starts from.
+      val pinned = lifted.localCheckpoint()
+      val und = pinned.select(col("s1").as("u"), col("s2").as("v"))
+        .unionAll(pinned.select(col("s2").as("u"), col("s1").as("v")))
       val gdeg = und.groupBy("u").agg(count(lit(1)).as("gd"))
       // π(x) = (graph-degree, id): a total order over nodes
       val dir = und
@@ -829,6 +847,7 @@ object Relational {
         .filter(col("gd") < col("gdv") ||
           (col("gd") === col("gdv") && col("u") < col("v")))
         .select("u", "v", "gdv")
+        .localCheckpoint()
       val tri = dir.as("e1")
         .join(dir.as("e2").hint("shuffle_hash"),
           col("e1.u") === col("e2.u") &&
@@ -1235,7 +1254,12 @@ object Relational {
                      GROUP BY 1, 2),
               lifted AS (SELECT s1, s2 FROM sh, np, deg da, deg db
                          WHERE da.sp = s1 AND db.sp = s2
-                           AND shared * np.n > da.dg * db.dg),
+                           AND shared * np.n > da.dg * db.dg
+                           AND (shared * np.n - da.dg * db.dg)::HUGEINT
+                               * (shared * np.n - da.dg * db.dg)
+                               * (np.n - 1)
+                               >= (da.dg)::HUGEINT * db.dg
+                                  * (np.n - da.dg) * (np.n - db.dg)),
               und AS (SELECT s1 AS u, s2 AS v FROM lifted
                       UNION ALL SELECT s2, s1 FROM lifted),
               gdeg AS (SELECT u, count(*) AS gd FROM und GROUP BY 1),

@@ -791,15 +791,24 @@ object TextOps {
     // positions of BOTH sets (since B ≥ τA for any qualifying pair,
     // α ≥ ceil(τ|x|) — the Xiao/Vernica prefix lemma); so candidates are
     // generated by equi-joining only those PREFIXES, ordered rarest-first
-    // ((df, gh) — the order that makes prefixes selective), and exact
-    // |a∩b| is counted just for candidate pairs. Every verify join stays
-    // keyed (pair → member grams), shuffle_hash-pinned like this file's
-    // other corpus joins. Measured at sf0.01: 969 candidate pairs from
-    // prefixes vs 124,750 doc pairs all-pairs — 0.8 % of the pair space —
-    // and recall verified 25/25 against the brute all-pairs exact scan
-    // (guaranteed 1.0 by the lemma; measured anyway).
+    // ((df, gh) — the order that makes prefixes selective) and pruned by
+    // the LENGTH filter (J ≥ τ forces τ|a| ≤ |b| ≤ |a|/τ — free in the
+    // join condition), and exact |a∩b| is counted just for candidate
+    // pairs. Every verify join stays keyed (pair → member grams),
+    // shuffle_hash-pinned like this file's other corpus joins. Measured
+    // at sf0.01: 773 candidate pairs (969 before the length filter) vs
+    // 124,750 doc pairs all-pairs — 0.6 % of the pair space — and recall
+    // verified 25/25 against the brute all-pairs exact scan (guaranteed
+    // 1.0 by the lemma; measured anyway). The gram-set frame is
+    // localCheckpoint-pinned: it feeds four downstream references (sizes,
+    // df, prefix, both verify sides), and unpinned Catalyst re-runs the
+    // tokenize+window shingle build per reference (isolated medians
+    // 4.3 s unpinned → ~3.2 s pinned at sf0.1, noisy host; in production
+    // `sets` is the persisted posting table). 310 k candidates at sf0.1.
     "q136_jaccard_prefix" -> ((s, d) => {
+      // Pinned frame: see the Scaladoc above on re-expansion cost.
       val sets = shinglesPortable(s, d).select("doc_id", "gh")
+        .localCheckpoint()
       val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val dfq = sets.groupBy("gh").agg(count(lit(1)).as("df"))
       val wd = Window.partitionBy("doc_id").orderBy(col("df"), col("gh"))
@@ -809,7 +818,8 @@ object TextOps {
         .filter(col("rn") <= col("sz") - expr("(sz + 1) DIV 2") + 1)
         .select("doc_id", "gh", "sz")
       val cand = prefix.as("a").join(prefix.as("b").hint("shuffle_hash"),
-          col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+          col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.sz") <= col("b.sz") * 2 && col("b.sz") <= col("a.sz") * 2)
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           col("a.sz").as("sza"), col("b.sz").as("szb"))
         .distinct()
@@ -1381,7 +1391,8 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
               cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
                               a.sz AS sza, b.sz AS szb
                        FROM pr a JOIN pr b
-                         ON a.gh = b.gh AND a.doc_id < b.doc_id),
+                         ON a.gh = b.gh AND a.doc_id < b.doc_id
+                        AND a.sz <= 2 * b.sz AND b.sz <= 2 * a.sz),
               iv AS (SELECT da, db, sza, szb, count(*) AS inter
                      FROM cand
                      JOIN sets x ON x.doc_id = cand.da
