@@ -86,6 +86,16 @@ object Plans {
       "agg → global top-k TakeOrdered, no full sort"),
     "q136_jaccard_prefix" -> ("prefix-token candidate equi-join + keyed " +
       "exact-intersection verify, no all-pairs product"),
+    "q137_funnel" -> ("three ordered-stage aggregates riding one user_id " +
+      "partitioning, left joins keep non-converters"),
+    "q138_cohort" -> ("first-day agg + join on one user_id partitioning; " +
+      "cell agg on (cohort, offset) is days²-sized"),
+    "q139_sequence_pack" -> ("per-source running-sum window + codegen'd " +
+      "window-span Generate, no global sort"),
+    "q140_schema_evolution" -> ("mergeSchema union read: old files " +
+      "null-fill the added column before one keyed agg"),
+    "q141_approx_quantiles" -> ("one-pass mergeable quantile sketch: " +
+      "partial+final agg, no window sort, no value buffering"),
   )
 
   /** Resolves a flagship name to its DataFrame. Almost always the

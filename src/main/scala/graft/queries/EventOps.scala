@@ -587,6 +587,60 @@ object EventOps {
             .as("overlap_s"))
         .orderBy("ea", "eb")
     }),
+
+    // ORDERED FUNNEL (view → click → purchase): per user, the first view,
+    // the first click AT OR AFTER that view, and the first purchase at or
+    // after that click — the product-analytics staple that needs event
+    // ORDER, not just presence (a user who purchases before ever viewing
+    // does not convert). Three stage aggregates all keyed on user_id, so
+    // the plan reuses ONE hash partitioning across every stage (no
+    // re-shuffle between stages at 100 TB — stage k's frame is one min()
+    // over the co-partitioned join of stage k−1 with the typed slice);
+    // left joins keep non-converting users with NULL stage times. Epochs
+    // in integral micros (unix_micros ↔ epoch_us), so gaps are exact.
+    "q137_funnel" -> ((s, d) => {
+      val ev = ld(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t_view"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id")
+        .filter(col("us") >= col("t_view"))
+        .groupBy("user_id").agg(min("us").as("t_click"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, "user_id")
+        .filter(col("us") >= col("t_click"))
+        .groupBy("user_id").agg(min("us").as("t_purchase"))
+      t1.join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          (col("t_click") - col("t_view")).as("view_to_click_us"),
+          (col("t_purchase") - col("t_click")).as("click_to_purchase_us"))
+        .orderBy("user_id")
+    }),
+
+    // COHORT RETENTION: users grouped by first-activity day, activity
+    // counted per (cohort, day-offset) cell — the retention-matrix query
+    // behind every engagement dashboard. Two keyed shuffles total: the
+    // first-day aggregate and the join back ride the SAME user_id
+    // partitioning; the cell aggregate shuffles on (cohort, offset) whose
+    // cardinality is days² — tiny forever, no skew concern. countDistinct
+    // dedups a user's multiple same-day events inside the aggregate
+    // (partial distinct map-side) rather than with a separate distinct
+    // pass.
+    "q138_cohort" -> ((s, d) => {
+      val ev = ld(s, d, "events")
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(first, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -756,5 +810,32 @@ object EventOps {
            ON a.user_id = b.user_id AND a.event_id < b.event_id
           AND a.s0 <= b.e0 AND b.s0 <= a.e0
          ORDER BY ea, eb""",
+    "q137_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                     FROM events),
+              t1 AS (SELECT user_id, min(us) AS t_view FROM ev
+                     WHERE event_type = 'view' GROUP BY 1),
+              t2 AS (SELECT ev.user_id, min(us) AS t_click
+                     FROM ev JOIN t1 USING (user_id)
+                     WHERE event_type = 'click' AND us >= t_view
+                     GROUP BY 1),
+              t3 AS (SELECT ev.user_id, min(us) AS t_purchase
+                     FROM ev JOIN t2 USING (user_id)
+                     WHERE event_type = 'purchase' AND us >= t_click
+                     GROUP BY 1)
+         SELECT t1.user_id AS user_id, t_view, t_click, t_purchase,
+                t_click - t_view AS view_to_click_us,
+                t_purchase - t_click AS click_to_purchase_us
+         FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+                 LEFT JOIN t3 ON t1.user_id = t3.user_id
+         ORDER BY t1.user_id""",
+    "q138_cohort" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+              f AS (SELECT user_id, min(day) AS cohort_day FROM ev
+                    GROUP BY 1)
+         SELECT cohort_day, CAST(day - cohort_day AS INT) AS day_offset,
+                count(DISTINCT user_id) AS n_users
+         FROM ev JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
   )
 }

@@ -559,6 +559,61 @@ object PipelineOps {
         .agg(min("draw").as("priority"))
         .orderBy("priority", "doc_id")
         .limit(100)),
+
+    // SEQUENCE PACKING: lay the corpus out as fixed 512-token training
+    // windows that CROSS document boundaries — the GPT-style pre-training
+    // pack, and the step after q96's shard packing (q96 assigns whole
+    // docs to shards; this emits the exact (window, doc, tok_start,
+    // n_toks) spans a loader concatenates, so no token is dropped or
+    // padded except the final window per source). Docs take a
+    // deterministic md5 order per source (the q97/q114 recipe), the
+    // EXCLUSIVE running token sum places each doc at corpus offset
+    // `off`, and the doc explodes to the windows it overlaps
+    // (off DIV 512 … (off+n−1) DIV 512 — fan-out n/512 + 1, linear in
+    // corpus tokens). One window pass per source stratum (parallel
+    // across sources, never a global sort) + a codegen'd Generate: the
+    // same per-stratum scalability story as q96, with window arithmetic
+    // in exact BIGINTs on both engines.
+    "q139_sequence_pack" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ld(s, d, "documents")
+        .selectExpr("doc_id", "source",
+          s"CAST($nTokens AS BIGINT) AS n_tokens")
+        .withColumn("off", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .withColumn("win",
+          explode(expr(
+            "sequence(off DIV 512, (off + n_tokens - 1) DIV 512)")))
+        .select(col("source"), col("win").as("window_id"), col("doc_id"),
+          greatest(col("win") * 512 - col("off"), lit(0L)).as("tok_start"),
+          (least((col("win") + 1) * 512, col("off") + col("n_tokens"))
+            - greatest(col("win") * 512, col("off"))).as("n_toks"))
+        .orderBy("source", "window_id", "doc_id")
+    }),
+
+    // MERGEABLE approx-percentile sketch — the at-scale swap q87's exact
+    // relational percentiles exist to validate (q87's Scaladoc names it):
+    // approx_percentile is Spark's one-pass quantile-sketch aggregate
+    // with FIXED-SIZE mergeable per-group state and rank error ≤
+    // n/accuracy — at 100 TB group sizes this is the first-choice
+    // percentile plan (no per-group value buffering, no window sort; the
+    // sketch merges associatively across partitions like any partial
+    // agg). The chosen element within the error band is sketch-internal,
+    // so the output is engine-specific: no DuckDB oracle — CI-exempted
+    // like q38 and property-checked by SketchPropertySpec, which
+    // recomputes every returned value's TRUE within-source rank and
+    // asserts it lands inside the documented ±(n/accuracy + 1) band
+    // around the target rank, per source, per percentile.
+    "q141_approx_quantiles" -> ((s, d) =>
+      ld(s, d, "documents")
+        .groupBy("source")
+        .agg(expr("approx_percentile(n_chars, " +
+          "array(0.25D, 0.5D, 0.75D, 0.95D), 1000)").as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("source"), col("n"),
+          posexplode(col("qs")).as(Seq("p_idx", "approx_chars")))
+        .orderBy("source", "p_idx")),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -1042,5 +1097,26 @@ object PipelineOps {
                     GROUP BY 1, 2, 3)
          SELECT doc_id, source, tickets, priority
          FROM x ORDER BY priority, doc_id LIMIT 100""",
+    "q139_sequence_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+                           CAST(length(text) - length(replace(text, ' ', ''))
+                                + 1 AS BIGINT) AS n_tokens
+                    FROM documents),
+              o AS (SELECT *,
+                           CAST(coalesce(sum(n_tokens) OVER
+                             (PARTITION BY source
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS off
+                    FROM t),
+              x AS (SELECT source, doc_id, off, n_tokens,
+                           unnest(generate_series(off // 512,
+                             (off + n_tokens - 1) // 512)) AS win
+                    FROM o)
+         SELECT source, win AS window_id, doc_id,
+                greatest(win * 512 - off, 0) AS tok_start,
+                least((win + 1) * 512, off + n_tokens)
+                  - greatest(win * 512, off) AS n_toks
+         FROM x ORDER BY source, window_id, doc_id""",
   )
 }

@@ -285,6 +285,36 @@ object SinkOps {
           min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
       zStats.unionAll(linStats).orderBy("layout", "file_id")
     }),
+
+    // SCHEMA EVOLUTION read: two parquet snapshots written with DIFFERENT
+    // schemas into one dataset (v1 lacks `lang` — the "column added
+    // later" lakehouse staple), read back with mergeSchema=true, which
+    // unions the footer schemas and fills the missing column with NULL
+    // for old files. The check proves the EVOLVED-read semantics (v1 rows
+    // surface lang=NULL; v2 rows keep theirs), not just that files
+    // appeared — the oracle recomputes the same union from `documents`
+    // directly. At 100 TB, mergeSchema's footer-union pass is the
+    // expensive part (one footer read per file — fine per-partition,
+    // pathological across millions of tiny files); production pins the
+    // evolved schema in a metastore and reads with it EXPLICITLY, which
+    // is exactly what the oracle side models (one declared schema, old
+    // rows null-filled). The snapshot split (doc_id parity) is
+    // deterministic; writes go to the per-sf sink dir (overwrite), so
+    // correctness and bench runs never clobber each other.
+    "q140_schema_evolution" -> ((s, d) => {
+      val path = outDir(d, "docs_evolved")
+      val docs = ld(s, d, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$path/v=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "source", "n_chars", "lang")
+        .write.mode("overwrite").parquet(s"$path/v=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("tot_chars"))
+        .orderBy("source", "lang")
+    }),
   )
 
   /** 16-bit × 16-bit Morton interleave over normalized coords `xb`,`yb` —
@@ -302,6 +332,15 @@ object SinkOps {
                      AS DOUBLE) / 100 AS tot_value
          FROM events WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY user_band""",
+    "q140_schema_evolution" ->
+      """WITH ev AS (SELECT doc_id, source, n_chars, NULL AS lang
+                     FROM documents WHERE doc_id % 2 = 0
+                     UNION ALL
+                     SELECT doc_id, source, n_chars, lang
+                     FROM documents WHERE doc_id % 2 = 1)
+         SELECT source, lang, count(*) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS tot_chars
+         FROM ev GROUP BY 1, 2 ORDER BY source, lang""",
     "q89_orc_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,
                 CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100

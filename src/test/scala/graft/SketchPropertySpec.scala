@@ -11,6 +11,32 @@ class SketchPropertySpec extends AnyFunSuite with SparkFixture {
   private val sfDir = "/root/testdata/sf0.001"
   private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
 
+  test("q141: every approx percentile's true within-source rank lands in " +
+    "the GK error band around its target rank") {
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val exact = Tables.ld(spark, sfDir, "documents")
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rows = run("q141_approx_quantiles").collect()
+    assert(rows.length == exact.size * ps.length)
+    rows.foreach { r =>
+      val (src, n, pIdx, v) = (r.getString(0), r.getLong(1),
+        r.getInt(2), r.getLong(3))
+      val xs = exact(src)
+      assert(n == xs.length.toLong)
+      // rank band containing v: [#{x < v} + 1, #{x <= v}]
+      val lo = xs.count(_ < v) + 1
+      val hi = xs.count(_ <= v)
+      assert(lo <= hi, s"$src p=${ps(pIdx)}: value $v not in the data")
+      val target = ps(pIdx) * n
+      val slack = n.toDouble / 1000 + 1
+      assert(target >= lo - slack && target <= hi + slack,
+        s"$src p=${ps(pIdx)}: value $v spans ranks [$lo,$hi], " +
+          s"target ${target} ± $slack")
+    }
+  }
+
   test("q38: HLL estimate within 10% of the exact distinct count") {
     run("q38_approx_agg").collect().foreach { r =>
       val exact = r.getAs[Long]("exact_parts").toDouble
