@@ -96,6 +96,10 @@ object Plans {
       "null-fill the added column before one keyed agg"),
     "q141_approx_quantiles" -> ("one-pass mergeable quantile sketch: " +
       "partial+final agg, no window sort, no value buffering"),
+    "q142_dataset_split" -> ("pure-projection md5 bucket split + one " +
+      "small keyed agg; the split expr is the freeze partition column"),
+    "q143_contamination_severity" -> ("both counting branches ride " +
+      "grams5's shared g5 Exchange; bench set shuffled, never broadcast"),
   )
 
   /** Resolves a flagship name to its DataFrame. Almost always the

@@ -614,6 +614,56 @@ object PipelineOps {
         .select(col("source"), col("n"),
           posexplode(col("qs")).as(Seq("p_idx", "approx_chars")))
         .orderBy("source", "p_idx")),
+
+    // Deterministic TRAIN/VAL/TEST split (80/10/10) — the dataset-freeze
+    // step every training run starts from. The split key is an md5 bucket
+    // of doc_id (the engine-portable q97 recipe): disjoint and exhaustive
+    // BY CONSTRUCTION (every doc lands in exactly one of 100 buckets),
+    // stable across retries/executors/engines, and stable under corpus
+    // GROWTH — a new doc never moves an old doc's split, which a
+    // row_number-percentile split can't promise. Pure projection +
+    // one small keyed agg; at 100 TB the same expression is the
+    // partition column of the frozen write.
+    "q142_dataset_split" -> ((s, d) =>
+      ld(s, d, "documents")
+        .withColumn("bucket",
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8)," +
+            " 16, 10) AS BIGINT) % 100"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"))
+        .orderBy("split", "source")),
+
+    // Contamination SEVERITY report — q98's binary flag upgraded to the
+    // measured overlap fraction a decontamination policy actually
+    // thresholds on (drop >50 %-contaminated docs, downweight >10 %,
+    // keep trace hits): per corpus doc, the share of its 5-gram
+    // OCCURRENCES found in the benchmark gram set, in exact half-up
+    // basis points (the r4 recipe), bucketed clean/low/medium/high.
+    // Same shuffle story as q98 — both counting branches ride grams5's
+    // shared g5-keyed Exchange, the bench set stays shuffled (never a
+    // corpus broadcast), and the per-doc totals are map-side combined.
+    "q143_contamination_severity" -> ((s, d) => {
+      val grams = grams5(s, d)
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select("g5").distinct()
+      val corpus = grams.filter(col("doc_id") % 97 =!= 0)
+      val tot = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val hit = corpus.join(bench.hint("shuffle_hash"), Seq("g5"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      tot.join(hit, Seq("doc_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .selectExpr("doc_id", "n_grams", "n_hit",
+          "CAST((2 * n_hit * 10000 + n_grams) DIV (2 * n_grams) AS BIGINT)" +
+            " AS frac_bp")
+        .withColumn("severity",
+          when(col("frac_bp") >= 5000, "high")
+            .when(col("frac_bp") >= 1000, "medium")
+            .when(col("frac_bp") > 0, "low").otherwise("clean"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -1118,5 +1168,37 @@ object PipelineOps {
                 least((win + 1) * 512, off + n_tokens)
                   - greatest(win * 512, off) AS n_toks
          FROM x ORDER BY source, window_id, doc_id""",
+    "q142_dataset_split" ->
+      """WITH b AS (SELECT source, n_chars,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8))::BIGINT % 100 AS bucket
+                    FROM documents)
+         SELECT CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+                source, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS tot_chars
+         FROM b GROUP BY 1, 2 ORDER BY split, source""",
+    "q143_contamination_severity" ->
+      s"""WITH g AS (SELECT doc_id, unnest($duckG5) AS g5 FROM documents),
+               bench AS (SELECT DISTINCT g5 FROM g WHERE doc_id % 97 = 0),
+               corpus AS (SELECT doc_id, g5 FROM g WHERE doc_id % 97 <> 0),
+               tot AS (SELECT doc_id, count(*) AS n_grams FROM corpus
+                       GROUP BY 1),
+               hit AS (SELECT doc_id, count(*) AS n_hit FROM corpus
+                       WHERE g5 IN (SELECT g5 FROM bench) GROUP BY 1),
+               j AS (SELECT t.doc_id, t.n_grams,
+                            coalesce(h.n_hit, 0) AS n_hit
+                     FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id)
+          SELECT doc_id, n_grams, CAST(n_hit AS BIGINT) AS n_hit,
+                 CAST((2 * n_hit * 10000 + n_grams) // (2 * n_grams)
+                      AS BIGINT) AS frac_bp,
+                 CASE WHEN (2 * n_hit * 10000 + n_grams)
+                           // (2 * n_grams) >= 5000 THEN 'high'
+                      WHEN (2 * n_hit * 10000 + n_grams)
+                           // (2 * n_grams) >= 1000 THEN 'medium'
+                      WHEN (2 * n_hit * 10000 + n_grams)
+                           // (2 * n_grams) > 0 THEN 'low'
+                      ELSE 'clean' END AS severity
+          FROM j ORDER BY doc_id""",
   )
 }

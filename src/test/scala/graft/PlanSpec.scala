@@ -240,6 +240,65 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q117 must consume the checkpointed admitted frame, not re-derive")
   }
 
+  test("q132: interval join is a keyed equi-join on (user, cell) — " +
+    "never a per-user BNLJ over the interval space") {
+    val p = plan("q132_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), "range join degenerated to a product")
+    val shjBlocks = p.split("ShuffledHashJoin").drop(1)
+    assert(shjBlocks.exists(b => b.take(160).contains("user_id#") &&
+      b.take(160).contains("cell#")),
+      s"pair join must be keyed on (user_id, cell):\n${p.take(1000)}")
+  }
+
+  test("q133: BM25 broadcasts only the 10-row query frame; posting and " +
+    "dl joins stay shuffled") {
+    val p = plan("q133_bm25")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) BroadcastHashJoin""")) == 1,
+      "exactly one broadcast: the derived query terms")
+    assert(p.contains("ShuffledHashJoin"), "dl join must not broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must be TakeOrdered")
+  }
+
+  test("q134: triangle wedges join on the apex and close with a LEFT " +
+    "SEMI probe — no corpus broadcast, no product") {
+    val p = plan("q134_triangle_count")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), "wedge join degenerated")
+    assert(p.contains("LeftSemi"), "closing-edge probe must be a semi join")
+  }
+
+  test("q135: weighted sample rides TakeOrderedAndProject — no global " +
+    "sort of the ticket frame") {
+    val p = plan("q135_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
+  test("q136: exact-Jaccard candidates come from the prefix equi-join — " +
+    "no all-pairs product anywhere") {
+    val p = plan("q136_jaccard_prefix")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), "prefix filter bypassed")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) ShuffledHashJoin""")) >= 3,
+      "prefix self-join + two verify joins must stay keyed")
+  }
+
+  test("q139: sequence packing shuffles once for the per-source window " +
+    "(plus only the presentation sort)") {
+    val p = plan("q139_sequence_pack")
+    // Exchange 1 = hashpartitioning(source) for the running-sum window;
+    // Exchange 2 = rangepartitioning for the deterministic output ORDER BY
+    // (driver-compare presentation, not part of the packing computation).
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected window + output-sort Exchanges, " +
+      s"got $exchanges")
+    assert(p.contains("hashpartitioning(source"),
+      "window must partition by source")
+    assert(p.contains("Generate"), "window-span explode missing")
+  }
+
   test("q93: re-scan of the partitioned write prunes to one partition") {
     val p = plan("q93_partition_pruning")
     val pf = p.linesIterator.find(_.contains("PartitionFilters"))
