@@ -100,6 +100,8 @@ object Plans {
       "small keyed agg; the split expr is the freeze partition column"),
     "q143_contamination_severity" -> ("both counting branches ride " +
       "grams5's shared g5 Exchange; bench set shuffled, never broadcast"),
+    "q144_video_neardup" -> ("per-video majority vote in one keyed agg; " +
+      "band-bucket equi-join over video signatures, no video×video product"),
   )
 
   /** Resolves a flagship name to its DataFrame. Almost always the

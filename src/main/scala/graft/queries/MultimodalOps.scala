@@ -138,6 +138,56 @@ object MultimodalOps {
           length(col("resized")).as("resized_len"),
           md5(col("resized")).as("resized_md5"))
         .orderBy("doc_id")),
+
+    // VIDEO-level near-dup — the aggregation rung above q115's per-FRAME
+    // pairs: each document-as-video is collapsed to ONE 64-bit signature
+    // by per-bit MAJORITY vote over its frames' native dHash64 values
+    // (a simhash over frame hashes: robust to a minority of re-encoded /
+    // inserted frames, where q115's frame pairs would only flag the
+    // unchanged frames), then videos pair up through the same 4×16-bit
+    // band equi-join with the exact Hamming ≤ 3 confirm. The vote
+    // aggregate is one map-side-combined groupBy (64 ±1-vote sums — the
+    // q47/q67 relational shape over frame hashes instead of token
+    // hashes); the signature build is integer-exact (disjoint powers of
+    // two, bit 63 via Long.MinValue) so the DuckDB oracle — a brute
+    // all-pairs scan over the replayed signature — hash-matches, which
+    // also proves 4×16 banding lost nothing at ≤ 3 (pigeonhole). At
+    // 100 TB: frames are the corpus-sized frame table, votes shuffle
+    // once on video id (|videos| rows out), the band join is keyed —
+    // never a video×video product. Measured: 23 video pairs at sf0.01.
+    "q144_video_neardup" -> ((s, d) => {
+      val frames = guardFrameCap(ld(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars")))
+        .withColumn("frame_idx", explode(sequence(lit(0L), lit(9L))))
+        .filter(col("frame_idx") <= floor((col("n_chars") - 1) / lit(64.0)))
+        .select(col("doc_id"),
+          expr("substring(text, cast(frame_idx * 64 + 1 AS int), 64)")
+            .as("frame"))
+        .filter(length(col("frame")) === 64)
+      val fsig = frames.select(col("doc_id"),
+        graft.functions.ImageExprs.dhash64(col("frame")).as("dh"))
+      val votes = (0 until 64).map(b =>
+        sum(when(shiftright(col("dh"), b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"v$b"))
+      val agg = fsig.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      val sigExpr = (0 until 64).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+      val sig = agg.select(col("doc_id"), sigExpr.as("vh"))
+      val bandCols = (0 until 4).map(j =>
+        s"$j, cast(shiftright(vh, ${16 * j}) & 65535 as int)")
+        .mkString(", ")
+      val buckets = sig.selectExpr("doc_id", "vh",
+        s"stack(4, $bandCols) AS (band_idx, band_val)")
+      buckets.hint("shuffle_hash").as("x").join(buckets.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_val") === col("y.band_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          bit_count(col("x.vh").bitwiseXOR(col("y.vh"))).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct() // a pair can share several bands
+        .orderBy("da", "db")
+    }),
   )
 
   private def bin(b: Int): String =
@@ -172,6 +222,36 @@ object MultimodalOps {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // brute-force all-pairs over the replayed per-video majority
+    // signature — green ⇒ signature AND banding recall both exact
+    "q144_video_neardup" -> {
+      val votes = (0 until 64).map(b =>
+        s"sum(CASE WHEN (dh >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(", ")
+      val vbits = (0 until 64).map { b =>
+        val pow =
+          if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+        s"(CASE WHEN v$b > 0 THEN $pow ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH f0 AS (SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+                             substr(text, CAST(fi * 64 + 1 AS INTEGER), 64)
+                               AS frame
+                      FROM documents CROSS JOIN range(0, 10) t(fi)
+                      WHERE fi <= floor((n_chars - 1) / 64.0)),
+              f AS (SELECT doc_id,
+                           list_transform(range(1, 65),
+                             k -> unicode(substr(frame, CAST(k AS INTEGER), 1)))
+                             AS pxs
+                    FROM f0 WHERE length(frame) = 64),
+              fsig AS (SELECT doc_id, $duckDhashBits AS dh FROM f),
+              v AS (SELECT doc_id, $votes FROM fsig GROUP BY 1),
+              sig AS (SELECT doc_id, CAST($vbits AS BIGINT) AS vh FROM v)
+         SELECT a.doc_id AS da, b.doc_id AS db,
+                CAST(bit_count(xor(a.vh, b.vh)) AS INTEGER) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.vh, b.vh)) <= 3
+         ORDER BY da, db"""
+    },
     // brute-force all-pairs over the identical byte-deterministic dHash —
     // green ⇒ the 4×16 banding lost nothing at hamming ≤ 3
     "q115_frame_neardup" ->
