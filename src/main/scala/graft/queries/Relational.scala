@@ -863,6 +863,56 @@ object Relational {
         .groupBy("supplier").agg(count(lit(1)).as("n_tri"))
         .orderBy("supplier")
     }),
+
+    // POINT-IN-TIME (feature-store) lookup: every lineitem joined to the
+    // customer's cumulative spend AS OF its ship date — the PIT join a
+    // feature store serves for training-data assembly (no feature
+    // leakage: a fact must never see a dim version from its future).
+    // Composes q130's SCD versioning (the dim: one cumulative-spend
+    // version per (customer, order date), same-date orders collapsed
+    // into one boundary) with q49's carry-forward machinery — but where
+    // q49 carries a timestamp between two event streams, this carries
+    // versioned dim ATTRIBUTES onto a fact table. The scalable shape is
+    // the same: union-tag version and fact rows, ONE custkey-keyed
+    // ordered window pass with last(ignoreNulls) carrying the newest
+    // version value forward (version rows sort before facts at an equal
+    // instant, so a same-day version is visible — inclusive PIT). No
+    // per-fact range join, no version explosion; money in exact BIGINT
+    // cents. DuckDB's native ASOF LEFT JOIN is the oracle.
+    "q145_pit_lookup" -> ((s, d) => {
+      val wv = Window.partitionBy("custkey").orderBy("vdate")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val versions = ld(s, d, "orders")
+        .groupBy(col("o_custkey").as("custkey"),
+          col("o_orderdate").as("vdate"))
+        .agg(sum(expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+          .as("day_cents"))
+        .withColumn("spend_cents", sum("day_cents").over(wv))
+      val facts = ld(s, d, "lineitem")
+        .join(ld(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey").as("custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("custkey"),
+          col("l_shipdate").as("fdate"))
+      val tagged = versions.select(col("custkey"), col("vdate").as("dt"),
+          lit(0).as("is_fact"), lit(null).cast("long").as("l_orderkey"),
+          lit(null).cast("int").as("l_linenumber"), col("spend_cents"))
+        .unionByName(facts.select(col("custkey"), col("fdate").as("dt"),
+          lit(1).as("is_fact"), col("l_orderkey"), col("l_linenumber"),
+          lit(null).cast("long").as("spend_cents")))
+      val wc = Window.partitionBy("custkey")
+        .orderBy(col("dt"), col("is_fact"), col("l_orderkey"),
+          col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged.withColumn("spend_asof",
+          last(col("spend_cents"), ignoreNulls = true).over(wc))
+        .filter(col("is_fact") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("custkey"),
+          col("dt").as("ship_date"),
+          coalesce(col("spend_asof"), lit(0L)).as("spend_asof_cents"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
   )
 
   /** q69's exact-decimal aggregation, pre-stringification. Kept as a named
@@ -1279,5 +1329,25 @@ object Relational {
                         UNION ALL SELECT nc FROM tri)
          SELECT supplier, count(*) AS n_tri
          FROM nodes GROUP BY 1 ORDER BY supplier""",
+    "q145_pit_lookup" ->
+      """WITH v0 AS (SELECT o_custkey AS custkey, o_orderdate AS vdate,
+                            sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                                     * 100 AS BIGINT)) AS day_cents
+                     FROM orders GROUP BY 1, 2),
+              v AS (SELECT custkey, vdate,
+                           CAST(sum(day_cents) OVER
+                             (PARTITION BY custkey ORDER BY vdate
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS spend_cents
+                    FROM v0),
+              f AS (SELECT l.l_orderkey, l.l_linenumber,
+                           o.o_custkey AS custkey, l.l_shipdate AS ship_date
+                    FROM lineitem l JOIN orders o
+                      ON l.l_orderkey = o.o_orderkey)
+         SELECT f.l_orderkey, f.l_linenumber, f.custkey, f.ship_date,
+                coalesce(v.spend_cents, 0) AS spend_asof_cents
+         FROM f ASOF LEFT JOIN v
+           ON f.custkey = v.custkey AND f.ship_date >= v.vdate
+         ORDER BY f.l_orderkey, f.l_linenumber""",
   )
 }

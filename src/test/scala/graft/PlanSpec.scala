@@ -285,6 +285,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "prefix self-join + two verify joins must stay keyed")
   }
 
+  test("q145: point-in-time lookup is ONE custkey-keyed window pass over " +
+    "the version∪fact union — never a per-fact range join or product") {
+    val p = plan("q145_pit_lookup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "PIT lookup degenerated to a range join/product")
+    // The carry-forward pass: exactly one Union feeding a
+    // hashpartitioning(custkey) exchange, then a Window.
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Union""")) == 1)
+    assert(p.contains("hashpartitioning(custkey"),
+      "carry-forward window must partition by custkey")
+    // Two windows total: version cumsum + the carry-forward last().
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 2,
+      "expected the cumsum window and one carry-forward window only")
+  }
+
   test("q139: sequence packing shuffles once for the per-source window " +
     "(plus only the presentation sort)") {
     val p = plan("q139_sequence_pack")
