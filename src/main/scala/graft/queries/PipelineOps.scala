@@ -664,6 +664,60 @@ object PipelineOps {
             .when(col("frac_bp") > 0, "low").otherwise("clean"))
         .orderBy("doc_id")
     }),
+
+    // ENTITY RESOLUTION (record linkage): which part listings likely
+    // describe the same product? The classic Fellegi–Sunter shape every
+    // catalog/crawl dedup runs: (1) BLOCKING — candidate pairs only
+    // within cheap equality blocks, never the n² product. Two passes
+    // (multi-pass blocking, the standard recall hedge for a single bad
+    // key): (noun token, type, size-band) and (noun token, brand); each
+    // is a keyed equi-self-join, union'd and pair-distinct'd. (2) VERIFY
+    // — rowwise field-agreement scoring on the surviving pairs only:
+    // Levenshtein name similarity in integer milli-units plus
+    // type/brand/size/price agreement points, all integer-exact (DIV,
+    // no float), classified match/possible à la Fellegi–Sunter's
+    // link/possible-link bands. At 100 TB the entity table is
+    // corpus-sized, so both self-join sides stay shuffled on the block
+    // key (shuffle_hash hint suppresses the tiny-SF broadcast, as in
+    // q94/q143) and block cardinality — not table size — bounds the
+    // pair space. No UDFs: levenshtein/split_part are codegen'd
+    // built-ins DuckDB shares bit-for-bit.
+    "q146_entity_resolution" -> ((s, d) => {
+      val p = ld(s, d, "part").select(
+          col("p_partkey").cast("long").as("pk"),
+          col("p_name").as("name"), col("p_brand").as("brand"),
+          col("p_type").as("typ"), col("p_size").cast("int").as("sz"),
+          expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .withColumn("noun", expr("split_part(name, ' ', 2)"))
+        .withColumn("band", expr("(sz - 1) DIV 5"))
+      def side(pre: String) = p.toDF(p.columns.map(c => s"$pre$c"): _*)
+      val L = side("a_"); val R = side("b_")
+      def pass(keys: String*) =
+        L.join(R.hint("shuffle_hash"),
+          keys.map(k => col(s"a_$k") === col(s"b_$k"))
+            .reduce(_ && _) && col("a_pk") < col("b_pk"))
+      val cand = pass("noun", "typ", "band")
+        .unionByName(pass("noun", "brand"))
+        .distinct()
+      cand.selectExpr("a_pk", "b_pk",
+          "1000 - (1000 * levenshtein(a_name, b_name))" +
+            " DIV greatest(length(a_name), length(b_name)) AS name_sim",
+          "CAST(CASE WHEN a_typ = b_typ THEN 300 ELSE 0 END AS BIGINT)" +
+            " AS type_pts",
+          "CAST(CASE WHEN a_brand = b_brand THEN 200 ELSE 0 END AS BIGINT)" +
+            " AS brand_pts",
+          "CAST(greatest(0, 100 - 25 * abs(a_sz - b_sz)) AS BIGINT)" +
+            " AS size_pts",
+          "greatest(CAST(0 AS BIGINT)," +
+            " 100 - abs(a_cents - b_cents) DIV 100) AS price_pts")
+        .withColumn("score", expr(
+          "name_sim + type_pts + brand_pts + size_pts + price_pts"))
+        .withColumn("tier", when(col("score") >= 1400, "match")
+          .when(col("score") >= 1100, "possible"))
+        .filter(col("tier").isNotNull)
+        .orderBy("a_pk", "b_pk")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -1200,5 +1254,57 @@ object PipelineOps {
                            // (2 * n_grams) > 0 THEN 'low'
                       ELSE 'clean' END AS severity
           FROM j ORDER BY doc_id""",
+    "q146_entity_resolution" ->
+      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+                           p_name AS name, p_brand AS brand, p_type AS typ,
+                           CAST(p_size AS INT) AS sz,
+                           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                                AS BIGINT) AS cents,
+                           split_part(p_name, ' ', 2) AS noun,
+                           (CAST(p_size AS INT) - 1) // 5 AS band
+                    FROM part),
+              cand AS (
+                SELECT a.pk AS a_pk, b.pk AS b_pk,
+                       a.name AS a_name, b.name AS b_name,
+                       a.typ AS a_typ, b.typ AS b_typ,
+                       a.brand AS a_brand, b.brand AS b_brand,
+                       a.sz AS a_sz, b.sz AS b_sz,
+                       a.cents AS a_cents, b.cents AS b_cents
+                FROM p a JOIN p b
+                  ON a.noun = b.noun AND a.typ = b.typ
+                 AND a.band = b.band AND a.pk < b.pk
+                UNION
+                SELECT a.pk, b.pk, a.name, b.name, a.typ, b.typ,
+                       a.brand, b.brand, a.sz, b.sz, a.cents, b.cents
+                FROM p a JOIN p b
+                  ON a.noun = b.noun AND a.brand = b.brand
+                 AND a.pk < b.pk),
+              sc AS (
+                SELECT a_pk, b_pk,
+                       CAST(1000 - (1000 * levenshtein(a_name, b_name))
+                            // greatest(length(a_name), length(b_name))
+                            AS BIGINT) AS name_sim,
+                       CAST(CASE WHEN a_typ = b_typ THEN 300 ELSE 0 END
+                            AS BIGINT) AS type_pts,
+                       CAST(CASE WHEN a_brand = b_brand THEN 200 ELSE 0 END
+                            AS BIGINT) AS brand_pts,
+                       CAST(greatest(0, 100 - 25 * abs(a_sz - b_sz))
+                            AS BIGINT) AS size_pts,
+                       greatest(CAST(0 AS BIGINT),
+                                100 - abs(a_cents - b_cents) // 100)
+                         AS price_pts
+                FROM cand)
+         SELECT a_pk, b_pk, name_sim, type_pts, brand_pts, size_pts,
+                price_pts,
+                name_sim + type_pts + brand_pts + size_pts + price_pts
+                  AS score,
+                CASE WHEN name_sim + type_pts + brand_pts + size_pts
+                          + price_pts >= 1400 THEN 'match'
+                     WHEN name_sim + type_pts + brand_pts + size_pts
+                          + price_pts >= 1100 THEN 'possible' END AS tier
+         FROM sc
+         WHERE name_sim + type_pts + brand_pts + size_pts
+               + price_pts >= 1100
+         ORDER BY a_pk, b_pk""",
   )
 }

@@ -301,6 +301,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "expected the cumsum window and one carry-forward window only")
   }
 
+  test("q146: entity-resolution candidates come from the two keyed " +
+    "blocking self-joins — no all-pairs product, both sides shuffled") {
+    val p = plan("q146_entity_resolution")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), "blocking bypassed: pair product")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) ShuffledHashJoin""")) == 2,
+      "expected exactly the two blocking-pass self-joins, keyed + shuffled")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Union""")) == 1,
+      "multi-pass union missing")
+  }
+
   test("q139: sequence packing shuffles once for the per-source window " +
     "(plus only the presentation sort)") {
     val p = plan("q139_sequence_pack")
