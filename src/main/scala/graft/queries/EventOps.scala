@@ -157,6 +157,35 @@ object EventOps {
   //     streaming dedup, JSON column ops ---
 
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SESSION TRANSITION MATRIX (sequence mining): within-session
+    // event-type bigram counts — the first-order Markov model behind
+    // funnel discovery and bot/anomaly detection ("what follows what,
+    // how often"). Reuses q71's exact session boundary (30-min
+    // inactivity gap): a transition exists between consecutive events
+    // of the SAME user iff the gap is under the threshold (new_sess=0
+    // rows pair with their lag — no session-id materialization even
+    // needed). Scale shape: ONE shuffle on user_id for the ordered
+    // window, then a type²-sized (≤25 rows) groupBy — the transition
+    // matrix is a fixed-size mergeable state no matter the corpus size.
+    // Outgoing share per from-state in exact basis points (half-up
+    // integer rounding, the q143 recipe) — no float anywhere.
+    "q149_session_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = ld(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn("from_type", lag("event_type", 1).over(w))
+        .filter(col("prev_us").isNotNull &&
+          col("us") - col("prev_us") < 1800L * 1000000L)
+        .select(col("from_type"), col("event_type").as("to_type"))
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      val wtot = Window.partitionBy("from_type")
+      trans.withColumn("tot", sum("n").over(wtot))
+        .selectExpr("from_type", "to_type", "n",
+          "CAST((2 * n * 10000 + tot) DIV (2 * tot) AS BIGINT) AS share_bp")
+        .orderBy("from_type", "to_type")
+    }),
+
     // Time-RANGE rolling aggregates: per event, stats over the SAME user's
     // trailing hour — burst/rate-limit detection and the feature-engineering
     // staple q58's ROWS-frame suite can't express (peers are picked by
@@ -644,6 +673,22 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q149_session_transitions" ->
+      """WITH t AS (SELECT lag(event_type) OVER w AS from_type,
+                           event_type AS to_type,
+                           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY ts, event_id)),
+              c AS (SELECT from_type, to_type, count(*) AS n FROM t
+                    WHERE gap IS NOT NULL AND gap < 1800 * 1000000
+                    GROUP BY 1, 2)
+         SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+                CAST((2 * n * 10000 + tot) // (2 * tot) AS BIGINT)
+                  AS share_bp
+         FROM (SELECT *, sum(n) OVER (PARTITION BY from_type) AS tot
+               FROM c)
+         ORDER BY from_type, to_type""",
     "q103_rolling_time_window" ->
       """SELECT event_id, user_id, us,
                 count(*) OVER wr AS n_1h,

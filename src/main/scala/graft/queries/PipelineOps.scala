@@ -718,6 +718,80 @@ object PipelineOps {
         .filter(col("tier").isNotNull)
         .orderBy("a_pk", "b_pk")
     }),
+
+    // PII SCRUB: regex redaction of emails/phone numbers with a per-doc
+    // redaction count — a mandatory curation stage before training-data
+    // release. The fixture corpus carries no PII, so each doc is first
+    // AUGMENTED with deterministic synthetic contact strings derived
+    // from doc_id (the redaction targets are then known exactly, making
+    // the scrub oracle-checkable end to end: the oracle re-derives the
+    // same augmentation and must produce byte-identical scrubbed text
+    // and counts). Patterns stay in the RE2 ∩ java.util.regex dialect
+    // (character classes, bounded repeats — no lookaround) so both
+    // engines match the same spans. Scale: pure rowwise codegen'd
+    // regexp expressions — zero shuffles beyond the presentation sort,
+    // embarrassingly parallel at 100 TB.
+    "q147_pii_scrub" -> ((s, d) => {
+      val email = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+      val phone = "\\\\+1-555-[0-9]{4}"
+      ld(s, d, "documents")
+        .selectExpr("doc_id", "source",
+          "concat(text, ' contact user', doc_id, '@mail.example or +1-555-', " +
+            "lpad(CAST(doc_id * 7919 % 10000 AS STRING), 4, '0'), " +
+            "CASE WHEN doc_id % 3 = 0 THEN ' cc admin@ops.example' ELSE '' END)" +
+            " AS text2")
+        .selectExpr("doc_id", "source",
+          s"size(regexp_extract_all(text2, '$email', 0)) AS n_emails",
+          s"size(regexp_extract_all(text2, '$phone', 0)) AS n_phones",
+          s"regexp_replace(regexp_replace(text2, '$email', '<EMAIL>'), " +
+            s"'$phone', '<PHONE>') AS scrubbed")
+        .withColumn("scrub_fp", md5(col("scrubbed")))
+        .drop("scrubbed")
+        .orderBy("doc_id")
+    }),
+
+    // COUNT-MIN-SKETCH heavy hitters: the third sketch family beside the
+    // HLL distinct-count (q38) and the mergeable quantile sketch (q141)
+    // — and unlike those, FULLY oracle-checkable: the 4×64 cell grid is
+    // built from engine-portable md5 row-hashes, so DuckDB replays the
+    // sketch bit-for-bit and the one-sided CMS guarantee (estimate ≥
+    // exact, always) is checked EXACTLY per word, not just property-
+    // bounded. Build is collapse-first: token occurrences groupBy word
+    // (the only corpus-scale shuffle, vocab-sized output), then each
+    // word fans out to its 4 (row, bucket) cells carrying its count —
+    // cells are sums over a vocab-sized frame, never over raw tokens.
+    // The 256-cell grid is a fixed-size mergeable state: at 100 TB each
+    // executor partial-aggregates its shard's grid and merge is cell
+    // addition (same associativity argument as q141). Report: top-20
+    // words by exact count with their CMS estimate and overestimate.
+    "q148_heavy_hitters_cms" -> ((s, d) => {
+      // The vocab frame feeds three consumers (cells, estimates, report);
+      // checkpoint it so the corpus-scale token groupBy runs ONCE (same
+      // pin pattern as the curation stages — at 100 TB this is a durable
+      // write of the vocab-sized frame, not a re-derivation per consumer).
+      val words = ld(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("exact_n"))
+        .localCheckpoint()
+      val cells = words
+        .select(col("tok"), col("exact_n"),
+          explode(sequence(lit(0), lit(3))).as("r"))
+        .selectExpr("r", "exact_n",
+          "CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', tok))," +
+            " 1, 8), 16, 10) AS BIGINT) % 64 AS bucket")
+        .groupBy("r", "bucket").agg(sum("exact_n").as("cell"))
+      val est = words
+        .select(col("tok"), explode(sequence(lit(0), lit(3))).as("r"))
+        .selectExpr("tok", "r",
+          "CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', tok))," +
+            " 1, 8), 16, 10) AS BIGINT) % 64 AS bucket")
+        .join(cells.hint("shuffle_hash"), Seq("r", "bucket"))
+        .groupBy("tok").agg(min("cell").as("cms_est"))
+      words.join(est, Seq("tok"))
+        .withColumn("overest", col("cms_est") - col("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok"))
+        .limit(20)
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -1306,5 +1380,44 @@ object PipelineOps {
          WHERE name_sim + type_pts + brand_pts + size_pts
                + price_pts >= 1100
          ORDER BY a_pk, b_pk""",
+    "q147_pii_scrub" ->
+      """WITH aug AS (SELECT doc_id, source,
+                            text || ' contact user' || doc_id ||
+                            '@mail.example or +1-555-' ||
+                            lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR),
+                                 4, '0') ||
+                            CASE WHEN doc_id % 3 = 0
+                                 THEN ' cc admin@ops.example'
+                                 ELSE '' END AS text2
+                     FROM documents)
+         SELECT doc_id, source,
+                CAST(len(regexp_extract_all(text2,
+                     '[a-z0-9]+@[a-z0-9.]+[a-z]')) AS INT) AS n_emails,
+                CAST(len(regexp_extract_all(text2,
+                     '\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+                md5(regexp_replace(regexp_replace(text2,
+                      '[a-z0-9]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+                    '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS scrub_fp
+         FROM aug ORDER BY doc_id""",
+    "q148_heavy_hitters_cms" ->
+      """WITH words AS (SELECT tok, count(*) AS exact_n
+                        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                              FROM documents) GROUP BY tok),
+              fan AS (SELECT w.tok, w.exact_n, r.r,
+                             ('0x' || substr(md5(r.r::VARCHAR || ':' ||
+                                             w.tok), 1, 8))::BIGINT % 64
+                               AS bucket
+                      FROM words w
+                      CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r),
+              cells AS (SELECT r, bucket, sum(exact_n) AS cell
+                        FROM fan GROUP BY r, bucket),
+              est AS (SELECT f.tok, min(c.cell) AS cms_est
+                      FROM fan f JOIN cells c
+                        ON f.r = c.r AND f.bucket = c.bucket
+                      GROUP BY f.tok)
+         SELECT w.tok, w.exact_n, CAST(e.cms_est AS BIGINT) AS cms_est,
+                CAST(e.cms_est - w.exact_n AS BIGINT) AS overest
+         FROM words w JOIN est e ON w.tok = e.tok
+         ORDER BY w.exact_n DESC, w.tok LIMIT 20""",
   )
 }

@@ -313,6 +313,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "multi-pass union missing")
   }
 
+  test("q148: CMS consumers read the pinned vocab — the corpus token " +
+    "groupBy is checkpointed once, no parquet re-scan per consumer") {
+    val p = plan("q148_heavy_hitters_cms")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) == 0,
+      "a consumer re-derived the vocab from the raw corpus")
+    assert(p.contains("Scan ExistingRDD"), "pinned vocab frame missing")
+  }
+
+  test("q149: transition matrix rides ONE corpus-scale shuffle (the " +
+    "user_id session window); later stages are matrix-sized") {
+    val p = plan("q149_session_transitions")
+    assert(p.contains("hashpartitioning(user_id"),
+      "session window must partition by user_id")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 2,
+      "expected the lag window and the from_type share window only")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) == 1,
+      "events must be scanned once")
+  }
+
   test("q139: sequence packing shuffles once for the per-source window " +
     "(plus only the presentation sort)") {
     val p = plan("q139_sequence_pack")
