@@ -792,6 +792,81 @@ object PipelineOps {
         .orderBy(col("exact_n").desc, col("tok"))
         .limit(20)
     }),
+
+    // WINSORIZED (robust) per-source stats: the outlier-resistant moment
+    // every corpus health report uses — a handful of giant or empty docs
+    // must not swing the per-source mean that drives mixture decisions.
+    // Exact rank selection (row_number over (nt, doc_id) — q87's
+    // percentile discipline, no per-group buffering), clamp ranks
+    // ceil(5%·n)/ceil(95%·n) in integer arithmetic, values clamped to
+    // [p05, p95], means via the exact rational half-up recipe (r4). ONE
+    // corpus-scale shuffle (the source window); the cuts frame is
+    // per-source aggregates — size-invariant, broadcast is honest at any
+    // corpus size (unlike corpus-sized frames, q46/q94 reasoning).
+    "q150_winsorized_stats" -> ((s, d) => {
+      val toks = ld(s, d, "documents")
+        .selectExpr("doc_id", "source", s"CAST($nTokens AS BIGINT) AS nt")
+      val w = Window.partitionBy("source").orderBy("nt", "doc_id")
+      val cuts = toks
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        .groupBy("source")
+        .agg(min(when(col("rk") ===
+            greatest(expr("(5 * n + 99) DIV 100"), lit(1L)), col("nt")))
+            .as("p05"),
+          min(when(col("rk") === expr("(95 * n + 99) DIV 100"), col("nt")))
+            .as("p95"))
+      toks.join(broadcast(cuts), Seq("source"))
+        .selectExpr("source", "nt",
+          "least(greatest(nt, p05), p95) AS wnt", "p05", "p95")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), min("p05").as("p05"),
+          min("p95").as("p95"), sum("wnt").as("wsum"),
+          sum("nt").as("rsum"))
+        .selectExpr("source", "n_docs", "p05", "p95",
+          s"${r4("wsum", "n_docs")} AS win_mean",
+          s"${r4("rsum", "n_docs")} AS raw_mean")
+        .orderBy("source")
+    }),
+
+    // TEMPERATURE-FLATTENED mixture (α = 0.5): the multilingual-training
+    // standard between q114's equal-token budget (α→0) and natural
+    // proportions (α=1) — per-source token target T_s = √(tot_s · B)
+    // with B = min tot, the exact α=0.5 interpolation (big sources keep
+    // more than the floor, small ones are not starved). tot_s·B is an
+    // exact BIGINT product that fits double's 2^53 integer range at any
+    // tested SF (Scaladoc'd limit; past it, compute √ in DECIMAL), and
+    // IEEE sqrt/floor are correctly rounded in both engines, so the
+    // target is bit-deterministic cross-engine with no float summation
+    // anywhere. Greedy admission per source by md5-ticket order — q114's
+    // machinery with a per-source target instead of the global min; same
+    // ONE source-keyed window shuffle, targets frame broadcast
+    // (size-invariant per-source aggregates).
+    "q151_temperature_mixture" -> ((s, d) => {
+      val toks = ld(s, d, "documents")
+        .selectExpr("doc_id", "source", s"CAST($nTokens AS INT) AS n_tokens")
+      // tots feeds both the floor B = min(tot) and the per-source targets;
+      // pin it (q148's vocab pattern) so the corpus-scale sum runs ONCE —
+      // without the checkpoint Spark re-derives the aggregate from parquet
+      // on each side of the cross join.
+      val tots = toks.groupBy("source").agg(sum("n_tokens").as("tot"))
+        .localCheckpoint()
+      val targets = tots
+        .crossJoin(broadcast(tots.agg(min("tot").as("b"))))
+        .selectExpr("source",
+          "CAST(floor(sqrt(CAST(tot AS DOUBLE) * CAST(b AS DOUBLE)))" +
+            " AS BIGINT) AS target")
+      val ord = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks
+        .withColumn("cum_before",
+          coalesce(sum("n_tokens").over(ord), lit(0L)))
+        .join(broadcast(targets), Seq("source"))
+        .filter(col("cum_before") < col("target"))
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -1419,5 +1494,57 @@ object PipelineOps {
                 CAST(e.cms_est - w.exact_n AS BIGINT) AS overest
          FROM words w JOIN est e ON w.tok = e.tok
          ORDER BY w.exact_n DESC, w.tok LIMIT 20""",
+    "q150_winsorized_stats" -> {
+      val nTok = "length(text) - length(replace(text, ' ', '')) + 1"
+      s"""WITH toks AS (SELECT doc_id, source, CAST($nTok AS BIGINT) AS nt
+                        FROM documents),
+               rkd AS (SELECT *,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY nt, doc_id) AS rk,
+                              count(*) OVER (PARTITION BY source) AS n
+                       FROM toks),
+               cuts AS (SELECT source,
+                               min(CASE WHEN rk =
+                                     greatest((5 * n + 99) // 100, 1)
+                                   THEN nt END) AS p05,
+                               min(CASE WHEN rk = (95 * n + 99) // 100
+                                   THEN nt END) AS p95
+                        FROM rkd GROUP BY source),
+               cl AS (SELECT t.source, t.nt,
+                             least(greatest(t.nt, c.p05), c.p95) AS wnt,
+                             c.p05, c.p95
+                      FROM toks t JOIN cuts c USING (source))
+          SELECT source, count(*) AS n_docs,
+                 min(p05) AS p05, min(p95) AS p95,
+                 CAST((2 * sum(wnt) * 10000 + count(*))
+                      // (2 * count(*)) AS DOUBLE) / 10000 AS win_mean,
+                 CAST((2 * sum(nt) * 10000 + count(*))
+                      // (2 * count(*)) AS DOUBLE) / 10000 AS raw_mean
+          FROM cl GROUP BY source ORDER BY source"""
+    },
+    "q151_temperature_mixture" -> {
+      val nTok = "length(text) - length(replace(text, ' ', '')) + 1"
+      s"""WITH toks AS (SELECT doc_id, source, CAST($nTok AS INT)
+                               AS n_tokens
+                        FROM documents),
+               tots AS (SELECT source, sum(n_tokens) AS tot FROM toks
+                        GROUP BY source),
+               tgt AS (SELECT source,
+                              CAST(floor(sqrt(CAST(tot AS DOUBLE) *
+                                   CAST((SELECT min(tot) FROM tots)
+                                        AS DOUBLE))) AS BIGINT) AS target
+                       FROM tots),
+               o AS (SELECT doc_id, source, n_tokens,
+                            coalesce(sum(n_tokens) OVER
+                              (PARTITION BY source
+                               ORDER BY md5(doc_id::VARCHAR), doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS cum_before
+                     FROM toks)
+          SELECT o.doc_id, o.source, o.n_tokens
+          FROM o JOIN tgt ON o.source = tgt.source
+          WHERE o.cum_before < tgt.target
+          ORDER BY o.doc_id"""
+    },
   )
 }

@@ -346,6 +346,32 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("Generate"), "window-span explode missing")
   }
 
+  test("q150: winsorized stats ride ONE corpus shuffle (the source rank " +
+    "window); the cuts frame joins back by broadcast, never a shuffle") {
+    val p = plan("q150_winsorized_stats")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), "clamp join degenerated")
+    assert(p.contains("hashpartitioning(source"),
+      "rank window must partition by source")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 2,
+      "expected the row_number window and the per-source count window only")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) BroadcastHashJoin.*""")) == 1,
+      "cuts must come back as a broadcast hash join")
+  }
+
+  test("q151: temperature mixture scans the corpus once in the final " +
+    "plan — the per-source totals frame is pinned, not re-derived") {
+    val p = plan("q151_temperature_mixture")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) == 1,
+      "targets side re-scanned the corpus instead of reading the pin")
+    assert(p.contains("Scan ExistingRDD"), "pinned totals frame missing")
+    assert(p.contains("hashpartitioning(source"),
+      "admission window must partition by source")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 1,
+      "expected only the cumulative-admission window")
+  }
+
   test("q93: re-scan of the partitioned write prunes to one partition") {
     val p = plan("q93_partition_pruning")
     val pf = p.linesIterator.find(_.contains("PartitionFilters"))
