@@ -792,7 +792,13 @@ object Relational {
     // shipped test is lift > 1 AND one hypergeometric sd above expectation
     // — (shared·n − da·db)²·(n−1) ≥ da·db·(n−da)·(n−db), exact in
     // DECIMAL(38) (BIGINT overflows past sf0.1) and mirrored by HUGEINT in
-    // the oracle — which ADAPTS with scale: the sd shrinks relative to the
+    // the oracle. DECIMAL(38) itself has a ceiling: both sides are ≤ n⁵,
+    // so exactness holds while n < 4·10⁷ parts (≈ sf200); past that,
+    // non-ANSI Spark would overflow to NULL — filter()=false, an edge
+    // SILENTLY dropped — while the oracle's HUGEINT raises. The in-plan
+    // assert_true on the 1-row nparts frame (codegen'd, free) makes Spark
+    // fail loudly at the same boundary instead. The test ADAPTS with
+    // scale: the sd shrinks relative to the
     // mean as |parts| grows, so bigger corpora give sparser, more
     // meaningful graphs (probed: 5/45 edges at sf0.001, 767/4,950 → 676
     // triangles at sf0.01, 79,403/499,500 → 686 k at sf0.1 — vs 242 k
@@ -811,6 +817,10 @@ object Relational {
         .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
         .distinct()
       val nparts = ps.agg(countDistinct(col("p")).as("n"))
+        .withColumn("_mag_ok", assert_true(col("n") <= 40000000L,
+          lit("q134 significance test exceeds DECIMAL(38) exactness " +
+            "(n^5 past 38 digits): widen the arithmetic before scaling")))
+        .filter(col("_mag_ok").isNull).drop("_mag_ok")
       val deg = ps.groupBy("sp").agg(count(lit(1)).as("dg"))
       val lifted = ps.as("a")
         .join(ps.as("b").hint("shuffle_hash"),

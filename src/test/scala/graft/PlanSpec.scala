@@ -263,6 +263,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
 
   test("q134: triangle wedges join on the apex and close with a LEFT " +
     "SEMI probe — no corpus broadcast, no product") {
+    // Coverage limit: the edge list is localCheckpoint'd inside the query,
+    // which truncates lineage — the eagerly-executed BUILD side (the ps
+    // self-join and the intentional 1-row nparts broadcast cross) is not
+    // visible to these assertions. They guard the wedge/closing consume
+    // side only; the build side's shape is documented in the query comment
+    // (same stance as q131's Plans.scala note).
     val p = plan("q134_triangle_count")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), "wedge join degenerated")
@@ -315,6 +321,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
 
   test("q148: CMS consumers read the pinned vocab — the corpus token " +
     "groupBy is checkpointed once, no parquet re-scan per consumer") {
+    // Coverage limit: "Scan parquet == 0" holds BECAUSE the vocab frame is
+    // localCheckpoint'd — the corpus-scale tokenize+groupBy that built it
+    // runs eagerly and is lineage-truncated out of this plan. The guard
+    // proves consumers share the pin; the build side's one-shuffle shape
+    // is documented in the query comment.
     val p = plan("q148_heavy_hitters_cms")
     assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet.*""")) == 0,
       "a consumer re-derived the vocab from the raw corpus")
