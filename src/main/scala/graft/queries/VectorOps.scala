@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables.ld
 import graft.functions.VectorExprs.dotp
 
@@ -500,6 +501,127 @@ object VectorOps {
         .select(col("q_id"), col("neighbor_id"),
           (col("du").cast("double") / 1e6).as("approx_d"), col("rn"))
         .orderBy("q_id", "rn")),
+
+    // HYBRID RETRIEVAL via RECIPROCAL RANK FUSION — the rank-combination
+    // rung the inventory lacked: production search fuses a LEXICAL ranker
+    // (here: distinct word-3-gram overlap with the query document, the
+    // q133 inverted-index shape) with a VECTOR ranker (cosine to the query
+    // embedding, the q60 shape) by RRF: score(d) = Σ_lists 1/(k + rank_d),
+    // k = 60 (Cormack & Clarke's constant) — rank-based, so the two
+    // incomparable score scales never need calibration, which is exactly
+    // why RRF is the production default. Query = doc 0 / vec 0 (the
+    // corpus's own first item — deterministic, no side-channel input).
+    // Exactness: each RRF term is 1/(60+r) with INTEGER r — both engines
+    // compute the identical IEEE double, and the two-term sum is a single
+    // rounding step, so ordering and the round-6 output hash-match (the
+    // only float sum is 2 terms — never an order-dependent reduction).
+    // Docs absent from one list contribute 0 from it (standard RRF over
+    // unioned candidate sets). Plan: gram overlap is a gh-keyed join
+    // against the broadcast ~150-row query-gram set, map-side-combined
+    // count; cosine side broadcasts ONE query vector over a single corpus
+    // scan. The two global rank windows run on LIST-sized frames (lexical:
+    // docs sharing ≥1 query gram; vector: the scored list — at 100 TB the
+    // vector list comes from the ANN index (q125) top-N, so both windows
+    // stay bounded by list length, never corpus-sized.
+    "q152_rrf_fusion" -> ((s, d) => {
+      val wp = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = ld(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("tok"),
+          lead("tok", 1).over(wp).as("t1"), lead("tok", 2).over(wp).as("t2"))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"),
+          conv(substring(md5(concat_ws(" ", col("tok"), col("t1"),
+            col("t2"))), 1, 8), 16, 10).cast("long").as("gh"))
+        .distinct()
+      val qg = grams.filter(col("doc_id") === 0).select("gh")
+      val lex = grams.filter(col("doc_id") =!= 0)
+        .join(broadcast(qg), "gh")
+        .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
+      val wl = Window.orderBy(col("overlap").desc, col("doc_id"))
+      val lexRank = lex
+        .select(col("doc_id"), row_number().over(wl).as("lex_rank"))
+      val e = withNorm(ld(s, d, "embeddings"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("emb").as("qe"), col("nrm").as("qn"))
+      val sims = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(dotp(col("qe"), col("emb")) / (col("qn") * col("nrm")), 6)
+            .as("sim"))
+      val wv = Window.orderBy(col("sim").desc, col("doc_id"))
+      val vecRank = sims
+        .select(col("doc_id"), row_number().over(wv).as("vec_rank"))
+      lexRank.join(vecRank, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+          round(col("rrf"), 6).as("rrf_r6"))
+    }),
+
+    // MUTUAL-kNN GRAPH over PQ codes — the neighbor-graph primitive under
+    // manifold clustering / UMAP / dataset cartography, one rung above
+    // q60's per-probe kNN: EVERY node gets its top-k (k=5) neighbors, and
+    // an edge survives only if BOTH endpoints rank each other (mutuality —
+    // the standard asymmetry filter that strips hub nodes' one-sided
+    // links). Two pieces the PQ family didn't cover yet, both FAISS-real:
+    // (1) SDC — symmetric distance computation: node-to-node distance is
+    // approximated code-to-code via a K×K×M centroid-pair LUT (1 024
+    // BIGINT micro-unit entries, one broadcast) — q119's ADC keeps the
+    // query at full precision, SDC is what all-pairs jobs over an encoded
+    // corpus use, since NEITHER side needs its raw vector; (2) PQ-code
+    // BLOCKING: candidate pairs share ≥1 of their M=4 subspace codes (a
+    // pigeonhole family: 4 "bands" of 16 values each) — a keyed
+    // equi-self-join on (m, code), never the n² product. The oracle
+    // replays codebooks, codes, LUT, blocking, ranking, and mutuality
+    // bit-for-bit (duckPqCtes — the checked contract is the deployed
+    // pipeline, q61's stance). Per-pair distance = 4 integer LUT lookups
+    // summed (order-free BIGINT); ranked per source node by (distance
+    // asc, neighbor id); mutuality = self-semi-join of the top-k edge
+    // list on the reversed key. At 100 TB: codes are 64× narrower than
+    // raw vectors, the blocking join is keyed + shuffled on (m, code),
+    // the rank window partitions by source node (one keyed shuffle), and
+    // the mutual join is edge-list-sized. The raw corpus is touched only
+    // by codebook training.
+    "q153_mutual_knn" -> ((s, d) => {
+      def l2(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, z) => acc + z)
+      val (codes, _, c1) = pqCodesLut(s, d)
+      // SDC LUT: centroid-pair partial L2 per subspace, micro-units
+      val lut2 = c1.as("u").join(c1.as("v"), col("u.m") === col("v.m"))
+        .select(col("u.m").as("m"), col("u.cid").as("ca"),
+          col("v.cid").as("cb"),
+          round(l2(col("u.cc"), col("v.cc")) * 1e6, 0).cast("bigint")
+            .as("pdu"))
+      val cand = codes.as("x").hint("shuffle_hash")
+        .join(codes.as("y"),
+          col("x.m") === col("y.m") && col("x.code") === col("y.code") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+        .distinct()
+      val sdc = cand
+        .join(codes.select(col("vec_id").as("va"), col("m"),
+          col("code").as("ca")), "va")
+        .join(codes.select(col("vec_id").as("vb"), col("m"),
+          col("code").as("cb")).hint("shuffle_hash"), Seq("vb", "m"))
+        .join(broadcast(lut2), Seq("m", "ca", "cb"))
+        .groupBy("va", "vb").agg(sum("pdu").as("du"))
+      val directed = sdc
+        .unionByName(sdc.select(col("vb").as("va"), col("va").as("vb"),
+          col("du")))
+      val wk = Window.partitionBy("va").orderBy(col("du"), col("vb"))
+      val topk = directed.withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= 5)
+      topk.join(topk.select(col("vb").as("va"), col("va").as("vb"))
+          .hint("shuffle_hash"), Seq("va", "vb"), "left_semi")
+        .filter(col("va") < col("vb"))
+        .select(col("va"), col("vb"),
+          (col("du").cast("double") / 1e6).as("approx_d"))
+        .orderBy("va", "vb")
+    }),
   )
 
   /** q125's composed IVF×PQ chain, ranked pre-top-k — shared with q120's
@@ -528,7 +650,7 @@ object VectorOps {
         .withColumn("crn", row_number().over(wq))
         .filter(col("crn") <= 2)
         .select(col("q_id"), col("cid"))
-      val (codes, lut) = pqCodesLut(s, d)
+      val (codes, lut, _) = pqCodesLut(s, d)
       val wr = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(col("du"), col("neighbor_id"))
       codes
@@ -600,7 +722,8 @@ object VectorOps {
     * (m, code) assignments and the 5-probe × M × K integer-micro partial
     * distances. Splitting this out keeps the two consumers bit-identical
     * in training (same init, same single Lloyd refine, same rounding). */
-  private def pqCodesLut(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def pqCodesLut(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val M = 4; val K = 16; val SUB = 16
     def l2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -636,11 +759,11 @@ object VectorOps {
       .join(broadcast(c1), Seq("m"))
       .select(col("q_id"), col("m"), col("cid").as("code"),
         round(l2(col("qsub"), col("cc")) * 1e6, 0).cast("bigint").as("pdu"))
-    (codes, lut)
+    (codes, lut, c1)
   }
 
   private def pqAdcRanked(s: SparkSession, d: String): DataFrame = {
-    val (codes, lut) = pqCodesLut(s, d)
+    val (codes, lut, _) = pqCodesLut(s, d)
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("du"), col("neighbor_id"))
     codes.join(broadcast(lut), Seq("m", "code"))
@@ -971,5 +1094,68 @@ object VectorOps {
                   i -> (ce[i] - centroid[i]) * (ce[i] - centroid[i])))), 6) AS dist
          FROM c JOIN cent ON c.label = cent.label
          ORDER BY vec_id""",
+    // full replay: distinct query-doc grams → overlap ranks, exact cosine
+    // ranks, two-term RRF sum (single IEEE rounding — hash-safe)
+    "q152_rrf_fusion" ->
+      s"""WITH grams AS (SELECT DISTINCT doc_id,
+                                ('0x' || substr(md5(g), 1, 8))::BIGINT AS gh
+                         FROM (SELECT doc_id, unnest(${TextOps.duckGrams}) AS g
+                               FROM documents)),
+               qg AS (SELECT gh FROM grams WHERE doc_id = 0),
+               lex AS (SELECT doc_id, count(*) AS overlap
+                       FROM grams JOIN qg USING (gh)
+                       WHERE doc_id <> 0 GROUP BY doc_id),
+               lr AS (SELECT doc_id, row_number() OVER
+                        (ORDER BY overlap DESC, doc_id) AS lex_rank
+                      FROM lex),
+               c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                     FROM embeddings),
+               q AS (SELECT ce AS qe FROM c WHERE vec_id = 0),
+               sims AS (SELECT vec_id AS doc_id,
+                               round(${dcos("qe", "ce")}, 6) AS sim
+                        FROM c CROSS JOIN q WHERE vec_id <> 0),
+               vr AS (SELECT doc_id, row_number() OVER
+                        (ORDER BY sim DESC, doc_id) AS vec_rank
+                      FROM sims),
+               fused AS (SELECT coalesce(lr.doc_id, vr.doc_id) AS doc_id,
+                                lex_rank, vec_rank,
+                                coalesce(1::DOUBLE / (60 + lex_rank), 0)
+                                  + coalesce(1::DOUBLE / (60 + vec_rank), 0)
+                                  AS rrf
+                         FROM lr FULL OUTER JOIN vr ON lr.doc_id = vr.doc_id)
+          SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank,
+                 CAST(vec_rank AS INTEGER) AS vec_rank,
+                 round(rrf, 6) AS rrf_r6
+          FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""",
+    // q119's codebook/code replay + the SDC centroid-pair LUT, PQ-code
+    // blocking, per-node top-5 and the mutuality semi-join
+    "q153_mutual_knn" ->
+      s"""WITH $duckPqCtes,
+              lut2 AS (SELECT u.m, u.cid AS ca, v.cid AS cb,
+                              CAST(round(${duckL2Sub("u.cc", "v.cc")}
+                                         * 1000000) AS BIGINT) AS pdu
+                       FROM c1 u JOIN c1 v ON u.m = v.m),
+              cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+                       FROM codes x JOIN codes y
+                         ON x.m = y.m AND x.code = y.code
+                        AND x.vec_id < y.vec_id),
+              sdc AS (SELECT va, vb, sum(pdu) AS du
+                      FROM cand
+                      JOIN codes ax ON ax.vec_id = va
+                      JOIN codes bx ON bx.vec_id = vb AND bx.m = ax.m
+                      JOIN lut2 ON lut2.m = ax.m AND lut2.ca = ax.code
+                               AND lut2.cb = bx.code
+                      GROUP BY va, vb),
+              dir AS (SELECT va, vb, du FROM sdc
+                      UNION ALL SELECT vb, va, du FROM sdc),
+              topk AS (SELECT * FROM (SELECT va, vb, du, row_number() OVER
+                         (PARTITION BY va ORDER BY du, vb) AS rn
+                       FROM dir) WHERE rn <= 5)
+         SELECT t.va, t.vb, CAST(t.du AS DOUBLE) / 1000000 AS approx_d
+         FROM topk t
+         WHERE t.va < t.vb
+           AND EXISTS (SELECT 1 FROM topk r
+                       WHERE r.va = t.vb AND r.vb = t.va)
+         ORDER BY t.va, t.vb""",
   )
 }
