@@ -683,14 +683,7 @@ object PipelineOps {
     // pair space. No UDFs: levenshtein/split_part are codegen'd
     // built-ins DuckDB shares bit-for-bit.
     "q146_entity_resolution" -> ((s, d) => {
-      val p = ld(s, d, "part").select(
-          col("p_partkey").cast("long").as("pk"),
-          col("p_name").as("name"), col("p_brand").as("brand"),
-          col("p_type").as("typ"), col("p_size").cast("int").as("sz"),
-          expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
-            .as("cents"))
-        .withColumn("noun", expr("split_part(name, ' ', 2)"))
-        .withColumn("band", expr("(sz - 1) DIV 5"))
+      val p = partEntities(s, d)
       def side(pre: String) = p.toDF(p.columns.map(c => s"$pre$c"): _*)
       val L = side("a_"); val R = side("b_")
       def pass(keys: String*) =
@@ -700,23 +693,7 @@ object PipelineOps {
       val cand = pass("noun", "typ", "band")
         .unionByName(pass("noun", "brand"))
         .distinct()
-      cand.selectExpr("a_pk", "b_pk",
-          "1000 - (1000 * levenshtein(a_name, b_name))" +
-            " DIV greatest(length(a_name), length(b_name)) AS name_sim",
-          "CAST(CASE WHEN a_typ = b_typ THEN 300 ELSE 0 END AS BIGINT)" +
-            " AS type_pts",
-          "CAST(CASE WHEN a_brand = b_brand THEN 200 ELSE 0 END AS BIGINT)" +
-            " AS brand_pts",
-          "CAST(greatest(0, 100 - 25 * abs(a_sz - b_sz)) AS BIGINT)" +
-            " AS size_pts",
-          "greatest(CAST(0 AS BIGINT)," +
-            " 100 - abs(a_cents - b_cents) DIV 100) AS price_pts")
-        .withColumn("score", expr(
-          "name_sim + type_pts + brand_pts + size_pts + price_pts"))
-        .withColumn("tier", when(col("score") >= 1400, "match")
-          .when(col("score") >= 1100, "possible"))
-        .filter(col("tier").isNotNull)
-        .orderBy("a_pk", "b_pk")
+      scorePairs(cand).orderBy("a_pk", "b_pk")
     }),
 
     // PII SCRUB: regex redaction of emails/phone numbers with a per-doc
@@ -866,6 +843,128 @@ object PipelineOps {
         .filter(col("cum_before") < col("target"))
         .select("doc_id", "source", "n_tokens")
         .orderBy("doc_id")
+    }),
+
+    // SNAPSHOT DIFF — CDC derivation: given two full table snapshots,
+    // emit the change feed (insert/update/delete + before/after values)
+    // that incremental consumers need — the PRODUCING side of the
+    // change-data story whose CONSUMING side is q130's SCD2 merge. The
+    // "next" snapshot is derived deterministically in-query (k%97 rows
+    // deleted, k%13 prices bumped, k%29 statuses flipped, k%101 rows
+    // cloned as inserts under fresh keys), so the expected feed is known
+    // exactly and the oracle replays it. Change detection compares an
+    // md5 ROW HASH over the non-key columns (the production recipe —
+    // one comparison regardless of column count; md5 is the engine-
+    // portable choice), computed map-side on each branch. Plan: ONE
+    // key-keyed full-outer join — at 100 TB both snapshots live
+    // bucketed by primary key, making the diff entirely shuffle-free;
+    // unchanged rows (the overwhelming majority) are dropped before
+    // any output materializes.
+    "q155_snapshot_diff" -> ((s, d) => {
+      val cur = ld(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        col("o_orderstatus").as("status"))
+      val nxt = cur.filter(col("k") % 97 =!= 0)
+        .select(col("k"),
+          when(col("k") % 13 === 0, col("cents") + 100)
+            .otherwise(col("cents")).as("cents"),
+          when(col("k") % 29 === 0, lit("X"))
+            .otherwise(col("status")).as("status"))
+        .unionByName(cur.filter(col("k") % 101 === 0)
+          .select((col("k") + 10000000L).as("k"), col("cents"),
+            col("status")))
+      def h(p: String) =
+        md5(concat_ws("|", col(s"${p}cents"), col(s"${p}status")))
+      cur.select(col("k"), col("cents").as("old_cents"),
+          col("status").as("old_status"))
+        .join(nxt.select(col("k"), col("cents").as("new_cents"),
+            col("status").as("new_status")).hint("shuffle_hash"),
+          Seq("k"), "full_outer")
+        .withColumn("change_type",
+          when(col("old_cents").isNull, "insert")
+            .when(col("new_cents").isNull, "delete")
+            .when(h("old_") =!= h("new_"), "update"))
+        .filter(col("change_type").isNotNull)
+        .select(col("k").as("o_orderkey"), col("change_type"),
+          col("old_cents"), col("new_cents"), col("old_status"),
+          col("new_status"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ROBUST OUTLIER DETECTION via MAD (median absolute deviation) —
+    // the robust-statistics rung beside q150's winsorizing: mean/stddev
+    // gates are themselves dragged by the outliers they hunt, while
+    // median ± k·MAD is breakdown-point-0.5 robust — the data-quality
+    // filter you actually want before training-corpus admission. All
+    // integer-exact: prices in BIGINT cents; medians by the q87/q150
+    // rank-selection recipe kept DOUBLED (med2 = the two middle order
+    // stats summed, = 2·median — no halving, no floats); deviations
+    // dev = |2·x − med2| (= 2·|x − median|, still integer); MAD doubled
+    // the same way (mad2 = 2·median(dev) = 4·MAD); and the classic
+    // |x − med| > 3·MAD test becomes 2·dev > 3·mad2 by clearing
+    // denominators. Two keyed window passes (rank by value, rank by
+    // deviation) — exact medians need the sort; at 100 TB you'd swap in
+    // q141's mergeable quantile sketch and keep this as the audit pass.
+    "q156_mad_outliers" -> ((s, d) => {
+      val li = ld(s, d, "lineitem").select(col("l_returnflag").as("flag"),
+        col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      def med2Of(df: DataFrame, v: String, out: String) = {
+        val w = Window.partitionBy("flag")
+          .orderBy(col(v), col("l_orderkey"), col("l_linenumber"))
+        df.withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+          .groupBy("flag")
+          .agg((sum(when(col("rk") === expr("(n + 1) DIV 2"), col(v))
+              .otherwise(0L)) +
+            sum(when(col("rk") === expr("n DIV 2 + 1"), col(v))
+              .otherwise(0L))).as(out))
+      }
+      val med = med2Of(li, "cents", "med2")
+      val dev = li.join(broadcast(med), "flag")
+        .withColumn("dv", abs(lit(2) * col("cents") - col("med2")))
+      val mad = med2Of(dev, "dv", "mad2")
+      dev.join(broadcast(mad), "flag")
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n"), min("med2").as("median_x2_cents"),
+          min("mad2").as("mad_x4_cents"),
+          sum(when(lit(2) * col("dv") > lit(3) * col("mad2"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("flag")
+    }),
+
+    // SORTED-NEIGHBORHOOD entity resolution — the second classic
+    // candidate generator beside q146's multi-pass equality blocking:
+    // sort the entity table by a composite key and pair each record
+    // with its next w−1 neighbors in sort order. Catches exactly what
+    // q146's size-BAND pass structurally cannot: size-adjacent listings
+    // straddling a band boundary (sz 5 vs 6 share no (noun,typ,band)
+    // key but sit adjacent in (noun, sz, cents) order). Sort runs
+    // WITHIN noun blocks (the "sorted blocks" hybrid of the ER
+    // literature): the window shuffles once on the block key instead of
+    // collapsing to the global single-partition sort plain SNM needs —
+    // the price is losing cross-noun pairs, which q146's second pass
+    // (noun, brand) never found either. Pairing is rank-arithmetic: an
+    // equi-join of rank r against r+k for k = 1..3 (w = 4) — keyed,
+    // linear in table size, pair count ≤ (w−1)·n by construction
+    // regardless of block skew (the blowup guard equality blocking
+    // lacks). Verify = q146's integer-exact Fellegi–Sunter scoring,
+    // same tiers, so the two generators' outputs are comparable.
+    "q157_sorted_neighborhood" -> ((s, d) => {
+      val p = partEntities(s, d)
+      val w = Window.partitionBy("noun").orderBy("sz", "cents", "pk")
+      val ranked = p.withColumn("rk", row_number().over(w))
+      def side(pre: String) =
+        ranked.toDF(ranked.columns.map(c => s"$pre$c"): _*)
+      val pairs = side("a_")
+        .withColumn("k", explode(sequence(lit(1), lit(3))))
+        .withColumn("tgt", col("a_rk") + col("k"))
+        .join(side("b_").hint("shuffle_hash"),
+          col("a_noun") === col("b_noun") && col("tgt") === col("b_rk"))
+      scorePairs(pairs).orderBy("a_pk", "b_pk")
     }),
   )
 
@@ -1072,6 +1171,40 @@ object PipelineOps {
                                  AND 1 PRECEDING), 0) AS cum_before
               FROM sd)"""
   }
+
+  /** q146/q157's shared entity frame: normalized part listings with the
+    * blocking attributes (head noun, size band) and exact BIGINT cents. */
+  private[queries] def partEntities(s: SparkSession, d: String): DataFrame =
+    ld(s, d, "part").select(
+        col("p_partkey").cast("long").as("pk"),
+        col("p_name").as("name"), col("p_brand").as("brand"),
+        col("p_type").as("typ"), col("p_size").cast("int").as("sz"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .withColumn("noun", expr("split_part(name, ' ', 2)"))
+      .withColumn("band", expr("(sz - 1) DIV 5"))
+
+  /** q146/q157's shared Fellegi–Sunter verify: integer-exact field-
+    * agreement scoring of candidate pairs (whichever generator produced
+    * them — equality blocking or sorted neighborhood), classified into
+    * the match/possible-link tiers. */
+  private def scorePairs(cand: DataFrame): DataFrame =
+    cand.selectExpr("a_pk", "b_pk",
+        "1000 - (1000 * levenshtein(a_name, b_name))" +
+          " DIV greatest(length(a_name), length(b_name)) AS name_sim",
+        "CAST(CASE WHEN a_typ = b_typ THEN 300 ELSE 0 END AS BIGINT)" +
+          " AS type_pts",
+        "CAST(CASE WHEN a_brand = b_brand THEN 200 ELSE 0 END AS BIGINT)" +
+          " AS brand_pts",
+        "CAST(greatest(0, 100 - 25 * abs(a_sz - b_sz)) AS BIGINT)" +
+          " AS size_pts",
+        "greatest(CAST(0 AS BIGINT)," +
+          " 100 - abs(a_cents - b_cents) DIV 100) AS price_pts")
+      .withColumn("score", expr(
+        "name_sim + type_pts + brand_pts + size_pts + price_pts"))
+      .withColumn("tier", when(col("score") >= 1400, "match")
+        .when(col("score") >= 1100, "possible"))
+      .filter(col("tier").isNotNull)
 
   val oracle: Map[String, String] = Map(
     "q94_incremental_dedup" ->
@@ -1546,5 +1679,121 @@ object PipelineOps {
           WHERE o.cum_before < tgt.target
           ORDER BY o.doc_id"""
     },
+    // derived next snapshot + one full-outer key join, md5 row-hash compare
+    "q155_snapshot_diff" ->
+      """WITH cur AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                                  AS BIGINT) AS cents,
+                             o_orderstatus AS status
+                      FROM orders),
+              nxt AS (SELECT k,
+                             CASE WHEN k % 13 = 0 THEN cents + 100
+                                  ELSE cents END AS cents,
+                             CASE WHEN k % 29 = 0 THEN 'X'
+                                  ELSE status END AS status
+                      FROM cur WHERE k % 97 <> 0
+                      UNION ALL
+                      SELECT k + 10000000, cents, status
+                      FROM cur WHERE k % 101 = 0)
+         SELECT coalesce(o.k, n.k) AS o_orderkey,
+                CASE WHEN o.k IS NULL THEN 'insert'
+                     WHEN n.k IS NULL THEN 'delete'
+                     WHEN md5(concat_ws('|', o.cents, o.status))
+                          <> md5(concat_ws('|', n.cents, n.status))
+                       THEN 'update' END AS change_type,
+                o.cents AS old_cents, n.cents AS new_cents,
+                o.status AS old_status, n.status AS new_status
+         FROM cur o FULL OUTER JOIN nxt n ON o.k = n.k
+         WHERE o.k IS NULL OR n.k IS NULL
+            OR md5(concat_ws('|', o.cents, o.status))
+               <> md5(concat_ws('|', n.cents, n.status))
+         ORDER BY o_orderkey""",
+    // doubled-median rank selection twice (value, then deviation),
+    // outlier test with cleared denominators: 2*dev > 3*mad2
+    "q156_mad_outliers" ->
+      """WITH li AS (SELECT l_returnflag AS flag, l_orderkey, l_linenumber,
+                            CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                                 AS BIGINT) AS cents
+                     FROM lineitem),
+              r1 AS (SELECT *, row_number() OVER
+                       (PARTITION BY flag
+                        ORDER BY cents, l_orderkey, l_linenumber) AS rk,
+                       count(*) OVER (PARTITION BY flag) AS n
+                     FROM li),
+              med AS (SELECT flag,
+                             sum(CASE WHEN rk = (n + 1) // 2
+                                      THEN cents ELSE 0 END)
+                             + sum(CASE WHEN rk = n // 2 + 1
+                                        THEN cents ELSE 0 END) AS med2
+                      FROM r1 GROUP BY flag),
+              dev AS (SELECT li.*, med.med2,
+                             abs(2 * cents - med2) AS dv
+                      FROM li JOIN med USING (flag)),
+              r2 AS (SELECT *, row_number() OVER
+                       (PARTITION BY flag
+                        ORDER BY dv, l_orderkey, l_linenumber) AS rk,
+                       count(*) OVER (PARTITION BY flag) AS n
+                     FROM dev),
+              mad AS (SELECT flag,
+                             sum(CASE WHEN rk = (n + 1) // 2
+                                      THEN dv ELSE 0 END)
+                             + sum(CASE WHEN rk = n // 2 + 1
+                                        THEN dv ELSE 0 END) AS mad2
+                      FROM r2 GROUP BY flag)
+         SELECT dev.flag, count(*) AS n,
+                CAST(min(dev.med2) AS BIGINT) AS median_x2_cents,
+                CAST(min(mad.mad2) AS BIGINT) AS mad_x4_cents,
+                CAST(sum(CASE WHEN 2 * dv > 3 * mad2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_outliers
+         FROM dev JOIN mad USING (flag)
+         GROUP BY dev.flag
+         ORDER BY dev.flag""",
+    // within-noun rank windows, rank-distance 1..3 pairing, q146 scoring
+    "q157_sorted_neighborhood" ->
+      """WITH p AS (SELECT CAST(p_partkey AS BIGINT) AS pk,
+                           p_name AS name, p_brand AS brand, p_type AS typ,
+                           CAST(p_size AS INT) AS sz,
+                           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                                AS BIGINT) AS cents,
+                           split_part(p_name, ' ', 2) AS noun
+                    FROM part),
+              ranked AS (SELECT *, row_number() OVER
+                           (PARTITION BY noun ORDER BY sz, cents, pk) AS rk
+                         FROM p),
+              cand AS (SELECT a.pk AS a_pk, b.pk AS b_pk,
+                              a.name AS a_name, b.name AS b_name,
+                              a.typ AS a_typ, b.typ AS b_typ,
+                              a.brand AS a_brand, b.brand AS b_brand,
+                              a.sz AS a_sz, b.sz AS b_sz,
+                              a.cents AS a_cents, b.cents AS b_cents
+                       FROM ranked a JOIN ranked b
+                         ON a.noun = b.noun
+                        AND b.rk - a.rk BETWEEN 1 AND 3),
+              sc AS (SELECT a_pk, b_pk,
+                            CAST(1000 - (1000 * levenshtein(a_name, b_name))
+                                 // greatest(length(a_name), length(b_name))
+                                 AS BIGINT) AS name_sim,
+                            CAST(CASE WHEN a_typ = b_typ THEN 300 ELSE 0 END
+                                 AS BIGINT) AS type_pts,
+                            CAST(CASE WHEN a_brand = b_brand THEN 200
+                                      ELSE 0 END AS BIGINT) AS brand_pts,
+                            CAST(greatest(0, 100 - 25 * abs(a_sz - b_sz))
+                                 AS BIGINT) AS size_pts,
+                            greatest(CAST(0 AS BIGINT),
+                                     100 - abs(a_cents - b_cents) // 100)
+                              AS price_pts
+                     FROM cand)
+         SELECT a_pk, b_pk, name_sim, type_pts, brand_pts, size_pts,
+                price_pts,
+                name_sim + type_pts + brand_pts + size_pts + price_pts
+                  AS score,
+                CASE WHEN name_sim + type_pts + brand_pts + size_pts
+                          + price_pts >= 1400 THEN 'match'
+                     WHEN name_sim + type_pts + brand_pts + size_pts
+                          + price_pts >= 1100 THEN 'possible' END AS tier
+         FROM sc
+         WHERE name_sim + type_pts + brand_pts + size_pts
+               + price_pts >= 1100
+         ORDER BY a_pk, b_pk""",
   )
 }
