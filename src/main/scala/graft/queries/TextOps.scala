@@ -846,6 +846,47 @@ object TextOps {
                   DIV (2 * (sza + szb - inter))""").as("jacc_bp"))
         .orderBy("da", "db")
     }),
+
+    // TOKEN-DISTRIBUTION DRIFT between two corpus slices — the dataset-
+    // MONITORING rung: every production pipeline diffs each new crawl/
+    // shard against the accepted corpus before admission (tokenizer-rate
+    // shifts are the cheapest early warning for scraper regressions,
+    // boilerplate floods, language mix changes). Slices = sources split
+    // by the engine-portable md5 hash (md5(source) % 2 — the q57 ticket
+    // recipe applied to group assignment). Per-token occurrence RATES in
+    // integer parts-per-billion (cnt·10⁹ DIV slice_total — exact; BIGINT
+    // holds to ~9·10⁹ occurrences per token per slice, past that compute
+    // the rate in DECIMAL), drift = |rate_A − rate_B|, report the top-15
+    // drifting tokens. Chi-square/KL would need cross-engine logs or
+    // n⁵-magnitude rationals (the q134 lesson); the micro-rate delta IS
+    // the metric dashboards threshold on. Plan: one corpus-scale
+    // (side, tok) groupBy (map-side combined, vocab-sized output);
+    // everything after runs on vocab-sized frames; totals are a 1-row
+    // broadcast; top-15 rides TakeOrderedAndProject.
+    "q158_token_drift" -> ((s, d) => {
+      val toks = ld(s, d, "documents")
+        .select((conv(substring(md5(col("source")), 1, 8), 16, 10)
+            .cast("long") % 2).as("side"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val cnt = toks.groupBy("side", "tok").agg(count(lit(1)).as("c"))
+      val tots = cnt.agg(
+        sum(when(col("side") === 0, col("c")).otherwise(0L)).as("ta"),
+        sum(when(col("side") === 1, col("c")).otherwise(0L)).as("tb"))
+      val a = cnt.filter(col("side") === 0)
+        .select(col("tok"), col("c").as("ca"))
+      val b = cnt.filter(col("side") === 1)
+        .select(col("tok"), col("c").as("cb"))
+      a.join(b, Seq("tok"), "full_outer")
+        .select(col("tok"), coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+        .crossJoin(broadcast(tots))
+        .selectExpr("tok", "ca", "cb",
+          "ca * 1000000000 DIV ta AS rate_a_ppb",
+          "cb * 1000000000 DIV tb AS rate_b_ppb")
+        .withColumn("drift_ppb", abs(col("rate_a_ppb") - col("rate_b_ppb")))
+        .orderBy(col("drift_ppb").desc, col("tok")).limit(15)
+    }),
   )
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
@@ -1413,5 +1454,33 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
                   // (2 * (sza + szb - inter)) AS jacc_bp
          FROM iv WHERE inter * 3 >= sza + szb
          ORDER BY da, db""",
+    // md5-hash side split, per-side token counts, exact ppb rates
+    "q158_token_drift" ->
+      """WITH toks AS (SELECT ('0x' || substr(md5(source), 1, 8))::BIGINT % 2
+                              AS side,
+                              unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+              cnt AS (SELECT side, tok, count(*) AS c FROM toks
+                      WHERE len(tok) > 0 GROUP BY side, tok),
+              tots AS (SELECT
+                         CAST(sum(CASE WHEN side = 0 THEN c ELSE 0 END)
+                              AS BIGINT) AS ta,
+                         CAST(sum(CASE WHEN side = 1 THEN c ELSE 0 END)
+                              AS BIGINT) AS tb
+                       FROM cnt),
+              j AS (SELECT coalesce(a.tok, b.tok) AS tok,
+                           CAST(coalesce(a.c, 0) AS BIGINT) AS ca,
+                           CAST(coalesce(b.c, 0) AS BIGINT) AS cb
+                    FROM (SELECT tok, c FROM cnt WHERE side = 0) a
+                    FULL OUTER JOIN
+                         (SELECT tok, c FROM cnt WHERE side = 1) b
+                      ON a.tok = b.tok)
+         SELECT tok, ca, cb,
+                CAST(ca * 1000000000 // ta AS BIGINT) AS rate_a_ppb,
+                CAST(cb * 1000000000 // tb AS BIGINT) AS rate_b_ppb,
+                CAST(abs(ca * 1000000000 // ta - cb * 1000000000 // tb)
+                     AS BIGINT) AS drift_ppb
+         FROM j CROSS JOIN tots
+         ORDER BY drift_ppb DESC, tok LIMIT 15""",
   )
 }
