@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.ld
@@ -966,6 +966,52 @@ object PipelineOps {
           col("a_noun") === col("b_noun") && col("tgt") === col("b_rk"))
       scorePairs(pairs).orderBy("a_pk", "b_pk")
     }),
+
+    // K-ANONYMITY AUDIT — the record-level privacy gate beside q147's
+    // span-level PII scrub: before a release, every quasi-identifier
+    // (QI) combination must cover ≥ k individuals, else the "anonymous"
+    // rows re-identify by lookup; and a group whose sensitive attribute
+    // is uniform leaks it to ALL members even at size ≥ k (the
+    // homogeneity attack l-diversity guards). Audited at TWO rungs of
+    // the GENERALIZATION LADDER the anonymization algorithm walks —
+    // level 0: (nation, segment, $1 000 balance band); level 1 coarsens
+    // every QI one step (nation→region via the dimension join — the
+    // classic hierarchy step — and $2 000 bands) — reporting per level:
+    // QI groups, groups under k = 5, records they expose, and ≥k groups
+    // with a uniform in-debt flag. Balance bands shift cents positive
+    // before DIV: Spark DIV truncates toward zero while DuckDB //
+    // floors, so negative balances would band differently cross-engine.
+    // Plan: per level one map-side-combined groupBy to QI-space-sized
+    // frames, then a 1-row rollup; the nation dim broadcasts. At 100 TB
+    // the full lattice sweep is a handful of such aggregates — each
+    // level is one shuffle of group keys, never row data.
+    "q160_k_anonymity" -> ((s, d) => {
+      val c = ld(s, d, "customer")
+        .join(broadcast(ld(s, d, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_nationkey").as("nat"), col("n_regionkey").as("reg"),
+          col("c_mktsegment").as("seg"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .withColumn("sens", (col("cents") < 0).cast("int"))
+      def level(lvl: Int, qi: Column, bandCents: Long) =
+        c.groupBy(qi.as("qa"), col("seg"),
+            expr(s"(cents + 1000000) DIV $bandCents").as("band"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("sens")).as("nsv"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_small_groups"),
+            sum(when(col("n") < 5, col("n")).otherwise(0L))
+              .as("n_records_at_risk"),
+            sum(when(col("n") >= 5 && col("nsv") === 1, 1L).otherwise(0L))
+              .as("n_homogeneous"))
+          .withColumn("level", lit(lvl))
+      level(0, col("nat"), 100000L)
+        .unionByName(level(1, col("reg"), 200000L))
+        .select("level", "n_groups", "n_small_groups",
+          "n_records_at_risk", "n_homogeneous")
+        .orderBy("level")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -1795,5 +1841,40 @@ object PipelineOps {
          WHERE name_sim + type_pts + brand_pts + size_pts
                + price_pts >= 1100
          ORDER BY a_pk, b_pk""",
+    // two generalization levels, each: QI groupBy then a 1-row rollup
+    "q160_k_anonymity" ->
+      """WITH c AS (SELECT c_nationkey AS nat, n_regionkey AS reg,
+                           c_mktsegment AS seg,
+                           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                                AS BIGINT) AS cents,
+                           CASE WHEN CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                                           * 100 AS BIGINT) < 0
+                                THEN 1 ELSE 0 END AS sens
+                    FROM customer JOIN nation ON c_nationkey = n_nationkey),
+              g0 AS (SELECT nat, seg, (cents + 1000000) // 100000 AS band,
+                            count(*) AS n, count(DISTINCT sens) AS nsv
+                     FROM c GROUP BY 1, 2, 3),
+              g1 AS (SELECT reg, seg, (cents + 1000000) // 200000 AS band,
+                            count(*) AS n, count(DISTINCT sens) AS nsv
+                     FROM c GROUP BY 1, 2, 3),
+              s0 AS (SELECT 0 AS level, count(*) AS n_groups,
+                            CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS n_small_groups,
+                            CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+                                 AS BIGINT) AS n_records_at_risk,
+                            CAST(sum(CASE WHEN n >= 5 AND nsv = 1
+                                          THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS n_homogeneous
+                     FROM g0),
+              s1 AS (SELECT 1 AS level, count(*) AS n_groups,
+                            CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS n_small_groups,
+                            CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+                                 AS BIGINT) AS n_records_at_risk,
+                            CAST(sum(CASE WHEN n >= 5 AND nsv = 1
+                                          THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS n_homogeneous
+                     FROM g1)
+         SELECT * FROM s0 UNION ALL SELECT * FROM s1 ORDER BY level""",
   )
 }

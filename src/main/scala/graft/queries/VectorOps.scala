@@ -622,6 +622,41 @@ object VectorOps {
           (col("du").cast("double") / 1e6).as("approx_d"))
         .orderBy("va", "vb")
     }),
+
+    // LATE-INTERACTION retrieval (ColBERT's MaxSim) — the third scoring
+    // model beside single-vector cosine (q60) and lexical BM25 (q133):
+    // query and document are each a BAG of token vectors, and
+    // score(q, d) = Σ_qt max_dt ⟨qt, dt⟩ — per-query-token best match,
+    // summed. Captures term-level alignment a pooled single vector
+    // averages away, at bag-of-dots cost instead of cross-attention.
+    // Multi-vector stub: each 64-dim embedding splits into 8 contiguous
+    // 8-dim "token vectors" (the PQ subspace trick re-used as a
+    // decoder stub — a real pipeline lands per-token vectors from the
+    // encoder and every operator downstream is unchanged). Exactness:
+    // each dot goes to integer MICRO-units before max/sum (the q119
+    // recipe), so both reductions are order-free. Plan: the 8-row query
+    // bag broadcasts over one exploded corpus scan; max-then-sum is two
+    // map-side-combinable aggregates keyed on (doc, query-token) then
+    // doc; top-10 rides TakeOrderedAndProject. At 100 TB MaxSim is the
+    // RE-RANK stage over an ANN shortlist (q125) — the corpus-wide scan
+    // here is the exhaustive baseline of that rerank.
+    "q159_late_interaction" -> ((s, d) => {
+      val sub = ld(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+        .select(col("vec_id"), explode(expr(
+          """transform(sequence(0, 7),
+              t -> struct(t AS t, slice(ce, t * 8 + 1, 8) AS sv))""")).as("x"))
+        .select(col("vec_id"), col("x.t").as("t"), col("x.sv").as("sv"))
+      val qv = sub.filter(col("vec_id") === 0)
+        .select(col("t").as("qt"), col("sv").as("qsv"))
+      sub.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("qt"),
+          round(dotp(col("qsv"), col("sv")) * 1e6, 0).cast("bigint")
+            .as("du"))
+        .groupBy("vec_id", "qt").agg(max("du").as("mx"))
+        .groupBy("vec_id").agg(sum("mx").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("vec_id")).limit(10)
+    }),
   )
 
   /** q125's composed IVF×PQ chain, ranked pre-top-k — shared with q120's
@@ -1157,5 +1192,24 @@ object VectorOps {
            AND EXISTS (SELECT 1 FROM topk r
                        WHERE r.va = t.vb AND r.vb = t.va)
          ORDER BY t.va, t.vb""",
+    // 8×8-dim sub-vector split, micro-unit dots, max-per-query-token
+    // then per-doc sum, top-10
+    "q159_late_interaction" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings),
+              sub AS (SELECT vec_id, CAST(t AS INTEGER) AS t,
+                             ce[(CAST(t AS INTEGER) * 8 + 1):(CAST(t AS INTEGER) * 8 + 8)]
+                               AS sv
+                      FROM c, range(0, 8) r(t)),
+              q AS (SELECT t AS qt, sv AS qsv FROM sub WHERE vec_id = 0),
+              dots AS (SELECT vec_id, qt,
+                              CAST(round(list_inner_product(qsv, sv)
+                                         * 1000000) AS BIGINT) AS du
+                       FROM sub CROSS JOIN q WHERE vec_id <> 0),
+              ms AS (SELECT vec_id, qt, max(du) AS mx FROM dots
+                     GROUP BY vec_id, qt)
+         SELECT vec_id, CAST(sum(mx) AS BIGINT) AS score_micro
+         FROM ms GROUP BY vec_id
+         ORDER BY score_micro DESC, vec_id LIMIT 10""",
   )
 }
