@@ -102,6 +102,25 @@ object Plans {
       "grams5's shared g5 Exchange; bench set shuffled, never broadcast"),
     "q144_video_neardup" -> ("per-video majority vote in one keyed agg; " +
       "band-bucket equi-join over video signatures, no video×video product"),
+    "q152_rrf_fusion" -> ("RRF: query-gram + query-vector broadcasts " +
+      "over single corpus scans; rank windows on list-sized frames"),
+    "q153_mutual_knn" -> ("mutual-kNN over PQ codes: (m, code) blocking " +
+      "equi-join, broadcast SDC LUT, per-node rank window, mutual " +
+      "semi-join — never a vector×vector product"),
+    "q154_audio_neardup" -> ("landmark fingerprints: one doc_id window, " +
+      "df-capped inverted-index self-join keyed on the landmark hash"),
+    "q155_snapshot_diff" -> ("CDC: ONE key-keyed full-outer join, row " +
+      "hashes computed map-side on each branch"),
+    "q156_mad_outliers" -> ("two keyed rank-selection windows (value, " +
+      "deviation) + broadcast 3-row medians — exact MAD"),
+    "q157_sorted_neighborhood" -> ("within-noun rank window + " +
+      "rank-arithmetic pair equi-join, pair count ≤ (w−1)·n by shape"),
+    "q158_token_drift" -> ("one corpus-scale (side, tok) combine; " +
+      "vocab-sized full-outer + 1-row totals broadcast, top-15 TakeOrdered"),
+    "q159_late_interaction" -> ("MaxSim: 8-row query-bag broadcast over " +
+      "one exploded scan; max-then-sum map-side-combined aggregates"),
+    "q160_k_anonymity" -> ("per-level QI aggregate → 1-row rollup; " +
+      "broadcast nation dim; group keys shuffle, never row data"),
   )
 
   /** Resolves a flagship name to its DataFrame. Almost always the

@@ -869,7 +869,10 @@ object TextOps {
             .cast("long") % 2).as("side"),
           explode(split(col("text"), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
+      // vocab-sized; pin it (q148's pattern) so the corpus-scale tokenize
+      // + combine runs ONCE for its three consumers (sides A, B, totals)
       val cnt = toks.groupBy("side", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val tots = cnt.agg(
         sum(when(col("side") === 0, col("c")).otherwise(0L)).as("ta"),
         sum(when(col("side") === 1, col("c")).otherwise(0L)).as("tb"))

@@ -589,7 +589,16 @@ object VectorOps {
       def l2(a: Column, b: Column): Column =
         aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, z) => acc + z)
-      val (codes, _, c1) = pqCodesLut(s, d)
+      val (codesRaw, _, c1raw) = pqCodesLut(s, d)
+      // Pin codes + codebook ONCE (the q134/q148 checkpoint pattern):
+      // this query references codes four times (both blocking sides, both
+      // per-pair lookup sides) and the codebook twice (the LUT self-join);
+      // without the pin Catalyst re-expands the whole PQ TRAINING subtree
+      // per reference — measured: a 64-scan / 129-Exchange plan. In
+      // production the pin is real: codes ARE the durable encoded-corpus
+      // table a PQ index serves from; training runs once at build time.
+      val codes = codesRaw.localCheckpoint()
+      val c1 = c1raw.localCheckpoint()
       // SDC LUT: centroid-pair partial L2 per subspace, micro-units
       val lut2 = c1.as("u").join(c1.as("v"), col("u.m") === col("v.m"))
         .select(col("u.m").as("m"), col("u.cid").as("ca"),
@@ -602,6 +611,9 @@ object VectorOps {
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
         .distinct()
+      // sdc (pair-list-sized) and topk (edge-list-sized) each feed TWO
+      // consumers (the direction union; the mutuality self-join) — pin
+      // them so each derivation runs once (the q101/q134 edge-frame pin).
       val sdc = cand
         .join(codes.select(col("vec_id").as("va"), col("m"),
           col("code").as("ca")), "va")
@@ -609,12 +621,14 @@ object VectorOps {
           col("code").as("cb")).hint("shuffle_hash"), Seq("vb", "m"))
         .join(broadcast(lut2), Seq("m", "ca", "cb"))
         .groupBy("va", "vb").agg(sum("pdu").as("du"))
+        .localCheckpoint()
       val directed = sdc
         .unionByName(sdc.select(col("vb").as("va"), col("va").as("vb"),
           col("du")))
       val wk = Window.partitionBy("va").orderBy(col("du"), col("vb"))
       val topk = directed.withColumn("rn", row_number().over(wk))
         .filter(col("rn") <= 5)
+        .localCheckpoint()
       topk.join(topk.select(col("vb").as("va"), col("va").as("vb"))
           .hint("shuffle_hash"), Seq("va", "vb"), "left_semi")
         .filter(col("va") < col("vb"))

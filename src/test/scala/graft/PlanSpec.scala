@@ -404,4 +404,105 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // two 1-row bands: dot>0 → key 1, dot<0 → key 0
     assert(b == Seq(1, 0), s"got $b")
   }
+
+  test("q152: RRF broadcasts only the query-gram set and the 1-row query " +
+    "vector; rank fusion is a keyed merge, top-20 TakeOrdered") {
+    val p = plan("q152_rrf_fusion")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) BroadcastHashJoin""")) == 1,
+      "exactly one broadcast hash join: the query-gram semi-probe")
+    // the 1-row query-vector broadcast cross is the only BNLJ
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) BroadcastNestedLoopJoin""")) == 1,
+      "exactly one BNLJ: the 1-row query-vector broadcast")
+    assert(p.contains("FullOuter"), "rank fusion must be a full-outer merge")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must be TakeOrdered")
+  }
+
+  test("q153: mutual-kNN consume side is the edge-list semi-join over the " +
+    "pinned top-k frame — no product, no corpus scan") {
+    // Coverage limit (q134's stance): codes/codebook/sdc/topk are
+    // localCheckpoint'd — the PQ training and blocking joins run eagerly
+    // in the build and are lineage-truncated out of this plan; without
+    // those pins the four codes references re-expanded training into a
+    // 64-scan / 129-Exchange plan (measured, comment at the query).
+    val p = plan("q153_mutual_knn")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), "mutuality join degenerated")
+    assert(p.contains("LeftSemi"), "mutuality must be a semi join")
+    assert(!p.contains("Scan parquet"), "consume side must read the pins")
+  }
+
+  test("q154: landmark match is a df-capped h-keyed inverted-index " +
+    "self-join — keyed shuffles only, no product") {
+    val p = plan("q154_audio_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), "landmark join degenerated")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) ShuffledHashJoin""")) == 3,
+      "df-prune join + the two inverted-index sides must stay shuffled")
+    assert(p.contains("hashpartitioning(doc_id"),
+      "peak/landmark windows must partition by doc_id")
+  }
+
+  test("q155: snapshot diff is ONE key-keyed full-outer join, no " +
+    "broadcast of either snapshot") {
+    val p = plan("q155_snapshot_diff")
+    val shj = p.linesIterator
+      .count(_.matches("""\(\d+\) (ShuffledHashJoin|SortMergeJoin)"""))
+    assert(shj == 1, s"expected exactly one shuffled join, got $shj")
+    assert(p.contains("FullOuter"), "diff join must be full-outer")
+    assert(!p.contains("BroadcastHashJoin"),
+      "neither snapshot may broadcast")
+  }
+
+  test("q157: sorted-neighborhood pairs come from the rank-arithmetic " +
+    "equi-join behind noun-keyed windows — no product, no global sort " +
+    "collapse") {
+    val p = plan("q157_sorted_neighborhood")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), "rank pairing degenerated")
+    assert(p.contains("hashpartitioning(noun") ||
+      p.contains("hashpartitioning(a_noun"),
+      "rank window must partition by the block key, not a global sort")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) ShuffledHashJoin""")) == 1,
+      "the rank-distance pair join must stay keyed + shuffled")
+  }
+
+  test("q158: drift runs on the pinned vocab counts — corpus tokenized " +
+    "once, totals as the only broadcast") {
+    val p = plan("q158_token_drift")
+    assert(!p.contains("Scan parquet"),
+      "a consumer re-derived token counts from the raw corpus")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) BroadcastNestedLoopJoin""")) == 1,
+      "exactly one BNLJ: the 1-row totals broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-15 must be TakeOrdered")
+  }
+
+  test("q159: MaxSim broadcasts the 8-row query bag; max-then-sum are " +
+    "partial+final aggregates over one exploded scan") {
+    val p = plan("q159_late_interaction")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) Scan parquet.*""")) == 2,
+      "one corpus scan + one query scan only")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) HashAggregate""")) >= 4,
+      "max and sum must both run partial+final")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must be TakeOrdered")
+  }
+
+  test("q160: k-anonymity levels are map-side-combined QI aggregates " +
+    "with the nation dim broadcast — group keys shuffle, not rows") {
+    val p = plan("q160_k_anonymity")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) BroadcastHashJoin""")) == 2,
+      "nation dim must broadcast on both levels")
+    assert(p.contains("hashpartitioning(nat") &&
+      p.contains("hashpartitioning(reg"),
+      "each level shuffles its own QI keys")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
 }
