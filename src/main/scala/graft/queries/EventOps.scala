@@ -670,6 +670,41 @@ object EventOps {
         .agg(countDistinct("user_id").as("n_users"))
         .orderBy("cohort_day", "day_offset")
     }),
+
+    // TOUCH ATTRIBUTION — which earlier view gets credit for each
+    // purchase? The assignment table both classic models read: FIRST-
+    // touch (the view that opened the journey) and LAST-touch (the view
+    // immediately preceding conversion), resolved in ONE user_id-keyed
+    // window pass — first()/last() with ignoreNulls over a strictly-
+    // preceding frame (rows BETWEEN unbounded AND 1 PRECEDING, so a
+    // purchase never attributes to itself or to later views; purchases
+    // with no prior view keep NULL attribution — the left-edge case a
+    // real report must surface, not drop). Revenue in exact BIGINT
+    // cents. Beside q137 (aggregate funnel timings) this is the per-
+    // conversion assignment feed. One corpus shuffle (the user window);
+    // at 100 TB identical — attribution never joins, it carries forward.
+    "q162_attribution" -> ((s, d) => {
+      val ev = ld(s, d, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev
+        .withColumn("first_view",
+          first(when(col("event_type") === "view", col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("last_view",
+          last(when(col("event_type") === "view", col("event_id")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("cents"), col("first_view"), col("last_view"))
+        .orderBy("purchase_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -882,5 +917,28 @@ object EventOps {
                 count(DISTINCT user_id) AS n_users
          FROM ev JOIN f USING (user_id)
          GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+    // same strictly-preceding window, IGNORE NULLS first/last
+    "q162_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                            CAST(CAST(value AS DECIMAL(14,2)) * 100
+                                 AS BIGINT) AS cents
+                     FROM events
+                     WHERE event_type IN ('view', 'purchase')),
+              att AS (SELECT *,
+                        first_value(CASE WHEN event_type = 'view'
+                                         THEN event_id END IGNORE NULLS)
+                          OVER w AS first_view,
+                        last_value(CASE WHEN event_type = 'view'
+                                        THEN event_id END IGNORE NULLS)
+                          OVER w AS last_view
+                      FROM ev
+                      WINDOW w AS (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING))
+         SELECT user_id, event_id AS purchase_id, cents,
+                first_view, last_view
+         FROM att WHERE event_type = 'purchase'
+         ORDER BY purchase_id""",
   )
 }

@@ -860,38 +860,12 @@ object PipelineOps {
     // bucketed by primary key, making the diff entirely shuffle-free;
     // unchanged rows (the overwhelming majority) are dropped before
     // any output materializes.
-    "q155_snapshot_diff" -> ((s, d) => {
-      val cur = ld(s, d, "orders").select(
-        col("o_orderkey").cast("long").as("k"),
-        expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")
-          .as("cents"),
-        col("o_orderstatus").as("status"))
-      val nxt = cur.filter(col("k") % 97 =!= 0)
-        .select(col("k"),
-          when(col("k") % 13 === 0, col("cents") + 100)
-            .otherwise(col("cents")).as("cents"),
-          when(col("k") % 29 === 0, lit("X"))
-            .otherwise(col("status")).as("status"))
-        .unionByName(cur.filter(col("k") % 101 === 0)
-          .select((col("k") + 10000000L).as("k"), col("cents"),
-            col("status")))
-      def h(p: String) =
-        md5(concat_ws("|", col(s"${p}cents"), col(s"${p}status")))
-      cur.select(col("k"), col("cents").as("old_cents"),
-          col("status").as("old_status"))
-        .join(nxt.select(col("k"), col("cents").as("new_cents"),
-            col("status").as("new_status")).hint("shuffle_hash"),
-          Seq("k"), "full_outer")
-        .withColumn("change_type",
-          when(col("old_cents").isNull, "insert")
-            .when(col("new_cents").isNull, "delete")
-            .when(h("old_") =!= h("new_"), "update"))
-        .filter(col("change_type").isNotNull)
+    "q155_snapshot_diff" -> ((s, d) =>
+      changeFeed(s, d)
         .select(col("k").as("o_orderkey"), col("change_type"),
           col("old_cents"), col("new_cents"), col("old_status"),
           col("new_status"))
-        .orderBy("o_orderkey")
-    }),
+        .orderBy("o_orderkey")),
 
     // ROBUST OUTLIER DETECTION via MAD (median absolute deviation) —
     // the robust-statistics rung beside q150's winsorizing: mean/stddev
@@ -1011,6 +985,44 @@ object PipelineOps {
         .select("level", "n_groups", "n_small_groups",
           "n_records_at_risk", "n_homogeneous")
         .orderBy("level")
+    }),
+
+    // INCREMENTAL VIEW MAINTENANCE — the consuming end of q155's change
+    // feed, and the reason CDC feeds exist: a per-customer (n_orders,
+    // revenue) view is advanced to the next snapshot WITHOUT recomputing
+    // it — base view + per-key delta aggregates merged in one keyed
+    // full-outer join (insert: +1/+cents; delete: −1/−cents; update:
+    // ±price diff — all three collapse to coalesce(new,0)−coalesce(old,0)
+    // for the revenue term), groups whose count reaches zero disappear.
+    // THE DIFFERENTIAL TEST IS THE POINT: Spark runs the INCREMENTAL
+    // path; the oracle recomputes the view DIRECTLY from the replayed
+    // next snapshot — a green row proves the delta algebra commutes with
+    // the aggregation, not merely that two engines replay one recipe
+    // (the q144 brute-oracle stance). At 100 TB the base view is a
+    // stored table and each batch costs O(|delta|) + one keyed merge —
+    // never a fact-table rescan; that asymmetry is the entire value of
+    // the q155→q161 pipeline.
+    "q161_incremental_agg" -> ((s, d) => {
+      val (cur, _) = orderSnapshots(s, d)
+      val base = cur.groupBy("custkey")
+        .agg(count(lit(1)).as("n0"), sum("cents").as("r0"))
+      val delta = changeFeed(s, d)
+        .select(coalesce(col("new_custkey"), col("old_custkey"))
+            .as("custkey"),
+          when(col("change_type") === "insert", 1L)
+            .when(col("change_type") === "delete", -1L)
+            .otherwise(0L).as("dn"),
+          (coalesce(col("new_cents"), lit(0L))
+            - coalesce(col("old_cents"), lit(0L))).as("dr"))
+        .groupBy("custkey").agg(sum("dn").as("dn"), sum("dr").as("dr"))
+      base.join(delta, Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("r0"), lit(0L)) + coalesce(col("dr"), lit(0L)))
+            .as("revenue_cents"))
+        .filter(col("n_orders") > 0)
+        .orderBy("custkey")
     }),
   )
 
@@ -1216,6 +1228,50 @@ object PipelineOps {
                         ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND 1 PRECEDING), 0) AS cum_before
               FROM sd)"""
+  }
+
+  /** q155/q161's snapshot pair: `cur` = the orders table; `nxt` = the
+    * deterministically perturbed next-day snapshot (k%97 deleted, k%13
+    * price-bumped, k%29 status-flipped, k%101 cloned under fresh keys) —
+    * both carrying custkey so downstream views can group by it. */
+  private def orderSnapshots(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val cur = ld(s, d, "orders").select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_custkey").cast("long").as("custkey"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")
+        .as("cents"),
+      col("o_orderstatus").as("status"))
+    val nxt = cur.filter(col("k") % 97 =!= 0)
+      .select(col("k"), col("custkey"),
+        when(col("k") % 13 === 0, col("cents") + 100)
+          .otherwise(col("cents")).as("cents"),
+        when(col("k") % 29 === 0, lit("X"))
+          .otherwise(col("status")).as("status"))
+      .unionByName(cur.filter(col("k") % 101 === 0)
+        .select((col("k") + 10000000L).as("k"), col("custkey"),
+          col("cents"), col("status")))
+    (cur, nxt)
+  }
+
+  /** q155/q161's change feed: ONE key-keyed full-outer join of the two
+    * snapshots, change detection via an md5 row hash over the non-key
+    * columns (computed map-side on each branch), unchanged rows dropped. */
+  private def changeFeed(s: SparkSession, d: String): DataFrame = {
+    val (cur, nxt) = orderSnapshots(s, d)
+    def h(p: String) =
+      md5(concat_ws("|", col(s"${p}cents"), col(s"${p}status")))
+    cur.select(col("k"), col("custkey").as("old_custkey"),
+        col("cents").as("old_cents"), col("status").as("old_status"))
+      .join(nxt.select(col("k"), col("custkey").as("new_custkey"),
+          col("cents").as("new_cents"), col("status").as("new_status"))
+          .hint("shuffle_hash"),
+        Seq("k"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_cents").isNull, "insert")
+          .when(col("new_cents").isNull, "delete")
+          .when(h("old_") =!= h("new_"), "update"))
+      .filter(col("change_type").isNotNull)
   }
 
   /** q146/q157's shared entity frame: normalized part listings with the
@@ -1876,5 +1932,26 @@ object PipelineOps {
                                  AS BIGINT) AS n_homogeneous
                      FROM g1)
          SELECT * FROM s0 UNION ALL SELECT * FROM s1 ORDER BY level""",
+    // DIRECT recompute over the replayed next snapshot — deliberately NOT
+    // the incremental path Spark runs: green proves the delta algebra
+    "q161_incremental_agg" ->
+      """WITH cur AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                             CAST(o_custkey AS BIGINT) AS custkey,
+                             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                                  AS BIGINT) AS cents,
+                             o_orderstatus AS status
+                      FROM orders),
+              nxt AS (SELECT k, custkey,
+                             CASE WHEN k % 13 = 0 THEN cents + 100
+                                  ELSE cents END AS cents,
+                             CASE WHEN k % 29 = 0 THEN 'X'
+                                  ELSE status END AS status
+                      FROM cur WHERE k % 97 <> 0
+                      UNION ALL
+                      SELECT k + 10000000, custkey, cents, status
+                      FROM cur WHERE k % 101 = 0)
+         SELECT custkey, count(*) AS n_orders,
+                CAST(sum(cents) AS BIGINT) AS revenue_cents
+         FROM nxt GROUP BY custkey ORDER BY custkey""",
   )
 }
