@@ -1024,6 +1024,41 @@ object PipelineOps {
         .filter(col("n_orders") > 0)
         .orderBy("custkey")
     }),
+
+    // ADAPTIVE quality gate: per-SOURCE percentile thresholds instead of
+    // q56/q95's fixed global cutoffs — the production posture, because a
+    // fixed token-length band tuned on web text guts a code or reference
+    // corpus (every source's length distribution is different; Gopher's
+    // published constants are themselves per-corpus tunings). Thresholds
+    // = each source's own exact [p05, p95] token-length band, computed by
+    // q87/q150's rank-selection recipe (ceil-index order statistics, no
+    // interpolation, no per-group buffering), then every document gets a
+    // verdict against ITS source's band. Output is the per-doc verdict
+    // table a gate stage consumes (and an auditor reads) — boundary docs
+    // sit exactly ON the cut, so ≥/≤ semantics are pinned by the oracle.
+    // Plan: one source-keyed rank window + a broadcast cuts frame over a
+    // second corpus scan — at 100 TB cuts are per-source aggregates
+    // (size-invariant broadcast), the verdict pass is map-only.
+    "q163_adaptive_gate" -> ((s, d) => {
+      val toks = ld(s, d, "documents")
+        .selectExpr("doc_id", "source", s"CAST($nTokens AS BIGINT) AS nt")
+      val w = Window.partitionBy("source").orderBy("nt", "doc_id")
+      val cuts = toks
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        .groupBy("source")
+        .agg(min(when(col("rk") ===
+            greatest(expr("(5 * n + 99) DIV 100"), lit(1L)), col("nt")))
+            .as("p05"),
+          min(when(col("rk") === expr("(95 * n + 99) DIV 100"), col("nt")))
+            .as("p95"))
+      toks.join(broadcast(cuts), "source")
+        .select(col("doc_id"), col("source"), col("nt"), col("p05"),
+          col("p95"),
+          (col("nt") >= col("p05") && col("nt") <= col("p95"))
+            .as("admitted"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -1953,5 +1988,27 @@ object PipelineOps {
          SELECT custkey, count(*) AS n_orders,
                 CAST(sum(cents) AS BIGINT) AS revenue_cents
          FROM nxt GROUP BY custkey ORDER BY custkey""",
+    // q150's rank-selected cuts + a per-doc verdict against OWN source
+    "q163_adaptive_gate" -> {
+      val nTok = "length(text) - length(replace(text, ' ', '')) + 1"
+      s"""WITH toks AS (SELECT doc_id, source, CAST($nTok AS BIGINT) AS nt
+                        FROM documents),
+               rkd AS (SELECT *,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY nt, doc_id) AS rk,
+                              count(*) OVER (PARTITION BY source) AS n
+                       FROM toks),
+               cuts AS (SELECT source,
+                               min(CASE WHEN rk =
+                                     greatest((5 * n + 99) // 100, 1)
+                                   THEN nt END) AS p05,
+                               min(CASE WHEN rk = (95 * n + 99) // 100
+                                   THEN nt END) AS p95
+                        FROM rkd GROUP BY source)
+          SELECT doc_id, t.source, nt, p05, p95,
+                 (nt >= p05 AND nt <= p95) AS admitted
+          FROM toks t JOIN cuts c ON t.source = c.source
+          ORDER BY doc_id"""
+    },
   )
 }

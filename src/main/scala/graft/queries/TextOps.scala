@@ -890,6 +890,41 @@ object TextOps {
         .withColumn("drift_ppb", abs(col("rate_a_ppb") - col("rate_b_ppb")))
         .orderBy(col("drift_ppb").desc, col("tok")).limit(15)
     }),
+
+    // DETECTOR CALIBRATION: precision/recall of the deployed fuzzy
+    // detector (q67's banded simhash, hamming ≤ 6) against EXACT
+    // ground truth (q136's Jaccard ≥ ½ pair set) — q112 calibrated the
+    // minhash ESTIMATOR against exact Jaccard per pair; this scores the
+    // DECISION: of the pairs simhash flags, how many are true near-dups
+    // (precision), and how many true near-dups does it miss (recall)?
+    // The number every dedup rollout needs before deleting data at
+    // 100 TB — simhash and Jaccard measure DIFFERENT similarities
+    // (bit-vote cosine vs set overlap), so neither 100 % is expected;
+    // the report quantifies the gap in exact half-up basis points (the
+    // r4 recipe). Both pair sets come from the inventory queries
+    // themselves (the deployed artifacts, not re-derivations); the
+    // oracle recomputes BOTH sides brute-force over the portable
+    // signatures/shingles. Plan: two edge-list-sized frames, one keyed
+    // full-outer merge, a 1-row rollup.
+    "q164_detector_calibration" -> ((s, d) => {
+      val det = simhashBandedPairs(ld(s, d, "documents"))
+        .select(col("da"), col("db"), lit(1).as("in_det"))
+      val truth = queries2("q136_jaccard_prefix")(s, d)
+        .select(col("da"), col("db"), lit(1).as("in_truth"))
+      det.join(truth, Seq("da", "db"), "full_outer")
+        .agg(
+          sum(when(col("in_det").isNotNull && col("in_truth").isNotNull,
+            1L).otherwise(0L)).as("tp"),
+          sum(when(col("in_det").isNotNull && col("in_truth").isNull,
+            1L).otherwise(0L)).as("fp"),
+          sum(when(col("in_det").isNull && col("in_truth").isNotNull,
+            1L).otherwise(0L)).as("fn"))
+        .selectExpr("tp", "fp", "fn",
+          "CAST((2 * tp * 10000 + (tp + fp)) DIV (2 * (tp + fp))" +
+            " AS BIGINT) AS precision_bp",
+          "CAST((2 * tp * 10000 + (tp + fn)) DIV (2 * (tp + fn))" +
+            " AS BIGINT) AS recall_bp")
+    }),
   )
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
@@ -1485,5 +1520,44 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
                      AS BIGINT) AS drift_ppb
          FROM j CROSS JOIN tots
          ORDER BY drift_ppb DESC, tok LIMIT 15""",
+    // brute recompute of BOTH pair sets (ham≤6 over the replayed simhash;
+    // exact Jaccard ≥ ½ over the portable shingles), then the PR rollup
+    "q164_detector_calibration" ->
+      s"""WITH ${duckSimhash64()},
+              det AS (SELECT a.doc_id AS da, b.doc_id AS db
+                      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                      WHERE bit_count(xor(a.s, b.s)) <= 6),
+              sets AS (SELECT DISTINCT doc_id,
+                              ('0x' || substr(md5(g), 1, 8))::BIGINT AS gh
+                       FROM (SELECT doc_id, unnest($duckGrams) AS g
+                             FROM documents)),
+              sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY 1),
+              iv AS (SELECT x.doc_id AS da, y.doc_id AS db,
+                            count(*) AS inter
+                     FROM sets x JOIN sets y
+                       ON x.gh = y.gh AND x.doc_id < y.doc_id
+                     GROUP BY 1, 2),
+              truth AS (SELECT iv.da, iv.db
+                        FROM iv JOIN sz a ON a.doc_id = iv.da
+                        JOIN sz b ON b.doc_id = iv.db
+                        WHERE inter * 3 >= a.sz + b.sz),
+              j AS (SELECT CASE WHEN d.da IS NOT NULL AND t.da IS NOT NULL
+                                THEN 1 ELSE 0 END AS tp,
+                           CASE WHEN d.da IS NOT NULL AND t.da IS NULL
+                                THEN 1 ELSE 0 END AS fp,
+                           CASE WHEN d.da IS NULL AND t.da IS NOT NULL
+                                THEN 1 ELSE 0 END AS fn
+                    FROM det d FULL OUTER JOIN truth t
+                      ON d.da = t.da AND d.db = t.db),
+              cnts AS (SELECT CAST(sum(tp) AS BIGINT) AS tp,
+                              CAST(sum(fp) AS BIGINT) AS fp,
+                              CAST(sum(fn) AS BIGINT) AS fn
+                       FROM j)
+         SELECT tp, fp, fn,
+                CAST((2 * tp * 10000 + (tp + fp)) // (2 * (tp + fp))
+                     AS BIGINT) AS precision_bp,
+                CAST((2 * tp * 10000 + (tp + fn)) // (2 * (tp + fn))
+                     AS BIGINT) AS recall_bp
+         FROM cnts""",
   )
 }
