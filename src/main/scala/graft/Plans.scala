@@ -121,6 +121,15 @@ object Plans {
       "one exploded scan; max-then-sum map-side-combined aggregates"),
     "q160_k_anonymity" -> ("per-level QI aggregate → 1-row rollup; " +
       "broadcast nation dim; group keys shuffle, never row data"),
+    "q161_incremental_agg" -> ("IVM: base view + per-key delta " +
+      "aggregates merged in one custkey-keyed full-outer join — batch " +
+      "cost O(|delta|), never a fact rescan"),
+    "q162_attribution" -> ("first/last-touch credit in ONE user_id " +
+      "window with a strictly-preceding frame — no self-join"),
+    "q163_adaptive_gate" -> ("per-source rank-selected cuts broadcast " +
+      "over a map-only verdict pass"),
+    "q164_detector_calibration" -> ("two edge-list frames, one keyed " +
+      "full-outer merge, 1-row PR rollup"),
   )
 
   /** Resolves a flagship name to its DataFrame. Almost always the

@@ -493,6 +493,47 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("TakeOrderedAndProject"), "top-10 must be TakeOrdered")
   }
 
+  test("q161: IVM merges base view and delta aggregates in custkey-keyed " +
+    "joins — no broadcast of either aggregate side") {
+    val p = plan("q161_incremental_agg")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) (ShuffledHashJoin|SortMergeJoin)""")) == 2,
+      "expected the feed's full-outer + the view merge, both shuffled")
+    // both the change-feed join and the view merge are FullOuter
+    assert(p.linesIterator.count(_.contains("Join type: FullOuter")) == 2,
+      "feed diff and view merge must both be full-outer")
+    assert(!p.contains("BroadcastHashJoin"),
+      "neither snapshot nor view side may broadcast")
+  }
+
+  test("q162: attribution rides ONE user_id shuffle — no self-join, " +
+    "no product") {
+    val p = plan("q162_attribution")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""),
+      "attribution must not join")
+    assert(p.linesIterator.count(_.contains("hashpartitioning(user_id")) == 1,
+      "exactly one user_id Exchange feeds both touch windows")
+    // Catalyst emits first() and last() as two ADJACENT Window nodes even
+    // over the identical spec; the invariant that matters is that both ride
+    // the single Exchange+Sort — so exactly two Sorts total (the window
+    // sort + the final presentation sort), no re-sort between the windows.
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 2,
+      "first- and last-touch windows, nothing else")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Sort""")) == 2,
+      "one window sort + the final ORDER BY only — no re-sort between " +
+        "the two Window nodes")
+  }
+
+  test("q163: adaptive gate broadcasts the per-source cuts; the verdict " +
+    "pass is map-only over a second scan") {
+    val p = plan("q163_adaptive_gate")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) BroadcastHashJoin""")) == 1,
+      "cuts frame must broadcast")
+    assert(p.contains("hashpartitioning(source"),
+      "rank window must partition by source")
+  }
+
   test("q160: k-anonymity levels are map-side-combined QI aggregates " +
     "with the nation dim broadcast — group keys shuffle, not rows") {
     val p = plan("q160_k_anonymity")
