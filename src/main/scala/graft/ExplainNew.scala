@@ -7,7 +7,10 @@ object ExplainNew {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (n <- Seq("q103_rolling_time_window", "q104_tfidf_terms")) {
+    for (n <- Seq("q165_group_trend_ols", "q166_column_profiler",
+        "q167_inverted_index", "q168_consistent_hash",
+        "q169_expectation_suite", "q170_ks_test",
+        "q171_pmi_collocations")) {
       println(s"===== $n")
       println(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -130,6 +130,20 @@ object Plans {
       "over a map-only verdict pass"),
     "q164_detector_calibration" -> ("two edge-list frames, one keyed " +
       "full-outer merge, 1-row PR rollup"),
+    "q165_group_trend_ols" -> ("exact OLS sums: min-day window and the " +
+      "moment aggregate share ONE grp Exchange"),
+    "q166_column_profiler" -> ("stack unpivot → (col,val)-keyed partial " +
+      "dedup → per-column distinct/min/max, one scan any width"),
+    "q167_inverted_index" -> ("two-level agg: per-(term,doc) map-side " +
+      "combine before the term-keyed posting build"),
+    "q168_consistent_hash" -> ("136-marker rings broadcast; ownership " +
+      "is a map-only array probe — no range join, no global window"),
+    "q169_expectation_suite" -> ("five constraints = one multi-metric " +
+      "agg + one broadcast anti-join, never N table scans"),
+    "q170_ks_test" -> ("cumulative window over the DISTINCT-value " +
+      "frame only; 1-row totals broadcast"),
+    "q171_pmi_collocations" -> ("pair counts thresholded before the " +
+      "vocab-sized unigram broadcasts; top-50 TakeOrdered"),
   )
 
   /** Resolves a flagship name to its DataFrame. Almost always the

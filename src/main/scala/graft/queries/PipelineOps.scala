@@ -1059,6 +1059,129 @@ object PipelineOps {
             .as("admitted"))
         .orderBy("doc_id")
     }),
+
+    // One-pass column profiler — the per-column (rows, nulls, distinct,
+    // min, max) report a data-quality dashboard runs before admitting a
+    // new table. Values are stringified IN the plan (doubles routed via
+    // DECIMAL(12,2) first — the q69 representation lesson) so one agg
+    // shape serves every column type and min/max compare bytewise in both
+    // engines. stack() unpivots wide→long; the per-column distinct then
+    // rides Spark's standard two-shuffle distinct-agg plan: partial dedup
+    // keyed on (col_name, val) FIRST, so at 100 TB the wire carries each
+    // column's distinct values once, not the full column — and the 5-key
+    // skew of the col_name grouping never matters because the heavy
+    // dedup stage is keyed on the value too. No driver loop, no
+    // per-column job: ONE scan, ONE plan, any width.
+    "q166_column_profiler" -> ((s, d) => {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      ld(s, d, "customer")
+        .selectExpr(
+          "CAST(c_custkey AS STRING) AS c_custkey",
+          "c_name",
+          "CAST(c_nationkey AS STRING) AS c_nationkey",
+          "CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS STRING) AS c_acctbal",
+          "c_mktsegment")
+        .selectExpr(s"stack(${cols.size}, " +
+          cols.map(n => s"'$n', `$n`").mkString(", ") +
+          ") AS (col_name, val)")
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col("val")).as("n_distinct"),
+          min("val").as("min_val"),
+          max("val").as("max_val"))
+        .orderBy("col_name")
+    }),
+
+    // Consistent-hash shard rebalance audit: how much data moves when the
+    // shard fleet grows 16 → 17 under ring hashing vs naive mod — THE
+    // layout decision for a 100 TB store that rebalances while live (ring:
+    // ~1/17 of keys move; mod: ~16/17). The 136-marker ring (8 virtual
+    // nodes per shard for spread) is aggregated into ONE sorted
+    // struct-array and broadcast; ownership is then a pure map-side
+    // array-filter probe per row — no range join, no window over a global
+    // order, nothing driver-side. Growing the fleet only ADDS markers
+    // (shards 0-15's positions are identical in both rings), which is
+    // exactly the property the audit quantifies. Hashes are the portable
+    // 32-bit md5 prefix (the q46 recipe) so the oracle replays ownership
+    // bit-for-bit; both engines break pos ties by shard in the sorted
+    // ring and use the same >= wrap rule.
+    "q168_consistent_hash" -> ((s, d) => {
+      val marks = s.range(17L * 8)
+        .selectExpr("id DIV 8 AS shard", "id % 8 AS v")
+        .select(col("shard"),
+          conv(substring(md5(concat_ws(":", lit("s"), col("shard"),
+            col("v"))), 1, 8), 16, 10).cast("long").as("pos"))
+      def ringOf(m: DataFrame, name: String) =
+        m.agg(sort_array(collect_list(struct(col("pos"), col("shard"))))
+          .as(name))
+      val r16 = ringOf(marks.filter(col("shard") < 16), "ring16")
+      val r17 = ringOf(marks, "ring17")
+      ld(s, d, "documents")
+        .select(col("doc_id"),
+          conv(substring(md5(concat_ws(":", lit("d"), col("doc_id"))),
+            1, 8), 16, 10).cast("long").as("p"))
+        .crossJoin(broadcast(r16)).crossJoin(broadcast(r17))
+        .selectExpr("doc_id",
+          "coalesce(try_element_at(filter(ring16, m -> m.pos >= p), 1)" +
+            ".shard, element_at(ring16, 1).shard) AS own16",
+          "coalesce(try_element_at(filter(ring17, m -> m.pos >= p), 1)" +
+            ".shard, element_at(ring17, 1).shard) AS own17",
+          "doc_id % 16 AS mod16", "doc_id % 17 AS mod17")
+        .agg(
+          sum(when(col("own16") =!= col("own17"), 1L).otherwise(0L))
+            .as("mr"),
+          sum(when(col("mod16") =!= col("mod17"), 1L).otherwise(0L))
+            .as("mm"),
+          count(lit(1)).as("n"))
+        .selectExpr("stack(2, 'ring', mr, 'mod', mm) AS (scheme, moved)",
+          "n")
+        .selectExpr("scheme", "moved", "n",
+          "CAST((2 * moved * 10000 + n) DIV (2 * n) AS BIGINT) AS moved_bp")
+        .orderBy("scheme")
+    }),
+
+    // Deequ-style expectation suite: five declarative data-quality
+    // constraints (completeness, uniqueness, value range, accepted
+    // values, referential integrity) evaluated in TWO scans total — one
+    // multi-metric aggregate over orders (all four column checks share
+    // the pass; uniqueness alone needs the distinct shuffle) plus one
+    // broadcast anti-join against the customer dim for RI — then pivoted
+    // to the per-check verdict table a gate consumes. metric_bp is the
+    // exact half-up satisfaction rate (r4 recipe). At 100 TB this is the
+    // admission gate shape that matters: checks NEVER become N table
+    // scans; adding a constraint adds a column to the aggregate, not a
+    // job.
+    "q169_expectation_suite" -> ((s, d) => {
+      val o = ld(s, d, "orders")
+      val m = o.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+          .as("null_cust"),
+        countDistinct(col("o_orderkey")).as("ndv_key"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+          .as("nonpos"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("bad_status"))
+      val orph = o.join(
+          broadcast(ld(s, d, "customer").select("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      m.crossJoin(orph)
+        .selectExpr(
+          """stack(5,
+             'completeness_o_custkey', null_cust, n - null_cust,
+             'uniqueness_o_orderkey', n - ndv_key, ndv_key,
+             'range_o_totalprice_gt0', nonpos, n - nonpos,
+             'accepted_values_o_orderstatus', bad_status, n - bad_status,
+             'referential_o_custkey_in_customer', orphans, n - orphans
+             ) AS (check_name, violations, good)""", "n")
+        .selectExpr("check_name", "violations",
+          "CAST((2 * good * 10000 + n) DIV (2 * n) AS BIGINT) AS metric_bp",
+          "violations = 0 AS passed")
+        .orderBy("check_name")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -2010,5 +2133,101 @@ object PipelineOps {
           FROM toks t JOIN cuts c ON t.source = c.source
           ORDER BY doc_id"""
     },
+    // same stringification ladder (doubles via DECIMAL(12,2)); the
+    // 5-branch UNION ALL is DuckDB's spelling of stack()
+    "q166_column_profiler" ->
+      """WITH c AS (SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name,
+                           CAST(c_nationkey AS VARCHAR) AS c_nationkey,
+                           CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR)
+                             AS c_acctbal,
+                           c_mktsegment
+                    FROM customer),
+              s AS (SELECT 'c_custkey' AS col_name, c_custkey AS val FROM c
+                    UNION ALL SELECT 'c_name', c_name FROM c
+                    UNION ALL SELECT 'c_nationkey', c_nationkey FROM c
+                    UNION ALL SELECT 'c_acctbal', c_acctbal FROM c
+                    UNION ALL SELECT 'c_mktsegment', c_mktsegment FROM c)
+         SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_nulls,
+                CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+                min(val) AS min_val, max(val) AS max_val
+         FROM s GROUP BY col_name ORDER BY col_name""",
+    "q168_consistent_hash" ->
+      """WITH marks AS (SELECT s, v,
+                               ('0x' || substr(md5('s:' || s || ':' || v),
+                                               1, 8))::BIGINT AS pos
+                        FROM range(17) t(s), range(8) u(v)),
+              r16 AS (SELECT list({'pos': pos, 'shard': s}
+                                  ORDER BY pos, s) AS ring16
+                      FROM marks WHERE s < 16),
+              r17 AS (SELECT list({'pos': pos, 'shard': s}
+                                  ORDER BY pos, s) AS ring17
+                      FROM marks),
+              docs AS (SELECT doc_id,
+                              ('0x' || substr(md5('d:' || doc_id),
+                                              1, 8))::BIGINT AS p
+                       FROM documents),
+              own AS (SELECT doc_id,
+                             coalesce(list_filter(ring16,
+                                 m -> m.pos >= p)[1].shard,
+                               ring16[1].shard) AS own16,
+                             coalesce(list_filter(ring17,
+                                 m -> m.pos >= p)[1].shard,
+                               ring17[1].shard) AS own17,
+                             doc_id % 16 AS mod16, doc_id % 17 AS mod17
+                      FROM docs, r16, r17),
+              agg AS (SELECT
+                        CAST(sum(CASE WHEN own16 <> own17 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS mr,
+                        CAST(sum(CASE WHEN mod16 <> mod17 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS mm,
+                        CAST(count(*) AS BIGINT) AS n
+                      FROM own),
+              st AS (SELECT 'ring' AS scheme, mr AS moved, n FROM agg
+                     UNION ALL SELECT 'mod', mm, n FROM agg)
+         SELECT scheme, moved, n,
+                CAST((2 * moved * 10000 + n) // (2 * n) AS BIGINT)
+                  AS moved_bp
+         FROM st ORDER BY scheme""",
+    "q169_expectation_suite" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN o_custkey IS NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                             AS null_cust,
+                           CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                             AS ndv_key,
+                           CAST(sum(CASE WHEN o_totalprice <= 0
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                             AS nonpos,
+                           CAST(sum(CASE WHEN o_orderstatus
+                                           NOT IN ('O', 'F', 'P')
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                             AS bad_status
+                    FROM orders),
+              orph AS (SELECT CAST(count(*) AS BIGINT) AS orphans
+                       FROM orders o
+                       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                         WHERE c.c_custkey = o.o_custkey)),
+              st AS (SELECT 'completeness_o_custkey' AS check_name,
+                            null_cust AS violations,
+                            n - null_cust AS good, n FROM m
+                     UNION ALL
+                     SELECT 'uniqueness_o_orderkey', n - ndv_key,
+                            ndv_key, n FROM m
+                     UNION ALL
+                     SELECT 'range_o_totalprice_gt0', nonpos,
+                            n - nonpos, n FROM m
+                     UNION ALL
+                     SELECT 'accepted_values_o_orderstatus', bad_status,
+                            n - bad_status, n FROM m
+                     UNION ALL
+                     SELECT 'referential_o_custkey_in_customer', orphans,
+                            n - orphans, n FROM m, orph)
+         SELECT check_name, violations,
+                CAST((2 * good * 10000 + n) // (2 * n) AS BIGINT)
+                  AS metric_bp,
+                violations = 0 AS passed
+         FROM st ORDER BY check_name""",
   )
 }

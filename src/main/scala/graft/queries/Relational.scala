@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.ld
@@ -923,6 +923,92 @@ object Relational {
           coalesce(col("spend_asof"), lit(0L)).as("spend_asof_cents"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
+
+    // Per-group OLS trend: the closed-form least-squares slope of order
+    // value (cents) over time, one slope per order priority — the
+    // "is this source's quality drifting?" monitor in regression form.
+    // slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), computed ENTIRELY in
+    // exact integer space and emitted as the (numerator, denominator)
+    // pair rendered to digit strings — regr_slope() in either engine is
+    // accumulation-order-dependent floating point, but both engines agree
+    // bit-for-bit on the integer sums. x is re-based per group
+    // (day − min(day) OVER grp) to shrink magnitudes; the min-window and
+    // the groupBy share one hash partitioning on grp (one Exchange).
+    // Cast ladder: inputs at DECIMAL(18,0) → x·y products DECIMAL(37,0)
+    // → sums DECIMAL(38,0); true values stay under 38 digits until
+    // n²·x̄·ȳ ≈ 1e38 (sf ≫ 1e6), far past any real corpus — same
+    // overflow-posture note as q134, but with ~20 digits more headroom
+    // because x is re-based. At 100 TB the shape is unchanged: one
+    // window + one partial-aggregated groupBy on a 5-key column.
+    "q165_group_trend_ols" -> ((s, d) => {
+      val dec18 = (c: Column) => c.cast("decimal(18,0)")
+      val base = ld(s, d, "orders").select(
+        col("o_orderpriority").as("grp"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      val x = base.withColumn("x",
+        col("day") - min("day").over(Window.partitionBy("grp")))
+      val sums = x.groupBy("grp").agg(
+        count(lit(1)).as("n"),
+        sum(dec18(col("x"))).as("sx"),
+        sum(dec18(col("cents"))).as("sy"),
+        sum(dec18(col("x")) * dec18(col("cents"))).as("sxy"),
+        sum(dec18(col("x")) * dec18(col("x"))).as("sxx"))
+      sums.select(col("grp"), col("n"),
+          (dec18(col("n")) * col("sxy") - col("sx") * col("sy")).as("num"),
+          (dec18(col("n")) * col("sxx") - col("sx") * col("sx")).as("den"))
+        .select(col("grp"), col("n"),
+          col("num").cast("string").as("slope_num"),
+          col("den").cast("string").as("slope_den"),
+          when(col("num") > 0, "up").when(col("num") < 0, "down")
+            .otherwise("flat").as("trend"))
+        .orderBy("grp")
+    }),
+
+    // Two-sample Kolmogorov–Smirnov test: are URGENT and LOW order values
+    // drawn from the same distribution? D = max|F₁−F₂| over the pooled
+    // support, kept EXACT by clearing denominators — the statistic is
+    // d_num / (n1·n2) where d_num = max|cum1·n2 − cum2·n1| is an integer
+    // both engines compute identically. The α=0.05 verdict compares
+    // 10⁴·d_num² > 18441·(n1+n2)·n1·n2 (c(0.05)² = 1.8441 scaled to
+    // basis-point² space) in DECIMAL(38,0) — no sqrt, no doubles, so the
+    // boolean can't flip across engines at the boundary. Plan shape: the
+    // cumulative window runs over the DISTINCT-value frame (|V| ≪ N rows
+    // after the groupBy), which is what makes the global orderBy window
+    // tolerable; at 100 TB the drop-in substitute is a range partition on
+    // cents + per-partition prefix sums + a broadcast of per-partition
+    // totals (same numbers, no single-task window).
+    "q170_ks_test" -> ((s, d) => {
+      val o = ld(s, d, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+          expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")
+            .as("cents"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("g1"),
+          when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L)
+            .as("g2"))
+      val per = o.groupBy("cents").agg(sum("g1").as("c1"),
+        sum("g2").as("c2"))
+      val wo = Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = per
+        .withColumn("cum1", sum("c1").over(wo))
+        .withColumn("cum2", sum("c2").over(wo))
+      val tot = o.agg(sum("g1").as("n1"), sum("g2").as("n2"))
+      val dec18 = (c: Column) => c.cast("decimal(18,0)")
+      cum.crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"),
+          abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dn"))
+        .groupBy("n1", "n2").agg(max("dn").as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          expr("(10000 * d_num) DIV (n1 * n2)").as("d_bp"),
+          (dec18(col("d_num")) * dec18(col("d_num")) * lit(10000) >
+            dec18(lit(18441)) * dec18(col("n1") + col("n2")) *
+              dec18(col("n1")) * dec18(col("n2"))).as("reject_h0"))
+    }),
   )
 
   /** q69's exact-decimal aggregation, pre-stringification. Kept as a named
@@ -1359,5 +1445,60 @@ object Relational {
          FROM f ASOF LEFT JOIN v
            ON f.custkey = v.custkey AND f.ship_date >= v.vdate
          ORDER BY f.l_orderkey, f.l_linenumber""",
+    // HUGEINT sums mirror Spark's DECIMAL(38,0) ladder; both render the
+    // slope fraction as plain digit strings (representation-stable).
+    "q165_group_trend_ols" ->
+      """WITH b AS (SELECT o_orderpriority AS grp,
+                           datediff('day', DATE '1992-01-01',
+                                    CAST(o_orderdate AS DATE)) AS day,
+                           CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                                AS BIGINT) AS cents
+                    FROM orders),
+              c AS (SELECT grp,
+                           CAST(day - min(day) OVER (PARTITION BY grp)
+                                AS HUGEINT) AS x,
+                           CAST(cents AS HUGEINT) AS y
+                    FROM b),
+              a AS (SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                           sum(x * y) AS sxy, sum(x * x) AS sxx
+                    FROM c GROUP BY grp)
+         SELECT grp, CAST(n AS BIGINT) AS n,
+                CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
+                CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den,
+                CASE WHEN n * sxy - sx * sy > 0 THEN 'up'
+                     WHEN n * sxy - sx * sy < 0 THEN 'down'
+                     ELSE 'flat' END AS trend
+         FROM a ORDER BY grp""",
+    "q170_ks_test" ->
+      """WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                               AS BIGINT) AS cents,
+                          CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                               ELSE 0 END AS g1,
+                          CASE WHEN o_orderpriority = '5-LOW' THEN 1
+                               ELSE 0 END AS g2
+                   FROM orders
+                   WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+             per AS (SELECT cents, CAST(sum(g1) AS BIGINT) AS c1,
+                            CAST(sum(g2) AS BIGINT) AS c2
+                     FROM o GROUP BY cents),
+             cum AS (SELECT cents,
+                            sum(c1) OVER (ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum1,
+                            sum(c2) OVER (ORDER BY cents
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum2
+                     FROM per),
+             tot AS (SELECT CAST(sum(g1) AS BIGINT) AS n1,
+                            CAST(sum(g2) AS BIGINT) AS n2 FROM o),
+             d AS (SELECT n1, n2,
+                          CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT)
+                            AS d_num
+                   FROM cum CROSS JOIN tot GROUP BY n1, n2)
+        SELECT n1, n2, d_num,
+               CAST((10000 * d_num) // (n1 * n2) AS BIGINT) AS d_bp,
+               (10000 * CAST(d_num AS HUGEINT) * d_num >
+                18441 * CAST(n1 + n2 AS HUGEINT) * n1 * n2) AS reject_h0
+        FROM d""",
   )
 }

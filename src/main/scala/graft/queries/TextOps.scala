@@ -925,6 +925,68 @@ object TextOps {
           "CAST((2 * tp * 10000 + (tp + fn)) DIV (2 * (tp + fn))" +
             " AS BIGINT) AS recall_bp")
     }),
+
+    // Inverted-index construction — the retrieval-serving artifact a BM25
+    // (q133) or hybrid (q152) stack actually ships: one posting-list row
+    // per term with document frequency, collection frequency, and the
+    // head of the doc_id-sorted posting list (capped at 8, rendered as a
+    // CSV string so the compare is representation-stable; real postings
+    // are written whole, the cap keeps the oracle row bounded). Two-level
+    // aggregation: per-(term, doc) counts first — map-side combine
+    // shrinks the token stream to the per-doc vocabulary BEFORE the
+    // term-keyed shuffle — then one term-keyed agg builds df/cf/postings
+    // together. At 100 TB this is the textbook index build: both aggs
+    // are partial-aggregated, nothing corpus-sized crosses the wire
+    // twice, and the posting sort is per-term (no global order).
+    "q167_inverted_index" -> ((s, d) => {
+      val td = ld(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+      td.groupBy("term").agg(
+          count(lit(1)).as("df"),
+          sum("c").as("cf"),
+          array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 8),
+            ",").as("postings_head"))
+        .orderBy("term")
+    }),
+
+    // Collocation mining via PMI lift — "which word pairs co-occur far
+    // more than chance" — the phrase-extraction pass (think "new york",
+    // "machine learning") a tokenizer-training pipeline runs to decide
+    // merge candidates. PMI's log is monotone in its argument, so rank
+    // by the EXACT rational lift N·c(a,b) / (c(a)·c(b)) instead, scaled
+    // to micro-units by integer division (half-up, the r4 recipe in
+    // micro space): no logs, no doubles, bit-identical across engines.
+    // Adjacent-pair counts ride one posexplode + lead window; unigram
+    // counts reuse the same exploded frame (shared scan). Pairs are
+    // thresholded (cnt ≥ 5) BEFORE the two broadcast-sized unigram joins
+    // — at 100 TB the pair table is the big one and the filter cuts it
+    // first; unigram totals are vocabulary-sized (broadcast).
+    "q171_pmi_collocations" -> ((s, d) => {
+      val toks = ld(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val pairs = toks
+        .withColumn("nxt", lead("tok", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("tok").as("a"), col("nxt").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 5)
+      val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      val tot = toks.agg(count(lit(1)).as("nt"))
+      pairs
+        .join(broadcast(uni.withColumnRenamed("tok", "a")
+          .withColumnRenamed("cu", "ca")), "a")
+        .join(broadcast(uni.withColumnRenamed("tok", "b")
+          .withColumnRenamed("cu", "cb")), "b")
+        .crossJoin(broadcast(tot))
+        .selectExpr("a", "b", "cnt",
+          "CAST((2 * cnt * nt * 1000000 + (ca * cb)) DIV (2 * (ca * cb))" +
+            " AS BIGINT) AS lift_micro")
+        .orderBy(desc("lift_micro"), col("a"), col("b"))
+        .limit(50)
+    }),
   )
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
@@ -1559,5 +1621,41 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
                 CAST((2 * tp * 10000 + (tp + fn)) // (2 * (tp + fn))
                      AS BIGINT) AS recall_bp
          FROM cnts""",
+    "q167_inverted_index" ->
+      """WITH td AS (SELECT tok AS term, doc_id, count(*) AS c
+                     FROM (SELECT doc_id,
+                                  unnest(string_split(text, ' ')) AS tok
+                           FROM documents)
+                     GROUP BY 1, 2)
+         SELECT term, CAST(count(*) AS BIGINT) AS df,
+                CAST(sum(c) AS BIGINT) AS cf,
+                array_to_string(list(doc_id ORDER BY doc_id)[1:8], ',')
+                  AS postings_head
+         FROM td GROUP BY term ORDER BY term""",
+    // subscript+lead mirrors Spark's posexplode+lead; identical half-up
+    // micro-unit division (// vs DIV, all operands non-negative)
+    "q171_pmi_collocations" ->
+      """WITH toks AS (SELECT doc_id, generate_subscripts(s, 1) AS pos,
+                              unnest(s) AS tok
+                       FROM (SELECT doc_id, string_split(text, ' ') AS s
+                             FROM documents)),
+              adj AS (SELECT doc_id, pos, tok,
+                             lead(tok) OVER (PARTITION BY doc_id
+                                             ORDER BY pos) AS nxt
+                      FROM toks),
+              pairs AS (SELECT tok AS a, nxt AS b,
+                               CAST(count(*) AS BIGINT) AS cnt
+                        FROM adj WHERE nxt IS NOT NULL
+                        GROUP BY 1, 2 HAVING count(*) >= 5),
+              uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu
+                      FROM toks GROUP BY tok),
+              tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM toks)
+         SELECT a, b, cnt,
+                CAST((2 * cnt * nt * 1000000 + (ua.cu * ub.cu))
+                     // (2 * (ua.cu * ub.cu)) AS BIGINT) AS lift_micro
+         FROM pairs JOIN uni ua ON pairs.a = ua.tok
+                    JOIN uni ub ON pairs.b = ub.tok
+                    CROSS JOIN tot
+         ORDER BY lift_micro DESC, a, b LIMIT 50""",
   )
 }

@@ -546,4 +546,80 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"))
   }
+
+  test("q165: OLS min-day window and moment aggregate share ONE grp " +
+    "Exchange — two Exchanges total (the other is the final sort)") {
+    val p = plan("q165_group_trend_ols")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange""")) == 2,
+      "window + groupBy must reuse the grp partitioning")
+    assert(p.contains("hashpartitioning(grp"), "grp-keyed shuffle expected")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""),
+      "single-pass: no join anywhere")
+  }
+
+  test("q166: profiler is ONE scan + the two-phase distinct (partial " +
+    "dedup keyed on (col_name, val) before the col_name agg)") {
+    val p = plan("q166_column_profiler")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+      "any-width profiling must stay a single table scan")
+    assert(p.contains("hashpartitioning(col_name, val") ||
+      p.contains("hashpartitioning(col_name#") ||
+      p.linesIterator.count(_.matches("""\(\d+\) Exchange""")) == 3,
+      "distinct must shuffle (col_name, val) first, then col_name")
+  }
+
+  test("q167: inverted index build map-side-combines per-(term,doc) " +
+    "before the term-keyed posting aggregate") {
+    val p = plan("q167_inverted_index")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) (Object)?HashAggregate""")) == 4,
+      "both levels must be partial+final")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""),
+      "no join: df/cf/postings come from one aggregate")
+  }
+
+  test("q168: ring ownership is a broadcast array probe — no shuffled " +
+    "join, no window, doc side never exchanged before the 1-row agg") {
+    val p = plan("q168_consistent_hash")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) BroadcastExchange""")) == 2,
+      "both rings must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""),
+      "ownership must not use a global-order window")
+  }
+
+  test("q169: expectation suite is one multi-metric agg + one broadcast " +
+    "anti-join — three scans total, never one per constraint") {
+    val p = plan("q169_expectation_suite")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) Scan parquet\s*""")) == 3,
+      "orders twice (metrics + RI probe) and customer once")
+    assert(p.contains("BroadcastHashJoin LeftAnti"),
+      "referential check must be a broadcast anti-join")
+  }
+
+  test("q170: KS cumulative window runs over the DISTINCT-value frame " +
+    "(below an aggregate), with the 1-row totals broadcast") {
+    val p = plan("q170_ks_test")
+    val lines = p.linesIterator.toSeq
+    val win = lines.indexWhere(_.matches(""".*\(\d+\) Window.*"""))
+    val agg = lines.indexWhere(_.matches(""".*\(\d+\) HashAggregate.*"""),
+      win)
+    assert(win >= 0 && agg > win,
+      "window must consume the per-cents aggregate, not raw rows")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) BroadcastExchange""")) == 1,
+      "totals are the only broadcast")
+  }
+
+  test("q171: PMI joins are vocab-sized broadcasts over the thresholded " +
+    "pair table; the top-50 cut is TakeOrdered, not a global sort") {
+    val p = plan("q171_pmi_collocations")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) BroadcastHashJoin""")) == 2,
+      "both unigram joins must broadcast")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
 }
