@@ -144,6 +144,14 @@ object Plans {
       "frame only; 1-row totals broadcast"),
     "q171_pmi_collocations" -> ("pair counts thresholded before the " +
       "vocab-sized unigram broadcasts; top-50 TakeOrdered"),
+    "q172_skew_audit" -> ("group counts map-side combined; rank windows " +
+      "run over the ndv-sized group-size frame only"),
+    "q173_table_checksum" -> ("bit_xor digests fold map-side; each side " +
+      "ships 17 numbers into one full-outer merge"),
+    "q174_frequent_pairs" -> ("basket self-join keyed on the order key " +
+      "(bounded fanout); item supports broadcast"),
+    "q175_bot_regularity" -> ("per-user gaps + CV verdict ride ONE " +
+      "user_id shuffle"),
   )
 
   /** Resolves a flagship name to its DataFrame. Almost always the

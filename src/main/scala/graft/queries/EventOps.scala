@@ -705,6 +705,37 @@ object EventOps {
           col("cents"), col("first_view"), col("last_view"))
         .orderBy("purchase_id")
     }),
+
+    // Bot / automation detection by inter-event regularity: humans are
+    // bursty, schedulers are metronomes — a crawler firing every N
+    // seconds has near-zero variance in its gap distribution, and THIS
+    // is the signal crawl-corpus curation uses to drop machine traffic
+    // before training. Per user: consecutive-event gaps (one user_id
+    // window, q103's deterministic (us, event_id) ordering), then the
+    // squared-CV test kept EXACT by clearing denominators — CV < 0.5 ⟺
+    // 4·n·Σd² < 5·(Σd)², all BIGINT (gaps floored to whole seconds keep
+    // Σd² ≪ 2⁶³ up to ~10⁶ events/user). One shuffle on user_id, the
+    // verdict is a per-user aggregate — at 100 TB this rides the same
+    // partitioning every other per-user pass uses.
+    "q175_bot_regularity" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"),
+        col("event_id"))
+      ld(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag("us", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .selectExpr("user_id", "(us - prev) DIV 1000000 AS gap_s")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), sum("gap_s").as("sum_gap"),
+          sum(expr("gap_s * gap_s")).as("sumsq_gap"))
+        .select(col("user_id"), col("n_gaps"), col("sum_gap"),
+          col("sumsq_gap"),
+          (col("n_gaps") >= 5 && col("sum_gap") > 0 &&
+            lit(4) * col("n_gaps") * col("sumsq_gap") <
+              lit(5) * col("sum_gap") * col("sum_gap")).as("is_regular"))
+        .orderBy("user_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -940,5 +971,25 @@ object EventOps {
                 first_view, last_view
          FROM att WHERE event_type = 'purchase'
          ORDER BY purchase_id""",
+    // same (us, event_id) gap ordering; CV<0.5 test with cleared
+    // denominators, whole-second floors (non-negative, so // == DIV)
+    "q175_bot_regularity" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                     FROM events),
+              gp AS (SELECT user_id,
+                            (us - lag(us) OVER (PARTITION BY user_id
+                                                ORDER BY us, event_id))
+                              // 1000000 AS gap_s
+                     FROM ev),
+              ag AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                            CAST(sum(gap_s) AS BIGINT) AS sum_gap,
+                            CAST(sum(gap_s * gap_s) AS BIGINT) AS sumsq_gap
+                     FROM gp WHERE gap_s IS NOT NULL
+                     GROUP BY user_id)
+         SELECT user_id, n_gaps, sum_gap, sumsq_gap,
+                (n_gaps >= 5 AND sum_gap > 0 AND
+                 4 * n_gaps * sumsq_gap < 5 * sum_gap * sum_gap)
+                  AS is_regular
+         FROM ag ORDER BY user_id""",
   )
 }

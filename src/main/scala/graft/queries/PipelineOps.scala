@@ -1182,6 +1182,91 @@ object PipelineOps {
           "violations = 0 AS passed")
         .orderBy("check_name")
     }),
+
+    // Skew audit — the DIAGNOSTIC that decides whether a key needs q50/
+    // q86's salting before the shuffle is launched: per (relation, key),
+    // row count, ndv, the hottest key's share in exact basis points, and
+    // the p50/p99 group sizes by q163's ceil-index rank selection. The
+    // group-count aggregate is map-side combined (corpus → ndv rows
+    // BEFORE the wire); the rank windows then run over the ndv-sized
+    // group-size frame only — at 100 TB that frame is key-cardinality-
+    // sized, and if even IT is too big the same recipe runs per
+    // hash-range with merged counts. ratio_bp = p99/p50 in bp: > 10000
+    // means the tail group is bigger than the median — shuffle pressure
+    // concentrates — and top1_share_bp tells you if ONE key is the
+    // problem (salt it) vs many (raise partitions).
+    "q172_skew_audit" -> ((s, d) => {
+      def audit(df: DataFrame, rel: String, keyCol: String): DataFrame = {
+        val gc = df.groupBy(col(keyCol).cast("long").as("key"))
+          .agg(count(lit(1)).as("c"))
+        val ranked = gc
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("c"), col("key"))))
+          .withColumn("nd", count(lit(1)).over(
+            Window.partitionBy()))
+        ranked.agg(
+            sum("c").as("n_rows"), max("nd").as("ndv"), max("c").as("top1"),
+            min(when(col("rk") === expr("(50 * nd + 99) DIV 100"),
+              col("c"))).as("p50_group"),
+            min(when(col("rk") === expr("(99 * nd + 99) DIV 100"),
+              col("c"))).as("p99_group"))
+          .select(lit(rel).as("rel"), lit(keyCol).as("key_col"),
+            col("n_rows"), col("ndv"), col("top1"), col("p50_group"),
+            col("p99_group"),
+            expr("CAST((2 * top1 * 10000 + n_rows) DIV (2 * n_rows)" +
+              " AS BIGINT)").as("top1_share_bp"),
+            expr("CAST((2 * p99_group * 10000 + p50_group)" +
+              " DIV (2 * p50_group) AS BIGINT)").as("ratio_bp"))
+      }
+      audit(ld(s, d, "lineitem"), "lineitem", "l_orderkey")
+        .unionByName(audit(ld(s, d, "orders"), "orders", "o_custkey"))
+        .orderBy("rel")
+    }),
+
+    // Merkle-style table checksum: an ORDER-INVARIANT two-level digest
+    // (root + 16 key-hash buckets) of each snapshot, compared side by
+    // side — the anti-entropy primitive that tells two 100 TB replicas
+    // which 1/16th of the keyspace disagrees WITHOUT moving any rows:
+    // per-row md5 digests fold with bit_xor (commutative + associative =
+    // map-side combined, partition-order-proof), so each side ships 17
+    // numbers total. Mismatched buckets are where q155's CDC pass should
+    // look; matching buckets are PROVEN identical-by-digest and skipped.
+    // The replica's fault is deliberately SPARSE (silent +1-cent
+    // corruption in bucket 5, lost rows in bucket 11) — q161's modulo
+    // feed would dirty all 16 buckets and show no localization; here the
+    // audit isolates exactly 2/16 of the keyspace for repair. Digests
+    // are the portable 60-bit md5 prefix (the q46 convention widened to
+    // 15 hex chars), so the oracle replays them bit-for-bit.
+    "q173_table_checksum" -> ((s, d) => {
+      val (cur, _) = orderSnapshots(s, d)
+      val nxt = cur
+        .filter(!(col("k") % 16 === 11 && col("k") % 97 === 0))
+        .select(col("k"), col("custkey"),
+          when(col("k") % 16 === 5 && col("k") % 3 === 0,
+            col("cents") + 1).otherwise(col("cents")).as("cents"),
+          col("status"))
+      def digests(df: DataFrame, side: String): DataFrame = {
+        val rows = df.select((col("k") % 16).as("bucket"),
+          expr("CAST(conv(substring(md5(concat_ws('|', k, custkey, cents," +
+            " status)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        val buckets = rows.groupBy("bucket")
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("dig"))
+        buckets.select(lit(1).as("level"), col("bucket"), col("n"),
+            col("dig"))
+          .unionByName(buckets.agg(sum("n").as("n"),
+              expr("bit_xor(dig)").as("dig"))
+            .select(lit(0).as("level"), lit(-1L).as("bucket"), col("n"),
+              col("dig")))
+          .withColumnRenamed("n", s"n_$side")
+          .withColumnRenamed("dig", s"dig_$side")
+      }
+      digests(cur, "cur")
+        .join(digests(nxt, "nxt"), Seq("level", "bucket"), "full_outer")
+        .select(col("level"), col("bucket"), col("n_cur"), col("n_nxt"),
+          col("dig_cur"), col("dig_nxt"),
+          (col("dig_cur") <=> col("dig_nxt")).as("bucket_match"))
+        .orderBy("level", "bucket")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -2229,5 +2314,84 @@ object PipelineOps {
                   AS metric_bp,
                 violations = 0 AS passed
          FROM st ORDER BY check_name""",
+    "q172_skew_audit" ->
+      """WITH a1 AS (SELECT CAST(l_orderkey AS BIGINT) AS key, count(*) AS c
+                     FROM lineitem GROUP BY 1),
+              r1 AS (SELECT *, row_number() OVER (ORDER BY c, key) AS rk,
+                            count(*) OVER () AS nd
+                     FROM a1),
+              s1 AS (SELECT 'lineitem' AS rel, 'l_orderkey' AS key_col,
+                            CAST(sum(c) AS BIGINT) AS n_rows,
+                            CAST(max(nd) AS BIGINT) AS ndv,
+                            CAST(max(c) AS BIGINT) AS top1,
+                            CAST(min(CASE WHEN rk = (50 * nd + 99) // 100
+                                     THEN c END) AS BIGINT) AS p50_group,
+                            CAST(min(CASE WHEN rk = (99 * nd + 99) // 100
+                                     THEN c END) AS BIGINT) AS p99_group
+                     FROM r1),
+              a2 AS (SELECT CAST(o_custkey AS BIGINT) AS key, count(*) AS c
+                     FROM orders GROUP BY 1),
+              r2 AS (SELECT *, row_number() OVER (ORDER BY c, key) AS rk,
+                            count(*) OVER () AS nd
+                     FROM a2),
+              s2 AS (SELECT 'orders' AS rel, 'o_custkey' AS key_col,
+                            CAST(sum(c) AS BIGINT) AS n_rows,
+                            CAST(max(nd) AS BIGINT) AS ndv,
+                            CAST(max(c) AS BIGINT) AS top1,
+                            CAST(min(CASE WHEN rk = (50 * nd + 99) // 100
+                                     THEN c END) AS BIGINT) AS p50_group,
+                            CAST(min(CASE WHEN rk = (99 * nd + 99) // 100
+                                     THEN c END) AS BIGINT) AS p99_group
+                     FROM r2),
+              u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+         SELECT rel, key_col, n_rows, ndv, top1, p50_group, p99_group,
+                CAST((2 * top1 * 10000 + n_rows) // (2 * n_rows) AS BIGINT)
+                  AS top1_share_bp,
+                CAST((2 * p99_group * 10000 + p50_group)
+                     // (2 * p50_group) AS BIGINT) AS ratio_bp
+         FROM u ORDER BY rel""",
+    // q161's snapshot recipe; 60-bit md5-prefix row digests folded with
+    // bit_xor (order-invariant), root = xor of bucket digests
+    "q173_table_checksum" ->
+      """WITH cur AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                             CAST(o_custkey AS BIGINT) AS custkey,
+                             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                                  AS BIGINT) AS cents,
+                             o_orderstatus AS status
+                      FROM orders),
+              nxt AS (SELECT k, custkey,
+                             CASE WHEN k % 16 = 5 AND k % 3 = 0
+                                  THEN cents + 1 ELSE cents END AS cents,
+                             status
+                      FROM cur
+                      WHERE NOT (k % 16 = 11 AND k % 97 = 0)),
+              hc AS (SELECT k % 16 AS bucket,
+                            ('0x' || substr(md5(concat_ws('|', k, custkey,
+                              cents, status)), 1, 15))::BIGINT AS h
+                     FROM cur),
+              hn AS (SELECT k % 16 AS bucket,
+                            ('0x' || substr(md5(concat_ws('|', k, custkey,
+                              cents, status)), 1, 15))::BIGINT AS h
+                     FROM nxt),
+              bc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                            bit_xor(h) AS dig
+                     FROM hc GROUP BY 1),
+              bn AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                            bit_xor(h) AS dig
+                     FROM hn GROUP BY 1),
+              lc AS (SELECT 1 AS level, bucket, n AS n_cur, dig AS dig_cur
+                     FROM bc
+                     UNION ALL
+                     SELECT 0, -1, CAST(sum(n) AS BIGINT), bit_xor(dig)
+                     FROM bc),
+              ln2 AS (SELECT 1 AS level, bucket, n AS n_nxt, dig AS dig_nxt
+                      FROM bn
+                      UNION ALL
+                      SELECT 0, -1, CAST(sum(n) AS BIGINT), bit_xor(dig)
+                      FROM bn)
+         SELECT level, bucket, n_cur, n_nxt, dig_cur, dig_nxt,
+                dig_cur IS NOT DISTINCT FROM dig_nxt AS bucket_match
+         FROM lc FULL OUTER JOIN ln2 USING (level, bucket)
+         ORDER BY level, bucket""",
   )
 }

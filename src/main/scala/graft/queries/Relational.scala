@@ -1009,6 +1009,40 @@ object Relational {
             dec18(lit(18441)) * dec18(col("n1") + col("n2")) *
               dec18(col("n1")) * dec18(col("n2"))).as("reject_h0"))
     }),
+
+    // Frequent-itemset mining (A-priori 2-itemsets): which part pairs
+    // co-occur in the same order far beyond chance — the market-basket
+    // primitive, and structurally the same co-occurrence join a
+    // co-citation / co-click analysis runs. Baskets are (order →
+    // distinct parts); the pair join is keyed on the ORDER key, so the
+    // worst case per task is Σ|basket|² with |basket| ≤ 13 here (bounded
+    // fanout, never a part×part product); support ≥ 3 prunes the pair
+    // table before the two vocabulary-sized item-support broadcasts.
+    // Lift is q171's exact rational recipe in half-up micro-units. At
+    // 100 TB the same plan holds because basket size is a data invariant
+    // — the shuffle is |lineitem|-sized, the join output Σ|b|²-sized,
+    // the supports dimension-sized.
+    "q174_frequent_pairs" -> ((s, d) => {
+      val b = ld(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+        .distinct()
+      val nb = b.agg(countDistinct("k").as("n_baskets"))
+      val item = b.groupBy("p").agg(count(lit(1)).as("ci"))
+      b.as("a")
+        .join(b.as("x"), col("a.k") === col("x.k") && col("a.p") < col("x.p"))
+        .groupBy(col("a.p").as("pa"), col("x.p").as("pb"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 3)
+        .join(broadcast(item.select(col("p").as("pa"), col("ci").as("ca"))),
+          "pa")
+        .join(broadcast(item.select(col("p").as("pb"), col("ci").as("cb"))),
+          "pb")
+        .crossJoin(broadcast(nb))
+        .selectExpr("pa", "pb", "support", "ca", "cb",
+          "CAST((2 * support * n_baskets * 1000000 + (ca * cb))" +
+            " DIV (2 * (ca * cb)) AS BIGINT) AS lift_micro")
+        .orderBy(desc("support"), col("pa"), col("pb"))
+    }),
   )
 
   /** q69's exact-decimal aggregation, pre-stringification. Kept as a named
@@ -1500,5 +1534,24 @@ object Relational {
                (10000 * CAST(d_num AS HUGEINT) * d_num >
                 18441 * CAST(n1 + n2 AS HUGEINT) * n1 * n2) AS reject_h0
         FROM d""",
+    "q174_frequent_pairs" ->
+      """WITH b AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k,
+                           CAST(l_partkey AS BIGINT) AS p
+                    FROM lineitem),
+              nb AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS n_baskets
+                     FROM b),
+              item AS (SELECT p, CAST(count(*) AS BIGINT) AS ci
+                       FROM b GROUP BY p),
+              pr AS (SELECT a.p AS pa, x.p AS pb,
+                            CAST(count(*) AS BIGINT) AS support
+                     FROM b a JOIN b x ON a.k = x.k AND a.p < x.p
+                     GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT pa, pb, support, ua.ci AS ca, ub.ci AS cb,
+                CAST((2 * support * n_baskets * 1000000 + (ua.ci * ub.ci))
+                     // (2 * (ua.ci * ub.ci)) AS BIGINT) AS lift_micro
+         FROM pr JOIN item ua ON pr.pa = ua.p
+                 JOIN item ub ON pr.pb = ub.p
+                 CROSS JOIN nb
+         ORDER BY support DESC, pa, pb""",
   )
 }

@@ -622,4 +622,45 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
   }
+
+  test("q172: skew audit is two scans + map-side-combined group counts; " +
+    "rank windows never see row data, and nothing joins") {
+    val p = plan("q172_skew_audit")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) Scan parquet\s*""")) == 2,
+      "one scan per audited relation")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""),
+      "the audit must not join")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) HashAggregate""")) >= 4,
+      "group counts must be partial+final on both branches")
+  }
+
+  test("q173: merkle digests fold map-side and meet in ONE full-outer " +
+    "merge of 17-number sides — no window, no corpus-sized join") {
+    val p = plan("q173_table_checksum")
+    assert(p.linesIterator.count(_.contains("Join type: FullOuter")) == 1,
+      "exactly the level/bucket digest merge")
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""),
+      "order-invariant digests need no ordering")
+  }
+
+  test("q174: frequent pairs broadcast the item supports; the basket " +
+    "self-join is keyed (no part×part product)") {
+    val p = plan("q174_frequent_pairs")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) BroadcastHashJoin""")) >= 2,
+      "item-support joins must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must stay keyed on the order key")
+  }
+
+  test("q175: bot regularity rides ONE user_id shuffle — gap window and " +
+    "per-user aggregate share it, no join") {
+    val p = plan("q175_bot_regularity")
+    assert(p.linesIterator.count(_.contains("hashpartitioning(user_id")) == 1,
+      "window and aggregate must share the user_id Exchange")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 1)
+  }
 }
