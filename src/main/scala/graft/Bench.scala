@@ -86,8 +86,16 @@ object Bench {
       new java.io.FileWriter(detailPath, /*append=*/ false), /*autoFlush=*/ true)
     def emit(line: String): Unit = { println(line); detail.println(line) }
     // Warm up session, codegen, and parquet footer/file-listing caches so
-    // the first measured query doesn't absorb one-time JVM costs.
-    Tables.names.foreach(n => Tables.ld(spark, sfDir, n).count())
+    // the first measured query doesn't absorb one-time JVM costs. Per-table
+    // try/catch: r10 died here (rc:1, zero timings) when one table's fixture
+    // encoding regressed — a broken table must cost only its own queries
+    // (marked err:true below), never the other ~150 measurements.
+    Tables.names.foreach { n =>
+      try Tables.ld(spark, sfDir, n).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up load of $n FAILED: ${e.getMessage}")
+      }
+    }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Tables
 import graft.Tables.ld
 
 /** Event-stream analytics over the `events` table: windowed aggregation,
@@ -132,7 +133,7 @@ object EventOps {
       val stream = ss.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventsTs)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         // exact cents sum — order-independent across microbatch/partition
@@ -265,7 +266,7 @@ object EventOps {
       val name = "graft_stream_dedup"
       val q = ss.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventsTs)
         .select(col("user_id"), col("event_type"), col("ts"))
         .withWatermark("ts", "200 days")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -345,7 +346,7 @@ object EventOps {
       val name = "graft_stream_state"
       val counts = ss.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventsTs)
         .withWatermark("ts", "1 hour")
         .select(col("user_id"), col("ts"))
         .as[(Long, java.sql.Timestamp)]
@@ -533,7 +534,7 @@ object EventOps {
       val rawSchema = ss.read.parquet(s"$d/events.parquet").schema
       def src = ss.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventsTs)
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
           col("ts").as("p_ts"))
