@@ -15,6 +15,37 @@ object GraphOps {
     * graphs of diameter ~2^30; hitting the cap is a pathology, not scale. */
   private val MaxRounds = 30
 
+  /** Session conf selecting the loop's lineage-truncation mode.
+    * Default (unset/false) = `localCheckpoint()`: blocks pinned to executor
+    * storage — fastest, right for local[32], but on a real cluster a lost
+    * executor makes the pinned lineage unrecoverable mid-loop. Set to
+    * `true` for cluster deployments: rounds go through reliable
+    * `checkpoint()` to the fault-tolerant checkpoint dir
+    * (`sc.setCheckpointDir` — HDFS/S3 in production), trading one
+    * write+read of the label frame per round for executor-loss survival.
+    * The label frame is the SMALL side of the loop (edges are checkpointed
+    * once, labels every round), so the per-round cost is proportional to
+    * |nodes in an edge|, not |edges|. */
+  private[graft] val ReliableCheckpointConf = "spark.graft.cc.reliableCheckpoint"
+
+  /** One round's lineage cut, honoring [[ReliableCheckpointConf]]. Both
+    * paths are EAGER and execute the dataset's own queryExecution, so the
+    * `observe(...)` convergence metric below populates identically. */
+  private def cut(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    val reliable =
+      ss.conf.getOption(ReliableCheckpointConf).exists(_.toBoolean)
+    if (!reliable) df.localCheckpoint()
+    else {
+      if (ss.sparkContext.getCheckpointDir.isEmpty)
+        throw new IllegalStateException(
+          s"$ReliableCheckpointConf=true requires a checkpoint dir: call " +
+            "spark.sparkContext.setCheckpointDir(<fault-tolerant path>) " +
+            "(HDFS/S3 on a cluster) before running connectedComponents")
+      df.checkpoint()
+    }
+  }
+
   /** Distributed connected components over an undirected edge list
     * (`da`, `db`) → (`doc_id`, `cluster_id` = component-min id), covering
     * only nodes that appear in an edge (singletons can never change label,
@@ -87,13 +118,13 @@ object GraphOps {
     val sym = edges
       .union(edges.select(col("db").as("da"), col("da").as("db")))
       .repartition(parts, col("db"))
-      .localCheckpoint()
+      .transform(cut)
     // seed fuses round 0: label = min(self, direct neighbours)
     var labels = sym.groupBy(col("da").as("doc_id"))
       .agg(min("db").as("nbr_min"))
       .select(col("doc_id"),
         least(col("doc_id"), col("nbr_min")).as("cluster_id"))
-      .localCheckpoint()
+      .transform(cut)
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     // Debug-only job counter proving the one-action-per-round claim below:
     // GRAFT_CC_DEBUG prints the job-start delta per round (listener bus is
@@ -140,7 +171,7 @@ object GraphOps {
             coalesce(col("j_cid"), col("cluster_id"))).as("new_cid"))
         .observe("cc_changed", sum(when(col("new_cid") =!= col("old_cid"), 1L)
           .otherwise(0L)).as("changed"))
-      val cp = next.localCheckpoint()
+      val cp = cut(next)
       changed = next.queryExecution.observedMetrics.get("cc_changed") match {
         case Some(row) if !row.isNullAt(0) => row.getLong(0)
         // present row, NULL sum = the observe saw zero rows (empty label

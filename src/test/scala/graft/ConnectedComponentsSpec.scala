@@ -45,4 +45,40 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkFixture {
     val got = cc(Seq((5L, 6L), (6L, 8L), (8L, 5L), (8L, 1L)))
     assert(got.values.toSet == Set(1L) && got.keySet == Set(1L, 5L, 6L, 8L))
   }
+
+  test("reliable mode without a checkpoint dir fails loudly") {
+    // A misconfigured cluster run must not silently fall back to the
+    // executor-pinned path; guard the error message, not just the throw.
+    // Declared BEFORE the happy-path test: the SparkContext is shared
+    // process-wide and setCheckpointDir is irreversible, so this must run
+    // while the dir is still unset (guarded in case suite order changes).
+    val fresh = spark.newSession()
+    fresh.conf.set(GraphOps.ReliableCheckpointConf, "true")
+    if (fresh.sparkContext.getCheckpointDir.isEmpty) {
+      import fresh.implicits._
+      val e = intercept[IllegalStateException] {
+        GraphOps.connectedComponents(Seq((1L, 2L)).toDF("da", "db")).collect()
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+  }
+
+  test("reliable-checkpoint mode (cluster posture) matches localCheckpoint") {
+    // spark.graft.cc.reliableCheckpoint=true routes every round's lineage
+    // cut through fault-tolerant checkpoint() instead of executor-pinned
+    // localCheckpoint() — the mode a real cluster runs, where a lost
+    // executor must not strand the loop. Exercise the multi-round chain
+    // (the convergence-metric read must survive the different cut path)
+    // and assert identical labels.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    dir.toFile.deleteOnExit()
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set(GraphOps.ReliableCheckpointConf, "true")
+    try {
+      val ids = Seq(40L, 12, 33, 7, 25, 3, 18, 29, 5, 44, 21, 9, 36, 14, 2)
+      val got = cc(ids.zip(ids.tail))
+      assert(got.keySet == ids.toSet)
+      assert(got.values.toSet == Set(2L))
+    } finally spark.conf.unset(GraphOps.ReliableCheckpointConf)
+  }
 }
