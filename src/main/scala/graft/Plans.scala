@@ -152,6 +152,16 @@ object Plans {
       "(bounded fanout); item supports broadcast"),
     "q175_bot_regularity" -> ("per-user gaps + CV verdict ride ONE " +
       "user_id shuffle"),
+    "q176_dsir_importance" -> ("one token scan feeds doc counts + both " +
+      "model sides; 256-row model broadcast, map-only selection"),
+    "q177_history_pack" -> ("ordering window and (user,window) agg share " +
+      "ONE user_id Exchange (subset rule); bounded 16-struct state"),
+    "q178_epoch_reshard" -> ("three md5 shards in one map pass, stack " +
+      "unpivot, one small agg — the shard expr IS the write key"),
+    "q179_length_bucket_batch" -> ("per-shard/per-band windows, " +
+      "parallel across partitions — never a global sort"),
+    "q180_budget_waterfill" -> ("windows over the #sources stats frame " +
+      "only; 1-row level broadcast back over the stats"),
   )
 
   /** Resolves a flagship name to its DataFrame. Almost always the

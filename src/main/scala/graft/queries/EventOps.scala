@@ -737,6 +737,36 @@ object EventOps {
               lit(5) * col("sum_gap") * col("sum_gap")).as("is_regular"))
         .orderBy("user_id")
     }),
+
+    // USER-HISTORY SEQUENCE PACKING — the behavioral-data twin of q139's
+    // document packing: each user's event stream, in event-time order,
+    // cut into fixed 16-event context windows and serialized as the
+    // ordered event-type sequence a sequential model (SASRec-style
+    // recommenders, session LLM fine-tuning) trains on. Everything rides
+    // ONE user_id shuffle: the ordering window partitions by user_id,
+    // and the (user_id, window_id) aggregate reuses that partitioning
+    // (hash(user_id) already co-locates every (user_id, window_id) group
+    // — Spark's subset rule, no second Exchange; the committed plan
+    // pins it). Per-group state is ≤ 16 structs by construction, so the
+    // collect_list is bounded — never a whole-history buffer. Ordering
+    // is deterministic via the (ts, event_id) tiebreak (the q103
+    // recipe); array_sort on (rn, type) structs makes the serialized
+    // sequence order-exact on both engines.
+    "q177_history_pack" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ld(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("window_id", expr("(rn - 1) DIV 16"))
+        .groupBy("user_id", "window_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("t_start"), max("ts").as("t_end"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(rn, event_type))), x -> x.event_type), '>')")
+            .as("seq"))
+        .orderBy("user_id", "window_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -992,5 +1022,17 @@ object EventOps {
                  4 * n_gaps * sumsq_gap < 5 * sum_gap * sum_gap)
                   AS is_regular
          FROM ag ORDER BY user_id""",
+    // same (ts, event_id) ordering; string_agg(ORDER BY rn) mirrors the
+    // array_sort-by-rn serialization exactly
+    "q177_history_pack" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS rn
+                    FROM events)
+         SELECT user_id, (rn - 1) // 16 AS window_id,
+                count(*) AS n_events,
+                min(ts) AS t_start, max(ts) AS t_end,
+                string_agg(event_type, '>' ORDER BY rn) AS seq
+         FROM e GROUP BY 1, 2 ORDER BY user_id, window_id""",
   )
 }

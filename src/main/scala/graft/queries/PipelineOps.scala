@@ -1267,6 +1267,188 @@ object PipelineOps {
           (col("dig_cur") <=> col("dig_nxt")).as("bucket_match"))
         .orderBy("level", "bucket")
     }),
+
+    // DSIR-shaped importance weighting (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every raw
+    // document by how target-like its hashed n-gram feature distribution
+    // is, target = the English slice (DSIR's hashed-feature recipe with
+    // word unigrams into 256 buckets; production uses bigrams into 10k —
+    // same plan, bigger broadcast). Scoring stays in the model's INTEGER
+    // domain (the q127/q133 lesson — no ln): per-bucket Laplace-smoothed
+    // rates in exact parts-per-billion, per-bucket target/raw ratio in
+    // basis points from those bounded rates (rate ≤ 1e9 so the cross-
+    // multiply never leaves BIGINT at ANY corpus size), and a doc's
+    // importance = token-count-weighted mean ratio — an order-free BIGINT
+    // sum; production's Σ c·ln(pt/pr) swaps one agg expression, not the
+    // plan. Plan: ONE token scan feeds per-doc counts AND both model
+    // sides (map-side combined); the model is 256 rows + two 1-row
+    // totals — broadcast stays honest at 100 TB because its size is the
+    // FEATURE space, never the corpus. Selection is a map-only threshold
+    // (imp_bp ≥ 10000 ⟺ more target-like than the raw average), not a
+    // global rank — the at-scale posture where the selected share is
+    // controlled by the cutoff, not a serializing top-k window.
+    "q176_dsir_importance" -> ((s, d) => {
+      val toks = ld(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
+            lit(0))).as("tok"))
+        .withColumn("b",
+          expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)" +
+            " % 256"))
+        .localCheckpoint() // per-doc counts + both model sides read it
+      val perDoc = toks.groupBy("doc_id", "source", "lang", "b")
+        .agg(count(lit(1)).as("c"))
+      val rawTot = toks.agg(count(lit(1)).as("r_tot"))
+      val tgtTot = toks.filter(col("lang") === "en")
+        .agg(count(lit(1)).as("t_tot"))
+      val model = toks.groupBy("b").agg(
+        count(lit(1)).as("r_b"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_b"))
+        .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+        .selectExpr("b",
+          "(t_b + 1) * 1000000000L DIV (t_tot + 256) AS rt_ppb",
+          "(r_b + 1) * 1000000000L DIV (r_tot + 256) AS rr_ppb")
+        .selectExpr("b", "rt_ppb * 10000 DIV rr_ppb AS ratio_bp")
+      perDoc.join(broadcast(model), "b")
+        .groupBy("doc_id", "source", "lang")
+        .agg(sum("c").as("n_toks"),
+          sum(col("c") * col("ratio_bp")).as("imp_sum"))
+        .selectExpr("doc_id", "source", "lang", "n_toks",
+          "imp_sum DIV n_toks AS imp_bp")
+        .withColumn("selected",
+          col("lang") =!= "en" && col("imp_bp") >= 10000)
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic EPOCH RESHARDING — the training-loader shuffle at
+    // corpus scale: each epoch re-permutes the corpus by assigning every
+    // doc to shard md5(epoch:doc_id) % 16, so epoch order is (a) a fresh
+    // pseudo-random permutation per epoch, (b) reproducible across
+    // retries/engines (no RNG state — the q97/q142 md5 recipe), and
+    // (c) embarrassingly parallel: the shard expression IS the write's
+    // repartition key; no global sort, no driver-side permutation array
+    // (which at 100 TB would be billions of entries). All three epochs'
+    // shards are computed in ONE map pass over the corpus (three md5s per
+    // row), unpivoted with stack, and audited in one small agg: per
+    // (epoch, shard) docs + tokens — the balance check — plus how many
+    // arrivals MOVED vs the previous epoch (≈ 15/16 — the permutation
+    // actually permutes; a broken salt shows up as 0).
+    "q178_epoch_reshard" -> ((s, d) => {
+      def sh(e: Int) =
+        s"CAST(conv(substring(md5(concat('$e', ':', CAST(doc_id AS" +
+          s" STRING))), 1, 8), 16, 10) AS BIGINT) % 16"
+      ld(s, d, "documents")
+        .selectExpr("doc_id", "n_chars",
+          s"${sh(0)} AS s0", s"${sh(1)} AS s1", s"${sh(2)} AS s2")
+        .selectExpr("n_chars",
+          "stack(3, 0L, s0, CAST(NULL AS BIGINT)," +
+            " 1L, s1, s0, 2L, s2, s1) AS (epoch, shard, prev_shard)")
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"),
+          sum(when(col("prev_shard").isNotNull &&
+            col("prev_shard") =!= col("shard"), 1L).otherwise(0L))
+            .as("n_moved_in"))
+        .orderBy("epoch", "shard")
+    }),
+
+    // LENGTH-BUCKETED BATCH PACKING — the padding-efficiency step of
+    // batch assembly: grouping similar-length sequences before batching
+    // is how real loaders cut pad-token waste (dynamic batching /
+    // bucketing in every major training stack). Two strategies built
+    // from the same frame and audited side by side in exact token
+    // counts: `naive` = loader shards the corpus by hash and batches
+    // arrival order within each shard (8 shards × batches of 32);
+    // `bucketed` = same batch size but within length bands (16-token
+    // widths) first. Per batch: examples, the batch max (what every
+    // example pads to), real tokens, and pad_tok = n·max − Σlen. The
+    // windows partition by shard/band — parallel across partitions,
+    // never a global sort (the q96 stratum story); at 100 TB the band
+    // expression is the loader's bucket key and this audit is how you
+    // price the shuffle a bucketed loader saves.
+    "q179_length_bucket_batch" -> ((s, d) => {
+      val base = ld(s, d, "documents")
+        .selectExpr("doc_id", s"CAST($nTokens AS BIGINT) AS n_toks",
+          "CAST(conv(substring(md5(concat('a:', CAST(doc_id AS STRING)))," +
+            " 1, 8), 16, 10) AS BIGINT) % 8 AS shard")
+        .withColumn("band", expr("n_toks DIV 16"))
+      def pack(part: String) = {
+        val w = Window.partitionBy(part)
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        base
+          .withColumn("rn", row_number().over(w))
+          .withColumn("batch_id", expr("(rn - 1) DIV 32"))
+          .groupBy(col(part).as("part"), col("batch_id"))
+          .agg(count(lit(1)).as("n_ex"), max("n_toks").as("max_tok"),
+            sum("n_toks").as("sum_tok"))
+          .withColumn("pad_tok",
+            col("n_ex") * col("max_tok") - col("sum_tok"))
+      }
+      pack("shard").withColumn("strategy", lit("naive"))
+        .unionByName(pack("band").withColumn("strategy", lit("bucketed")))
+        .select("strategy", "part", "batch_id", "n_ex", "max_tok",
+          "sum_tok", "pad_tok")
+        .orderBy("strategy", "part", "batch_id")
+    }),
+
+    // UniMax-style BUDGET WATERFILLING (Chung et al. 2023, "UniMax:
+    // Fairer and More Effective Language Sampling"): allocate a total
+    // token budget across sources as equally as possible, capping each
+    // source at its capacity — the data-mixing allocation that neither
+    // starves small sources (natural sampling) nor over-epochs them
+    // (uniform). The water level L with Σ min(sz_s, L) = budget is found
+    // RELATIONALLY: sort strata ascending, and the level lies where
+    // funding everything smaller in full and everything at-or-larger at
+    // sz_i first exceeds the budget — one running-sum window over the
+    // STRATUM-STATS frame (~96 (source, lang) strata here, #strata rows
+    // at 100 TB — never corpus-sized, so the global window is honest),
+    // then the 1-row chosen level broadcasts back over the stats for the
+    // final allocation. Strata are (source, lang) — the per-source sizes
+    // of this corpus are near-uniform (every source would cap), while the
+    // language dimension is genuinely skewed (en strata run 4-10× the zh
+    // tail), so the audit exercises BOTH outcomes: small strata fully
+    // funded, large ones capped at the level. Integer-exact throughout:
+    // level and allocations in BIGINT tokens, the integer remainder
+    // (budget − Σ alloc < #capped) distributed +1 to the largest capped
+    // strata deterministically — allocations sum to the budget EXACTLY,
+    // which the oracle checks by construction.
+    "q180_budget_waterfill" -> ((s, d) => {
+      val src = ld(s, d, "documents")
+        .groupBy("source", "lang").agg(expr(s"sum(CAST($nTokens AS BIGINT))")
+          .as("sz"))
+      val tot = src.agg(sum("sz").as("tot"), count(lit(1)).as("n_src"))
+      val wAsc = Window.orderBy("sz", "source", "lang")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = src.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("tot * 40 DIV 100"))
+        .withColumn("cum_before", coalesce(sum("sz").over(wAsc), lit(0L)))
+        .withColumn("i",
+          row_number().over(Window.orderBy("sz", "source", "lang")))
+      // k = last position still fully fundable with everyone at-or-above
+      // it held at sz_i; level clears the remaining budget over n−k.
+      val level = ranked
+        .filter(expr("cum_before + (n_src - i + 1) * sz <= budget"))
+        .agg(max("i").as("k"))
+        .crossJoin(broadcast(ranked.agg(
+          max("budget").as("budget"), max("n_src").as("n_src"))))
+        .join(ranked.select(col("i").as("k"), col("cum_before"),
+          col("sz").as("sz_k")), Seq("k"), "left")
+        .selectExpr("coalesce(k, 0) AS k",
+          "CASE WHEN coalesce(k, 0) = n_src THEN NULL ELSE" +
+            " (budget - coalesce(cum_before + sz_k, 0))" +
+            " DIV (n_src - coalesce(k, 0)) END AS lvl",
+          "CASE WHEN coalesce(k, 0) = n_src THEN 0 ELSE" +
+            " (budget - coalesce(cum_before + sz_k, 0))" +
+            " % (n_src - coalesce(k, 0)) END AS rem")
+      val wDesc = Window.orderBy(col("sz").desc, col("source"), col("lang"))
+      src.crossJoin(broadcast(level))
+        .withColumn("rd", row_number().over(wDesc))
+        .selectExpr("source", "lang", "sz",
+          "CASE WHEN lvl IS NULL OR sz <= lvl THEN sz" +
+            " ELSE lvl + (CASE WHEN rd <= rem THEN 1 ELSE 0 END)" +
+            " END AS alloc",
+          "NOT (lvl IS NULL OR sz <= lvl) AS capped")
+        .orderBy("source", "lang")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -2393,5 +2575,137 @@ object PipelineOps {
                 dig_cur IS NOT DISTINCT FROM dig_nxt AS bucket_match
          FROM lc FULL OUTER JOIN ln2 USING (level, bucket)
          ORDER BY level, bucket""",
+    "q176_dsir_importance" ->
+      """WITH toks AS (SELECT doc_id, source, lang,
+                              ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256
+                                AS b
+                       FROM (SELECT doc_id, source, lang,
+                                    unnest(regexp_extract_all(lower(text),
+                                      '[a-z]+')) AS tok
+                             FROM documents)),
+              per_doc AS (SELECT doc_id, source, lang, b, count(*) AS c
+                          FROM toks GROUP BY 1, 2, 3, 4),
+              tots AS (SELECT count(*) AS r_tot,
+                              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                                AS t_tot
+                       FROM toks),
+              model AS (SELECT b,
+                               (sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                                 + 1) * 1000000000 // (t_tot + 256)
+                                 AS rt_ppb,
+                               (count(*) + 1) * 1000000000 // (r_tot + 256)
+                                 AS rr_ppb
+                        FROM toks, tots GROUP BY b, t_tot, r_tot),
+              m2 AS (SELECT b, rt_ppb * 10000 // rr_ppb AS ratio_bp
+                     FROM model),
+              sc AS (SELECT doc_id, source, lang,
+                            CAST(sum(c) AS BIGINT) AS n_toks,
+                            CAST(sum(c * ratio_bp) AS BIGINT) AS imp_sum
+                     FROM per_doc JOIN m2 USING (b) GROUP BY 1, 2, 3)
+         SELECT doc_id, source, lang, n_toks,
+                CAST(imp_sum // n_toks AS BIGINT) AS imp_bp,
+                (lang <> 'en' AND imp_sum // n_toks >= 10000) AS selected
+         FROM sc ORDER BY doc_id""",
+    "q178_epoch_reshard" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+                           ('0x' || substr(md5('0:' ||
+                             CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16
+                             AS s0,
+                           ('0x' || substr(md5('1:' ||
+                             CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16
+                             AS s1,
+                           ('0x' || substr(md5('2:' ||
+                             CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16
+                             AS s2
+                    FROM documents),
+              st AS (SELECT n_chars, CAST(0 AS BIGINT) AS epoch,
+                            s0 AS shard, CAST(NULL AS BIGINT) AS prev
+                     FROM s
+                     UNION ALL SELECT n_chars, 1, s1, s0 FROM s
+                     UNION ALL SELECT n_chars, 2, s2, s1 FROM s)
+         SELECT epoch, shard, count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+                CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> shard
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
+         FROM st GROUP BY 1, 2 ORDER BY epoch, shard""",
+    "q179_length_bucket_batch" ->
+      """WITH base AS (SELECT doc_id,
+                              CAST(length(text) - length(replace(text, ' ',
+                                '')) + 1 AS BIGINT) AS n_toks,
+                              ('0x' || substr(md5('a:' ||
+                                CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+                                AS shard
+                       FROM documents),
+              b2 AS (SELECT *, n_toks // 16 AS band FROM base),
+              n AS (SELECT shard AS part,
+                           (row_number() OVER (PARTITION BY shard
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                             - 1) // 32 AS batch_id,
+                           n_toks
+                    FROM b2),
+              bb AS (SELECT band AS part,
+                            (row_number() OVER (PARTITION BY band
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                              - 1) // 32 AS batch_id,
+                            n_toks
+                     FROM b2),
+              packed AS (
+                SELECT 'naive' AS strategy, part, batch_id,
+                       count(*) AS n_ex, max(n_toks) AS max_tok,
+                       CAST(sum(n_toks) AS BIGINT) AS sum_tok
+                FROM n GROUP BY 2, 3
+                UNION ALL
+                SELECT 'bucketed', part, batch_id,
+                       count(*), max(n_toks), CAST(sum(n_toks) AS BIGINT)
+                FROM bb GROUP BY 2, 3)
+         SELECT strategy, part, batch_id, n_ex, max_tok, sum_tok,
+                n_ex * max_tok - sum_tok AS pad_tok
+         FROM packed ORDER BY strategy, part, batch_id""",
+    "q180_budget_waterfill" ->
+      """WITH src AS (SELECT source, lang,
+                             CAST(sum(length(text) - length(replace(text,
+                               ' ', '')) + 1) AS BIGINT) AS sz
+                      FROM documents GROUP BY 1, 2),
+              tot AS (SELECT CAST(sum(sz) AS BIGINT) AS tot,
+                             count(*) AS n_src
+                      FROM src),
+              ranked AS (SELECT source, lang, sz,
+                                tot * 40 // 100 AS budget, n_src,
+                                CAST(coalesce(sum(sz) OVER (
+                                  ORDER BY sz, source, lang
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+                                  AS cum_before,
+                                row_number() OVER (ORDER BY sz, source,
+                                  lang) AS i
+                         FROM src, tot),
+              lv AS (SELECT max(i) AS k FROM ranked
+                     WHERE cum_before + (n_src - i + 1) * sz <= budget),
+              lvl AS (SELECT CASE WHEN coalesce(lv.k, 0) = r.n_src
+                                  THEN NULL
+                                  ELSE (r.budget - coalesce(rk.cum_before
+                                    + rk.sz, 0))
+                                    // (r.n_src - coalesce(lv.k, 0)) END
+                               AS lvl,
+                             CASE WHEN coalesce(lv.k, 0) = r.n_src THEN 0
+                                  ELSE (r.budget - coalesce(rk.cum_before
+                                    + rk.sz, 0))
+                                    % (r.n_src - coalesce(lv.k, 0)) END
+                               AS rem
+                      FROM lv
+                      CROSS JOIN (SELECT max(budget) AS budget,
+                                         max(n_src) AS n_src
+                                  FROM ranked) r
+                      LEFT JOIN ranked rk ON rk.i = lv.k)
+         SELECT source, lang, sz,
+                CASE WHEN lvl IS NULL OR sz <= lvl THEN sz
+                     ELSE lvl + (CASE WHEN rd <= rem THEN 1 ELSE 0 END)
+                     END AS alloc,
+                NOT (lvl IS NULL OR sz <= lvl) AS capped
+         FROM (SELECT source, lang, sz,
+                      row_number() OVER (ORDER BY sz DESC, source, lang)
+                        AS rd
+               FROM src), lvl
+         ORDER BY source, lang""",
   )
 }
