@@ -162,6 +162,12 @@ object Plans {
       "parallel across partitions — never a global sort"),
     "q180_budget_waterfill" -> ("windows over the #sources stats frame " +
       "only; 1-row level broadcast back over the stats"),
+    "q181_leakage_split" -> ("CC labels joined doc-keyed; split is a " +
+      "map expression of cluster_id — no extra shuffle past the CC loop"),
+    "q182_containment" -> ("shared-gram posting join bounded by " +
+      "co-occurring grams; sizes shuffle on doc_id — never n² pairs"),
+    "q183_ivf_maintenance" -> ("frozen k x 64 centroid broadcast over " +
+      "train and delta scans; only per-list counts shuffle"),
   )
 
   /** Resolves a flagship name to its DataFrame. Almost always the

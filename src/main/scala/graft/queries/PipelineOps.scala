@@ -1390,6 +1390,49 @@ object PipelineOps {
         .orderBy("strategy", "part", "batch_id")
     }),
 
+    // CONTAINMENT dedup (asymmetric Jaccard |A∩B| / |A|) — the
+    // subset/quote detector symmetric similarity misses by design: a
+    // short doc fully embedded in a long one scores low on Jaccard
+    // (q136) and far apart on simhash (q47), yet it is exactly the
+    // "same content, re-published with boilerplate" case corpus dedup
+    // must catch. Candidate pairs come from the shared-distinct-5-gram
+    // join (bounded by co-occurring grams, never the n² product — the
+    // q98/q128 posting-list shape); per pair, containment BOTH ways from
+    // one shared count + the two distinct-gram sizes, all integer: the
+    // ≥0.5-either-way emission gate is the cross-multiplied 2·shared ≥
+    // n, the ≥0.8 relation tags are 5·shared ≥ 4·n, and the reported
+    // fractions are half-up basis points (the r4 recipe). The distinct
+    // gram frame is built once and checkpoint-pinned — both join sides
+    // and the size aggregate read it. At 100 TB: posting lists shuffle
+    // on the gram hash, sizes on doc_id — the same two keys every dedup
+    // op here rides; production adds q136's prefix filter on top when
+    // the gram frequency tail gets hot.
+    "q182_containment" -> ((s, d) => {
+      val g = grams5(s, d).distinct().localCheckpoint()
+      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+      g.as("a")
+        .join(g.as("b").hint("shuffle_hash"),
+          col("a.g5") === col("b.g5") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.select(col("doc_id").as("da"), col("ng").as("na"))
+          .hint("shuffle_hash"), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("ng").as("nb"))
+          .hint("shuffle_hash"), "db")
+        .filter(expr("2 * shared >= na OR 2 * shared >= nb"))
+        .selectExpr("da", "db", "shared", "na", "nb",
+          "(2 * shared * 10000 + na) DIV (2 * na) AS cont_a_bp",
+          "(2 * shared * 10000 + nb) DIV (2 * nb) AS cont_b_bp")
+        .withColumn("relation",
+          when(expr("5 * shared >= 4 * na AND 5 * shared >= 4 * nb"),
+            "mutual")
+            .when(expr("5 * shared >= 4 * na"), "a_in_b")
+            .when(expr("5 * shared >= 4 * nb"), "b_in_a")
+            .otherwise("partial"))
+        .orderBy("da", "db")
+    }),
+
     // UniMax-style BUDGET WATERFILLING (Chung et al. 2023, "UniMax:
     // Fairer and More Effective Language Sampling"): allocate a total
     // token budget across sources as equally as possible, capping each
@@ -2661,6 +2704,35 @@ object PipelineOps {
          SELECT strategy, part, batch_id, n_ex, max_tok, sum_tok,
                 n_ex * max_tok - sum_tok AS pad_tok
          FROM packed ORDER BY strategy, part, batch_id""",
+    // raw gram strings stand in for the xxhash64 keys (equality-
+    // equivalent modulo 2^-64 collisions — the q98 stance)
+    "q182_containment" ->
+      s"""WITH g AS (SELECT DISTINCT doc_id, g5
+                     FROM (SELECT doc_id, unnest($duckG5) AS g5
+                           FROM documents)),
+              sizes AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+              shared AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                                count(*) AS shared
+                         FROM g a JOIN g b
+                           ON a.g5 = b.g5 AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2),
+              j AS (SELECT da, db, shared, sa.ng AS na, sb.ng AS nb
+                    FROM shared
+                    JOIN sizes sa ON da = sa.doc_id
+                    JOIN sizes sb ON db = sb.doc_id
+                    WHERE 2 * shared >= sa.ng OR 2 * shared >= sb.ng)
+         SELECT da, db, CAST(shared AS BIGINT) AS shared,
+                CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+                CAST((2 * shared * 10000 + na) // (2 * na) AS BIGINT)
+                  AS cont_a_bp,
+                CAST((2 * shared * 10000 + nb) // (2 * nb) AS BIGINT)
+                  AS cont_b_bp,
+                CASE WHEN 5 * shared >= 4 * na AND 5 * shared >= 4 * nb
+                     THEN 'mutual'
+                     WHEN 5 * shared >= 4 * na THEN 'a_in_b'
+                     WHEN 5 * shared >= 4 * nb THEN 'b_in_a'
+                     ELSE 'partial' END AS relation
+         FROM j ORDER BY da, db""",
     "q180_budget_waterfill" ->
       """WITH src AS (SELECT source, lang,
                              CAST(sum(length(text) - length(replace(text,

@@ -390,6 +390,46 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // LEAKAGE-AWARE dataset split — q142's md5 split with the key moved
+    // from the DOCUMENT to its NEAR-DUP CLUSTER: a doc-keyed split puts
+    // near-identical docs on both sides of the train/test fence, and the
+    // eval set silently scores memorization (the classic contamination
+    // path that survives doc-level dedup audits). Group-wise splitting —
+    // sklearn's GroupShuffleSplit posture, with q101's connected
+    // components as the groups — makes straddling IMPOSSIBLE by
+    // construction: the split is a pure function of cluster_id, so every
+    // member lands together. Singletons (docs in no near-dup edge) fall
+    // back to their own id — the same md5 stream, so the corpus-level
+    // 80/10/10 proportions hold. The audit reports, per (split, source):
+    // docs, distinct clusters, chars, and n_moved = docs whose doc-keyed
+    // split would have differed — the rows this fix actually relocated
+    // (≈ non-canonical cluster members, ~11 % of the fence). Scale: one
+    // CC run over edge-sized frames + a map-only split expression — the
+    // same md5 bucket is the frozen write's partition column at 100 TB.
+    "q181_leakage_split" -> ((s, d) => {
+      // checkpoint before the symmetrizing union (the q101 lesson)
+      val edges = queries("q67_simhash_banded")(s, d).select("da", "db")
+        .localCheckpoint()
+      def bucket(c: String) =
+        expr(s"CAST(conv(substring(md5(CAST($c AS STRING)), 1, 8), 16," +
+          s" 10) AS BIGINT) % 100")
+      def splitOf(b: Column) =
+        when(b < 80, "train").when(b < 90, "val").otherwise("test")
+      ld(s, d, "documents").select("doc_id", "source", "n_chars")
+        .join(GraphOps.connectedComponents(edges), Seq("doc_id"), "left")
+        .withColumn("cluster_id",
+          coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("split", splitOf(bucket("cluster_id")))
+        .withColumn("doc_split", splitOf(bucket("doc_id")))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum("n_chars").as("tot_chars"),
+          sum(when(col("doc_split") =!= col("split"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .orderBy("split", "source")
+    }),
+
     // Dedup keeping the best representative per content key (lowest doc_id
     // here; in production, highest quality score): one window pass keyed on
     // the fingerprint — the "canonicalize duplicates" pipeline stage, as
@@ -1293,6 +1333,42 @@ object TextOps {
           SELECT a AS doc_id, min(b) AS cluster_id,
                  CAST(a = min(b) AS BOOLEAN) AS is_canonical
           FROM reach GROUP BY a ORDER BY doc_id""",
+    // q101's exact closure + q142's md5 buckets keyed on the CLUSTER id;
+    // doc-keyed buckets recomputed alongside for the n_moved audit
+    "q181_leakage_split" ->
+      s"""WITH RECURSIVE ${duckSimhash64()},
+          edges AS (SELECT a.doc_id AS da, b.doc_id AS db
+                    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                    WHERE bit_count(xor(a.s, b.s)) <= 6),
+          syms AS (SELECT da AS a, db AS b FROM edges
+                   UNION ALL SELECT db, da FROM edges),
+          reach AS (
+            SELECT doc_id AS a, doc_id AS b FROM documents
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN syms s ON r.b = s.a
+          ),
+          canon AS (SELECT a AS doc_id, min(b) AS cluster_id
+                    FROM reach GROUP BY a),
+          j AS (SELECT d.doc_id, d.source, d.n_chars, c.cluster_id,
+                       ('0x' || substr(md5(CAST(c.cluster_id AS VARCHAR)),
+                         1, 8))::BIGINT % 100 AS cb,
+                       ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                         1, 8))::BIGINT % 100 AS dbk
+                FROM documents d JOIN canon c USING (doc_id)),
+          k AS (SELECT *,
+                       CASE WHEN cb < 80 THEN 'train'
+                            WHEN cb < 90 THEN 'val' ELSE 'test' END
+                         AS split,
+                       CASE WHEN dbk < 80 THEN 'train'
+                            WHEN dbk < 90 THEN 'val' ELSE 'test' END
+                         AS doc_split
+                FROM j)
+         SELECT split, source, count(*) AS n_docs,
+                CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+                CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+                CAST(sum(CASE WHEN doc_split <> split THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_moved
+         FROM k GROUP BY 1, 2 ORDER BY split, source""",
     "q55_dedup_keep_best" ->
       """SELECT doc_id, lang, source, n_chars FROM (
            SELECT *, row_number() OVER

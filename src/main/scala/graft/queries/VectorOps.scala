@@ -671,6 +671,61 @@ object VectorOps {
         .groupBy("vec_id").agg(sum("mx").as("score_micro"))
         .orderBy(col("score_micro").desc, col("vec_id")).limit(10)
     }),
+
+    // IVF INDEX MAINTENANCE — the ops rung the serving queries (q64,
+    // q125) leave open: a vector index is trained ONCE and then new
+    // vectors arrive against FROZEN centroids; when the arrival
+    // distribution drifts, some inverted lists balloon (probe latency on
+    // those lists grows linearly) and the index needs retraining. FAISS
+    // calls the assignment `add` after `train` — this is the audit that
+    // decides WHEN to retrain. Train slice = vec_id % 5 ≠ 0 builds the
+    // quantizer (8 centroids: deterministic init from the train slice's
+    // 8 lowest ids, one Lloyd refine — the q125 recipe via the shared
+    // kAssign/kRecenter blocks); delta = vec_id % 5 = 0 is then assigned
+    // WITHOUT recentering (the frozen index, pinned once — both assign
+    // passes broadcast it). Per list: train/new occupancy, growth, and
+    // the SHARE DRIFT (post-delta share − train share, signed half-up
+    // basis points, exact integers) with retrain_flag = |drift| ≥ 100 bp.
+    // At 100 TB: assignment is one broadcast (k×64 doubles) over the
+    // delta scan — embarrassingly parallel, the same map the ingest
+    // writer runs; only counts shuffle.
+    "q183_ivf_maintenance" -> ((s, d) => {
+      val v = ld(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("ce"))
+      val train = v.filter(col("vec_id") % 5 =!= 0)
+      val delta = v.filter(col("vec_id") % 5 === 0)
+      // vec_id < 10 on the train slice = exactly the 8 ids {1,2,3,4,6,
+      // 7,8,9} — deterministic init without a rank window
+      val c0 = train.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("cid"), col("ce").as("cc"))
+      val c1 = kRecenter(kAssign(train, c0)).localCheckpoint()
+      val nTrain = kAssign(train, c1).groupBy("cid")
+        .agg(count(lit(1)).as("n_train"))
+      val nNew = kAssign(delta, c1).groupBy("cid")
+        .agg(count(lit(1)).as("n_new"))
+      val tots = nTrain.agg(sum("n_train").as("tot_train"))
+        .crossJoin(nNew.agg(sum("n_new").as("tot_new")))
+      nTrain.join(nNew, Seq("cid"), "full_outer")
+        .select(col("cid"),
+          coalesce(col("n_train"), lit(0L)).as("n_train"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .crossJoin(broadcast(tots))
+        .selectExpr("cid", "n_train", "n_new",
+          // a list can exist only on the delta side (train never reached
+          // that centroid) — growth is undefined there, not a div-by-zero
+          "CASE WHEN n_train = 0 THEN NULL ELSE" +
+            " (2 * n_new * 10000 + n_train) DIV (2 * n_train) END" +
+            " AS growth_bp",
+          "(2 * n_train * 10000 + tot_train) DIV (2 * tot_train)" +
+            " AS share_train_bp",
+          "(2 * (n_train + n_new) * 10000 + (tot_train + tot_new))" +
+            " DIV (2 * (tot_train + tot_new)) AS share_post_bp")
+        .withColumn("drift_bp",
+          col("share_post_bp") - col("share_train_bp"))
+        .withColumn("retrain_flag", abs(col("drift_bp")) >= 100)
+        .orderBy("cid")
+    }),
   )
 
   /** q125's composed IVF×PQ chain, ranked pre-top-k — shared with q120's
@@ -927,6 +982,69 @@ object VectorOps {
 
   val oracle: Map[String, String] = Map(
     // full PQ replay: same subspace split, same deterministic init + one
+    // full replay of the frozen quantizer: train-slice init + one Lloyd
+    // refine (round-6 before argmin, cid tie-break), both occupancy
+    // assignments, and the exact half-up share-drift arithmetic
+    "q183_ivf_maintenance" -> {
+      val a0L2 = duckL2.replace("%V", "t.ce").replace("%C", "cc0.cc")
+      val a1L2 = duckL2.replace("%V", "t.ce").replace("%C", "cc1.cc")
+      val adL2 = duckL2.replace("%V", "dl.ce").replace("%C", "cc1.cc")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                     FROM embeddings),
+              train AS (SELECT * FROM c WHERE vec_id % 5 <> 0),
+              delta AS (SELECT * FROM c WHERE vec_id % 5 = 0),
+              cc0 AS (SELECT vec_id AS cid, ce AS cc FROM train
+                      WHERE vec_id < 10),
+              a0 AS (SELECT t.vec_id, t.ce, cc0.cid, $a0L2 AS dd
+                     FROM train t CROSS JOIN cc0),
+              a0w AS (SELECT *, row_number() OVER
+                        (PARTITION BY vec_id ORDER BY dd, cid) AS arn
+                      FROM a0),
+              asg0 AS (SELECT vec_id, ce, cid FROM a0w WHERE arn = 1),
+              ccl AS (SELECT cid, CAST(p AS INTEGER) AS p,
+                             round(avg(ce[CAST(p AS INTEGER)]), 6) AS cv
+                      FROM asg0, range(1, 65) t(p)
+                      GROUP BY cid, p),
+              cc1 AS (SELECT cid, list(cv ORDER BY p) AS cc
+                      FROM ccl GROUP BY cid),
+              at AS (SELECT cid, count(*) AS n_train
+                     FROM (SELECT t.vec_id, cc1.cid, $a1L2 AS dd,
+                                  row_number() OVER (PARTITION BY t.vec_id
+                                    ORDER BY $a1L2, cc1.cid) AS arn
+                           FROM train t CROSS JOIN cc1)
+                     WHERE arn = 1 GROUP BY cid),
+              ad AS (SELECT cid, count(*) AS n_new
+                     FROM (SELECT dl.vec_id, cc1.cid, $adL2 AS dd,
+                                  row_number() OVER (PARTITION BY dl.vec_id
+                                    ORDER BY $adL2, cc1.cid) AS arn
+                           FROM delta dl CROSS JOIN cc1)
+                     WHERE arn = 1 GROUP BY cid),
+              tots AS (SELECT (SELECT sum(n_train) FROM at) AS tot_train,
+                              (SELECT sum(n_new) FROM ad) AS tot_new),
+              m AS (SELECT coalesce(at.cid, ad.cid) AS cid,
+                           coalesce(n_train, 0) AS n_train,
+                           coalesce(n_new, 0) AS n_new
+                    FROM at FULL OUTER JOIN ad ON at.cid = ad.cid),
+              f AS (SELECT cid, n_train, n_new,
+                           CASE WHEN n_train = 0 THEN NULL
+                                ELSE (2 * n_new * 10000 + n_train)
+                                  // (2 * n_train) END AS growth_bp,
+                           (2 * n_train * 10000 + tot_train)
+                             // (2 * tot_train) AS share_train_bp,
+                           (2 * (n_train + n_new) * 10000
+                             + (tot_train + tot_new))
+                             // (2 * (tot_train + tot_new))
+                             AS share_post_bp
+                    FROM m, tots)
+         SELECT cid, CAST(n_train AS BIGINT) AS n_train,
+                CAST(n_new AS BIGINT) AS n_new,
+                CAST(growth_bp AS BIGINT) AS growth_bp,
+                CAST(share_train_bp AS BIGINT) AS share_train_bp,
+                CAST(share_post_bp AS BIGINT) AS share_post_bp,
+                CAST(share_post_bp - share_train_bp AS BIGINT) AS drift_bp,
+                abs(share_post_bp - share_train_bp) >= 100 AS retrain_flag
+         FROM f ORDER BY cid"""
+    },
     // Lloyd refine (round-6 before argmin, cid tie-break), same
     // integer-micro LUT and order-free BIGINT ADC sums
     "q119_ann_ivfpq" ->
