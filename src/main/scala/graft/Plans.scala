@@ -168,6 +168,11 @@ object Plans {
       "co-occurring grams; sizes shuffle on doc_id — never n² pairs"),
     "q183_ivf_maintenance" -> ("frozen k x 64 centroid broadcast over " +
       "train and delta scans; only per-list counts shuffle"),
+    "q184_luhn_scrub" -> ("checksum-validated PII: map-only single " +
+      "pass, nested HOF Luhn fold, zero shuffles before the sort"),
+    "q185_residual_pq" -> ("per-probed-list residual LUT broadcast " +
+      "(640 rows) restricts the code scan — q125's prune, residual " +
+      "geometry"),
   )
 
   /** Resolves a flagship name to its DataFrame. Almost always the

@@ -1390,6 +1390,62 @@ object PipelineOps {
         .orderBy("strategy", "part", "batch_id")
     }),
 
+    // CHECKSUM-VALIDATED PII detection (Luhn) — the precision upgrade
+    // over q147's pattern-only scrub: a 16-digit run is only a payment
+    // card if its Luhn checksum closes, and scrubbing every digit run
+    // (the regex-only posture) destroys order ids, ISBNs, and hashes —
+    // at corpus scale the false-positive cost is real data loss. The
+    // corpus text has no digits, so card numbers are INJECTED
+    // deterministically from doc_id (the q147 augmentation recipe),
+    // half with the true Luhn check digit and half off by one — so the
+    // detector's precision is exercised in both directions and the
+    // expected verdict is a pure function of doc_id parity. The Luhn
+    // fold (double every second digit from the right, subtract 9 on
+    // overflow, sum mod 10) runs as a nested higher-order aggregate
+    // over the candidate's positions — engine-portable integer
+    // arithmetic, identical in DuckDB's list_transform/list_sum — and
+    // only VALIDATED candidates are replaced in the scrubbed text
+    // (fp-hashed, the q147 shape). Map-only end to end: no shuffle at
+    // all before the presentation sort; at 100 TB this is the same
+    // single-pass scan the PII pipeline runs, HOFs interpreted but
+    // per-row (the q127 trade: no codegen'd alternative expresses a
+    // variable-length checksum fold without a UDF).
+    "q184_luhn_scrub" -> ((s, d) => {
+      // doubled digit with the >9 wraparound: 2d, or 2d-9 past 9
+      def dbl(v: String) =
+        s"CASE WHEN 2*($v) > 9 THEN 2*($v) - 9 ELSE 2*($v) END"
+      val pay = "ascii(substring(base15, i, 1)) - 48"
+      val can = "ascii(substring(c, i, 1)) - 48"
+      ld(s, d, "documents")
+        .selectExpr("doc_id", "source",
+          "lpad(CAST(doc_id * 2654435761 % 1000000000000000 AS STRING)," +
+            " 15, '0') AS base15")
+        // payload digit i doubles when i is odd: with the check digit
+        // appended at position 16, from-right parity of position i is
+        // (17 - i) — even exactly when i is odd
+        .selectExpr("doc_id", "source", "base15",
+          s"aggregate(sequence(1, 15), 0, (acc, i) -> acc +" +
+            s" CASE WHEN i % 2 = 1 THEN ${dbl(pay)} ELSE ($pay) END)" +
+            " AS psum")
+        .selectExpr("doc_id", "source",
+          "concat('pay ', base15, CAST(CASE WHEN doc_id % 2 = 0" +
+            " THEN (10 - psum % 10) % 10" +
+            " ELSE (11 - psum % 10) % 10 END AS STRING), ' now')" +
+            " AS text2")
+        .selectExpr("doc_id", "source", "text2",
+          "regexp_extract_all(text2, '[0-9]{13,19}', 0) AS runs")
+        .selectExpr("doc_id", "source", "text2", "runs",
+          s"filter(runs, c -> aggregate(sequence(1, length(c)), 0," +
+            s" (acc, i) -> acc + CASE WHEN (length(c) - i) % 2 = 1" +
+            s" THEN ${dbl(can)} ELSE ($can) END) % 10 = 0) AS valids")
+        .selectExpr("doc_id", "source",
+          "size(runs) AS n_runs", "size(valids) AS n_valid",
+          "size(runs) - size(valids) AS n_rejected",
+          "md5(aggregate(valids, text2," +
+            " (acc, c) -> replace(acc, c, '<CARD>'))) AS scrub_fp")
+        .orderBy("doc_id")
+    }),
+
     // CONTAINMENT dedup (asymmetric Jaccard |A∩B| / |A|) — the
     // subset/quote detector symmetric similarity misses by design: a
     // short doc fully embedded in a long one scores low on Jaccard
@@ -2704,6 +2760,55 @@ object PipelineOps {
          SELECT strategy, part, batch_id, n_ex, max_tok, sum_tok,
                 n_ex * max_tok - sum_tok AS pad_tok
          FROM packed ORDER BY strategy, part, batch_id""",
+    // same injected numbers, same Luhn fold via list_transform/list_sum;
+    // list_reduce seeds the scrub fold with the text itself (no-init
+    // reduce), mirroring Spark's explicit-init aggregate
+    "q184_luhn_scrub" ->
+      """WITH aug AS (SELECT doc_id, source,
+                             lpad(CAST(doc_id * 2654435761
+                               % 1000000000000000 AS VARCHAR), 15, '0')
+                               AS base15
+                      FROM documents),
+              cd AS (SELECT *, list_sum(list_transform(range(1, 16), i ->
+                              CASE WHEN i % 2 = 1
+                                   THEN CASE WHEN 2*(ascii(base15[i]) - 48)
+                                                  > 9
+                                             THEN 2*(ascii(base15[i]) - 48)
+                                               - 9
+                                             ELSE 2*(ascii(base15[i]) - 48)
+                                             END
+                                   ELSE ascii(base15[i]) - 48 END)) AS psum
+                     FROM aug),
+              txt AS (SELECT doc_id, source,
+                             'pay ' || base15 ||
+                               CAST(CASE WHEN doc_id % 2 = 0
+                                         THEN (10 - psum % 10) % 10
+                                         ELSE (11 - psum % 10) % 10 END
+                                    AS VARCHAR) || ' now' AS text2
+                      FROM cd),
+              rn AS (SELECT doc_id, source, text2,
+                            regexp_extract_all(text2, '[0-9]{13,19}')
+                              AS runs
+                     FROM txt),
+              v AS (SELECT *, list_filter(runs, c ->
+                           list_sum(list_transform(range(1, len(c) + 1),
+                             i -> CASE WHEN (len(c) - i) % 2 = 1
+                                       THEN CASE WHEN 2*(ascii(c[i]) - 48)
+                                                      > 9
+                                                 THEN 2*(ascii(c[i]) - 48)
+                                                   - 9
+                                                 ELSE 2*(ascii(c[i]) - 48)
+                                                 END
+                                       ELSE ascii(c[i]) - 48 END))
+                             % 10 = 0) AS valids
+                    FROM rn)
+         SELECT doc_id, source,
+                CAST(len(runs) AS INTEGER) AS n_runs,
+                CAST(len(valids) AS INTEGER) AS n_valid,
+                CAST(len(runs) - len(valids) AS INTEGER) AS n_rejected,
+                md5(list_reduce(list_prepend(text2, valids),
+                  (acc, c) -> replace(acc, c, '<CARD>'))) AS scrub_fp
+         FROM v ORDER BY doc_id""",
     // raw gram strings stand in for the xxhash64 keys (equality-
     // equivalent modulo 2^-64 collisions — the q98 stance)
     "q182_containment" ->
