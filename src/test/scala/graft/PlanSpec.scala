@@ -663,4 +663,113 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
     assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 1)
   }
+
+  test("q176: DSIR model joins broadcast (feature-space-sized, never " +
+    "the corpus); selection is a map expression, not a rank window") {
+    val p = plan("q176_dsir_importance")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 256-row model must broadcast into the per-doc scorer")
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""),
+      "selection must be the threshold expression, not a global rank")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-sized shuffled join belongs in this plan")
+  }
+
+  test("q177: history pack rides ONE user_id shuffle — ordering window " +
+    "and (user,window) aggregate share it (subset rule), no join") {
+    val p = plan("q177_history_pack")
+    assert(p.linesIterator.count(_.contains("hashpartitioning(user_id")) == 1,
+      "window and aggregate must share the user_id Exchange")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) ObjectHashAggregate""")) >= 2,
+      "collect_list must run partial+final on the shared partitioning")
+  }
+
+  test("q178: epoch reshard is one scan + stack Generate + one " +
+    "partial+final aggregate — no join, no window") {
+    val p = plan("q178_epoch_reshard")
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.matches("""(?s).*\(\d+\) Generate.*"""),
+      "stack unpivot must be a Generate")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+    assert(p.linesIterator
+      .count(_.matches("""\(\d+\) HashAggregate""")) >= 2,
+      "balance counts must map-side combine")
+  }
+
+  test("q179: batch packing windows are partitioned per shard/band — " +
+    "parallel batching, no global window, no join") {
+    val p = plan("q179_length_bucket_batch")
+    assert(p.contains("hashpartitioning(shard") &&
+      p.contains("hashpartitioning(band"),
+      "each strategy must batch within its own partitioning")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.matches("""(?s).*\(\d+\) Union.*"""))
+  }
+
+  test("q180: waterfill windows run over the stats frame only (above " +
+    "the stratum aggregate); no shuffled corpus join") {
+    val p = plan("q180_budget_waterfill")
+    // node ids increase leaf-to-root, so the stratum aggregate (the
+    // windows' input) must carry a SMALLER id than every Window node
+    val lines = p.linesIterator.toSeq
+    val agg = lines.indexWhere(_.matches(""".*\(\d+\) HashAggregate.*"""))
+    val win = lines.indexWhere(_.matches(""".*\(\d+\) Window.*"""))
+    assert(agg >= 0 && win >= 0 && agg < win,
+      "windows must consume the (source, lang) aggregate, not raw rows")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the level attaches by broadcast, never a shuffled join")
+  }
+
+  test("q181: leakage split consumes checkpointed CC labels in a " +
+    "doc_id-keyed left join — no product, no corpus broadcast") {
+    val p = plan("q181_leakage_split")
+    assert(p.contains("Scan ExistingRDD"),
+      "cluster labels must come from the checkpointed CC loop")
+    assert(p.linesIterator.count(_.contains("Join type: LeftOuter")) >= 1,
+      "singletons keep their own id via the left join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q182: containment pair join is keyed on the gram (shuffled " +
+    "hash), never a corpus broadcast or product") {
+    val p = plan("q182_containment")
+    assert(p.contains("ShuffledHashJoin"),
+      "posting-list self-join must stay shuffled on g5")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "no n² pair space")
+  }
+
+  test("q183: IVF maintenance broadcasts the frozen centroids over " +
+    "both assignment scans; counts meet in ONE full-outer merge") {
+    val p = plan("q183_ivf_maintenance")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroid attach is the k x 64 broadcast cross")
+    assert(p.linesIterator.count(_.contains("Join type: FullOuter")) == 1,
+      "exactly the train/new occupancy merge")
+  }
+
+  test("q184: Luhn scrub is map-only — zero joins, zero aggregates, " +
+    "the presentation sort is the only exchange") {
+    val p = plan("q184_luhn_scrub")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(!p.matches("""(?s).*\(\d+\) HashAggregate.*"""),
+      "the checksum folds are row-local HOFs, not aggregates")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange""")) == 1,
+      "only the orderBy range partition may shuffle")
+  }
+
+  test("q185: residual ADC is restricted by the per-probed-list LUT " +
+    "broadcast join — the q125 prune with residual geometry") {
+    val p = plan("q185_residual_pq")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 640-row residual LUT must broadcast into the code scan")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) >= 1,
+      "per-probe ranking must be a partitioned window")
+  }
 }
