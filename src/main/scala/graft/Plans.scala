@@ -173,6 +173,11 @@ object Plans {
     "q185_residual_pq" -> ("per-probed-list residual LUT broadcast " +
       "(640 rows) restricts the code scan — q125's prune, residual " +
       "geometry"),
+    // q186_transform_with_state is a streaming query (memory-sink
+    // rollup) — plan pinned by its oracle + StreamingResumeSpec family,
+    // not a static explain.
+    "q187_variant_props" -> ("parse_json once into the binary variant; " +
+      "typed variant_get paths; one partial+final aggregate"),
   )
 
   /** Resolves a flagship name to its DataFrame. Almost always the

@@ -738,6 +738,67 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // transformWithState — Spark 4's arbitrary-stateful-processing API
+    // (the successor to q78's mapGroupsWithState): state lives in NAMED,
+    // individually-typed handles (ValueState/ListState/MapState) created
+    // through a StatefulProcessor lifecycle, with per-state TTL and
+    // timers — the shape long-running production pipelines need (q78's
+    // single opaque state value can't expire one sub-state or add a new
+    // one without a full state migration). Same determinism recipe as
+    // q78: the per-user fold (count + max event id) is order-independent
+    // and monotone, emitted per batch in update mode, rolled up by max —
+    // so the result matches the batch oracle no matter how AvailableNow
+    // splits the backlog. Runs on the cloned RocksDB-backed session like
+    // every stateful demo here.
+    "q186_transform_with_state" -> ((s, d) => withStreamSession(s, 8) { ss =>
+      import ss.implicits._
+      val rawSchema = ss.read.parquet(s"$d/events.parquet").schema
+      val name = "graft_tws"
+      val q = ss.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .select(col("user_id"), col("event_id"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new UserFoldProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        .toDF("user_id", "n", "max_event")
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(name).groupBy("user_id")
+        .agg(max("n").as("n_events"), max("max_event").as("max_event"))
+        .orderBy("user_id")
+    }),
+
+    // VARIANT (Spark 4's semi-structured type): nested JSON parsed ONCE
+    // into the binary variant encoding, then typed-path extraction with
+    // variant_get — the open-lakehouse answer to "schema-on-read without
+    // re-parsing strings per access" (each get_json_object call re-parses
+    // the full text; variant parses once and navigates offsets). The
+    // nested document is synthesized in-plan from the event columns
+    // (deterministic), so the oracle can verify the variant round-trip
+    // against the SAME values computed directly from the columns —
+    // proving extraction fidelity without relying on cross-engine JSON
+    // text equality. All extracted fields are integers; aggregates are
+    // exact BIGINT sums.
+    "q187_variant_props" -> ((s, d) =>
+      ld(s, d, "events")
+        .selectExpr("event_type",
+          "to_json(named_struct('k', CAST(get_json_object(props, '$.k')" +
+            " AS INT), 'ids', array(event_id, user_id)," +
+            " 'meta', named_struct('uid', user_id))) AS jdoc")
+        .selectExpr("event_type", "parse_json(jdoc) AS v")
+        .selectExpr("event_type",
+          "variant_get(v, '$.k', 'int') AS k",
+          "variant_get(v, '$.ids[0]', 'bigint') AS e0",
+          "variant_get(v, '$.meta.uid', 'bigint') AS uid")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          max("e0").as("max_event"), sum("uid").as("sum_uid"))
+        .orderBy("event_type")),
+
     // USER-HISTORY SEQUENCE PACKING — the behavioral-data twin of q139's
     // document packing: each user's event stream, in event-time order,
     // cut into fixed 16-event context windows and serialized as the
@@ -1022,6 +1083,20 @@ object EventOps {
                  4 * n_gaps * sumsq_gap < 5 * sum_gap * sum_gap)
                   AS is_regular
          FROM ag ORDER BY user_id""",
+    // the variant round-trip must reproduce what the raw columns say —
+    // the oracle computes the same aggregates straight from the columns
+    "q187_variant_props" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                     AS BIGINT) AS sum_k,
+                CAST(max(event_id) AS BIGINT) AS max_event,
+                CAST(sum(user_id) AS BIGINT) AS sum_uid
+         FROM events GROUP BY 1 ORDER BY event_type""",
+    // batch twin of the streaming fold: per-user count + max event id
+    "q186_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events,
+                CAST(max(event_id) AS BIGINT) AS max_event
+         FROM events GROUP BY 1 ORDER BY user_id""",
     // same (ts, event_id) ordering; string_agg(ORDER BY rn) mirrors the
     // array_sort-by-rn serialization exactly
     "q177_history_pack" ->
@@ -1035,4 +1110,40 @@ object EventOps {
                 string_agg(event_type, '>' ORDER BY rn) AS seq
          FROM e GROUP BY 1, 2 ORDER BY user_id, window_id""",
   )
+}
+
+/** q186's StatefulProcessor: per-user (count, max event id) in ONE named
+  * ValueState handle. Both folds are order-independent and monotone, so
+  * emitting the running value per batch (update mode) + a max rollup at
+  * the sink reproduces the batch answer under any microbatch split — the
+  * q78 determinism recipe on the new API. Production would add
+  * TTLConfig / timers per state; TTL NONE here because the corpus is a
+  * bounded backlog (the q78 comment's 200-day watermark reasoning). */
+class UserFoldProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), (Long, Long, Long)] {
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("fold",
+      org.apache.spark.sql.Encoders.product[(Long, Long)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      inputRows: Iterator[(Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    var (n, mx) =
+      if (st.exists()) st.get() else (0L, Long.MinValue)
+    inputRows.foreach { case (_, eid) =>
+      n += 1
+      if (eid > mx) mx = eid
+    }
+    st.update((n, mx))
+    Iterator.single((key, n, mx))
+  }
 }
