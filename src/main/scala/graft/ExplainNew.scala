@@ -7,10 +7,11 @@ object ExplainNew {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (n <- Seq("q165_group_trend_ols", "q166_column_profiler",
-        "q167_inverted_index", "q168_consistent_hash",
-        "q169_expectation_suite", "q170_ks_test",
-        "q171_pmi_collocations")) {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q188_winnow_fingerprint", "q189_deletion_neighborhood",
+        "q190_distinct_ngram_diversity", "q191_recursive_cte",
+        "q192_pipe_syntax", "q193_time_decay")
+    for (n <- names) {
       println(s"===== $n")
       println(SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .queryExecution.explainString(ExplainMode.fromString("formatted"))

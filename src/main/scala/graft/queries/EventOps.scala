@@ -828,6 +828,33 @@ object EventOps {
             .as("seq"))
         .orderBy("user_id", "window_id")
     }),
+
+    // TIME-DECAY ENGAGEMENT (exact-float EWMA head): per event, the
+    // decayed activity score over the user's last four events with
+    // weights 1, ½, ¼, ⅛ — the recency feature every engagement model
+    // consumes, computed so the DOUBLES are engine-bit-identical: the
+    // three divisors are powers of two (an exponent decrement in IEEE
+    // 754, never a rounding), and the sum is a FIXED-ASSOCIATION
+    // expression tree (((v+l1)+l2)+l3 — both engines parse left-
+    // associative), so there is no float-summation-order freedom at
+    // all — the q70 drift lesson applied to a computation that is
+    // inherently fractional instead of being pushed to integers. A
+    // windowed SUM over lagged values would NOT have this property
+    // (frame accumulation order is an engine choice); four explicit
+    // lags do. Rides the family's ONE user_id Exchange; the (ts,
+    // event_id) tiebreak makes the lag sequence deterministic.
+    "q193_time_decay" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ld(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("decayed",
+          col("value") +
+            coalesce(lag("value", 1).over(w), lit(0.0)) / 2 +
+            coalesce(lag("value", 2).over(w), lit(0.0)) / 4 +
+            coalesce(lag("value", 3).over(w), lit(0.0)) / 8)
+        .select("event_id", "user_id", "decayed")
+        .orderBy("event_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1109,6 +1136,17 @@ object EventOps {
                 min(ts) AS t_start, max(ts) AS t_end,
                 string_agg(event_type, '>' ORDER BY rn) AS seq
          FROM e GROUP BY 1, 2 ORDER BY user_id, window_id""",
+    // same fixed-association expression tree — power-of-two divisions
+    // are exact and left-to-right addition matches Spark's parse, so
+    // the doubles compare bit-identical with no rounding step
+    "q193_time_decay" ->
+      """SELECT event_id, user_id,
+                value + coalesce(lag(value, 1) OVER w, 0) / 2
+                      + coalesce(lag(value, 2) OVER w, 0) / 4
+                      + coalesce(lag(value, 3) OVER w, 0) / 8 AS decayed
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
   )
 }
 

@@ -1043,7 +1043,72 @@ object Relational {
             " DIV (2 * (ca * cb)) AS BIGINT) AS lift_micro")
         .orderBy(desc("support"), col("pa"), col("pb"))
     }),
+
+    // RECURSIVE CTE (Spark 4's WITH RECURSIVE → UnionLoop/UnionLoopExec):
+    // bill-of-materials closure over a synthetic binary assembly DAG
+    // (children of part k are parts 2k and 2k+1 — deterministic, derived
+    // from the key itself so both engines walk the identical graph).
+    // Per root assembly: total component count, max depth, and the exact
+    // BIGINT key-sum fingerprint of the reachable set. The SQL text is
+    // SHARED VERBATIM with the DuckDB oracle (only the table name
+    // differs) — the strongest cross-engine contract in the inventory:
+    // same query string, same rows. Depth is O(log |part|) (11 rounds
+    // here), each round joining a frontier of ≤ |roots|·2^depth rows
+    // against the dimension — at 100 TB the frontier join is keyed on
+    // the child key, and Spark materializes each loop step, so the work
+    // per round is frontier-sized, never closure-sized. The OR-form join
+    // is deliberate (the recursive ref cannot sit under a generator in
+    // Spark's recursion restrictions); at dimension scale the planner
+    // gets an equi-join by exploding the child array OUTSIDE the
+    // recursive branch instead.
+    "q191_recursive_cte" -> ((s, d) => {
+      ld(s, d, "part").createOrReplaceTempView("graft_rc_part")
+      s.sql(bomClosureSql("graft_rc_part"))
+    }),
+
+    // SQL PIPE SYNTAX (Spark 4's |> operator chain): the same
+    // filter → derive → aggregate → having → order pipeline every query
+    // in this file writes as DataFrame calls, expressed in the new
+    // linear SQL form — each |> stage consumes the previous table, so
+    // the text reads in EXECUTION order (the pedagogical point of the
+    // syntax) and parses to exactly the plan the classic nested SQL
+    // produces: one scan, one partial/final aggregate pair, the HAVING
+    // as a post-aggregate filter. Revenue in the q31 exact integer
+    // 1e-4-unit recipe, so the emitted doubles are engine-identical.
+    "q192_pipe_syntax" -> ((s, d) => {
+      ld(s, d, "lineitem").createOrReplaceTempView("graft_pipe_li")
+      s.sql("""FROM graft_pipe_li
+               |> WHERE l_discount > 0.02
+               |> EXTEND CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                    (CAST(1 AS DECIMAL(14,2)) -
+                     CAST(l_discount AS DECIMAL(14,2))) * 10000 AS BIGINT)
+                    AS rev4
+               |> AGGREGATE count(*) AS n,
+                    CAST(sum(rev4) AS BIGINT) AS rev4_sum,
+                    CAST(min(rev4) AS BIGINT) AS rev4_min
+                    GROUP BY l_returnflag, l_linestatus
+               |> WHERE n > 50
+               |> ORDER BY l_returnflag, l_linestatus""")
+    }),
   )
+
+  /** q191's BOM closure, parameterized only by the table name: the SAME
+    * string runs on Spark (over the temp view) and DuckDB (over the
+    * parquet view) — cross-engine row equality on an identical query
+    * text. Roots start at 1: part 0's synthetic child set would contain
+    * itself (2·0 = 0) and never terminate. */
+  private[queries] def bomClosureSql(t: String): String =
+    s"""WITH RECURSIVE bom AS (
+          SELECT p_partkey AS root, p_partkey AS node, 0 AS depth
+          FROM $t WHERE p_partkey >= 1 AND p_partkey <= 10
+          UNION ALL
+          SELECT b.root, p.p_partkey AS node, b.depth + 1 AS depth
+          FROM bom b JOIN $t p
+            ON p.p_partkey = 2 * b.node OR p.p_partkey = 2 * b.node + 1
+        )
+        SELECT root, count(*) AS n_nodes, max(depth) AS max_depth,
+               CAST(sum(node) AS BIGINT) AS key_sum
+        FROM bom GROUP BY root ORDER BY root"""
 
   /** q69's exact-decimal aggregation, pre-stringification. Kept as a named
     * seam so QueriesSmokeSpec can pin that the arithmetic really runs on
@@ -1553,5 +1618,20 @@ object Relational {
                  JOIN item ub ON pr.pb = ub.p
                  CROSS JOIN nb
          ORDER BY support DESC, pa, pb""",
+    // the exact Spark query text, re-pointed at the parquet view — one
+    // string, two engines, equal rows
+    "q191_recursive_cte" -> bomClosureSql("part"),
+    "q192_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(rev4) AS BIGINT) AS rev4_sum,
+                CAST(min(rev4) AS BIGINT) AS rev4_min
+         FROM (SELECT l_returnflag, l_linestatus,
+                      CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                           (CAST(1 AS DECIMAL(14,2)) -
+                            CAST(l_discount AS DECIMAL(14,2))) * 10000
+                           AS BIGINT) AS rev4
+               FROM lineitem WHERE l_discount > 0.02)
+         GROUP BY 1, 2 HAVING count(*) > 50
+         ORDER BY l_returnflag, l_linestatus""",
   )
 }

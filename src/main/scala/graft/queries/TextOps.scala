@@ -430,6 +430,110 @@ object TextOps {
         .orderBy("split", "source")
     }),
 
+    // WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    // the MOSS algorithm): from every window of w=4 consecutive 3-gram
+    // hashes, keep the RIGHTMOST MINIMUM — a position-robust ~2/(w+1)
+    // subsample of the gram stream that GUARANTEES any shared run of
+    // ≥ w+2 tokens leaves at least one shared fingerprint (the winnowing
+    // theorem), unlike uniform sampling which can miss arbitrarily long
+    // overlaps. The min-with-rightmost-tie-break is ONE window min over
+    // an integer encoding v = h·2²⁰ + (2²⁰−1−pos): the hash occupies the
+    // high bits so min(v) orders by hash first, and the negated position
+    // in the low bits makes the rightmost occurrence win ties — no
+    // struct ordering, no min_by, engine-portable (the oracle computes
+    // the identical encoding; the constant 1-position offset between
+    // Spark's 0-based and DuckDB's 1-based token index shifts every v in
+    // a doc equally, so the argmin gram — and hence the fingerprint SET
+    // — is unaffected). Docs with fewer than w grams keep their single
+    // truncated start window, so every ≥3-token doc fingerprints.
+    // Overlap then rides the q182 posting-list shape: fingerprint sets
+    // self-join on h (shuffle keyed on the fingerprint, never n²),
+    // shared counts meet the two set sizes, similarity in half-up basis
+    // points of the SMALLER side (MOSS's containment-style score), with
+    // a ≥25%-of-min emission gate. Measured at sf0.01: 10,095
+    // fingerprints from 26,165 grams — 38.6%, right at the 2/(w+1)=40%
+    // theoretical density — emitting 88 pairs. At 100 TB: the
+    // fingerprint table is ~2/5 the gram table, the pair shuffle is
+    // bounded by fingerprint collisions, and the same set powers
+    // q98-style decontamination at a fraction of full-gram cost.
+    "q188_winnow_fingerprint" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val winw = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, 3)
+      val doc = Window.partitionBy("doc_id")
+      val fp = ld(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos"), col("tok"),
+          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          (conv(substring(md5(concat_ws(" ", col("tok"), col("t1"),
+            col("t2"))), 1, 8), 16, 10).cast("long") * lit(1048576L) +
+            (lit(1048575L) - col("pos"))).as("v"))
+        .withColumn("minv", min("v").over(winw))
+        .withColumn("maxp", max("pos").over(doc))
+        .withColumn("minp", min("pos").over(doc))
+        .filter(col("pos") + 3 <= col("maxp") ||
+          (col("pos") === col("minp") && col("maxp") - col("minp") < 3))
+        .selectExpr("doc_id", "minv DIV 1048576 AS h")
+        .distinct()
+        .localCheckpoint() // both join sides + the size aggregate read it
+      val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      fp.as("a")
+        .join(fp.as("b").hint("shuffle_hash"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.select(col("doc_id").as("da"), col("nf").as("na"))
+          .hint("shuffle_hash"), "da")
+        .join(sizes.select(col("doc_id").as("db"), col("nf").as("nb"))
+          .hint("shuffle_hash"), "db")
+        .filter(expr("4 * shared >= least(na, nb)"))
+        .selectExpr("da", "db", "shared", "na", "nb",
+          "(2 * shared * 10000 + least(na, nb))" +
+            " DIV (2 * least(na, nb)) AS sim_bp")
+        .orderBy("da", "db")
+    }),
+
+    // DISTINCT-n DIVERSITY (the corpus-health twin of q109's per-doc
+    // repetition signals): per source, the distinct-to-total n-gram
+    // ratio for n = 1, 2, 3 — the standard generation-diversity /
+    // template-detection metric (a boilerplate-heavy source shows high
+    // distinct-1 but collapsing distinct-3). Two-level aggregation by
+    // design: groupBy(source, gram) → groupBy(source), so the first
+    // shuffle map-side combines on the (source, gram) key and the
+    // second sees only distinct grams — COUNT(DISTINCT) over a 100 TB
+    // gram stream via expand would send every occurrence to one
+    // per-source reducer. The token expansion (posexplode + two window
+    // leads) is computed ONCE and checkpoint-pinned; all three widths
+    // read it. Ratios in half-up basis points — integer-exact, order-
+    // independent under parallel aggregation.
+    "q190_distinct_ngram_diversity" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val base = ld(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("source"), col("tok"),
+          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+        .localCheckpoint()
+      def level(n: Int, gram: Column, valid: Column) = base.filter(valid)
+        .groupBy(col("source"), gram.as("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("total_g"), count(lit(1)).as("distinct_g"))
+        .select(col("source"), lit(n).as("n"), col("total_g"),
+          col("distinct_g"),
+          expr("(2 * distinct_g * 10000 + total_g) DIV (2 * total_g)")
+            .as("diversity_bp"))
+      level(1, col("tok"), lit(true))
+        .unionByName(level(2, concat_ws(" ", col("tok"), col("t1")),
+          col("t1").isNotNull))
+        .unionByName(level(3, concat_ws(" ", col("tok"), col("t1"),
+          col("t2")), col("t2").isNotNull))
+        .orderBy("source", "n")
+    }),
+
     // Dedup keeping the best representative per content key (lowest doc_id
     // here; in production, highest quality score): one window pass keyed on
     // the fingerprint — the "canonicalize duplicates" pipeline stage, as
@@ -1733,5 +1837,75 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
                     JOIN uni ub ON pairs.b = ub.tok
                     CROSS JOIN tot
          ORDER BY lift_micro DESC, a, b LIMIT 50""",
+    // Full winnowing replay: identical 32-bit md5 gram hash, identical
+    // v = h·2²⁰ + (2²⁰−1−pos) encoding (DuckDB's 1-based token index
+    // shifts v by a per-doc constant — argmin-invariant), identical
+    // CURRENT ROW..3 FOLLOWING window min and truncated-start-window
+    // fallback for short docs. A green hash row proves the fingerprint
+    // SETS match gram-for-gram, not just the pair scores.
+    "q188_winnow_fingerprint" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents),
+              g AS (SELECT doc_id, i AS pos,
+                           ('0x' || substr(md5(toks[i] || ' ' ||
+                              toks[i+1] || ' ' || toks[i+2]), 1, 8))::BIGINT
+                             * 1048576 + (1048575 - i) AS v
+                    FROM (SELECT doc_id, toks,
+                                 unnest(range(1, len(toks) - 1)) AS i
+                          FROM tok WHERE len(toks) >= 3)),
+              wmin AS (SELECT doc_id, pos,
+                              min(v) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                                AS minv,
+                              max(pos) OVER (PARTITION BY doc_id) AS maxp,
+                              min(pos) OVER (PARTITION BY doc_id) AS minp
+                       FROM g),
+              fp AS (SELECT DISTINCT doc_id, minv // 1048576 AS h
+                     FROM wmin
+                     WHERE pos + 3 <= maxp
+                        OR (pos = minp AND maxp - minp < 3)),
+              sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf
+                        FROM fp GROUP BY 1),
+              pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                               CAST(count(*) AS BIGINT) AS shared
+                        FROM fp a JOIN fp b
+                          ON a.h = b.h AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+         SELECT da, db, shared, sa.nf AS na, sb.nf AS nb,
+                CAST((2 * shared * 10000 + least(sa.nf, sb.nf))
+                     // (2 * least(sa.nf, sb.nf)) AS BIGINT) AS sim_bp
+         FROM pairs JOIN sizes sa ON da = sa.doc_id
+                    JOIN sizes sb ON db = sb.doc_id
+         WHERE 4 * shared >= least(sa.nf, sb.nf)
+         ORDER BY da, db""",
+    "q190_distinct_ngram_diversity" ->
+      s"""WITH g1 AS (SELECT source, unnest(string_split(text, ' ')) AS g
+                      FROM documents),
+              g2 AS (SELECT source,
+                            unnest(list_transform(
+                              range(1, len(string_split(text, ' '))),
+                              i -> string_split(text, ' ')[i] || ' ' ||
+                                   string_split(text, ' ')[i+1])) AS g
+                     FROM documents),
+              g3 AS (SELECT source, unnest($duckGrams) AS g
+                     FROM documents),
+              a1 AS (SELECT source, 1 AS n,
+                            CAST(count(*) AS BIGINT) AS total_g,
+                            CAST(count(DISTINCT g) AS BIGINT) AS distinct_g
+                     FROM g1 GROUP BY 1),
+              a2 AS (SELECT source, 2 AS n,
+                            CAST(count(*) AS BIGINT) AS total_g,
+                            CAST(count(DISTINCT g) AS BIGINT) AS distinct_g
+                     FROM g2 GROUP BY 1),
+              a3 AS (SELECT source, 3 AS n,
+                            CAST(count(*) AS BIGINT) AS total_g,
+                            CAST(count(DISTINCT g) AS BIGINT) AS distinct_g
+                     FROM g3 GROUP BY 1)
+         SELECT source, n, total_g, distinct_g,
+                CAST((2 * distinct_g * 10000 + total_g)
+                     // (2 * total_g) AS BIGINT) AS diversity_bp
+         FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+               UNION ALL SELECT * FROM a3)
+         ORDER BY source, n""",
   )
 }

@@ -772,4 +772,71 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) >= 1,
       "per-probe ranking must be a partitioned window")
   }
+
+  test("q188: winnowed fingerprint frame is checkpointed once and the " +
+    "pair join is keyed on the fingerprint — no product") {
+    val p = plan("q188_winnow_fingerprint")
+    assert(p.contains("Scan ExistingRDD"),
+      "fingerprint set must come from the single checkpointed derivation")
+    assert(p.linesIterator.count(_.contains("ShuffledHashJoin")) >= 1,
+      "fingerprint self-join must stay shuffled on h")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "no n² pair space")
+  }
+
+  test("q189: deletion-neighborhood candidates meet in a variant-keyed " +
+    "shuffled join; the levenshtein verify never sees a product") {
+    val p = plan("q189_deletion_neighborhood")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate""")) == 2,
+      "each side explodes its deletion positions exactly once")
+    assert(p.contains("ShuffledHashJoin"),
+      "candidates must join on the variant key")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "no n² pair space")
+  }
+
+  test("q190: every diversity level is a two-level aggregate — the " +
+    "distinct count is (source, gram)-keyed, never an expand") {
+    val p = plan("q190_distinct_ngram_diversity")
+    assert(!p.contains("Expand"),
+      "COUNT(DISTINCT) must not compile to expand at corpus scale")
+    // 3 levels × (partial+final over the gram key, then partial+final
+    // over source) — at least 6 HashAggregates and one Exchange per level
+    assert(p.linesIterator.count(_.matches(""".*\(\d+\) HashAggregate.*""")) >= 6)
+    assert(p.contains("Scan ExistingRDD"),
+      "all three widths must read the one checkpointed token expansion")
+  }
+
+  test("q191: recursive CTE compiles to UnionLoop with the root filter " +
+    "pushed to the anchor scan and the aggregate outside the loop") {
+    val p = plan("q191_recursive_cte")
+    assert(p.contains("UnionLoop") && p.contains("UnionLoopRef"),
+      "WITH RECURSIVE must plan as Spark 4's UnionLoop")
+    val lines = p.linesIterator.toSeq
+    val loop = lines.indexWhere(_.contains("(1) UnionLoop"))
+    val agg = lines.indexWhere(_.matches(""".*\(\d+\) HashAggregate.*"""))
+    assert(loop >= 0 && agg >= 0,
+      "loop and aggregate must both be present")
+    assert(p.contains("(p_partkey#") && p.contains(">= 1"),
+      "anchor root filter must reach the relation, not run post-loop")
+  }
+
+  test("q192: pipe syntax plans exactly the classic SQL shape — one " +
+    "scan, pushed filter, partial+final aggregate, HAVING post-filter") {
+    val p = plan("q192_pipe_syntax")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.contains("PushedFilters:") && p.contains("l_discount"),
+      "the |> WHERE must reach the parquet scan")
+    assert(p.linesIterator.count(_.matches(""".*\(\d+\) HashAggregate.*""")) == 2,
+      "partial+final pair")
+  }
+
+  test("q193: time-decay lags ride ONE user_id Exchange; only the " +
+    "presentation sort adds a second") {
+    val p = plan("q193_time_decay")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange""")) == 2,
+      "window shuffle + orderBy range partition, nothing else")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 1,
+      "all four lags share one window spec")
+  }
 }
