@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -855,6 +855,46 @@ object EventOps {
         .select("event_id", "user_id", "decayed")
         .orderBy("event_id")
     }),
+
+    // A/B TEST verdict (two-proportion chi-square, the q170 posture
+    // applied to the experiment readout): users split into arms by id
+    // parity (the deterministic stand-in for assignment), per event type
+    // the share of users who performed it, and the 2×2 chi-square
+    // χ² = n·det²/(n0·n1·r·s) with det = c0·(n1−c1) − c1·(n0−c0) —
+    // compared against the α=0.05 critical value 3.8416 ENTIRELY in
+    // DECIMAL(38,0) cross-multiplication (10000·n·det² > 38416·n0·n1·r·s),
+    // so the reject/accept verdict can never flip on a cross-engine
+    // float boundary. Scale: one (user, type) distinct (map-side
+    // combined), one user distinct for the arm totals broadcast as a
+    // single row — the readout is two shuffles over the event log
+    // regardless of corpus size; delta_bp is the half-up effect size the
+    // dashboard shows beside the verdict.
+    "q195_ab_chi2" -> ((s, d) => {
+      val ev = ld(s, d, "events")
+      val users = ev.select("user_id").distinct()
+        .groupBy().agg(
+          sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n1"))
+      val dec18 = (c: Column) => c.cast("decimal(18,0)")
+      ev.select("user_id", "event_type").distinct()
+        .groupBy("event_type").agg(
+          sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("c1"))
+        .crossJoin(broadcast(users))
+        .withColumn("det",
+          expr("c0 * (n1 - c1) - c1 * (n0 - c0)"))
+        .select(col("event_type"), col("n0"), col("c0"), col("n1"),
+          col("c1"),
+          expr("(2 * c1 * 10000 + n1) DIV (2 * n1)" +
+            " - (2 * c0 * 10000 + n0) DIV (2 * n0)").as("delta_bp"),
+          (dec18(lit(10000) * (col("n0") + col("n1"))) *
+            dec18(col("det")) * dec18(col("det")) >
+            dec18(lit(38416)) * dec18(col("n0") * col("n1")) *
+              dec18((col("c0") + col("c1")) *
+                ((col("n0") - col("c0")) + (col("n1") - col("c1")))))
+            .as("reject_h0"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1147,6 +1187,31 @@ object EventOps {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY event_id""",
+    // same integer counts; the chi-square inequality replayed in HUGEINT
+    // (DuckDB's 128-bit integers dominate DECIMAL(38,0) exactly)
+    "q195_ab_chi2" ->
+      """WITH u AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1
+                                         ELSE 0 END) AS BIGINT) AS n0,
+                           CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1
+                                         ELSE 0 END) AS BIGINT) AS n1
+                    FROM (SELECT DISTINCT user_id FROM events)),
+              c AS (SELECT event_type,
+                           CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1
+                                         ELSE 0 END) AS BIGINT) AS c0,
+                           CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1
+                                         ELSE 0 END) AS BIGINT) AS c1
+                    FROM (SELECT DISTINCT user_id, event_type FROM events)
+                    GROUP BY 1)
+         SELECT event_type, n0, c0, n1, c1,
+                (2 * c1 * 10000 + n1) // (2 * n1)
+                  - (2 * c0 * 10000 + n0) // (2 * n0) AS delta_bp,
+                10000 * CAST(n0 + n1 AS HUGEINT)
+                    * CAST(c0 * (n1 - c1) - c1 * (n0 - c0) AS HUGEINT)
+                    * CAST(c0 * (n1 - c1) - c1 * (n0 - c0) AS HUGEINT) >
+                  38416 * CAST(n0 * n1 AS HUGEINT)
+                    * CAST((c0 + c1) * ((n0 - c0) + (n1 - c1)) AS HUGEINT)
+                  AS reject_h0
+         FROM c CROSS JOIN u ORDER BY event_type""",
   )
 }
 

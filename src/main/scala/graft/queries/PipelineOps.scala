@@ -1586,6 +1586,57 @@ object PipelineOps {
         .selectExpr("ka", "kb", "CAST(levenshtein(na, nb) AS INT) AS dist")
         .orderBy("ka", "kb")
     }),
+
+    // BLOOM-FILTER FPR AUDIT — the measurement that justifies shipping a
+    // bloom at 100 TB (q99/q110 use Spark's opaque runtime-filter bloom;
+    // this one's CONTENT is relational and engine-portable, so the
+    // oracle replays the filter bit-for-bit): a 1024-position / k=3
+    // filter over the blocklist fingerprints, packed 63 bits per BIGINT
+    // word (shift ≤ 62 — bit 63 would trap DuckDB's checked shift and
+    // flip signs in Spark), built by ONE collapse-first bit_or aggregate
+    // (17 words, never fingerprint-sized), then broadcast into a
+    // map-side probe of the corpus — the exact blueprint of a
+    // distributed bloom pre-filter: compact build, broadcast, zero
+    // probe-side shuffle until the per-source audit. The audit compares
+    // bloom verdicts against TRUE membership: n_missed (must be 0 — no
+    // false negatives, the property the oracle PROVES rather than
+    // assumes) and the measured per-source FPR in half-up basis points
+    // against the (1−e^(−kn/m))^k ≈ 0.7 % design point.
+    "q194_bloom_fpr_audit" -> ((s, d) => {
+      def pos(j: Int) =
+        s"CAST(conv(substring(md5(concat(fp, ':', '$j')), 1, 8), 16, 10)" +
+          s" AS BIGINT) % 1024 AS p$j"
+      val fps = ld(s, d, "documents")
+        .selectExpr("doc_id", "source", "md5(text) AS fp",
+          "doc_id % 7 = 0 AS is_member")
+        .selectExpr("doc_id", "source", "is_member",
+          pos(1), pos(2), pos(3))
+        .selectExpr("doc_id", "source", "is_member",
+          "stack(3, p1, p2, p3) AS p")
+        .selectExpr("doc_id", "source", "is_member",
+          "p DIV 63 AS word", "shiftleft(CAST(1 AS BIGINT), p % 63) AS mask")
+      val filter = fps.filter(col("is_member"))
+        .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+      val probed = fps
+        .join(broadcast(filter), Seq("word"), "left")
+        .groupBy("doc_id", "source", "is_member")
+        .agg(sum(when(expr("(bits & mask) != 0"), 1L).otherwise(0L))
+          .as("hits"))
+        .withColumn("bloom_pos", col("hits") === 3)
+      probed.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("is_member"), 1L).otherwise(0L)).as("n_members"),
+          sum(when(col("bloom_pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("bloom_pos") && !col("is_member"), 1L).otherwise(0L))
+            .as("n_fp"),
+          sum(when(col("is_member") && !col("bloom_pos"), 1L).otherwise(0L))
+            .as("n_missed"))
+        .selectExpr("source", "n_docs", "n_members", "n_pos", "n_fp",
+          "n_missed",
+          "(2 * n_fp * 10000 + (n_docs - n_members))" +
+            " DIV (2 * (n_docs - n_members)) AS fpr_bp")
+        .orderBy("source")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -2940,5 +2991,43 @@ object PipelineOps {
          SELECT ka, kb, CAST(levenshtein(na, nb) AS INTEGER) AS dist
          FROM cand WHERE levenshtein(na, nb) <= 1
          ORDER BY ka, kb""",
+    // identical md5 positions, 63-bit word packing, bit_or build and
+    // bitwise probe — the filter's 17 words replay bit-for-bit
+    "q194_bloom_fpr_audit" ->
+      """WITH fp AS (SELECT doc_id, source, md5(text) AS fp,
+                            doc_id % 7 = 0 AS is_member
+                     FROM documents),
+              pos AS (SELECT doc_id, source, is_member,
+                             ('0x' || substr(md5(fp || ':' ||
+                                CAST(j AS VARCHAR)), 1, 8))::BIGINT % 1024
+                               AS p
+                      FROM fp, unnest([1, 2, 3]) AS t(j)),
+              pm AS (SELECT doc_id, source, is_member, p // 63 AS word,
+                            (1::BIGINT << CAST(p % 63 AS INTEGER)) AS mask
+                     FROM pos),
+              filt AS (SELECT word, bit_or(mask) AS bits
+                       FROM pm WHERE is_member GROUP BY 1),
+              probed AS (SELECT doc_id, source, is_member,
+                                sum(CASE WHEN (bits & mask) != 0
+                                         THEN 1 ELSE 0 END) = 3 AS bloom_pos
+                         FROM pm LEFT JOIN filt USING (word)
+                         GROUP BY 1, 2, 3)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_members,
+                CAST(sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_pos,
+                CAST(sum(CASE WHEN bloom_pos AND NOT is_member
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+                CAST(sum(CASE WHEN is_member AND NOT bloom_pos
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+                CAST((2 * sum(CASE WHEN bloom_pos AND NOT is_member
+                                   THEN 1 ELSE 0 END) * 10000
+                        + (count(*) - sum(CASE WHEN is_member
+                                               THEN 1 ELSE 0 END)))
+                     // (2 * (count(*) - sum(CASE WHEN is_member
+                                                 THEN 1 ELSE 0 END)))
+                     AS BIGINT) AS fpr_bp
+         FROM probed GROUP BY source ORDER BY source""",
   )
 }

@@ -1045,22 +1045,28 @@ object Relational {
     }),
 
     // RECURSIVE CTE (Spark 4's WITH RECURSIVE → UnionLoop/UnionLoopExec):
-    // bill-of-materials closure over a synthetic binary assembly DAG
-    // (children of part k are parts 2k and 2k+1 — deterministic, derived
-    // from the key itself so both engines walk the identical graph).
-    // Per root assembly: total component count, max depth, and the exact
-    // BIGINT key-sum fingerprint of the reachable set. The SQL text is
-    // SHARED VERBATIM with the DuckDB oracle (only the table name
+    // bill-of-materials closure over a synthetic binary assembly tree
+    // (parent of part k is part k DIV 2 — deterministic, derived from
+    // the key itself so both engines walk the identical graph). Per
+    // root assembly (keys 1-10): total component count, max depth, and
+    // the exact BIGINT key-sum fingerprint of the subtree. The SQL text
+    // is SHARED VERBATIM with the DuckDB oracle (only the table name
     // differs) — the strongest cross-engine contract in the inventory:
-    // same query string, same rows. Depth is O(log |part|) (11 rounds
-    // here), each round joining a frontier of ≤ |roots|·2^depth rows
-    // against the dimension — at 100 TB the frontier join is keyed on
-    // the child key, and Spark materializes each loop step, so the work
-    // per round is frontier-sized, never closure-sized. The OR-form join
-    // is deliberate (the recursive ref cannot sit under a generator in
-    // Spark's recursion restrictions); at dimension scale the planner
-    // gets an equi-join by exploding the child array OUTSIDE the
-    // recursive branch instead.
+    // same query string, same rows. The recursion walks UPWARD
+    // (node → parent), so every loop step is a JOIN-FREE map over the
+    // shrinking frontier (rows whose ancestor hasn't reached the root
+    // yet) — isolated median 5.8 s (ratio 9.2) vs 11.3 s (ratio 29.7)
+    // for the equivalent downward OR-join form, whose per-round
+    // broadcast nested-loop join against the dimension paid broadcast +
+    // join latency on top of every round. Both forms are ROUND-
+    // dominated: Spark materializes each UnionLoop step as a job, so 11
+    // rounds cost ~0.5 s of fixed scheduling latency each regardless of
+    // the 22 k total frontier rows — the honest price of recursion on a
+    // batch engine, and why the iterative code here (PageRank q131, CC
+    // q101) fuses work into as few actions as possible. O(log n)
+    // rounds, O(n log n) frontier rows; at dimension scale with FEW
+    // roots the downward equi-join form (child keys exploded outside
+    // the recursive branch) does O(subtree) work instead.
     "q191_recursive_cte" -> ((s, d) => {
       ld(s, d, "part").createOrReplaceTempView("graft_rc_part")
       s.sql(bomClosureSql("graft_rc_part"))
@@ -1090,25 +1096,54 @@ object Relational {
                |> WHERE n > 50
                |> ORDER BY l_returnflag, l_linestatus""")
     }),
+
+    // COLLATION-aware grouping (Spark 4 string collations): entity names
+    // arrive in mixed case (half are upper-cased here, deterministically
+    // by key parity — the multi-source ingest reality) and the dedup
+    // group key is declared UTF8_LCASE, so case-insensitive equality is
+    // a PROPERTY OF THE TYPE — the grouping hash/equality respects it
+    // inside codegen, where the classic lower()-wrapper approach
+    // materializes a second string per row and hides the intent from
+    // the optimizer. The emitted representative is normalized via
+    // lower() (collation picks an arbitrary group member), so the
+    // output is deterministic and the oracle — which groups by lower()
+    // — proves the UTF8_LCASE groups are EXACTLY the lower() groups on
+    // this corpus. Still a partial+final aggregate with one keyed
+    // Exchange — but collated keys plan as SortAggregate (no hash
+    // support for non-binary collations in 4.1), the one physical cost
+    // of declaring the semantics in the type; PlanSpec pins it so a
+    // future Spark that restores hashing shows up as a plan diff.
+    "q197_collation_group" -> ((s, d) =>
+      ld(s, d, "part")
+        .selectExpr("p_partkey",
+          "CASE WHEN p_partkey % 2 = 1 THEN upper(p_name)" +
+            " ELSE p_name END AS name_cased")
+        .groupBy(expr("collate(name_cased, 'UTF8_LCASE')").as("k"))
+        .agg(count(lit(1)).as("n"), min("p_partkey").as("min_key"))
+        .selectExpr("lower(CAST(k AS STRING)) AS name", "n", "min_key")
+        .orderBy("name")),
   )
 
   /** q191's BOM closure, parameterized only by the table name: the SAME
     * string runs on Spark (over the temp view) and DuckDB (over the
     * parquet view) — cross-engine row equality on an identical query
-    * text. Roots start at 1: part 0's synthetic child set would contain
-    * itself (2·0 = 0) and never terminate. */
+    * text. Roots start at 1: part 0 would be its own parent (0 DIV 2 =
+    * 0) and never terminate. floor(anc / 2) instead of integer DIV
+    * because `/` is double division in BOTH dialects while DIV (Spark)
+    * and // (DuckDB) differ textually — exact below 2^53. */
   private[queries] def bomClosureSql(t: String): String =
-    s"""WITH RECURSIVE bom AS (
-          SELECT p_partkey AS root, p_partkey AS node, 0 AS depth
-          FROM $t WHERE p_partkey >= 1 AND p_partkey <= 10
+    s"""WITH RECURSIVE walk AS (
+          SELECT p_partkey AS node, p_partkey AS anc, 0 AS depth
+          FROM $t WHERE p_partkey >= 1
           UNION ALL
-          SELECT b.root, p.p_partkey AS node, b.depth + 1 AS depth
-          FROM bom b JOIN $t p
-            ON p.p_partkey = 2 * b.node OR p.p_partkey = 2 * b.node + 1
+          SELECT node, CAST(floor(anc / 2) AS BIGINT) AS anc,
+                 depth + 1 AS depth
+          FROM walk WHERE anc >= 2
         )
-        SELECT root, count(*) AS n_nodes, max(depth) AS max_depth,
+        SELECT anc AS root, count(*) AS n_nodes, max(depth) AS max_depth,
                CAST(sum(node) AS BIGINT) AS key_sum
-        FROM bom GROUP BY root ORDER BY root"""
+        FROM walk WHERE anc >= 1 AND anc <= 10
+        GROUP BY anc ORDER BY root"""
 
   /** q69's exact-decimal aggregation, pre-stringification. Kept as a named
     * seam so QueriesSmokeSpec can pin that the arithmetic really runs on
@@ -1633,5 +1668,11 @@ object Relational {
                FROM lineitem WHERE l_discount > 0.02)
          GROUP BY 1, 2 HAVING count(*) > 50
          ORDER BY l_returnflag, l_linestatus""",
+    // lower()-grouping replays the UTF8_LCASE groups exactly (ASCII corpus)
+    "q197_collation_group" ->
+      """SELECT lower(CASE WHEN p_partkey % 2 = 1 THEN upper(p_name)
+                           ELSE p_name END) AS name,
+                count(*) AS n, min(p_partkey) AS min_key
+         FROM part GROUP BY 1 ORDER BY name""",
   )
 }

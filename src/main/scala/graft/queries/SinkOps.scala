@@ -337,6 +337,29 @@ object SinkOps {
         .agg(count(lit(1)).as("n"), sum("n_chars").as("tot_chars"))
         .orderBy("source", "lang")
     }),
+
+    // XML roundtrip — Spark 4's built-in XML source (the spark-xml
+    // donation: rowTag-delimited record framing, schema-on-write).
+    // The B2B/feed-interchange rung beside q88's JSON lines: same
+    // write → schema'd read-back → exact-cents aggregate shape, so a
+    // green row proves the XML encode/decode lost nothing (numeric
+    // round-trip through text included — the writer emits
+    // shortest-round-trip decimals like the JSON path). Read-back uses
+    // the WRITER's schema; XML inference would widen types.
+    "q196_xml_roundtrip" -> ((s, d) => {
+      val path = outDir(d, "part_xml")
+      val src = ld(s, d, "part")
+        .filter(col("p_retailprice") > 950)
+        .select("p_partkey", "p_brand", "p_retailprice")
+      src.write.mode("overwrite").option("rowTag", "part").xml(path)
+      s.read.schema(src.schema).option("rowTag", "part").xml(path)
+        .groupBy("p_brand").agg(
+          count(lit(1)).as("n"),
+          (sum(expr(
+            "CAST(CAST(p_retailprice AS DECIMAL(14,2)) * 100 AS BIGINT)"))
+            .cast("double") / 100).as("tot"))
+        .orderBy("p_brand")
+    }),
   )
 
   /** 16-bit × 16-bit Morton interleave over normalized coords `xb`,`yb` —
@@ -424,5 +447,11 @@ object SinkOps {
                 min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
                 min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
          FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q196_xml_roundtrip" ->
+      """SELECT p_brand, count(*) AS n,
+                CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(14,2)) * 100
+                              AS BIGINT)) AS DOUBLE) / 100 AS tot
+         FROM part WHERE p_retailprice > 950
+         GROUP BY p_brand ORDER BY p_brand""",
   )
 }

@@ -807,18 +807,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "all three widths must read the one checkpointed token expansion")
   }
 
-  test("q191: recursive CTE compiles to UnionLoop with the root filter " +
-    "pushed to the anchor scan and the aggregate outside the loop") {
+  test("q191: recursive CTE compiles to UnionLoop; the loop body is " +
+    "JOIN-FREE (upward walk) so each round is a frontier map") {
     val p = plan("q191_recursive_cte")
     assert(p.contains("UnionLoop") && p.contains("UnionLoopRef"),
       "WITH RECURSIVE must plan as Spark 4's UnionLoop")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""),
+      "the recursive step must stay join-free — the OR-join downward " +
+        "form measured 11.3 s vs 5.8 s (per-round broadcast NLJ)")
     val lines = p.linesIterator.toSeq
     val loop = lines.indexWhere(_.contains("(1) UnionLoop"))
     val agg = lines.indexWhere(_.matches(""".*\(\d+\) HashAggregate.*"""))
     assert(loop >= 0 && agg >= 0,
       "loop and aggregate must both be present")
     assert(p.contains("(p_partkey#") && p.contains(">= 1"),
-      "anchor root filter must reach the relation, not run post-loop")
+      "anchor filter must reach the relation, not run post-loop")
   }
 
   test("q192: pipe syntax plans exactly the classic SQL shape — one " +
@@ -829,6 +832,45 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "the |> WHERE must reach the parquet scan")
     assert(p.linesIterator.count(_.matches(""".*\(\d+\) HashAggregate.*""")) == 2,
       "partial+final pair")
+  }
+
+  test("q194: the 17-word bloom is built by aggregate and BROADCAST " +
+    "into the probe — the probe side never shuffles before the audit") {
+    val p = plan("q194_bloom_fpr_audit")
+    assert(p.contains("BroadcastExchange"),
+      "the filter words must broadcast, never join shuffled")
+    assert(p.linesIterator
+      .count(_.contains("BroadcastHashJoin LeftOuter")) == 1,
+      "probe is one left-outer broadcast join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q195: chi-square readout is two distinct-aggregates plus a " +
+    "single-row totals broadcast — no corpus-sized join") {
+    val p = plan("q195_ab_chi2")
+    assert(p.contains("BroadcastNestedLoopJoin Cross"),
+      "the 1-row arm totals attach by broadcast cross")
+    assert(p.linesIterator.count(_.matches(""".*\(\d+\) HashAggregate.*""")) >= 4,
+      "both distincts must be two-level (map-side combined)")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
+  test("q196: XML read-back aggregates with a partial+final pair over " +
+    "one scan of the written files") {
+    val p = plan("q196_xml_roundtrip")
+    assert(p.linesIterator.count(_.matches(""".*\(\d+\) Scan xml.*""")) == 1,
+      "exactly one scan of the XML roundtrip files")
+    assert(p.linesIterator.count(_.matches(""".*\(\d+\) HashAggregate.*""")) == 2)
+  }
+
+  test("q197: collated group key plans as partial+final SortAggregate " +
+    "with ONE keyed Exchange (no hash agg for UTF8_LCASE in 4.1)") {
+    val p = plan("q197_collation_group")
+    assert(p.linesIterator.count(_.matches(""".*\(\d+\) SortAggregate.*""")) == 2,
+      "collation forces sort-based aggregation — pin it so a Spark that " +
+        "restores hashing shows as a plan diff")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange""")) == 2,
+      "group-key shuffle + presentation sort only")
   }
 
   test("q193: time-decay lags ride ONE user_id Exchange; only the " +
