@@ -1637,6 +1637,82 @@ object PipelineOps {
             " DIV (2 * (n_docs - n_members)) AS fpr_bp")
         .orderBy("source")
     }),
+
+    // NEGATIVE SAMPLING for contrastive / recommender training — the
+    // data-assembly op that pairs every user's positives with items they
+    // did NOT interact with. Candidates are DETERMINISTIC (md5(u:j) mod
+    // |items| — no RNG, the q135 stance: reproducible epochs, resumable
+    // jobs), oversampled 2× (8 draws for K=4) so collisions with the
+    // user's own history can be discarded WITHOUT a retry loop — a
+    // per-user retry is a driver-side pattern that cannot ship; a fixed
+    // oversample + anti-join is one dataflow. Same-draw duplicates
+    // (md5 mod collisions, ~1% of users here) collapse to their first
+    // draw index before ranking, so the emitted rank order is exact.
+    // Shuffle story: the anti-join is keyed on (u, item) against the
+    // distinct interaction table; the rank window rides the u key. At
+    // 100 TB the popularity-biased variant swaps the uniform modulus
+    // for an alias-table broadcast — same dataflow, different map.
+    "q198_negative_sampling" -> ((s, d) => {
+      val inter = ld(s, d, "orders")
+        .select(col("o_custkey").as("u"), col("o_orderkey"))
+        .join(ld(s, d, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_partkey").as("i")), "o_orderkey")
+        .select("u", "i").distinct()
+      val np = ld(s, d, "part").agg((max("p_partkey") + 1).as("n_items"))
+      val cand = ld(s, d, "orders").select(col("o_custkey").as("u"))
+        .distinct()
+        .crossJoin(broadcast(np))
+        .select(col("u"), explode(expr("sequence(1, 8)")).as("j"),
+          col("n_items"))
+        .selectExpr("u", "j",
+          "CAST(conv(substring(md5(concat(CAST(u AS STRING), ':'," +
+            " CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT)" +
+            " % n_items AS i")
+        .groupBy("u", "i").agg(min("j").as("j"))
+      val w = Window.partitionBy("u").orderBy("j")
+      cand.join(inter, Seq("u", "i"), "left_anti")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 4)
+        .select(col("u"), col("rk"), col("i").as("neg_item"))
+        .orderBy("u", "rk")
+    }),
+
+    // DELETION-PROPAGATION audit (right-to-be-forgotten): given a
+    // deletion-request list (users with key % 97 = 0 — the
+    // deterministic stand-in for the legal queue), the blast radius
+    // across every table BEFORE any row is touched: direct hits by key
+    // (customer, orders, events are map-only flag scans) and the
+    // CASCADE through referential chains (lineitem rows whose parent
+    // order belongs to a deleted customer — resolved by broadcasting
+    // the deleted ORDER keys into the fact scan; requests are rare so
+    // the deleted-order set stays broadcast-sized, and at 100 TB the
+    // same shape runs as a bloom/runtime-filter semi-join, q99's
+    // machinery). One row per table: rows, deletions, survivors, and
+    // the half-up bp deletion share — the report compliance signs off
+    // on before the actual DELETE ships.
+    "q200_deletion_propagation" -> ((s, d) => {
+      def audit(name: String, df: DataFrame, flag: Column) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(when(flag, 1L).otherwise(0L)).as("n_delete"))
+          .select(lit(name).as("tbl"), col("n_rows"), col("n_delete"))
+      val delOrders = ld(s, d, "orders")
+        .filter(col("o_custkey") % 97 === 0)
+        .select(col("o_orderkey").as("l_orderkey"), lit(1).as("del"))
+      val liFlagged = ld(s, d, "lineitem").select("l_orderkey")
+        .join(broadcast(delOrders), Seq("l_orderkey"), "left")
+      audit("customer", ld(s, d, "customer"),
+          col("c_custkey") % 97 === 0)
+        .unionByName(audit("events", ld(s, d, "events"),
+          col("user_id") % 97 === 0))
+        .unionByName(audit("lineitem", liFlagged, col("del").isNotNull))
+        .unionByName(audit("orders", ld(s, d, "orders"),
+          col("o_custkey") % 97 === 0))
+        .selectExpr("tbl", "n_rows", "n_delete",
+          "n_rows - n_delete AS n_after",
+          "(2 * n_delete * 10000 + n_rows) DIV (2 * n_rows) AS del_bp")
+        .orderBy("tbl")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -3029,5 +3105,54 @@ object PipelineOps {
                                                  THEN 1 ELSE 0 END)))
                      AS BIGINT) AS fpr_bp
          FROM probed GROUP BY source ORDER BY source""",
+    // same md5 draws, same min-j collapse, NOT EXISTS anti-join
+    "q198_negative_sampling" ->
+      """WITH inter AS (SELECT DISTINCT o_custkey AS u, l_partkey AS i
+                        FROM orders JOIN lineitem
+                          ON o_orderkey = l_orderkey),
+              np AS (SELECT max(p_partkey) + 1 AS n_items FROM part),
+              cand0 AS (SELECT u, j,
+                               ('0x' || substr(md5(CAST(u AS VARCHAR) ||
+                                  ':' || CAST(j AS VARCHAR)), 1, 8))
+                                 ::BIGINT % n_items AS i
+                        FROM (SELECT DISTINCT o_custkey AS u FROM orders),
+                             unnest(range(1, 9)) AS t(j), np),
+              cand AS (SELECT u, i, min(j) AS j FROM cand0 GROUP BY 1, 2),
+              neg AS (SELECT u, i, j FROM cand c
+                      WHERE NOT EXISTS (SELECT 1 FROM inter x
+                                        WHERE x.u = c.u AND x.i = c.i)),
+              rk AS (SELECT u, i,
+                            CAST(row_number() OVER (PARTITION BY u
+                              ORDER BY j) AS INTEGER) AS rk
+                     FROM neg)
+         SELECT u, rk, i AS neg_item FROM rk WHERE rk <= 4
+         ORDER BY u, rk""",
+    "q200_deletion_propagation" ->
+      """WITH a AS (
+           SELECT 'customer' AS tbl, count(*) AS n_rows,
+                  sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)
+                    AS n_delete
+           FROM customer
+           UNION ALL
+           SELECT 'events', count(*),
+                  sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+           FROM events
+           UNION ALL
+           SELECT 'lineitem', count(*),
+                  sum(CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                        WHERE o.o_orderkey = l.l_orderkey
+                                          AND o.o_custkey % 97 = 0)
+                           THEN 1 ELSE 0 END)
+           FROM lineitem l
+           UNION ALL
+           SELECT 'orders', count(*),
+                  sum(CASE WHEN o_custkey % 97 = 0 THEN 1 ELSE 0 END)
+           FROM orders)
+         SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(n_delete AS BIGINT) AS n_delete,
+                CAST(n_rows - n_delete AS BIGINT) AS n_after,
+                CAST((2 * n_delete * 10000 + n_rows) // (2 * n_rows)
+                     AS BIGINT) AS del_bp
+         FROM a ORDER BY tbl""",
   )
 }

@@ -534,6 +534,42 @@ object TextOps {
         .orderBy("source", "n")
     }),
 
+    // FEATURE HASHING (the hashing trick — Weinberger et al. 2009,
+    // sklearn's HashingVectorizer): tokens map to a FIXED 256-bucket
+    // feature space through md5, with a second hash bit choosing the
+    // sign so colliding tokens cancel in expectation instead of piling
+    // up — the property that lets the vectorizer run with NO vocabulary
+    // pass, no dictionary broadcast, no OOV handling: exactly why it is
+    // the default text featurizer at corpus scale (a learned vocab is a
+    // second full scan plus a fleet-wide artifact to version). Buckets
+    // whose signed counts cancel to zero are DROPPED — the sparse
+    // representation the trick actually produces. Per doc: nnz, the L1
+    // mass, and an md5 fingerprint of the bucket:value run serialized
+    // in bucket order (the q177 ordered-serialization recipe), so the
+    // oracle proves the full sparse VECTOR matches, not just its
+    // summary stats. Shape: one (doc, bucket)-keyed map-side-combined
+    // aggregate, then a doc-keyed one — the q190 two-level shape; sign
+    // and bucket come from the same md5 call per token.
+    "q199_feature_hashing" -> ((s, d) => {
+      val sgn = "CASE WHEN substring(md5(tok), 9, 1) IN" +
+        " ('8','9','a','b','c','d','e','f') THEN -1 ELSE 1 END"
+      ld(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .selectExpr("doc_id",
+          "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)" +
+            " % 256 AS b",
+          s"$sgn AS sgn")
+        .groupBy("doc_id", "b").agg(sum("sgn").as("v"))
+        .filter(col("v") =!= 0)
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("nnz"),
+          sum(abs(col("v"))).as("l1"),
+          expr("md5(array_join(transform(array_sort(collect_list(" +
+            "struct(b, v))), x -> concat(CAST(x.b AS STRING), ':'," +
+            " CAST(x.v AS STRING))), ','))").as("vec_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Dedup keeping the best representative per content key (lowest doc_id
     // here; in production, highest quality score): one window pass keyed on
     // the fingerprint — the "canonicalize duplicates" pipeline stage, as
@@ -1907,5 +1943,24 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
          FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
                UNION ALL SELECT * FROM a3)
          ORDER BY source, n""",
+    // identical md5 bucket + sign-bit derivation; string_agg ORDER BY
+    // bucket mirrors the array_sort serialization byte-for-byte
+    "q199_feature_hashing" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+              h AS (SELECT doc_id,
+                           ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256
+                             AS b,
+                           CASE WHEN substr(md5(tok), 9, 1) IN
+                                ('8','9','a','b','c','d','e','f')
+                                THEN -1 ELSE 1 END AS sgn
+                    FROM t),
+              bv AS (SELECT doc_id, b, CAST(sum(sgn) AS BIGINT) AS v
+                     FROM h GROUP BY 1, 2 HAVING sum(sgn) != 0)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz,
+                CAST(sum(abs(v)) AS BIGINT) AS l1,
+                md5(string_agg(CAST(b AS VARCHAR) || ':' ||
+                  CAST(v AS VARCHAR), ',' ORDER BY b)) AS vec_fp
+         FROM bv GROUP BY doc_id ORDER BY doc_id""",
   )
 }

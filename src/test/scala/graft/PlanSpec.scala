@@ -873,6 +873,39 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "group-key shuffle + presentation sort only")
   }
 
+  test("q198: negative-sampling anti-join stays SHUFFLED on (u, item) " +
+    "and the rank window prunes via WindowGroupLimit") {
+    val p = plan("q198_negative_sampling")
+    assert(p.contains("SortMergeJoin LeftAnti") ||
+      p.contains("ShuffledHashJoin LeftAnti"),
+      "the interaction table is corpus-sized — the anti-join must " +
+        "shuffle, never broadcast it")
+    assert(p.contains("WindowGroupLimit"),
+      "rank<=4 must prune per-group rows before the final window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q199: feature hashing is the two-level aggregate shape — " +
+    "(doc, bucket) keyed then doc keyed, no join, no expand") {
+    val p = plan("q199_feature_hashing")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""),
+      "no vocabulary pass, no dictionary join — that is the point")
+    assert(!p.contains("Expand"))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange""")) == 3,
+      "(doc,b) shuffle + doc shuffle + presentation sort only")
+  }
+
+  test("q200: deletion audit is a union of per-table aggregates; the " +
+    "lineitem cascade resolves via a broadcast of deleted order keys") {
+    val p = plan("q200_deletion_propagation")
+    assert(p.matches("""(?s).*\(\d+\) Union.*"""))
+    assert(p.linesIterator
+      .count(_.contains("BroadcastHashJoin LeftOuter")) == 1,
+      "the cascade join broadcasts the rare deleted-order set")
+    assert(!p.contains("SortMergeJoin"),
+      "no fact-side shuffle for the audit")
+  }
+
   test("q193: time-decay lags ride ONE user_id Exchange; only the " +
     "presentation sort adds a second") {
     val p = plan("q193_time_decay")
