@@ -51,6 +51,31 @@ object MultimodalOps {
           expr("md5(substring(text, cast(frame_idx * 64 + 1 AS int), 64))")
             .as("frame_md5"))
         .orderBy("doc_id", "frame_idx")),
+
+    // CROSS-MODAL dedup evidence — the union view a multimodal corpus
+    // actually dedups on: a document pair is suspect if the TEXT
+    // channel flags it (q67's banded simhash) OR the VIDEO channel does
+    // (q144's per-bit-majority dHash signature), and the disagreement
+    // pattern is the signal (text-only = same wording re-rendered,
+    // video-only = same footage re-captioned, both = true re-upload).
+    // One full-outer join on the pair key merges the two detectors'
+    // outputs into the evidence table that feeds a shared CC pass
+    // (q101's machinery runs unchanged on the union edge set — dedup
+    // clusters should span modalities, not be computed per-channel and
+    // stitched after). Cost is the two detectors themselves; the merge
+    // is pair-table-sized. The oracle composes both detectors' full
+    // replays verbatim, so a green row re-proves BOTH banding recalls
+    // inside the composition.
+    "q203_crossmodal_dedup" -> ((s, d) => {
+      val t = TextOps.queries("q67_simhash_banded")(s, d)
+        .select(col("da"), col("db"), lit(1).as("t"))
+      val v = queries2("q144_video_neardup")(s, d)
+        .select(col("da"), col("db"), lit(1).as("v"))
+      t.join(v, Seq("da", "db"), "full_outer")
+        .selectExpr("da", "db", "t IS NOT NULL AS in_text",
+          "v IS NOT NULL AS in_video")
+        .orderBy("da", "db")
+    }),
   )
 
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -277,19 +302,19 @@ object MultimodalOps {
     s"(CASE WHEN pxs[${r * 8 + c + 1}] > pxs[${r * 8 + (c + 1) % 8 + 1}] THEN $pow ELSE 0 END)"
   }.mkString(" + ")
 
-  val oracle: Map[String, String] = Map(
-    // brute-force all-pairs over the replayed per-video majority
-    // signature — green ⇒ signature AND banding recall both exact
-    "q144_video_neardup" -> {
-      val votes = (0 until 64).map(b =>
-        s"sum(CASE WHEN (dh >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
-        .mkString(", ")
-      val vbits = (0 until 64).map { b =>
-        val pow =
-          if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
-        s"(CASE WHEN v$b > 0 THEN $pow ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH f0 AS (SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+  /** q144's full DuckDB replay (frame dHashes → per-bit majority → brute
+    * Hamming pairs), named so q203's cross-modal oracle can compose it
+    * verbatim as a CTE subquery. */
+  private lazy val duckVideoNeardupSql: String = {
+    val votes = (0 until 64).map(b =>
+      s"sum(CASE WHEN (dh >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val vbits = (0 until 64).map { b =>
+      val pow =
+        if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+      s"(CASE WHEN v$b > 0 THEN $pow ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH f0 AS (SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
                              substr(text, CAST(fi * 64 + 1 AS INTEGER), 64)
                                AS frame
                       FROM documents CROSS JOIN range(0, 10) t(fi)
@@ -307,7 +332,23 @@ object MultimodalOps {
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.vh, b.vh)) <= 3
          ORDER BY da, db"""
-    },
+  }
+
+  val oracle: Map[String, String] = Map(
+    // brute-force all-pairs over the replayed per-video majority
+    // signature — green ⇒ signature AND banding recall both exact
+    "q144_video_neardup" -> duckVideoNeardupSql,
+    // the two modality detectors' oracles composed verbatim as CTE
+    // subqueries — a green row proves the union evidence table matches
+    // both full replays pair-for-pair
+    "q203_crossmodal_dedup" ->
+      s"""WITH t AS (SELECT da, db
+                     FROM (${TextOps.oracle("q67_simhash_banded")})),
+              v AS (SELECT da, db FROM ($duckVideoNeardupSql))
+         SELECT coalesce(t.da, v.da) AS da, coalesce(t.db, v.db) AS db,
+                t.da IS NOT NULL AS in_text, v.da IS NOT NULL AS in_video
+         FROM t FULL OUTER JOIN v ON t.da = v.da AND t.db = v.db
+         ORDER BY da, db""",
     // brute-force all-pairs over the identical byte-deterministic dHash —
     // green ⇒ the 4×16 banding lost nothing at hamming ≤ 3
     "q115_frame_neardup" ->

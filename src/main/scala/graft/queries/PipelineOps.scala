@@ -1709,9 +1709,45 @@ object PipelineOps {
         .unionByName(audit("orders", ld(s, d, "orders"),
           col("o_custkey") % 97 === 0))
         .selectExpr("tbl", "n_rows", "n_delete",
-          "n_rows - n_delete AS n_after",
-          "(2 * n_delete * 10000 + n_rows) DIV (2 * n_rows) AS del_bp")
+          "(2 * n_delete * 10000 + n_rows) DIV (2 * n_rows) AS del_bp",
+          "n_rows - n_delete AS n_after")
+        .select("tbl", "n_rows", "n_delete", "n_after", "del_bp")
         .orderBy("tbl")
+    }),
+
+    // QUANTILE FEATURE BINNING (discretization with FROZEN cuts — the
+    // GBDT/monotone-feature prep op, and the serving contract behind
+    // every "length bucket" feature): corpus-level quartile cut points
+    // of n_chars computed EXACTLY from the VALUE HISTOGRAM — cumulative
+    // counts over the ≤640-row distinct-value frame (the q170 recipe:
+    // the global window is honest because it runs over values, never
+    // rows; a corpus-sized row_number would be the driver-bottleneck
+    // anti-pattern at 100 TB) — then the 1-row cut frame broadcasts
+    // back over the scan and bin assignment is a map expression. Cut
+    // semantics: c_k = min{v : 4·cum(v) ≥ k·n}, integer-exact, so the
+    // frozen cuts a training run publishes are bit-stable for serving.
+    // Per (source, bin): count and the bin's observed [min, max] — the
+    // audit that catches a source whose distribution collapses into one
+    // bin.
+    "q204_feature_binning" -> ((s, d) => {
+      val docs = ld(s, d, "documents").select("source", "n_chars")
+      val wv = Window.orderBy("n_chars")
+      val cuts = docs.groupBy("n_chars").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(wv))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        .agg(
+          min(when(expr("4 * cum >= 1 * n"), col("n_chars"))).as("c1"),
+          min(when(expr("4 * cum >= 2 * n"), col("n_chars"))).as("c2"),
+          min(when(expr("4 * cum >= 3 * n"), col("n_chars"))).as("c3"))
+      docs.crossJoin(broadcast(cuts))
+        .selectExpr("source", "n_chars",
+          "1 + (CASE WHEN n_chars > c1 THEN 1 ELSE 0 END)" +
+            " + (CASE WHEN n_chars > c2 THEN 1 ELSE 0 END)" +
+            " + (CASE WHEN n_chars > c3 THEN 1 ELSE 0 END) AS bin")
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("lo"), max("n_chars").as("hi"))
+        .orderBy("source", "bin")
     }),
   )
 
@@ -3154,5 +3190,27 @@ object PipelineOps {
                 CAST((2 * n_delete * 10000 + n_rows) // (2 * n_rows)
                      AS BIGINT) AS del_bp
          FROM a ORDER BY tbl""",
+    // same histogram-cumulative cut derivation and map-side binning
+    "q204_feature_binning" ->
+      """WITH h AS (SELECT n_chars, count(*) AS c FROM documents
+                    GROUP BY 1),
+              cum AS (SELECT n_chars, sum(c) OVER (ORDER BY n_chars)
+                        AS cum FROM h),
+              nn AS (SELECT count(*) AS n FROM documents),
+              cuts AS (SELECT min(CASE WHEN 4 * cum >= 1 * n
+                                       THEN n_chars END) AS c1,
+                              min(CASE WHEN 4 * cum >= 2 * n
+                                       THEN n_chars END) AS c2,
+                              min(CASE WHEN 4 * cum >= 3 * n
+                                       THEN n_chars END) AS c3
+                       FROM cum, nn)
+         SELECT source,
+                1 + (CASE WHEN n_chars > c1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN n_chars > c2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN n_chars > c3 THEN 1 ELSE 0 END) AS bin,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(min(n_chars) AS BIGINT) AS lo,
+                CAST(max(n_chars) AS BIGINT) AS hi
+         FROM documents, cuts GROUP BY 1, 2 ORDER BY source, bin""",
   )
 }

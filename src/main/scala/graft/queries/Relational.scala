@@ -1122,7 +1122,50 @@ object Relational {
         .agg(count(lit(1)).as("n"), min("p_partkey").as("min_key"))
         .selectExpr("lower(CAST(k AS STRING)) AS name", "n", "min_key")
         .orderBy("name")),
+
+    // GROUP BY ALL / ORDER BY ALL (the DuckDB-born sugar Spark 4
+    // adopted): the grouping keys are INFERRED from the non-aggregate
+    // select items and the ordering from the full output row — which
+    // kills the classic copy-paste bug where a select-list edit silently
+    // desyncs from a positional GROUP BY 1, 2. Same shared-verbatim-SQL
+    // contract as q191: one string, two engines, equal rows; plans to
+    // the identical partial+final aggregate as the explicit form.
+    "q201_group_order_all" -> ((s, d) => {
+      ld(s, d, "lineitem").createOrReplaceTempView("graft_all_li")
+      s.sql(groupAllSql("graft_all_li"))
+    }),
+
+    // LATERAL correlated subquery (per-group top-k as the optimizer
+    // sees it from SQL): for each source, the 3 longest documents via a
+    // correlated ORDER BY … LIMIT subquery in the FROM clause — the
+    // form analysts actually write, decorrelated by Catalyst into the
+    // same rank-window plan the DataFrame API builds by hand (q31's
+    // shape), rather than executing one subquery per outer row. Also a
+    // shared-verbatim-SQL contract with the oracle (DuckDB executes
+    // LATERAL natively).
+    "q202_lateral_topk" -> ((s, d) => {
+      ld(s, d, "documents").createOrReplaceTempView("graft_lat_docs")
+      s.sql(lateralTopkSql("graft_lat_docs"))
+    }),
   )
+
+  /** q201's query text, shared verbatim with the DuckDB oracle. */
+  private[queries] def groupAllSql(t: String): String =
+    s"""SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS cents
+        FROM $t WHERE l_quantity > 40
+        GROUP BY ALL ORDER BY ALL"""
+
+  /** q202's query text, shared verbatim with the DuckDB oracle. */
+  private[queries] def lateralTopkSql(t: String): String =
+    s"""SELECT s.source, t.doc_id, t.n_chars
+        FROM (SELECT DISTINCT source FROM $t) s,
+             LATERAL (SELECT doc_id, n_chars FROM $t d
+                      WHERE d.source = s.source
+                      ORDER BY n_chars DESC, doc_id LIMIT 3) t
+        ORDER BY s.source, t.n_chars DESC, t.doc_id"""
 
   /** q191's BOM closure, parameterized only by the table name: the SAME
     * string runs on Spark (over the temp view) and DuckDB (over the
@@ -1674,5 +1717,7 @@ object Relational {
                            ELSE p_name END) AS name,
                 count(*) AS n, min(p_partkey) AS min_key
          FROM part GROUP BY 1 ORDER BY name""",
+    "q201_group_order_all" -> groupAllSql("lineitem"),
+    "q202_lateral_topk" -> lateralTopkSql("documents"),
   )
 }

@@ -906,6 +906,46 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "no fact-side shuffle for the audit")
   }
 
+  test("q201: GROUP BY ALL plans the identical classic shape — one " +
+    "pushed-filter scan, partial+final aggregate") {
+    val p = plan("q201_group_order_all")
+    assert(p.linesIterator.count(_.matches(""".*\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.contains("PushedFilters:") && p.contains("l_quantity"))
+    assert(p.linesIterator.count(_.matches(""".*\(\d+\) HashAggregate.*""")) == 2)
+  }
+
+  test("q202: correlated LATERAL LIMIT decorrelates to a rank window " +
+    "with WindowGroupLimit — never a per-outer-row subquery") {
+    val p = plan("q202_lateral_topk")
+    assert(p.contains("WindowGroupLimit"),
+      "the correlated LIMIT must become a pruned rank window")
+    assert(p.linesIterator.count(_.matches(""".*\(\d+\) Window\s*""")) == 1)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q203: cross-modal evidence merges the two detectors in ONE " +
+    "full-outer pair join; both banded detectors stay keyed") {
+    val p = plan("q203_crossmodal_dedup")
+    assert(p.linesIterator.count(_.contains("SortMergeJoin FullOuter")) == 1,
+      "exactly the text/video evidence merge")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "no n² anywhere")
+  }
+
+  test("q204: quartile cuts come from the value-histogram window (the " +
+    "one Window consumes the aggregate) and broadcast back to the scan") {
+    val p = plan("q204_feature_binning")
+    val lines = p.linesIterator.toSeq
+    val win = lines.indexWhere(_.matches(""".*\(\d+\) Window\s*"""))
+    val agg = lines.lastIndexWhere(_.matches(""".*\(\d+\) HashAggregate.*"""))
+    assert(p.linesIterator.count(_.matches(""".*\(\d+\) Window\s*""")) == 1 &&
+      win >= 0 && agg > win,
+      "the cumulative window must run over the distinct-value frame, " +
+        "never a corpus-sized row_number")
+    assert(p.contains("BroadcastNestedLoopJoin Cross"),
+      "the 1-row cut frame attaches by broadcast")
+  }
+
   test("q193: time-decay lags ride ONE user_id Exchange; only the " +
     "presentation sort adds a second") {
     val p = plan("q193_time_decay")
