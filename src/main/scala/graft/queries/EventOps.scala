@@ -895,6 +895,41 @@ object EventOps {
             .as("reject_h0"))
         .orderBy("event_type")
     }),
+
+    // STREAMING session windows — the dynamic-gap rung of the streaming
+    // family (q74's fixed windows merge state by key+window; session
+    // windows must MERGE ADJACENT STATE RANGES as late events bridge two
+    // sessions — the hard part Spark's session_window state store does
+    // natively). Complete output mode: every trigger re-emits the full
+    // session table, so the AvailableNow batch-replay equals q75's batch
+    // sessionization exactly — which is the oracle (append mode would
+    // hold back any session the final watermark hasn't sealed, silently
+    // dropping the corpus tail; a correctness trap this query documents
+    // by NOT using it). Money in exact cents: microbatch boundaries
+    // reorder float addition, integer cents don't care — the q74 stance.
+    "q205_stream_session_window" -> ((s, d) =>
+      withStreamSession(s, 8) { ss =>
+        val rawSchema = ss.read.parquet(s"$d/events.parquet").schema
+        val name = "graft_stream_sessw"
+        val q = ss.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .transform(graft.Tables.normalizeEventsTs)
+          .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+              .as("cents"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ss.table(name)
+          .select(col("user_id"), col("sw.start").as("sess_start"),
+            col("n_events"),
+            (col("cents").cast("double") / 100).as("tot_value"))
+          .orderBy("user_id", "sess_start")
+      }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1212,6 +1247,26 @@ object EventOps {
                     * CAST((c0 + c1) * ((n0 - c0) + (n1 - c1)) AS HUGEINT)
                   AS reject_h0
          FROM c CROSS JOIN u ORDER BY event_type""",
+    // q75's gaps-and-islands replay with the exact-cents money recipe —
+    // the streaming session store must land on the same boundaries
+    "q205_stream_session_window" ->
+      """WITH t AS (SELECT user_id, ts, value,
+                           lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_ts
+                    FROM events),
+              s AS (SELECT *, sum(CASE WHEN prev_ts IS NULL
+                                       OR epoch_us(ts) - epoch_us(prev_ts)
+                                          >= 1800000000
+                                  THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sess_id
+                    FROM t)
+         SELECT user_id, min(ts) AS sess_start,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                              AS BIGINT)) AS DOUBLE) / 100 AS tot_value
+         FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_start""",
   )
 }
 

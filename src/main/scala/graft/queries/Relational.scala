@@ -1147,6 +1147,36 @@ object Relational {
       ld(s, d, "documents").createOrReplaceTempView("graft_lat_docs")
       s.sql(lateralTopkSql("graft_lat_docs"))
     }),
+
+    // SQL-DEFINED FUNCTION (Spark 4's CREATE FUNCTION … RETURN expr —
+    // the declarative UDF): the exact-cents money recipe packaged once
+    // as a named function instead of copy-pasted into every query.
+    // Unlike a Scala/Python UDF, the body is a Catalyst EXPRESSION —
+    // the analyzer INLINES it at every call site, so it folds,
+    // pushes down, and stays inside whole-stage codegen (PlanSpec pins
+    // zero black-box eval nodes in the plan) — the first UDF mechanism
+    // with no codegen tax, which is why it's the right home for
+    // fleet-wide semantic conventions like "net price in cents".
+    "q206_sql_udf" -> ((s, d) => {
+      ld(s, d, "lineitem").createOrReplaceTempView("graft_udf_li")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_net_e4(
+                 p DOUBLE, disc DOUBLE) RETURNS BIGINT
+               RETURN CAST(CAST(p AS DECIMAL(14,2)) *
+                 (CAST(1 AS DECIMAL(14,2)) - CAST(disc AS DECIMAL(14,2)))
+                 * 10000 AS BIGINT)""")
+      // 1e-4 units, not cents: the scale-4 decimal times 10000 is an
+      // EXACT integer, so the BIGINT cast never meets a fraction —
+      // Spark truncates casts, DuckDB rounds them, and *100 left a
+      // sub-cent residue that flipped ~half the rows one unit apart
+      // (measured: net sums differed by 7.5k e-2 units over 16k rows)
+      s.sql("""SELECT l_returnflag, count(*) AS n,
+                      CAST(sum(graft_net_e4(l_extendedprice,
+                        l_discount)) AS BIGINT) AS net_e4,
+                      CAST(max(graft_net_e4(l_extendedprice,
+                        l_discount)) AS BIGINT) AS max_e4
+               FROM graft_udf_li WHERE l_quantity > 10
+               GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
   )
 
   /** q201's query text, shared verbatim with the DuckDB oracle. */
@@ -1719,5 +1749,18 @@ object Relational {
          FROM part GROUP BY 1 ORDER BY name""",
     "q201_group_order_all" -> groupAllSql("lineitem"),
     "q202_lateral_topk" -> lateralTopkSql("documents"),
+    // the function body inlined by hand — what Spark's analyzer does
+    "q206_sql_udf" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                  (CAST(1 AS DECIMAL(14,2)) -
+                   CAST(l_discount AS DECIMAL(14,2))) * 10000 AS BIGINT))
+                  AS BIGINT) AS net_e4,
+                CAST(max(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) *
+                  (CAST(1 AS DECIMAL(14,2)) -
+                   CAST(l_discount AS DECIMAL(14,2))) * 10000 AS BIGINT))
+                  AS BIGINT) AS max_e4
+         FROM lineitem WHERE l_quantity > 10
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

@@ -946,6 +946,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "the 1-row cut frame attaches by broadcast")
   }
 
+  test("q206: the SQL-defined function is INLINED — no black-box eval " +
+    "node, the plan is the classic pushed-filter aggregate") {
+    val p = plan("q206_sql_udf")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF") &&
+      !p.contains("Invoke"),
+      "CREATE FUNCTION bodies must inline into codegen, not evaluate " +
+        "as opaque calls")
+    assert(p.contains("PushedFilters:") && p.contains("l_quantity"),
+      "the filter must still reach the scan through the function call")
+    assert(p.linesIterator.count(_.matches(""".*\(\d+\) HashAggregate.*""")) == 2)
+  }
+
   test("q193: time-decay lags ride ONE user_id Exchange; only the " +
     "presentation sort adds a second") {
     val p = plan("q193_time_decay")
