@@ -1749,6 +1749,45 @@ object PipelineOps {
           min("n_chars").as("lo"), max("n_chars").as("hi"))
         .orderBy("source", "bin")
     }),
+
+    // SOURCE DATASHEET — the per-source one-row summary a dataset card
+    // publishes (Datasheets for Datasets, Gebru et al.): volume, token
+    // mass, exact-dup exposure (docs whose corpus-wide fingerprint
+    // repeats — cross-source dups count on BOTH sides, which is the
+    // honest read), mean tokens in centitokens, and LANGUAGE DIVERSITY
+    // as Gini impurity 1 − Σp² instead of Shannon entropy — Gini ranks
+    // the same concentration structure but is a RATIONAL function of
+    // the counts, so it stays in exact half-up basis points where
+    // entropy's logs would force engine-variant doubles (the q171
+    // no-logs stance applied to diversity). Shapes: one fp-keyed join
+    // (dup flags), one (source, lang) two-level aggregate, one
+    // source-keyed merge of the two small per-source frames.
+    "q207_source_datasheet" -> ((s, d) => {
+      val docs = ld(s, d, "documents")
+        .selectExpr("doc_id", "source", "lang", "md5(text) AS fp",
+          s"CAST($nTokens AS BIGINT) AS toks")
+      val fpc = docs.groupBy("fp").agg(count(lit(1)).as("cfp"))
+      val base = docs.join(fpc.hint("shuffle_hash"), "fp")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("toks").as("tot_tokens"),
+          countDistinct("fp").as("n_uniq_fp"),
+          sum(when(col("cfp") >= 2, 1L).otherwise(0L)).as("n_dup_docs"))
+      val gini = docs.groupBy("source", "lang")
+        .agg(count(lit(1)).as("cl"))
+        .groupBy("source").agg(sum(col("cl") * col("cl")).as("sum2"),
+          sum("cl").as("n"))
+        .selectExpr("source",
+          "10000 - (2 * sum2 * 10000 + n * n) DIV (2 * n * n)" +
+            " AS lang_gini_bp")
+      base.join(gini, "source")
+        .selectExpr("source", "n_docs", "tot_tokens", "n_uniq_fp",
+          "n_dup_docs",
+          "(2 * tot_tokens * 100 + n_docs) DIV (2 * n_docs)" +
+            " AS mean_tok_c",
+          "lang_gini_bp")
+        .orderBy("source")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -3212,5 +3251,32 @@ object PipelineOps {
                 CAST(min(n_chars) AS BIGINT) AS lo,
                 CAST(max(n_chars) AS BIGINT) AS hi
          FROM documents, cuts GROUP BY 1, 2 ORDER BY source, bin""",
+    "q207_source_datasheet" ->
+      """WITH docs AS (SELECT doc_id, source, lang, md5(text) AS fp,
+                              CAST(length(text) - length(replace(text,
+                                ' ', '')) + 1 AS BIGINT) AS toks
+                       FROM documents),
+              fpc AS (SELECT fp, count(*) AS cfp FROM docs GROUP BY 1),
+              base AS (SELECT source,
+                              CAST(count(*) AS BIGINT) AS n_docs,
+                              CAST(sum(toks) AS BIGINT) AS tot_tokens,
+                              CAST(count(DISTINCT docs.fp) AS BIGINT)
+                                AS n_uniq_fp,
+                              CAST(sum(CASE WHEN cfp >= 2 THEN 1 ELSE 0
+                                       END) AS BIGINT) AS n_dup_docs
+                       FROM docs JOIN fpc ON docs.fp = fpc.fp
+                       GROUP BY 1),
+              cl AS (SELECT source, lang, count(*) AS cl
+                     FROM docs GROUP BY 1, 2),
+              gini AS (SELECT source,
+                              10000 - (2 * sum(cl * cl) * 10000
+                                + sum(cl) * sum(cl))
+                                // (2 * sum(cl) * sum(cl)) AS lang_gini_bp
+                       FROM cl GROUP BY 1)
+         SELECT source, n_docs, tot_tokens, n_uniq_fp, n_dup_docs,
+                CAST((2 * tot_tokens * 100 + n_docs) // (2 * n_docs)
+                     AS BIGINT) AS mean_tok_c,
+                CAST(lang_gini_bp AS BIGINT) AS lang_gini_bp
+         FROM base JOIN gini USING (source) ORDER BY source""",
   )
 }

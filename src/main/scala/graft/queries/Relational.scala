@@ -813,39 +813,7 @@ object Relational {
     // apex, closing probe a LEFT SEMI on the directed pair); the only
     // broadcast is the 1-row part count.
     "q134_triangle_count" -> ((s, d) => {
-      val ps = ld(s, d, "lineitem")
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
-        .distinct()
-      val nparts = ps.agg(countDistinct(col("p")).as("n"))
-        .withColumn("_mag_ok", assert_true(col("n") <= 40000000L,
-          lit("q134 significance test exceeds DECIMAL(38) exactness " +
-            "(n^5 past 38 digits): widen the arithmetic before scaling")))
-        .filter(col("_mag_ok").isNull).drop("_mag_ok")
-      val deg = ps.groupBy("sp").agg(count(lit(1)).as("dg"))
-      val lifted = ps.as("a")
-        .join(ps.as("b").hint("shuffle_hash"),
-          col("a.p") === col("b.p") && col("a.sp") < col("b.sp"))
-        .groupBy(col("a.sp").as("s1"), col("b.sp").as("s2"))
-        .agg(count(lit(1)).as("shared"))
-        .join(deg.select(col("sp").as("s1"), col("dg").as("d1"))
-          .hint("shuffle_hash"), "s1")
-        .join(deg.select(col("sp").as("s2"), col("dg").as("d2"))
-          .hint("shuffle_hash"), "s2")
-        .crossJoin(broadcast(nparts))
-        .filter(col("shared") * col("n") > col("d1") * col("d2"))
-        .filter(expr(
-          """CAST(shared * n - d1 * d2 AS DECIMAL(38, 0))
-               * (shared * n - d1 * d2) * (n - 1)
-             >= CAST(d1 AS DECIMAL(38, 0)) * d2 * (n - d1) * (n - d2)"""))
-        .select("s1", "s2")
-      // The edge list is consumed by SIX downstream references (und ×2,
-      // dir ×3 via the wedge join and closing probe); without pinning it,
-      // Catalyst re-expands the whole ps-self-join subtree per reference
-      // (measured: a 252-Exchange plan, 10.5 s at sf0.1). One
-      // localCheckpoint materializes the |E|-sized frame once — the same
-      // edge-frame pin q101/q131 use; in production this is the persisted
-      // edge table every graph pass starts from.
-      val pinned = lifted.localCheckpoint()
+      val pinned = coSupplyEdges(s, d)
       val und = pinned.select(col("s1").as("u"), col("s2").as("v"))
         .unionAll(pinned.select(col("s2").as("u"), col("s1").as("v")))
       val gdeg = und.groupBy("u").agg(count(lit(1)).as("gd"))
@@ -1177,6 +1145,43 @@ object Relational {
                FROM graft_udf_li WHERE l_quantity > 10
                GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
+
+    // LABEL-PROPAGATION community detection — the fourth relational-
+    // graph primitive (CC q101 finds connectivity, PageRank q131 finds
+    // centrality, triangles q134 find local density; LPA finds
+    // COMMUNITIES — the structure inside one giant connected component,
+    // which is exactly what the co-supply graph is). Three SYNCHRONOUS
+    // rounds from singleton labels: each node adopts its neighbors'
+    // majority label, ties broken toward the SMALLEST label — the
+    // deterministic variant (classic async LPA is order-dependent and
+    // could never be oracle-checked; synchronous LPA can oscillate on
+    // bipartite structures, which fixed K sidesteps — after K rounds
+    // both engines hold the identical label vector, oscillating or
+    // not). Each round is one edge-keyed join + one (node, label)
+    // majority aggregate with a rank-1 window — all keyed on the node,
+    // checkpoint-pinned per round (the q131 fused-action recipe). The
+    // edge build is q134's shared, memoized derivation — at 100 TB the
+    // persisted edge table both passes start from.
+    "q208_label_propagation" -> ((s, d) => {
+      val edges = coSupplyEdges(s, d)
+      val und = edges.select(col("s1").as("u"), col("s2").as("v"))
+        .unionAll(edges.select(col("s2").as("u"), col("s1").as("v")))
+        .localCheckpoint()
+      var labels = und.select(col("u").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      val wTop = Window.partitionBy("u")
+        .orderBy(col("c").desc, col("lbl"))
+      for (_ <- 1 to 3) {
+        labels = und.join(labels, col("v") === col("node"))
+          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") === 1)
+          .select(col("u").as("node"), col("lbl"))
+          .localCheckpoint()
+      }
+      labels.select(col("node"), col("lbl").as("community"))
+        .orderBy("node")
+    }),
   )
 
   /** q201's query text, shared verbatim with the DuckDB oracle. */
@@ -1196,6 +1201,49 @@ object Relational {
                       WHERE d.source = s.source
                       ORDER BY n_chars DESC, doc_id LIMIT 3) t
         ORDER BY s.source, t.n_chars DESC, t.doc_id"""
+
+  /** The significance-pruned co-supply edge list (q134's derivation,
+    * shared by q208's label propagation): supplier pairs co-supplying
+    * one hypergeometric sd above chance, exact in DECIMAL(38).
+    * CHECKPOINT-pinned: the edge list is consumed by many downstream
+    * references (q134: und ×2, dir ×3; q208: the symmetrized frame per
+    * round); without pinning, Catalyst re-expands the whole
+    * ps-self-join subtree per reference (measured: a 252-Exchange plan,
+    * 10.5 s at sf0.1). In production this is the persisted edge table
+    * every graph pass starts from. Memoized per (session, dir) like the
+    * q117/q123 shared derivation, so a bench run pays the build once. */
+  private val coSupplyCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      DataFrame]()
+  private[queries] def coSupplyEdges(s: SparkSession, d: String): DataFrame =
+    coSupplyCache.computeIfAbsent((s, d), { _ =>
+      val ps = ld(s, d, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
+        .distinct()
+      val nparts = ps.agg(countDistinct(col("p")).as("n"))
+        .withColumn("_mag_ok", assert_true(col("n") <= 40000000L,
+          lit("q134 significance test exceeds DECIMAL(38) exactness " +
+            "(n^5 past 38 digits): widen the arithmetic before scaling")))
+        .filter(col("_mag_ok").isNull).drop("_mag_ok")
+      val deg = ps.groupBy("sp").agg(count(lit(1)).as("dg"))
+      ps.as("a")
+        .join(ps.as("b").hint("shuffle_hash"),
+          col("a.p") === col("b.p") && col("a.sp") < col("b.sp"))
+        .groupBy(col("a.sp").as("s1"), col("b.sp").as("s2"))
+        .agg(count(lit(1)).as("shared"))
+        .join(deg.select(col("sp").as("s1"), col("dg").as("d1"))
+          .hint("shuffle_hash"), "s1")
+        .join(deg.select(col("sp").as("s2"), col("dg").as("d2"))
+          .hint("shuffle_hash"), "s2")
+        .crossJoin(broadcast(nparts))
+        .filter(col("shared") * col("n") > col("d1") * col("d2"))
+        .filter(expr(
+          """CAST(shared * n - d1 * d2 AS DECIMAL(38, 0))
+               * (shared * n - d1 * d2) * (n - 1)
+             >= CAST(d1 AS DECIMAL(38, 0)) * d2 * (n - d1) * (n - d2)"""))
+        .select("s1", "s2")
+        .localCheckpoint()
+    })
 
   /** q191's BOM closure, parameterized only by the table name: the SAME
     * string runs on Spark (over the temp view) and DuckDB (over the
@@ -1238,6 +1286,29 @@ object Relational {
         max(col("price")).as("max_price"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+
+  /** q134's significance-pruned co-supply edge derivation as a DuckDB
+    * CTE chain ending in the symmetrized `und(u, v)` frame — shared
+    * verbatim by the q134 and q208 oracles (the graph both passes walk
+    * must be the SAME graph). */
+  private lazy val duckCoSupplyUnd: String =
+    """ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sp
+                     FROM lineitem),
+              np AS (SELECT count(DISTINCT p) AS n FROM ps),
+              deg AS (SELECT sp, count(*) AS dg FROM ps GROUP BY 1),
+              sh AS (SELECT a.sp AS s1, b.sp AS s2, count(*) AS shared
+                     FROM ps a JOIN ps b ON a.p = b.p AND a.sp < b.sp
+                     GROUP BY 1, 2),
+              lifted AS (SELECT s1, s2 FROM sh, np, deg da, deg db
+                         WHERE da.sp = s1 AND db.sp = s2
+                           AND shared * np.n > da.dg * db.dg
+                           AND (shared * np.n - da.dg * db.dg)::HUGEINT
+                               * (shared * np.n - da.dg * db.dg)
+                               * (np.n - 1)
+                               >= (da.dg)::HUGEINT * db.dg
+                                  * (np.n - da.dg) * (np.n - db.dg)),
+              und AS (SELECT s1 AS u, s2 AS v FROM lifted
+                      UNION ALL SELECT s2, s1 FROM lifted)"""
 
   val oracle: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -1598,23 +1669,7 @@ object Relational {
          SELECT node, CAST(r AS BIGINT) AS r FROM r3 ORDER BY node"""
     },
     "q134_triangle_count" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sp
-                     FROM lineitem),
-              np AS (SELECT count(DISTINCT p) AS n FROM ps),
-              deg AS (SELECT sp, count(*) AS dg FROM ps GROUP BY 1),
-              sh AS (SELECT a.sp AS s1, b.sp AS s2, count(*) AS shared
-                     FROM ps a JOIN ps b ON a.p = b.p AND a.sp < b.sp
-                     GROUP BY 1, 2),
-              lifted AS (SELECT s1, s2 FROM sh, np, deg da, deg db
-                         WHERE da.sp = s1 AND db.sp = s2
-                           AND shared * np.n > da.dg * db.dg
-                           AND (shared * np.n - da.dg * db.dg)::HUGEINT
-                               * (shared * np.n - da.dg * db.dg)
-                               * (np.n - 1)
-                               >= (da.dg)::HUGEINT * db.dg
-                                  * (np.n - da.dg) * (np.n - db.dg)),
-              und AS (SELECT s1 AS u, s2 AS v FROM lifted
-                      UNION ALL SELECT s2, s1 FROM lifted),
+      s"""WITH $duckCoSupplyUnd,
               gdeg AS (SELECT u, count(*) AS gd FROM und GROUP BY 1),
               dir AS (SELECT und.u, und.v, gv.gd AS gdv
                       FROM und JOIN gdeg gu ON und.u = gu.u
@@ -1762,5 +1817,24 @@ object Relational {
                   AS BIGINT) AS max_e4
          FROM lineitem WHERE l_quantity > 10
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // three synchronous rounds replayed as chained CTEs over the SAME
+    // shared edge derivation q134's oracle uses
+    "q208_label_propagation" -> {
+      def round(prev: String, cur: String) =
+        s"""r$cur AS (SELECT e.u, l.lbl, count(*) AS c
+                      FROM und e JOIN $prev l ON e.v = l.node
+                      GROUP BY 1, 2),
+              $cur AS (SELECT u AS node, lbl
+                       FROM (SELECT u, lbl, row_number() OVER (
+                               PARTITION BY u ORDER BY c DESC, lbl) AS rn
+                             FROM r$cur)
+                       WHERE rn = 1)"""
+      s"""WITH $duckCoSupplyUnd,
+              l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und),
+              ${round("l0", "l1")},
+              ${round("l1", "l2")},
+              ${round("l2", "l3")}
+         SELECT node, lbl AS community FROM l3 ORDER BY node"""
+    },
   )
 }

@@ -958,6 +958,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.linesIterator.count(_.matches(""".*\(\d+\) HashAggregate.*""")) == 2)
   }
 
+  test("q207: datasheet joins the fp-keyed dup flags shuffled and " +
+    "merges the per-source gini frame by broadcast") {
+    val p = plan("q207_source_datasheet")
+    assert(p.contains("ShuffledHashJoin"),
+      "the corpus-sized fingerprint join must stay shuffled")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 1,
+      "the ~20-row gini frame attaches by broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q208: LPA rounds are checkpoint-pinned — the visible plan " +
+    "reads the round-3 label frame, not a re-expanded loop") {
+    val p = plan("q208_label_propagation")
+    assert(p.contains("Scan ExistingRDD"),
+      "each synchronous round must materialize once (the q131 recipe); " +
+        "a re-expanded loop would replay the edge build per round")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""),
+      "all joins happen inside the pinned rounds")
+  }
+
   test("q193: time-decay lags ride ONE user_id Exchange; only the " +
     "presentation sort adds a second") {
     val p = plan("q193_time_decay")
