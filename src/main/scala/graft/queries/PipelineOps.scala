@@ -1788,6 +1788,92 @@ object PipelineOps {
           "lang_gini_bp")
         .orderBy("source")
     }),
+
+    // Reliability diagram + per-bin calibration gaps (the ECE decomposition)
+    // for a cheap length-prior "quality classifier": conf = min(1,
+    // n_chars/2000) as the predicted probability that a doc passes the
+    // token-count + lexical-diversity gate, binned into 10 confidence
+    // deciles. The op a curation fleet runs before TRUSTING a scorer's
+    // probabilities as sampling weights (q135/q151 both consume scores as
+    // weights — miscalibrated scores silently skew the mixture). Everything
+    // is exact integer arithmetic — per-bin sums of bp-scaled confidences
+    // and 0/1 outcomes, means as half-up integer division at the END — so
+    // the result is independent of aggregation order (the q70 drift
+    // lesson): one map-side-combined groupBy on a 10-value key, no window,
+    // no float accumulation. At 100 TB this is a single pass over doc
+    // metadata with a 10-row result.
+    "q210_calibration_ece" -> ((s, d) =>
+      ld(s, d, "documents")
+        .selectExpr(
+          "LEAST(10000L, (CAST(n_chars AS BIGINT) * 10000) DIV 2000)" +
+            " AS conf_bp",
+          s"CAST($nTokens AS BIGINT) AS toks",
+          "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS dtoks")
+        .selectExpr("conf_bp", "LEAST(9L, conf_bp DIV 1000) AS bin",
+          "CASE WHEN toks BETWEEN 30 AND 500 AND dtoks * 10 >= 3 * toks" +
+            " THEN 1L ELSE 0L END AS y")
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("conf_bp").as("sum_conf"),
+          sum("y").as("n_pos"))
+        .selectExpr("bin", "n_docs",
+          "(2 * sum_conf + n_docs) DIV (2 * n_docs) AS mean_conf_bp",
+          "(2 * n_pos * 10000 + n_docs) DIV (2 * n_docs) AS acc_bp")
+        .withColumn("gap_bp", abs(col("mean_conf_bp") - col("acc_bp")))
+        .orderBy("bin")),
+
+    // Poisson-bootstrap confidence intervals for per-source mean doc
+    // length — THE distributed bootstrap (Chamandy et al., "Estimating
+    // Uncertainty for Massive Data Streams", Google 2012): instead of
+    // resampling N rows with replacement B times (B full shuffles of the
+    // corpus), each row draws its multiplicity in each of B=32 replicates
+    // as Poisson(1) — independent per (row, replicate), so ONE pass
+    // computes every replicate's weighted sum via map-side combine. The
+    // multiplicity is inverse-CDF'd from a uniform u32 carved out of
+    // md5(doc_id:rep) against PRECOMPUTED integer thresholds
+    // (floor(CDF·2^32), capped at 6 — P(k>6) < 1e-7), so Spark and the
+    // oracle replay the identical "randomness" with zero RNG state. Means
+    // divide exact integer sums once at the end (deterministic IEEE
+    // division, round-6); the CI is the 2nd/31st order statistic of the 32
+    // replicate means — exact selection, no interpolation. At 100 TB: the
+    // explode is a 32× map-side row amplification that combines down to
+    // |sources|×32 partials before the only shuffle.
+    "q211_poisson_bootstrap" -> ((s, d) => {
+      val reps = ld(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .withColumn("rep", explode(sequence(lit(0), lit(31))))
+        .withColumn("u", expr(
+          "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':'," +
+            " CAST(rep AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("w",
+          when(col("u") < 1580030168L, 0L)
+            .when(col("u") < 3160060337L, 1L)
+            .when(col("u") < 3950075421L, 2L)
+            .when(col("u") < 4213413783L, 3L)
+            .when(col("u") < 4279248373L, 4L)
+            .when(col("u") < 4292415291L, 5L)
+            .otherwise(6L))
+        .groupBy("source", "rep")
+        .agg(sum(col("w") * col("n_chars")).as("wchars"),
+          sum("w").as("wn"))
+        .withColumn("m6",
+          round(col("wchars").cast("double") / col("wn"), 6))
+      val point = ld(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("tot_chars"))
+        .selectExpr("source", "n_docs",
+          "(2 * tot_chars * 100 + n_docs) DIV (2 * n_docs) AS mean_c")
+      reps.groupBy("source")
+        .agg(count(lit(1)).as("n_reps"),
+          sort_array(collect_list("m6")).as("ms"))
+        .select(col("source"), col("n_reps"),
+          element_at(col("ms"), 2).as("ci_lo"),
+          element_at(col("ms"), 31).as("ci_hi"))
+        .join(point, "source")
+        .select("source", "n_docs", "mean_c", "n_reps", "ci_lo", "ci_hi")
+        .orderBy("source")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -3278,5 +3364,64 @@ object PipelineOps {
                      AS BIGINT) AS mean_tok_c,
                 CAST(lang_gini_bp AS BIGINT) AS lang_gini_bp
          FROM base JOIN gini USING (source) ORDER BY source""",
+    "q210_calibration_ece" ->
+      """WITH b AS (SELECT LEAST(10000, (CAST(n_chars AS BIGINT) * 10000)
+                                        // 2000) AS conf_bp,
+                           CAST(length(text) - length(replace(text, ' ', ''))
+                                + 1 AS BIGINT) AS toks,
+                           CAST(length(list_distinct(string_split(text, ' ')))
+                                AS BIGINT) AS dtoks
+                    FROM documents),
+              r AS (SELECT conf_bp, LEAST(9, conf_bp // 1000) AS bin,
+                           CASE WHEN toks BETWEEN 30 AND 500
+                                 AND dtoks * 10 >= 3 * toks
+                                THEN 1 ELSE 0 END AS y
+                    FROM b),
+              agg AS (SELECT bin, count(*) AS n_docs,
+                             sum(conf_bp) AS sum_conf, sum(y) AS n_pos
+                      FROM r GROUP BY 1)
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST((2 * sum_conf + n_docs) // (2 * n_docs) AS BIGINT)
+                  AS mean_conf_bp,
+                CAST((2 * n_pos * 10000 + n_docs) // (2 * n_docs) AS BIGINT)
+                  AS acc_bp,
+                CAST(abs((2 * sum_conf + n_docs) // (2 * n_docs)
+                         - (2 * n_pos * 10000 + n_docs) // (2 * n_docs))
+                     AS BIGINT) AS gap_bp
+         FROM agg ORDER BY bin""",
+    "q211_poisson_bootstrap" ->
+      """WITH reps AS (SELECT doc_id, source, CAST(n_chars AS BIGINT)
+                              AS n_chars, t.r AS rep
+                       FROM documents, range(0, 32) t(r)),
+              u AS (SELECT source, rep, n_chars,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) ||
+                             ':' || CAST(rep AS VARCHAR)), 1, 8)
+                           )::BIGINT AS u
+                    FROM reps),
+              w AS (SELECT source, rep, n_chars,
+                           CASE WHEN u < 1580030168 THEN 0
+                                WHEN u < 3160060337 THEN 1
+                                WHEN u < 3950075421 THEN 2
+                                WHEN u < 4213413783 THEN 3
+                                WHEN u < 4279248373 THEN 4
+                                WHEN u < 4292415291 THEN 5
+                                ELSE 6 END AS w
+                    FROM u),
+              m AS (SELECT source, rep,
+                           round(CAST(sum(w * n_chars) AS DOUBLE)
+                                 / sum(w), 6) AS m6
+                    FROM w GROUP BY 1, 2),
+              ci AS (SELECT source, count(*) AS n_reps,
+                            (list(m6 ORDER BY m6))[2] AS ci_lo,
+                            (list(m6 ORDER BY m6))[31] AS ci_hi
+                     FROM m GROUP BY 1),
+              pt AS (SELECT source, count(*) AS n_docs,
+                            sum(CAST(n_chars AS BIGINT)) AS tot_chars
+                     FROM documents GROUP BY 1)
+         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST((2 * tot_chars * 100 + n_docs) // (2 * n_docs)
+                     AS BIGINT) AS mean_c,
+                CAST(n_reps AS BIGINT) AS n_reps, ci_lo, ci_hi
+         FROM ci JOIN pt USING (source) ORDER BY source""",
   )
 }

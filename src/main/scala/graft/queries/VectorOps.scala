@@ -836,6 +836,57 @@ object VectorOps {
           col("rn").cast("int").as("rn"))
         .orderBy("q_id", "rn")
     }),
+
+    // Distributed ROC-AUC of a retrieval scorer, computed as the
+    // Mann–Whitney U rank statistic WITHOUT a global per-row sort: AUC =
+    // P(score(pos) > score(neg)) + ½P(=), and after collapsing the corpus
+    // to per-DISTINCT-SCORE (n_pos, n_neg) counts (one map-side-combined
+    // groupBy — the row count drops from N to |distinct round-6 scores|),
+    // 2U = Σ_s n_pos(s)·(2·cumNeg(<s) + n_neg(s)) needs only a prefix sum
+    // over those counts. The prefix sum itself is the textbook two-stage
+    // distributed cumsum: coarse score-bucket subtotals (≤20 rows —
+    // broadcastable at any corpus size) give each bucket its offset, and
+    // the fine window runs PARTITIONED BY bucket — no single-partition
+    // global window anywhere (the q141 exact-percentile lesson applied to
+    // ranking). Scorer under eval: cosine-to-class-0-centroid separating
+    // label 0 from the rest — the cheap dedup/routing probe whose
+    // threshold q61/q68 would consume. Everything after round-6 scoring
+    // is exact integer arithmetic; auc_bp is half-up basis points.
+    // BIGINT headroom: 2U·10⁴ ≤ 2·(N/2)²·10⁴ stays under 2⁶³ through
+    // N ≈ 4·10⁷ vectors; past that the bp division moves to DECIMAL(38).
+    "q209_auc_roc" -> ((s, d) => {
+      val e = withNorm(ld(s, d, "embeddings"))
+      val cent = e.filter(col("label") === 0)
+        .select(posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(round(avg("x"), 6).as("cv"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
+          .as("pc"))
+        .select(expr("transform(pc, q -> q.cv)").as("cc"))
+        .withColumn("cnrm", sqrt(dotp(col("cc"), col("cc"))))
+      val byScore = e.crossJoin(broadcast(cent))
+        .select(col("label"),
+          round(dotp(col("emb"), col("cc")) / (col("nrm") * col("cnrm")), 6)
+            .as("score"))
+        .groupBy("score")
+        .agg(sum(when(col("label") === 0, 1L).otherwise(0L)).as("np"),
+          sum(when(col("label") =!= 0, 1L).otherwise(0L)).as("nn"))
+        .withColumn("bucket", floor(col("score") * 10))
+      val offsets = byScore.groupBy("bucket")
+        .agg(sum("nn").as("bnn"))
+        .withColumn("off", coalesce(
+          sum("bnn").over(Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "off")
+      byScore.join(broadcast(offsets), "bucket")
+        .withColumn("cumn", col("off") + coalesce(
+          sum("nn").over(Window.partitionBy("bucket").orderBy("score")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+          sum(expr("np * (2 * cumn + nn)")).as("u2"))
+        .selectExpr("n_pos", "n_neg", "u2",
+          "(2 * u2 * 10000 + 2 * n_pos * n_neg)" +
+            " DIV (4 * n_pos * n_neg) AS auc_bp")
+    }),
   )
 
   /** q125's composed IVF×PQ chain, ranked pre-top-k — shared with q120's
@@ -1527,5 +1578,34 @@ object VectorOps {
          SELECT vec_id, CAST(sum(mx) AS BIGINT) AS score_micro
          FROM ms GROUP BY vec_id
          ORDER BY score_micro DESC, vec_id LIMIT 10""",
+    // same round-6 scoring, then the rank statistic over per-score counts;
+    // the oracle's single global window is topology-free — only the result
+    // must match the two-stage bucketed prefix sum
+    "q209_auc_roc" ->
+      s"""WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce
+                     FROM embeddings),
+              comp AS (SELECT i AS pos, round(avg(ce[i]), 6) AS cv
+                       FROM c, range(1, 65) t(i) WHERE label = 0
+                       GROUP BY 1),
+              cent AS (SELECT list(cv ORDER BY pos) AS cc FROM comp),
+              scored AS (SELECT label, round(${dcos("ce", "cc")}, 6) AS score
+                         FROM c CROSS JOIN cent),
+              bys AS (SELECT score,
+                             sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)
+                               AS np,
+                             sum(CASE WHEN label <> 0 THEN 1 ELSE 0 END)
+                               AS nn
+                      FROM scored GROUP BY 1),
+              cum AS (SELECT np, nn, coalesce(sum(nn) OVER
+                        (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS cumn
+                      FROM bys)
+         SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                CAST(sum(nn) AS BIGINT) AS n_neg,
+                CAST(sum(np * (2 * cumn + nn)) AS BIGINT) AS u2,
+                CAST((2 * sum(np * (2 * cumn + nn)) * 10000
+                      + 2 * sum(np) * sum(nn))
+                     // (4 * sum(np) * sum(nn)) AS BIGINT) AS auc_bp
+         FROM cum""",
   )
 }
