@@ -1182,6 +1182,42 @@ object Relational {
       labels.select(col("node"), col("lbl").as("community"))
         .orderBy("node")
     }),
+
+    // HITS hubs & authorities (Kleinberg) over the supplier→part supply
+    // bipartite graph — the eigenvector-centrality sibling of q131's
+    // PageRank for BIPARTITE structure: a part's authority is the summed
+    // hub weight of its suppliers, a supplier's hub weight the summed
+    // authority of its parts. Two full alternations in exact integer
+    // pico-units; each half-round is one keyed join+agg riding the edge
+    // list's key, plus an L1 normalization whose total is a 1-row
+    // broadcast (never a shuffle of the graph). Normalization is integer
+    // division by GREATEST(1, total DIV 10^12) — deterministic and
+    // replayable, unlike a float L2 norm whose sqrt would drift with
+    // aggregation order. BIGINT headroom: raw totals are |E|·10¹²; ANSI
+    // mode makes an overflow past |E| ≈ 9·10⁶ edges a loud error, and the
+    // 100 TB build would move the accumulator to DECIMAL(38,0) (the q134
+    // ladder). Output: top-20 parts by final authority, ties by id.
+    "q212_hits" -> ((s, d) => {
+      val e = ld(s, d, "lineitem")
+        .select(col("l_suppkey").as("sup"), col("l_partkey").as("prt"))
+        .distinct().localCheckpoint()
+      def norm(df: DataFrame, key: String): DataFrame = {
+        val dvr = df.agg(sum("v").as("tot"))
+          .selectExpr("GREATEST(1L, tot DIV 1000000000000L) AS dvr")
+        df.crossJoin(broadcast(dvr)).selectExpr(key, "v DIV dvr AS v")
+      }
+      val a1 = norm(e.groupBy("prt")
+        .agg((count(lit(1)) * lit(1000000000000L)).as("v")), "prt")
+      val h1 = norm(e.join(a1, "prt").groupBy("sup")
+        .agg(sum("v").as("v")), "sup")
+      val a2 = norm(e.join(h1, "sup").groupBy("prt")
+        .agg(sum("v").as("v")), "prt")
+      a2.orderBy(col("v").desc, col("prt")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("v").desc, col("prt"))))
+        .select(col("rank"), col("prt").as("partkey"),
+          col("v").as("authority"))
+    }),
   )
 
   /** q201's query text, shared verbatim with the DuckDB oracle. */
@@ -1836,5 +1872,30 @@ object Relational {
               ${round("l2", "l3")}
          SELECT node, lbl AS community FROM l3 ORDER BY node"""
     },
+    // full two-alternation replay in the same integer pico-units; DuckDB's
+    // BIGINT sums widen to HUGEINT internally but every materialized value
+    // fits BIGINT, so the final CASTs line up
+    "q212_hits" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS sup, l_partkey AS prt
+                    FROM lineitem),
+              a1r AS (SELECT prt, count(*) * 1000000000000 AS v
+                      FROM e GROUP BY 1),
+              d1 AS (SELECT GREATEST(1, sum(v) // 1000000000000) AS dvr
+                     FROM a1r),
+              a1 AS (SELECT prt, v // dvr AS v FROM a1r, d1),
+              h1r AS (SELECT sup, sum(a1.v) AS v
+                      FROM e JOIN a1 USING (prt) GROUP BY 1),
+              d2 AS (SELECT GREATEST(1, sum(v) // 1000000000000) AS dvr
+                     FROM h1r),
+              h1 AS (SELECT sup, v // dvr AS v FROM h1r, d2),
+              a2r AS (SELECT prt, sum(h1.v) AS v
+                      FROM e JOIN h1 USING (sup) GROUP BY 1),
+              d3 AS (SELECT GREATEST(1, sum(v) // 1000000000000) AS dvr
+                     FROM a2r),
+              a2 AS (SELECT prt, v // dvr AS v FROM a2r, d3)
+         SELECT CAST(row_number() OVER (ORDER BY v DESC, prt) AS INTEGER)
+                  AS rank,
+                prt AS partkey, CAST(v AS BIGINT) AS authority
+         FROM a2 ORDER BY v DESC, prt LIMIT 20""",
   )
 }

@@ -1167,6 +1167,73 @@ object TextOps {
         .orderBy(desc("lift_micro"), col("a"), col("b"))
         .limit(50)
     }),
+
+    // KMV (k-minimum-values) distinct sketches + pairwise corpus-overlap
+    // estimation — the sketch a fleet exchanges to answer "how much does
+    // source A's shingle space overlap source B's?" WITHOUT shipping
+    // either corpus: per source, keep only the k=128 smallest 32-bit md5
+    // gram hashes (a uniform sample of the hashed distinct space). The
+    // KMV estimator D̂ = (k−1)·2³²/h₍ₖ₎ gives each source's distinct-gram
+    // count; merging two sketches and re-taking the 128 smallest gives
+    // the union's sketch for free, and the fraction of union-sketch
+    // members present in BOTH input sketches estimates Jaccard (Beyer et
+    // al., SIGMOD'07). Everything after the md5 is exact integer
+    // arithmetic — estimator divisions are integer DIV, so the estimate
+    // is bit-replayable. The exact branch (full distinct-gram self-join)
+    // rides one gh-keyed shuffle and exists to score the estimator:
+    // err_bp is the calibration number a rollout thresholds on. At
+    // 100 TB only the exact branch grows; the sketch branch moves
+    // |sources|·k rows regardless of corpus size — that asymmetry is the
+    // entire point of the operator.
+    "q213_kmv_overlap" -> ((s, d) => {
+      val sg = shinglesPortable(s, d).select("source", "gh").distinct()
+        .localCheckpoint() // shared by the sketch AND exact branches
+      val wS = Window.partitionBy("source").orderBy("gh")
+      val sk = sg.withColumn("rn", row_number().over(wS))
+        .filter(col("rn") <= 128).drop("rn").localCheckpoint()
+      val srcs = sk.select("source").distinct()
+      val pairs = srcs.select(col("source").as("sa"))
+        .crossJoin(srcs.select(col("source").as("sb")))
+        .filter(col("sa") < col("sb"))
+      val mA = pairs.join(sk.select(col("source").as("sa"), col("gh")), "sa")
+        .select(col("sa"), col("sb"), col("gh"),
+          lit(1L).as("inA"), lit(0L).as("inB"))
+      val mB = pairs.join(sk.select(col("source").as("sb"), col("gh")), "sb")
+        .select(col("sa"), col("sb"), col("gh"),
+          lit(0L).as("inA"), lit(1L).as("inB"))
+      val uni = mA.unionByName(mB).groupBy("sa", "sb", "gh")
+        .agg(max("inA").as("inA"), max("inB").as("inB"))
+      val wP = Window.partitionBy("sa", "sb").orderBy("gh")
+      val est = uni.withColumn("rn", row_number().over(wP))
+        .filter(col("rn") <= 128)
+        .groupBy("sa", "sb")
+        .agg(count(lit(1)).as("ku"), max("gh").as("hku"),
+          sum(expr("inA * inB")).as("c"))
+        .selectExpr("sa", "sb",
+          "CASE WHEN ku < 128 THEN ku" +
+            " ELSE (127 * 4294967296L) DIV hku END AS est_union",
+          "c", "(2 * c * 10000 + ku) DIV (2 * ku) AS est_jacc_bp")
+      val exN = sg.groupBy("source").agg(count(lit(1)).as("n"))
+      val exI = sg.select(col("source").as("sa"), col("gh"))
+        .join(sg.select(col("source").as("sb"), col("gh")), "gh")
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
+      est
+        .join(exI, Seq("sa", "sb"), "left")
+        .na.fill(0L, Seq("inter"))
+        .join(broadcast(exN.select(col("source").as("sa"),
+          col("n").as("na"))), "sa")
+        .join(broadcast(exN.select(col("source").as("sb"),
+          col("n").as("nb"))), "sb")
+        .selectExpr("sa", "sb", "est_union",
+          "na + nb - inter AS exact_union", "c AS sketch_overlap",
+          "est_jacc_bp",
+          "(2 * inter * 10000 + (na + nb - inter))" +
+            " DIV (2 * (na + nb - inter)) AS exact_jacc_bp")
+        .withColumn("err_bp",
+          abs(col("est_jacc_bp") - col("exact_jacc_bp")))
+        .orderBy("sa", "sb")
+    }),
   )
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
@@ -1962,5 +2029,66 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
                 md5(string_agg(CAST(b AS VARCHAR) || ':' ||
                   CAST(v AS VARCHAR), ',' ORDER BY b)) AS vec_fp
          FROM bv GROUP BY doc_id ORDER BY doc_id""",
+    // full KMV replay: identical 32-bit md5 gram hash, identical k=128
+    // sketch + union-sketch construction, integer estimator divisions
+    "q213_kmv_overlap" ->
+      """WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                      FROM documents),
+              g AS (SELECT DISTINCT source,
+                           ('0x' || substr(md5(toks[i] || ' ' ||
+                              toks[i+1] || ' ' || toks[i+2]), 1, 8))::BIGINT
+                             AS gh
+                    FROM (SELECT doc_id, source, toks,
+                                 unnest(range(1, len(toks) - 1)) AS i
+                          FROM tok WHERE len(toks) >= 3)),
+              sk AS (SELECT source, gh FROM
+                       (SELECT source, gh, row_number() OVER
+                          (PARTITION BY source ORDER BY gh) AS rn FROM g)
+                     WHERE rn <= 128),
+              srcs AS (SELECT DISTINCT source FROM sk),
+              pairs AS (SELECT a.source AS sa, b.source AS sb
+                        FROM srcs a, srcs b WHERE a.source < b.source),
+              m AS (SELECT sa, sb, gh, max(inA) AS inA, max(inB) AS inB
+                    FROM (SELECT p.sa, p.sb, k.gh, 1 AS inA, 0 AS inB
+                          FROM pairs p JOIN sk k ON k.source = p.sa
+                          UNION ALL
+                          SELECT p.sa, p.sb, k.gh, 0, 1
+                          FROM pairs p JOIN sk k ON k.source = p.sb)
+                    GROUP BY 1, 2, 3),
+              us AS (SELECT * FROM
+                       (SELECT m.*, row_number() OVER
+                          (PARTITION BY sa, sb ORDER BY gh) AS rn FROM m)
+                     WHERE rn <= 128),
+              est AS (SELECT sa, sb, count(*) AS ku, max(gh) AS hku,
+                             sum(inA * inB) AS c
+                      FROM us GROUP BY 1, 2),
+              exn AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+              exi AS (SELECT a.source AS sa, b.source AS sb,
+                             count(*) AS inter
+                      FROM g a JOIN g b
+                        ON a.gh = b.gh AND a.source < b.source
+                      GROUP BY 1, 2)
+         SELECT e.sa, e.sb,
+                CAST(CASE WHEN ku < 128 THEN ku
+                          ELSE (127 * 4294967296) // hku END AS BIGINT)
+                  AS est_union,
+                CAST(na.n + nb.n - coalesce(i.inter, 0) AS BIGINT)
+                  AS exact_union,
+                CAST(c AS BIGINT) AS sketch_overlap,
+                CAST((2 * c * 10000 + ku) // (2 * ku) AS BIGINT)
+                  AS est_jacc_bp,
+                CAST((2 * coalesce(i.inter, 0) * 10000
+                      + (na.n + nb.n - coalesce(i.inter, 0)))
+                     // (2 * (na.n + nb.n - coalesce(i.inter, 0)))
+                     AS BIGINT) AS exact_jacc_bp,
+                CAST(abs((2 * c * 10000 + ku) // (2 * ku)
+                         - (2 * coalesce(i.inter, 0) * 10000
+                            + (na.n + nb.n - coalesce(i.inter, 0)))
+                           // (2 * (na.n + nb.n - coalesce(i.inter, 0))))
+                     AS BIGINT) AS err_bp
+         FROM est e LEFT JOIN exi i ON e.sa = i.sa AND e.sb = i.sb
+              JOIN exn na ON e.sa = na.source
+              JOIN exn nb ON e.sb = nb.source
+         ORDER BY e.sa, e.sb""",
   )
 }

@@ -887,6 +887,63 @@ object VectorOps {
           "(2 * u2 * 10000 + 2 * n_pos * n_neg)" +
             " DIV (4 * n_pos * n_neg) AS auc_bp")
     }),
+
+    // Greedy k-center seeding (Gonzalez farthest-point traversal) — the
+    // deterministic alternative to k-means++ sampling for cluster init
+    // (q65/q111 consume seeds; bad seeds cost extra refine rounds over
+    // the full corpus, so seeding quality IS a scale concern). Each of
+    // the K−1 rounds is: one corpus scan against a BROADCAST 1-row new
+    // center (running min-distance kept as a column, localCheckpoint'd so
+    // round r does one distance, not r), then a global argmax — an agg to
+    // ONE row, never a sort. Distances are round-6 squared L2 with
+    // argmax ties broken by smallest vec_id (max of (d, −id) — exactly
+    // replayable), giving the 2-approximation guarantee of the greedy
+    // traversal with bit-stable center choices. Output: the 4 centers,
+    // their assignment counts, and the k-center radius (max min-distance)
+    // per center — the seed-quality report. At 100 TB: K scans of a
+    // partitioned-in-place corpus, K broadcasts of one 64-dim row.
+    "q214_kcenter_init" -> ((s, d) => {
+      def l2sq(a: Column, b: Column): Column =
+        round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, z) => acc + z), 6)
+      val v = ld(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("ce"))
+        .localCheckpoint()
+      var centers = v.filter(col("vec_id") === 0)
+        .select(lit(1).as("crank"), col("vec_id").as("cid"),
+          col("ce").as("cc"))
+      var cur = v.crossJoin(broadcast(centers.select("cc")))
+        .select(col("vec_id"), col("ce"),
+          l2sq(col("ce"), col("cc")).as("dmin"))
+        .localCheckpoint()
+      for (k <- 2 to 4) {
+        val far = cur
+          .agg(expr("max(named_struct('d', dmin, 'nid', -vec_id))").as("m"))
+          .select((col("m.nid") * -1).as("fid"))
+        val nc = v.join(broadcast(far), col("vec_id") === col("fid"))
+          .select(lit(k).as("crank"), col("vec_id").as("cid"),
+            col("ce").as("cc"))
+        centers = centers.unionByName(nc)
+        cur = cur.crossJoin(broadcast(nc.select(col("cc").as("ncc"))))
+          .select(col("vec_id"), col("ce"),
+            least(col("dmin"), l2sq(col("ce"), col("ncc"))).as("dmin"))
+          .localCheckpoint()
+      }
+      val cents = centers.localCheckpoint()
+      v.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("crank"),
+          l2sq(col("ce"), col("cc")).as("dc"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dc"), col("crank"))).as("m"))
+        .select(col("m.crank").as("crank"), col("m.dc").as("dc"))
+        .groupBy("crank")
+        .agg(count(lit(1)).as("n_assigned"), max("dc").as("radius"))
+        .join(broadcast(cents.select("crank", "cid")), "crank")
+        .select(col("crank"), col("cid").as("center_id"),
+          col("n_assigned"), col("radius"))
+        .orderBy("crank")
+    }),
   )
 
   /** q125's composed IVF×PQ chain, ranked pre-top-k — shared with q120's
@@ -1607,5 +1664,50 @@ object VectorOps {
                       + 2 * sum(np) * sum(nn))
                      // (4 * sum(np) * sum(nn)) AS BIGINT) AS auc_bp
          FROM cum""",
+    // unrolled greedy traversal: same round-6 squared-L2, same
+    // (d DESC, vec_id) argmax tie-break, same (dc, crank) assignment rule
+    "q214_kcenter_init" -> {
+      def dl2(v: String, c: String) =
+        duckL2.replace("%V", v).replace("%C", c)
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                     FROM embeddings),
+              c1 AS (SELECT ce AS cc FROM c WHERE vec_id = 0),
+              d1 AS (SELECT vec_id, ce, ${dl2("ce", "cc")} AS dmin
+                     FROM c, c1),
+              f2 AS (SELECT vec_id AS cid FROM d1
+                     ORDER BY dmin DESC, vec_id LIMIT 1),
+              c2 AS (SELECT c.ce AS cc, f2.cid FROM c, f2
+                     WHERE c.vec_id = f2.cid),
+              d2 AS (SELECT d1.vec_id, d1.ce,
+                            least(d1.dmin, ${dl2("d1.ce", "c2.cc")}) AS dmin
+                     FROM d1, c2),
+              f3 AS (SELECT vec_id AS cid FROM d2
+                     ORDER BY dmin DESC, vec_id LIMIT 1),
+              c3 AS (SELECT c.ce AS cc, f3.cid FROM c, f3
+                     WHERE c.vec_id = f3.cid),
+              d3 AS (SELECT d2.vec_id, d2.ce,
+                            least(d2.dmin, ${dl2("d2.ce", "c3.cc")}) AS dmin
+                     FROM d2, c3),
+              f4 AS (SELECT vec_id AS cid FROM d3
+                     ORDER BY dmin DESC, vec_id LIMIT 1),
+              c4 AS (SELECT c.ce AS cc, f4.cid FROM c, f4
+                     WHERE c.vec_id = f4.cid),
+              cent AS (SELECT 1 AS crank, 0 AS cid, cc FROM c1
+                       UNION ALL SELECT 2, cid, cc FROM c2
+                       UNION ALL SELECT 3, cid, cc FROM c3
+                       UNION ALL SELECT 4, cid, cc FROM c4),
+              dist AS (SELECT v.vec_id, cent.crank,
+                              ${dl2("v.ce", "cent.cc")} AS dc
+                       FROM c v, cent),
+              asg AS (SELECT vec_id, crank, dc FROM
+                        (SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dc, crank) AS rn FROM dist)
+                      WHERE rn = 1)
+         SELECT CAST(a.crank AS INTEGER) AS crank, ct.cid AS center_id,
+                CAST(count(*) AS BIGINT) AS n_assigned, max(a.dc) AS radius
+         FROM asg a JOIN (SELECT crank, cid FROM cent) ct
+           ON a.crank = ct.crank
+         GROUP BY 1, 2 ORDER BY crank"""
+    },
   )
 }
