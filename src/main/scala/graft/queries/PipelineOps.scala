@@ -1874,6 +1874,84 @@ object PipelineOps {
         .select("source", "n_docs", "mean_c", "n_reps", "ci_lo", "ci_hi")
         .orderBy("source")
     }),
+
+    // Iterative proportional fitting (raking) of the source×lang mixture
+    // to uniform marginals on BOTH axes simultaneously — what q114's
+    // single-axis balancing can't do (upweighting a rare language must
+    // not silently unbalance the source mix, and vice versa). Classic
+    // survey-statistics IPF run in exact integer milli-doc units: each
+    // half-step scales every cell by target/current-marginal using
+    // integer division — bit-replayable, no float ratios — and the
+    // marginal sums ride broadcast joins of |sources|- and |langs|-sized
+    // frames (the cell table itself never re-shuffles; at 100 TB the
+    // cells are an already-tiny aggregate of one corpus scan). Two full
+    // row+column rounds; the fixed point is the max-entropy mixture with
+    // those marginals. Output: per-cell final sampling weight.
+    "q217_raking_mixture" -> ((s, d) => {
+      val cells = ld(s, d, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum("n").as("nn"),
+        countDistinct("source").as("ns"), countDistinct("lang").as("nl"))
+        .selectExpr("(nn * 1000) DIV ns AS ts", "(nn * 1000) DIV nl AS tl")
+      var w = cells.crossJoin(broadcast(tot))
+        .selectExpr("source", "lang", "n", "ts", "tl", "n * 1000 AS w")
+        .localCheckpoint()
+      for (_ <- 1 to 2) {
+        val rs = w.groupBy("source").agg(sum("w").as("rowsum"))
+        w = w.join(broadcast(rs), "source")
+          .selectExpr("source", "lang", "n", "ts", "tl",
+            "(w * ts) DIV rowsum AS w")
+        val cs = w.groupBy("lang").agg(sum("w").as("colsum"))
+        w = w.join(broadcast(cs), "lang")
+          .selectExpr("source", "lang", "n", "ts", "tl",
+            "(w * tl) DIV colsum AS w")
+          .localCheckpoint()
+      }
+      w.selectExpr("source", "lang", "n", "w AS w_milli")
+        .orderBy("source", "lang")
+    }),
+
+    // Deterministic fractional upsampling — the write side of a mixture:
+    // a doc with weight 1.7 epochs appears once always plus once with
+    // probability 0.7, the Bernoulli draw carved out of md5(doc_id) so
+    // every engine, retry, and executor expands the SAME corpus (a
+    // rand()-based expansion is unauditable — this op's output IS
+    // training data, so reproducibility is a correctness property, not a
+    // nicety). Weight = 500 + lexical-diversity-bp/5 milli-epochs
+    // ∈ [500, 2500]: diverse docs repeat up to 2.5×, repetitive ones are
+    // downsampled below 1. The expansion is a per-row sequence explode —
+    // map-side only, no shuffle until the final per-source audit — and
+    // the audit proves E[rows_out] tracks the fractional target:
+    // err_milli is the realized-vs-target gap. sequence(1, reps) is
+    // guarded for reps=0 (Spark would generate a DESCENDING [1,0]
+    // sequence, not an empty one — silently doubling dropped docs).
+    "q218_quality_upsample" -> ((s, d) => {
+      val weighted = ld(s, d, "documents")
+        .selectExpr("doc_id", "source",
+          s"CAST($nTokens AS BIGINT) AS toks",
+          "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS dtoks")
+        .selectExpr("doc_id", "source",
+          "500 + ((2 * dtoks * 10000 + toks) DIV (2 * toks)) DIV 5" +
+            " AS w_milli")
+        .selectExpr("doc_id", "source", "w_milli",
+          "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING)," +
+            " ':rep')), 1, 8), 16, 10) AS BIGINT) AS u")
+        .selectExpr("doc_id", "source", "w_milli",
+          "w_milli DIV 1000 + CASE WHEN u <" +
+            " ((w_milli % 1000) * 4294967296L) DIV 1000" +
+            " THEN 1 ELSE 0 END AS reps")
+        .localCheckpoint() // shared by the audit AND expansion branches
+      val target = weighted.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("w_milli").as("target_milli"))
+      val out = weighted
+        .withColumn("rep", explode(expr(
+          "CASE WHEN reps > 0 THEN sequence(1, reps) ELSE array() END")))
+        .groupBy("source").agg(count(lit(1)).as("n_rows_out"))
+      target.join(out, "source")
+        .selectExpr("source", "n_docs", "target_milli", "n_rows_out",
+          "abs(n_rows_out * 1000 - target_milli) AS err_milli")
+        .orderBy("source")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -3423,5 +3501,57 @@ object PipelineOps {
                      AS BIGINT) AS mean_c,
                 CAST(n_reps AS BIGINT) AS n_reps, ci_lo, ci_hi
          FROM ci JOIN pt USING (source) ORDER BY source""",
+    "q217_raking_mixture" ->
+      """WITH cells AS (SELECT source, lang, count(*) AS n
+                        FROM documents GROUP BY 1, 2),
+              tot AS (SELECT (sum(n) * 1000) // count(DISTINCT source)
+                               AS ts,
+                             (sum(n) * 1000) // count(DISTINCT lang) AS tl
+                      FROM cells),
+              w0 AS (SELECT source, lang, n, n * 1000 AS w FROM cells),
+              r1 AS (SELECT source, sum(w) AS rowsum FROM w0 GROUP BY 1),
+              w1 AS (SELECT source, lang, n, (w * ts) // rowsum AS w
+                     FROM w0 JOIN r1 USING (source) CROSS JOIN tot),
+              c1 AS (SELECT lang, sum(w) AS colsum FROM w1 GROUP BY 1),
+              w2 AS (SELECT source, lang, n, (w * tl) // colsum AS w
+                     FROM w1 JOIN c1 USING (lang) CROSS JOIN tot),
+              r2 AS (SELECT source, sum(w) AS rowsum FROM w2 GROUP BY 1),
+              w3 AS (SELECT source, lang, n, (w * ts) // rowsum AS w
+                     FROM w2 JOIN r2 USING (source) CROSS JOIN tot),
+              c2 AS (SELECT lang, sum(w) AS colsum FROM w3 GROUP BY 1),
+              w4 AS (SELECT source, lang, n, (w * tl) // colsum AS w
+                     FROM w3 JOIN c2 USING (lang) CROSS JOIN tot)
+         SELECT source, lang, CAST(n AS BIGINT) AS n,
+                CAST(w AS BIGINT) AS w_milli
+         FROM w4 ORDER BY source, lang""",
+    "q218_quality_upsample" ->
+      """WITH wdoc AS (SELECT doc_id, source,
+                             500 + ((2 * CAST(length(list_distinct(
+                                      string_split(text, ' '))) AS BIGINT)
+                                     * 10000
+                                     + (length(text) - length(replace(text,
+                                        ' ', '')) + 1))
+                                    // (2 * (length(text)
+                                        - length(replace(text, ' ', ''))
+                                        + 1))) // 5 AS w_milli
+                      FROM documents),
+              reps AS (SELECT source, w_milli,
+                              w_milli // 1000 + CASE WHEN
+                                ('0x' || substr(md5(CAST(doc_id AS
+                                   VARCHAR) || ':rep'), 1, 8))::BIGINT <
+                                ((w_milli % 1000) * 4294967296) // 1000
+                                THEN 1 ELSE 0 END AS reps
+                       FROM wdoc),
+              tgt AS (SELECT source, count(*) AS n_docs,
+                             sum(w_milli) AS target_milli
+                      FROM reps GROUP BY 1),
+              outr AS (SELECT source, sum(reps) AS n_rows_out
+                       FROM reps GROUP BY 1)
+         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(target_milli AS BIGINT) AS target_milli,
+                CAST(n_rows_out AS BIGINT) AS n_rows_out,
+                CAST(abs(n_rows_out * 1000 - target_milli) AS BIGINT)
+                  AS err_milli
+         FROM tgt JOIN outr USING (source) ORDER BY source""",
   )
 }

@@ -1234,6 +1234,63 @@ object TextOps {
           abs(col("est_jacc_bp") - col("exact_jacc_bp")))
         .orderBy("sa", "sb")
     }),
+
+    // Heaps-law vocabulary-growth curve: cumulative distinct-type count as
+    // the corpus is consumed in doc_id order, bucketed into deciles — the
+    // diagnostic that tells a tokenizer-training run whether more data
+    // still buys vocabulary (V(n) ~ K·n^β flattening) or the corpus has
+    // saturated. The scale-shape insight: "first time each type appears"
+    // is NOT a scan-in-order problem — it's min(doc_id) per type (one
+    // map-side-combined groupBy), and because the decile is monotonic in
+    // doc_id, first-seen decile = decile of min(doc_id). The only window
+    // is the 10-row decile cumsum. The max-doc_id bound arrives as a
+    // 1-row broadcast; everything else is exact integers.
+    "q215_heaps_law" -> ((s, d) => {
+      val docs = ld(s, d, "documents")
+      val mx = docs.agg(max("doc_id").as("mx"))
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .crossJoin(broadcast(mx))
+        .withColumn("decile", expr("(doc_id * 10) DIV (mx + 1)"))
+      val occ = toks.groupBy("decile")
+        .agg(count(lit(1)).as("n_occurrences"))
+      val fresh = toks.groupBy("tok").agg(min("decile").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("new_types"))
+      val nd = docs.crossJoin(broadcast(mx))
+        .withColumn("decile", expr("(doc_id * 10) DIV (mx + 1)"))
+        .groupBy("decile").agg(count(lit(1)).as("n_docs"))
+      nd.join(occ, "decile").join(fresh, Seq("decile"), "left")
+        .na.fill(0L, Seq("new_types"))
+        .withColumn("cum_types", sum("new_types").over(
+          Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select("decile", "n_docs", "n_occurrences", "new_types",
+          "cum_types")
+        .orderBy("decile")
+    }),
+
+    // Gini–Simpson lexical concentration per source — the
+    // frequency-SENSITIVE diversity number beside q190's distinct/total
+    // ratio (which can't tell "10k types used evenly" from "10k types,
+    // one of them 90 % of mass"): λ = Σ nᵢ(nᵢ−1) / (N(N−1)) is the
+    // probability two occurrences drawn without replacement are the same
+    // type; 10⁴(1−λ) is the diversity. The unbiased finite-sample form
+    // keeps everything in exact integer arithmetic — per-type counts,
+    // then ONE more keyed agg of nᵢ(nᵢ−1) — so the result is independent
+    // of partitioning (no float entropy logs, the q70 lesson). Two
+    // map-side-combined shuffles at any scale: (source, tok) then source.
+    "q216_token_gini" -> ((s, d) =>
+      ld(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(sum("n").as("n_occ"), count(lit(1)).as("n_types"),
+          sum(expr("n * (n - 1)")).as("same2"))
+        .selectExpr("source", "n_occ", "n_types",
+          "(2 * same2 * 10000 + (n_occ * (n_occ - 1)))" +
+            " DIV (2 * n_occ * (n_occ - 1)) AS simpson_bp")
+        .withColumn("gini_simpson_bp", lit(10000L) - col("simpson_bp"))
+        .orderBy("source")),
   )
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
@@ -2090,5 +2147,46 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
               JOIN exn na ON e.sa = na.source
               JOIN exn nb ON e.sb = nb.source
          ORDER BY e.sa, e.sb""",
+    "q215_heaps_law" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+              t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+              dt AS (SELECT tok, (doc_id * 10) // (mx + 1) AS decile
+                     FROM t, mx),
+              occ AS (SELECT decile, count(*) AS n_occurrences
+                      FROM dt GROUP BY 1),
+              fresh AS (SELECT decile, count(*) AS new_types FROM
+                          (SELECT tok, min(decile) AS decile
+                           FROM dt GROUP BY 1)
+                        GROUP BY 1),
+              nd AS (SELECT (doc_id * 10) // (mx + 1) AS decile,
+                            count(*) AS n_docs
+                     FROM documents, mx GROUP BY 1)
+         SELECT CAST(nd.decile AS BIGINT) AS decile,
+                CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_occurrences AS BIGINT) AS n_occurrences,
+                CAST(coalesce(new_types, 0) AS BIGINT) AS new_types,
+                CAST(sum(coalesce(new_types, 0)) OVER
+                  (ORDER BY nd.decile ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS BIGINT) AS cum_types
+         FROM nd JOIN occ ON nd.decile = occ.decile
+              LEFT JOIN fresh ON nd.decile = fresh.decile
+         ORDER BY decile""",
+    "q216_token_gini" ->
+      """WITH tc AS (SELECT source, tok, count(*) AS n FROM
+                       (SELECT source, unnest(string_split(text, ' '))
+                          AS tok FROM documents)
+                     GROUP BY 1, 2),
+              agg AS (SELECT source, sum(n) AS n_occ, count(*) AS n_types,
+                             sum(n * (n - 1)) AS same2
+                      FROM tc GROUP BY 1)
+         SELECT source, CAST(n_occ AS BIGINT) AS n_occ,
+                CAST(n_types AS BIGINT) AS n_types,
+                CAST((2 * same2 * 10000 + (n_occ * (n_occ - 1)))
+                     // (2 * n_occ * (n_occ - 1)) AS BIGINT) AS simpson_bp,
+                CAST(10000 - (2 * same2 * 10000 + (n_occ * (n_occ - 1)))
+                     // (2 * n_occ * (n_occ - 1)) AS BIGINT)
+                  AS gini_simpson_bp
+         FROM agg ORDER BY source""",
   )
 }
