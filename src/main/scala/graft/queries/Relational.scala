@@ -1201,7 +1201,13 @@ object Relational {
       val e = ld(s, d, "lineitem")
         .select(col("l_suppkey").as("sup"), col("l_partkey").as("prt"))
         .distinct().localCheckpoint()
-      def norm(df: DataFrame, key: String): DataFrame = {
+      // the raw half-round frame is pinned BEFORE the total is taken:
+      // unpinned, every consumer (the 1-row total AND the scaled output)
+      // re-derives the whole upstream chain, and because each round nests
+      // the previous one the plan grows 2^rounds subtrees (observed: 7
+      // copies of the normalization cross for 3 norms)
+      def norm(df0: DataFrame, key: String): DataFrame = {
+        val df = df0.localCheckpoint()
         val dvr = df.agg(sum("v").as("tot"))
           .selectExpr("GREATEST(1L, tot DIV 1000000000000L) AS dvr")
         df.crossJoin(broadcast(dvr)).selectExpr(key, "v DIV dvr AS v")

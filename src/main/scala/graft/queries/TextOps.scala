@@ -1248,17 +1248,24 @@ object TextOps {
     "q215_heaps_law" -> ((s, d) => {
       val docs = ld(s, d, "documents")
       val mx = docs.agg(max("doc_id").as("mx"))
-      val toks = docs
+      // ONE corpus scan: collapse occurrences to (decile, tok, cnt) —
+      // map-side combined on a key far smaller than the token stream —
+      // then pin it; the occurrence totals AND the first-seen-type counts
+      // both derive from this frame instead of re-scanning the corpus
+      // (the unpinned shape ran the explode+crossJoin subtree twice).
+      val g = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .crossJoin(broadcast(mx))
-        .withColumn("decile", expr("(doc_id * 10) DIV (mx + 1)"))
-      val occ = toks.groupBy("decile")
-        .agg(count(lit(1)).as("n_occurrences"))
-      val fresh = toks.groupBy("tok").agg(min("decile").as("decile"))
+        .groupBy(expr("(doc_id * 10) DIV (mx + 1)").as("decile"),
+          col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val occ = g.groupBy("decile").agg(sum("cnt").as("n_occurrences"))
+      val fresh = g.groupBy("tok").agg(min("decile").as("decile"))
         .groupBy("decile").agg(count(lit(1)).as("new_types"))
       val nd = docs.crossJoin(broadcast(mx))
-        .withColumn("decile", expr("(doc_id * 10) DIV (mx + 1)"))
-        .groupBy("decile").agg(count(lit(1)).as("n_docs"))
+        .groupBy(expr("(doc_id * 10) DIV (mx + 1)").as("decile"))
+        .agg(count(lit(1)).as("n_docs"))
       nd.join(occ, "decile").join(fresh, Seq("decile"), "left")
         .na.fill(0L, Seq("new_types"))
         .withColumn("cum_types", sum("new_types").over(

@@ -871,6 +871,10 @@ object VectorOps {
         .agg(sum(when(col("label") === 0, 1L).otherwise(0L)).as("np"),
           sum(when(col("label") =!= 0, 1L).otherwise(0L)).as("nn"))
         .withColumn("bucket", floor(col("score") * 10))
+        // pinned: both the offset branch and the fine cumsum read this
+        // |distinct scores|-sized frame — without it each branch re-runs
+        // the corpus scan AND the centroid derivation (seen in the plan)
+        .localCheckpoint()
       val offsets = byScore.groupBy("bucket")
         .agg(sum("nn").as("bnn"))
         .withColumn("off", coalesce(

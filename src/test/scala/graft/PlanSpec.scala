@@ -986,4 +986,121 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 1,
       "all four lags share one window spec")
   }
+
+  test("q209: AUC rank statistic runs over the PINNED per-score frame — " +
+    "both cumsum stages read it, the corpus is scanned once; the coarse " +
+    "offsets attach by broadcast and no window is corpus-sized") {
+    val p = plan("q209_auc_roc")
+    assert(p.contains("Scan ExistingRDD"),
+      "the per-score (np, nn) frame must be materialized once")
+    assert(!p.contains("Scan parquet"),
+      "the visible plan must not re-derive the corpus scan per branch")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastHashJoin.*""")) == 1,
+      "bucket offsets attach by broadcast, never a shuffle")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 2,
+      "coarse offsets window (<=20 rows) + bucket-partitioned fine window")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q210: calibration bins are one map-side-combined aggregate — " +
+    "partial+final on the 10-value bin key, no joins, no windows") {
+    val p = plan("q210_calibration_ece")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) HashAggregate""")) == 2)
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange""")) == 2,
+      "bin-key shuffle + presentation sort, nothing else")
+  }
+
+  test("q211: Poisson bootstrap is a map-side 32x explode combined " +
+    "before the only data shuffle; the point-estimate branch joins by " +
+    "broadcast") {
+    val p = plan("q211_poisson_bootstrap")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate""")) == 1,
+      "one replicate explode")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastHashJoin.*""")) == 1,
+      "per-source CI frame joins the per-source point frame broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q212: HITS alternations ride the pinned edge list; top-20 is " +
+    "TakeOrderedAndProject, never a global sort; every normalization " +
+    "total attaches as a 1-row broadcast") {
+    val p = plan("q212_hits")
+    assert(p.contains("Scan ExistingRDD"), "edge list pinned once")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) == 1,
+      "only the FINAL normalization's 1-row total attach is visible; " +
+        "earlier half-rounds are pinned (unpinned, the plan held " +
+        "2^rounds copies of the normalization cross)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q213: KMV sketch top-128 is WindowGroupLimit-pruned; est and " +
+    "exact branches merge in ONE outer join; everything reads the " +
+    "pinned distinct-gram frame") {
+    val p = plan("q213_kmv_overlap")
+    assert(p.contains("WindowGroupLimit"),
+      "per-key rank<=128 must prune before the full window sort")
+    assert(p.linesIterator.count(_.contains("SortMergeJoin LeftOuter")) == 1,
+      "exactly the est-exact merge")
+    assert(!p.contains("Scan parquet"),
+      "sketch AND exact branches read the pinned shingle frame")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q214: k-center assignment is one cross against the 4-row " +
+    "broadcast center table over the pinned corpus; counts are " +
+    "partial+final") {
+    val p = plan("q214_kcenter_init")
+    assert(p.contains("Scan ExistingRDD"))
+    assert(
+      p.linesIterator.count(_.contains("BroadcastNestedLoopJoin Cross")) == 1,
+      "one assignment cross vs the tiny center table")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) HashAggregate""")) >= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q215: Heaps curve derives both decile series from the pinned " +
+    "(decile, tok) frame — the token explode never runs twice, the " +
+    "only window is the 10-row cumsum") {
+    val p = plan("q215_heaps_law")
+    assert(p.contains("Scan ExistingRDD"),
+      "occurrence totals and first-seen counts share one materialization")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate""")) == 0,
+      "the corpus-sized explode happened once, inside the pin")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 1)
+  }
+
+  test("q216: Gini-Simpson is two stacked map-side-combined aggregates " +
+    "and nothing else — no joins, no windows, no float accumulation " +
+    "order to drift") {
+    val p = plan("q216_token_gini")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange""")) == 3,
+      "(source,tok) shuffle + source shuffle + presentation sort")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate""")) == 1)
+  }
+
+  test("q217: raking rounds are checkpoint-pinned — the visible plan " +
+    "reads the final cell weights, every IPF half-step materialized " +
+    "once (the q208 recipe)") {
+    val p = plan("q217_raking_mixture")
+    assert(p.contains("Scan ExistingRDD"))
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""),
+      "marginal scalings happen inside the pinned rounds")
+  }
+
+  test("q218: upsampling audit and expansion branches share the pinned " +
+    "weighted frame; the expansion is a map-side Generate; the two " +
+    "20-row audits merge by broadcast") {
+    val p = plan("q218_quality_upsample")
+    assert(!p.contains("Scan parquet"),
+      "both branches must read the pinned weight frame")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastHashJoin.*""")) == 1)
+  }
 }
