@@ -1224,6 +1224,51 @@ object Relational {
         .select(col("rank"), col("prt").as("partkey"),
           col("v").as("authority"))
     }),
+
+    // `Dataset.observe` + `Observation` — pipeline telemetry accumulated
+    // ON the data pass itself, not by a second scan: the corpus-wide
+    // counters (docs, chars, max) ride the SAME job that computes the
+    // quality-gate survivor count, as AccumulatorV2-backed metrics on the
+    // task results. At 100 TB that is the difference between "stats for
+    // free with the write" and "a second full-corpus aggregation job" —
+    // the mechanism behind every production pipeline's row-count/bytes
+    // dashboard. The builder triggers the one action (the gate count) and
+    // surfaces the observed map as the result frame; the oracle recomputes
+    // the same four numbers relationally, so a metric that silently
+    // stopped firing (listener detached, wrong column) hash-mismatches.
+    "q219_observe_metrics" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation()
+      val gated = ld(s, d, "documents")
+        .observe(obs,
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("tot_chars"),
+          max(col("n_chars").cast("long")).as("max_chars"))
+        .filter(col("n_chars") >= 200)
+      val kept = gated.count() // the ONE action; metrics ride its tasks
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_docs").asInstanceOf[Long], m("tot_chars").asInstanceOf[Long],
+        m("max_chars").asInstanceOf[Long], kept))
+        .toDF("n_docs", "tot_chars", "max_chars", "n_kept")
+    }),
+
+    // Parameterized SQL (named parameter markers, Spark 4 `sql(text,
+    // args)`) — the injection-safe templating surface a query service
+    // puts in front of the engine: the literal arrives as a typed
+    // parameter bound at parse time, NOT string-spliced, so the SAME plan
+    // text caches across invocations and a malicious value can never
+    // change the query shape. Plan-wise the bound parameter folds to a
+    // literal before optimization — the filter still pushes down to the
+    // scan (PlanSpec-pinned for the classic shape in q201).
+    "q220_parameterized_sql" -> ((s, d) => {
+      graft.Tables.view(s, d, "lineitem")
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n,
+                  sum(CAST(l_quantity AS BIGINT)) AS qty
+           FROM lineitem WHERE l_quantity >= :minq
+           GROUP BY l_returnflag ORDER BY l_returnflag""",
+        Map("minq" -> 30))
+    }),
   )
 
   /** q201's query text, shared verbatim with the DuckDB oracle. */
@@ -1903,5 +1948,17 @@ object Relational {
                   AS rank,
                 prt AS partkey, CAST(v AS BIGINT) AS authority
          FROM a2 ORDER BY v DESC, prt LIMIT 20""",
+    "q219_observe_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+                CAST(max(n_chars) AS BIGINT) AS max_chars,
+                CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_kept
+         FROM documents""",
+    "q220_parameterized_sql" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         FROM lineitem WHERE l_quantity >= 30
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

@@ -1298,6 +1298,40 @@ object TextOps {
             " DIV (2 * n_occ * (n_occ - 1)) AS simpson_bp")
         .withColumn("gini_simpson_bp", lit(10000L) - col("simpson_bp"))
         .orderBy("source")),
+
+    // Top-p (nucleus) vocabulary truncation per source: the smallest
+    // frequency-ranked type set covering ≥ 90 % of token occurrences —
+    // how a tokenizer/vocab build decides what becomes a type and what
+    // falls through to bytes, and the per-source coverage audit that goes
+    // with it. Rule: keep a type iff the cumulative mass BEFORE it is
+    // under 90 % of the source total — integer comparison (cum−n)·10 <
+    // tot·9, rank ties broken lexically, so the kept set is bit-stable.
+    // One (source, tok) count shuffle, then windows WITHIN each source
+    // partition (never global), then the per-source rollup. At 100 TB
+    // the per-type count frame is vocab-sized — orders smaller than the
+    // corpus — and everything downstream rides its source partitioning.
+    "q221_top_p_vocab" -> ((s, d) => {
+      val wRank = Window.partitionBy("source")
+        .orderBy(col("n").desc, col("tok"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wTot = Window.partitionBy("source")
+      ld(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum("n").over(wRank))
+        .withColumn("tot", sum("n").over(wTot))
+        .withColumn("keep", (col("cum") - col("n")) * 10 < col("tot") * 9)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("kept_types"),
+          sum(when(col("keep"), col("n")).otherwise(0L)).as("kept_occ"),
+          max("tot").as("tot_occ"))
+        .selectExpr("source", "n_types", "kept_types", "kept_occ",
+          "tot_occ",
+          "(2 * kept_occ * 10000 + tot_occ) DIV (2 * tot_occ)" +
+            " AS coverage_bp")
+        .orderBy("source")
+    }),
   )
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
@@ -2195,5 +2229,28 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
                      // (2 * n_occ * (n_occ - 1)) AS BIGINT)
                   AS gini_simpson_bp
          FROM agg ORDER BY source""",
+    "q221_top_p_vocab" ->
+      """WITH tc AS (SELECT source, tok, count(*) AS n FROM
+                       (SELECT source, unnest(string_split(text, ' '))
+                          AS tok FROM documents)
+                     GROUP BY 1, 2),
+              r AS (SELECT source, tok, n,
+                           sum(n) OVER (PARTITION BY source
+                             ORDER BY n DESC, tok
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum,
+                           sum(n) OVER (PARTITION BY source) AS tot
+                    FROM tc),
+              k AS (SELECT source, n, tot,
+                           CASE WHEN (cum - n) * 10 < tot * 9
+                                THEN 1 ELSE 0 END AS keep
+                    FROM r)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+                CAST(sum(keep) AS BIGINT) AS kept_types,
+                CAST(sum(keep * n) AS BIGINT) AS kept_occ,
+                CAST(max(tot) AS BIGINT) AS tot_occ,
+                CAST((2 * sum(keep * n) * 10000 + max(tot))
+                     // (2 * max(tot)) AS BIGINT) AS coverage_bp
+         FROM k GROUP BY 1 ORDER BY source""",
   )
 }

@@ -1103,4 +1103,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.linesIterator.count(
       _.matches("""\(\d+\) BroadcastHashJoin.*""")) == 1)
   }
+
+  test("q220: the named parameter folds to a literal BEFORE optimization " +
+    "— the filter still pushes down to the parquet scan") {
+    val p = plan("q220_parameterized_sql")
+    assert(p.contains("PushedFilters:") && p.contains("l_quantity"),
+      "a parameter that blocked pushdown would full-scan the fact table")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) HashAggregate""")) == 2)
+  }
+
+  test("q221: both nucleus windows are source-PARTITIONED and share one " +
+    "sort; the per-source rollup reuses the (source,tok) partitioning " +
+    "without a third data shuffle") {
+    val p = plan("q221_top_p_vocab")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 2)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Exchange""")) == 3,
+      "(source,tok) shuffle + source window shuffle + presentation sort")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+  }
 }
