@@ -930,6 +930,77 @@ object EventOps {
             (col("cents").cast("double") / 100).as("tot_value"))
           .orderBy("user_id", "sess_start")
       }),
+
+    // Watermark-lateness audit — the measurement that DECIDES the
+    // `withWatermark` delay q74/q75/q205 hardcode: how far behind the
+    // maximum event-time already seen (in ARRIVAL order, proxied by the
+    // monotonic ingest id) does each event land? "Running max over
+    // arrival order" is a global prefix scan, so it runs as the two-stage
+    // distributed pattern (the q209 cumsum, in max form): per-4096-block
+    // maxima (map-side), a tiny block-offset window, then the fine
+    // running max PARTITIONED by block — no corpus-sized single-partition
+    // window. Lateness lands in log2 buckets (length of the binary
+    // string — exact, no float log) with per-bucket counts and maxima:
+    // read the bucket where the tail mass ends, that is the watermark.
+    // On this fixture ingest order equals event-time order, so the whole
+    // corpus lands in bucket 0 — i.e. the audit (correctly) certifies a
+    // zero-delay watermark and, as a test, that the running max raises
+    // no FALSE lateness on ordered data.
+    "q222_watermark_audit" -> ((s, d) => {
+      val e = ld(s, d, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("blk", expr("event_id DIV 4096"))
+        .localCheckpoint() // block maxima + fine pass share one read
+      val blk = e.groupBy("blk").agg(max("us").as("bmax"))
+        .withColumn("pmax", max("bmax").over(Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+        .select("blk", "pmax")
+      val wIn = Window.partitionBy("blk").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.join(broadcast(blk), "blk")
+        .withColumn("inmax", max("us").over(wIn))
+        // greatest() skips nulls, so `seen` is null only for the very
+        // first arrival — handled by the CASE (a MinValue sentinel would
+        // overflow the ANSI subtraction)
+        .withColumn("seen", greatest(col("pmax"), col("inmax")))
+        .withColumn("late_s",
+          expr("CASE WHEN seen IS NULL OR seen <= us THEN 0L" +
+            " ELSE (seen - us) DIV 1000000 END"))
+        .withColumn("bkt", when(col("late_s") === 0, lit(0))
+          .otherwise(length(bin(col("late_s")))).cast("long"))
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("n"), max("late_s").as("max_late_s"))
+        .orderBy("bkt")
+    }),
+
+    // Session-gap calibration — the empirical basis for q71/q75/q205's
+    // 30-minute timeout: the distribution of consecutive same-user
+    // inter-event gaps, log2-bucketed with an exact cumulative share.
+    // The right cut sits where the cumulative curve plateaus (the
+    // bimodal within-session/between-session valley); shipping a timeout
+    // without this histogram is guessing. One user_id-keyed window for
+    // the lag (the same single Exchange every session query rides), a
+    // ~40-row bucket rollup, and the total arrives as a 1-row broadcast.
+    "q223_session_gap_calibration" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = ld(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev", lag("us", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(expr("(us - prev) DIV 1000000").as("gap_s"))
+        .localCheckpoint() // histogram + total share one derivation
+      gaps
+        .withColumn("bkt", when(col("gap_s") <= 0, lit(0))
+          .otherwise(length(bin(col("gap_s")))).cast("long"))
+        .groupBy("bkt")
+        .agg(count(lit(1)).as("n_gaps"), max("gap_s").as("max_gap_s"))
+        .withColumn("cum", sum("n_gaps").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(gaps.agg(count(lit(1)).as("tot"))))
+        .selectExpr("bkt", "n_gaps", "max_gap_s",
+          "(2 * cum * 10000 + tot) DIV (2 * tot) AS cum_share_bp")
+        .orderBy("bkt")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1267,6 +1338,49 @@ object EventOps {
                 CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
                               AS BIGINT)) AS DOUBLE) / 100 AS tot_value
          FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_start""",
+    // the oracle's single global window is topology-free — only the
+    // result must match the two-stage blocked running max
+    "q222_watermark_audit" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+              r AS (SELECT event_id, us,
+                           max(us) OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS seen
+                    FROM e),
+              l AS (SELECT CASE WHEN seen IS NULL OR seen <= us THEN 0
+                                ELSE (seen - us) // 1000000 END AS late_s
+                    FROM r),
+              b AS (SELECT CASE WHEN late_s = 0 THEN 0
+                                ELSE length(bin(late_s)) END AS bkt,
+                           late_s
+                    FROM l)
+         SELECT CAST(bkt AS BIGINT) AS bkt, CAST(count(*) AS BIGINT) AS n,
+                CAST(max(late_s) AS BIGINT) AS max_late_s
+         FROM b GROUP BY 1 ORDER BY bkt""",
+    "q223_session_gap_calibration" ->
+      """WITH g AS (SELECT (epoch_us(ts) - epoch_us(lag(ts) OVER
+                             (PARTITION BY user_id
+                              ORDER BY ts, event_id))) // 1000000 AS gap_s
+                    FROM events),
+              gg AS (SELECT gap_s FROM g WHERE gap_s IS NOT NULL),
+              b AS (SELECT CASE WHEN gap_s <= 0 THEN 0
+                                ELSE length(bin(gap_s)) END AS bkt, gap_s
+                    FROM gg),
+              h AS (SELECT bkt, count(*) AS n_gaps,
+                           max(gap_s) AS max_gap_s
+                    FROM b GROUP BY 1),
+              c AS (SELECT bkt, n_gaps, max_gap_s,
+                           sum(n_gaps) OVER (ORDER BY bkt
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+                    FROM h),
+              t AS (SELECT count(*) AS tot FROM gg)
+         SELECT CAST(bkt AS BIGINT) AS bkt,
+                CAST(n_gaps AS BIGINT) AS n_gaps,
+                CAST(max_gap_s AS BIGINT) AS max_gap_s,
+                CAST((2 * cum * 10000 + tot) // (2 * tot) AS BIGINT)
+                  AS cum_share_bp
+         FROM c, t ORDER BY bkt""",
   )
 }
 

@@ -1121,4 +1121,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "(source,tok) shuffle + source window shuffle + presentation sort")
     assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
   }
+
+  test("q222: the arrival-order running max is the two-stage blocked " +
+    "pattern — block offsets broadcast back, the fine window is " +
+    "block-PARTITIONED, never one global partition") {
+    val p = plan("q222_watermark_audit")
+    assert(p.contains("Scan ExistingRDD"),
+      "block maxima and the fine pass share one pinned read")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastHashJoin.*""")) == 1)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 2,
+      "coarse block-offset window + block-partitioned fine window")
+  }
+
+  test("q223: gap histogram and its total share the pinned gap frame; " +
+    "the 1-row total attaches as a broadcast cross") {
+    val p = plan("q223_session_gap_calibration")
+    assert(p.contains("Scan ExistingRDD"))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) == 1)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 1,
+      "only the ~40-row bucket cumsum is visible; the per-user lag " +
+        "window ran inside the pin")
+  }
 }
