@@ -1952,6 +1952,59 @@ object PipelineOps {
           "abs(n_rows_out * 1000 - target_milli) AS err_milli")
         .orderBy("source")
     }),
+
+    // Quantile normalization of doc length across sources — the
+    // batch-effect correction that maps every source's length
+    // distribution onto the CORPUS distribution (source A's p37-length
+    // doc gets the global p37 length), so a downstream length-aware gate
+    // or curriculum treats sources comparably instead of penalizing
+    // habitually-short ones. Everything runs on the DISTINCT-VALUE
+    // histograms (the q204 insight: distributions live in value space,
+    // orders smaller than the corpus): per-source and global CDFs in
+    // exact half-up bp via windows over those small frames, then the
+    // mapping v → min global value with CDF ≥ source-CDF(v) as a
+    // range join against the BROADCAST global histogram. Output is the
+    // per-source audit — mean length before/after in exact centi-units
+    // and the max residual CDF gap (the KS distance left after mapping,
+    // bounded by the value-grid granularity). No corpus-sized window,
+    // no float percentile anywhere.
+    "q224_quantile_normalize" -> ((s, d) => {
+      val docs = ld(s, d, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("v"))
+      val tot = docs.agg(count(lit(1)).as("nn"))
+      val gh = docs.groupBy("v").agg(count(lit(1)).as("c"))
+        .withColumn("gcum", sum("c").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(tot))
+        .selectExpr("v AS gv",
+          "(2 * gcum * 10000 + nn) DIV (2 * nn) AS gshare_bp")
+        .localCheckpoint() // broadcast twice (mapping + residual gap)
+      val sh = docs.groupBy("source", "v").agg(count(lit(1)).as("c"))
+        .withColumn("scum", sum("c").over(
+          Window.partitionBy("source").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("ns", sum("c").over(Window.partitionBy("source")))
+        .selectExpr("source", "v", "c",
+          "(2 * scum * 10000 + ns) DIV (2 * ns) AS sshare_bp")
+      val mapped = sh.join(broadcast(gh),
+          col("gshare_bp") >= col("sshare_bp"))
+        .groupBy("source", "v", "c", "sshare_bp")
+        .agg(min("gv").as("m"))
+      mapped
+        .join(broadcast(gh), col("m") === col("gv"))
+        .groupBy("source")
+        .agg(sum("c").as("n_docs"),
+          sum(expr("c * v")).as("sum_before"),
+          sum(expr("c * m")).as("sum_after"),
+          max(abs(col("gshare_bp") - col("sshare_bp"))).as("max_gap_bp"))
+        .selectExpr("source", "n_docs",
+          "(2 * sum_before * 100 + n_docs) DIV (2 * n_docs)" +
+            " AS mean_before_c",
+          "(2 * sum_after * 100 + n_docs) DIV (2 * n_docs)" +
+            " AS mean_after_c",
+          "max_gap_bp")
+        .orderBy("source")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -3553,5 +3606,36 @@ object PipelineOps {
                 CAST(abs(n_rows_out * 1000 - target_milli) AS BIGINT)
                   AS err_milli
          FROM tgt JOIN outr USING (source) ORDER BY source""",
+    "q224_quantile_normalize" ->
+      """WITH docs AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+                       FROM documents),
+              tot AS (SELECT count(*) AS nn FROM docs),
+              gh AS (SELECT v AS gv,
+                            (2 * sum(count(*)) OVER (ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) * 10000 + nn)
+                              // (2 * nn) AS gshare_bp
+                     FROM docs, tot GROUP BY v, nn),
+              sh AS (SELECT source, v, count(*) AS c,
+                            (2 * sum(count(*)) OVER (PARTITION BY source
+                               ORDER BY v ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) * 10000
+                             + sum(count(*)) OVER (PARTITION BY source))
+                              // (2 * sum(count(*))
+                                 OVER (PARTITION BY source)) AS sshare_bp
+                     FROM docs GROUP BY source, v),
+              mapped AS (SELECT source, v, c, sshare_bp,
+                                min(gv) AS m
+                         FROM sh JOIN gh ON gshare_bp >= sshare_bp
+                         GROUP BY 1, 2, 3, 4)
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+                CAST((2 * sum(c * v) * 100 + sum(c)) // (2 * sum(c))
+                     AS BIGINT) AS mean_before_c,
+                CAST((2 * sum(c * m) * 100 + sum(c)) // (2 * sum(c))
+                     AS BIGINT) AS mean_after_c,
+                CAST(max(abs(gh.gshare_bp - sshare_bp)) AS BIGINT)
+                  AS max_gap_bp
+         FROM mapped JOIN gh ON mapped.m = gh.gv
+         GROUP BY source ORDER BY source""",
   )
 }

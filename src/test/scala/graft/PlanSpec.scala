@@ -1144,4 +1144,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "only the ~40-row bucket cumsum is visible; the per-user lag " +
         "window ran inside the pin")
   }
+
+  test("q224: quantile mapping is a broadcast range join against the " +
+    "pinned value-histogram — one corpus scan, both source windows " +
+    "share one sort, no corpus-sized window") {
+    val p = plan("q224_quantile_normalize")
+    assert(p.linesIterator.count(_.matches(""".*\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) == 1,
+      "the CDF range join rides the broadcast global histogram")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 2)
+    assert(p.contains("Scan ExistingRDD"),
+      "the global histogram is pinned once, broadcast twice")
+  }
 }
