@@ -1001,6 +1001,45 @@ object EventOps {
           "(2 * cum * 10000 + tot) DIV (2 * tot) AS cum_share_bp")
         .orderBy("bkt")
     }),
+
+    // Time-series gap filling — the densification every downstream
+    // forecaster/anomaly detector needs before it can tell "no events"
+    // from "no row": per event_type, the full hourly grid between first
+    // and last activity is GENERATED (sequence over a timestamp range —
+    // a per-group map-side explode of bounds, never a calendar table
+    // scan), left-joined against the observed hourly counts, zero-filled.
+    // The audit reports dense-grid size, silent hours, and the LONGEST
+    // silent run — islands found with the classic rownumber-vs-index
+    // difference trick (hour_index − zero_rank is constant within a run),
+    // all integer, windows partitioned by event_type. The observed counts
+    // are pinned once: bounds, grid join, and totals all read the same
+    // materialized frame.
+    "q226_gapfill_series" -> ((s, d) => {
+      val hr = ld(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val bounds = hr.groupBy("event_type")
+        .agg(min("hr").as("lo"), max("hr").as("hi"))
+      val grid = bounds.select(col("event_type"), col("lo"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+      val dense = grid.join(hr, Seq("event_type", "hr"), "left")
+        .na.fill(0L, Seq("n"))
+        .withColumn("hidx",
+          expr("(unix_micros(hr) - unix_micros(lo)) DIV 3600000000"))
+      val wz = Window.partitionBy("event_type").orderBy("hidx")
+      val runs = dense.filter(col("n") === 0)
+        .withColumn("isl", col("hidx") - row_number().over(wz))
+        .groupBy("event_type", "isl").agg(count(lit(1)).as("run_h"))
+        .groupBy("event_type").agg(max("run_h").as("longest_gap_h"))
+      dense.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("n") === 0, 1L).otherwise(0L)).as("n_gap_hours"),
+          sum("n").as("n_events"))
+        .join(runs, Seq("event_type"), "left")
+        .na.fill(0L, Seq("longest_gap_h"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1381,6 +1420,43 @@ object EventOps {
                 CAST((2 * cum * 10000 + tot) // (2 * tot) AS BIGINT)
                   AS cum_share_bp
          FROM c, t ORDER BY bkt""",
+    "q226_gapfill_series" ->
+      """WITH hr AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                            count(*) AS n
+                     FROM events GROUP BY 1, 2),
+              bounds AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+                         FROM hr GROUP BY 1),
+              grid AS (SELECT event_type, lo,
+                              unnest(generate_series(lo, hi,
+                                INTERVAL 1 HOUR)) AS hr
+                       FROM bounds),
+              dense AS (SELECT g.event_type, g.hr,
+                               coalesce(hr.n, 0) AS n,
+                               (epoch_us(g.hr) - epoch_us(g.lo))
+                                 // 3600000000 AS hidx
+                        FROM grid g LEFT JOIN hr
+                          ON g.event_type = hr.event_type
+                             AND g.hr = hr.hr),
+              z AS (SELECT event_type, hidx,
+                           hidx - row_number() OVER (PARTITION BY event_type
+                             ORDER BY hidx) AS isl
+                    FROM dense WHERE n = 0),
+              runs AS (SELECT event_type, max(run_h) AS longest_gap_h FROM
+                         (SELECT event_type, isl, count(*) AS run_h
+                          FROM z GROUP BY 1, 2)
+                       GROUP BY 1),
+              agg AS (SELECT event_type, count(*) AS n_hours,
+                             sum(CASE WHEN n = 0 THEN 1 ELSE 0 END)
+                               AS n_gap_hours,
+                             sum(n) AS n_events
+                      FROM dense GROUP BY 1)
+         SELECT agg.event_type, CAST(n_hours AS BIGINT) AS n_hours,
+                CAST(n_gap_hours AS BIGINT) AS n_gap_hours,
+                CAST(n_events AS BIGINT) AS n_events,
+                CAST(coalesce(longest_gap_h, 0) AS BIGINT)
+                  AS longest_gap_h
+         FROM agg LEFT JOIN runs ON agg.event_type = runs.event_type
+         ORDER BY agg.event_type""",
   )
 }
 

@@ -2005,6 +2005,34 @@ object PipelineOps {
           "max_gap_bp")
         .orderBy("source")
     }),
+
+    // MapType column surface — the (key→value) shape a feature store or
+    // per-entity profile table carries: per-source lang→count maps built
+    // with map_from_entries, rescaled IN PLACE with transform_values
+    // (codegen'd higher-order lambda — no explode/regroup round trip),
+    // pruned with map_filter (majority languages only, ≥ 5 % in exact
+    // bp), then exploded back to rows for the order-insensitive compare
+    // (map iteration order is an implementation detail in BOTH engines —
+    // never hash a map directly; the exploded sorted rows are the
+    // contract). The entry arrays are sorted before map construction so
+    // the build itself is deterministic too. One (source, lang) shuffle,
+    // then per-source maps of ≤ |langs| entries — at 100 TB the map
+    // column is what ships to the serving side, orders smaller than the
+    // row-per-lang form.
+    "q225_map_ops" -> ((s, d) =>
+      ld(s, d, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("lang"), col("n"))))).as("m"),
+          sum("n").as("tot"))
+        .withColumn("shares", expr(
+          "transform_values(m, (k, v) -> (2 * v * 10000 + tot)" +
+            " DIV (2 * tot))"))
+        .withColumn("kept", expr("map_filter(shares, (k, v) -> v >= 500)"))
+        .select(col("source"), size(col("kept")).as("n_major_langs"),
+          explode(col("kept")).as(Seq("lang", "share_bp")))
+        .orderBy("source", "lang")),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -3637,5 +3665,21 @@ object PipelineOps {
                   AS max_gap_bp
          FROM mapped JOIN gh ON mapped.m = gh.gv
          GROUP BY source ORDER BY source""",
+    // relational replay of the map pipeline — the exploded sorted rows
+    // are the contract, the map itself is never hashed
+    "q225_map_ops" ->
+      """WITH cells AS (SELECT source, lang, count(*) AS n
+                        FROM documents GROUP BY 1, 2),
+              tot AS (SELECT source, sum(n) AS tot FROM cells GROUP BY 1),
+              sh AS (SELECT cells.source, lang,
+                            (2 * n * 10000 + tot) // (2 * tot) AS share_bp
+                     FROM cells JOIN tot ON cells.source = tot.source),
+              kept AS (SELECT * FROM sh WHERE share_bp >= 500),
+              k AS (SELECT source, count(*) AS n_major FROM kept
+                    GROUP BY 1)
+         SELECT kept.source, CAST(n_major AS INTEGER) AS n_major_langs,
+                lang, CAST(share_bp AS BIGINT) AS share_bp
+         FROM kept JOIN k ON kept.source = k.source
+         ORDER BY kept.source, lang""",
   )
 }

@@ -1332,6 +1332,47 @@ object TextOps {
             " AS coverage_bp")
         .orderBy("source")
     }),
+
+    // Transitivity audit of the simhash near-dup graph — the number that
+    // decides whether q101's connected-components clustering OVER-MERGES:
+    // similarity is not transitive (a~b, b~c does NOT imply a~c), and CC
+    // treats every edge as an equivalence, so a low closed-wedge fraction
+    // means chains of pairwise-similar docs are being glued into clusters
+    // whose ends share nothing. Wedges and their closures are counted in
+    // q134's degree-oriented basis (each triangle = exactly ONE wedge,
+    // out-degrees arboricity-bounded — wedge volume Σoutdeg², not the
+    // hub-exploding Σdeg²), over the SAME banded-candidate edge set the
+    // production detector emits. transitivity_bp = closed/wedges in
+    // half-up bp; the vacuous no-wedge graph reads 10000.
+    "q227_neardup_transitivity" -> ((s, d) => {
+      val edges = simhashBandedPairs(ld(s, d, "documents"))
+        .select("da", "db").localCheckpoint()
+      val und = edges.select(col("da").as("u"), col("db").as("v"))
+        .unionAll(edges.select(col("db").as("u"), col("da").as("v")))
+      val gdeg = und.groupBy("u").agg(count(lit(1)).as("gd"))
+      val dir = und.join(gdeg.hint("shuffle_hash"), "u")
+        .join(gdeg.select(col("u").as("v"), col("gd").as("gdv"))
+          .hint("shuffle_hash"), "v")
+        .filter(col("gd") < col("gdv") ||
+          (col("gd") === col("gdv") && col("u") < col("v")))
+        .select("u", "v", "gdv").localCheckpoint()
+      val wedges = dir.as("e1").join(dir.as("e2").hint("shuffle_hash"),
+          col("e1.u") === col("e2.u") && (col("e1.gdv") < col("e2.gdv") ||
+            (col("e1.gdv") === col("e2.gdv") &&
+              col("e1.v") < col("e2.v"))))
+        .select(col("e1.v").as("b"), col("e2.v").as("c"))
+        .localCheckpoint()
+      val closed = wedges.join(
+        dir.select(col("u").as("b"), col("v").as("c")).hint("shuffle_hash"),
+        Seq("b", "c"), "left_semi")
+      edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+        .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+        .selectExpr("n_edges", "n_wedges", "n_triangles",
+          "CASE WHEN n_wedges = 0 THEN 10000L" +
+            " ELSE (2 * n_triangles * 10000 + n_wedges)" +
+            " DIV (2 * n_wedges) END AS transitivity_bp")
+    }),
   )
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
@@ -2252,5 +2293,36 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
                 CAST((2 * sum(keep * n) * 10000 + max(tot))
                      // (2 * max(tot)) AS BIGINT) AS coverage_bp
          FROM k GROUP BY 1 ORDER BY source""",
+    // brute-force pair scan + the same degree-oriented wedge basis
+    "q227_neardup_transitivity" ->
+      s"""WITH ${duckSimhash64()},
+              edges AS (SELECT a.doc_id AS da, b.doc_id AS db
+                        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                        WHERE bit_count(xor(a.s, b.s)) <= 6),
+              und AS (SELECT da AS u, db AS v FROM edges
+                      UNION ALL SELECT db, da FROM edges),
+              gdeg AS (SELECT u, count(*) AS gd FROM und GROUP BY 1),
+              dir AS (SELECT und.u, und.v, gv.gd AS gdv
+                      FROM und JOIN gdeg gu ON und.u = gu.u
+                               JOIN gdeg gv ON und.v = gv.u
+                      WHERE gu.gd < gv.gd
+                         OR (gu.gd = gv.gd AND und.u < und.v)),
+              w AS (SELECT e1.v AS b, e2.v AS c
+                    FROM dir e1 JOIN dir e2 ON e1.u = e2.u
+                     AND (e1.gdv < e2.gdv
+                          OR (e1.gdv = e2.gdv AND e1.v < e2.v))),
+              t AS (SELECT count(*) AS n_triangles FROM w
+                    WHERE EXISTS (SELECT 1 FROM dir e3
+                                  WHERE e3.u = w.b AND e3.v = w.c)),
+              ne AS (SELECT count(*) AS n_edges FROM edges),
+              nw AS (SELECT count(*) AS n_wedges FROM w)
+         SELECT CAST(n_edges AS BIGINT) AS n_edges,
+                CAST(n_wedges AS BIGINT) AS n_wedges,
+                CAST(n_triangles AS BIGINT) AS n_triangles,
+                CAST(CASE WHEN n_wedges = 0 THEN 10000
+                          ELSE (2 * n_triangles * 10000 + n_wedges)
+                               // (2 * n_wedges) END AS BIGINT)
+                  AS transitivity_bp
+         FROM ne, nw, t""",
   )
 }

@@ -1157,4 +1157,36 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("Scan ExistingRDD"),
       "the global histogram is pinned once, broadcast twice")
   }
+
+  test("q225: the map pipeline is one straight-line plan — map build, " +
+    "transform_values, map_filter and the contract explode, no joins") {
+    val p = plan("q225_map_ops")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate""")) == 1,
+      "one explode back to the order-insensitive row contract")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) ObjectHashAggregate""")) == 2,
+      "map build is partial+final")
+  }
+
+  test("q226: the hourly grid generates from per-group bounds (a " +
+    "map-side explode over the pinned counts), never a calendar scan; " +
+    "the island window is event_type-partitioned") {
+    val p = plan("q226_gapfill_series")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      "both branches must read the pinned hourly counts")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate""")) == 2,
+      "one grid explode per consumer branch of the tiny bounds frame")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 1)
+  }
+
+  test("q227: the transitivity assembly reads the pinned edge/wedge " +
+    "frames; the only crosses are the 1-row count attachments") {
+    val p = plan("q227_neardup_transitivity")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) == 2,
+      "exactly the two 1-row count crosses")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
