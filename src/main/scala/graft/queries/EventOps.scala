@@ -1040,6 +1040,40 @@ object EventOps {
         .na.fill(0L, Seq("longest_gap_h"))
         .orderBy("event_type")
     }),
+
+    // Seasonal-baseline anomaly detection: each (event_type, hour-of-day)
+    // stratum gets its EXACT median hourly count by rank selection (the
+    // q87 recipe — a stratum-partitioned window picking rank ⌈n/2⌉,
+    // never a value-buffering percentile aggregate), and an observed
+    // hour is anomalous when it runs ≥ 50 % above its own stratum's
+    // median (integer rule n·10 ≥ med·15 — hour-of-day seasonality makes
+    // a single global threshold either blind at peak hours or noisy at
+    // quiet ones, which is the point of stratifying). Per-type report:
+    // hours checked, anomalous hours, and the peak ratio vs baseline in
+    // half-up bp. One hourly rollup shuffle + one 24-way stratum window
+    // riding it; medians join back BROADCAST (|types|·24 rows).
+    "q228_seasonal_anomaly" -> ((s, d) => {
+      val hr = ld(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("hod", hour(col("hr")))
+        .localCheckpoint() // medians + flags share one rollup
+      val wS = Window.partitionBy("event_type", "hod").orderBy("n", "hr")
+      val med = hr
+        .withColumn("rn", row_number().over(wS))
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy("event_type", "hod")))
+        .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+        .select(col("event_type"), col("hod"), col("n").as("med"))
+      hr.join(broadcast(med), Seq("event_type", "hod"))
+        .selectExpr("event_type", "n", "med",
+          "CASE WHEN n * 10 >= med * 15 THEN 1L ELSE 0L END AS anom",
+          "(2 * n * 10000 + med) DIV (2 * med) AS ratio_bp")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"), sum("anom").as("n_anomalous"),
+          max("ratio_bp").as("peak_ratio_bp"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1457,6 +1491,31 @@ object EventOps {
                   AS longest_gap_h
          FROM agg LEFT JOIN runs ON agg.event_type = runs.event_type
          ORDER BY agg.event_type""",
+    "q228_seasonal_anomaly" ->
+      """WITH hr AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                            count(*) AS n
+                     FROM events GROUP BY 1, 2),
+              h AS (SELECT event_type, hr, n,
+                           CAST(extract(hour FROM hr) AS INTEGER) AS hod
+                    FROM hr),
+              r AS (SELECT *, row_number() OVER (PARTITION BY event_type,
+                             hod ORDER BY n, hr) AS rn,
+                           count(*) OVER (PARTITION BY event_type, hod)
+                             AS cnt
+                    FROM h),
+              med AS (SELECT event_type, hod, n AS med FROM r
+                      WHERE rn = (cnt + 1) // 2),
+              f AS (SELECT h.event_type, h.n, med,
+                           CASE WHEN h.n * 10 >= med * 15 THEN 1 ELSE 0
+                             END AS anom,
+                           (2 * h.n * 10000 + med) // (2 * med)
+                             AS ratio_bp
+                    FROM h JOIN med ON h.event_type = med.event_type
+                                   AND h.hod = med.hod)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+                CAST(sum(anom) AS BIGINT) AS n_anomalous,
+                CAST(max(ratio_bp) AS BIGINT) AS peak_ratio_bp
+         FROM f GROUP BY 1 ORDER BY event_type""",
   )
 }
 

@@ -41,6 +41,25 @@ object TextOps {
       conv(substring(md5(concat_ws(" ", t0, t1, t2)), 1, 8), 16, 10)
         .cast("long"))
 
+  /** Stopword-count language scores + argmax prediction per doc — the
+    * q43 classifier, shared with q230's confusion-matrix evaluation. */
+  private def langIdScored(docs: DataFrame): DataFrame = {
+    def occ(w: String): String = {
+      val l = w.length
+      s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$w', ''))) / $l"
+    }
+    docs
+      .selectExpr("doc_id", "lang",
+        s"${occ(" the ")} + ${occ(" a ")} + ${occ(" of ")} AS s_en",
+        s"${occ(" le ")} + ${occ(" la ")} + ${occ(" et ")} AS s_fr",
+        s"${occ(" der ")} + ${occ(" die ")} + ${occ(" und ")} AS s_de",
+        s"${occ(" el ")} + ${occ(" los ")} + ${occ(" y ")} AS s_es")
+      .selectExpr("doc_id", "lang", "s_en", "s_fr", "s_de", "s_es",
+        """CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang""")
+  }
+
   private def shinglesBy(s: SparkSession, d: String,
       gramHash: (Column, Column, Column) => Column): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -95,25 +114,11 @@ object TextOps {
     // Stopword-marker language ID. On this synthetic corpus (shared
     // English-ish vocabulary for every lang label) accuracy is what it is —
     // the point is the deterministic, fully-pushed-down scoring plumbing.
-    "q43_lang_id" -> ((s, d) => {
-      def occ(w: String): String = {
-        val l = w.length
-        s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$w', ''))) / $l"
-      }
-      ld(s, d, "documents")
-        .selectExpr("doc_id", "lang",
-          s"${occ(" the ")} + ${occ(" a ")} + ${occ(" of ")} AS s_en",
-          s"${occ(" le ")} + ${occ(" la ")} + ${occ(" et ")} AS s_fr",
-          s"${occ(" der ")} + ${occ(" die ")} + ${occ(" und ")} AS s_de",
-          s"${occ(" el ")} + ${occ(" los ")} + ${occ(" y ")} AS s_es")
-        .selectExpr("doc_id", "lang", "s_en", "s_fr", "s_de", "s_es",
-          """CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
-                  WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
-                  WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang""")
+    "q43_lang_id" -> ((s, d) =>
+      langIdScored(ld(s, d, "documents"))
         .selectExpr("doc_id", "lang", "s_en", "s_fr", "s_de", "s_es",
           "pred_lang", "pred_lang = lang AS correct")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Content fingerprints: whole-doc digest prefix + min-shingle digest
     // (a 1-permutation MinHash — the degenerate but portable case).
@@ -1373,6 +1378,58 @@ object TextOps {
             " ELSE (2 * n_triangles * 10000 + n_wedges)" +
             " DIV (2 * n_wedges) END AS transitivity_bp")
     }),
+
+    // Hamming-threshold sweep over the simhash detector — the tuning
+    // curve behind q48/q67's hardcoded cutoffs: for every threshold t,
+    // how many candidate pairs fire and how much of the CORPUS gets
+    // touched by dedup (docs with ≥1 pair at distance ≤ t). Both curves
+    // fall out of ONE banded candidate pass: per-pair distances roll up
+    // by distance (7-row cumsum), and each doc's FIRST activation is
+    // min(hamming) over its pairs — a keyed agg, so the doc curve is a
+    // second tiny cumsum, never a per-threshold rescan. Corpus share in
+    // exact bp against the 1-row broadcast total. Reading the elbow of
+    // n_pairs_cum against n_docs_cum is how the threshold gets chosen.
+    "q229_hamming_sweep" -> ((s, d) => {
+      val docs = ld(s, d, "documents")
+      val pairs = simhashBandedPairs(docs).localCheckpoint()
+      val tot = docs.agg(count(lit(1)).as("nn"))
+      val wT = Window.orderBy("hamming")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val pc = pairs.groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"))
+      val dc = pairs.select(explode(array(col("da"), col("db")))
+          .as("doc_id"), col("hamming"))
+        .groupBy("doc_id").agg(min("hamming").as("hamming"))
+        .groupBy("hamming").agg(count(lit(1)).as("n_docs_new"))
+      pc.join(dc, Seq("hamming"), "left")
+        .na.fill(0L, Seq("n_docs_new"))
+        .withColumn("n_pairs_cum", sum("n_pairs").over(wT))
+        .withColumn("n_docs_cum", sum("n_docs_new").over(wT))
+        .crossJoin(broadcast(tot))
+        .selectExpr("hamming", "n_pairs", "n_pairs_cum", "n_docs_cum",
+          "(2 * n_docs_cum * 10000 + nn) DIV (2 * nn)" +
+            " AS corpus_share_bp")
+        .orderBy("hamming")
+    }),
+
+    // Confusion matrix + per-class recall for the q43 stopword language
+    // classifier against the declared `lang` labels — the evaluation a
+    // pipeline runs before TRUSTING a cheap classifier to route millions
+    // of docs (q43 reports per-doc correctness; routing decisions need
+    // the CLASS-level failure structure: which languages bleed into
+    // which). Shares q43's scorer verbatim (one helper, one oracle
+    // formula), rolls up on a 16-cell key, and attaches per-class totals
+    // by broadcast. Recall in exact half-up bp.
+    "q230_langid_confusion" -> ((s, d) => {
+      val scored = langIdScored(ld(s, d, "documents"))
+        .select("lang", "pred_lang")
+      val totals = scored.groupBy("lang").agg(count(lit(1)).as("n_true"))
+      scored.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .join(broadcast(totals), "lang")
+        .selectExpr("lang", "pred_lang", "n", "n_true",
+          "(2 * n * 10000 + n_true) DIV (2 * n_true) AS recall_bp")
+        .orderBy("lang", "pred_lang")
+    }),
   )
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
@@ -2324,5 +2381,60 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
                                // (2 * n_wedges) END AS BIGINT)
                   AS transitivity_bp
          FROM ne, nw, t""",
+    "q229_hamming_sweep" ->
+      s"""WITH ${duckSimhash64()},
+              pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                               bit_count(xor(a.s, b.s)) AS hamming
+                        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                        WHERE bit_count(xor(a.s, b.s)) <= 6),
+              tot AS (SELECT count(*) AS nn FROM documents),
+              pc AS (SELECT hamming, count(*) AS n_pairs FROM pairs
+                     GROUP BY 1),
+              dfirst AS (SELECT doc_id, min(hamming) AS hamming FROM
+                           (SELECT da AS doc_id, hamming FROM pairs
+                            UNION ALL SELECT db, hamming FROM pairs)
+                         GROUP BY 1),
+              dc AS (SELECT hamming, count(*) AS n_docs_new FROM dfirst
+                     GROUP BY 1),
+              c AS (SELECT pc.hamming, n_pairs,
+                           coalesce(n_docs_new, 0) AS n_docs_new
+                    FROM pc LEFT JOIN dc ON pc.hamming = dc.hamming)
+         SELECT CAST(hamming AS INTEGER) AS hamming,
+                CAST(n_pairs AS BIGINT) AS n_pairs,
+                CAST(sum(n_pairs) OVER (ORDER BY hamming
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_pairs_cum,
+                CAST(sum(n_docs_new) OVER (ORDER BY hamming
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_docs_cum,
+                CAST((2 * sum(n_docs_new) OVER (ORDER BY hamming
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      * 10000 + nn) // (2 * nn) AS BIGINT)
+                  AS corpus_share_bp
+         FROM c, tot ORDER BY hamming""",
+    "q230_langid_confusion" -> {
+      s"""WITH scored AS (
+            SELECT lang, CASE WHEN s_en >= s_fr AND s_en >= s_de
+                                   AND s_en >= s_es THEN 'en'
+                              WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                              WHEN s_de >= s_es THEN 'de'
+                              ELSE 'es' END AS pred_lang
+            FROM (
+              SELECT doc_id, lang,
+                     ${duckOcc(" the ")} + ${duckOcc(" a ")} + ${duckOcc(" of ")} AS s_en,
+                     ${duckOcc(" le ")} + ${duckOcc(" la ")} + ${duckOcc(" et ")} AS s_fr,
+                     ${duckOcc(" der ")} + ${duckOcc(" die ")} + ${duckOcc(" und ")} AS s_de,
+                     ${duckOcc(" el ")} + ${duckOcc(" los ")} + ${duckOcc(" y ")} AS s_es
+              FROM documents)),
+              totals AS (SELECT lang, count(*) AS n_true FROM scored
+                         GROUP BY 1)
+          SELECT scored.lang, pred_lang, CAST(count(*) AS BIGINT) AS n,
+                 CAST(n_true AS BIGINT) AS n_true,
+                 CAST((2 * count(*) * 10000 + n_true) // (2 * n_true)
+                      AS BIGINT) AS recall_bp
+          FROM scored JOIN totals ON scored.lang = totals.lang
+          GROUP BY scored.lang, pred_lang, n_true
+          ORDER BY scored.lang, pred_lang"""
+    },
   )
 }
