@@ -1074,6 +1074,97 @@ object EventOps {
           max("ratio_bp").as("peak_ratio_bp"))
         .orderBy("event_type")
     }),
+
+    // Markov-order test: is the event stream first-order Markov? Compare
+    // each OBSERVED 2-step transition share P(c | a, ·, 2 steps) against
+    // the CHAINED prediction Σ_b P(b|a)·P(c|b) — a large gap means state
+    // 'a' carries memory beyond one step (so a first-order simulator /
+    // sampler of this stream would be wrong, the thing to know before
+    // generating synthetic sessions from q149's matrix). lag(1) and
+    // lag(2) ride ONE user-keyed window pass (same shuffle, same sort —
+    // the bigram and trigram frames are two rollups of one scan); the
+    // transition matrices are |types|²-sized, so the chain product
+    // Σ_b p1(a,b)·p1(b,c) is a broadcast self-join. Probabilities are
+    // half-up micro-unit integers and the product term re-quantizes
+    // half-up once per b — both engines run the identical quantization,
+    // so the comparison is bit-exact (documented: pred is the quantized
+    // chain, within ±|types| micro of the true rational).
+    "q232_markov_order_test" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val lagged = ld(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("c"))
+        .withColumn("b", lag("c", 1).over(w))
+        .withColumn("a", lag("c", 2).over(w))
+        .localCheckpoint() // bigram + trigram frames share one window pass
+      val p1 = lagged.filter(col("b").isNotNull)
+        .groupBy(col("b").as("from"), col("c").as("to"))
+        .agg(count(lit(1)).as("n1"))
+        .withColumn("tot1",
+          sum("n1").over(Window.partitionBy("from")))
+        .selectExpr("from", "to",
+          "(2 * n1 * 1000000 + tot1) DIV (2 * tot1) AS p1_micro")
+      val pred = p1.select(col("from").as("a"), col("to").as("b"),
+          col("p1_micro").as("pab"))
+        .join(broadcast(p1.select(col("from").as("b"),
+          col("to").as("c"), col("p1_micro").as("pbc"))), "b")
+        .selectExpr("a", "c",
+          "(2 * pab * pbc + 1000000) DIV 2000000 AS term")
+        .groupBy("a", "c").agg(sum("term").as("pred_micro"))
+      val obs = lagged.filter(col("a").isNotNull)
+        .groupBy("a", "c").agg(count(lit(1)).as("n2"))
+        .withColumn("tot2", sum("n2").over(Window.partitionBy("a")))
+        .selectExpr("a", "c", "n2",
+          "(2 * n2 * 1000000 + tot2) DIV (2 * tot2) AS obs_micro")
+      // |types|²-sized frames on both sides; full-outer can't broadcast,
+      // and at this size the SMJ exchange is a few hundred bytes.
+      obs.join(pred, Seq("a", "c"), "full_outer")
+        .na.fill(0L, Seq("n2", "obs_micro", "pred_micro"))
+        .withColumn("gap_micro", abs(col("obs_micro") - col("pred_micro")))
+        .select("a", "c", "n2", "obs_micro", "pred_micro", "gap_micro")
+        .orderBy("a", "c")
+    }),
+
+    // CUSUM drift detection over hourly event rates — the changepoint
+    // monitor that catches a SUSTAINED small shift (a new client version
+    // slowly ramping, a logger duplicating 10 % of traffic) that q228's
+    // per-hour threshold never fires on. Classic one-sided CUSUM
+    // S_t = max(0, S_{t-1} + (x_t − μ)) is a nonlinear recursion — not a
+    // window aggregate — but it EQUALS prefix_t − min(0, min_{j≤t}
+    // prefix_j), so it runs as two cumulative windows over one
+    // type-keyed shuffle (the identity that makes CUSUM distributable;
+    // a 100 TB stream needs only per-type ordered scans, no recursion).
+    // μ is each type's own first-24-scored-hours mean, kept RATIONAL by
+    // scaling deviations by n24 (dev = x·n24 − sum24 — exact integers,
+    // no float mean), so S is in events·n24 units and the threshold
+    // h = 3·sum24 reads "three first-day-mean-hours of cumulative
+    // excess". Report: scored hours, flagged hours, peak S, first
+    // breach hour (null when the type never drifts).
+    "q235_cusum_drift" -> ((s, d) => {
+      val hr = ld(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("x"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("hr")))
+        .localCheckpoint() // baseline + scored hours share one rollup
+      val base = hr.filter(col("rn") <= 24)
+        .groupBy("event_type")
+        .agg(sum("x").as("sum24"), count(lit(1)).as("n24"))
+      val wC = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      hr.filter(col("rn") > 24)
+        .join(broadcast(base), "event_type")
+        .withColumn("dev", col("x") * col("n24") - col("sum24"))
+        .withColumn("prefix", sum("dev").over(wC))
+        .withColumn("s",
+          col("prefix") - least(lit(0L), min("prefix").over(wC)))
+        .withColumn("flag", (col("s") >= lit(3) * col("sum24")).cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_scored"), sum("flag").as("n_flagged"),
+          max("s").as("peak_s"),
+          min(when(col("flag") === 1, col("hr"))).as("first_breach_hr"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1516,6 +1607,76 @@ object EventOps {
                 CAST(sum(anom) AS BIGINT) AS n_anomalous,
                 CAST(max(ratio_bp) AS BIGINT) AS peak_ratio_bp
          FROM f GROUP BY 1 ORDER BY event_type""",
+    "q232_markov_order_test" ->
+      """WITH lagged AS (
+              SELECT event_type AS c,
+                     lag(event_type, 1) OVER w AS b,
+                     lag(event_type, 2) OVER w AS a
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            p1 AS (SELECT "from", "to",
+                          (2 * n1 * 1000000 + tot1) // (2 * tot1)
+                            AS p1_micro
+                   FROM (SELECT b AS "from", c AS "to",
+                                count(*) AS n1,
+                                sum(count(*)) OVER (PARTITION BY b)
+                                  AS tot1
+                         FROM lagged WHERE b IS NOT NULL GROUP BY 1, 2)),
+            pred AS (SELECT x."from" AS a, y."to" AS c,
+                            sum((2 * x.p1_micro * y.p1_micro + 1000000)
+                                // 2000000) AS pred_micro
+                     FROM p1 x JOIN p1 y ON x."to" = y."from"
+                     GROUP BY 1, 2),
+            obs AS (SELECT a, c, n2,
+                           (2 * n2 * 1000000 + tot2) // (2 * tot2)
+                             AS obs_micro
+                    FROM (SELECT a, c, count(*) AS n2,
+                                 sum(count(*)) OVER (PARTITION BY a)
+                                   AS tot2
+                          FROM lagged WHERE a IS NOT NULL GROUP BY 1, 2))
+         SELECT coalesce(obs.a, pred.a) AS a,
+                coalesce(obs.c, pred.c) AS c,
+                CAST(coalesce(n2, 0) AS BIGINT) AS n2,
+                CAST(coalesce(obs_micro, 0) AS BIGINT) AS obs_micro,
+                CAST(coalesce(pred_micro, 0) AS BIGINT) AS pred_micro,
+                CAST(abs(coalesce(obs_micro, 0) - coalesce(pred_micro, 0))
+                  AS BIGINT) AS gap_micro
+         FROM obs FULL OUTER JOIN pred
+           ON obs.a = pred.a AND obs.c = pred.c
+         ORDER BY a, c""",
+    "q235_cusum_drift" ->
+      """WITH hr AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                            count(*) AS x,
+                            row_number() OVER (PARTITION BY event_type
+                              ORDER BY date_trunc('hour', ts)) AS rn
+                     FROM events GROUP BY 1, 2),
+            base AS (SELECT event_type, sum(x) AS sum24,
+                            count(*) AS n24
+                     FROM hr WHERE rn <= 24 GROUP BY 1),
+            dev AS (SELECT hr.event_type, hr.hr,
+                           x * n24 - sum24 AS dev, sum24
+                    FROM hr JOIN base ON hr.event_type = base.event_type
+                    WHERE rn > 24),
+            pre AS (SELECT event_type, hr, sum24,
+                           sum(dev) OVER w AS prefix
+                    FROM dev
+                    WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            cum AS (SELECT event_type, hr, sum24, prefix,
+                           least(0, min(prefix) OVER w) AS lo
+                    FROM pre
+                    WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            s AS (SELECT event_type, hr,
+                         prefix - lo AS s,
+                         CASE WHEN prefix - lo >= 3 * sum24 THEN 1
+                              ELSE 0 END AS flag
+                  FROM cum)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+                CAST(sum(flag) AS BIGINT) AS n_flagged,
+                CAST(max(s) AS BIGINT) AS peak_s,
+                min(CASE WHEN flag = 1 THEN hr END) AS first_breach_hr
+         FROM s GROUP BY 1 ORDER BY event_type""",
   )
 }
 

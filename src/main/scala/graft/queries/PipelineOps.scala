@@ -2033,6 +2033,48 @@ object PipelineOps {
         .select(col("source"), size(col("kept")).as("n_major_langs"),
           explode(col("kept")).as(Seq("lang", "share_bp")))
         .orderBy("source", "lang")),
+
+    // Grouped 5-fold cross-validation assignment over events, folded at
+    // the USER level — every event of a user lands in one fold (fold =
+    // md5(user_id) % 5, the q142 determinism stance), which is the
+    // leakage guard a per-ROW split like q142 cannot give when rows of
+    // one entity correlate (a user's events in both train and test folds
+    // would let a model memorize users, not behavior). The audit is the
+    // number the split is accepted on: per fold, its event share vs the
+    // ideal 2000 bp, and the worst event-type composition skew vs the
+    // global composition (stratification quality — grouped splits trade
+    // some balance for leakage-freedom; this measures how much). One
+    // (fold, type) shuffle; every frame after it is ≤ |folds|·|types|
+    // rows, exchanged broadcast; the user roll-up rides a second keyed
+    // agg of the same scan. All shares exact half-up bp.
+    "q236_grouped_kfold" -> ((s, d) => {
+      val ev = ld(s, d, "events")
+        .withColumn("fold",
+          expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8)," +
+            " 16, 10) AS BIGINT) % 5"))
+        .localCheckpoint() // (fold,type) rollup + user rollup share one scan
+      val ft = ev.groupBy("fold", "event_type")
+        .agg(count(lit(1)).as("n")).localCheckpoint()
+      val foldTot = ft.groupBy("fold").agg(sum("n").as("n_events"))
+      val typeTot = ft.groupBy("event_type").agg(sum("n").as("n_type"))
+      val tot = ft.agg(sum("n").as("nn"))
+      val users = ev.select("user_id", "fold").distinct()
+        .groupBy("fold").agg(count(lit(1)).as("n_users"))
+      val skew = ft.join(broadcast(foldTot), "fold")
+        .join(broadcast(typeTot), "event_type")
+        .crossJoin(broadcast(tot))
+        .selectExpr("fold",
+          "abs((2 * n * 10000 + n_events) DIV (2 * n_events)" +
+            " - (2 * n_type * 10000 + nn) DIV (2 * nn)) AS skew_bp")
+        .groupBy("fold").agg(max("skew_bp").as("max_type_skew_bp"))
+      foldTot.join(broadcast(users), "fold")
+        .join(broadcast(skew), "fold")
+        .crossJoin(broadcast(tot))
+        .selectExpr("fold", "n_users", "n_events",
+          "(2 * n_events * 10000 + nn) DIV (2 * nn) AS share_bp",
+          "max_type_skew_bp")
+        .orderBy("fold")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -3681,5 +3723,40 @@ object PipelineOps {
                 lang, CAST(share_bp AS BIGINT) AS share_bp
          FROM kept JOIN k ON kept.source = k.source
          ORDER BY kept.source, lang""",
+    "q236_grouped_kfold" ->
+      """WITH ev AS (SELECT user_id, event_type,
+                            ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 8))::BIGINT % 5 AS fold
+                     FROM events),
+              ft AS (SELECT fold, event_type, count(*) AS n FROM ev
+                     GROUP BY 1, 2),
+              foldtot AS (SELECT fold, sum(n) AS n_events FROM ft
+                          GROUP BY 1),
+              typetot AS (SELECT event_type, sum(n) AS n_type FROM ft
+                          GROUP BY 1),
+              tot AS (SELECT sum(n) AS nn FROM ft),
+              users AS (SELECT fold, count(*) AS n_users
+                        FROM (SELECT DISTINCT user_id, fold FROM ev)
+                        GROUP BY 1),
+              skew AS (SELECT ft.fold,
+                              max(abs((2 * n * 10000 + n_events)
+                                        // (2 * n_events)
+                                      - (2 * n_type * 10000 + nn)
+                                        // (2 * nn))) AS max_type_skew_bp
+                       FROM ft
+                       JOIN foldtot ON ft.fold = foldtot.fold
+                       JOIN typetot ON ft.event_type = typetot.event_type
+                       CROSS JOIN tot
+                       GROUP BY 1)
+         SELECT foldtot.fold, CAST(n_users AS BIGINT) AS n_users,
+                CAST(n_events AS BIGINT) AS n_events,
+                CAST((2 * n_events * 10000 + nn) // (2 * nn) AS BIGINT)
+                  AS share_bp,
+                CAST(max_type_skew_bp AS BIGINT) AS max_type_skew_bp
+         FROM foldtot
+         JOIN users ON foldtot.fold = users.fold
+         JOIN skew ON foldtot.fold = skew.fold
+         CROSS JOIN tot
+         ORDER BY foldtot.fold""",
   )
 }

@@ -948,6 +948,52 @@ object VectorOps {
           col("n_assigned"), col("radius"))
         .orderBy("crank")
     }),
+
+    // Retrieval evaluation — MRR, precision@10, recall@10 for the brute
+    // cosine ranker (q60's plan shape) against same-label relevance: the
+    // scorecard a pipeline produces BEFORE swapping the exact ranker for
+    // an ANN index (q120 measures ANN-vs-exact overlap; this measures
+    // whether the exact ranking finds anything USEFUL at all, per
+    // query). 20 probe queries broadcast against one corpus scan; per
+    // query the top-10 by (rounded cosine desc, id) — the rounding + id
+    // tie-break that keeps fp association from reordering ranks across
+    // engines. Reciprocal rank is half-up micro (1e6/rank), P@10 and
+    // R@10 half-up bp; recall's denominator is the query's full
+    // same-label cohort (minus itself), attached as a broadcast
+    // |labels|-row frame. Per-query rows, not one pooled mean — rollups
+    // hide exactly the per-query failures this report exists to catch.
+    "q233_retrieval_eval" -> ((s, d) => {
+      val e = withNorm(ld(s, d, "embeddings"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+      val nl = e.groupBy("label").agg(count(lit(1)).as("n_label"))
+      val sims = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"),
+          col("vec_id").as("neighbor_id"), col("label"),
+          round(dotp(col("q_emb"), col("emb")) /
+            (col("q_nrm") * col("nrm")), 6).as("sim"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .withColumn("rel", (col("label") === col("q_label")).cast("long"))
+        .groupBy("q_id", "q_label")
+        .agg(sum("rel").as("n_rel_at10"),
+          min(when(col("rel") === 1, col("rn"))).as("fr"))
+        .join(broadcast(nl.withColumnRenamed("label", "q_label")),
+          "q_label")
+        .selectExpr("q_id", "q_label",
+          "CAST(fr AS BIGINT) AS first_rel_rank",
+          "n_rel_at10", "n_label - 1 AS n_rel_total",
+          "CASE WHEN fr IS NULL THEN 0L" +
+            " ELSE (2 * 1000000 + fr) DIV (2 * fr) END AS rr_micro",
+          "(2 * n_rel_at10 * 10000 + 10) DIV 20 AS p10_bp",
+          "(2 * n_rel_at10 * 10000 + (n_label - 1))" +
+            " DIV (2 * (n_label - 1)) AS r10_bp")
+        .orderBy("q_id")
+    }),
   )
 
   /** q125's composed IVF×PQ chain, ranked pre-top-k — shared with q120's
@@ -1713,5 +1759,35 @@ object VectorOps {
            ON a.crank = ct.crank
          GROUP BY 1, 2 ORDER BY crank"""
     },
+    "q233_retrieval_eval" ->
+      s"""WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce
+                     FROM embeddings),
+               q AS (SELECT vec_id AS q_id, label AS q_label, ce AS qe
+                     FROM c WHERE vec_id < 20),
+               nl AS (SELECT label, count(*) AS n_label FROM c GROUP BY 1),
+               sims AS (SELECT q_id, q_label, vec_id AS neighbor_id, label,
+                               round(${dcos("qe", "ce")}, 6) AS sim
+                        FROM c CROSS JOIN q WHERE vec_id <> q_id),
+               ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, neighbor_id) AS rn
+                          FROM sims),
+               ag AS (SELECT q_id, q_label,
+                             sum(CASE WHEN label = q_label THEN 1 ELSE 0
+                                 END) AS n_rel_at10,
+                             min(CASE WHEN label = q_label THEN rn END)
+                               AS fr
+                      FROM ranked WHERE rn <= 10 GROUP BY 1, 2)
+          SELECT q_id, q_label, CAST(fr AS BIGINT) AS first_rel_rank,
+                 CAST(n_rel_at10 AS BIGINT) AS n_rel_at10,
+                 CAST(n_label - 1 AS BIGINT) AS n_rel_total,
+                 CAST(CASE WHEN fr IS NULL THEN 0
+                      ELSE (2 * 1000000 + fr) // (2 * fr) END AS BIGINT)
+                   AS rr_micro,
+                 CAST((2 * n_rel_at10 * 10000 + 10) // 20 AS BIGINT)
+                   AS p10_bp,
+                 CAST((2 * n_rel_at10 * 10000 + (n_label - 1))
+                      // (2 * (n_label - 1)) AS BIGINT) AS r10_bp
+          FROM ag JOIN nl ON ag.q_label = nl.label
+          ORDER BY q_id""",
   )
 }
