@@ -1165,6 +1165,80 @@ object EventOps {
           min(when(col("flag") === 1, col("hr"))).as("first_breach_hr"))
         .orderBy("event_type")
     }),
+
+    // Join-size estimation from count-min sketches — the planner-side
+    // question ("how big is A ⋈ B on user_id?") answered WITHOUT running
+    // the join: the inner product of two CM sketches (q231's structure,
+    // same d=4×w=1024 md5 family) upper-bounds Σ_k ca(k)·cb(k) (Cormode
+    // & Muthukrishnan '05, §4.2), and min-over-rows tightens it. The two
+    // sides here are the odd/even event_id halves of the stream; the
+    // EXACT size (one key-keyed count join) is computed alongside so the
+    // estimator's overshoot is measured, not assumed — at 100 TB only
+    // the exact branch grows, while the sketches stay 2·4096 cells no
+    // matter the input (that asymmetry is why real optimizers carry
+    // sketches, not samples, for join cardinality). Integer-exact end
+    // to end: est ≥ exact always, over_bp is the half-up overshoot.
+    "q237_join_size_estimate" -> ((s, d) => {
+      def cell(i: Int) =
+        s"CAST(conv(substring(md5(concat('$i:'," +
+          s" CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1024"
+      val cnt = ld(s, d, "events")
+        .select(col("user_id"), (col("event_id") % 2).as("side"))
+        .groupBy("side", "user_id").agg(count(lit(1)).as("c"))
+        .selectExpr(Seq("side", "user_id", "c") ++
+          (0 until 4).map(i => s"${cell(i)} AS cell$i"): _*)
+        .localCheckpoint() // exact branch + both sketches share one agg
+      val exact = cnt.filter(col("side") === 0)
+        .select(col("user_id"), col("c").as("ca"))
+        .join(cnt.filter(col("side") === 1)
+          .select(col("user_id"), col("c").as("cb")), "user_id")
+        .agg(sum(expr("ca * cb")).as("exact_size"))
+      val sk = cnt.selectExpr("side",
+          "stack(4, 0, cell0, 1, cell1, 2, cell2, 3, cell3) AS (row, cell)",
+          "c")
+        .groupBy("side", "row", "cell").agg(sum("c").as("v"))
+        .localCheckpoint()
+      val ip = sk.filter(col("side") === 0)
+        .select(col("row"), col("cell"), col("v").as("va"))
+        .join(sk.filter(col("side") === 1)
+          .select(col("row"), col("cell"), col("v").as("vb")),
+          Seq("row", "cell"))
+        .groupBy("row").agg(sum(expr("va * vb")).as("ip"))
+      ip.agg(min("ip").as("est")).crossJoin(broadcast(exact))
+        .selectExpr("exact_size", "est",
+          "(2 * (est - exact_size) * 10000 + exact_size)" +
+            " DIV (2 * exact_size) AS over_bp")
+    }),
+
+    // Benford leading-digit audit over transaction amounts — the
+    // fabricated-data screen a fleet runs on ingested numeric feeds:
+    // observed first-significant-digit shares vs Benford's log10(1+1/d)
+    // expectation (hardcoded in half-up bp — the logs are irrational, so
+    // the CONSTANTS are the contract, never engine libm). Amounts go
+    // through the exact q70 cents cast; the leading digit is integer
+    // division by 10^(digits−1) (string length of a BIGINT — no float
+    // log10, whose boundary behavior at exact powers of ten differs by
+    // ulp). One digit-keyed rollup (9 groups, map-side combined), total
+    // broadcast back. A uniform synthetic feed FAILS this audit loudly —
+    // which is precisely the point of shipping the expected column.
+    "q240_benford_digits" -> ((s, d) => {
+      val exp = "array(3010, 1761, 1249, 969, 792, 669, 580, 512, 458)"
+      val cents = ld(s, d, "events")
+        .select(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+          .as("cents"))
+        .filter(col("cents") > 0)
+        .select(expr("cents DIV CAST(power(10," +
+          " length(CAST(cents AS STRING)) - 1) AS BIGINT)").as("digit"))
+      val tot = cents.agg(count(lit(1)).as("nn"))
+      cents.groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("digit", "n",
+          "(2 * n * 10000 + nn) DIV (2 * nn) AS obs_bp",
+          s"CAST(element_at($exp, CAST(digit AS INT)) AS BIGINT)" +
+            " AS benford_bp")
+        .withColumn("gap_bp", abs(col("obs_bp") - col("benford_bp")))
+        .orderBy("digit")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1677,6 +1751,57 @@ object EventOps {
                 CAST(max(s) AS BIGINT) AS peak_s,
                 min(CASE WHEN flag = 1 THEN hr END) AS first_breach_hr
          FROM s GROUP BY 1 ORDER BY event_type""",
+    "q237_join_size_estimate" -> {
+      def cell(i: Int) =
+        s"('0x' || substr(md5('$i:' || CAST(user_id AS VARCHAR)), 1, 8))" +
+          s"::BIGINT % 1024"
+      s"""WITH cnt AS (SELECT event_id % 2 AS side, user_id,
+                              count(*) AS c,
+                              ${cell(0)} AS cell0, ${cell(1)} AS cell1,
+                              ${cell(2)} AS cell2, ${cell(3)} AS cell3
+                       FROM events GROUP BY 1, 2),
+              exact AS (SELECT sum(a.c * b.c) AS exact_size
+                        FROM cnt a JOIN cnt b ON a.user_id = b.user_id
+                        WHERE a.side = 0 AND b.side = 1),
+              cells AS (SELECT side, 0 AS row, cell0 AS cell, c FROM cnt
+                        UNION ALL SELECT side, 1, cell1, c FROM cnt
+                        UNION ALL SELECT side, 2, cell2, c FROM cnt
+                        UNION ALL SELECT side, 3, cell3, c FROM cnt),
+              sk AS (SELECT side, row, cell, sum(c) AS v FROM cells
+                     GROUP BY 1, 2, 3),
+              ip AS (SELECT a.row, sum(a.v * b.v) AS ip
+                     FROM sk a JOIN sk b
+                       ON a.row = b.row AND a.cell = b.cell
+                     WHERE a.side = 0 AND b.side = 1
+                     GROUP BY 1),
+              est AS (SELECT min(ip) AS est FROM ip)
+         SELECT CAST(exact_size AS BIGINT) AS exact_size,
+                CAST(est AS BIGINT) AS est,
+                CAST((2 * (est - exact_size) * 10000 + exact_size)
+                     // (2 * exact_size) AS BIGINT) AS over_bp
+         FROM est, exact"""
+    },
+    "q240_benford_digits" ->
+      """WITH cents AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                 AS BIGINT) AS cents
+                        FROM events),
+              d AS (SELECT cents // CAST(10 ** (length(CAST(cents
+                             AS VARCHAR)) - 1) AS BIGINT) AS digit
+                    FROM cents WHERE cents > 0),
+              tot AS (SELECT count(*) AS nn FROM d),
+              exp AS (SELECT unnest(range(1, 10)) AS digit,
+                             unnest([3010, 1761, 1249, 969, 792, 669,
+                                     580, 512, 458]) AS benford_bp)
+         SELECT d.digit, CAST(count(*) AS BIGINT) AS n,
+                CAST((2 * count(*) * 10000 + nn) // (2 * nn) AS BIGINT)
+                  AS obs_bp,
+                CAST(benford_bp AS BIGINT) AS benford_bp,
+                CAST(abs((2 * count(*) * 10000 + nn) // (2 * nn)
+                         - benford_bp) AS BIGINT) AS gap_bp
+         FROM d JOIN exp ON d.digit = exp.digit
+         CROSS JOIN tot
+         GROUP BY d.digit, benford_bp, nn
+         ORDER BY d.digit""",
   )
 }
 

@@ -1499,6 +1499,76 @@ object TextOps {
             " AS rho_plus1_bp")
         .orderBy("source")
     }),
+
+    // Cohen's kappa for the q43 stopword classifier against the declared
+    // labels — chance-corrected agreement, the one number that exposes a
+    // classifier that "agrees" only because one class dominates (raw
+    // accuracy, q43's `correct`, can't). Kappa is RATIONAL in the
+    // confusion matrix: κ = (D·n − P)/(n² − P) with D = diagonal mass,
+    // P = Σ_c rowtot_c·coltot_c — so the report is exact integers, no
+    // doubles: po/pe in half-up bp and κ shifted +1 (κ ∈ [−1,1]; the
+    // shift keeps the half-up recipe out of negative division, the q234
+    // stance). One 16-cell confusion rollup; every later frame is 1-row
+    // or |classes|-row, combined by cross joins of broadcast scalars.
+    "q238_cohens_kappa" -> ((s, d) => {
+      val cm = langIdScored(ld(s, d, "documents"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_cell"))
+        .localCheckpoint() // n, diag, and both marginals share one rollup
+      val n = cm.agg(sum("n_cell").as("n"))
+      val diag = cm.filter(col("lang") === col("pred_lang"))
+        .agg(coalesce(sum("n_cell"), lit(0L)).as("dg"))
+      val pe = cm.groupBy("lang").agg(sum("n_cell").as("r"))
+        .join(cm.groupBy("pred_lang").agg(sum("n_cell").as("cc")),
+          col("lang") === col("pred_lang"))
+        .agg(coalesce(sum(expr("r * cc")), lit(0L)).as("p"))
+      n.crossJoin(broadcast(diag)).crossJoin(broadcast(pe))
+        .selectExpr("n", "dg AS diag_n", "p AS pe_weight",
+          "(2 * dg * 10000 + n) DIV (2 * n) AS po_bp",
+          "(2 * p * 10000 + n * n) DIV (2 * n * n) AS pe_bp",
+          "(2 * (dg * n + n * n - 2 * p) * 10000 + (n * n - p))" +
+            " DIV (2 * (n * n - p)) AS kappa_plus1_bp")
+    }),
+
+    // Lorenz curve + exact Gini of the token-mass distribution over
+    // documents — "what share of the corpus' tokens live in the shortest
+    // k/10 of documents": the inequality profile that decides whether
+    // length-stratified sampling (q97) is needed or uniform sampling
+    // suffices. Both stats ride the DISTINCT-VALUE histogram, never a
+    // corpus-wide rank: Gini's Σ(2i−n−1)xᵢ collapses per tied-value run
+    // to x·c·(2·cum − c − n) (one cumulative window over |values| rows),
+    // and each decile boundary rank is located in its run by a range
+    // join against the 10-row decile frame (the q224 histogram-space
+    // stance — at 100 TB |distinct lengths| ≪ |docs|, and the only
+    // corpus-sized op is the length rollup). Exact half-up bp; ranks
+    // within a run interpolate by whole tokens, so cum_tokens is exact.
+    "q239_lorenz_gini" -> ((s, d) => {
+      val h = ld(s, d, "documents")
+        .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS x")
+        .groupBy("x").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(
+          Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cumtok", sum(expr("x * c")).over(
+          Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)))
+        .localCheckpoint() // gini + 10 decile lookups share one histogram
+      val tot = h.agg(max("cum").as("n"), max("cumtok").as("s"))
+      val gini = h.crossJoin(broadcast(tot))
+        .agg(coalesce(sum(expr("x * c * (2 * cum - c - n)")), lit(0L))
+          .as("num"))
+      val dec = ld(s, d, "documents").sparkSession.range(1, 11)
+        .select(col("id").as("decile"))
+        .crossJoin(broadcast(tot))
+        .withColumn("r", expr("(decile * n) DIV 10"))
+      dec.join(broadcast(h),
+          expr("r > cum - c AND r <= cum"), "left")
+        .crossJoin(broadcast(gini))
+        .selectExpr("decile",
+          "r AS boundary_rank",
+          "cumtok - (cum - r) * x AS cum_tokens",
+          "(2 * (cumtok - (cum - r) * x) * 10000 + s) DIV (2 * s)" +
+            " AS lorenz_bp",
+          "(2 * num * 10000 + n * s) DIV (2 * n * s) AS gini_bp")
+        .orderBy("decile")
+    }),
   )
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
@@ -2551,5 +2621,64 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
                      // (2 * count(*) * (count(*) * count(*) - 1))
                   AS BIGINT) AS rho_plus1_bp
          FROM r GROUP BY source HAVING count(*) >= 2 ORDER BY source""",
+    "q238_cohens_kappa" -> {
+      s"""WITH scored AS (
+            SELECT lang, CASE WHEN s_en >= s_fr AND s_en >= s_de
+                                   AND s_en >= s_es THEN 'en'
+                              WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                              WHEN s_de >= s_es THEN 'de'
+                              ELSE 'es' END AS pred_lang
+            FROM (
+              SELECT doc_id, lang,
+                     ${duckOcc(" the ")} + ${duckOcc(" a ")} + ${duckOcc(" of ")} AS s_en,
+                     ${duckOcc(" le ")} + ${duckOcc(" la ")} + ${duckOcc(" et ")} AS s_fr,
+                     ${duckOcc(" der ")} + ${duckOcc(" die ")} + ${duckOcc(" und ")} AS s_de,
+                     ${duckOcc(" el ")} + ${duckOcc(" los ")} + ${duckOcc(" y ")} AS s_es
+              FROM documents)),
+              cm AS (SELECT lang, pred_lang, count(*) AS n_cell
+                     FROM scored GROUP BY 1, 2),
+              nn AS (SELECT sum(n_cell) AS n FROM cm),
+              dg AS (SELECT coalesce(sum(n_cell), 0) AS dg FROM cm
+                     WHERE lang = pred_lang),
+              pe AS (SELECT coalesce(sum(r * cc), 0) AS p
+                     FROM (SELECT lang, sum(n_cell) AS r FROM cm
+                           GROUP BY 1) rt
+                     JOIN (SELECT pred_lang, sum(n_cell) AS cc FROM cm
+                           GROUP BY 1) ct
+                       ON rt.lang = ct.pred_lang)
+         SELECT CAST(n AS BIGINT) AS n, CAST(dg AS BIGINT) AS diag_n,
+                CAST(p AS BIGINT) AS pe_weight,
+                CAST((2 * dg * 10000 + n) // (2 * n) AS BIGINT) AS po_bp,
+                CAST((2 * p * 10000 + n * n) // (2 * n * n) AS BIGINT)
+                  AS pe_bp,
+                CAST((2 * (dg * n + n * n - 2 * p) * 10000 + (n * n - p))
+                     // (2 * (n * n - p)) AS BIGINT) AS kappa_plus1_bp
+         FROM nn, dg, pe"""
+    },
+    "q239_lorenz_gini" ->
+      """WITH hist AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+                               AS x, count(*) AS c
+                       FROM documents GROUP BY 1),
+              h AS (SELECT x, c,
+                           sum(c) OVER w AS cum,
+                           sum(x * c) OVER w AS cumtok
+                    FROM hist
+                    WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW)),
+              tot AS (SELECT max(cum) AS n, max(cumtok) AS s FROM h),
+              gini AS (SELECT coalesce(sum(x * c * (2 * cum - c - n)), 0)
+                                AS num
+                       FROM h, tot),
+              dec AS (SELECT unnest(range(1, 11)) AS decile),
+              db AS (SELECT decile, (decile * n) // 10 AS r FROM dec, tot)
+         SELECT decile, CAST(r AS BIGINT) AS boundary_rank,
+                CAST(cumtok - (cum - r) * x AS BIGINT) AS cum_tokens,
+                CAST((2 * (cumtok - (cum - r) * x) * 10000 + s)
+                     // (2 * s) AS BIGINT) AS lorenz_bp,
+                CAST((2 * num * 10000 + n * s) // (2 * n * s) AS BIGINT)
+                  AS gini_bp
+         FROM db LEFT JOIN h ON r > cum - c AND r <= cum
+         CROSS JOIN gini CROSS JOIN tot
+         ORDER BY decile""",
   )
 }
