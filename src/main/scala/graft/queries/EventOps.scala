@@ -1168,8 +1168,9 @@ object EventOps {
 
     // Join-size estimation from count-min sketches — the planner-side
     // question ("how big is A ⋈ B on user_id?") answered WITHOUT running
-    // the join: the inner product of two CM sketches (q231's structure,
-    // same d=4×w=1024 md5 family) upper-bounds Σ_k ca(k)·cb(k) (Cormode
+    // the join: the inner product of two CM sketches (q148's structure,
+    // widened to d=4×w=1024, same md5 family) upper-bounds
+    // Σ_k ca(k)·cb(k) (Cormode
     // & Muthukrishnan '05, §4.2), and min-over-rows tightens it. The two
     // sides here are the odd/even event_id halves of the stream; the
     // EXACT size (one key-keyed count join) is computed alongside so the
@@ -1221,7 +1222,7 @@ object EventOps {
     // ulp). One digit-keyed rollup (9 groups, map-side combined), total
     // broadcast back. A uniform synthetic feed FAILS this audit loudly —
     // which is precisely the point of shipping the expected column.
-    "q240_benford_digits" -> ((s, d) => {
+    "q231_benford_digits" -> ((s, d) => {
       val exp = "array(3010, 1761, 1249, 969, 792, 669, 580, 512, 458)"
       val cents = ld(s, d, "events")
         .select(expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
@@ -1781,7 +1782,7 @@ object EventOps {
                      // (2 * exact_size) AS BIGINT) AS over_bp
          FROM est, exact"""
     },
-    "q240_benford_digits" ->
+    "q231_benford_digits" ->
       """WITH cents AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100
                                  AS BIGINT) AS cents
                         FROM events),

@@ -1431,44 +1431,6 @@ object TextOps {
         .orderBy("lang", "pred_lang")
     }),
 
-    // Count-min sketch — the bounded-memory heavy-hitter frequency
-    // structure (Cormode & Muthukrishnan '05) a fleet merges across
-    // executors when exact token counts won't fit: d=4 hash rows ×
-    // w=1024 cells, each cell the SUM of counts hashing into it;
-    // point estimate = min over the 4 rows (one-sided: est ≥ true,
-    // always). Built here alongside exact truth so the overestimate is
-    // MEASURED (over_bp per token, the number that sizes w before
-    // trusting the sketch at 100 TB). Everything is exact integers off
-    // md5 prefixes, so Spark and the oracle agree bit-for-bit. Plan
-    // shape at scale: one token agg (vocab-sized, map-side combined),
-    // a 4-way stack to ≤4096 sketch cells — the ONLY state that ever
-    // crosses the fleet — and a broadcast join of the top-20 probes
-    // against those cells. The corpus is scanned once; the sketch is
-    // mergeable by cellwise + (same merge the KMV q213 exchange uses).
-    "q231_countmin_sketch" -> ((s, d) => {
-      def cell(i: Int) =
-        s"CAST(conv(substring(md5(concat('$i:', tok)), 1, 8), 16, 10)" +
-          s" AS BIGINT) % 1024"
-      val tf = ld(s, d, "documents")
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("c"))
-        .selectExpr(Seq("tok", "c") ++
-          (0 until 4).map(i => s"${cell(i)} AS cell$i"): _*)
-        .localCheckpoint() // truth, probes, and sketch share one token agg
-      val sketch = tf.selectExpr(
-          "stack(4, 0, cell0, 1, cell1, 2, cell2, 3, cell3) AS (row, cell)",
-          "c")
-        .groupBy("row", "cell").agg(sum("c").as("cell_sum"))
-      val probes = tf.orderBy(desc("c"), col("tok")).limit(20)
-        .selectExpr("tok", "c",
-          "stack(4, 0, cell0, 1, cell1, 2, cell2, 3, cell3) AS (row, cell)")
-      probes.join(broadcast(sketch), Seq("row", "cell"))
-        .groupBy("tok", "c").agg(min("cell_sum").as("est"))
-        .selectExpr("tok", "c AS true_cnt", "est",
-          "(2 * (est - c) * 10000 + c) DIV (2 * c) AS over_bp")
-        .orderBy(desc("true_cnt"), col("tok"))
-    }),
-
     // Spearman rank correlation between document length (n_chars) and
     // whitespace-token count, per source — the monotone-association
     // check a curation pipeline runs before substituting a cheap proxy
@@ -2574,33 +2536,6 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
           FROM scored JOIN totals ON scored.lang = totals.lang
           GROUP BY scored.lang, pred_lang, n_true
           ORDER BY scored.lang, pred_lang"""
-    },
-    "q231_countmin_sketch" -> {
-      def cell(i: Int) =
-        s"('0x' || substr(md5('$i:' || tok), 1, 8))::BIGINT % 1024"
-      s"""WITH tf AS (SELECT tok, count(*) AS c,
-                             ${cell(0)} AS cell0, ${cell(1)} AS cell1,
-                             ${cell(2)} AS cell2, ${cell(3)} AS cell3
-                      FROM (SELECT unnest(string_split(text, ' ')) AS tok
-                            FROM documents)
-                      GROUP BY tok),
-              cells AS (SELECT 0 AS row, cell0 AS cell, c FROM tf
-                        UNION ALL SELECT 1, cell1, c FROM tf
-                        UNION ALL SELECT 2, cell2, c FROM tf
-                        UNION ALL SELECT 3, cell3, c FROM tf),
-              sketch AS (SELECT row, cell, sum(c) AS cell_sum FROM cells
-                         GROUP BY row, cell),
-              probes AS (SELECT * FROM tf ORDER BY c DESC, tok LIMIT 20),
-              pc AS (SELECT 0 AS row, cell0 AS cell, tok, c FROM probes
-                     UNION ALL SELECT 1, cell1, tok, c FROM probes
-                     UNION ALL SELECT 2, cell2, tok, c FROM probes
-                     UNION ALL SELECT 3, cell3, tok, c FROM probes)
-         SELECT tok, CAST(c AS BIGINT) AS true_cnt,
-                CAST(min(cell_sum) AS BIGINT) AS est,
-                CAST((2 * (min(cell_sum) - c) * 10000 + c) // (2 * c)
-                  AS BIGINT) AS over_bp
-         FROM pc JOIN sketch USING (row, cell)
-         GROUP BY tok, c ORDER BY true_cnt DESC, tok"""
     },
     "q234_spearman_proxy" ->
       """WITH d AS (SELECT source, doc_id, n_chars,
