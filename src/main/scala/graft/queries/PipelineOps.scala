@@ -2075,6 +2075,45 @@ object PipelineOps {
           "max_type_skew_bp")
         .orderBy("fold")
     }),
+
+    // Incremental aggregate maintenance — the materialized-view refresh
+    // a lakehouse runs nightly: a stored per-(type, hour) state built
+    // from the 90 % base slice absorbs the 10 % delta slice by RE-
+    // AGGREGATING THE UNION OF PARTIAL STATES (count/sum are mergeable;
+    // merge = keyed +, the same algebra that makes them partial-agg
+    // friendly in a shuffle), then the merged view is audited cell-by-
+    // cell against a full recompute — the equivalence proof that lets
+    // the fleet STOP full-recomputing. At 100 TB the base state is never
+    // rescanned: only |delta| rows move, and the merge touches
+    // |dirty slots| ≤ |delta| state rows. The audit's full-outer join is
+    // the certification run you do once per pipeline change, not per
+    // refresh. n_mismatch = 0 is the correctness claim, oracle-checked.
+    "q241_delta_agg_merge" -> ((s, d) => {
+      val ev = ld(s, d, "events")
+        .selectExpr("event_type", "date_trunc('hour', ts) AS hr",
+          "event_id % 10 = 0 AS is_delta",
+          "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents")
+        .localCheckpoint() // state, delta, and recompute share one scan
+      def roll(df: DataFrame): DataFrame =
+        df.groupBy("event_type", "hr")
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      val merged = roll(ev.filter(!col("is_delta")))
+        .unionByName(roll(ev.filter(col("is_delta"))))
+        .groupBy("event_type", "hr")
+        .agg(sum("n").as("n"), sum("cents").as("cents"))
+      val full = roll(ev)
+      merged.join(full.withColumnsRenamed(
+          Map("n" -> "fn", "cents" -> "fcents")),
+          Seq("event_type", "hr"), "full_outer")
+        .selectExpr("event_type", "coalesce(n, 0L) AS n",
+          "coalesce(cents, 0L) AS cents",
+          "CASE WHEN n IS NULL OR fn IS NULL OR n <> fn" +
+            " OR cents <> fcents THEN 1L ELSE 0L END AS bad")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_slots"), sum("n").as("n_events"),
+          sum("cents").as("tot_cents"), sum("bad").as("n_mismatch"))
+        .orderBy("event_type")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -3758,5 +3797,39 @@ object PipelineOps {
          JOIN skew ON foldtot.fold = skew.fold
          CROSS JOIN tot
          ORDER BY foldtot.fold""",
+    "q241_delta_agg_merge" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                            event_id % 10 = 0 AS is_delta,
+                            CAST(CAST(value AS DECIMAL(12,2)) * 100
+                              AS BIGINT) AS cents
+                     FROM events),
+              st AS (SELECT event_type, hr, count(*) AS n,
+                            sum(cents) AS cents
+                     FROM ev WHERE NOT is_delta GROUP BY 1, 2),
+              de AS (SELECT event_type, hr, count(*) AS n,
+                            sum(cents) AS cents
+                     FROM ev WHERE is_delta GROUP BY 1, 2),
+              merged AS (SELECT event_type, hr, sum(n) AS n,
+                                sum(cents) AS cents
+                         FROM (SELECT * FROM st
+                               UNION ALL SELECT * FROM de)
+                         GROUP BY 1, 2),
+              com AS (SELECT event_type, hr, count(*) AS fn,
+                             sum(cents) AS fcents
+                      FROM ev GROUP BY 1, 2),
+              j AS (SELECT coalesce(m.event_type, com.event_type)
+                             AS event_type,
+                           coalesce(m.n, 0) AS n,
+                           coalesce(m.cents, 0) AS cents,
+                           CASE WHEN m.n IS NULL OR fn IS NULL
+                                  OR m.n <> fn OR m.cents <> fcents
+                                THEN 1 ELSE 0 END AS bad
+                    FROM merged m FULL OUTER JOIN com
+                      ON m.event_type = com.event_type AND m.hr = com.hr)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_slots,
+                CAST(sum(n) AS BIGINT) AS n_events,
+                CAST(sum(cents) AS BIGINT) AS tot_cents,
+                CAST(sum(bad) AS BIGINT) AS n_mismatch
+         FROM j GROUP BY 1 ORDER BY event_type""",
   )
 }

@@ -1269,6 +1269,47 @@ object Relational {
            GROUP BY l_returnflag ORDER BY l_returnflag""",
         Map("minq" -> 30))
     }),
+
+    // Multi-source BFS hop distance — the fourth relational-graph
+    // primitive beside components (q101), PageRank (q131), and triangles
+    // (q134): how far is every node from a SEED SET (here parts 0–4 in
+    // q131's part↔supplier bipartite graph), the reachability question
+    // behind blast-radius analysis and influence frontiers. K=4
+    // synchronous frontier rounds: each round is ONE src-keyed join of
+    // the (small) frontier against the degree-partitioned edge frame +
+    // one anti-join against the visited set — never a path enumeration
+    // (a recursive path walk on a dense bipartite graph explodes
+    // combinatorially; frontier BFS moves each node at most once). The
+    // oracle replays the same four rounds as a CTE chain, so hop
+    // assignment is bit-identical. Report: nodes per hop + the
+    // unreached remainder (hop −1) against the full node inventory.
+    "q240_bfs_hops" -> ((s, d) => {
+      val pairs = ld(s, d, "lineitem")
+        .select((col("l_partkey") * 2).as("p"),
+          (col("l_suppkey") * 2 + 1).as("q"))
+        .distinct()
+      val edges = pairs.select(col("p").as("src"), col("q").as("dst"))
+        .unionAll(pairs.select(col("q").as("src"), col("p").as("dst")))
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("node")).distinct()
+        .localCheckpoint()
+      var visited = nodes.filter(col("node") < 10 && col("node") % 2 === 0)
+        .withColumn("hop", lit(0L)).localCheckpoint()
+      var frontier = visited.select("node")
+      for (r <- 1 to 4) {
+        frontier = edges.join(frontier, col("src") === col("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .localCheckpoint()
+        visited = visited
+          .unionByName(frontier.withColumn("hop", lit(r.toLong)))
+          .localCheckpoint()
+      }
+      nodes.join(visited, Seq("node"), "left")
+        .na.fill(-1L, Seq("hop"))
+        .groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("hop")
+    }),
   )
 
   /** q201's query text, shared verbatim with the DuckDB oracle. */
@@ -1960,5 +2001,29 @@ object Relational {
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
          FROM lineitem WHERE l_quantity >= 30
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q240_bfs_hops" -> {
+      // Four frontier rounds as a CTE chain — same synchronous BFS the
+      // Spark loop runs, so hop assignment is bit-identical.
+      val rounds = (1 to 4).map { r =>
+        s"""f$r AS (SELECT DISTINCT dst AS node
+                    FROM edges JOIN f${r - 1} ON src = f${r - 1}.node
+                    WHERE dst NOT IN (SELECT node FROM v${r - 1})),
+            v$r AS (SELECT node, hop FROM v${r - 1}
+                    UNION ALL SELECT node, $r FROM f$r)"""
+      }.mkString(",\n            ")
+      s"""WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                                l_suppkey * 2 + 1 AS q FROM lineitem),
+              edges AS (SELECT p AS src, q AS dst FROM pairs
+                        UNION ALL SELECT q, p FROM pairs),
+              nodes AS (SELECT DISTINCT src AS node FROM edges),
+              f0 AS (SELECT node FROM nodes
+                     WHERE node < 10 AND node % 2 = 0),
+              v0 AS (SELECT node, 0 AS hop FROM f0),
+              $rounds
+         SELECT CAST(coalesce(hop, -1) AS BIGINT) AS hop,
+                CAST(count(*) AS BIGINT) AS n_nodes
+         FROM nodes LEFT JOIN v4 ON nodes.node = v4.node
+         GROUP BY 1 ORDER BY hop"""
+    },
   )
 }

@@ -1531,6 +1531,45 @@ object TextOps {
           "(2 * num * 10000 + n * s) DIV (2 * n * s) AS gini_bp")
         .orderBy("decile")
     }),
+
+    // Sparse random projection (Achlioptas ±1 signs) with a measured JL
+    // distortion audit — dimensionality reduction for the token-count
+    // space WITHOUT training or a vocabulary pass: proj[d][j] =
+    // Σ_tok c(d,tok)·sign_j(tok), signs drawn from md5 so both engines
+    // build the IDENTICAL matrix and everything stays exact integers
+    // (the no-RNG stance of q135/q151). E[‖proj(a)−proj(b)‖²] =
+    // k·‖a−b‖² — the audit measures that ratio per doc pair in half-up
+    // bp (ideal 10000). Plan shape: the projection is ONE doc-keyed agg
+    // with k=8 conditional sums (map-side combined; at 100 TB this is a
+    // single corpus pass emitting |docs|×k cells — the standard trick
+    // when a learned embedding is too expensive); BOTH audit distances
+    // come from the (pair, side) trick — signed sums then squares —
+    // so the original-space distance needs no per-pair token join.
+    "q242_random_projection" -> ((s, d) => {
+      def sgn(j: Int) =
+        s"(CASE WHEN CAST(conv(substring(md5(concat('$j:', tok)), 1, 8)," +
+          s" 16, 10) AS BIGINT) % 2 = 0 THEN 1L ELSE -1L END)"
+      val tc = ld(s, d, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .withColumn("pair", expr("doc_id DIV 2"))
+        .withColumn("sd", expr("CASE WHEN doc_id % 2 = 0 THEN 1L" +
+          " ELSE -1L END"))
+        .localCheckpoint() // projection + exact distances share one agg
+      val pcols = (0 until 8).map(j =>
+        sum(expr(s"c * sd * ${sgn(j)}")).as(s"p$j"))
+      val projD = tc.groupBy("pair").agg(pcols.head, pcols.tail: _*)
+        .selectExpr("pair",
+          (0 until 8).map(j => s"p$j * p$j").mkString(" + ") + " AS d2_proj")
+      val orig = tc.groupBy("pair", "tok")
+        .agg(sum(expr("c * sd")).as("diff"))
+        .groupBy("pair").agg(sum(expr("diff * diff")).as("d2_orig"))
+      projD.join(orig, "pair")
+        .selectExpr("pair", "d2_orig", "d2_proj",
+          "(2 * d2_proj * 10000 + 8 * d2_orig) DIV (16 * d2_orig)" +
+            " AS distortion_bp")
+        .orderBy("pair")
+    }),
   )
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
@@ -2615,5 +2654,32 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
          FROM db LEFT JOIN h ON r > cum - c AND r <= cum
          CROSS JOIN gini CROSS JOIN tot
          ORDER BY decile""",
+    "q242_random_projection" -> {
+      def sgn(j: Int) =
+        s"(CASE WHEN ('0x' || substr(md5('$j:' || tok), 1, 8))::BIGINT" +
+          s" % 2 = 0 THEN 1 ELSE -1 END)"
+      val pcols = (0 until 8)
+        .map(j => s"sum(c * sd * ${sgn(j)}) AS p$j").mkString(", ")
+      val sq = (0 until 8).map(j => s"p$j * p$j").mkString(" + ")
+      s"""WITH tc AS (SELECT doc_id, tok, count(*) AS c,
+                             doc_id // 2 AS pair,
+                             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END
+                               AS sd
+                      FROM (SELECT doc_id,
+                                   unnest(string_split(text, ' ')) AS tok
+                            FROM documents WHERE doc_id < 20)
+                      GROUP BY doc_id, tok),
+              proj AS (SELECT pair, $pcols FROM tc GROUP BY pair),
+              pd AS (SELECT pair, $sq AS d2_proj FROM proj),
+              od AS (SELECT pair, sum(diff * diff) AS d2_orig
+                     FROM (SELECT pair, tok, sum(c * sd) AS diff
+                           FROM tc GROUP BY 1, 2)
+                     GROUP BY 1)
+         SELECT pair, CAST(d2_orig AS BIGINT) AS d2_orig,
+                CAST(d2_proj AS BIGINT) AS d2_proj,
+                CAST((2 * d2_proj * 10000 + 8 * d2_orig)
+                     // (16 * d2_orig) AS BIGINT) AS distortion_bp
+         FROM pd JOIN od USING (pair) ORDER BY pair"""
+    },
   )
 }
