@@ -178,6 +178,12 @@ object Plans {
     // not a static explain.
     "q187_variant_props" -> ("parse_json once into the binary variant; " +
       "typed variant_get paths; one partial+final aggregate"),
+    "q233_retrieval_eval" -> ("20-probe broadcast over one corpus scan; " +
+      "per-query rank window + WindowGroupLimit top-10; label-cohort " +
+      "recall denominators broadcast"),
+    "q244_rank_windows" -> ("ntile/rank/count windows share ONE " +
+      "priority-keyed Exchange (subset rule) before the quartile rollup " +
+      "— no global sort"),
   )
 
   /** Resolves a flagship name to its DataFrame. Almost always the

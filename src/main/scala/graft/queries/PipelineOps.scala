@@ -2114,6 +2114,39 @@ object PipelineOps {
           sum("cents").as("tot_cents"), sum("bad").as("n_mismatch"))
         .orderBy("event_type")
     }),
+
+    // Differentially-private-style histogram release via the GEOMETRIC
+    // mechanism (discrete Laplace, Ghosh et al. '09) — the privacy rung
+    // above q184's k-anonymity: per-(source, lang) doc counts released
+    // with integer noise X = G₁ − G₂, G geometric with decay α = e⁻¹
+    // (ε = 1). The geometric draw is the q211 bootstrap trick: a ladder
+    // of HARDCODED round(10⁹·e⁻ᵏ) thresholds (the constants are the
+    // contract — no engine libm), G = how many thresholds the md5
+    // uniform falls below — so the "noise" is deterministic, bit-equal
+    // in both engines, and the UTILITY of the release is measured
+    // (per-cell abs error, the number a data steward trades against ε).
+    // A production release re-keys the md5 by a secret salt; the
+    // mechanism, ladder, and audit shape are exactly this. Scale: the
+    // only corpus-sized op is the cell rollup; noise is map-only over
+    // the |sources|·|langs| release frame.
+    "q245_dp_geometric_release" -> ((s, d) => {
+      val ladder = Seq(367879441L, 135335283L, 49787068L, 18315639L,
+        6737947L, 2478752L, 911882L, 335463L, 123410L, 45400L, 16702L,
+        6144L, 2260L, 832L, 306L, 113L, 41L, 15L, 6L, 2L)
+      def geo(tag: String) = {
+        val u = s"CAST(conv(substring(md5(concat('$tag:', source, ':'," +
+          s" lang)), 1, 8), 16, 10) AS BIGINT) % 1000000000"
+        ladder.map(t => s"(CASE WHEN $u < $t THEN 1L ELSE 0L END)")
+          .mkString("(", " + ", ")")
+      }
+      ld(s, d, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        .selectExpr("source", "lang", "n",
+          s"n + ${geo("g1")} - ${geo("g2")} AS noisy_n")
+        .withColumn("abs_err", abs(col("noisy_n") - col("n")))
+        .orderBy("source", "lang")
+    }),
+
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -3831,5 +3864,24 @@ object PipelineOps {
                 CAST(sum(cents) AS BIGINT) AS tot_cents,
                 CAST(sum(bad) AS BIGINT) AS n_mismatch
          FROM j GROUP BY 1 ORDER BY event_type""",
+    "q245_dp_geometric_release" -> {
+      val ladder = Seq(367879441L, 135335283L, 49787068L, 18315639L,
+        6737947L, 2478752L, 911882L, 335463L, 123410L, 45400L, 16702L,
+        6144L, 2260L, 832L, 306L, 113L, 41L, 15L, 6L, 2L)
+      def geo(tag: String) = {
+        val u = s"('0x' || substr(md5('$tag:' || source || ':' || lang)," +
+          s" 1, 8))::BIGINT % 1000000000"
+        ladder.map(t => s"(CASE WHEN $u < $t THEN 1 ELSE 0 END)")
+          .mkString("(", " + ", ")")
+      }
+      s"""WITH cells AS (SELECT source, lang, count(*) AS n
+                         FROM documents GROUP BY 1, 2)
+          SELECT source, lang, CAST(n AS BIGINT) AS n,
+                 CAST(n + ${geo("g1")} - ${geo("g2")} AS BIGINT)
+                   AS noisy_n,
+                 CAST(abs(${geo("g1")} - ${geo("g2")}) AS BIGINT)
+                   AS abs_err
+          FROM cells ORDER BY source, lang"""
+    },
   )
 }
