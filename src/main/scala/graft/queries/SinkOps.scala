@@ -360,6 +360,54 @@ object SinkOps {
             .cast("double") / 100).as("tot"))
         .orderBy("p_brand")
     }),
+
+    // File-skipping effectiveness audit — the number q129's layouts are
+    // CHOSEN on: for 10 md5-drawn 2-D point probes, how many files'
+    // [min,max] zone-map envelopes must be read under the z-ordered
+    // layout vs the single-column linear one. This is min/max data
+    // skipping priced BEFORE committing a rewrite (the lakehouse
+    // OPTIMIZE decision): per-file stats are recomputed relationally
+    // (same splice of the Morton expression as q129 — no files
+    // written), probes hit the ~32-row stats frame as a broadcast
+    // range join, and the verdict is exact candidate-file counts per
+    // (layout, probe). At 100 TB the stats frame IS the table format's
+    // footer/manifest metadata — this audit never touches row data
+    // beyond the one layout-assignment pass.
+    "q246_skipping_audit" -> ((s, d) => {
+      val li = ld(s, d, "lineitem").select("l_partkey", "l_suppkey")
+      val stats = li.agg(
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+        min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+      val zed = li.crossJoin(broadcast(stats))
+        .selectExpr("l_partkey", "l_suppkey",
+          "(l_partkey - min_pk) * 65536 DIV (max_pk - min_pk + 1) AS xb",
+          "(l_suppkey - min_sk) * 65536 DIV (max_sk - min_sk + 1) AS yb")
+        .selectExpr("l_partkey", "l_suppkey", "xb",
+          s"($zInterleave) AS z")
+      val fstats = zed
+        .selectExpr("'zorder' AS layout", "z >> 28 AS file_id",
+          "l_partkey", "l_suppkey")
+        .unionAll(zed.selectExpr("'linear'", "xb >> 12",
+          "l_partkey", "l_suppkey"))
+        .groupBy("layout", "file_id")
+        .agg(min("l_partkey").as("fmin_pk"), max("l_partkey").as("fmax_pk"),
+          min("l_suppkey").as("fmin_sk"), max("l_suppkey").as("fmax_sk"))
+        .localCheckpoint() // probes + per-layout totals share the stats
+      val nf = fstats.groupBy("layout").agg(count(lit(1)).as("n_files"))
+      val probes = li.distinct()
+        .orderBy(md5(concat_ws(":", col("l_partkey"), col("l_suppkey"))),
+          col("l_partkey"), col("l_suppkey"))
+        .limit(10)
+        .select(col("l_partkey").as("ppk"), col("l_suppkey").as("psk"))
+      fstats.join(broadcast(probes),
+          col("ppk") >= col("fmin_pk") && col("ppk") <= col("fmax_pk") &&
+          col("psk") >= col("fmin_sk") && col("psk") <= col("fmax_sk"))
+        .groupBy("layout", "ppk", "psk")
+        .agg(count(lit(1)).as("n_candidate_files"))
+        .join(broadcast(nf), "layout")
+        .select("layout", "ppk", "psk", "n_files", "n_candidate_files")
+        .orderBy("layout", "ppk", "psk")
+    }),
   )
 
   /** 16-bit × 16-bit Morton interleave over normalized coords `xb`,`yb` —
@@ -453,5 +501,51 @@ object SinkOps {
                               AS BIGINT)) AS DOUBLE) / 100 AS tot
          FROM part WHERE p_retailprice > 950
          GROUP BY p_brand ORDER BY p_brand""",
+    "q246_skipping_audit" ->
+      s"""WITH st AS (SELECT min(l_partkey) AS min_pk,
+                             max(l_partkey) AS max_pk,
+                             min(l_suppkey) AS min_sk,
+                             max(l_suppkey) AS max_sk
+                      FROM lineitem),
+              b AS (SELECT l_partkey, l_suppkey,
+                           (l_partkey - min_pk) * 65536
+                             // (max_pk - min_pk + 1) AS xb,
+                           (l_suppkey - min_sk) * 65536
+                             // (max_sk - min_sk + 1) AS yb
+                    FROM lineitem CROSS JOIN st),
+              zb AS (SELECT l_partkey, l_suppkey, xb,
+                            ($zInterleave) AS z
+                     FROM b),
+              f AS (SELECT 'zorder' AS layout, z >> 28 AS file_id,
+                           l_partkey, l_suppkey
+                    FROM zb
+                    UNION ALL
+                    SELECT 'linear', xb >> 12, l_partkey, l_suppkey
+                    FROM zb),
+              fs AS MATERIALIZED (
+                    SELECT layout, file_id,
+                           min(l_partkey) AS fmin_pk,
+                           max(l_partkey) AS fmax_pk,
+                           min(l_suppkey) AS fmin_sk,
+                           max(l_suppkey) AS fmax_sk
+                    FROM f GROUP BY 1, 2),
+              nf AS (SELECT layout, count(*) AS n_files FROM fs
+                     GROUP BY 1),
+              probes AS MATERIALIZED (
+                    SELECT l_partkey AS ppk, l_suppkey AS psk
+                    FROM (SELECT DISTINCT l_partkey, l_suppkey
+                          FROM lineitem)
+                    ORDER BY md5(l_partkey::VARCHAR || ':' ||
+                                 l_suppkey::VARCHAR),
+                             l_partkey, l_suppkey
+                    LIMIT 10)
+         SELECT fs.layout, ppk, psk, CAST(n_files AS BIGINT) AS n_files,
+                CAST(count(*) AS BIGINT) AS n_candidate_files
+         FROM fs JOIN probes
+           ON ppk >= fmin_pk AND ppk <= fmax_pk
+          AND psk >= fmin_sk AND psk <= fmax_sk
+         JOIN nf ON fs.layout = nf.layout
+         GROUP BY fs.layout, ppk, psk, n_files
+         ORDER BY fs.layout, ppk, psk""",
   )
 }

@@ -994,6 +994,52 @@ object VectorOps {
             " DIV (2 * (n_label - 1)) AS r10_bp")
         .orderBy("q_id")
     }),
+
+    // Matryoshka truncation audit — can the FIRST 16 of 64 embedding
+    // dims serve retrieval? (The MRL deployment question: a 4× narrower
+    // index is 4× cheaper to scan and ship — IF prefix-dim top-k agrees
+    // with full-dim top-k.) Both rankings come from ONE corpus scan:
+    // each (probe, vector) pair computes the 64-dim and 16-dim rounded
+    // cosines side by side, two rank windows cut top-10 each, and the
+    // per-probe overlap is the measured recall@10 of the truncated
+    // index against full-dim truth (half-up bp). On THIS corpus's
+    // near-isotropic synthetic embeddings the prefix dims carry no
+    // privileged mass (unlike trained MRL embeddings) — so the audit is
+    // exactly the tool that would catch a bad truncation decision.
+    "q247_matryoshka_recall" -> ((s, d) => {
+      val e = ld(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("e16", expr("slice(emb, 1, 16)"))
+        .withColumn("nrm", sqrt(dotp(col("emb"), col("emb"))))
+        .withColumn("n16", sqrt(dotp(col("e16"), col("e16"))))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("qe"),
+          col("e16").as("q16"), col("nrm").as("qn"), col("n16").as("qn16"))
+      val sims = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(dotp(col("qe"), col("emb")) / (col("qn") * col("nrm")), 6)
+            .as("s64"),
+          round(dotp(col("q16"), col("e16")) / (col("qn16") * col("n16")),
+            6).as("s16"))
+        .localCheckpoint() // both rankings cut from one scored frame
+      def top(c: String) = sims
+        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col(c).desc, col("neighbor_id"))))
+        .filter(col("rn") <= 10).select("q_id", "neighbor_id")
+      // Left join from the probe frame: a probe whose truncated top-10
+      // shares NOTHING with the full-dim top-10 is the headline failure
+      // — it must appear as 0, not vanish from the report.
+      val ov = top("s64")
+        .join(top("s16"), Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+      q.select("q_id").join(ov, Seq("q_id"), "left")
+        .na.fill(0L, Seq("n_overlap"))
+        .selectExpr("q_id", "n_overlap",
+          "(2 * n_overlap * 10000 + 10) DIV 20 AS recall_bp")
+        .orderBy("q_id")
+    }),
   )
 
   /** q125's composed IVF×PQ chain, ranked pre-top-k — shared with q120's
@@ -1789,5 +1835,40 @@ object VectorOps {
                       // (2 * (n_label - 1)) AS BIGINT) AS r10_bp
           FROM ag JOIN nl ON ag.q_label = nl.label
           ORDER BY q_id""",
+    "q247_matryoshka_recall" -> {
+      val d16 = ("list_inner_product(%A[1:16], %B[1:16]) / " +
+        "(sqrt(list_inner_product(%A[1:16], %A[1:16])) * " +
+        "sqrt(list_inner_product(%B[1:16], %B[1:16])))")
+        .replace("%A", "qe").replace("%B", "ce")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                     FROM embeddings),
+               q AS (SELECT vec_id AS q_id, ce AS qe FROM c
+                     WHERE vec_id < 10),
+               sims AS MATERIALIZED (
+                     SELECT q_id, vec_id AS neighbor_id,
+                            round(${dcos("qe", "ce")}, 6) AS s64,
+                            round($d16, 6) AS s16
+                     FROM c CROSS JOIN q WHERE vec_id <> q_id),
+               t64 AS (SELECT q_id, neighbor_id FROM
+                         (SELECT *, row_number() OVER (PARTITION BY q_id
+                            ORDER BY s64 DESC, neighbor_id) AS rn
+                          FROM sims)
+                       WHERE rn <= 10),
+               t16 AS (SELECT q_id, neighbor_id FROM
+                         (SELECT *, row_number() OVER (PARTITION BY q_id
+                            ORDER BY s16 DESC, neighbor_id) AS rn
+                          FROM sims)
+                       WHERE rn <= 10),
+               ov AS (SELECT t64.q_id, count(*) AS n_overlap
+                      FROM t64 JOIN t16 ON t64.q_id = t16.q_id
+                                       AND t64.neighbor_id = t16.neighbor_id
+                      GROUP BY t64.q_id)
+          SELECT q.q_id, CAST(coalesce(n_overlap, 0) AS BIGINT)
+                   AS n_overlap,
+                 CAST((2 * coalesce(n_overlap, 0) * 10000 + 10) // 20
+                   AS BIGINT) AS recall_bp
+          FROM q LEFT JOIN ov ON q.q_id = ov.q_id
+          ORDER BY q.q_id"""
+    },
   )
 }
