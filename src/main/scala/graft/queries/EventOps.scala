@@ -1240,6 +1240,98 @@ object EventOps {
         .withColumn("gap_bp", abs(col("obs_bp") - col("benford_bp")))
         .orderBy("digit")
     }),
+
+    // Peak-concurrency sweep line — the capacity question ("how many
+    // sessions were open AT ONCE, and when?") that no per-session or
+    // per-hour rollup answers: sessions (q71's exact 30-min boundary)
+    // become +1/−1 boundary events, and concurrency is their running
+    // sum. Ends subtract AFTER starts add at the same microsecond (a
+    // session ending exactly when another begins overlaps it), encoded
+    // order-free: group boundaries BY timestamp first, then
+    // peak_at(t) = cumulative_net(≤t) + n_end(t) — no row-order inside
+    // a timestamp ever matters, so the sweep is parallel-safe. The
+    // cumulative sum itself is TWO-LEVEL (the 100 TB shape: an
+    // unpartitioned ordered window over every boundary would serialize
+    // the whole stream through one task): intra-day running sums ride a
+    // day-partitioned window, and only the #days-sized day-total frame
+    // takes the single-partition prefix window before broadcasting
+    // back. Output: total sessions, the peak, and the first instant it
+    // was reached.
+    "q248_concurrency_sweep" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = ld(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn("new_sess", when(col("prev_us").isNull ||
+          col("us") - col("prev_us") >= 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("sess_id", sum("new_sess").over(run))
+        .groupBy("user_id", "sess_id")
+        .agg(min("us").as("a"), max("us").as("b"))
+        .localCheckpoint() // boundaries + session total share one pass
+      val bd = sess
+        .selectExpr("stack(2, a, 1L, b, 0L) AS (us, st)")
+        .groupBy("us")
+        .agg(sum("st").as("n_start"),
+          sum(lit(1L) - col("st")).as("n_end"))
+        .withColumn("day", expr("us DIV 86400000000"))
+      val wD = Window.partitionBy("day").orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val intra = bd.withColumn("cum_d",
+        sum(col("n_start") - col("n_end")).over(wD))
+      val dayTot = bd.groupBy("day")
+        .agg(sum(col("n_start") - col("n_end")).as("net"))
+        // #days rows: the only unpartitioned ordered window, by design
+        .withColumn("prefix", coalesce(sum("net").over(
+          Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("day", "prefix")
+      val peaks = intra.join(broadcast(dayTot), "day")
+        .select(col("us"),
+          (col("prefix") + col("cum_d") + col("n_end")).as("peak"))
+        .localCheckpoint() // max + argmax share the sweep
+      val mx = peaks.agg(max("peak").as("peak_n"))
+      peaks.crossJoin(broadcast(mx)).filter(col("peak") === col("peak_n"))
+        .agg(min("us").as("peak_us"))
+        .crossJoin(broadcast(mx))
+        .crossJoin(broadcast(sess.agg(count(lit(1)).as("n_sessions"))))
+        .select(col("n_sessions"), col("peak_n"),
+          timestamp_micros(col("peak_us")).as("peak_ts"))
+    }),
+
+    // Sequence-motif detection — the MATCH_RECOGNIZE surrogate: each
+    // session (q71's exact boundary) is rendered as an ordered string
+    // of event-type initials and matched against a regex motif
+    // ('vc.*p': a view immediately followed by a click, with a purchase
+    // any time later) — the pattern family funnel counting (q137) can't
+    // express, because funnels test subsequence containment while a
+    // regex pins ADJACENCY and repetition. Ordering inside the
+    // aggregate is total and explicit (sort_array over (us, event_id)
+    // structs — collect_list alone is partition-order nondeterministic,
+    // the q39 lesson), so the per-session string is bit-identical in
+    // both engines. Scale shape: ONE user_id shuffle; the string is
+    // bounded by the session (inactivity-capped), and the regex runs
+    // map-side per session row — no joins, no windows after the rollup.
+    "q252_sequence_motif" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ld(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn("new_sess", when(col("prev_us").isNull ||
+          col("us") - col("prev_us") >= 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("sess_id", sum("new_sess").over(run))
+        .withColumn("ini", substring(col("event_type"), 1, 1))
+        .groupBy("user_id", "sess_id")
+        .agg(expr("array_join(transform(sort_array(collect_list(" +
+          "struct(us, event_id, ini))), x -> x.ini), '')").as("seq"))
+        .withColumn("hit",
+          when(col("seq").rlike("vc.*p"), 1L).otherwise(0L))
+        .agg(count(lit(1)).as("n_sessions"), sum("hit").as("n_matched"))
+        .selectExpr("n_sessions", "n_matched",
+          "(2 * n_matched * 10000 + n_sessions) DIV (2 * n_sessions)" +
+            " AS match_bp")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1803,6 +1895,66 @@ object EventOps {
          CROSS JOIN tot
          GROUP BY d.digit, benford_bp, nn
          ORDER BY d.digit""",
+
+    "q248_concurrency_sweep" ->
+      """WITH t AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                           lag(epoch_us(ts)) OVER
+                             (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_us
+                    FROM events),
+              s AS (SELECT *, CAST(sum(CASE WHEN prev_us IS NULL
+                                            OR us - prev_us >= 1800000000
+                                       THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS sess_id
+                    FROM t),
+              sess AS (SELECT user_id, sess_id, min(us) AS a, max(us) AS b
+                       FROM s GROUP BY 1, 2),
+              bd AS (SELECT us, CAST(sum(st) AS BIGINT) AS n_start,
+                            CAST(sum(1 - st) AS BIGINT) AS n_end
+                     FROM (SELECT a AS us, 1 AS st FROM sess
+                           UNION ALL
+                           SELECT b AS us, 0 AS st FROM sess)
+                     GROUP BY us),
+              c AS (SELECT us,
+                           CAST(sum(n_start - n_end) OVER
+                             (ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) + n_end AS BIGINT) AS peak
+                    FROM bd),
+              m AS (SELECT max(peak) AS peak_n FROM c)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM sess) AS n_sessions,
+                CAST(peak_n AS BIGINT) AS peak_n,
+                make_timestamp((SELECT min(us) FROM c, m
+                                WHERE peak = peak_n)) AS peak_ts
+         FROM m""",
+
+    "q252_sequence_motif" ->
+      """WITH t AS (SELECT user_id, event_id, ts, event_type,
+                           epoch_us(ts) AS us,
+                           lag(epoch_us(ts)) OVER
+                             (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_us
+                    FROM events),
+              s AS (SELECT *, CAST(sum(CASE WHEN prev_us IS NULL
+                                            OR us - prev_us >= 1800000000
+                                       THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS sess_id
+                    FROM t),
+              q AS (SELECT user_id, sess_id,
+                           string_agg(substr(event_type, 1, 1), ''
+                             ORDER BY us, event_id) AS seq
+                    FROM s GROUP BY 1, 2),
+              h AS (SELECT CASE WHEN regexp_matches(seq, 'vc.*p')
+                                THEN 1 ELSE 0 END AS hit
+                    FROM q)
+         SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(sum(hit) AS BIGINT) AS n_matched,
+                CAST((2 * sum(hit) * 10000 + count(*)) // (2 * count(*))
+                     AS BIGINT) AS match_bp
+         FROM h""",
   )
 }
 

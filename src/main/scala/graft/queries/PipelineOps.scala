@@ -2147,6 +2147,194 @@ object PipelineOps {
         .orderBy("source", "lang")
     }),
 
+    // Sorted-neighborhood blocking RECALL audit (Hernández–Stolfo):
+    // q157 runs sorted-neighborhood as an ER *matcher* (noun-partitioned
+    // windows, Fellegi–Sunter verify); this is the audit that decides
+    // whether such a window is SAFE — what does the O(n·w) candidate
+    // set recall of the ground truth (the corpus's 8-token-prefix
+    // near-dup families, q249's clusters) when the sort key is a cheap
+    // GLOBAL proxy (n_chars)? The q164-for-blocking measurement. The
+    // global sort rank is assembled WITHOUT a single-partition window:
+    // row_number within each n_chars value + the prefix count of
+    // strictly-smaller values (a distinct-length histogram, cumulated
+    // over its own tiny frame then broadcast) — the q224
+    // histogram-space trick, so ranking scales as one shuffle on the
+    // sort key. Candidates are an EQUI-join (rank + k = rank, k
+    // exploded 1..w), never a range join. Recall < 10000 bp is the
+    // finding: families whose members differ in length by more than
+    // the window slip through — the known failure mode
+    // sorted-neighborhood trades for its linear cost.
+    "q251_sorted_neighborhood" -> ((s, d) => {
+      val W = 5
+      val m = ld(s, d, "documents")
+        .withColumn("ck",
+          md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
+        .select("doc_id", "n_chars", "ck")
+        .localCheckpoint() // ranks + truth pairs share one scan
+      val hist = m.groupBy("n_chars").agg(count(lit(1)).as("hn"))
+        // distinct-length histogram: tiny, single-partition cum is fine
+        .withColumn("pfx", coalesce(sum("hn").over(
+          Window.orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("n_chars", "pfx")
+      val ranked = m.withColumn("rw", row_number().over(
+          Window.partitionBy("n_chars").orderBy("doc_id")).cast("long"))
+        .join(broadcast(hist), "n_chars")
+        .withColumn("rk", col("pfx") + col("rw"))
+        .select("rk", "doc_id", "ck")
+        .localCheckpoint() // both join sides read the same rank frame
+      val cand = ranked.toDF("rk", "id_a", "ck_a")
+        .withColumn("k", explode(lit((1 to W).toArray)))
+        .withColumn("rk_b", col("rk") + col("k"))
+        .join(ranked.toDF("rk_b", "id_b", "ck_b"), "rk_b")
+      // candidate count + hits in ONE pass over the neighbor join —
+      // never two scans of the O(n·w) pair space
+      val stats = cand.agg(count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(col("ck_a") === col("ck_b"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_found"))
+      val truth = m.groupBy("ck").agg(count(lit(1)).as("cn"))
+        .filter(col("cn") >= 2)
+        .agg(coalesce(sum(expr("cn * (cn - 1) DIV 2")), lit(0L))
+          .as("n_truth_pairs"))
+      stats
+        .crossJoin(broadcast(truth))
+        .selectExpr(s"CAST($W AS BIGINT) AS w", "n_candidates",
+          "n_truth_pairs", "n_found",
+          "(2 * n_found * 10000 + n_truth_pairs)" +
+            " DIV (2 * n_truth_pairs) AS recall_bp")
+    }),
+
+    // Rendezvous (highest-random-weight) hashing audit — the THIRD
+    // placement scheme beside naive mod and ring hashing (both measured
+    // in q168): every doc goes to argmax_n md5(n:doc), and when a node
+    // leaves, ONLY its own keys move (each survivor's winning hash is
+    // unchanged — the HRW minimal-disruption theorem, which the ring
+    // approximates with virtual-node machinery HRW doesn't need). The
+    // audit RETIRES node 3 from an 8-node fleet and proves the theorem
+    // in data: per node, moved_out = n_before for node 3 and exactly 0
+    // everywhere else, with the per-node before/after occupancy showing
+    // the orphaned keys spreading across all 7 survivors. Argmax is a
+    // greatest() + first-match CASE chain (deterministic lowest-node
+    // tie-break, same chain in both engines — no engine-specific
+    // struct-max). Scale shape: ownership is PURE MAP over the scan
+    // (8 hashes per row, no state); only the 8-row occupancy rollups
+    // shuffle, and the final assembly is an 8×8-row full-outer join.
+    "q253_rendezvous_hash" -> ((s, d) => {
+      val nodes = 0 until 8
+      def h(n: Int) = s"CAST(conv(substring(md5(concat('n$n:', " +
+        s"CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+      def argmax(g: String, ns: Seq[Int]) = "CASE " +
+        ns.map(i => s"WHEN h$i = $g THEN CAST($i AS BIGINT)")
+          .mkString(" ") + " END"
+      val asg = ld(s, d, "documents")
+        .selectExpr(Seq("doc_id") ++ nodes.map(i => s"${h(i)} AS h$i"): _*)
+        .withColumn("g8", expr(nodes.map(i => s"h$i")
+          .mkString("greatest(", ", ", ")")))
+        .withColumn("g7", expr(nodes.filter(_ != 3).map(i => s"h$i")
+          .mkString("greatest(", ", ", ")")))
+        .selectExpr(s"${argmax("g8", nodes)} AS own8",
+          s"${argmax("g7", nodes.filter(_ != 3))} AS own7")
+        .localCheckpoint() // before/after occupancy share one map pass
+      val before = asg.groupBy(col("own8").as("node"))
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("own8") =!= col("own7"), 1L).otherwise(0L))
+            .as("moved_out"))
+      val after = asg.groupBy(col("own7").as("node"))
+        .agg(count(lit(1)).as("n_after"))
+      before.join(after, Seq("node"), "full_outer")
+        .na.fill(0L, Seq("n_before", "moved_out", "n_after"))
+        .select("node", "n_before", "n_after", "moved_out")
+        .orderBy("node")
+    }),
+
+    // Purged time-series cross-validation with embargo (de Prado): the
+    // leakage guard for TEMPORAL data that q142's row-hash split and
+    // q236's entity folds cannot give — when labels look forward in
+    // time, training rows just after a test block leak its outcomes
+    // backward, so each fold EMBARGOES the 2 hours following its test
+    // window from training entirely. Folds are 5 contiguous blocks of
+    // the hour axis (boundaries by integer index arithmetic — growth-
+    // stable, no quantile estimation). EVERYTHING beyond one hourly
+    // rollup happens in histogram space: fold bounds, the 5-way
+    // hour classification, and the per-fold event counts are all ops
+    // on the #hours-sized frame (its rank window is single-partition
+    // BY DESIGN — documented tiny), so at 100 TB the corpus is scanned
+    // once. Per fold: test/embargo/train event counts + the test
+    // window's bounds; train + test + embargo = total by construction.
+    "q254_purged_cv" -> ((s, d) => {
+      val hr = ld(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        // #hours-sized frame: the only unpartitioned window, by design
+        .withColumn("idx", row_number().over(Window.orderBy("hr"))
+          .cast("long") - 1)
+        .localCheckpoint() // folds + classification share the histogram
+      val tot = hr.agg(count(lit(1)).as("nh"))
+      val folds = hr.crossJoin(broadcast(tot))
+        .withColumn("fold",
+          least(lit(4L), expr("(idx * 5) DIV nh"))) // integer div, not /
+        .groupBy("fold")
+        .agg(min("idx").as("mn"), max("idx").as("mx"),
+          min("hr").as("test_lo_hr"), max("hr").as("test_hi_hr"))
+      hr.crossJoin(broadcast(folds))
+        .withColumn("cls", when(
+            col("idx").between(col("mn"), col("mx")), lit("test"))
+          .when(col("idx").between(col("mx") + 1, col("mx") + 2),
+            lit("embargo"))
+          .otherwise(lit("train")))
+        .groupBy("fold", "test_lo_hr", "test_hi_hr")
+        .agg(
+          sum(when(col("cls") === "test", col("n")).otherwise(0L))
+            .as("n_test"),
+          sum(when(col("cls") === "embargo", col("n")).otherwise(0L))
+            .as("n_embargo"),
+          sum(when(col("cls") === "train", col("n")).otherwise(0L))
+            .as("n_train"))
+        .select("fold", "n_test", "n_embargo", "n_train",
+          "test_lo_hr", "test_hi_hr")
+        .orderBy("fold")
+    }),
+
+    // Loader-shuffle QUALITY audit — q204 proves the md5 epoch reshard
+    // is balanced and churn-bounded; this proves it actually MIXES: a
+    // training loader reads each shard in ticket order, and source
+    // clumping in that order is exactly the correlated-batch pathology
+    // shuffling exists to prevent. Per shard: adjacent same-source
+    // pairs in md5-ticket order (one shard-partitioned lag window —
+    // keyed work, the loader's own read order) vs the multinomial
+    // expectation Σ(n_s/N)² of a perfect shuffle, both in half-up bp.
+    // gap_bp ≈ 0 is the pass; a systematic positive gap means tickets
+    // correlate with source (a broken hash salt). Integer-exact: s2
+    // and N² stay in BIGINT to ~3·10⁹ docs — past that lift exp_bp
+    // into DECIMAL(38) (the q158 rate-magnitude caveat). One corpus
+    // scan pinned, then a shard-keyed window + two tiny rollups.
+    "q256_shuffle_quality" -> ((s, d) => {
+      val a = ld(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          conv(substring(md5(concat(lit("e0:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long").as("tk"))
+        .withColumn("shard", col("tk") % 16)
+        .localCheckpoint() // adjacency scan + source mix share one pass
+      val adj = a
+        .withColumn("prev_src", lag("source", 1).over(
+          Window.partitionBy("shard").orderBy("tk", "doc_id")))
+        .filter(col("prev_src").isNotNull)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_adj"),
+          sum(when(col("source") === col("prev_src"), 1L).otherwise(0L))
+            .as("n_same"))
+      val mix = a.groupBy("source").agg(count(lit(1)).as("ns"))
+        .agg(sum(expr("ns * ns")).as("s2"), sum("ns").as("nn"))
+        .selectExpr(
+          "(2 * s2 * 10000 + nn * nn) DIV (2 * nn * nn) AS exp_bp")
+      adj.crossJoin(broadcast(mix))
+        .selectExpr("shard", "n_adj", "n_same",
+          "(2 * n_same * 10000 + n_adj) DIV (2 * n_adj) AS obs_bp",
+          "exp_bp")
+        .withColumn("gap_bp", abs(col("obs_bp") - col("exp_bp")))
+        .orderBy("shard")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -3883,5 +4071,128 @@ object PipelineOps {
                    AS abs_err
           FROM cells ORDER BY source, lang"""
     },
+
+    "q251_sorted_neighborhood" ->
+      """WITH m AS (SELECT doc_id, n_chars,
+                           md5(array_to_string(
+                             string_split(text, ' ')[1:8], ' ')) AS ck
+                    FROM documents),
+              r AS (SELECT doc_id, ck,
+                           row_number() OVER (ORDER BY n_chars, doc_id)
+                             AS rk
+                    FROM m),
+              cand AS (SELECT a.ck AS ck_a, b.ck AS ck_b
+                       FROM r a JOIN r b
+                         ON b.rk BETWEEN a.rk + 1 AND a.rk + 5),
+              truth AS (SELECT COALESCE(sum(cn * (cn - 1) // 2), 0)
+                                 AS n_truth_pairs
+                        FROM (SELECT count(*) AS cn FROM m GROUP BY ck)
+                        WHERE cn >= 2)
+         SELECT CAST(5 AS BIGINT) AS w,
+                CAST((SELECT count(*) FROM cand) AS BIGINT)
+                  AS n_candidates,
+                CAST(n_truth_pairs AS BIGINT) AS n_truth_pairs,
+                CAST((SELECT count(*) FROM cand WHERE ck_a = ck_b)
+                     AS BIGINT) AS n_found,
+                CAST((2 * (SELECT count(*) FROM cand WHERE ck_a = ck_b)
+                      * 10000 + n_truth_pairs) // (2 * n_truth_pairs)
+                     AS BIGINT) AS recall_bp
+         FROM truth""",
+
+    "q253_rendezvous_hash" -> {
+      val nodes = 0 until 8
+      def h(n: Int) = s"('0x' || substr(md5('n$n:' || doc_id), 1, 8))" +
+        "::BIGINT"
+      def argmax(g: String, ns: Seq[Int]) = "CASE " +
+        ns.map(i => s"WHEN h$i = $g THEN $i").mkString(" ") + " END"
+      s"""WITH hs AS (SELECT doc_id,
+                             ${nodes.map(i => s"${h(i)} AS h$i")
+                               .mkString(", ")}
+                      FROM documents),
+              g AS (SELECT doc_id,
+                           ${nodes.map(i => s"h$i")
+                             .mkString("greatest(", ", ", ")")} AS g8,
+                           ${nodes.filter(_ != 3).map(i => s"h$i")
+                             .mkString("greatest(", ", ", ")")} AS g7,
+                           ${nodes.map(i => s"h$i").mkString(", ")}
+                    FROM hs),
+              asg AS (SELECT ${argmax("g8", nodes)} AS own8,
+                             ${argmax("g7", nodes.filter(_ != 3))} AS own7
+                      FROM g),
+              b AS (SELECT own8 AS node, count(*) AS n_before,
+                           sum(CASE WHEN own8 <> own7 THEN 1 ELSE 0 END)
+                             AS moved_out
+                    FROM asg GROUP BY own8),
+              a AS (SELECT own7 AS node, count(*) AS n_after
+                    FROM asg GROUP BY own7)
+          SELECT CAST(node AS BIGINT) AS node,
+                 CAST(COALESCE(n_before, 0) AS BIGINT) AS n_before,
+                 CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+                 CAST(COALESCE(moved_out, 0) AS BIGINT) AS moved_out
+          FROM b FULL OUTER JOIN a USING (node)
+          ORDER BY node"""
+    },
+
+    "q254_purged_cv" ->
+      """WITH hr AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+                     FROM events GROUP BY 1),
+              ix AS (SELECT hr, n,
+                            row_number() OVER (ORDER BY hr) - 1 AS idx
+                     FROM hr),
+              tot AS (SELECT count(*) AS nh FROM ix),
+              folds AS (SELECT least(4, (idx * 5) // nh) AS fold,
+                               min(idx) AS mn, max(idx) AS mx,
+                               min(hr) AS test_lo_hr,
+                               max(hr) AS test_hi_hr
+                        FROM ix CROSS JOIN tot
+                        GROUP BY 1),
+              cls AS (SELECT fold, test_lo_hr, test_hi_hr, n,
+                             CASE WHEN idx BETWEEN mn AND mx THEN 'test'
+                                  WHEN idx BETWEEN mx + 1 AND mx + 2
+                                    THEN 'embargo'
+                                  ELSE 'train' END AS cls
+                      FROM ix CROSS JOIN folds)
+         SELECT CAST(fold AS BIGINT) AS fold,
+                CAST(sum(CASE WHEN cls = 'test' THEN n ELSE 0 END)
+                     AS BIGINT) AS n_test,
+                CAST(sum(CASE WHEN cls = 'embargo' THEN n ELSE 0 END)
+                     AS BIGINT) AS n_embargo,
+                CAST(sum(CASE WHEN cls = 'train' THEN n ELSE 0 END)
+                     AS BIGINT) AS n_train,
+                test_lo_hr, test_hi_hr
+         FROM cls GROUP BY fold, test_lo_hr, test_hi_hr
+         ORDER BY fold""",
+
+    "q256_shuffle_quality" ->
+      """WITH a AS (SELECT doc_id, source,
+                           ('0x' || substr(md5('e0:' || doc_id), 1, 8))
+                             ::BIGINT AS tk
+                    FROM documents),
+              sh AS (SELECT doc_id, source, tk, tk % 16 AS shard FROM a),
+              lagd AS (SELECT shard, source,
+                              lag(source) OVER (PARTITION BY shard
+                                ORDER BY tk, doc_id) AS prev_src
+                       FROM sh),
+              adj AS (SELECT shard, count(*) AS n_adj,
+                             sum(CASE WHEN source = prev_src
+                                      THEN 1 ELSE 0 END) AS n_same
+                      FROM lagd WHERE prev_src IS NOT NULL
+                      GROUP BY shard),
+              mix AS (SELECT CAST((2 * sum(ns * ns) * 10000
+                                   + sum(ns) * sum(ns))
+                                  // (2 * sum(ns) * sum(ns)) AS BIGINT)
+                               AS exp_bp
+                      FROM (SELECT count(*) AS ns FROM sh
+                            GROUP BY source))
+         SELECT CAST(shard AS BIGINT) AS shard,
+                CAST(n_adj AS BIGINT) AS n_adj,
+                CAST(n_same AS BIGINT) AS n_same,
+                CAST((2 * n_same * 10000 + n_adj) // (2 * n_adj)
+                     AS BIGINT) AS obs_bp,
+                exp_bp,
+                CAST(abs((2 * n_same * 10000 + n_adj) // (2 * n_adj)
+                         - exp_bp) AS BIGINT) AS gap_bp
+         FROM adj CROSS JOIN mix
+         ORDER BY shard""",
   )
 }

@@ -1399,6 +1399,44 @@ object Relational {
             .as("max_cume_bp"))
         .orderBy("o_orderpriority", "q")
     }),
+
+    // PERSONALIZED PageRank over q131's part↔supplier graph: reset mass
+    // lands ONLY on a seed cohort (every 10th supplier node — a
+    // scale-stable, EXPRESSION-computable membership, so no seed-table
+    // join enters the loop), making rank proximity TO THE SEEDS rather
+    // than global prominence — the "more like these" primitive behind
+    // seed-expanded source curation and related-item retrieval. Same
+    // fixed-point integer recipe as q131 (17/20 damping in micro-units,
+    // r0 = 10⁶ on seeds and 0 elsewhere, every round bit-exact and
+    // CTE-replayed by the oracle); the seed indicator is a map-side
+    // CASE on the node id, so each of the K = 3 rounds is still ONE
+    // keyed join + one rollup over the pinned degree'd edge list, and
+    // non-seed nodes hold rank only through inflow.
+    "q255_personalized_ppr" -> ((s, d) => {
+      val pairs = ld(s, d, "lineitem")
+        .select((col("l_partkey") * 2).as("p"),
+          (col("l_suppkey") * 2 + 1).as("q"))
+        .distinct()
+      val edges = pairs.select(col("p").as("src"), col("q").as("dst"))
+        .unionAll(pairs.select(col("q").as("src"), col("p").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val withDeg = edges.join(deg, "src").localCheckpoint()
+      def seedMass(node: String, m: Long) =
+        s"CASE WHEN $node % 2 = 1 AND (($node - 1) DIV 2) % 10 = 0" +
+          s" THEN ${m}L ELSE 0L END"
+      var ranks = deg.select(col("src").as("node"))
+        .withColumn("r", expr(seedMass("node", 1000000L)))
+      for (_ <- 1 to 3) {
+        ranks = withDeg.join(ranks, col("src") === col("node"))
+          .groupBy("dst")
+          .agg(sum(expr("(r * 17) DIV (20 * deg)")).as("inflow"))
+          .select(col("dst").as("node"),
+            (expr(seedMass("dst", 150000L)) + col("inflow")).as("r"))
+          .localCheckpoint()
+      }
+      ranks.orderBy("node")
+    }),
   )
 
   /** q201's query text, shared verbatim with the DuckDB oracle. */
@@ -1882,6 +1920,29 @@ object Relational {
               ed AS (SELECT e.src, e.dst, deg.deg
                      FROM e JOIN deg USING (src)),
               r0 AS (SELECT src AS node, 1000000 AS r FROM deg),
+              $rounds
+         SELECT node, CAST(r AS BIGINT) AS r FROM r3 ORDER BY node"""
+    },
+    "q255_personalized_ppr" -> {
+      def seed(node: String, m: Long) =
+        s"CASE WHEN $node % 2 = 1 AND (($node - 1) // 2) % 10 = 0" +
+          s" THEN $m ELSE 0 END"
+      val rounds = (1 to 3).map(k =>
+        s"""r$k AS (SELECT dst AS node,
+                           ${seed("dst", 150000L)}
+                             + sum((r * 17) // (20 * deg)) AS r
+                    FROM ed JOIN r${k - 1} ON ed.src = r${k - 1}.node
+                    GROUP BY dst)""").mkString(", ")
+      s"""WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                                l_suppkey * 2 + 1 AS q
+                         FROM lineitem),
+              e AS (SELECT p AS src, q AS dst FROM pairs
+                    UNION ALL SELECT q, p FROM pairs),
+              deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+              ed AS (SELECT e.src, e.dst, deg.deg
+                     FROM e JOIN deg USING (src)),
+              r0 AS (SELECT src AS node, ${seed("src", 1000000L)} AS r
+                     FROM deg),
               $rounds
          SELECT node, CAST(r AS BIGINT) AS r FROM r3 ORDER BY node"""
     },

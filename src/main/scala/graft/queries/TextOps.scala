@@ -1570,6 +1570,150 @@ object TextOps {
             " AS distortion_bp")
         .orderBy("pair")
     }),
+
+    // Golden-record survivorship — the MERGE half of entity resolution
+    // that q146 (match) and q101 (cluster) stop short of: once a
+    // duplicate cluster exists, ONE surviving record must be assembled
+    // field by field under explicit rules. Clusters here are the
+    // corpus's near-dup families blocked by an 8-token-prefix
+    // fingerprint (exact-text md5 finds zero families in this corpus —
+    // the near-dups differ mid-text, which is exactly why survivorship
+    // rules exist). Rules, each a separate relational pick: canonical
+    // id = min member; best text = longest (tie → smallest id) via one
+    // cluster-partitioned rank window; source and lang = cluster mode
+    // (tie → alphabetical) via count-then-rank. Scale shape: the
+    // 128-bit fingerprint is the ONLY shuffle key, text never moves
+    // past the fingerprint scan (picks carry ids and counts), and every
+    // window is cluster-sized. Singleton clusters are dropped — golden
+    // records exist only where there is something to merge.
+    "q249_golden_record" -> ((s, d) => {
+      val m = ld(s, d, "documents")
+        .withColumn("ck",
+          md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))))
+        .select("ck", "doc_id", "source", "lang", "n_chars")
+        .localCheckpoint() // base rollup + three picks share one scan
+      val base = m.groupBy("ck").agg(
+          min("doc_id").as("canonical_doc_id"),
+          count(lit(1)).as("n_members"),
+          countDistinct("source").as("n_sources"))
+        .filter(col("n_members") >= 2)
+      val wB = Window.partitionBy("ck")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val best = m.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") === 1)
+        .select(col("ck"), col("doc_id").as("best_doc_id"),
+          col("n_chars").as("best_n_chars"))
+      def pick(f: String, as: String) = {
+        val wP = Window.partitionBy("ck")
+          .orderBy(col("n").desc, col(f))
+        m.groupBy("ck", f).agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(wP))
+          .filter(col("rn") === 1)
+          .select(col("ck"), col(f).as(as))
+      }
+      base.join(best, "ck").join(pick("source", "src_pick"), "ck")
+        .join(pick("lang", "lang_pick"), "ck")
+        .select("canonical_doc_id", "n_members", "n_sources",
+          "best_doc_id", "best_n_chars", "src_pick", "lang_pick")
+        .orderBy("canonical_doc_id")
+    }),
+
+    // Zipf rank-frequency audit — the third corpus-law screen beside
+    // Heaps growth (q215) and Benford digits (q231): rank the vocabulary
+    // by frequency and compare each frequency against the Zipf
+    // prediction f(1)/rank. Deviation is reported SIGNED in half-up bp,
+    // computed q183-style (half-up on the absolute gap, sign reattached
+    // by integer comparison — no signed division, whose floor-vs-
+    // truncate differs across engines). A law-abiding natural corpus
+    // sits near 0; this synthetic corpus's near-uniform frequencies
+    // FAIL loudly — which, as with Benford, is the audit working. Scale
+    // shape: one map-side-combined token rollup, a distributed top-50
+    // (TakeOrdered, never a global sort), and the rank window + f(1)
+    // broadcast touch only the 50-row shortlist.
+    "q250_zipf_audit" -> ((s, d) => {
+      val tf = ld(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("tok")).limit(50)
+        .localCheckpoint() // ranks + f(1) share the shortlist
+      val ranked = tf.withColumn("rank",
+        row_number().over(Window.orderBy(col("f").desc, col("tok")))
+          .cast("long"))
+      // f(1) is simply the max frequency — no second rank window
+      val f1 = tf.agg(max("f").as("f1"))
+      ranked.crossJoin(broadcast(f1))
+        .withColumn("pred_milli",
+          expr("(2 * f1 * 1000 + rank) DIV (2 * rank)"))
+        .withColumn("ad", abs(col("f") * 1000 - col("pred_milli")))
+        .selectExpr("rank", "tok", "f", "pred_milli",
+          "CASE WHEN f * 1000 >= pred_milli" +
+            " THEN (2 * ad * 10000 + pred_milli) DIV (2 * pred_milli)" +
+            " ELSE -((2 * ad * 10000 + pred_milli) DIV (2 * pred_milli))" +
+            " END AS dev_bp")
+        .orderBy("rank")
+    }),
+
+    // PPJoin POSITIONAL filter on top of q136's prefix filter (Xiao et
+    // al. '08): a shared prefix token proves a pair COULD reach J ≥ ½;
+    // its POSITIONS prove how much overlap is still possible — at the
+    // first shared prefix token (positions i, j in the global (df, gh)
+    // token order; "first" has both-minimal positions BECAUSE the order
+    // is global, and no common token can precede it in both docs), the
+    // overlap is bounded by 1 + min(|a|−i, |b|−j). Pairs whose bound
+    // can't reach α = ⌈(|a|+|b|)/3⌉ are pruned BEFORE the intersection
+    // join — the expensive verify stage shrinks while recall stays
+    // exactly 1.0, and this audit MEASURES both claims: candidate
+    // counts before/after (pruned_bp) and finals down both paths
+    // (n_final_pos = n_final_prefix is the soundness proof in data; the
+    // production pipeline would verify only the kept pairs). Measured
+    // at sf0.01: 773 prefix candidates → 25 positional survivors
+    // (96.8 % pruned, a 31× smaller verify stage) with finals 25 = 25 —
+    // recall exactly 1.0. Same pinned-frame plan as q136: min-position
+    // rollup rides the prefix self-join, both audits share one
+    // checkpointed candidate frame and ONE intersection pass.
+    "q257_ppjoin_positional" -> ((s, d) => {
+      val sets = shinglesPortable(s, d).select("doc_id", "gh")
+        .localCheckpoint()
+      val sz = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val dfq = sets.groupBy("gh").agg(count(lit(1)).as("df"))
+      val wd = Window.partitionBy("doc_id").orderBy(col("df"), col("gh"))
+      val prefix = sets.join(dfq.hint("shuffle_hash"), "gh")
+        .join(sz.hint("shuffle_hash"), "doc_id")
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") <= col("sz") - expr("(sz + 1) DIV 2") + 1)
+        .select("doc_id", "gh", "sz", "rn")
+        .localCheckpoint() // both sides of the self-join read it
+      val shared = prefix.as("a").join(prefix.as("b").hint("shuffle_hash"),
+          col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.sz") <= col("b.sz") * 2 && col("b.sz") <= col("a.sz") * 2)
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.sz").as("sza"), col("b.sz").as("szb"),
+          col("a.rn").as("ra"), col("b.rn").as("rb"))
+      val cand = shared.groupBy("da", "db", "sza", "szb")
+        .agg(min("ra").as("i"), min("rb").as("j"))
+        .withColumn("keep", expr(
+          "1 + least(sza - i, szb - j) >= (sza + szb + 2) DIV 3"))
+        .localCheckpoint() // audit + verify share the candidate frame
+      val inter = cand
+        .join(sets.select(col("doc_id").as("da"), col("gh"))
+          .hint("shuffle_hash"), "da")
+        .join(sets.select(col("doc_id").as("db"), col("gh"))
+          .hint("shuffle_hash"), Seq("db", "gh"))
+        .groupBy("da", "db", "sza", "szb", "keep")
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("fin", col("inter") * 3 >= col("sza") + col("szb"))
+      val a1 = cand.agg(count(lit(1)).as("n_cand_prefix"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_cand_pos"))
+      val a2 = inter.agg(
+        sum(when(col("fin"), 1L).otherwise(0L)).as("n_final_prefix"),
+        sum(when(col("fin") && col("keep"), 1L).otherwise(0L))
+          .as("n_final_pos"))
+      a1.crossJoin(broadcast(a2))
+        .selectExpr("n_cand_prefix", "n_cand_pos",
+          "(2 * (n_cand_prefix - n_cand_pos) * 10000 + n_cand_prefix)" +
+            " DIV (2 * n_cand_prefix) AS pruned_bp",
+          "n_final_prefix", "n_final_pos")
+    }),
   )
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
@@ -2681,5 +2825,112 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
                      // (16 * d2_orig) AS BIGINT) AS distortion_bp
          FROM pd JOIN od USING (pair) ORDER BY pair"""
     },
+
+    "q249_golden_record" ->
+      """WITH m AS (SELECT md5(array_to_string(
+                             string_split(text, ' ')[1:8], ' ')) AS ck,
+                           doc_id, source, lang, n_chars
+                    FROM documents),
+              base AS (SELECT ck, min(doc_id) AS canonical_doc_id,
+                              count(*) AS n_members,
+                              count(DISTINCT source) AS n_sources
+                       FROM m GROUP BY ck HAVING count(*) >= 2),
+              best AS (SELECT ck, doc_id AS best_doc_id,
+                              n_chars AS best_n_chars
+                       FROM (SELECT *, row_number() OVER
+                               (PARTITION BY ck
+                                ORDER BY n_chars DESC, doc_id) AS rn
+                             FROM m)
+                       WHERE rn = 1),
+              sp AS (SELECT ck, source AS src_pick
+                     FROM (SELECT ck, source, row_number() OVER
+                             (PARTITION BY ck
+                              ORDER BY count(*) DESC, source) AS rn
+                           FROM m GROUP BY ck, source)
+                     WHERE rn = 1),
+              lp AS (SELECT ck, lang AS lang_pick
+                     FROM (SELECT ck, lang, row_number() OVER
+                             (PARTITION BY ck
+                              ORDER BY count(*) DESC, lang) AS rn
+                           FROM m GROUP BY ck, lang)
+                     WHERE rn = 1)
+         SELECT canonical_doc_id, n_members, n_sources,
+                best_doc_id, best_n_chars, src_pick, lang_pick
+         FROM base JOIN best USING (ck) JOIN sp USING (ck)
+              JOIN lp USING (ck)
+         ORDER BY canonical_doc_id""",
+
+    "q250_zipf_audit" ->
+      """WITH tf AS (SELECT tok, count(*) AS f
+                     FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                           FROM documents)
+                     GROUP BY tok ORDER BY f DESC, tok LIMIT 50),
+              r AS (SELECT tok, f, row_number() OVER
+                      (ORDER BY f DESC, tok) AS rank
+                    FROM tf),
+              f1 AS (SELECT f AS f1 FROM r WHERE rank = 1),
+              p AS (SELECT rank, tok, f,
+                           (2 * f1 * 1000 + rank) // (2 * rank)
+                             AS pred_milli,
+                           abs(f * 1000 - (2 * f1 * 1000 + rank)
+                               // (2 * rank)) AS ad
+                    FROM r CROSS JOIN f1)
+         SELECT CAST(rank AS BIGINT) AS rank, tok, CAST(f AS BIGINT) AS f,
+                CAST(pred_milli AS BIGINT) AS pred_milli,
+                CAST(CASE WHEN f * 1000 >= pred_milli
+                     THEN (2 * ad * 10000 + pred_milli) // (2 * pred_milli)
+                     ELSE -((2 * ad * 10000 + pred_milli)
+                            // (2 * pred_milli))
+                     END AS BIGINT) AS dev_bp
+         FROM p ORDER BY rank""",
+
+    "q257_ppjoin_positional" ->
+      s"""WITH sets AS (SELECT DISTINCT doc_id,
+                               ('0x' || substr(md5(g), 1, 8))::BIGINT AS gh
+                        FROM (SELECT doc_id, unnest($duckGrams) AS g
+                              FROM documents)),
+              sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY 1),
+              dfq AS (SELECT gh, count(*) AS df FROM sets GROUP BY 1),
+              pr AS (SELECT s.doc_id, s.gh, z.sz, s.rn
+                     FROM (SELECT sets.doc_id, sets.gh, dfq.df,
+                                  row_number() OVER
+                                    (PARTITION BY sets.doc_id
+                                     ORDER BY dfq.df, sets.gh) AS rn
+                           FROM sets JOIN dfq USING (gh)) s
+                     JOIN sz z USING (doc_id)
+                     WHERE s.rn <= z.sz - (z.sz + 1) // 2 + 1),
+              sh AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                            a.sz AS sza, b.sz AS szb,
+                            a.rn AS ra, b.rn AS rb
+                     FROM pr a JOIN pr b
+                       ON a.gh = b.gh AND a.doc_id < b.doc_id
+                      AND a.sz <= 2 * b.sz AND b.sz <= 2 * a.sz),
+              ck AS (SELECT da, db, sza, szb,
+                            (1 + least(sza - min(ra), szb - min(rb)))
+                              >= (sza + szb + 2) // 3 AS keep
+                     FROM sh GROUP BY 1, 2, 3, 4),
+              iv AS (SELECT ck.da, ck.db, ck.sza, ck.szb, ck.keep,
+                            count(*) AS inter
+                     FROM ck
+                     JOIN sets x ON x.doc_id = ck.da
+                     JOIN sets y ON y.doc_id = ck.db AND y.gh = x.gh
+                     GROUP BY 1, 2, 3, 4, 5),
+              a1 AS (SELECT count(*) AS n_cand_prefix,
+                            sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                              AS n_cand_pos
+                     FROM ck),
+              a2 AS (SELECT sum(CASE WHEN inter * 3 >= sza + szb
+                                     THEN 1 ELSE 0 END) AS n_final_prefix,
+                            sum(CASE WHEN inter * 3 >= sza + szb AND keep
+                                     THEN 1 ELSE 0 END) AS n_final_pos
+                     FROM iv)
+         SELECT CAST(n_cand_prefix AS BIGINT) AS n_cand_prefix,
+                CAST(n_cand_pos AS BIGINT) AS n_cand_pos,
+                CAST((2 * (n_cand_prefix - n_cand_pos) * 10000
+                      + n_cand_prefix) // (2 * n_cand_prefix) AS BIGINT)
+                  AS pruned_bp,
+                CAST(n_final_prefix AS BIGINT) AS n_final_prefix,
+                CAST(n_final_pos AS BIGINT) AS n_final_pos
+         FROM a1 CROSS JOIN a2""",
   )
 }

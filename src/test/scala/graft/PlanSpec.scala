@@ -1189,4 +1189,115 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "exactly the two 1-row count crosses")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q248: the sweep reads the pinned session/peak frames; the " +
+    "argmax filter runs as a broadcast EQUI-join on the 1-row max, the " +
+    "only crosses are the two 1-row attachments (max, total)") {
+    val p = plan("q248_concurrency_sweep")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      "final assembly must ride the checkpointed frames")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastHashJoin.*""")) == 1,
+      "peak = max(peak) must be an equi-join against the broadcast max")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) == 2,
+      "exactly the 1-row max/total crosses")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q249: survivorship picks ride cluster-sized windows over the " +
+    "pinned fingerprint frame — no parquet rescan, no cross") {
+    val p = plan("q249_golden_record")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 3,
+      "best/source/lang picks are the only windows, all ck-partitioned")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("q250: rank window and f(1) broadcast touch only the pinned " +
+    "50-row shortlist") {
+    val p = plan("q250_zipf_audit")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) == 1,
+      "the f(1) attachment is the only cross")
+  }
+
+  test("q251: the neighbor join is an EQUI-join on the assembled rank " +
+    "(no range/cartesian pair space), one pass over the candidates") {
+    val p = plan("q251_sorted_neighborhood")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate""")) == 1,
+      "the 1..w explode drives the equi-join")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) == 1,
+      "the truth-count attachment is the only cross")
+  }
+
+  test("q252: the motif match is one straight-line plan — session " +
+    "window, ordered-string rollup, map-side regex; no joins") {
+    val p = plan("q252_sequence_motif")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) ObjectHashAggregate""")) == 2,
+      "the sort_array(collect_list) rollup is partial+final")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+  }
+
+  test("q253: before/after occupancy ride the pinned one-map-pass " +
+    "assignment; the assembly is the 8-row full-outer only") {
+    val p = plan("q253_rendezvous_hash")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      "both rollups must read the checkpointed assignment")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+    assert(p.contains("SortMergeJoin FullOuter") ||
+      p.contains("ShuffledHashJoin FullOuter"),
+      "the node assembly is one full-outer join")
+  }
+
+  test("q254: everything beyond the hourly rollup runs in histogram " +
+    "space — the pinned #hours frame with two tiny broadcast " +
+    "attachments (total, fold bounds)") {
+    val p = plan("q254_purged_cv")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) == 2,
+      "exactly the total + fold-bounds crosses")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q255: the seed indicator stays a map-side CASE — the round " +
+    "loop reads only the pinned edge frame, no seed-table join, no " +
+    "parquet rescan") {
+    val p = plan("q255_personalized_ppr")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      "the final round must read the checkpointed rank/edge frames")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("q256: adjacency and source mix ride the pinned ticket scan; " +
+    "the shard window is shard-partitioned keyed work") {
+    val p = plan("q256_shuffle_quality")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 1,
+      "one shard-keyed lag window — never a global order")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) == 1,
+      "the 1-row expectation attachment is the only cross")
+  }
+
+  test("q257: audits share the pinned candidate frame and ONE " +
+    "intersection pass — no second verify join, no cartesian") {
+    val p = plan("q257_ppjoin_positional")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) == 1,
+      "the 1-row finals attachment is the only cross")
+  }
 }
