@@ -2335,6 +2335,48 @@ object PipelineOps {
         .withColumn("gap_bp", abs(col("obs_bp") - col("exp_bp")))
         .orderBy("shard")
     }),
+
+    // Exactly-once sink certification — at-least-once delivery is the
+    // default failure mode of every retrying ingest (a speculated task,
+    // a replayed micro-batch): some batches arrive TWICE, and a sink
+    // that naively += each delivery inflates. The idempotent fix is
+    // MERGE keyed on batch_id — a redelivered partial REPLACES its
+    // batch's slot instead of adding (last-writer-wins; the foreachBatch
+    // batchId contract in Structured Streaming, the MERGE-on-batch
+    // pattern in a lakehouse sink). This audit runs all three sinks on
+    // one feed where every 7th hour-batch is delivered twice: clean
+    // (each batch once — the truth), naive (+= per delivery, measured
+    // inflated_bp > 0), idempotent (per-(delivery, batch) partials,
+    // batch slot resolved by max delivery — certified n_idem = n_clean
+    // per event_type, the equality IS the output). Scale: partials are
+    // one (delivery, batch, type) rollup; the slot resolution is a
+    // batch-keyed max over the batch-count-sized frame, never a corpus
+    // rescan.
+    "q259_idempotent_sink" -> ((s, d) => {
+      val ev = ld(s, d, "events")
+        .select(col("event_id"), col("event_type"),
+          expr("unix_micros(ts) DIV 3600000000").as("batch_id"))
+        .localCheckpoint() // clean + both delivery feeds share one scan
+      val deliveries = ev.withColumn("delivery", lit(0L))
+        .unionAll(ev.filter(col("batch_id") % 7 === 3)
+          .withColumn("delivery", lit(1L)))
+      val partials = deliveries
+        .groupBy("delivery", "batch_id", "event_type")
+        .agg(count(lit(1)).as("pn"))
+        .localCheckpoint() // naive + idempotent read the same partials
+      val naive = partials.groupBy("event_type")
+        .agg(sum("pn").as("n_naive"))
+      val idem = partials.groupBy("batch_id", "event_type")
+        .agg(max(struct(col("delivery"), col("pn"))).as("m"))
+        .groupBy("event_type").agg(sum(col("m.pn")).as("n_idem"))
+      val clean = ev.groupBy("event_type").agg(count(lit(1)).as("n_clean"))
+      clean.join(naive, "event_type").join(idem, "event_type")
+        .selectExpr("event_type", "n_clean", "n_naive", "n_idem",
+          "(2 * (n_naive - n_clean) * 10000 + n_clean)" +
+            " DIV (2 * n_clean) AS inflated_bp",
+          "CASE WHEN n_idem = n_clean THEN 1L ELSE 0L END AS certified")
+        .orderBy("event_type")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -4194,5 +4236,38 @@ object PipelineOps {
                          - exp_bp) AS BIGINT) AS gap_bp
          FROM adj CROSS JOIN mix
          ORDER BY shard""",
+
+    "q259_idempotent_sink" ->
+      """WITH ev AS (SELECT event_id, event_type,
+                            epoch_us(ts) // 3600000000 AS batch_id
+                     FROM events),
+              dl AS (SELECT *, 0 AS delivery FROM ev
+                     UNION ALL
+                     SELECT *, 1 AS delivery FROM ev
+                     WHERE batch_id % 7 = 3),
+              pt AS (SELECT delivery, batch_id, event_type,
+                            count(*) AS pn
+                     FROM dl GROUP BY 1, 2, 3),
+              nv AS (SELECT event_type, sum(pn) AS n_naive
+                     FROM pt GROUP BY 1),
+              idm AS (SELECT event_type, sum(pn) AS n_idem FROM
+                        (SELECT batch_id, event_type, pn,
+                                row_number() OVER
+                                  (PARTITION BY batch_id, event_type
+                                   ORDER BY delivery DESC, pn DESC) AS rn
+                         FROM pt)
+                      WHERE rn = 1 GROUP BY event_type),
+              cl AS (SELECT event_type, count(*) AS n_clean
+                     FROM ev GROUP BY 1)
+         SELECT event_type,
+                CAST(n_clean AS BIGINT) AS n_clean,
+                CAST(n_naive AS BIGINT) AS n_naive,
+                CAST(n_idem AS BIGINT) AS n_idem,
+                CAST((2 * (n_naive - n_clean) * 10000 + n_clean)
+                     // (2 * n_clean) AS BIGINT) AS inflated_bp,
+                CAST(CASE WHEN n_idem = n_clean THEN 1 ELSE 0 END
+                     AS BIGINT) AS certified
+         FROM cl JOIN nv USING (event_type) JOIN idm USING (event_type)
+         ORDER BY event_type""",
   )
 }

@@ -1437,6 +1437,37 @@ object Relational {
       }
       ranks.orderBy("node")
     }),
+
+    // Pareto (skyline) frontier over parts — minimize price, maximize
+    // size: the multi-objective shortlist ("no part is both cheaper and
+    // bigger") that single-key top-k can't produce. The naive skyline is
+    // an O(n²) dominance anti-join; the sweep identity collapses it to
+    // histogram space: a part is on the frontier iff its size equals its
+    // OWN price group's max AND strictly exceeds the running max over
+    // all strictly-cheaper prices (ties at both price and size are
+    // mutually non-dominating — kept, which the strict > / = split
+    // encodes exactly). So the corpus is scanned ONCE for the price
+    // group-max histogram, the prefix max runs over that distinct-price
+    // frame only (bounded by the price domain, never corpus-sized —
+    // q224's histogram-space trick), and membership is a broadcast join
+    // + map-side filter back on the scan.
+    "q260_pareto_frontier" -> ((s, d) => {
+      val p = ld(s, d, "part")
+        .select(col("p_partkey"),
+          expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100" +
+            " AS BIGINT)").as("cents"),
+          col("p_size").cast("long").as("sz"))
+        .localCheckpoint() // histogram + membership share one scan
+      val pre = p.groupBy("cents").agg(max("sz").as("gmax"))
+        // distinct-price frame: tiny, single-partition cum by design
+        .withColumn("pmax", coalesce(max("gmax").over(
+          Window.orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(-1L)))
+      p.join(broadcast(pre), "cents")
+        .filter(col("sz") === col("gmax") && col("sz") > col("pmax"))
+        .select("p_partkey", "cents", "sz")
+        .orderBy("cents", "p_partkey")
+    }),
   )
 
   /** q201's query text, shared verbatim with the DuckDB oracle. */
@@ -1946,6 +1977,22 @@ object Relational {
               $rounds
          SELECT node, CAST(r AS BIGINT) AS r FROM r3 ORDER BY node"""
     },
+    "q260_pareto_frontier" ->
+      """WITH p AS (SELECT p_partkey,
+                           CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+                                AS BIGINT) AS cents,
+                           CAST(p_size AS BIGINT) AS sz
+                    FROM part),
+              g AS (SELECT cents, max(sz) AS gmax FROM p GROUP BY 1),
+              pre AS (SELECT cents, gmax,
+                             coalesce(max(gmax) OVER (ORDER BY cents
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), -1) AS pmax
+                      FROM g)
+         SELECT p.p_partkey, p.cents, p.sz
+         FROM p JOIN pre USING (cents)
+         WHERE p.sz = pre.gmax AND p.sz > pre.pmax
+         ORDER BY p.cents, p.p_partkey""",
     "q134_triangle_count" ->
       s"""WITH $duckCoSupplyUnd,
               gdeg AS (SELECT u, count(*) AS gd FROM und GROUP BY 1),

@@ -1714,6 +1714,47 @@ object TextOps {
             " DIV (2 * n_cand_prefix) AS pruned_bp",
           "n_final_prefix", "n_final_pos")
     }),
+
+    // Greedy max-coverage selection — the submodular data-selection
+    // primitive (facility location / DEITA-style diversity picking):
+    // choose K = 5 documents that together cover the most distinct
+    // 5-gram shingles. Greedy is (1 − 1/e)-optimal for coverage, and
+    // each of the K rounds is exactly one corpus pass: anti-join the
+    // shingle table against the covered set, per-doc gain rollup, and
+    // a 1-row argmax (named_struct max with smallest-id tie-break, the
+    // q214 recipe — never a sort). The covered set advances by the
+    // pick's shingles only. Because each round's gain counts ONLY new
+    // shingles, cumulative coverage is the running sum of gains — a
+    // closed form over the 5-row pick frame, no per-round corpus
+    // recount. At 100 TB: K anti-join passes of a partitioned-in-place
+    // shingle table against a broadcastable covered set (bounded by
+    // K · max-doc-shingles, not the corpus).
+    "q261_greedy_coverage" -> ((s, d) => {
+      val sets = shinglesPortable(s, d).select("doc_id", "gh")
+        .localCheckpoint()
+      var covered = sets.filter(lit(false)).select("gh")
+      var out: DataFrame = null
+      for (r <- 1 to 5) {
+        val gains = sets.join(covered, Seq("gh"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("gain"))
+        val pick = gains
+          .agg(expr("max(named_struct('g', gain, 'nid', -doc_id))")
+            .as("m"))
+          .select(lit(r.toLong).as("round"),
+            (col("m.nid") * -1).as("pid"), col("m.g").as("gain"))
+          .localCheckpoint() // consumed by output AND the covered union
+        out = if (out == null) pick else out.unionByName(pick)
+        covered = covered.unionByName(
+            sets.join(broadcast(pick.select(col("pid").as("doc_id"))),
+              "doc_id").select("gh"))
+          .distinct().localCheckpoint()
+      }
+      out.withColumn("cum_covered", sum("gain").over(
+          Window.orderBy("round")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select("round", "pid", "gain", "cum_covered")
+        .orderBy("round")
+    }),
   )
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
@@ -2932,5 +2973,45 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
                 CAST(n_final_prefix AS BIGINT) AS n_final_prefix,
                 CAST(n_final_pos AS BIGINT) AS n_final_pos
          FROM a1 CROSS JOIN a2""",
+
+    "q261_greedy_coverage" -> {
+      // round r: gains vs cov{r-1}, 1-row pick, covered-set union —
+      // MATERIALIZED so DuckDB never re-inlines the previous rounds
+      // (the q243 exponential-CTE lesson)
+      val rounds = (2 to 5).map { r =>
+        s"""p$r AS MATERIALIZED (
+                SELECT $r AS round, doc_id, count(*) AS g
+                FROM sets WHERE gh NOT IN (SELECT gh FROM cov${r - 1})
+                GROUP BY doc_id ORDER BY g DESC, doc_id LIMIT 1),
+            cov$r AS MATERIALIZED (
+                SELECT gh FROM cov${r - 1}
+                UNION
+                SELECT s.gh FROM sets s, p$r WHERE s.doc_id = p$r.doc_id)"""
+      }.mkString(",\n")
+      s"""WITH sets AS MATERIALIZED (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(g), 1, 8))::BIGINT AS gh
+                FROM (SELECT doc_id, unnest($duckGrams) AS g
+                      FROM documents)),
+              p1 AS MATERIALIZED (
+                SELECT 1 AS round, doc_id, count(*) AS g
+                FROM sets GROUP BY doc_id
+                ORDER BY g DESC, doc_id LIMIT 1),
+              cov1 AS MATERIALIZED (
+                SELECT DISTINCT s.gh FROM sets s, p1
+                WHERE s.doc_id = p1.doc_id),
+              $rounds,
+              picks AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                        UNION ALL SELECT * FROM p3
+                        UNION ALL SELECT * FROM p4
+                        UNION ALL SELECT * FROM p5)
+         SELECT CAST(round AS BIGINT) AS round,
+                CAST(doc_id AS BIGINT) AS pid,
+                CAST(g AS BIGINT) AS gain,
+                CAST(sum(g) OVER (ORDER BY round
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_covered
+         FROM picks ORDER BY round"""
+    },
   )
 }

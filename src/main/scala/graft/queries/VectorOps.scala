@@ -1040,6 +1040,62 @@ object VectorOps {
           "(2 * n_overlap * 10000 + 10) DIV 20 AS recall_bp")
         .orderBy("q_id")
     }),
+
+    // k-means|| oversampling init (Bahmani et al. '12) — the
+    // SAMPLING-based seeding beside q214's deterministic farthest-point
+    // traversal: k-means++ needs k strictly sequential corpus passes,
+    // k-means|| collapses them by sampling each point with probability
+    // min(1, l·d²(x,C)/φ) in ONE pass (l = 8 here), then weighting the
+    // oversampled candidates by how many points they'd absorb — the
+    // tiny weighted set is what a final cheap clustering refines. The
+    // "coin flips" are md5 uniforms against a cross-multiplied integer
+    // inequality (u·φ < l·d²·10⁹ — distances in exact micro-units, the
+    // comparison lifted to DECIMAL(38)/HUGEINT because u·φ exceeds
+    // BIGINT past ~10⁹ total micro-distance), so the draw is
+    // bit-replayable in both engines — no RNG state, the q211 trick.
+    // Scale shape: one broadcast center row, ONE distance pass pinned
+    // (φ, sampling, and weights all read it), candidates broadcast back
+    // for the weight rollup — the corpus is scanned twice total, never
+    // k times.
+    "q258_kmeanspar_init" -> ((s, d) => {
+      def l2sq(a: Column, b: Column): Column =
+        round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, z) => acc + z), 6)
+      val v = ld(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("ce"))
+        .localCheckpoint()
+      val c0 = v.filter(col("vec_id") === 0).select(col("ce").as("cc"))
+      val dist = v.crossJoin(broadcast(c0))
+        .select(col("vec_id"), col("ce"),
+          round(l2sq(col("ce"), col("cc")) * 1000000).cast("long")
+            .as("dmi"))
+        .localCheckpoint() // phi + draw + weights share one distance pass
+      val phi = dist.agg(sum("dmi").as("phi"))
+      val cand = dist.crossJoin(broadcast(phi))
+        .withColumn("u", expr("CAST(conv(substring(md5(concat('kp:', " +
+          "CAST(vec_id AS STRING))), 1, 8), 16, 10) AS BIGINT)" +
+          " % 1000000000"))
+        .filter(expr("CAST(u AS DECIMAL(38,0)) * phi" +
+          " < 8 * CAST(dmi AS DECIMAL(38,0)) * 1000000000"))
+        .select(col("vec_id").as("cid"), col("ce").as("cc"),
+          col("dmi").as("sel_d2_micro"))
+      val cands = cand.unionByName(
+          v.filter(col("vec_id") === 0)
+            .select(col("vec_id").as("cid"), col("ce").as("cc"))
+            .withColumn("sel_d2_micro", lit(0L)))
+        .localCheckpoint() // weight pass + output labels share the set
+      v.crossJoin(broadcast(cands))
+        .select(col("vec_id"), col("cid"),
+          l2sq(col("ce"), col("cc")).as("dc"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dc"), col("cid"))).as("m"))
+        .groupBy(col("m.cid").as("cid"))
+        .agg(count(lit(1)).as("weight"))
+        .join(broadcast(cands.select("cid", "sel_d2_micro")), "cid")
+        .select("cid", "sel_d2_micro", "weight")
+        .orderBy("cid")
+    }),
   )
 
   /** q125's composed IVF×PQ chain, ranked pre-top-k — shared with q120's
@@ -1869,6 +1925,41 @@ object VectorOps {
                    AS BIGINT) AS recall_bp
           FROM q LEFT JOIN ov ON q.q_id = ov.q_id
           ORDER BY q.q_id"""
+    },
+    "q258_kmeanspar_init" -> {
+      def dl2(v: String, c: String) =
+        duckL2.replace("%V", v).replace("%C", c)
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                     FROM embeddings),
+              c0 AS (SELECT ce AS cc FROM c WHERE vec_id = 0),
+              dist AS MATERIALIZED (
+                     SELECT vec_id, ce,
+                            CAST(round(${dl2("ce", "cc")} * 1000000)
+                                 AS BIGINT) AS dmi
+                     FROM c, c0),
+              phi AS (SELECT sum(dmi) AS phi FROM dist),
+              cand AS (SELECT vec_id AS cid, ce AS cc, dmi
+                         AS sel_d2_micro
+                       FROM dist, phi
+                       WHERE CAST(('0x' || substr(md5('kp:' || vec_id),
+                                    1, 8))::BIGINT % 1000000000
+                                  AS HUGEINT) * phi
+                             < 8 * CAST(dmi AS HUGEINT) * 1000000000),
+              cands AS (SELECT * FROM cand
+                        UNION ALL
+                        SELECT vec_id, ce, 0 FROM c WHERE vec_id = 0),
+              dist2 AS (SELECT v.vec_id, cands.cid,
+                               ${dl2("v.ce", "cands.cc")} AS dc
+                        FROM c v, cands),
+              asg AS (SELECT vec_id, cid FROM
+                        (SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dc, cid) AS rn FROM dist2)
+                      WHERE rn = 1)
+         SELECT cands.cid,
+                CAST(cands.sel_d2_micro AS BIGINT) AS sel_d2_micro,
+                CAST(count(*) AS BIGINT) AS weight
+         FROM asg JOIN cands ON asg.cid = cands.cid
+         GROUP BY 1, 2 ORDER BY cands.cid"""
     },
   )
 }

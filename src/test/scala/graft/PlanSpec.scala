@@ -1300,4 +1300,45 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) == 1,
       "the 1-row finals attachment is the only cross")
   }
+
+  test("q258: the weight pass is one candidate-broadcast fan-out over " +
+    "the pinned corpus — no parquet rescan, no cartesian") {
+    val p = plan("q258_kmeanspar_init")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) == 1,
+      "the candidate-set fan-out is the only cross")
+    assert(p.contains("BroadcastHashJoin"),
+      "the selection-distance labels attach by broadcast equi-join")
+  }
+
+  test("q259: naive and idempotent sinks read the SAME pinned partials " +
+    "— one delivery rollup, keyed equi-joins only") {
+    val p = plan("q259_idempotent_sink")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("q260: the skyline runs in histogram space — prefix max over " +
+    "the distinct-price frame, membership by broadcast equi-join") {
+    val p = plan("q260_pareto_frontier")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 1)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("q261: the final assembly reads only the five pinned 1-row " +
+    "picks — cumulative coverage is a closed-form window, no corpus " +
+    "recount") {
+    val p = plan("q261_greedy_coverage")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      "no corpus-scale node may survive into the output plan")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 1)
+    assert(p.contains("Union"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
