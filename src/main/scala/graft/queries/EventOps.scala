@@ -1332,6 +1332,33 @@ object EventOps {
           "(2 * n_matched * 10000 + n_sessions) DIV (2 * n_sessions)" +
             " AS match_bp")
     }),
+
+    // Debounce — the burst-collapse cleaner every click/telemetry feed
+    // needs before counting anything: a double-fire (rage click, retry
+    // storm, duplicated sensor tick) lands as near-simultaneous
+    // same-(user, type) events, and only the FIRST of each burst is the
+    // real signal. Burst boundary = gap ≥ 1 s from the previous event
+    // of the same (user_id, event_type) — the q71 sessionize recipe at
+    // a tighter key and threshold, so one keyed window pass marks burst
+    // heads and everything else collapses. Report per event type: raw
+    // rows, kept heads, and the collapse rate in half-up bp — the
+    // number that says HOW noisy each instrument is. Scale: one
+    // (user, type) shuffle, map-side flagging, one rollup; no joins.
+    "q263_debounce" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      ld(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn("head", when(col("prev_us").isNull ||
+          col("us") - col("prev_us") >= 1000000L, 1L).otherwise(0L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_raw"), sum("head").as("n_kept"))
+        .selectExpr("event_type", "n_raw", "n_kept",
+          "(2 * (n_raw - n_kept) * 10000 + n_raw) DIV (2 * n_raw)" +
+            " AS collapsed_bp")
+        .orderBy("event_type")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1955,6 +1982,23 @@ object EventOps {
                 CAST((2 * sum(hit) * 10000 + count(*)) // (2 * count(*))
                      AS BIGINT) AS match_bp
          FROM h""",
+
+    "q263_debounce" ->
+      """WITH t AS (SELECT event_type, epoch_us(ts) AS us,
+                           lag(epoch_us(ts)) OVER
+                             (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS prev_us
+                    FROM events),
+              f AS (SELECT event_type,
+                           CASE WHEN prev_us IS NULL
+                                  OR us - prev_us >= 1000000
+                                THEN 1 ELSE 0 END AS head
+                    FROM t)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_raw,
+                CAST(sum(head) AS BIGINT) AS n_kept,
+                CAST((2 * (count(*) - sum(head)) * 10000 + count(*))
+                     // (2 * count(*)) AS BIGINT) AS collapsed_bp
+         FROM f GROUP BY event_type ORDER BY event_type""",
   )
 }
 

@@ -2377,6 +2377,46 @@ object PipelineOps {
           "CASE WHEN n_idem = n_clean THEN 1L ELSE 0L END AS certified")
         .orderBy("event_type")
     }),
+
+    // Functional-dependency audit — the schema-contract check beside
+    // q169's value constraints: does X → Y actually hold in the data?
+    // Three FDs spanning the contract spectrum: two the star schema
+    // GUARANTEES (supplier → its nation via the supplier dim; customer
+    // → its nation via the customer dim — a violation means a corrupt
+    // dim or a bad join key) and one that SHOULD fail (user → event
+    // type; a "pass" there would mean suspiciously degenerate data —
+    // the audit is calibrated by including it). Per FD: distinct lhs
+    // groups, groups with >1 rhs variant, rows trapped in violating
+    // groups, and the worst variant count. Scale shape: each FD is one
+    // lhs-keyed two-level aggregate (map-side combined); the dim joins
+    // broadcast; the three 1-row reports union.
+    "q262_fd_audit" -> ((s, d) => {
+      def fd(name: String, df: DataFrame, lhs: String, rhs: String) =
+        df.groupBy(col(lhs)).agg(
+            countDistinct(col(rhs)).as("nv"), count(lit(1)).as("nr"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("nv") > 1, 1L).otherwise(0L))
+              .as("n_violating_lhs"),
+            sum(when(col("nv") > 1, col("nr")).otherwise(0L))
+              .as("n_rows_violating"),
+            max("nv").as("max_variants"))
+          .withColumn("fd", lit(name))
+      val li = ld(s, d, "lineitem").select("l_suppkey")
+        .join(broadcast(ld(s, d, "supplier")
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))),
+          "l_suppkey")
+      val oc = ld(s, d, "orders").select("o_custkey")
+        .join(broadcast(ld(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))),
+          "o_custkey")
+      val ev = ld(s, d, "events").select("user_id", "event_type")
+      fd("supp_nation", li, "l_suppkey", "s_nationkey")
+        .unionByName(fd("cust_nation", oc, "o_custkey", "c_nationkey"))
+        .unionByName(fd("user_eventtype", ev, "user_id", "event_type"))
+        .select("fd", "n_lhs", "n_violating_lhs", "n_rows_violating",
+          "max_variants")
+        .orderBy("fd")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -4269,5 +4309,44 @@ object PipelineOps {
                      AS BIGINT) AS certified
          FROM cl JOIN nv USING (event_type) JOIN idm USING (event_type)
          ORDER BY event_type""",
+
+    "q262_fd_audit" ->
+      """WITH li AS (SELECT l_suppkey AS lhs, s_nationkey AS rhs
+                     FROM lineitem JOIN supplier
+                       ON l_suppkey = s_suppkey),
+              oc AS (SELECT o_custkey AS lhs, c_nationkey AS rhs
+                     FROM orders JOIN customer ON o_custkey = c_custkey),
+              ev AS (SELECT user_id AS lhs, event_type AS rhs
+                     FROM events),
+              g1 AS (SELECT lhs, count(DISTINCT rhs) AS nv,
+                            count(*) AS nr FROM li GROUP BY lhs),
+              g2 AS (SELECT lhs, count(DISTINCT rhs) AS nv,
+                            count(*) AS nr FROM oc GROUP BY lhs),
+              g3 AS (SELECT lhs, count(DISTINCT rhs) AS nv,
+                            count(*) AS nr FROM ev GROUP BY lhs),
+              a1 AS (SELECT 'supp_nation' AS fd, count(*) AS n_lhs,
+                            sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)
+                              AS n_violating_lhs,
+                            sum(CASE WHEN nv > 1 THEN nr ELSE 0 END)
+                              AS n_rows_violating,
+                            max(nv) AS max_variants
+                     FROM g1),
+              a2 AS (SELECT 'cust_nation', count(*),
+                            sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END),
+                            sum(CASE WHEN nv > 1 THEN nr ELSE 0 END),
+                            max(nv)
+                     FROM g2),
+              a3 AS (SELECT 'user_eventtype', count(*),
+                            sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END),
+                            sum(CASE WHEN nv > 1 THEN nr ELSE 0 END),
+                            max(nv)
+                     FROM g3),
+              u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+                    UNION ALL SELECT * FROM a3)
+         SELECT fd, CAST(n_lhs AS BIGINT) AS n_lhs,
+                CAST(n_violating_lhs AS BIGINT) AS n_violating_lhs,
+                CAST(n_rows_violating AS BIGINT) AS n_rows_violating,
+                CAST(max_variants AS BIGINT) AS max_variants
+         FROM u ORDER BY fd""",
   )
 }

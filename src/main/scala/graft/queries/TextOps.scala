@@ -1755,6 +1755,63 @@ object TextOps {
         .select("round", "pid", "gain", "cum_covered")
         .orderBy("round")
     }),
+
+    // Phrase search over a POSITIONAL index — the adjacency query
+    // ("hash join" as consecutive tokens) that q167's position-free
+    // posting lists cannot answer: a doc containing both words in the
+    // wrong order is a bag-of-words hit but a phrase miss, and this
+    // query counts exactly that gap. The positional index is the
+    // (doc, term, position) explode; the phrase probe filters it to the
+    // two query terms BEFORE any join (term-selective, the posting-list
+    // probe shape), then adjacency is an EQUI-join on
+    // (doc_id, pos + 1 = pos). Per matching doc: occurrence count;
+    // the summary row (-1) carries phrase docs vs bag-of-words docs —
+    // the false-positive mass a phrase-blind retriever would return.
+    // Scale: positions shuffle only for the two probed terms; the
+    // bag-of-words twin rides the same filtered frame.
+    "q264_phrase_search" -> ((s, d) => {
+      val tp = ld(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(col("tok").isin("hash", "join"))
+        .localCheckpoint() // phrase join + bag twin share the probe scan
+      val a = tp.filter(col("tok") === "hash")
+        .select(col("doc_id"), (col("pos") + 1).as("nxt"))
+      val b = tp.filter(col("tok") === "join")
+        .select(col("doc_id"), col("pos").as("nxt"))
+      val perDoc = a.join(b, Seq("doc_id", "nxt"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+        .localCheckpoint() // doc rows + summary share the phrase join
+      val bag = tp.groupBy("doc_id")
+        .agg(countDistinct("tok").as("nt"))
+        .filter(col("nt") === 2)
+        .agg(count(lit(1)).as("n_bag_docs"))
+      val summary = perDoc.agg(count(lit(1)).as("n_occ"))
+        .crossJoin(broadcast(bag))
+        .select(lit(-1L).as("doc_id"),
+          col("n_occ"), col("n_bag_docs"))
+      perDoc.withColumn("n_bag_docs", lit(0L))
+        .unionByName(summary)
+        .orderBy("doc_id")
+    }),
+
+    // Spark 4's LISTAGG ... WITHIN GROUP — the ANSI ordered string
+    // aggregation surface (SPARK-42746), pinned against DuckDB's
+    // string_agg ORDER BY: the WITHIN GROUP clause makes the
+    // concatenation order part of the QUERY CONTRACT instead of
+    // partition luck (the same nondeterminism q252 neutralizes manually
+    // with sort_array — here the engine carries it). DISTINCT + ordered
+    // concat per group; group count rides the same rollup.
+    "q265_listagg" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""SELECT o_orderpriority,
+                      listagg(DISTINCT o_orderstatus, ',')
+                        WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+                      count(*) AS n
+               FROM orders
+               GROUP BY o_orderpriority
+               ORDER BY o_orderpriority""")
+    }),
   )
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
@@ -3013,5 +3070,43 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
                   AS BIGINT) AS cum_covered
          FROM picks ORDER BY round"""
     },
+
+    "q264_phrase_search" ->
+      """WITH tp AS (SELECT doc_id, generate_subscripts(s, 1) AS pos,
+                            unnest(s) AS tok
+                     FROM (SELECT doc_id, string_split(text, ' ') AS s
+                           FROM documents)),
+              f AS (SELECT * FROM tp WHERE tok IN ('hash', 'join')),
+              a AS (SELECT doc_id, pos + 1 AS nxt FROM f
+                    WHERE tok = 'hash'),
+              b AS (SELECT doc_id, pos AS nxt FROM f
+                    WHERE tok = 'join'),
+              pd AS (SELECT a.doc_id, count(*) AS n_occ
+                     FROM a JOIN b USING (doc_id, nxt) GROUP BY 1),
+              bag AS (SELECT count(*) AS n_bag_docs FROM
+                        (SELECT doc_id FROM f GROUP BY doc_id
+                         HAVING count(DISTINCT tok) = 2))
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                CAST(n_occ AS BIGINT) AS n_occ,
+                CAST(0 AS BIGINT) AS n_bag_docs
+         FROM pd
+         UNION ALL
+         SELECT -1, (SELECT count(*) FROM pd),
+                CAST(n_bag_docs AS BIGINT)
+         FROM bag
+         ORDER BY doc_id""",
+
+    "q265_listagg" ->
+      """WITH st AS (SELECT o_orderpriority,
+                            string_agg(o_orderstatus, ','
+                              ORDER BY o_orderstatus) AS statuses
+                     FROM (SELECT DISTINCT o_orderpriority, o_orderstatus
+                           FROM orders)
+                     GROUP BY o_orderpriority),
+              cn AS (SELECT o_orderpriority, count(*) AS n
+                     FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, statuses, CAST(n AS BIGINT) AS n
+         FROM st JOIN cn USING (o_orderpriority)
+         ORDER BY o_orderpriority""",
   )
 }

@@ -1341,4 +1341,44 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("Union"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q262: each FD is one lhs-keyed two-level aggregate; the dims " +
+    "attach by broadcast equi-join, reports union") {
+    val p = plan("q262_fd_audit")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastHashJoin.*""")) >= 2,
+      "supplier and customer dims must broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+    assert(p.contains("Union"))
+  }
+
+  test("q263: debounce is one straight-line pass — a (user, type)-" +
+    "keyed window, map-side flagging, one rollup, no joins") {
+    val p = plan("q263_debounce")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+  }
+
+  test("q264: the phrase probe filters to the two query terms before " +
+    "any join; adjacency is an equi-join over the pinned positional " +
+    "frame") {
+    val p = plan("q264_phrase_search")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin.*""")) == 1,
+      "the 1-row bag-twin attachment is the only cross")
+    assert(p.contains("Union"))
+  }
+
+  test("q265: LISTAGG WITHIN GROUP plans as aggregation over one scan " +
+    "— no joins, ordering carried by the aggregate contract") {
+    val p = plan("q265_listagg")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+  }
 }
