@@ -1359,6 +1359,216 @@ object EventOps {
             " AS collapsed_bp")
         .orderBy("event_type")
     }),
+
+    // FORWARD as-of join — q49 looks backward (the last click at or
+    // before each purchase); this looks forward (the FIRST error at or
+    // after each purchase: the time-to-failure clock every reliability
+    // dashboard runs). Implemented as min-over-following-frame: in
+    // (ts, is_e, event_id) order the frame CURRENT ROW → UNBOUNDED
+    // FOLLOWING sees exactly the at-or-after rows (purchases sort
+    // before errors at an equal timestamp, so an equal-ts error IS
+    // visible — the >= contract), and min() skips the non-error NULLs
+    // natively, no IGNORE NULLS dialect needed. One user-keyed window
+    // pass over the two filtered event types; no join at all.
+    "q270_forward_asof" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_e"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      ld(s, d, "events")
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("event_type") === "error").cast("int").as("is_e"))
+        .withColumn("next_err_ts",
+          min(when(col("is_e") === 1, col("ts"))).over(w))
+        .filter(col("is_e") === 0)
+        .select(col("event_id"), col("user_id"), col("next_err_ts"),
+          (unix_micros(col("next_err_ts")) - unix_micros(col("ts")))
+            .as("gap_us"))
+        .orderBy("event_id")
+    }),
+
+    // Conversion latency — the funnel's MISSING number: q137 counts who
+    // converts, this measures HOW LONG conversion takes (first view →
+    // first purchase strictly after it, per user), with the median and
+    // p90 picked EXACTLY by rank selection over the converted cohort
+    // (the q87 recipe — never a value-buffering percentile aggregate).
+    // One user-keyed rollup finds both firsts (min + conditional min in
+    // the same pass); the latency frame is cohort-sized, so its rank
+    // window is cheap at any corpus scale. Output: cohort sizes,
+    // conversion share, exact median / p90 latency in seconds.
+    "q272_conversion_latency" -> ((s, d) => {
+      val firsts = ld(s, d, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("us")))
+            .as("v_us"),
+          min(when(col("event_type") === "purchase", col("us")))
+            .as("p_us"))
+        .filter(col("v_us").isNotNull)
+        .localCheckpoint() // totals + latency ranks share one rollup
+      val lat = firsts
+        .filter(col("p_us").isNotNull && col("p_us") > col("v_us"))
+        .select(expr("(p_us - v_us) DIV 1000000").as("lat_s"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy("lat_s"))) // cohort-sized frame, by design
+        .localCheckpoint()
+      val nn = lat.agg(count(lit(1)).as("nc"))
+      val med = lat.crossJoin(broadcast(nn))
+        .filter(col("rn") === expr("(nc + 1) DIV 2"))
+        .select(col("lat_s").as("median_lat_s"))
+      val p90 = lat.crossJoin(broadcast(nn))
+        .filter(col("rn") === expr("(9 * nc + 9) DIV 10"))
+        .select(col("lat_s").as("p90_lat_s"))
+      firsts.agg(count(lit(1)).as("n_viewers"),
+          sum(when(col("p_us").isNotNull && col("p_us") > col("v_us"), 1L)
+            .otherwise(0L)).as("n_converted"))
+        .crossJoin(broadcast(med)).crossJoin(broadcast(p90))
+        .selectExpr("n_viewers", "n_converted",
+          "(2 * n_converted * 10000 + n_viewers) DIV (2 * n_viewers)" +
+            " AS conv_bp",
+          "median_lat_s", "p90_lat_s")
+    }),
+
+    // Rolling 24-hour active users — the DAU curve computed EXACTLY
+    // (no HLL): a user is active at hour t iff they have an event in
+    // [t−23, t], so each user's presence hours expand to coverage
+    // intervals [h, h+23], per-user episodes merge when presence gaps
+    // stay ≤ 23 h (one user-keyed window pass — the q71 boundary recipe
+    // with the threshold recast as coverage adjacency), and the hourly
+    // active count is q248's +1/−1 boundary sweep over episode
+    // [start, end+1) intervals — grouped by timestamp first, two-level
+    // day-partitioned cumulative sum, nothing ever serializes. Output:
+    // cohort shape + the peak (max concurrent active users, first hour
+    // it is reached) — the capacity number, exact.
+    "q273_rolling_active_users" -> ((s, d) => {
+      val wU = Window.partitionBy("user_id").orderBy("h")
+      val eps = ld(s, d, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .distinct()
+        .withColumn("prev_h", lag("h", 1).over(wU))
+        .withColumn("brk", when(col("prev_h").isNull ||
+          col("h") - col("prev_h") > 23, 1).otherwise(0))
+        .withColumn("ep", sum("brk").over(
+          wU.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "ep")
+        .agg(min("h").as("a"), (max("h") + 23).as("b"))
+        .localCheckpoint() // sweep + episode stats share one derivation
+      val bd = eps.selectExpr("stack(2, a, 1L, b + 1, -1L) AS (h, dl)")
+        .groupBy("h").agg(sum("dl").as("net"))
+        .withColumn("day", expr("h DIV 24"))
+      val wD = Window.partitionBy("day").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val dayTot = bd.groupBy("day").agg(sum("net").as("dnet"))
+        .withColumn("prefix", coalesce(sum("dnet").over(
+          Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("day", "prefix")
+      val lvl = bd.withColumn("cum", sum("net").over(wD))
+        .join(broadcast(dayTot), "day")
+        // at-hour active = everything through this hour's starts; ends
+        // at h+1 subtract AFTER the hour, encoded by the +1 boundary
+        .select(col("h"), (col("prefix") + col("cum")).as("active"))
+        .localCheckpoint() // max + argmax share the sweep
+      val mx = lvl.agg(max("active").as("peak_active"))
+      lvl.crossJoin(broadcast(mx))
+        .filter(col("active") === col("peak_active"))
+        .agg(min("h").as("peak_h"))
+        .crossJoin(broadcast(mx))
+        .crossJoin(broadcast(eps.agg(
+          countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_episodes"),
+          sum(col("b") - col("a") + 1).as("user_hours"))))
+        .select(col("n_users"), col("n_episodes"), col("user_hours"),
+          col("peak_active"), timestamp_micros(col("peak_h") *
+            3600000000L).as("peak_hr"))
+    }),
+
+    // SQL PIVOT clause surface — q72 builds the hourly event-type
+    // matrix through the DataFrame pivot API; this is the identical
+    // contract expressed in pure SQL (FROM ... PIVOT (agg FOR col IN
+    // (...))), the form a SQL-only consumer writes. Same plan family
+    // (one hourly rollup, no joins); absent cells surface as NULL from
+    // the clause and are zero-coalesced explicitly so the output matches
+    // q72's filled matrix bit-for-bit.
+    "q274_sql_pivot" -> ((s, d) => {
+      Tables.view(s, d, "events")
+      s.sql("""SELECT hr,
+                      coalesce(n_click, 0L) AS n_click,
+                      coalesce(n_error, 0L) AS n_error,
+                      coalesce(n_purchase, 0L) AS n_purchase,
+                      coalesce(n_signup, 0L) AS n_signup,
+                      coalesce(n_view, 0L) AS n_view
+               FROM (SELECT date_trunc('hour', ts) AS hr, event_type
+                     FROM events)
+               PIVOT (count(*) FOR event_type IN
+                 ('click' AS n_click, 'error' AS n_error,
+                  'purchase' AS n_purchase, 'signup' AS n_signup,
+                  'view' AS n_view))
+               ORDER BY hr""")
+    }),
+
+    // Hourly percentile BANDS — the p50/p90/p99 timeline every ops
+    // dashboard draws, computed EXACTLY: within each hour's partition
+    // one rank window picks all three order statistics (ranks ⌈n/2⌉,
+    // ⌈9n/10⌉, ⌈99n/100⌉ — the q87 selection recipe, three targets from
+    // ONE sort instead of three percentile aggregates buffering
+    // values), values in exact BIGINT cents. Scale: hour-partitioned
+    // window = keyed work; the rollup emits one row per hour. At
+    // extreme per-hour cardinality you'd swap in q141's mergeable
+    // sketch per hour and keep this as its audit.
+    "q278_latency_percentiles" -> ((s, d) => {
+      val w = Window.partitionBy("hr").orderBy("cents", "event_id")
+      ld(s, d, "events")
+        .select(date_trunc("hour", col("ts")).as("hr"), col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("hr")))
+        .groupBy("hr")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("rk") === expr("(cnt + 1) DIV 2"), col("cents"))
+            .otherwise(0L)).as("p50_c"),
+          sum(when(col("rk") === expr("(9 * cnt + 9) DIV 10"),
+            col("cents")).otherwise(0L)).as("p90_c"),
+          sum(when(col("rk") === expr("(99 * cnt + 99) DIV 100"),
+            col("cents")).otherwise(0L)).as("p99_c"))
+        .orderBy("hr")
+    }),
+
+    // Weekly churn cohorts — the retention counterpart of q273's
+    // rolling actives: a user churns in week w when present in w and
+    // absent in w+1 (the final week is right-censored and excluded —
+    // its users haven't had a week in which to return). Weeks are
+    // epoch-based integer buckets (never calendar-week dialects, whose
+    // start-of-week conventions differ). One distinct (user, week)
+    // presence frame, one user-keyed lead window, one rollup — churn
+    // for a 100 TB event log costs one shuffle on user_id and one on
+    // week.
+    "q280_churn_cohort" -> ((s, d) => {
+      val pres = ld(s, d, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 604800000000").as("wk"))
+        .distinct()
+        .localCheckpoint() // lead pass + max week share the frame
+      val mx = pres.agg(max("wk").as("maxwk"))
+      pres
+        .withColumn("next_wk", lead("wk", 1).over(
+          Window.partitionBy("user_id").orderBy("wk")))
+        .crossJoin(broadcast(mx))
+        .filter(col("wk") < col("maxwk"))
+        .withColumn("churned",
+          when(col("next_wk").isNull || col("next_wk") > col("wk") + 1,
+            1L).otherwise(0L))
+        .groupBy("wk")
+        .agg(count(lit(1)).as("n_active"), sum("churned").as("n_churned"))
+        .selectExpr("wk", "n_active", "n_churned",
+          "(2 * n_churned * 10000 + n_active) DIV (2 * n_active)" +
+            " AS churn_bp")
+        .orderBy("wk")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1999,6 +2209,148 @@ object EventOps {
                 CAST((2 * (count(*) - sum(head)) * 10000 + count(*))
                      // (2 * count(*)) AS BIGINT) AS collapsed_bp
          FROM f GROUP BY event_type ORDER BY event_type""",
+
+    "q270_forward_asof" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+                           CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                           END AS is_e
+                    FROM events
+                    WHERE event_type IN ('purchase', 'error')),
+              w AS (SELECT *,
+                           min(CASE WHEN is_e = 1 THEN ts END) OVER
+                             (PARTITION BY user_id
+                              ORDER BY ts, is_e, event_id
+                              ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING) AS next_err_ts
+                    FROM e)
+         SELECT event_id, user_id, next_err_ts,
+                CAST(epoch_us(next_err_ts) - epoch_us(ts) AS BIGINT)
+                  AS gap_us
+         FROM w WHERE is_e = 0 ORDER BY event_id""",
+
+    "q272_conversion_latency" ->
+      """WITH f AS (SELECT user_id,
+                           min(CASE WHEN event_type = 'view'
+                               THEN epoch_us(ts) END) AS v_us,
+                           min(CASE WHEN event_type = 'purchase'
+                               THEN epoch_us(ts) END) AS p_us
+                    FROM events
+                    WHERE event_type IN ('view', 'purchase')
+                    GROUP BY user_id
+                    HAVING min(CASE WHEN event_type = 'view'
+                               THEN epoch_us(ts) END) IS NOT NULL),
+              lat AS (SELECT (p_us - v_us) // 1000000 AS lat_s,
+                             row_number() OVER
+                               (ORDER BY (p_us - v_us) // 1000000) AS rn
+                      FROM f
+                      WHERE p_us IS NOT NULL AND p_us > v_us),
+              nn AS (SELECT count(*) AS nc FROM lat),
+              med AS (SELECT lat_s AS median_lat_s FROM lat, nn
+                      WHERE rn = (nc + 1) // 2),
+              p90 AS (SELECT lat_s AS p90_lat_s FROM lat, nn
+                      WHERE rn = (9 * nc + 9) // 10),
+              tot AS (SELECT count(*) AS n_viewers,
+                             sum(CASE WHEN p_us IS NOT NULL
+                                       AND p_us > v_us
+                                      THEN 1 ELSE 0 END) AS n_converted
+                      FROM f)
+         SELECT CAST(n_viewers AS BIGINT) AS n_viewers,
+                CAST(n_converted AS BIGINT) AS n_converted,
+                CAST((2 * n_converted * 10000 + n_viewers)
+                     // (2 * n_viewers) AS BIGINT) AS conv_bp,
+                CAST(median_lat_s AS BIGINT) AS median_lat_s,
+                CAST(p90_lat_s AS BIGINT) AS p90_lat_s
+         FROM tot, med, p90""",
+
+    "q273_rolling_active_users" ->
+      """WITH ph AS (SELECT DISTINCT user_id,
+                            epoch_us(ts) // 3600000000 AS h
+                     FROM events),
+              g AS (SELECT user_id, h,
+                           lag(h) OVER (PARTITION BY user_id
+                                        ORDER BY h) AS prev_h
+                    FROM ph),
+              m AS (SELECT user_id, h,
+                           CAST(sum(CASE WHEN prev_h IS NULL
+                                          OR h - prev_h > 23
+                                     THEN 1 ELSE 0 END) OVER
+                             (PARTITION BY user_id ORDER BY h
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS ep
+                    FROM g),
+              eps AS (SELECT user_id, ep, min(h) AS a, max(h) + 23 AS b
+                      FROM m GROUP BY 1, 2),
+              bd AS (SELECT h, CAST(sum(dl) AS BIGINT) AS net
+                     FROM (SELECT a AS h, 1 AS dl FROM eps
+                           UNION ALL SELECT b + 1, -1 FROM eps)
+                     GROUP BY h),
+              lvl AS (SELECT h,
+                             CAST(sum(net) OVER (ORDER BY h
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS active
+                      FROM bd),
+              mx AS (SELECT max(active) AS peak_active FROM lvl),
+              stats AS (SELECT count(DISTINCT user_id) AS n_users,
+                               count(*) AS n_episodes,
+                               sum(b - a + 1) AS user_hours
+                        FROM eps)
+         SELECT CAST(n_users AS BIGINT) AS n_users,
+                CAST(n_episodes AS BIGINT) AS n_episodes,
+                CAST(user_hours AS BIGINT) AS user_hours,
+                CAST(peak_active AS BIGINT) AS peak_active,
+                make_timestamp((SELECT min(h) FROM lvl, mx
+                                WHERE active = peak_active)
+                               * 3600000000) AS peak_hr
+         FROM stats, mx""",
+
+    "q274_sql_pivot" ->
+      """SELECT date_trunc('hour', ts) AS hr,
+                count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                count(*) FILTER (WHERE event_type = 'purchase')
+                  AS n_purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                count(*) FILTER (WHERE event_type = 'view') AS n_view
+         FROM events GROUP BY 1 ORDER BY hr""",
+
+    "q278_latency_percentiles" ->
+      """WITH b AS (SELECT date_trunc('hour', ts) AS hr, event_id,
+                           CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                AS BIGINT) AS cents
+                    FROM events),
+              r AS (SELECT hr, cents,
+                           row_number() OVER (PARTITION BY hr
+                             ORDER BY cents, event_id) AS rk,
+                           count(*) OVER (PARTITION BY hr) AS cnt
+                    FROM b)
+         SELECT hr, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN rk = (cnt + 1) // 2 THEN cents
+                         ELSE 0 END) AS BIGINT) AS p50_c,
+                CAST(sum(CASE WHEN rk = (9 * cnt + 9) // 10 THEN cents
+                         ELSE 0 END) AS BIGINT) AS p90_c,
+                CAST(sum(CASE WHEN rk = (99 * cnt + 99) // 100 THEN cents
+                         ELSE 0 END) AS BIGINT) AS p99_c
+         FROM r GROUP BY hr ORDER BY hr""",
+
+    "q280_churn_cohort" ->
+      """WITH pres AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 604800000000 AS wk
+                       FROM events),
+              mx AS (SELECT max(wk) AS maxwk FROM pres),
+              l AS (SELECT user_id, wk,
+                           lead(wk) OVER (PARTITION BY user_id
+                                          ORDER BY wk) AS next_wk
+                    FROM pres),
+              f AS (SELECT wk,
+                           CASE WHEN next_wk IS NULL OR next_wk > wk + 1
+                                THEN 1 ELSE 0 END AS churned
+                    FROM l, mx WHERE wk < maxwk)
+         SELECT CAST(wk AS BIGINT) AS wk,
+                CAST(count(*) AS BIGINT) AS n_active,
+                CAST(sum(churned) AS BIGINT) AS n_churned,
+                CAST((2 * sum(churned) * 10000 + count(*))
+                     // (2 * count(*)) AS BIGINT) AS churn_bp
+         FROM f GROUP BY wk ORDER BY wk""",
   )
 }
 

@@ -2417,6 +2417,78 @@ object PipelineOps {
           "max_variants")
         .orderBy("fd")
     }),
+
+    // Column-level snapshot diff — q155 classifies ROWS (insert/update/
+    // delete); this attributes updates to COLUMNS: per column, how many
+    // surviving keys changed it between snapshots, next to the
+    // inserted/deleted row counts. The table-diff report a migration or
+    // backfill review reads first ("the rewrite touched only `cents`,
+    // on 7.7 % of rows") — one key-keyed full-outer join of the two
+    // snapshot views (q155's shared derivation), ONE conditional-sum
+    // aggregate, stacked to the per-column report. Adding a column adds
+    // a sum, never a pass.
+    "q277_column_diff" -> ((s, d) => {
+      val (cur, nxt) = orderSnapshots(s, d)
+      cur.select(col("k"), col("custkey").as("o_ck"),
+          col("cents").as("o_ce"), col("status").as("o_st"))
+        .join(nxt.select(col("k"), col("custkey").as("n_ck"),
+          col("cents").as("n_ce"), col("status").as("n_st"))
+          .hint("shuffle_hash"), Seq("k"), "full_outer")
+        .agg(
+          sum(when(col("o_ck").isNull, 1L).otherwise(0L)).as("ins"),
+          sum(when(col("n_ck").isNull, 1L).otherwise(0L)).as("del"),
+          sum(when(col("o_ck").isNotNull && col("n_ck").isNotNull &&
+            col("o_ck") =!= col("n_ck"), 1L).otherwise(0L)).as("c_ck"),
+          sum(when(col("o_ce").isNotNull && col("n_ce").isNotNull &&
+            col("o_ce") =!= col("n_ce"), 1L).otherwise(0L)).as("c_ce"),
+          sum(when(col("o_st").isNotNull && col("n_st").isNotNull &&
+            col("o_st") =!= col("n_st"), 1L).otherwise(0L)).as("c_st"),
+          count(lit(1)).as("n_keys"))
+        .selectExpr("n_keys",
+          "stack(5, '_inserted', ins, '_deleted', del," +
+            " 'custkey', c_ck, 'cents', c_ce, 'status', c_st)" +
+            " AS (col_name, n)")
+        .select("col_name", "n", "n_keys")
+        .orderBy("col_name")
+    }),
+
+    // Source-of-truth reconciliation — two overlapping feeds of the
+    // same entities (the CRM and the billing system, the old and new
+    // pipeline) merged under an explicit PRECEDENCE rule: feed A wins
+    // wherever both report a key, and the audit quantifies what that
+    // rule decided — overlap size, CONFLICTS (overlapping keys whose
+    // values actually disagree — B perturbs cents on a deterministic
+    // slice, so conflicts exist by construction), and how many rows
+    // each feed contributed to the golden table. One union + one
+    // key-keyed aggregate: min(struct(prio, value)) IS the precedence
+    // pick (the q249 survivorship trick keyed on priority), so merge +
+    // audit ride a single shuffle.
+    "q279_source_reconcile" -> ((s, d) => {
+      val base = ld(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      val a = base.filter(col("k") % 3 < 2)
+        .select(col("k"), lit(1L).as("prio"), col("cents"))
+      val b = base.filter(col("k") % 3 >= 1)
+        .select(col("k"), lit(2L).as("prio"),
+          when(col("k") % 7 === 0, col("cents") + 50)
+            .otherwise(col("cents")).as("cents"))
+      a.unionByName(b)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_src"),
+          min(struct(col("prio"), col("cents"))).as("m"),
+          min("cents").as("lo"), max("cents").as("hi"))
+        .agg(count(lit(1)).as("n_merged"),
+          sum(when(col("n_src") === 2, 1L).otherwise(0L)).as("n_overlap"),
+          sum(when(col("n_src") === 2 && col("lo") =!= col("hi"), 1L)
+            .otherwise(0L)).as("n_conflicts"),
+          sum(when(col("m.prio") === 1, 1L).otherwise(0L)).as("n_from_a"),
+          sum(when(col("m.prio") === 2, 1L).otherwise(0L)).as("n_from_b"),
+          sum(col("m.cents")).as("merged_cents"))
+        .select("n_merged", "n_overlap", "n_conflicts", "n_from_a",
+          "n_from_b", "merged_cents")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -4348,5 +4420,76 @@ object PipelineOps {
                 CAST(n_rows_violating AS BIGINT) AS n_rows_violating,
                 CAST(max_variants AS BIGINT) AS max_variants
          FROM u ORDER BY fd""",
+
+    "q277_column_diff" ->
+      """WITH cur AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                             CAST(o_custkey AS BIGINT) AS custkey,
+                             CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                                  * 100 AS BIGINT) AS cents,
+                             o_orderstatus AS status
+                      FROM orders),
+              nxt AS (SELECT k, custkey,
+                             CASE WHEN k % 13 = 0 THEN cents + 100
+                                  ELSE cents END AS cents,
+                             CASE WHEN k % 29 = 0 THEN 'X'
+                                  ELSE status END AS status
+                      FROM cur WHERE k % 97 <> 0
+                      UNION ALL
+                      SELECT k + 10000000, custkey, cents, status
+                      FROM cur WHERE k % 101 = 0),
+              j AS (SELECT
+                      sum(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END)
+                        AS ins,
+                      sum(CASE WHEN n.k IS NULL THEN 1 ELSE 0 END)
+                        AS del,
+                      sum(CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                                AND o.custkey <> n.custkey
+                               THEN 1 ELSE 0 END) AS c_ck,
+                      sum(CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                                AND o.cents <> n.cents
+                               THEN 1 ELSE 0 END) AS c_ce,
+                      sum(CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                                AND o.status <> n.status
+                               THEN 1 ELSE 0 END) AS c_st,
+                      count(*) AS n_keys
+                    FROM cur o FULL OUTER JOIN nxt n ON o.k = n.k)
+         SELECT col_name, CAST(n AS BIGINT) AS n,
+                CAST(n_keys AS BIGINT) AS n_keys
+         FROM (SELECT '_inserted' AS col_name, ins AS n, n_keys FROM j
+               UNION ALL SELECT '_deleted', del, n_keys FROM j
+               UNION ALL SELECT 'custkey', c_ck, n_keys FROM j
+               UNION ALL SELECT 'cents', c_ce, n_keys FROM j
+               UNION ALL SELECT 'status', c_st, n_keys FROM j)
+         ORDER BY col_name""",
+
+    "q279_source_reconcile" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                              CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                                   * 100 AS BIGINT) AS cents
+                       FROM orders),
+              u AS (SELECT k, 1 AS prio, cents FROM base WHERE k % 3 < 2
+                    UNION ALL
+                    SELECT k, 2,
+                           CASE WHEN k % 7 = 0 THEN cents + 50
+                                ELSE cents END
+                    FROM base WHERE k % 3 >= 1),
+              g AS (SELECT k, count(*) AS n_src,
+                           min(cents) AS lo, max(cents) AS hi,
+                           min(prio) AS wprio,
+                           coalesce(min(CASE WHEN prio = 1 THEN cents
+                                        END),
+                                    min(cents)) AS wcents
+                    FROM u GROUP BY k)
+         SELECT CAST(count(*) AS BIGINT) AS n_merged,
+                CAST(sum(CASE WHEN n_src = 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_overlap,
+                CAST(sum(CASE WHEN n_src = 2 AND lo <> hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicts,
+                CAST(sum(CASE WHEN wprio = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_from_a,
+                CAST(sum(CASE WHEN wprio = 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_from_b,
+                CAST(sum(wcents) AS BIGINT) AS merged_cents
+         FROM g""",
   )
 }

@@ -1468,6 +1468,165 @@ object Relational {
         .select("p_partkey", "cents", "sz")
         .orderBy("cents", "p_partkey")
     }),
+
+    // One-pass correlation MATRIX — q52's corr() for one pair becomes
+    // all 6 pairs of 4 lineitem measures from a SINGLE aggregate: raw
+    // moments (Σx, Σx², Σxy) in exact DECIMAL(38) integers, so the
+    // reduction is ORDER-INDEPENDENT under any partitioning (the q70
+    // float-drift lesson applied to covariance — a Welford-style
+    // streaming corr drifts with partition order; exact integer moments
+    // cannot), and floats appear only in the final 6 scalar divisions
+    // (IEEE-deterministic on 1-row data). Magnitudes: Σ(price·price) ≤
+    // n·10¹⁴ — DECIMAL(38) holds to n ≈ 10²³ rows. Adding a measure
+    // adds columns to the aggregate, never a pass — the q169 posture
+    // for profiling at 100 TB. Output: one row per pair with the
+    // round-4 Pearson r; zero-variance pairs yield NULL, not NaN.
+    "q266_corr_matrix" -> ((s, d) => {
+      val vs = Seq("qty", "price_c", "disc_c", "tax_c")
+      val prs = for {
+        i <- vs.indices; j <- (i + 1) until vs.size
+      } yield (vs(i), vs(j))
+      def dec(c: String) = s"CAST($c AS DECIMAL(38,0))"
+      val moments =
+        count(lit(1)).cast("decimal(38,0)").as("n") +:
+        (vs.map(v => sum(expr(dec(v))).as(s"s_$v")) ++
+          vs.map(v => sum(expr(s"${dec(v)} * $v")).as(s"q_${v}_$v")) ++
+          prs.map { case (a, b) =>
+            sum(expr(s"${dec(a)} * $b")).as(s"q_${a}_$b") })
+      def corr(a: String, b: String) =
+        s"""CASE WHEN n * q_${a}_$a - s_$a * s_$a = 0
+                   OR n * q_${b}_$b - s_$b * s_$b = 0
+                 THEN CAST(NULL AS DOUBLE)
+                 ELSE round(CAST(n * q_${a}_$b - s_$a * s_$b AS DOUBLE)
+                      / sqrt(CAST(n * q_${a}_$a - s_$a * s_$a AS DOUBLE)
+                        * CAST(n * q_${b}_$b - s_$b * s_$b AS DOUBLE)), 4)
+                 END"""
+      val stackArgs = prs
+        .map { case (a, b) => s"'$a~$b', ${corr(a, b)}" }.mkString(", ")
+      ld(s, d, "lineitem").selectExpr(
+          "CAST(l_quantity AS BIGINT) AS qty",
+          "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100 AS BIGINT)" +
+            " AS price_c",
+          "CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+            " AS disc_c",
+          "CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT) AS tax_c")
+        .agg(moments.head, moments.tail: _*)
+        .selectExpr("CAST(n AS BIGINT) AS n",
+          s"stack(${prs.size}, $stackArgs) AS (pair, corr4)")
+        .select("pair", "n", "corr4")
+        .orderBy("pair")
+    }),
+
+    // Degree assortativity of the co-supply graph (Newman's r): do
+    // high-degree suppliers link to other hubs (r > 0, resilient
+    // core-periphery) or to leaves (r < 0, hub-and-spoke — the common
+    // shape of supply networks)? It is exactly the q266 recipe applied
+    // to the (deg(u), deg(v)) pairs of every directed orientation of
+    // the significance-pruned edge list (q134's memoized derivation —
+    // the bench pays the build once): exact DECIMAL(38) moments over
+    // the edge frame, one float division at the end, NULL on a
+    // degree-regular graph instead of NaN. Scale: two keyed joins
+    // attach degrees, one 1-row moment aggregate — edges never
+    // self-join.
+    "q267_assortativity" -> ((s, d) => {
+      val e = coSupplyEdges(s, d)
+      val und = e.select(col("s1").as("u"), col("s2").as("v"))
+        .unionAll(e.select(col("s2").as("u"), col("s1").as("v")))
+        .localCheckpoint() // degree rollup + pair pass share the frame
+      val gdeg = und.groupBy("u").agg(count(lit(1)).as("gd"))
+      und.join(gdeg, "u").withColumnRenamed("gd", "du")
+        .join(gdeg.select(col("u").as("v"), col("gd").as("dv")), "v")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(expr("CAST(du AS DECIMAL(38,0))")).as("su"),
+          sum(expr("CAST(dv AS DECIMAL(38,0))")).as("sv"),
+          sum(expr("CAST(du AS DECIMAL(38,0)) * du")).as("suu"),
+          sum(expr("CAST(dv AS DECIMAL(38,0)) * dv")).as("svv"),
+          sum(expr("CAST(du AS DECIMAL(38,0)) * dv")).as("suv"))
+        .selectExpr("CAST(n AS BIGINT) AS n_edges",
+          """CASE WHEN n * suu - su * su = 0 OR n * svv - sv * sv = 0
+                  THEN CAST(NULL AS DOUBLE)
+                  ELSE round(CAST(n * suv - su * sv AS DOUBLE)
+                       / sqrt(CAST(n * suu - su * su AS DOUBLE)
+                         * CAST(n * svv - sv * sv AS DOUBLE)), 4)
+                  END AS assort4""")
+    }),
+
+    // SQL UNPIVOT clause surface — the melt (wide → tidy) inverse of
+    // q274's PIVOT, as the pure-SQL clause (Spark 3.4+'s UNPIVOT ...
+    // FOR ... IN): a per-priority status-count matrix folded back into
+    // (priority, metric, value) rows — the tidy shape every downstream
+    // grouped analysis wants. Internally this is the same Expand node
+    // the profiler's stack() uses (q165); what's pinned here is the
+    // ANSI surface. One rollup, one expand, no joins.
+    "q271_unpivot" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""SELECT o_orderpriority, metric, CAST(v AS BIGINT) AS v
+               FROM (SELECT o_orderpriority,
+                            count(CASE WHEN o_orderstatus = 'F'
+                                  THEN 1 END) AS n_f,
+                            count(CASE WHEN o_orderstatus = 'O'
+                                  THEN 1 END) AS n_o,
+                            count(CASE WHEN o_orderstatus = 'P'
+                                  THEN 1 END) AS n_p
+                     FROM orders GROUP BY o_orderpriority)
+               UNPIVOT (v FOR metric IN (n_f, n_o, n_p))
+               ORDER BY o_orderpriority, metric""")
+    }),
+
+    // Top-k WITH TIES — q31/q202 pick exactly k rows by breaking ties
+    // arbitrarily-but-deterministically; this is the other contract
+    // (ANSI FETCH FIRST k WITH TIES / rank() ≤ k): every row tied with
+    // the k-th qualifies, so equal-value rows are never split by luck.
+    // rank() (not row_number) over a per-priority window keeps the
+    // query keyed work, and Spark's WindowGroupLimit pushes the k-limit
+    // below the sort — pinned in PlanSpec — so each group prunes to its
+    // top rows BEFORE the full window materializes: the plan property
+    // that makes per-group top-k survive 100 TB groups.
+    "q275_topk_with_ties" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("cents").desc)
+      ld(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100" +
+            " AS BIGINT)").as("cents"))
+        .withColumn("rk", rank().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "cents")
+        .orderBy("o_orderpriority", "rk", "o_orderkey")
+    }),
+
+    // Median-of-means — the robust aggregate a fleet uses when some
+    // SHARDS are corrupt (a bad worker, a poisoned partition): the mean
+    // collapses under one bad shard, but the MEDIAN of 16 per-shard
+    // means tolerates up to 7 arbitrarily-corrupt shards. Shards are
+    // md5(orderkey) buckets (engine-portable, the q57 ticket recipe);
+    // per-shard means are exact half-up cents (integer — so the
+    // estimator is bit-stable, unlike averaging doubles shard-wise);
+    // the median is rank-selected over the 16-row shard frame. The
+    // plain global mean ships alongside so the audit SHOWS the gap
+    // (here ≈ 0: no corruption — the estimator's cost in the clean
+    // case, which is what you need to know before adopting it).
+    "q276_median_of_means" -> ((s, d) => {
+      val sh = ld(s, d, "orders")
+        .selectExpr(
+          "CAST(conv(substring(md5(concat('mm:', CAST(o_orderkey" +
+            " AS STRING))), 1, 8), 16, 10) AS BIGINT) % 16 AS shard",
+          "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+            " AS cents")
+        .localCheckpoint() // shard means + global mean share one scan
+      val means = sh.groupBy("shard")
+        .agg(count(lit(1)).as("n"), sum("cents").as("tc"))
+        .selectExpr("shard", "n", "(2 * tc + n) DIV (2 * n) AS mean_c")
+        .withColumn("rn", row_number().over(
+          Window.orderBy("mean_c", "shard"))) // 16-row frame, by design
+      val mom = means.filter(col("rn") === (16 + 1) / 2)
+        .select(col("mean_c").as("mom_cents"))
+      sh.agg(count(lit(1)).as("n_rows"), sum("cents").as("tc"))
+        .selectExpr("n_rows", "(2 * tc + n_rows) DIV (2 * n_rows)" +
+          " AS mean_cents")
+        .crossJoin(broadcast(mom))
+        .withColumn("gap_cents", abs(col("mean_cents") - col("mom_cents")))
+    }),
   )
 
   /** q201's query text, shared verbatim with the DuckDB oracle. */
@@ -1993,6 +2152,110 @@ object Relational {
          FROM p JOIN pre USING (cents)
          WHERE p.sz = pre.gmax AND p.sz > pre.pmax
          ORDER BY p.cents, p.p_partkey""",
+    "q266_corr_matrix" -> {
+      val vs = Seq("qty", "price_c", "disc_c", "tax_c")
+      val prs = for {
+        i <- vs.indices; j <- (i + 1) until vs.size
+      } yield (vs(i), vs(j))
+      val moments = ("count(*)::HUGEINT AS n" +:
+        (vs.map(v => s"sum($v::HUGEINT) AS s_$v") ++
+          vs.map(v => s"sum($v::HUGEINT * $v) AS q_${v}_$v") ++
+          prs.map { case (a, b) =>
+            s"sum($a::HUGEINT * $b) AS q_${a}_$b" })).mkString(", ")
+      def corr(a: String, b: String) =
+        s"""CASE WHEN n * q_${a}_$a - s_$a * s_$a = 0
+                   OR n * q_${b}_$b - s_$b * s_$b = 0
+                 THEN CAST(NULL AS DOUBLE)
+                 ELSE round(CAST(n * q_${a}_$b - s_$a * s_$b AS DOUBLE)
+                      / sqrt(CAST(n * q_${a}_$a - s_$a * s_$a AS DOUBLE)
+                        * CAST(n * q_${b}_$b - s_$b * s_$b AS DOUBLE)), 4)
+                 END"""
+      val rows = prs.map { case (a, b) =>
+        s"SELECT '$a~$b' AS pair, CAST(n AS BIGINT) AS n," +
+          s" ${corr(a, b)} AS corr4 FROM m" }.mkString(" UNION ALL ")
+      s"""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+                            CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                                 * 100 AS BIGINT) AS price_c,
+                            CAST(CAST(l_discount AS DECIMAL(12,2)) * 100
+                                 AS BIGINT) AS disc_c,
+                            CAST(CAST(l_tax AS DECIMAL(12,2)) * 100
+                                 AS BIGINT) AS tax_c
+                     FROM lineitem),
+              m AS (SELECT $moments FROM b)
+         $rows ORDER BY pair"""
+    },
+    "q267_assortativity" ->
+      s"""WITH $duckCoSupplyUnd,
+              gdeg AS (SELECT u, count(*) AS gd FROM und GROUP BY 1),
+              pr AS (SELECT gu.gd AS du, gv.gd AS dv
+                     FROM und JOIN gdeg gu ON und.u = gu.u
+                              JOIN gdeg gv ON und.v = gv.u),
+              m AS (SELECT count(*)::HUGEINT AS n,
+                           sum(du::HUGEINT) AS su, sum(dv::HUGEINT) AS sv,
+                           sum(du::HUGEINT * du) AS suu,
+                           sum(dv::HUGEINT * dv) AS svv,
+                           sum(du::HUGEINT * dv) AS suv
+                    FROM pr)
+         SELECT CAST(n AS BIGINT) AS n_edges,
+                CASE WHEN n * suu - su * su = 0 OR n * svv - sv * sv = 0
+                     THEN CAST(NULL AS DOUBLE)
+                     ELSE round(CAST(n * suv - su * sv AS DOUBLE)
+                          / sqrt(CAST(n * suu - su * su AS DOUBLE)
+                            * CAST(n * svv - sv * sv AS DOUBLE)), 4)
+                     END AS assort4
+         FROM m""",
+    "q271_unpivot" ->
+      """WITH w AS (SELECT o_orderpriority,
+                           count(CASE WHEN o_orderstatus = 'F'
+                                 THEN 1 END) AS n_f,
+                           count(CASE WHEN o_orderstatus = 'O'
+                                 THEN 1 END) AS n_o,
+                           count(CASE WHEN o_orderstatus = 'P'
+                                 THEN 1 END) AS n_p
+                    FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, metric, CAST(v AS BIGINT) AS v FROM (
+           SELECT o_orderpriority, 'n_f' AS metric, n_f AS v FROM w
+           UNION ALL
+           SELECT o_orderpriority, 'n_o', n_o FROM w
+           UNION ALL
+           SELECT o_orderpriority, 'n_p', n_p FROM w)
+         ORDER BY o_orderpriority, metric""",
+    "q275_topk_with_ties" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey,
+                           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                                AS BIGINT) AS cents,
+                           rank() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY CAST(CAST(o_totalprice
+                                          AS DECIMAL(12,2)) * 100
+                                          AS BIGINT) DESC) AS rk
+                    FROM orders)
+         SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey,
+                cents
+         FROM r WHERE rk <= 3
+         ORDER BY o_orderpriority, rk, o_orderkey""",
+    "q276_median_of_means" ->
+      """WITH sh AS (SELECT ('0x' || substr(md5('mm:' || o_orderkey),
+                              1, 8))::BIGINT % 16 AS shard,
+                            CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                 * 100 AS BIGINT) AS cents
+                     FROM orders),
+              means AS (SELECT shard, count(*) AS n, sum(cents) AS tc,
+                               CAST((2 * sum(cents) + count(*))
+                                    // (2 * count(*)) AS BIGINT)
+                                 AS mean_c
+                        FROM sh GROUP BY shard),
+              r AS (SELECT mean_c, row_number() OVER
+                      (ORDER BY mean_c, shard) AS rn
+                    FROM means),
+              mom AS (SELECT mean_c AS mom_cents FROM r WHERE rn = 8),
+              g AS (SELECT count(*) AS n_rows,
+                           CAST((2 * sum(cents) + count(*))
+                                // (2 * count(*)) AS BIGINT) AS mean_cents
+                    FROM sh)
+         SELECT CAST(n_rows AS BIGINT) AS n_rows, mean_cents,
+                CAST(mom_cents AS BIGINT) AS mom_cents,
+                CAST(abs(mean_cents - mom_cents) AS BIGINT) AS gap_cents
+         FROM g, mom""",
     "q134_triangle_count" ->
       s"""WITH $duckCoSupplyUnd,
               gdeg AS (SELECT u, count(*) AS gd FROM und GROUP BY 1),

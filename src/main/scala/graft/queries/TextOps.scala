@@ -1812,6 +1812,61 @@ object TextOps {
                GROUP BY o_orderpriority
                ORDER BY o_orderpriority""")
     }),
+
+    // Term BURSTINESS (Church & Gale's adaptation): P(a term repeats in
+    // a doc | it appears at all) — the statistic that separates bursty
+    // content words (one mention begets more) from evenly-sprinkled
+    // function words, and the empirical basis for BM25's tf SATURATION
+    // (a second occurrence carries less evidence than the first —
+    // quantified here per term, in half-up bp). Two rollups: per-(doc,
+    // term) counts, then per-term df / df₂₊ / total occurrences; the
+    // top-20 by document frequency ride TakeOrdered. At 100 TB both
+    // rollups are map-side-combined keyed aggregates, output
+    // vocabulary-sized then top-k.
+    "q268_term_burstiness" -> ((s, d) => {
+      ld(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("df"),
+          sum(when(col("c") >= 2, 1L).otherwise(0L)).as("df_rep"),
+          sum("c").as("cf"))
+        .selectExpr("tok", "df", "df_rep", "cf",
+          "(2 * df_rep * 10000 + df) DIV (2 * df) AS adapt_bp")
+        .orderBy(col("df").desc, col("tok")).limit(20)
+    }),
+
+    // Pairwise source VOCABULARY overlap — the exact twin of q213's KMV
+    // sketch estimate, feasible because |sources| is bounded while the
+    // corpus is not: an inverted (term → distinct sources) frame
+    // generates per-term source pairs (fanout ≤ C(|sources|, 2), never
+    // corpus-sized), shared-term counts roll up per pair, and Jaccard
+    // closes with the broadcast per-source vocabulary sizes via
+    // |A∪B| = |A| + |B| − |A∩B|. The 190-row matrix is the
+    // which-crawls-duplicate-each-other heat map a mixture planner
+    // reads next to q158's rate drift. All integer, half-up bp.
+    "q269_source_overlap" -> ((s, d) => {
+      val st = ld(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+        .localCheckpoint() // sizes + pair generation share one frame
+      val sz = st.groupBy("source").agg(count(lit(1)).as("nv"))
+      val shared = st.as("a")
+        .join(st.as("b").hint("shuffle_hash"),
+          col("a.tok") === col("b.tok") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("inter"))
+      shared
+        .join(broadcast(sz.select(col("source").as("s1"),
+          col("nv").as("n1"))), "s1")
+        .join(broadcast(sz.select(col("source").as("s2"),
+          col("nv").as("n2"))), "s2")
+        .selectExpr("s1", "s2", "inter", "n1", "n2",
+          "(2 * inter * 10000 + (n1 + n2 - inter))" +
+            " DIV (2 * (n1 + n2 - inter)) AS jacc_bp")
+        .orderBy("s1", "s2")
+    }),
   )
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
@@ -3108,5 +3163,43 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
          SELECT o_orderpriority, statuses, CAST(n AS BIGINT) AS n
          FROM st JOIN cn USING (o_orderpriority)
          ORDER BY o_orderpriority""",
+
+    "q268_term_burstiness" ->
+      """WITH dt AS (SELECT doc_id, tok, count(*) AS c
+                     FROM (SELECT doc_id,
+                                  unnest(string_split(text, ' ')) AS tok
+                           FROM documents)
+                     GROUP BY doc_id, tok),
+              t AS (SELECT tok, count(*) AS df,
+                           sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)
+                             AS df_rep,
+                           sum(c) AS cf
+                    FROM dt GROUP BY tok)
+         SELECT tok, CAST(df AS BIGINT) AS df,
+                CAST(df_rep AS BIGINT) AS df_rep,
+                CAST(cf AS BIGINT) AS cf,
+                CAST((2 * df_rep * 10000 + df) // (2 * df) AS BIGINT)
+                  AS adapt_bp
+         FROM t ORDER BY df DESC, tok LIMIT 20""",
+
+    "q269_source_overlap" ->
+      """WITH st AS (SELECT DISTINCT source, tok
+                     FROM (SELECT source,
+                                  unnest(string_split(text, ' ')) AS tok
+                           FROM documents)),
+              sz AS (SELECT source, count(*) AS nv FROM st GROUP BY 1),
+              sh AS (SELECT a.source AS s1, b.source AS s2,
+                            count(*) AS inter
+                     FROM st a JOIN st b
+                       ON a.tok = b.tok AND a.source < b.source
+                     GROUP BY 1, 2)
+         SELECT s1, s2, CAST(inter AS BIGINT) AS inter,
+                CAST(za.nv AS BIGINT) AS n1, CAST(zb.nv AS BIGINT) AS n2,
+                CAST((2 * inter * 10000 + (za.nv + zb.nv - inter))
+                     // (2 * (za.nv + zb.nv - inter)) AS BIGINT)
+                  AS jacc_bp
+         FROM sh JOIN sz za ON sh.s1 = za.source
+                 JOIN sz zb ON sh.s2 = zb.source
+         ORDER BY s1, s2""",
   )
 }

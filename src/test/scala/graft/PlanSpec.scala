@@ -1381,4 +1381,134 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.linesIterator.count(
       _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
   }
+
+  test("q266: the whole matrix is ONE moment aggregate over one scan " +
+    "— adding a measure adds columns, never a pass") {
+    val p = plan("q266_corr_matrix")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate""")) == 1,
+      "the 6 pair rows come from one stack of the 1-row moments")
+  }
+
+  test("q267: assortativity reads the pinned edge frame — two keyed " +
+    "degree joins + one 1-row moment aggregate, no edge self-join") {
+    val p = plan("q267_assortativity")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+
+  test("q268: burstiness is two map-side-combined rollups + " +
+    "TakeOrdered — no joins, no global sort") {
+    val p = plan("q268_term_burstiness")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+  }
+
+  test("q269: pair generation rides the pinned inverted frame; " +
+    "vocabulary sizes attach by broadcast") {
+    val p = plan("q269_source_overlap")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastHashJoin.*""")) == 2,
+      "both size attachments must broadcast")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q270: the forward as-of is one user-keyed window pass over " +
+    "the filtered scan — no join at all") {
+    val p = plan("q270_forward_asof")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 1)
+    assert(p.contains("PushedFilters"),
+      "the two-type filter must reach the scan")
+  }
+
+  test("q271: UNPIVOT plans as the same Expand the stack() profiler " +
+    "uses — one rollup, no joins") {
+    val p = plan("q271_unpivot")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.contains("Expand"))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+  }
+
+  test("q272: both firsts come from ONE user rollup; the rank window " +
+    "runs over the cohort-sized latency frame only") {
+    val p = plan("q272_conversion_latency")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q273: episodes and sweep ride pinned frames; the only " +
+    "unpartitioned window is the #days prefix frame") {
+    val p = plan("q273_rolling_active_users")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q274: the SQL PIVOT clause plans as one hourly rollup over one " +
+    "scan — no joins") {
+    val p = plan("q274_sql_pivot")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+  }
+
+  test("q275: the rank() limit pushes below the sort as " +
+    "WindowGroupLimit — per-group pruning before the window " +
+    "materializes") {
+    val p = plan("q275_topk_with_ties")
+    assert(p.contains("WindowGroupLimit"),
+      "rank <= k must prune group-locally before the full window")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+  }
+
+  test("q276: shard means and the global mean read the pinned scan; " +
+    "the median is rank-selected over the 16-row shard frame") {
+    val p = plan("q276_median_of_means")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q277: the column diff is ONE full-outer join + one " +
+    "conditional-sum aggregate, stacked — adding a column adds a sum, " +
+    "never a pass") {
+    val p = plan("q277_column_diff")
+    assert(p.contains("SortMergeJoin FullOuter") ||
+      p.contains("ShuffledHashJoin FullOuter"))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Generate""")) == 1,
+      "the per-column report is one stack of the 1-row audit")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q278: three order statistics from ONE hour-partitioned rank " +
+    "window — never three percentile aggregates") {
+    val p = plan("q278_latency_percentiles")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) <= 2)
+  }
+
+  test("q279: merge + audit ride a single key shuffle — union, one " +
+    "grouped aggregate, no joins") {
+    val p = plan("q279_source_reconcile")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.contains("Union"))
+  }
+
+  test("q280: churn is one user-keyed lead window over the pinned " +
+    "presence frame + one week rollup") {
+    val p = plan("q280_churn_cohort")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 1)
+    assert(!p.contains("CartesianProduct"))
+  }
 }
