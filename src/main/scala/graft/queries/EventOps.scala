@@ -1569,6 +1569,56 @@ object EventOps {
             " AS churn_bp")
         .orderBy("wk")
     }),
+
+    // foreachBatch idempotent sink — the STREAMING half of q259's
+    // exactly-once certification: Structured Streaming guarantees each
+    // micro-batch a stable batchId across retries, and the sink
+    // contract that makes the pipeline exactly-once is MERGE ON
+    // batchId (replace the batch's slot, never +=). Here every batch's
+    // per-type partial is deliberately delivered TWICE (the
+    // at-least-once retry a task failure produces); the merged store
+    // keyed on batchId absorbs the redelivery while the naive append
+    // log double-counts — both are emitted so the output PROVES the
+    // contract (n vs n_naive = 2n). The per-batch partial is
+    // aggregated IN the stream and only the |types|-sized result
+    // crosses the sink seam — exactly what a production foreachBatch
+    // MERGE ships to its lakehouse table.
+    "q281_stream_foreachbatch" -> ((s, d) => withStreamSession(s, 8) {
+      ss =>
+      import scala.jdk.CollectionConverters._
+      val rawSchema = ss.read.parquet(s"$d/events.parquet").schema
+      val merged = new java.util.concurrent.ConcurrentHashMap[
+        java.lang.Long, Map[String, Long]]()
+      val naive = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(String, Long)]())
+      val q = ss.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .transform(Tables.normalizeEventsTs)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          val part = df.groupBy("event_type").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          for (_ <- 1 to 2) { // the at-least-once redelivery
+            merged.put(batchId, part) // MERGE: replace the batch slot
+            part.foreach { case (k, v) => naive.add((k, v)) } // +=
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val m = merged.values.asScala.toSeq.flatten
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val nv = naive.asScala.toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      import ss.implicits._
+      m.toSeq.sortBy(_._1)
+        .map { case (t, n) => (t, n, nv(t)) }
+        .toDF("event_type", "n", "n_naive")
+        .orderBy("event_type")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2351,6 +2401,11 @@ object EventOps {
                 CAST((2 * sum(churned) * 10000 + count(*))
                      // (2 * count(*)) AS BIGINT) AS churn_bp
          FROM f GROUP BY wk ORDER BY wk""",
+
+    "q281_stream_foreachbatch" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(2 * count(*) AS BIGINT) AS n_naive
+         FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }
 

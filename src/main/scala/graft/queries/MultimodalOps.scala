@@ -269,6 +269,46 @@ object MultimodalOps {
         .filter(col("n_shared") >= 5)
         .orderBy("da", "db")
     }),
+
+    // Shot-boundary detection — the temporal-segmentation rung above
+    // q115's frame pairs and q144's whole-video signature: WITHIN each
+    // video, the dHash Hamming distance between CONSECUTIVE frames
+    // (one video-keyed lag window over the same native DHash64 codes)
+    // spikes at a cut and stays low inside a shot. Per video the
+    // detector reports transitions, calm transitions (hamming ≤ 20 —
+    // repeated-span structure keeps some adjacent frames similar),
+    // cuts, and the min/max distance — the frame-sampling policy input
+    // (sample once per shot, not per frame — the 100 TB decision this
+    // measures). Same codec-seam economics as q115: hashing is
+    // map-side, the only shuffle is the doc-keyed window.
+    "q282_shot_boundaries" -> ((s, d) => {
+      val frames = guardFrameCap(ld(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars")))
+        .withColumn("frame_idx", explode(sequence(lit(0L), lit(9L))))
+        .filter(col("frame_idx") <=
+          floor((col("n_chars") - 1) / lit(64.0)))
+        .select(col("doc_id"), col("frame_idx"),
+          expr("substring(text, cast(frame_idx * 64 + 1 AS int), 64)")
+            .as("frame"))
+        .filter(length(col("frame")) === 64)
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      frames.select(col("doc_id"), col("frame_idx"),
+          graft.functions.ImageExprs.dhash64(col("frame")).as("dh"))
+        .withColumn("prev_dh", lag("dh", 1).over(w))
+        .withColumn("hamming", when(col("prev_dh").isNotNull,
+          bit_count(col("dh").bitwiseXOR(col("prev_dh")))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("hamming").isNotNull, 1L).otherwise(0L))
+            .as("n_transitions"),
+          sum(when(col("hamming") <= 20, 1L).otherwise(0L))
+            .as("n_calm"),
+          sum(when(col("hamming") > 20, 1L).otherwise(0L)).as("n_cuts"),
+          min("hamming").as("min_hamming"),
+          max("hamming").as("max_hamming"))
+        .filter(col("n_frames") >= 2)
+        .orderBy("doc_id")
+    }),
   )
 
   private def bin(b: Int): String =
@@ -428,5 +468,38 @@ object MultimodalOps {
          FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= 5
          ORDER BY da, db""",
+
+    "q282_shot_boundaries" ->
+      s"""WITH f0 AS (SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+                             substr(text, CAST(fi * 64 + 1 AS INTEGER), 64)
+                               AS frame
+                      FROM documents CROSS JOIN range(0, 10) t(fi)
+                      WHERE fi <= floor((n_chars - 1) / 64.0)),
+              f AS (SELECT doc_id, frame_idx,
+                           list_transform(range(1, 65),
+                             k -> unicode(substr(frame,
+                               CAST(k AS INTEGER), 1))) AS pxs
+                    FROM f0 WHERE length(frame) = 64),
+              sig AS (SELECT doc_id, frame_idx, $duckDhashBits AS dh
+                      FROM f),
+              l AS (SELECT doc_id, frame_idx, dh,
+                           lag(dh) OVER (PARTITION BY doc_id
+                                         ORDER BY frame_idx) AS pdh
+                    FROM sig),
+              h AS (SELECT doc_id,
+                           CASE WHEN pdh IS NOT NULL
+                                THEN bit_count(xor(dh, pdh)) END AS hm
+                    FROM l)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+                CAST(sum(CASE WHEN hm IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_transitions,
+                CAST(sum(CASE WHEN hm <= 20 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_calm,
+                CAST(sum(CASE WHEN hm > 20 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_cuts,
+                CAST(min(hm) AS INTEGER) AS min_hamming,
+                CAST(max(hm) AS INTEGER) AS max_hamming
+         FROM h GROUP BY doc_id HAVING count(*) >= 2
+         ORDER BY doc_id""",
   )
 }

@@ -1627,6 +1627,48 @@ object Relational {
         .crossJoin(broadcast(mom))
         .withColumn("gap_cents", abs(col("mean_cents") - col("mom_cents")))
     }),
+
+    // CLUSTER BY surface — the write-side layout clause every ETL job
+    // uses before a partitioned write (DISTRIBUTE BY key + SORT BY key:
+    // co-locate each key's rows in one task, sorted, WITHOUT a global
+    // sort). Plans as RepartitionByExpression + a partition-local Sort
+    // — pinned in PlanSpec, since the whole point is what it does NOT
+    // do (no range exchange, no global order). The outer ORDER BY
+    // exists only to make the verification output deterministic; a
+    // production writer stops at the clustered shape and writes.
+    "q283_cluster_by" -> ((s, d) => {
+      graft.Tables.view(s, d, "lineitem")
+      s.sql("""SELECT * FROM (
+                 SELECT l_returnflag, l_orderkey, l_linenumber,
+                        l_quantity
+                 FROM lineitem WHERE l_orderkey < 200
+                 CLUSTER BY l_returnflag)
+               ORDER BY l_returnflag, l_orderkey, l_linenumber""")
+    }),
+
+    // try_* error-safe arithmetic — under Spark 4's default ANSI mode a
+    // single dirty row (division by zero, BIGINT overflow, a bad cast)
+    // kills the whole 100 TB job; try_divide / try_add / try_cast are
+    // the per-row NULL-absorbing forms that keep ingest running and
+    // make the failure COUNTABLE. This audit counts each failure class
+    // per group: div-by-zero where quantity = 25, guaranteed BIGINT
+    // overflow (MAX + qty), and an unparseable cast — the dirty-row
+    // dashboard next to q169's constraint suite. One scan, one rollup.
+    "q284_try_arithmetic" -> ((s, d) => {
+      graft.Tables.view(s, d, "lineitem")
+      s.sql("""SELECT l_returnflag, count(*) AS n,
+                      sum(CASE WHEN try_divide(l_extendedprice,
+                            l_quantity - 25) IS NULL
+                          THEN 1L ELSE 0L END) AS n_div0,
+                      sum(CASE WHEN try_add(9223372036854775807L,
+                            CAST(l_quantity AS BIGINT)) IS NULL
+                          THEN 1L ELSE 0L END) AS n_overflow,
+                      sum(CASE WHEN try_cast(concat('x', l_returnflag)
+                            AS INT) IS NULL
+                          THEN 1L ELSE 0L END) AS n_badcast
+               FROM lineitem GROUP BY l_returnflag
+               ORDER BY l_returnflag""")
+    }),
   )
 
   /** q201's query text, shared verbatim with the DuckDB oracle. */
@@ -2253,9 +2295,22 @@ object Relational {
                                 // (2 * count(*)) AS BIGINT) AS mean_cents
                     FROM sh)
          SELECT CAST(n_rows AS BIGINT) AS n_rows, mean_cents,
-                CAST(mom_cents AS BIGINT) AS mom_cents,
-                CAST(abs(mean_cents - mom_cents) AS BIGINT) AS gap_cents
+                CAST(abs(mean_cents - mom_cents) AS BIGINT) AS gap_cents,
+                CAST(mom_cents AS BIGINT) AS mom_cents
          FROM g, mom""",
+    "q283_cluster_by" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity
+         FROM lineitem WHERE l_orderkey < 200
+         ORDER BY l_returnflag, l_orderkey, l_linenumber""",
+    "q284_try_arithmetic" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_div0,
+                CAST(count(*) AS BIGINT) AS n_overflow,
+                CAST(sum(CASE WHEN TRY_CAST('x' || l_returnflag AS INTEGER)
+                              IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_badcast
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q134_triangle_count" ->
       s"""WITH $duckCoSupplyUnd,
               gdeg AS (SELECT u, count(*) AS gd FROM und GROUP BY 1),

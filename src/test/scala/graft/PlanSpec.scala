@@ -1511,4 +1511,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 1)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q282: shot detection is map-side hashing + one video-keyed lag " +
+    "window — no joins") {
+    val p = plan("q282_shot_boundaries")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+  }
+
+  test("q283: CLUSTER BY plans as a hash exchange; its partition-local " +
+    "sort is ELIMINATED under the outer determinism ORDER BY " +
+    "(EliminateSorts) — one sort total, never two") {
+    val p = plan("q283_cluster_by")
+    assert(p.contains("hashpartitioning"),
+      "DISTRIBUTE BY must be a hash exchange")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Sort""")) == 1,
+      "the subsumed local sort must not be paid twice")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+  }
+
+  test("q284: the three try_* failure counters ride ONE scan and one " +
+    "partial+final rollup") {
+    val p = plan("q284_try_arithmetic")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
 }
