@@ -1867,7 +1867,47 @@ object TextOps {
             " DIV (2 * (n1 + n2 - inter)) AS jacc_bp")
         .orderBy("s1", "s2")
     }),
+
+    // LSH banding PLANNER — the S-curve 1 − (1 − s^r)^b that justifies
+    // every (bands × rows) choice in the minhash stack (q46's 8×8, the
+    // r4 4-bit-banding rejection, q229's threshold sweep measures the
+    // same trade empirically): collision probability per similarity
+    // level for every 64-hash split, computed in EXACT integer micro
+    // units — powers by repeated squaring with one half-up
+    // requantization per squaring (b and r are powers of two, so s^r
+    // and (1−s^r)^b are log₂-deep chains; both engines evaluate the
+    // IDENTICAL generated arithmetic, q232's quantized-chain contract,
+    // so the curve is bit-replayable and within ~log₂(64) micro of the
+    // true rational). Pure planning math over a 7×4 literal grid —
+    // zero corpus IO; ships as a query because the planner must be
+    // ENGINE-CHECKED before its constants are trusted in q46/q67/q68.
+    "q285_lsh_planner" -> ((s, d) =>
+      s.sql(lshCurveSql("DIV"))),
   )
+
+  /** q285's S-curve, generated once and parameterized only by the
+    * integer-division token ("DIV" for Spark, "//" for DuckDB) so both
+    * engines run the identical quantized repeated-squaring chain. */
+  private[queries] def lshCurveSql(div: String): String = {
+    def sq(e: String) = s"((2 * ($e) * ($e) + 1000000) $div 2000000)"
+    def pw(base: String, exp: Int): String = {
+      var e = base; var k = exp
+      while (k > 1) { e = sq(e); k /= 2 }
+      e
+    }
+    val grid = Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32),
+      (1, 64))
+    val rows = grid.map { case (b, r) =>
+      val sr = pw("s_milli * 1000", r)
+      val qb = pw(s"1000000 - ($sr)", b)
+      s"SELECT $b AS b, $r AS r, s_milli, " +
+        s"CAST(1000000 - ($qb) AS BIGINT) AS collide_micro " +
+        "FROM (VALUES (300), (500), (700), (900)) AS sv(s_milli)"
+    }.mkString(" UNION ALL ")
+    s"""SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
+               CAST(s_milli AS BIGINT) AS s_milli, collide_micro
+        FROM ($rows) ORDER BY r, s_milli"""
+  }
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:
     * explode tokens → codegen'd hash → one groupBy with 32 ±1-vote sums
@@ -3201,5 +3241,7 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
          FROM sh JOIN sz za ON sh.s1 = za.source
                  JOIN sz zb ON sh.s2 = zb.source
          ORDER BY s1, s2""",
+
+    "q285_lsh_planner" -> lshCurveSql("//"),
   )
 }
