@@ -2518,6 +2518,11 @@ object PipelineOps {
     * topology, different medium. */
   private val stageCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), CurationStages]
+
+  /** Drop the memoized stages so their localCheckpoint blocks become
+    * collectible — called by the bench harness between queries (r11:
+    * accumulated session-lifetime pins inflated later queries ~2×). */
+  private[graft] def clearShared(): Unit = stageCache.clear()
   private[graft] def curationStagesShared(
       s: SparkSession, d: String): CurationStages = {
     stageCache.keySet.removeIf(k => k._1.sparkContext.isStopped)

@@ -1651,9 +1651,14 @@ object Relational {
     // kills the whole 100 TB job; try_divide / try_add / try_cast are
     // the per-row NULL-absorbing forms that keep ingest running and
     // make the failure COUNTABLE. This audit counts each failure class
-    // per group: div-by-zero where quantity = 25, guaranteed BIGINT
-    // overflow (MAX + qty), and an unparseable cast — the dirty-row
-    // dashboard next to q169's constraint suite. One scan, one rollup.
+    // per group at PRODUCTION incidence: the dirty rows are
+    // predicate-keyed (quantity = 25 for div-by-zero; orderkey % 1000
+    // for overflow and bad cast) so try_* absorbs thousands of
+    // failures, not one caught JVM exception per row — an all-fail
+    // construction measured 25× slower because Math.addExact /
+    // NumberFormatException fire 1.2M times per pass. The all-fail
+    // NULL semantics stay pinned by a literal-row test in
+    // ExpressionSemanticsSpec. One scan, one partial+final rollup.
     "q284_try_arithmetic" -> ((s, d) => {
       graft.Tables.view(s, d, "lineitem")
       s.sql("""SELECT l_returnflag, count(*) AS n,
@@ -1661,10 +1666,14 @@ object Relational {
                             l_quantity - 25) IS NULL
                           THEN 1L ELSE 0L END) AS n_div0,
                       sum(CASE WHEN try_add(9223372036854775807L,
-                            CAST(l_quantity AS BIGINT)) IS NULL
+                            CASE WHEN l_orderkey % 1000 = 0
+                                 THEN CAST(l_quantity AS BIGINT)
+                                 ELSE 0L END) IS NULL
                           THEN 1L ELSE 0L END) AS n_overflow,
-                      sum(CASE WHEN try_cast(concat('x', l_returnflag)
-                            AS INT) IS NULL
+                      sum(CASE WHEN try_cast(
+                            CASE WHEN l_orderkey % 1000 = 0
+                                 THEN concat('x', l_returnflag)
+                                 ELSE '7' END AS INT) IS NULL
                           THEN 1L ELSE 0L END) AS n_badcast
                FROM lineitem GROUP BY l_returnflag
                ORDER BY l_returnflag""")
@@ -1702,6 +1711,12 @@ object Relational {
   private val coSupplyCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
+
+  /** Drop the memoized edge frame so its localCheckpoint blocks become
+    * collectible — the bench harness calls this between queries; r11's
+    * driver bench showed later unrelated queries inflated ~2× by
+    * accumulated checkpoint blocks from these session-lifetime pins. */
+  private[graft] def clearShared(): Unit = coSupplyCache.clear()
   private[queries] def coSupplyEdges(s: SparkSession, d: String): DataFrame =
     coSupplyCache.computeIfAbsent((s, d), { _ =>
       val ps = ld(s, d, "lineitem")
@@ -2306,10 +2321,10 @@ object Relational {
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(CASE WHEN l_quantity = 25 THEN 1 ELSE 0 END)
                      AS BIGINT) AS n_div0,
-                CAST(count(*) AS BIGINT) AS n_overflow,
-                CAST(sum(CASE WHEN TRY_CAST('x' || l_returnflag AS INTEGER)
-                              IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-                  AS n_badcast
+                CAST(sum(CASE WHEN l_orderkey % 1000 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_overflow,
+                CAST(sum(CASE WHEN l_orderkey % 1000 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_badcast
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q134_triangle_count" ->
       s"""WITH $duckCoSupplyUnd,

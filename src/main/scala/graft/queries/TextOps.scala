@@ -1882,13 +1882,21 @@ object TextOps {
     // zero corpus IO; ships as a query because the planner must be
     // ENGINE-CHECKED before its constants are trusted in q46/q67/q68.
     "q285_lsh_planner" -> ((s, d) =>
-      s.sql(lshCurveSql("DIV"))),
+      // coalesce(1) + sortWithinPartitions instead of SQL ORDER BY: a
+      // global sort over the 28-row literal grid would insert a range
+      // Exchange; SinglePartition satisfies the sort's distribution, so
+      // the whole planner stays exchange-free driver-trivial math
+      // (PlanSpec pins this).
+      s.sql(lshCurveSql("DIV", order = false))
+        .coalesce(1).sortWithinPartitions("r", "s_milli")),
   )
 
   /** q285's S-curve, generated once and parameterized only by the
     * integer-division token ("DIV" for Spark, "//" for DuckDB) so both
-    * engines run the identical quantized repeated-squaring chain. */
-  private[queries] def lshCurveSql(div: String): String = {
+    * engines run the identical quantized repeated-squaring chain; the
+    * Spark caller orders via the DataFrame API (see q285 above), the
+    * DuckDB oracle keeps the SQL-level ORDER BY. */
+  private[queries] def lshCurveSql(div: String, order: Boolean = true): String = {
     def sq(e: String) = s"((2 * ($e) * ($e) + 1000000) $div 2000000)"
     def pw(base: String, exp: Int): String = {
       var e = base; var k = exp
@@ -1898,15 +1906,16 @@ object TextOps {
     val grid = Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32),
       (1, 64))
     val rows = grid.map { case (b, r) =>
-      val sr = pw("s_milli * 1000", r)
+      val sr = pw("CAST(s_milli AS BIGINT) * 1000", r)
       val qb = pw(s"1000000 - ($sr)", b)
       s"SELECT $b AS b, $r AS r, s_milli, " +
         s"CAST(1000000 - ($qb) AS BIGINT) AS collide_micro " +
         "FROM (VALUES (300), (500), (700), (900)) AS sv(s_milli)"
     }.mkString(" UNION ALL ")
+    val tail = if (order) " ORDER BY r, s_milli" else ""
     s"""SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r,
                CAST(s_milli AS BIGINT) AS s_milli, collide_micro
-        FROM ($rows) ORDER BY r, s_milli"""
+        FROM ($rows)$tail"""
   }
 
   /** doc_id + 32-bit frequency-weighted SimHash, built relationally:

@@ -31,6 +31,21 @@ class ExpressionSemanticsSpec extends AnyFunSuite with SparkFixture {
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
   }
 
+  test("try_* all-fail NULL semantics: div-by-zero, BIGINT overflow, and " +
+    "unparseable cast each yield NULL, never throw (ANSI-safe forms " +
+    "q284 counts at production incidence)") {
+    // One literal row where every branch fails — proves the NULL-absorb
+    // contract the reworked q284 relies on without paying an exception
+    // per corpus row (r11: the all-fail construction was 25× slower).
+    val r = spark.sql(
+      """SELECT try_divide(1.0, 0.0) AS d,
+                try_add(9223372036854775807L, 1L) AS o,
+                try_cast('xA' AS INT) AS c,
+                try_multiply(9223372036854775807L, 2L) AS m,
+                try_subtract(-9223372036854775808L, 1L) AS s""").head()
+    assert((0 to 4).forall(r.isNullAt), r.toString)
+  }
+
   test("null predicate drops the row (reference injects a null row — " +
     "selection.rs:46,93; we follow standard SQL)") {
     import spark.implicits._

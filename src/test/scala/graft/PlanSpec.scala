@@ -1540,4 +1540,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
+
+  test("q285: the LSH banding planner is pure driver-trivial literal " +
+    "math — no Exchange, no parquet scan, ever") {
+    val p = plan("q285_lsh_planner")
+    assert(!p.contains("Exchange"), "planner math must not shuffle")
+    assert(!p.contains("Scan parquet"), "planner math must not scan a table")
+  }
 }
