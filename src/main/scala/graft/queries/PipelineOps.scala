@@ -2490,6 +2490,86 @@ object PipelineOps {
           "n_from_b", "merged_cents")
     }),
 
+    // SHUFFLE-PARTITION COALESCING PLANNER — AQE's
+    // coalescePartitions logic expressed in data: given per-partition
+    // byte sizes (here 64 md5-derived shuffle buckets of the document
+    // corpus, sized by n_chars), assign consecutive partitions to
+    // groups of ~target bytes via exclusive-prefix-cumsum DIV target —
+    // the relational twin of the sequential greedy walk, with the SAME
+    // guarantee (each group ≤ target + its largest member, proven per
+    // group in the bound_ok column). This is the calculation a runtime
+    // re-planner does from map-output statistics before deciding
+    // post-shuffle parallelism; shipping it as a query makes the
+    // coalescing decision auditable. The cumsum window runs over the
+    // 64-row partition-stats frame ONLY (map statuses, not data) — at
+    // 100 TB that frame is #shuffle-partitions rows regardless of
+    // corpus size; the corpus itself is touched by one map-side
+    // combined groupBy.
+    "q292_coalesce_planner" -> ((s, d) => {
+      val target = 20000L
+      val parts = ld(s, d, "documents")
+        .select((conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long") % 64).as("part"),
+          col("n_chars"))
+        .groupBy("part").agg(sum("n_chars").as("bytes"))
+      val wc = Window.orderBy("part")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      parts
+        .withColumn("prefix", coalesce(sum("bytes").over(wc), lit(0L)))
+        .withColumn("grp", expr(s"prefix DIV ${target}L"))
+        .groupBy("grp").agg(
+          count(lit(1)).as("n_parts"),
+          sum("bytes").as("grp_bytes"),
+          max("bytes").as("max_part"))
+        .select(col("grp"), col("n_parts"), col("grp_bytes"),
+          col("max_part"),
+          (col("grp_bytes") <= lit(target) + col("max_part"))
+            .as("bound_ok"))
+        .orderBy("grp")
+    }),
+
+    // STRIDE-INTERLEAVED EPOCH SCHEDULE — deterministic data ordering
+    // for mixture training WITHOUT an RNG shuffle: each source's r-th
+    // document (rank by doc_id within source) gets the midpoint-stride
+    // position (2r−1)·N DIV (2·n_s), the low-discrepancy interleave
+    // that spaces every source evenly through the epoch (the loader-
+    // side producer whose OUTPUT q256 audits consumer-side). The
+    // schedule itself is just ORDER BY (pos, source, doc_id) — no
+    // global row_number materialized; the audit is per-source gap
+    // statistics from a SOURCE-partitioned lag window (max/min gap vs
+    // the ideal N DIV n_s), so no corpus-sized window ever runs
+    // unpartitioned (the q291 discipline). At 100 TB: one rank window
+    // per source partition, one tiny totals broadcast.
+    "q294_interleave_schedule" -> ((s, d) => {
+      val docs = ld(s, d, "documents").select(col("doc_id"), col("source"))
+      val n = docs.agg(count(lit(1)).as("n_total"))
+      val ws = Window.partitionBy("source").orderBy("doc_id")
+      val pos = docs
+        .withColumn("r", row_number().over(ws))
+        .join(broadcast(
+          docs.groupBy("source").agg(count(lit(1)).as("n_s"))), "source")
+        .crossJoin(broadcast(n))
+        .select(col("source"), col("doc_id"),
+          expr("(2 * CAST(r AS BIGINT) - 1) * n_total DIV (2 * n_s)")
+            .as("pos"),
+          col("n_s"), col("n_total"))
+      val wg = Window.partitionBy("source").orderBy("pos", "doc_id")
+      pos
+        .withColumn("gap", col("pos") - lag("pos", 1).over(wg))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          min("pos").as("first_pos"),
+          max("pos").as("last_pos"),
+          min("gap").as("min_gap"),
+          max("gap").as("max_gap"),
+          max(expr("n_total DIV n_s")).as("ideal_gap"))
+        .select(col("source"), col("n_docs"), col("first_pos"),
+          col("last_pos"), col("min_gap"), col("max_gap"),
+          col("ideal_gap"),
+          (col("max_gap") - col("min_gap") <= lit(2L)).as("even_ok"))
+        .orderBy("source")
+    }),
+
     // SCALABLE DENSE ID ASSIGNMENT — contiguous 1..N ids following a
     // global sort order (n_chars DESC, doc_id), WITHOUT the classic
     // scale-killer: row_number() over an unpartitioned window collapses
@@ -2808,6 +2888,46 @@ object PipelineOps {
       .filter(col("tier").isNotNull)
 
   val oracle: Map[String, String] = Map(
+    "q292_coalesce_planner" ->
+      """WITH parts AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                 1, 8))::BIGINT % 64 AS part,
+                               sum(n_chars) AS bytes
+                        FROM documents GROUP BY 1),
+              pre AS (SELECT part, bytes,
+                             coalesce(sum(bytes) OVER (ORDER BY part
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS prefix
+                      FROM parts),
+              g AS (SELECT CAST(prefix // 20000 AS BIGINT) AS grp, bytes
+                    FROM pre)
+         SELECT grp, CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(sum(bytes) AS BIGINT) AS grp_bytes,
+                CAST(max(bytes) AS BIGINT) AS max_part,
+                (sum(bytes) <= 20000 + max(bytes)) AS bound_ok
+         FROM g GROUP BY grp ORDER BY grp""",
+
+    "q294_interleave_schedule" ->
+      """WITH n AS (SELECT count(*) AS n_total FROM documents),
+              ns AS (SELECT source, count(*) AS n_s
+                     FROM documents GROUP BY 1),
+              pos AS (SELECT d.source, d.doc_id, ns.n_s, n.n_total,
+                             (2 * row_number() OVER (PARTITION BY d.source
+                                ORDER BY d.doc_id) - 1) * n.n_total
+                               // (2 * ns.n_s) AS pos
+                      FROM documents d JOIN ns ON d.source = ns.source, n),
+              gaps AS (SELECT source, doc_id, n_s, n_total, pos,
+                              pos - lag(pos) OVER (PARTITION BY source
+                                ORDER BY pos, doc_id) AS gap
+                       FROM pos)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(min(pos) AS BIGINT) AS first_pos,
+                CAST(max(pos) AS BIGINT) AS last_pos,
+                CAST(min(gap) AS BIGINT) AS min_gap,
+                CAST(max(gap) AS BIGINT) AS max_gap,
+                CAST(max(n_total // n_s) AS BIGINT) AS ideal_gap,
+                (max(gap) - min(gap) <= 2) AS even_ok
+         FROM gaps GROUP BY source ORDER BY source""",
+
     "q291_dense_ids" ->
       """SELECT doc_id, n_chars,
                 row_number() OVER (ORDER BY n_chars DESC, doc_id)

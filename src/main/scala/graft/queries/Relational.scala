@@ -1678,6 +1678,92 @@ object Relational {
                FROM lineitem GROUP BY l_returnflag
                ORDER BY l_returnflag""")
     }),
+
+    // ITEM-ITEM COLLABORATIVE FILTERING — the recommender rung beside
+    // q174's frequent itemsets: cosine similarity between parts from
+    // order-basket co-occurrence (cos = c_ij/√(n_i·n_j), carried as
+    // the cross-multiplied cos² in half-up bp — no sqrt, the q128
+    // trick), top-3 neighbors per item via an item-partitioned rank
+    // window. The pair build is the orderkey-keyed basket self-join —
+    // per-basket fanout is |basket|² with |basket| ≤ 7 here, the bound
+    // that keeps item-item CF linear in orders at any scale (Amazon's
+    // classic argument); support c ≥ 2 prunes noise pairs before the
+    // similarity math. All joins keyed + shuffle_hash (item-count and
+    // pair frames are catalog-proportional, not broadcastable at 100
+    // TB); ties broken by neighbor id so the ranking is bit-stable.
+    "q293_item_cf" -> ((s, d) => {
+      val b = ld(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+        .distinct()
+        .localCheckpoint() // both self-join sides + the item counts
+      val ni = b.groupBy("i").agg(count(lit(1)).as("n"))
+      val co = b.as("a").join(b.as("b").hint("shuffle_hash"),
+          col("a.o") === col("b.o") && col("a.i") < col("b.i"))
+        .groupBy(col("a.i").as("i1"), col("b.i").as("i2"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+      val sym = co.select(col("i1").as("i"), col("i2").as("j"), col("c"))
+        .unionByName(
+          co.select(col("i2").as("i"), col("i1").as("j"), col("c")))
+        .join(ni.select(col("i"), col("n").as("n_i"))
+          .hint("shuffle_hash"), "i")
+        .join(ni.select(col("i").as("j"), col("n").as("n_j"))
+          .hint("shuffle_hash"), "j")
+        .select(col("i"), col("j"), col("c"),
+          expr("(2 * c * c * 10000 + n_i * n_j) DIV (2 * n_i * n_j)")
+            .as("cos2_bp"))
+      val wr = Window.partitionBy("i")
+        .orderBy(col("cos2_bp").desc, col("j"))
+      sym.withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= 3)
+        .select(col("i"), col("rn").cast("long").as("rn"), col("j"),
+          col("c"), col("cos2_bp"))
+        .orderBy("i", "rn")
+    }),
+
+    // THEIL–SEN ROBUST TREND — the median-of-pairwise-slopes estimator
+    // beside q165's OLS: breakdown point 29 % where one corrupted week
+    // drags the least-squares slope arbitrarily. The series is the
+    // weekly revenue per order priority (time-aggregated FIRST, so the
+    // pair space is weeks² — it grows with the calendar, never with
+    // corpus size: the scale bound that makes exact Theil–Sen feasible
+    // at 100 TB). Slopes in exact integer micro units via the portable
+    // signed floor-division identity (dy − pmod(dy,dx)) DIV dx (the
+    // q289 contract — truncating DIV and flooring // agree once the
+    // numerator is shifted to an exact multiple); the median is the
+    // lower median rank-selected inside a grp-partitioned window, ties
+    // ordered by (slope, w1, w2) so selection is bit-stable. ~59k
+    // pairs per group from 345 weeks; the only corpus-sized work is
+    // the one map-side combined weekly rollup.
+    "q295_theil_sen" -> ((s, d) => {
+      val wk = ld(s, d, "orders").select(
+          col("o_orderpriority").as("grp"),
+          expr("CAST(datediff(o_orderdate, DATE'1992-01-01') AS BIGINT)" +
+            " DIV 7").as("w"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .groupBy("grp", "w").agg(sum("cents").as("y"))
+        .localCheckpoint() // both sides of the pair self-join
+      val pairs = wk.as("a").join(wk.as("b").hint("shuffle_hash"),
+          col("a.grp") === col("b.grp") && col("a.w") < col("b.w"))
+        .select(col("a.grp").as("grp"), col("a.w").as("w1"),
+          col("b.w").as("w2"),
+          ((col("b.y") - col("a.y")) * lit(1000000L)).as("dy"),
+          (col("b.w") - col("a.w")).as("dx"))
+        .select(col("grp"), col("w1"), col("w2"),
+          expr("CAST((dy - (((dy % dx) + dx) % dx)) DIV dx AS BIGINT)")
+            .as("slope"))
+      val wr = Window.partitionBy("grp").orderBy("slope", "w1", "w2")
+      val cnt = pairs.groupBy("grp").agg(count(lit(1)).as("m"))
+      pairs.withColumn("rn", row_number().over(wr))
+        .join(broadcast(cnt), "grp")
+        .filter(col("rn") === expr("(m + 1) DIV 2"))
+        .select(col("grp"), col("m").as("n_pairs"),
+          col("slope").as("med_slope_micro"),
+          when(col("slope") > 0, "up").when(col("slope") < 0, "down")
+            .otherwise("flat").as("trend"))
+        .orderBy("grp")
+    }),
   )
 
   /** q201's query text, shared verbatim with the DuckDB oracle. */
@@ -1813,6 +1899,55 @@ object Relational {
                       UNION ALL SELECT s2, s1 FROM lifted)"""
 
   val oracle: Map[String, String] = Map(
+    "q293_item_cf" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+                    FROM lineitem),
+              ni AS (SELECT i, count(*) AS n FROM b GROUP BY 1),
+              co AS (SELECT a.i AS i1, b.i AS i2, count(*) AS c
+                     FROM b a JOIN b b ON a.o = b.o AND a.i < b.i
+                     GROUP BY 1, 2 HAVING count(*) >= 2),
+              sym AS (SELECT i1 AS i, i2 AS j, c FROM co
+                      UNION ALL SELECT i2, i1, c FROM co),
+              sc AS (SELECT sym.i, sym.j, sym.c,
+                            CAST((2 * sym.c * sym.c * 10000 + ni.n * nj.n)
+                                 // (2 * ni.n * nj.n) AS BIGINT)
+                              AS cos2_bp
+                     FROM sym JOIN ni ON sym.i = ni.i
+                              JOIN ni nj ON sym.j = nj.i),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY i
+                       ORDER BY cos2_bp DESC, j) AS rn
+                     FROM sc)
+         SELECT i, CAST(rn AS BIGINT) AS rn, j, CAST(c AS BIGINT) AS c,
+                cos2_bp
+         FROM rk WHERE rn <= 3 ORDER BY i, rn""",
+
+    "q295_theil_sen" ->
+      """WITH wk AS (SELECT o_orderpriority AS grp,
+                            (CAST(o_orderdate AS DATE)
+                              - DATE '1992-01-01') // 7 AS w,
+                            sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                                     * 100 AS BIGINT)) AS y
+                     FROM orders GROUP BY 1, 2),
+              pr AS (SELECT a.grp, a.w AS w1, b.w AS w2,
+                            (b.y - a.y) * 1000000 AS dy,
+                            b.w - a.w AS dx
+                     FROM wk a JOIN wk b
+                       ON a.grp = b.grp AND a.w < b.w),
+              sl AS (SELECT grp, w1, w2,
+                            CAST((dy - (((dy % dx) + dx) % dx)) // dx
+                                 AS BIGINT) AS slope
+                     FROM pr),
+              rk AS (SELECT grp, slope, w1, w2,
+                            row_number() OVER (PARTITION BY grp
+                              ORDER BY slope, w1, w2) AS rn,
+                            count(*) OVER (PARTITION BY grp) AS m
+                     FROM sl)
+         SELECT grp, CAST(m AS BIGINT) AS n_pairs,
+                slope AS med_slope_micro,
+                CASE WHEN slope > 0 THEN 'up' WHEN slope < 0 THEN 'down'
+                     ELSE 'flat' END AS trend
+         FROM rk WHERE rn = (m + 1) // 2 ORDER BY grp""",
+
     "q01_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q02_filter" ->

@@ -1601,6 +1601,48 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q292: the coalescing plan's cumsum window runs over the " +
+    "64-row partition-stats frame — the corpus is touched by one " +
+    "partial+final rollup, no joins") {
+    val p = plan("q292_coalesce_planner")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the per-partition byte rollup must partial-aggregate map-side")
+  }
+
+  test("q294: interleave positions and gap audit ride source-" +
+    "partitioned windows only — no unpartitioned corpus window; " +
+    "totals broadcast") {
+    val p = plan("q294_interleave_schedule")
+    assert(p.contains("hashpartitioning(source"),
+      "rank + gap windows must partition on source")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source counts and the 1-row total must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q293: item-item CF — basket self-join keyed on the order, " +
+    "counts joined shuffle-hash, top-3 via an item-partitioned rank " +
+    "window; nothing broadcasts the catalog") {
+    val p = plan("q293_item_cf")
+    assert(p.contains("ShuffledHashJoin"))
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      "the basket frame must be pinned — both join sides + counts read it")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q295: Theil-Sen — weekly rollup pinned, pair join keyed on grp, " +
+    "median selected inside a grp-partitioned window") {
+    val p = plan("q295_theil_sen")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      "the weekly series must be pinned — both pair sides read it")
+    assert(p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
