@@ -2570,6 +2570,92 @@ object PipelineOps {
         .orderBy("source")
     }),
 
+    // PRIORITY SAMPLING (Duffield–Lund–Thorup) — the weighted
+    // subset-sum sampler a 100 TB pipeline uses to estimate any
+    // weighted total from k rows: priority qᵢ = wᵢ/uᵢ with uᵢ a
+    // deterministic md5 uniform (zero RNG state, the q135/q211
+    // discipline), keep the top-k priorities, threshold τ = the
+    // (k+1)-th, estimate ŵᵢ = max(wᵢ, τ) — unbiased for every
+    // subset-sum simultaneously, the optimal-variance scheme of its
+    // class. Selection is TakeOrderedAndProject(k+1) — never a
+    // corpus-wide rank window (the q291 discipline: the only
+    // row_number runs over the 51-row kept frame). The audit reports
+    // the exact total beside the estimate with the signed error in
+    // bp — here a single deterministic draw at k=50/500 lands ~21 %
+    // off, the honest 1.5σ-for-k=50 number the CI math predicts.
+    "q296_priority_sampling" -> ((s, d) => {
+      val p = ld(s, d, "documents").select(col("doc_id"),
+          col("n_chars").as("wt"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 1000000L + 1L).as("u"))
+        .select(col("doc_id"), col("wt"),
+          expr("wt * 1000000 DIV u").as("pri"))
+      val tot = p.agg(count(lit(1)).as("n_total"),
+        sum("wt").as("exact_total"))
+      val kept = p.orderBy(col("pri").desc, col("doc_id")).limit(51)
+        .localCheckpoint() // 51 rows: threshold row + the k-sample
+      val wr = Window.orderBy(col("pri").desc, col("doc_id"))
+      val ranked = kept.withColumn("rn", row_number().over(wr))
+      val tau = ranked.filter(col("rn") === 51)
+        .select(col("pri").as("tau"))
+      ranked.filter(col("rn") <= 50)
+        .crossJoin(broadcast(tau))
+        .select(greatest(col("wt"), col("tau")).as("west"))
+        .agg(count(lit(1)).as("k"), sum("west").as("est_total"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("n_total"), col("exact_total"),
+          col("est_total"),
+          expr("CAST(((est_total - exact_total) * 10000" +
+            " - ((((((est_total - exact_total) * 10000) % exact_total)" +
+            " + exact_total) % exact_total))) DIV exact_total AS BIGINT)")
+            .as("err_bp"))
+    }),
+
+    // COLUMN-RENAME DETECTION by content fingerprint — the schema-
+    // drift mapper for feeds that rename columns between snapshot
+    // versions (the failure mode q140's mergeSchema read can't see:
+    // same data, new names = two half-empty columns). Each column's
+    // identity is its CONTENT fingerprint: (row count, exact distinct
+    // count, order-invariant bit_xor of 60-bit md5 value hashes — the
+    // q173 commutative-checksum trick applied per column). Fingerprints
+    // of the v1 schema join fingerprints of the renamed v2 feed on the
+    // full triple; name inequality is the detected rename. Both
+    // versions unpivot via ONE stack() pass each (the q166 profiler
+    // shape — one scan at any width); the fingerprint frames are
+    // |columns| rows, broadcast-trivial, so rename detection costs two
+    // scans at 100 TB regardless of column count.
+    "q298_rename_detect" -> ((s, d) => {
+      val o = ld(s, d, "orders")
+      def fp(df: DataFrame, stackExpr: String): DataFrame = df
+        .selectExpr(s"stack(4, $stackExpr) AS (cname, v)")
+        .groupBy("cname").agg(
+          count(lit(1)).as("n"),
+          countDistinct("v").as("ndv"),
+          expr("bit_xor(CAST(conv(substring(md5(v), 1, 15), 16, 10)" +
+            " AS BIGINT))").as("xf"))
+      val v1 = fp(o,
+        """'o_orderkey', CAST(o_orderkey AS STRING),
+           'o_custkey', CAST(o_custkey AS STRING),
+           'o_orderdate', CAST(CAST(o_orderdate AS DATE) AS STRING),
+           'o_orderpriority', o_orderpriority""")
+      // the "new snapshot": same content arriving under renamed columns
+      val v2 = fp(o.select(col("o_orderkey").as("order_id"),
+          col("o_custkey").as("customer_id"),
+          col("o_orderdate").as("order_date"),
+          col("o_orderpriority").as("priority")),
+        """'order_id', CAST(order_id AS STRING),
+           'customer_id', CAST(customer_id AS STRING),
+           'order_date', CAST(CAST(order_date AS DATE) AS STRING),
+           'priority', priority""")
+      v1.select(col("cname").as("old_name"), col("n"), col("ndv"),
+          col("xf"))
+        .join(v2.select(col("cname").as("new_name"), col("n"), col("ndv"),
+          col("xf")), Seq("n", "ndv", "xf"))
+        .select(col("old_name"), col("new_name"), col("n"), col("ndv"),
+          col("xf"))
+        .orderBy("old_name")
+    }),
+
     // SCALABLE DENSE ID ASSIGNMENT — contiguous 1..N ids following a
     // global sort order (n_chars DESC, doc_id), WITHOUT the classic
     // scale-killer: row_number() over an unpartitioned window collapses
@@ -2888,6 +2974,67 @@ object PipelineOps {
       .filter(col("tier").isNotNull)
 
   val oracle: Map[String, String] = Map(
+    "q296_priority_sampling" ->
+      """WITH p AS (SELECT doc_id, n_chars AS wt,
+                           n_chars * 1000000
+                             // (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 1000000 + 1) AS pri
+                    FROM documents),
+              tot AS (SELECT count(*) AS n_total, sum(wt) AS exact_total
+                      FROM p),
+              rk AS (SELECT doc_id, wt, pri,
+                            row_number() OVER (ORDER BY pri DESC, doc_id)
+                              AS rn
+                     FROM p),
+              tau AS (SELECT pri AS tau FROM rk WHERE rn = 51),
+              est AS (SELECT count(*) AS k,
+                             sum(greatest(wt, tau)) AS est_total
+                      FROM rk, tau WHERE rn <= 50)
+         SELECT CAST(k AS BIGINT) AS k, CAST(n_total AS BIGINT) AS n_total,
+                CAST(exact_total AS BIGINT) AS exact_total,
+                CAST(est_total AS BIGINT) AS est_total,
+                CAST(((est_total - exact_total) * 10000
+                      - ((((((est_total - exact_total) * 10000)
+                            % exact_total) + exact_total) % exact_total)))
+                     // exact_total AS BIGINT) AS err_bp
+         FROM est, tot""",
+
+    "q298_rename_detect" ->
+      """WITH v1 AS (
+             SELECT 'o_orderkey' AS cname, CAST(o_orderkey AS VARCHAR) AS v
+             FROM orders
+             UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+             FROM orders
+             UNION ALL SELECT 'o_orderdate',
+                              CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+             FROM orders
+             UNION ALL SELECT 'o_orderpriority', o_orderpriority
+             FROM orders),
+           v2 AS (
+             SELECT 'order_id' AS cname, CAST(o_orderkey AS VARCHAR) AS v
+             FROM orders
+             UNION ALL SELECT 'customer_id', CAST(o_custkey AS VARCHAR)
+             FROM orders
+             UNION ALL SELECT 'order_date',
+                              CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+             FROM orders
+             UNION ALL SELECT 'priority', o_orderpriority FROM orders),
+           f1 AS (SELECT cname AS old_name, count(*) AS n,
+                         count(DISTINCT v) AS ndv,
+                         bit_xor(('0x' || substr(md5(v), 1, 15))::BIGINT)
+                           AS xf
+                  FROM v1 GROUP BY 1),
+           f2 AS (SELECT cname AS new_name, count(*) AS n,
+                         count(DISTINCT v) AS ndv,
+                         bit_xor(('0x' || substr(md5(v), 1, 15))::BIGINT)
+                           AS xf
+                  FROM v2 GROUP BY 1)
+         SELECT old_name, new_name, CAST(f1.n AS BIGINT) AS n,
+                CAST(f1.ndv AS BIGINT) AS ndv, f1.xf AS xf
+         FROM f1 JOIN f2 ON f1.n = f2.n AND f1.ndv = f2.ndv
+                        AND f1.xf = f2.xf
+         ORDER BY old_name""",
+
     "q292_coalesce_planner" ->
       """WITH parts AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
                                  1, 8))::BIGINT % 64 AS part,

@@ -1736,14 +1736,7 @@ object Relational {
     // pairs per group from 345 weeks; the only corpus-sized work is
     // the one map-side combined weekly rollup.
     "q295_theil_sen" -> ((s, d) => {
-      val wk = ld(s, d, "orders").select(
-          col("o_orderpriority").as("grp"),
-          expr("CAST(datediff(o_orderdate, DATE'1992-01-01') AS BIGINT)" +
-            " DIV 7").as("w"),
-          expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")
-            .as("cents"))
-        .groupBy("grp", "w").agg(sum("cents").as("y"))
-        .localCheckpoint() // both sides of the pair self-join
+      val wk = weeklyRevenue(s, d)
       val pairs = wk.as("a").join(wk.as("b").hint("shuffle_hash"),
           col("a.grp") === col("b.grp") && col("a.w") < col("b.w"))
         .select(col("a.grp").as("grp"), col("a.w").as("w1"),
@@ -1764,7 +1757,49 @@ object Relational {
             .otherwise("flat").as("trend"))
         .orderBy("grp")
     }),
+
+    // KENDALL TAU trend test — the rank-correlation verdict beside
+    // q234's Spearman and q295's Theil–Sen, over the same weekly
+    // revenue series: concordant/discordant pair counts against the
+    // (always-increasing) time axis, so τ_a = (C − D)/m is the signed
+    // share of weeks-pairs moving the "right" way — the
+    // distribution-free is-there-a-trend-at-all test that needs no
+    // residual assumptions and no floats. C/D/T are exact integer
+    // counts from the same calendar-bounded pair join as q295 (weeks²,
+    // never corpus²); τ in signed floor bp via the portable
+    // floor-division identity so both engines agree on negative
+    // values. Only the weekly rollup touches the corpus.
+    "q297_kendall_tau" -> ((s, d) => {
+      val wk = weeklyRevenue(s, d)
+      wk.as("a").join(wk.as("b").hint("shuffle_hash"),
+          col("a.grp") === col("b.grp") && col("a.w") < col("b.w"))
+        .select(col("a.grp").as("grp"),
+          when(col("b.y") > col("a.y"), 1L).otherwise(0L).as("cc"),
+          when(col("b.y") < col("a.y"), 1L).otherwise(0L).as("dd"),
+          when(col("b.y") === col("a.y"), 1L).otherwise(0L).as("tt"))
+        .groupBy("grp").agg(sum("cc").as("c"), sum("dd").as("d"),
+          sum("tt").as("t"))
+        .select(col("grp"), (col("c") + col("d") + col("t")).as("m"),
+          col("c"), col("d"), col("t"),
+          expr("CAST((((c - d) * 10000) - ((((((c - d) * 10000) % (c + d + t))" +
+            " + (c + d + t)) % (c + d + t)))) DIV (c + d + t) AS BIGINT)")
+            .as("tau_a_bp"))
+        .orderBy("grp")
+    }),
   )
+
+  /** Weekly revenue per order priority — the calendar-bounded series
+    * shared by q295 (Theil–Sen) and q297 (Kendall): one map-side
+    * combined rollup, pinned because both consumers self-join it. */
+  private def weeklyRevenue(s: SparkSession, d: String): DataFrame =
+    ld(s, d, "orders").select(
+        col("o_orderpriority").as("grp"),
+        expr("CAST(datediff(o_orderdate, DATE'1992-01-01') AS BIGINT)" +
+          " DIV 7").as("w"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .groupBy("grp", "w").agg(sum("cents").as("y"))
+      .localCheckpoint() // both sides of the pair self-join
 
   /** q201's query text, shared verbatim with the DuckDB oracle. */
   private[queries] def groupAllSql(t: String): String =
@@ -1920,6 +1955,28 @@ object Relational {
          SELECT i, CAST(rn AS BIGINT) AS rn, j, CAST(c AS BIGINT) AS c,
                 cos2_bp
          FROM rk WHERE rn <= 3 ORDER BY i, rn""",
+
+    "q297_kendall_tau" ->
+      """WITH wk AS (SELECT o_orderpriority AS grp,
+                            (CAST(o_orderdate AS DATE)
+                              - DATE '1992-01-01') // 7 AS w,
+                            sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                                     * 100 AS BIGINT)) AS y
+                     FROM orders GROUP BY 1, 2),
+              cd AS (SELECT a.grp,
+                            sum(CASE WHEN b.y > a.y THEN 1 ELSE 0 END) AS c,
+                            sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) AS d,
+                            sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS t
+                     FROM wk a JOIN wk b
+                       ON a.grp = b.grp AND a.w < b.w
+                     GROUP BY 1)
+         SELECT grp, CAST(c + d + t AS BIGINT) AS m,
+                CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+                CAST(t AS BIGINT) AS t,
+                CAST((((c - d) * 10000) - ((((((c - d) * 10000) % (c + d + t))
+                      + (c + d + t)) % (c + d + t)))) // (c + d + t)
+                     AS BIGINT) AS tau_a_bp
+         FROM cd ORDER BY grp""",
 
     "q295_theil_sen" ->
       """WITH wk AS (SELECT o_orderpriority AS grp,

@@ -2084,6 +2084,52 @@ object TextOps {
         .orderBy(col("exact").desc, col("gh")).limit(10)
     }),
 
+    // BITMAP-INDEX SET OPERATIONS — per-source vocabulary membership
+    // packed into 64-bit words (gram hash → slot of a 65,536-bit
+    // bitmap → bit_or per word): source-pair intersection/union become
+    // popcounts over word-aligned AND/OR — the bitmap-join
+    // acceleration every OLAP engine keeps beside its roaring bitmaps,
+    // and the deterministic fixed-size counterpart of q213's KMV
+    // sketch. The audit joins the bitmap estimate against the EXACT
+    // shared-gram count (q269's recipe): hash collisions can only
+    // inflate the intersection, and inflation_bp REPORTS that bias per
+    // pair instead of assuming slots were enough (measured here: ~9 %
+    // occupancy inflates small intersections by 30-45 % — the honest
+    // "size your bitmap" number). Exchanged state is |sources| × 1,024
+    // words at ANY corpus size; both the bitmap build and the exact
+    // join ride the pinned source-distinct gram frame. Long word
+    // arithmetic: Spark's signed shiftleft(1L, 63) wraps to the same
+    // bit pattern DuckDB's UBIGINT shift produces, and only popcounts
+    // cross the compare boundary, so signedness never leaks.
+    "q299_bitmap_overlap" -> ((s, d) => {
+      val st = shinglesPortable(s, d).select("source", "gh").distinct()
+        .localCheckpoint() // bitmap build + both exact-join sides
+      val bm = st.select(col("source"),
+          expr("(gh % 65536) DIV 64").as("word"),
+          expr("shiftleft(1L, CAST(gh % 64 AS INT))").as("bit"))
+        .groupBy("source", "word").agg(expr("bit_or(bit)").as("bits"))
+        .localCheckpoint() // both bitmap pair-join sides
+      val pb = bm.as("a").join(bm.as("b").hint("shuffle_hash"),
+          col("a.word") === col("b.word") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(
+          sum(expr("bit_count(a.bits & b.bits)").cast("long"))
+            .as("inter_bm"),
+          sum(expr("bit_count(a.bits | b.bits)").cast("long"))
+            .as("union_bm"))
+      val pe = st.as("a").join(st.as("b").hint("shuffle_hash"),
+          col("a.gh") === col("b.gh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("inter_ex"))
+      pb.join(pe.hint("shuffle_hash"), Seq("s1", "s2"))
+        .select(col("s1"), col("s2"), col("inter_ex"), col("inter_bm"),
+          col("union_bm"),
+          expr("(2 * (inter_bm - inter_ex) * 10000 + inter_ex)" +
+            " DIV (2 * inter_ex)").as("inflation_bp"))
+        .orderBy("s1", "s2")
+    }),
+
     // LSH banding PLANNER — the S-curve 1 − (1 − s^r)^b that justifies
     // every (bands × rows) choice in the minhash stack (q46's 8×8, the
     // r4 4-bit-banding rejection, q229's threshold sweep measures the
@@ -3468,6 +3514,34 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
          ORDER BY s1, s2""",
 
     "q285_lsh_planner" -> lshCurveSql("//"),
+
+    "q299_bitmap_overlap" ->
+      s"""WITH st AS (SELECT DISTINCT source,
+                             ('0x' || substr(md5(g), 1, 8))::BIGINT AS gh
+                      FROM (SELECT source, unnest($duckGrams) AS g
+                            FROM documents)),
+              bm AS (SELECT source, (gh % 65536) // 64 AS word,
+                            bit_or((1::UBIGINT)
+                              << CAST(gh % 64 AS INTEGER)) AS bits
+                     FROM st GROUP BY 1, 2),
+              pb AS (SELECT a.source AS s1, b.source AS s2,
+                            sum(bit_count(a.bits & b.bits)) AS inter_bm,
+                            sum(bit_count(a.bits | b.bits)) AS union_bm
+                     FROM bm a JOIN bm b
+                       ON a.word = b.word AND a.source < b.source
+                     GROUP BY 1, 2),
+              pe AS (SELECT a.source AS s1, b.source AS s2,
+                            count(*) AS inter_ex
+                     FROM st a JOIN st b
+                       ON a.gh = b.gh AND a.source < b.source
+                     GROUP BY 1, 2)
+         SELECT pb.s1, pb.s2, CAST(inter_ex AS BIGINT) AS inter_ex,
+                CAST(inter_bm AS BIGINT) AS inter_bm,
+                CAST(union_bm AS BIGINT) AS union_bm,
+                CAST((2 * (inter_bm - inter_ex) * 10000 + inter_ex)
+                     // (2 * inter_ex) AS BIGINT) AS inflation_bp
+         FROM pb JOIN pe ON pb.s1 = pe.s1 AND pb.s2 = pe.s2
+         ORDER BY pb.s1, pb.s2""",
 
     "q288_rm3_feedback" ->
       s"""WITH tc AS (SELECT doc_id,

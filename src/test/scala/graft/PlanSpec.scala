@@ -1643,6 +1643,42 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q296: priority sampling selects via TakeOrderedAndProject(k+1) — " +
+    "never a corpus-wide rank window") {
+    val p = plan("q296_priority_sampling")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-(k+1) must be a distributed top-k, not sort+limit")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q297: Kendall tau rides the pinned weekly frame — pair join " +
+    "keyed on grp, one rollup, no corpus window") {
+    val p = plan("q297_kendall_tau")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      "the weekly series must be pinned — both pair sides read it")
+    assert(p.contains("ShuffledHashJoin"))
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""),
+      "C/D/T are aggregates; no rank window needed")
+  }
+
+  test("q298: rename detection is two stack() scans + column-count-sized " +
+    "fingerprint frames — no corpus join") {
+    val p = plan("q298_rename_detect")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 2,
+      "one unpivot scan per schema version, never per column")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q299: bitmap build + exact audit both read the pinned gram " +
+    "frame; all pair joins keyed shuffle-hash; no corpus broadcast") {
+    val p = plan("q299_bitmap_overlap")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"))
+    assert(p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
