@@ -2570,6 +2570,88 @@ object PipelineOps {
         .orderBy("source")
     }),
 
+    // K-ANONYMITY GENERALIZATION LATTICE — the search q160's two fixed
+    // levels are points in: every cell of the 3×3 lattice over two
+    // quasi-identifier hierarchies (nation → region → *, account
+    // balance in 1,000s → 5,000s → *) is scored (group count, minimum
+    // group size, k ≥ 10 satisfied), and the RELEASE CHOICE is the
+    // satisfying cell of minimal generalization height — the standard
+    // (Samarati) lattice walk made auditable as data. Balances are
+    // bucketed in exact cents with a +1,000.00 shift so the integer
+    // division never sees a negative operand (the DIV-vs-// divergence
+    // q289 documents). The base QI frame is pinned and each cell is
+    // one grouped aggregate over it; at 100 TB GROUPING SETS fuses the
+    // nine passes into one shuffle — the per-cell aggregates here keep
+    // the lattice explicit for the audit. The chosen-cell rule is a
+    // 1-row broadcast (min height among satisfying), never a window.
+    "q301_anonymity_lattice" -> ((s, d) => {
+      val base = ld(s, d, "customer")
+        .join(broadcast(ld(s, d, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(
+          col("c_nationkey").cast("string").as("a0"),
+          col("n_regionkey").cast("string").as("a1"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+            " + 100000").as("balc"))
+        .select(col("a0"), col("a1"),
+          expr("CAST(balc DIV 100000 AS STRING)").as("b0"),
+          expr("CAST(balc DIV 500000 AS STRING)").as("b1"))
+        .localCheckpoint() // nine lattice cells aggregate over it
+      def dim(lvl: Int, c0: String, c1: String): Column =
+        if (lvl == 0) col(c0) else if (lvl == 1) col(c1) else lit("*")
+      val cells = (for { la <- 0 to 2; lb <- 0 to 2 } yield {
+        base.groupBy(dim(la, "a0", "a1").as("qa"),
+            dim(lb, "b0", "b1").as("qb"))
+          .agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_groups"), min("sz").as("k_min"))
+          .select(lit(la.toLong).as("la"), lit(lb.toLong).as("lb"),
+            lit((la + lb).toLong).as("height"), col("n_groups"),
+            col("k_min"), (col("k_min") >= 10L).as("satisfies"))
+      }).reduce(_ unionByName _)
+      val best = cells.filter(col("satisfies"))
+        .agg(min("height").as("hmin"))
+      cells.crossJoin(broadcast(best))
+        .select(col("la"), col("lb"), col("height"), col("n_groups"),
+          col("k_min"), col("satisfies"),
+          (col("satisfies") && col("height") === col("hmin")).as("chosen"))
+        .orderBy("la", "lb")
+    }),
+
+    // RFM / MULTI-WINDOW FEATURE MATRIX — the classic feature-
+    // engineering rollup a training pipeline materializes per entity:
+    // recency (days since last event, against the dataset's max
+    // timestamp — a 1-row broadcast), frequency and monetary value
+    // over trailing 7/30/90-day windows, ALL from ONE user-keyed
+    // aggregate with conditional sums (never one scan per window —
+    // the K-windows-one-pass shape that survives any K at 100 TB).
+    // Money in exact cents via the DECIMAL(14,2) cast ladder; window
+    // membership by date difference against the broadcast anchor, so
+    // the whole feature matrix is one shuffle keyed on user_id.
+    "q302_rfm_features" -> ((s, d) => {
+      val ev = ld(s, d, "events").select(col("user_id"),
+        to_date(col("ts")).as("dt"),
+        expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      val anchor = ev.agg(max("dt").as("maxd"))
+      ev.crossJoin(broadcast(anchor))
+        .select(col("user_id"), col("cents"),
+          datediff(col("maxd"), col("dt")).as("age"))
+        .groupBy("user_id").agg(
+          min("age").as("recency_days"),
+          sum(when(col("age") < 7, 1L).otherwise(0L)).as("f7"),
+          sum(when(col("age") < 30, 1L).otherwise(0L)).as("f30"),
+          sum(when(col("age") < 90, 1L).otherwise(0L)).as("f90"),
+          sum(when(col("age") < 7, col("cents")).otherwise(0L)).as("m7"),
+          sum(when(col("age") < 30, col("cents")).otherwise(0L)).as("m30"),
+          sum(when(col("age") < 90, col("cents")).otherwise(0L)).as("m90"))
+        .select(col("user_id"), col("recency_days").cast("long")
+            .as("recency_days"),
+          col("f7"), col("f30"), col("f90"), col("m7"), col("m30"),
+          col("m90"))
+        .orderBy("user_id")
+    }),
+
     // PRIORITY SAMPLING (Duffield–Lund–Thorup) — the weighted
     // subset-sum sampler a 100 TB pipeline uses to estimate any
     // weighted total from k rows: priority qᵢ = wᵢ/uᵢ with uᵢ a
@@ -2974,6 +3056,64 @@ object PipelineOps {
       .filter(col("tier").isNotNull)
 
   val oracle: Map[String, String] = Map(
+    // q301: the nine lattice cells generated by the same Scala loop the
+    // Spark side uses, so the cell inventory can never drift.
+    "q301_anonymity_lattice" -> {
+      def dimA(l: Int) = l match {
+        case 0 => "CAST(c_nationkey AS VARCHAR)"
+        case 1 => "CAST(n_regionkey AS VARCHAR)"
+        case _ => "'*'"
+      }
+      def dimB(l: Int) = l match {
+        case 0 => "CAST(balc // 100000 AS VARCHAR)"
+        case 1 => "CAST(balc // 500000 AS VARCHAR)"
+        case _ => "'*'"
+      }
+      val cells = (for { la <- 0 to 2; lb <- 0 to 2 } yield
+        s"""SELECT CAST($la AS BIGINT) AS la, CAST($lb AS BIGINT) AS lb,
+                   CAST(${la + lb} AS BIGINT) AS height,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(min(sz) AS BIGINT) AS k_min,
+                   (min(sz) >= 10) AS satisfies
+            FROM (SELECT ${dimA(la)} AS qa, ${dimB(lb)} AS qb,
+                         count(*) AS sz
+                  FROM base GROUP BY 1, 2) g$la$lb""").mkString(
+        " UNION ALL ")
+      s"""WITH base AS (SELECT c_nationkey, n_regionkey,
+                               CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100
+                                    AS BIGINT) + 100000 AS balc
+                        FROM customer
+                        JOIN nation ON c_nationkey = n_nationkey),
+              cells AS ($cells),
+              best AS (SELECT min(height) AS hmin FROM cells
+                       WHERE satisfies)
+         SELECT la, lb, height, n_groups, k_min, satisfies,
+                (satisfies AND height = hmin) AS chosen
+         FROM cells, best ORDER BY la, lb"""
+    },
+
+    "q302_rfm_features" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS dt,
+                            CAST(CAST(value AS DECIMAL(14,2)) * 100
+                                 AS BIGINT) AS cents
+                     FROM events),
+              a AS (SELECT max(dt) AS maxd FROM ev)
+         SELECT user_id,
+                CAST(min(maxd - dt) AS BIGINT) AS recency_days,
+                CAST(sum(CASE WHEN maxd - dt < 7 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS f7,
+                CAST(sum(CASE WHEN maxd - dt < 30 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS f30,
+                CAST(sum(CASE WHEN maxd - dt < 90 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS f90,
+                CAST(sum(CASE WHEN maxd - dt < 7 THEN cents ELSE 0 END)
+                     AS BIGINT) AS m7,
+                CAST(sum(CASE WHEN maxd - dt < 30 THEN cents ELSE 0 END)
+                     AS BIGINT) AS m30,
+                CAST(sum(CASE WHEN maxd - dt < 90 THEN cents ELSE 0 END)
+                     AS BIGINT) AS m90
+         FROM ev, a GROUP BY user_id ORDER BY user_id""",
+
     "q296_priority_sampling" ->
       """WITH p AS (SELECT doc_id, n_chars AS wt,
                            n_chars * 1000000

@@ -2084,6 +2084,55 @@ object TextOps {
         .orderBy(col("exact").desc, col("gh")).limit(10)
     }),
 
+    // ISOTONIC REGRESSION (PAVA) CALIBRATION — the monotone-fit rung
+    // beside q210's raw reliability bins: the empirical rate of
+    // "document is fully novel" (every 3-gram distinct) per length
+    // decile is NOT monotone in length (measured: bins 0–3 and 7–9
+    // violate), but the relationship is physically monotone
+    // (longer → more repeats), so the calibrated curve is the
+    // antitonic L2 fit — computed exactly via the minimax identity
+    // ĝ(i) = max_{j≤i} min_{k≥i} avg(j..k) on the REVERSED bin index
+    // (isotonic in reversed order ≡ antitonic), which equals the PAVA
+    // pool-adjacent-violators solution without any sequential pass.
+    // Everything after the one corpus aggregate runs on the pinned
+    // 10-row bin frame: interval averages in floor micro units (all
+    // operands nonnegative, so DIV and // agree), 55 intervals, two
+    // tiny rollups. At 100 TB the corpus cost is one groupBy; the fit
+    // is constant-size. The `pooled` column marks bins the fit
+    // adjusted — the violators PAVA merged.
+    "q300_isotonic_calibration" -> ((s, d) => {
+      val d3 = shinglesPortable(s, d).groupBy("doc_id")
+        .agg(count(lit(1)).as("d3"))
+      val docs = ld(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (size(split(col("text"), " ")) - 2).cast("long").as("n3"))
+        .join(d3.hint("shuffle_hash"), "doc_id")
+      val mm = docs.agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+      val bins = docs.crossJoin(broadcast(mm))
+        .select(
+          expr("9 - least(9, (n_chars - mn) * 10 DIV (mx - mn + 1))")
+            .as("rb"),
+          when(col("d3") === col("n3"), 1L).otherwise(0L).as("y"))
+        .groupBy("rb").agg(count(lit(1)).as("n"), sum("y").as("pos"))
+        .localCheckpoint() // 10 rows: intervals, fit, and output read it
+      val jk = bins.select(col("rb").as("j"))
+        .crossJoin(bins.select(col("rb").as("k")))
+        .filter(col("j") <= col("k"))
+      val iv = jk.join(bins.as("m"),
+          col("m.rb").between(col("j"), col("k")))
+        .groupBy("j", "k")
+        .agg(expr("sum(pos) * 1000000 DIV sum(n)").as("r"))
+      val fit = bins.select(col("rb").as("i"))
+        .join(iv, col("j") <= col("i") && col("i") <= col("k"))
+        .groupBy("i", "j").agg(min("r").as("mi"))
+        .groupBy("i").agg(max("mi").as("iso_micro"))
+      bins.join(fit, col("rb") === col("i"))
+        .select((lit(9L) - col("rb")).as("bin"), col("n"), col("pos"),
+          expr("pos * 1000000 DIV n").as("raw_micro"), col("iso_micro"),
+          (col("iso_micro") =!= expr("pos * 1000000 DIV n")).as("pooled"))
+        .orderBy("bin")
+    }),
+
     // BITMAP-INDEX SET OPERATIONS — per-source vocabulary membership
     // packed into 64-bit words (gram hash → slot of a 65,536-bit
     // bitmap → bit_or per word): source-pair intersection/union become
@@ -3514,6 +3563,36 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
          ORDER BY s1, s2""",
 
     "q285_lsh_planner" -> lshCurveSql("//"),
+
+    "q300_isotonic_calibration" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+                            len(list_distinct($duckGrams)) AS d3,
+                            len(string_split(text, ' ')) - 2 AS n3
+                     FROM documents),
+              mm AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM d),
+              bins AS (SELECT 9 - least(9, (n_chars - mn) * 10
+                                // (mx - mn + 1)) AS rb,
+                              count(*) AS n,
+                              sum(CASE WHEN d3 = n3 THEN 1 ELSE 0 END)
+                                AS pos
+                       FROM d, mm GROUP BY 1),
+              iv AS (SELECT j.rb AS j, k.rb AS k,
+                            sum(m.pos) * 1000000 // sum(m.n) AS r
+                     FROM bins j, bins k, bins m
+                     WHERE j.rb <= k.rb AND m.rb BETWEEN j.rb AND k.rb
+                     GROUP BY 1, 2),
+              mi AS (SELECT i.rb AS i, iv.j, min(iv.r) AS mi
+                     FROM bins i JOIN iv
+                       ON iv.j <= i.rb AND i.rb <= iv.k
+                     GROUP BY 1, 2),
+              fit AS (SELECT i, max(mi) AS iso_micro FROM mi GROUP BY 1)
+         SELECT CAST(9 - bins.rb AS BIGINT) AS bin,
+                CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+                CAST(pos * 1000000 // n AS BIGINT) AS raw_micro,
+                CAST(iso_micro AS BIGINT) AS iso_micro,
+                (iso_micro <> pos * 1000000 // n) AS pooled
+         FROM bins JOIN fit ON bins.rb = fit.i
+         ORDER BY bin""",
 
     "q299_bitmap_overlap" ->
       s"""WITH st AS (SELECT DISTINCT source,

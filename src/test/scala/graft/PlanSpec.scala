@@ -1679,6 +1679,36 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q300: isotonic fit — corpus reduced to the pinned 10-row bin " +
+    "frame before any non-equi interval join; no corpus-sized " +
+    "cartesian anywhere") {
+    val p = plan("q300_isotonic_calibration")
+    assert(p.contains("Scan ExistingRDD"),
+      "the bin frame must be pinned — intervals/fit/output all read it")
+    assert(!p.contains("Scan parquet"),
+      "the interval/fit stages must never rescan the corpus")
+  }
+
+  test("q301: every lattice cell aggregates the pinned QI frame; the " +
+    "chosen rule is a 1-row broadcast, never a window") {
+    val p = plan("q301_anonymity_lattice")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      "the QI base frame must be pinned — nine cells read it")
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+  }
+
+  test("q302: the RFM matrix is ONE user-keyed aggregate with " +
+    "conditional sums — one scan plus the 1-row anchor, no window, " +
+    "no per-window passes") {
+    val p = plan("q302_rfm_features")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 2,
+      "one corpus scan + one anchor scan — never one per window")
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "the user rollup must partial-aggregate map-side")
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
