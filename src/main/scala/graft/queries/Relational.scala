@@ -1758,6 +1758,35 @@ object Relational {
         .orderBy("grp")
     }),
 
+    // NATIVE DataSource V2 scan — the reference's `TableSource` seam
+    // (`datasource/mod.rs:20-28`) and projection-honouring MemTable
+    // (`memory.rs:31-41`) re-expressed as a first-class Spark V2
+    // source (graft.sources.GraftMemSource): column pruning via
+    // SupportsPushDownRequiredColumns, predicate pushdown via
+    // SupportsPushDownFilters with the correct partial-pushdown
+    // residual contract, multi-partition reads. The query registers
+    // the 25-row nation dim in the memory catalog (a collect() of a
+    // bounded DIMENSION table — the one honest collect; the same
+    // three classes would read external storage for anything bigger)
+    // and runs a filtered, projected aggregate THROUGH the V2 scan;
+    // the DuckDB oracle replays it over the parquet table, so the
+    // source's pushdown path is hash-checked end-to-end.
+    // MemSourceSpec pins the pruned-schema and pushed/residual filter
+    // telemetry; PlanSpec pins that the plan reads the BatchScan, not
+    // parquet.
+    "q303_dsv2_memscan" -> ((s, d) => {
+      val nation = ld(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      graft.sources.GraftMemRegistry.register("nation_mem",
+        nation.schema, nation.collect().toSeq)
+      s.read.format("graft.sources.GraftMemSource")
+        .option("table", "nation_mem").load()
+        .filter(col("n_regionkey") > 1L)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), min("n_name").as("first_name"))
+        .orderBy("n_regionkey")
+    }),
+
     // KENDALL TAU trend test — the rank-correlation verdict beside
     // q234's Spearman and q295's Theil–Sen, over the same weekly
     // revenue series: concordant/discordant pair counts against the
@@ -1934,6 +1963,12 @@ object Relational {
                       UNION ALL SELECT s2, s1 FROM lifted)"""
 
   val oracle: Map[String, String] = Map(
+    "q303_dsv2_memscan" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+                min(n_name) AS first_name
+         FROM nation WHERE n_regionkey > 1
+         GROUP BY 1 ORDER BY 1""",
+
     "q293_item_cf" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
                     FROM lineitem),

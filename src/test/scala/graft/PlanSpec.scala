@@ -1709,6 +1709,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "the user rollup must partial-aggregate map-side")
   }
 
+  test("q303: the V2 memory source is what the plan reads — BatchScan " +
+    "with the pruned 2-column schema, no parquet under the aggregate") {
+    val p = plan("q303_dsv2_memscan")
+    assert(p.contains("BatchScan"), "must read through the DSv2 scan")
+    assert(!p.contains("Scan parquet"),
+      "the registered rows, not parquet, feed the aggregate")
+    // min(string) plans as SortAggregate; partial + final still required
+    assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2)
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
