@@ -1619,9 +1619,89 @@ object EventOps {
         .toDF("event_type", "n", "n_naive")
         .orderBy("event_type")
     }),
+
+    // DEAD-LETTER SPLIT SINK — the ingest-hardening rung beside q281's
+    // idempotent MERGE: every micro-batch is split INSIDE the stream
+    // into parseable rows (valid JSON props carrying the required key)
+    // and a dead-letter side (here: rows whose props were corrupted
+    // at the source, injected deterministically at event_id % 37), and
+    // BOTH sides land in batchId-keyed stores so a redelivered batch
+    // can never double-count either lane. This is the split every
+    // production ingest runs: the job must not die on a malformed row
+    // (q284's try_* lesson at the stream boundary), must not silently
+    // drop it either, and the DLQ row keeps its grouping key so the
+    // loss is attributable per event type. Only the |types|-sized
+    // per-batch partials cross the sink seam; the batch-replay oracle
+    // recomputes both lanes from the same corruption rule.
+    "q304_stream_dead_letter" -> ((s, d) => withStreamSession(s, 8) {
+      ss =>
+      import scala.jdk.CollectionConverters._
+      val rawSchema = ss.read.parquet(s"$d/events.parquet").schema
+      // (batchId, lane) -> per-type (n, ksum); MERGE semantics per slot
+      val store = new java.util.concurrent.ConcurrentHashMap[
+        (Long, String), Map[String, (Long, Long)]]()
+      val q = ss.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .transform(Tables.normalizeEventsTs)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          val split = df.selectExpr("event_type",
+              "CASE WHEN event_id % 37 = 0 THEN '{bad' ELSE props END" +
+                " AS pr")
+            .selectExpr("event_type",
+              "from_json(pr, 'k INT').k AS k")
+          val valid = split.filter("k IS NOT NULL")
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("ks"))
+            .collect().map(r => r.getString(0) ->
+              (r.getLong(1), r.getLong(2))).toMap
+          val dlq = split.filter("k IS NULL")
+            .groupBy("event_type").agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) ->
+              (r.getLong(1), 0L)).toMap
+          store.put((batchId, "valid"), valid) // MERGE: replace the slot
+          store.put((batchId, "dlq"), dlq)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      def lane(l: String): Map[String, (Long, Long)] = store.asScala
+        .collect { case ((_, ln), m) if ln == l => m }.toSeq.flatten
+        .groupBy(_._1).view
+        .mapValues(vs => (vs.map(_._2._1).sum, vs.map(_._2._2).sum)).toMap
+      val v = lane("valid"); val dl = lane("dlq")
+      import ss.implicits._
+      (v.keySet ++ dl.keySet).toSeq.sorted.map { t =>
+        val (n, ks) = v.getOrElse(t, (0L, 0L))
+        (t, n, ks, dl.getOrElse(t, (0L, 0L))._1)
+      }.toDF("event_type", "n_valid", "k_sum", "n_dlq")
+        .orderBy("event_type")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+    "q304_stream_dead_letter" ->
+      """WITH c AS (SELECT event_type,
+                           CASE WHEN event_id % 37 = 0 THEN '{bad'
+                                ELSE props END AS pr
+                    FROM events),
+              t AS (SELECT event_type,
+                           CASE WHEN json_valid(pr)
+                                 AND json_extract(pr, '$.k') IS NOT NULL
+                                THEN CAST(json_extract(pr, '$.k')
+                                          AS BIGINT) END AS k
+                    FROM c)
+         SELECT event_type,
+                CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_valid,
+                CAST(sum(coalesce(k, 0)) AS BIGINT) AS k_sum,
+                CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_dlq
+         FROM t GROUP BY 1 ORDER BY 1""",
+
     "q149_session_transitions" ->
       """WITH t AS (SELECT lag(event_type) OVER w AS from_type,
                            event_type AS to_type,

@@ -1787,6 +1787,32 @@ object Relational {
         .orderBy("n_regionkey")
     }),
 
+    // DataSource V2 AGGREGATE pushdown — the q303 seam taken one
+    // optimizer level deeper: with the pushAgg option on,
+    // GraftMemSource implements SupportsPushDownAggregates with
+    // supportCompletePushDown for GROUP BY plain columns +
+    // count(*)/min/max, so Catalyst plans NO Aggregate node at all —
+    // the BatchScan's output IS the final grouped result (readSchema =
+    // group columns ++ agg columns, the positional contract), and the
+    // query runs as scan + sort. Identical answer path to q303 checked
+    // against the identical DuckDB oracle, so the two plans prove the
+    // pushdown changed WHERE the aggregation runs, never WHAT it
+    // computes. At 100 TB this contract is why a storage-side engine
+    // (or a pre-aggregated index) can serve a groupBy without moving a
+    // row — the same interface parquet metadata-only count() uses.
+    "q305_dsv2_agg_pushdown" -> ((s, d) => {
+      val nation = ld(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      graft.sources.GraftMemRegistry.register("nation_mem_agg",
+        nation.schema, nation.collect().toSeq)
+      s.read.format("graft.sources.GraftMemSource")
+        .option("table", "nation_mem_agg").option("pushAgg", "true").load()
+        .filter(col("n_regionkey") > 1L)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), min("n_name").as("first_name"))
+        .orderBy("n_regionkey")
+    }),
+
     // KENDALL TAU trend test — the rank-correlation verdict beside
     // q234's Spearman and q295's Theil–Sen, over the same weekly
     // revenue series: concordant/discordant pair counts against the
@@ -1964,6 +1990,14 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q303_dsv2_memscan" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+                min(n_name) AS first_name
+         FROM nation WHERE n_regionkey > 1
+         GROUP BY 1 ORDER BY 1""",
+
+    // q305: deliberately the SAME oracle text as q303 — the pushdown
+    // must change where the aggregation runs, never the answer.
+    "q305_dsv2_agg_pushdown" ->
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
                 min(n_name) AS first_name
          FROM nation WHERE n_regionkey > 1

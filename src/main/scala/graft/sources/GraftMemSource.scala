@@ -9,10 +9,11 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, LessThan}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, IsNotNull, IsNull, LessThan}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -93,6 +94,52 @@ object GraftMemRegistry {
   def lastFilters(name: String): (Seq[Filter], Seq[Filter]) =
     (pushedFilters.getOrDefault(name, Nil),
       residualFilters.getOrDefault(name, Nil))
+
+  private val pushedAggs = new ConcurrentHashMap[String, String]()
+  private[sources] def recordAgg(name: String, a: String): Unit =
+    pushedAggs.put(name, a)
+
+  /** Last pushed aggregation description (spec assertion). */
+  def lastAgg(name: String): Option[String] = Option(pushedAggs.get(name))
+}
+
+/** Row-level evaluation shared by the plain scan's readers and the
+  * aggregate scan: pushed-filter predicates and external→catalyst
+  * value conversion. */
+private[sources] object GraftMemEval {
+  def cmp(r: Row, idx: Int, v: Any): Int = (r.get(idx), v) match {
+    case (a: Long, b: Number) => java.lang.Long.compare(a, b.longValue())
+    case (a: Int, b: Number) =>
+      java.lang.Long.compare(a.toLong, b.longValue())
+    case (a: Double, b: Number) =>
+      java.lang.Double.compare(a, b.doubleValue())
+    case (a: String, b: String) => a.compareTo(b)
+    case (x, _) => throw new IllegalArgumentException(
+      s"graft-mem filter on unsupported type: $x vs $v")
+  }
+
+  def passes(r: Row, fieldIdx: Map[String, Int],
+      filters: Array[Filter]): Boolean = filters.forall {
+    case EqualTo(a, v) => r.get(fieldIdx(a)) != null &&
+      cmp(r, fieldIdx(a), v) == 0
+    case GreaterThan(a, v) => r.get(fieldIdx(a)) != null &&
+      cmp(r, fieldIdx(a), v) > 0
+    case LessThan(a, v) => r.get(fieldIdx(a)) != null &&
+      cmp(r, fieldIdx(a), v) < 0
+    case IsNull(a) => r.get(fieldIdx(a)) == null
+    case IsNotNull(a) => r.get(fieldIdx(a)) != null
+    case _ => true // unreachable: only the accepted kinds arrive here
+  }
+
+  def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s: String, StringType) => UTF8String.fromString(s)
+    case (x: Int, LongType) => x.toLong
+    case (x, LongType) => x.asInstanceOf[Long]
+    case (x, IntegerType) => x.asInstanceOf[Int]
+    case (x, DoubleType) => x.asInstanceOf[Double]
+    case (x, _) => x
+  }
 }
 
 class GraftMemTable(name: String) extends Table with SupportsRead {
@@ -103,17 +150,20 @@ class GraftMemTable(name: String) extends Table with SupportsRead {
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftMemScanBuilder(name, schema())
+    new GraftMemScanBuilder(name, schema(),
+      options.getBoolean("pushAgg", false))
 }
 
 object GraftMemTable { val MaxSplits = 4 }
 
-class GraftMemScanBuilder(name: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+class GraftMemScanBuilder(name: String, full: StructType,
+    enableAgg: Boolean) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var agg: Option[Aggregation] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
@@ -125,6 +175,7 @@ class GraftMemScanBuilder(name: String, full: StructType)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, residual) = filters.partition {
       case _: EqualTo | _: GreaterThan | _: LessThan => true
+      case _: IsNull | _: IsNotNull => true
       case _ => false
     }
     pushed = ok
@@ -134,8 +185,38 @@ class GraftMemScanBuilder(name: String, full: StructType)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new GraftMemScan(name, full, required, pushed)
+  /** Aggregate pushdown (opt-in via the pushAgg read option): GROUP BY
+    * plain columns with count(*)/min/max is computed INSIDE the source
+    * and, because supportCompletePushDown is true for those shapes,
+    * Catalyst plans NO Aggregate node at all — the scan's output IS
+    * the final aggregate (readSchema = group columns ++ agg columns,
+    * positional contract). Everything else returns false and Spark
+    * aggregates above the scan as usual. */
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    enableAgg && supportedAgg(a)
+
+  override def pushAggregation(a: Aggregation): Boolean = {
+    val ok = enableAgg && supportedAgg(a)
+    if (ok) {
+      agg = Some(a)
+      GraftMemRegistry.recordAgg(name, a.toString)
+    }
+    ok
+  }
+
+  private def supportedAgg(a: Aggregation): Boolean =
+    a.groupByExpressions.forall(_.isInstanceOf[NamedReference]) &&
+      a.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => m.column.isInstanceOf[NamedReference]
+        case m: Max => m.column.isInstanceOf[NamedReference]
+        case _ => false
+      }
+
+  override def build(): Scan = agg match {
+    case Some(a) => new GraftMemAggScan(name, full, pushed, a)
+    case None => new GraftMemScan(name, full, required, pushed)
+  }
 }
 
 class GraftMemScan(name: String, full: StructType, required: StructType,
@@ -159,6 +240,93 @@ class GraftMemScan(name: String, full: StructType, required: StructType,
 
 case class GraftMemPartition(idx: Int, of: Int) extends InputPartition
 
+/** Complete aggregate pushdown: the scan's output rows ARE the final
+  * grouped aggregate (group columns ++ agg values, positional).
+  * Computed over the registry rows after pushed filters — for a memory
+  * table the "source-side aggregation" runs here; a storage-backed
+  * source would run the same contract against its native engine. One
+  * partition: the aggregated frame is group-cardinality-sized. */
+class GraftMemAggScan(name: String, full: StructType,
+    filters: Array[Filter], agg: Aggregation) extends Scan with Batch {
+
+  private val fieldIdx = full.fieldNames.zipWithIndex.toMap
+  private def refName(e: Any): String = e match {
+    case n: NamedReference => n.fieldNames.mkString(".")
+  }
+  private val groupCols: Seq[String] =
+    agg.groupByExpressions.toSeq.map(refName)
+
+  override def readSchema(): StructType = {
+    val groupFields = groupCols.map(c => full(fieldIdx(c)))
+    val aggFields = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => StructField("count(*)", LongType, false)
+      case m: Min =>
+        val c = refName(m.column); StructField(s"min($c)",
+          full(fieldIdx(c)).dataType, full(fieldIdx(c)).nullable)
+      case m: Max =>
+        val c = refName(m.column); StructField(s"max($c)",
+          full(fieldIdx(c)).dataType, full(fieldIdx(c)).nullable)
+    }
+    StructType(groupFields ++ aggFields)
+  }
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftMemAggScan(table=$name, groupBy=${groupCols.mkString(",")}," +
+      s" aggs=${agg.aggregateExpressions.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftMemPartition(0, 1))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val schema = readSchema()
+    val rows = GraftMemRegistry.rowsOf(name)
+      .filter(GraftMemEval.passes(_, fieldIdx, filters))
+    val grouped = rows.groupBy(r => groupCols.map(c => r.get(fieldIdx(c))))
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: Int, y: Int) => x < y
+      case (x: Double, y: Double) => x < y
+      case (x: String, y: String) => x < y
+      case _ => throw new IllegalArgumentException(s"min/max on $a")
+    }
+    val out: Seq[Seq[Any]] = grouped.toSeq.map { case (key, rs) =>
+      key ++ agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => rs.size.toLong
+        case m: Min =>
+          val i = fieldIdx(refName(m.column))
+          rs.map(_.get(i)).filter(_ != null)
+            .reduceOption((a, b) => if (lt(a, b)) a else b).orNull
+        case m: Max =>
+          val i = fieldIdx(refName(m.column))
+          rs.map(_.get(i)).filter(_ != null)
+            .reduceOption((a, b) => if (lt(a, b)) b else a).orNull
+      }
+    }
+    new GraftMemMaterializedFactory(out, schema)
+  }
+}
+
+/** Emits pre-computed external rows as InternalRows (agg scan path). */
+class GraftMemMaterializedFactory(rows: Seq[Seq[Any]], schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val it = rows.iterator.map { vs =>
+      new GenericInternalRow(schema.fields.zip(vs).map { case (f, v) =>
+        GraftMemEval.toCatalyst(v, f.dataType)
+      }: Array[Any])
+    }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
 class GraftMemReaderFactory(name: String, full: StructType,
     required: StructType, filters: Array[Filter])
     extends PartitionReaderFactory {
@@ -173,37 +341,12 @@ class GraftMemReaderFactory(name: String, full: StructType,
       case (r, j) if j % p.of == p.idx => r
     }
 
-    def passes(r: Row): Boolean = filters.forall {
-      case EqualTo(a, v) => cmp(r, a, v) == 0
-      case GreaterThan(a, v) => cmp(r, a, v) > 0
-      case LessThan(a, v) => cmp(r, a, v) < 0
-      case _ => true // unreachable: only the three kinds are accepted
-    }
-    def cmp(r: Row, attr: String, v: Any): Int = {
-      val x = r.get(fieldIdx(attr))
-      (x, v) match {
-        case (a: Long, b: Number) => java.lang.Long.compare(a, b.longValue())
-        case (a: Int, b: Number) => java.lang.Long.compare(a.toLong, b.longValue())
-        case (a: Double, b: Number) => java.lang.Double.compare(a, b.doubleValue())
-        case (a: String, b: String) => a.compareTo(b)
-        case _ => throw new IllegalArgumentException(
-          s"graft-mem filter on unsupported type: $attr = $v")
+    val it = mine.filter(GraftMemEval.passes(_, fieldIdx, filters))
+      .iterator.map { r =>
+        new GenericInternalRow(required.fields.map(f =>
+          GraftMemEval.toCatalyst(r.get(fieldIdx(f.name)), f.dataType))
+          : Array[Any])
       }
-    }
-    def toCatalyst(v: Any, dt: DataType): Any = (v, dt) match {
-      case (null, _) => null
-      case (s: String, StringType) => UTF8String.fromString(s)
-      case (x: Int, LongType) => x.toLong
-      case (x, LongType) => x.asInstanceOf[Long]
-      case (x, IntegerType) => x.asInstanceOf[Int]
-      case (x, DoubleType) => x.asInstanceOf[Double]
-      case (x, _) => x
-    }
-
-    val it = mine.filter(passes).iterator.map { r =>
-      new GenericInternalRow(required.fields.map(f =>
-        toCatalyst(r.get(fieldIdx(f.name)), f.dataType)): Array[Any])
-    }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean =

@@ -64,6 +64,45 @@ class MemSourceSpec extends AnyFunSuite with SparkFixture {
       s"contains() must come back residual, got $residual")
   }
 
+  test("complete aggregate pushdown: with pushAgg on, group-by + " +
+    "count/min is computed in the source, recorded in telemetry, and " +
+    "the physical plan has NO Aggregate node") {
+    val nation = Tables.ld(spark, sfDir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    GraftMemRegistry.register("ms_agg", nation.schema,
+      nation.collect().toSeq)
+    val df = spark.read.format("graft.sources.GraftMemSource")
+      .option("table", "ms_agg").option("pushAgg", "true").load()
+      .filter(col("n_regionkey") > 1L)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), min("n_name").as("first_name"))
+      .orderBy("n_regionkey")
+    val want = nation.filter(col("n_regionkey") > 1L)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), min("n_name").as("first_name"))
+      .orderBy("n_regionkey").collect().toSeq
+    assert(df.collect().toSeq == want)
+    assert(GraftMemRegistry.lastAgg("ms_agg").isDefined,
+      "the aggregation must reach the scan builder")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Aggregate"),
+      s"complete pushdown must leave no Aggregate node:\n$p")
+  }
+
+  test("pushAgg off (default) leaves aggregation to Spark — q303's " +
+    "path keeps its partial+final aggregate") {
+    val nation = Tables.ld(spark, sfDir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    GraftMemRegistry.register("ms_noagg", nation.schema,
+      nation.collect().toSeq)
+    val df = spark.read.format("graft.sources.GraftMemSource")
+      .option("table", "ms_noagg").load()
+      .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Aggregate"),
+      "without the option the source must not hijack the aggregate")
+  }
+
   test("pushed filter actually prunes the rows the reader emits (the " +
     "scan is not pretending)") {
     val (_, mem) = registered("ms_prunerows")

@@ -1719,6 +1719,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("q305: complete aggregate pushdown — the plan is BatchScan + " +
+    "Sort with NO Aggregate node; the scan output IS the final result") {
+    val p = plan("q305_dsv2_agg_pushdown")
+    assert(p.contains("BatchScan"))
+    assert(!p.contains("Aggregate"),
+      "supportCompletePushDown must remove the Aggregate entirely")
+    assert(!p.contains("Scan parquet"))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
