@@ -140,11 +140,15 @@ object Bench {
       // the SQL cache and unpersist every tracked RDD. The next query's
       // excluded warm-up pass re-derives whatever it needs, so measured
       // medians keep their steady-state meaning.
+      // blocking = true: async cleanup was observed landing on the NEXT
+      // query's measured runs (r12 local: q258 runs [0.6, 2.0, 2.4]
+      // right after q257's checkpoint-heavy teardown); paying the
+      // removal between queries keeps it out of every median.
       queries.Relational.clearShared()
       queries.PipelineOps.clearShared()
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       val runs = times.map(_.map(f3).getOrElse("null")).mkString("[", ",", "]")
       val cal = calSamples.last
       val med = if (ok.nonEmpty) Some(median(ok)) else None

@@ -1813,6 +1813,69 @@ object Relational {
         .orderBy("n_regionkey")
     }),
 
+    // STORAGE-PARTITIONED JOIN through the V2 source — the deepest
+    // optimizer integration in the q303/q305 family: both tables are
+    // registered with partitionKey=regionkey, the scans report
+    // KeyGroupedPartitioning(identity(key)) with one HasPartitionKey
+    // input partition per key value, and under
+    // spark.sql.sources.v2.bucketing.enabled EnsureRequirements
+    // certifies the two sides co-partitioned BY VALUE and elides the
+    // join Exchange entirely — the V2 generalization of q92's bucketed
+    // join, and exactly how Iceberg/Delta serve shuffle-free joins on
+    // partition-aligned tables at 100 TB (the shuffle that dominates a
+    // fact-fact join simply never happens). The downstream aggregate
+    // groups on a superset of the cluster key, so IT needs no Exchange
+    // either; PlanSpec pins zero hash Exchanges in the whole plan.
+    "q309_dsv2_spj" -> ((s, d) => {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val nation = ld(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val region = ld(s, d, "region").select("r_regionkey", "r_name")
+      graft.sources.GraftMemRegistry.register("nation_spj",
+        nation.schema, nation.collect().toSeq)
+      graft.sources.GraftMemRegistry.register("region_spj",
+        region.schema, region.collect().toSeq)
+      def mem(t: String, key: String) =
+        s.read.format("graft.sources.GraftMemSource")
+          .option("table", t).option("partitionKey", key).load()
+      mem("nation_spj", "n_regionkey")
+        .join(mem("region_spj", "r_regionkey"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_regionkey", "r_name")
+        .agg(count(lit(1)).as("n_nations"),
+          min("n_name").as("first_nation"))
+        .orderBy("r_regionkey")
+    }),
+
+    // ARRAY HIGHER-ORDER FUNCTIONS — the lambda SQL surface
+    // (transform / filter / aggregate / exists) over a per-row array,
+    // a type family the reference does not have at all (DataType::List
+    // exists only as an unreachable cast todo!(), cast.rs:66-85).
+    // Token-length profiling per document: lengths via transform, the
+    // fold via aggregate with a 0L seed (so the sum accumulates in
+    // BIGINT), selective counting via filter, a threshold probe via
+    // exists. NOTE the engine boundary this family sits on: Spark
+    // evaluates HOF lambdas INTERPRETED (no codegen), which is why the
+    // hot-path operators here (q67's SimHash64, q113's chunker) are
+    // native Expressions instead — this query pins the SURFACE, and
+    // per-row array work at this size is projection-cheap. One scan,
+    // no shuffle except the output sort.
+    "q307_array_hof" -> ((s, d) => {
+      graft.Tables.view(s, d, "documents")
+      s.sql("""SELECT doc_id,
+                      CAST(size(lens) AS BIGINT) AS n_toks,
+                      aggregate(lens, 0L, (a, x) -> a + x) AS sum_len,
+                      CAST(array_max(lens) AS BIGINT) AS max_len,
+                      CAST(size(filter(lens, x -> x > 5)) AS BIGINT)
+                        AS n_long,
+                      exists(lens, x -> x >= 9) AS has_long9
+               FROM (SELECT doc_id,
+                            transform(split(text, ' '), t -> length(t))
+                              AS lens
+                     FROM documents)
+               ORDER BY doc_id""")
+    }),
+
     // KENDALL TAU trend test — the rank-correlation verdict beside
     // q234's Spearman and q295's Theil–Sen, over the same weekly
     // revenue series: concordant/discordant pair counts against the
@@ -2024,6 +2087,26 @@ object Relational {
          SELECT i, CAST(rn AS BIGINT) AS rn, j, CAST(c AS BIGINT) AS c,
                 cos2_bp
          FROM rk WHERE rn <= 3 ORDER BY i, rn""",
+
+    "q309_dsv2_spj" ->
+      """SELECT r_regionkey, r_name, CAST(count(*) AS BIGINT) AS n_nations,
+                min(n_name) AS first_nation
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1""",
+
+    "q307_array_hof" ->
+      """SELECT doc_id,
+                CAST(len(lens) AS BIGINT) AS n_toks,
+                CAST(list_sum(lens) AS BIGINT) AS sum_len,
+                CAST(list_max(lens) AS BIGINT) AS max_len,
+                CAST(len(list_filter(lens, x -> x > 5)) AS BIGINT)
+                  AS n_long,
+                (len(list_filter(lens, x -> x >= 9)) > 0) AS has_long9
+         FROM (SELECT doc_id,
+                      list_transform(string_split(text, ' '),
+                                     t -> length(t)) AS lens
+               FROM documents)
+         ORDER BY doc_id""",
 
     "q297_kendall_tau" ->
       """WITH wk AS (SELECT o_orderpriority AS grp,

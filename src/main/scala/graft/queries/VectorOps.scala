@@ -1097,6 +1097,80 @@ object VectorOps {
         .orderBy("cid")
     }),
 
+    // MULTI-PROBE LSH — the recall knob q61's single-bucket probe
+    // lacks: besides the query's home bucket, probe the 8 buckets at
+    // Hamming distance 1 in hyperplane-sign space (flip one bit —
+    // Lv et al.'s multi-probe insight: the most-likely-miss buckets
+    // are the nearest perturbations), and MEASURE the lift: candidate
+    // counts and recall@5 against the exact ranking for BOTH probe
+    // policies from ONE bucket join (a per-pair in_single flag instead
+    // of two scans). This is how a production ANN service trades query
+    // fan-out for index memory — same table, 9× probes, no rebuild.
+    // Candidates come only from bucket equi-joins (the probe set is
+    // |queries|·9 rows, an honest broadcast); the exact baseline is
+    // the q60 broadcast-probe scan, fine at any corpus size because
+    // the probe side stays tiny. Recall in exact bp (hits·2000).
+    "q308_multiprobe_lsh" -> ((s, d) => {
+      val e = withNorm(ld(s, d, "embeddings"))
+        .withColumn("bucket", lshBucket(col("emb")))
+        .localCheckpoint() // corpus side of bucket join, sims, brute
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"), col("bucket").as("qb"))
+      val probes = q.select(col("q_id"),
+        explode(array((0 to 8).map(i =>
+          struct((if (i == 8) col("qb")
+            else expr(s"qb ^ ${1 << i}")).as("pb"),
+            lit(if (i == 8) 1L else 0L).as("is_home"))): _*)).as("p"))
+        .select(col("q_id"), col("p.pb").as("pb"),
+          col("p.is_home").as("is_home"))
+      val pairs = e.select(col("vec_id"), col("bucket"))
+        .join(broadcast(probes), col("bucket") === col("pb"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id").as("neighbor_id"))
+        .agg(max("is_home").as("in_single"))
+      val sims = pairs
+        .join(e.select(col("vec_id").as("neighbor_id"), col("emb"),
+          col("nrm")).hint("shuffle_hash"), "neighbor_id")
+        .join(broadcast(q.select(col("q_id"), col("q_emb"),
+          col("q_nrm"))), "q_id")
+        .select(col("q_id"), col("neighbor_id"), col("in_single"),
+          round(dotp(col("q_emb"), col("emb")) /
+            (col("q_nrm") * col("nrm")), 6).as("sim"))
+        .localCheckpoint() // two rankings + counts cut from one frame
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      val top5m = sims.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).select(col("q_id"), col("neighbor_id"))
+      val top5s = sims.filter(col("in_single") === 1L)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).select(col("q_id"), col("neighbor_id"))
+      val brute = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          round(dotp(col("q_emb"), col("emb")) /
+            (col("q_nrm") * col("nrm")), 6).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).select(col("q_id"), col("neighbor_id"))
+      val counts = pairs.groupBy("q_id").agg(
+        sum("in_single").as("n_cand_single"),
+        count(lit(1)).as("n_cand_multi"))
+      brute
+        .join(top5s.withColumn("ins", lit(1L)),
+          Seq("q_id", "neighbor_id"), "left")
+        .join(top5m.withColumn("inm", lit(1L)),
+          Seq("q_id", "neighbor_id"), "left")
+        .groupBy("q_id").agg(
+          (sum(coalesce(col("ins"), lit(0L))) * 2000L)
+            .as("recall_single_bp"),
+          (sum(coalesce(col("inm"), lit(0L))) * 2000L)
+            .as("recall_multi_bp"))
+        .join(broadcast(counts), "q_id")
+        .select(col("q_id"), col("n_cand_single"), col("n_cand_multi"),
+          col("recall_single_bp"), col("recall_multi_bp"))
+        .orderBy("q_id")
+    }),
+
     // PCA TOP PRINCIPAL COMPONENT by power iteration — the
     // dimensionality screen under every embedding operator here
     // (SemDeDup clusters, IVF lists, Matryoshka truncation q247 all
@@ -1660,6 +1734,68 @@ object VectorOps {
     // bucket assignment (sign-exact projections), identical top-5 ranking
     // — upgrades q61 from the LSH-vs-brute property spec to a real
     // hash-matched row.
+    // q308: full replay — same bucket expr as q61, the 9-probe set via
+    // xor bit flips, one pairs frame carrying in_single, both rankings.
+    "q308_multiprobe_lsh" -> {
+      val bucket = hyperplanes.zipWithIndex.map { case (w, p) =>
+        s"(CASE WHEN ${duckPlaneDot("ce", w)} > 0 THEN ${1 << p} ELSE 0 END)" }
+        .mkString("\n                   + ")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                     FROM embeddings),
+              b AS (SELECT vec_id, ce, $bucket AS bucket FROM c),
+              probesq AS (SELECT vec_id AS q_id, ce AS qe, bucket AS qb
+                          FROM b WHERE vec_id < 10),
+              pr AS (SELECT q_id,
+                            CASE WHEN i = 8 THEN qb
+                                 ELSE xor(qb, 1 << i) END AS pb,
+                            CASE WHEN i = 8 THEN 1 ELSE 0 END AS is_home
+                     FROM probesq, unnest(range(0, 9)) AS t(i)),
+              pairs AS (SELECT pr.q_id, x.vec_id AS neighbor_id,
+                               max(is_home) AS in_single
+                        FROM b x JOIN pr ON x.bucket = pr.pb
+                        WHERE x.vec_id <> pr.q_id GROUP BY 1, 2),
+              sims AS (SELECT p.q_id, p.neighbor_id, p.in_single,
+                              round(${dcos("q.qe", "x.ce")}, 6) AS sim
+                       FROM pairs p JOIN b x ON p.neighbor_id = x.vec_id
+                                    JOIN probesq q ON p.q_id = q.q_id),
+              t5m AS (SELECT q_id, neighbor_id FROM
+                        (SELECT *, row_number() OVER (PARTITION BY q_id
+                           ORDER BY sim DESC, neighbor_id) AS rn
+                         FROM sims) WHERE rn <= 5),
+              t5s AS (SELECT q_id, neighbor_id FROM
+                        (SELECT *, row_number() OVER (PARTITION BY q_id
+                           ORDER BY sim DESC, neighbor_id) AS rn
+                         FROM sims WHERE in_single = 1) WHERE rn <= 5),
+              brute AS (SELECT q_id, neighbor_id FROM
+                          (SELECT q.q_id, x.vec_id AS neighbor_id,
+                                  row_number() OVER (PARTITION BY q.q_id
+                                    ORDER BY round(${dcos("q.qe", "x.ce")},
+                                      6) DESC, x.vec_id) AS rn
+                           FROM b x CROSS JOIN probesq q
+                           WHERE x.vec_id <> q.q_id) WHERE rn <= 5),
+              cnt AS (SELECT q_id, sum(in_single) AS n_cand_single,
+                             count(*) AS n_cand_multi
+                      FROM pairs GROUP BY 1),
+              rec AS (SELECT br.q_id,
+                             sum(CASE WHEN t5s.neighbor_id IS NOT NULL
+                                      THEN 1 ELSE 0 END) * 2000
+                               AS recall_single_bp,
+                             sum(CASE WHEN t5m.neighbor_id IS NOT NULL
+                                      THEN 1 ELSE 0 END) * 2000
+                               AS recall_multi_bp
+                      FROM brute br
+                      LEFT JOIN t5s ON br.q_id = t5s.q_id
+                        AND br.neighbor_id = t5s.neighbor_id
+                      LEFT JOIN t5m ON br.q_id = t5m.q_id
+                        AND br.neighbor_id = t5m.neighbor_id
+                      GROUP BY 1)
+         SELECT rec.q_id, CAST(n_cand_single AS BIGINT) AS n_cand_single,
+                CAST(n_cand_multi AS BIGINT) AS n_cand_multi,
+                CAST(recall_single_bp AS BIGINT) AS recall_single_bp,
+                CAST(recall_multi_bp AS BIGINT) AS recall_multi_bp
+         FROM rec JOIN cnt ON rec.q_id = cnt.q_id ORDER BY rec.q_id"""
+    },
+
     "q61_ann_lsh" -> {
       val bucket = hyperplanes.zipWithIndex.map { case (w, p) =>
         s"(CASE WHEN ${duckPlaneDot("ce", w)} > 0 THEN ${1 << p} ELSE 0 END)" }

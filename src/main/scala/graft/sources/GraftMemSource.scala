@@ -151,13 +151,14 @@ class GraftMemTable(name: String) extends Table with SupportsRead {
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftMemScanBuilder(name, schema(),
-      options.getBoolean("pushAgg", false))
+      options.getBoolean("pushAgg", false),
+      Option(options.get("partitionKey")))
 }
 
 object GraftMemTable { val MaxSplits = 4 }
 
 class GraftMemScanBuilder(name: String, full: StructType,
-    enableAgg: Boolean) extends ScanBuilder
+    enableAgg: Boolean, partitionKey: Option[String]) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
 
@@ -215,30 +216,76 @@ class GraftMemScanBuilder(name: String, full: StructType,
 
   override def build(): Scan = agg match {
     case Some(a) => new GraftMemAggScan(name, full, pushed, a)
-    case None => new GraftMemScan(name, full, required, pushed)
+    case None =>
+      new GraftMemScan(name, full, required, pushed, partitionKey)
   }
 }
 
 class GraftMemScan(name: String, full: StructType, required: StructType,
-    filters: Array[Filter]) extends Scan with Batch {
+    filters: Array[Filter], partitionKey: Option[String] = None)
+    extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftMemScan(table=$name, columns=${required.fieldNames.mkString(",")}," +
-      s" pushed=${filters.mkString(",")})"
+      s" pushed=${filters.mkString(",")}" +
+      partitionKey.map(k => s", keyedBy=$k").getOrElse("") + ")"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = GraftMemRegistry.rowsOf(name).size
-    val splits = math.min(GraftMemTable.MaxSplits, math.max(1, n))
-    (0 until splits)
-      .map(i => GraftMemPartition(i, splits): InputPartition).toArray
-  }
+  /** Distinct key values in sorted order — one input partition each, so
+    * two tables registered with the same partitionKey report matching
+    * KeyGroupedPartitioning partition values and join WITHOUT a
+    * shuffle (storage-partitioned join). */
+  private lazy val keyValues: Seq[Any] = partitionKey.map { k =>
+    val i = full.fieldNames.indexOf(k)
+    // stable order only (partition ids must be deterministic); Spark
+    // matches the two sides by key VALUE, not by partition order
+    GraftMemRegistry.rowsOf(name).map(_.get(i)).distinct
+      .sortBy(String.valueOf(_))
+  }.getOrElse(Nil)
+
+  /** The connector-side partitioning report: with a partitionKey, the
+    * data IS clustered by identity(key) across exactly one partition
+    * per key value — the contract spark.sql.sources.v2.bucketing reads
+    * to elide the join Exchange. */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    partitionKey match {
+      case Some(k) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .identity(k)), keyValues.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(GraftMemTable.MaxSplits)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    partitionKey match {
+      case Some(k) =>
+        val dt = full(full.fieldNames.indexOf(k)).dataType
+        keyValues.map(v => GraftMemKeyedPartition(k, v,
+          GraftMemEval.toCatalyst(v, dt)): InputPartition).toArray
+      case None =>
+        val n = GraftMemRegistry.rowsOf(name).size
+        val splits = math.min(GraftMemTable.MaxSplits, math.max(1, n))
+        (0 until splits)
+          .map(i => GraftMemPartition(i, splits): InputPartition).toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftMemReaderFactory(name, full, required, filters)
 }
 
 case class GraftMemPartition(idx: Int, of: Int) extends InputPartition
+
+/** One partition per key value; partitionKey() is what EnsureRequirements
+  * compares across the two join sides to certify co-partitioning. */
+case class GraftMemKeyedPartition(keyCol: String, keyValue: Any,
+    catalystKey: Any) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array(catalystKey))
+}
 
 /** Complete aggregate pushdown: the scan's output rows ARE the final
   * grouped aggregate (group columns ++ agg values, positional).
@@ -333,12 +380,16 @@ class GraftMemReaderFactory(name: String, full: StructType,
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftMemPartition]
     val fieldIdx = full.fieldNames.zipWithIndex.toMap
     val all = GraftMemRegistry.rowsOf(name)
-    // round-robin split: partition i takes rows where idx % of == i
-    val mine = all.zipWithIndex.collect {
-      case (r, j) if j % p.of == p.idx => r
+    val mine = partition match {
+      // round-robin split: partition i takes rows where idx % of == i
+      case GraftMemPartition(idx, of) =>
+        all.zipWithIndex.collect { case (r, j) if j % of == idx => r }
+      // keyed split: exactly this key value's rows (SPJ partition)
+      case GraftMemKeyedPartition(keyCol, v, _) =>
+        val ki = fieldIdx(keyCol)
+        all.filter(r => r.get(ki) == v)
     }
 
     val it = mine.filter(GraftMemEval.passes(_, fieldIdx, filters))

@@ -1728,6 +1728,49 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Scan parquet"))
   }
 
+  test("q306: TextTiling — one tokenize pass into the pinned block-tf " +
+    "frame; adjacent-block and gap joins all keyed shuffle-hash; " +
+    "zero-overlap gaps kept via the LEFT join") {
+    val p = plan("q306_texttiling")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      "the block-tf frame must be pinned — dot/norm/gap all read it")
+    assert(p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q307: array HOFs are projection-only — one scan, no join, no " +
+    "aggregate, no window (the lambda surface, not a shuffle shape)") {
+    val p = plan("q307_array_hof")
+    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("HashAggregate"))
+  }
+
+  test("q308: multi-probe candidates come ONLY from bucket equi-joins " +
+    "with the tiny probe set broadcast; the exact baseline is the " +
+    "broadcast-probe scan — never a corpus x corpus product") {
+    val p = plan("q308_multiprobe_lsh")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe set and query frames must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Scan ExistingRDD"),
+      "the bucketed corpus frame must be pinned")
+  }
+
+  test("q309: storage-partitioned join — co-partitioned V2 scans join " +
+    "and aggregate with ZERO hash Exchanges; both sides are BatchScans") {
+    val p = plan("q309_dsv2_spj")
+    assert("BatchScan".r.findAllIn(p).size >= 2)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "SPJ must elide the join and aggregate shuffles entirely")
+    assert(p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the zero-Exchange claim must hold for a real shuffle-class " +
+        "join, not degrade to a broadcast")
+    assert(!p.contains("Scan parquet"))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
