@@ -2652,6 +2652,39 @@ object PipelineOps {
         .orderBy("user_id")
     }),
 
+    // DETERMINISM CERTIFICATE — proof-in-data that a pipeline stage's
+    // output is aggregation-topology-invariant: the exact-dedup
+    // survivor set (q40's min-doc-per-fingerprint rule) is reduced to
+    // the q173 commutative checksum (order-invariant bit_xor of
+    // per-row 60-bit hashes) through TWO structurally different
+    // aggregation trees — bucketed partials modulo 7 vs modulo 13,
+    // different shuffle keys, different partial groupings, different
+    // merge orders. (A bare repartition() before the rollup was
+    // optimized AWAY — Catalyst elides redundant exchanges under an
+    // aggregate, so the two replicas must differ where the optimizer
+    // cannot normalize them: in the bucket KEY.) Equal checksums
+    // certify the stage deterministic under re-execution and re-plan —
+    // the property every retry, speculative task, and AQE re-plan
+    // silently RELIES on, and the one a nondeterministic tie-break
+    // (min vs first!) quietly breaks. At 100 TB this is the cross-run
+    // output certificate a pipeline stores beside each stage manifest.
+    "q312_determinism_cert" -> ((s, d) => {
+      val surv = ld(s, d, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min("doc_id").as("doc_id"))
+        .select(expr("CAST(conv(substring(md5(concat_ws(':'," +
+          " doc_id, fp)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      def checksum(buckets: Int, nCol: String, cCol: String): DataFrame =
+        surv.groupBy(expr(s"h % $buckets").as("b"))
+          .agg(count(lit(1)).as("pn"), expr("bit_xor(h)").as("px"))
+          .agg(sum("pn").as(nCol), expr("bit_xor(px)").as(cCol))
+      checksum(7, "n_rows", "checksum_a")
+        .crossJoin(checksum(13, "n_b", "checksum_b"))
+        .select(col("n_rows"), col("checksum_a"), col("checksum_b"),
+          (col("n_rows") === col("n_b") &&
+            col("checksum_a") === col("checksum_b")).as("deterministic"))
+    }),
+
     // PRIORITY SAMPLING (Duffield–Lund–Thorup) — the weighted
     // subset-sum sampler a 100 TB pipeline uses to estimate any
     // weighted total from k rows: priority qᵢ = wᵢ/uᵢ with uᵢ a
@@ -3113,6 +3146,19 @@ object PipelineOps {
                 CAST(sum(CASE WHEN maxd - dt < 90 THEN cents ELSE 0 END)
                      AS BIGINT) AS m90
          FROM ev, a GROUP BY user_id ORDER BY user_id""",
+
+    // q312: one checksum emitted as both columns — the oracle's claim is
+    // the VALUE; the Spark side's claim is that two partitionings agree.
+    "q312_determinism_cert" ->
+      """WITH surv AS (SELECT md5(text) AS fp, min(doc_id) AS doc_id
+                       FROM documents GROUP BY 1),
+              c AS (SELECT count(*) AS n,
+                           bit_xor(('0x' || substr(md5(doc_id || ':' || fp),
+                             1, 15))::BIGINT) AS cs
+                    FROM surv)
+         SELECT CAST(n AS BIGINT) AS n_rows, cs AS checksum_a,
+                cs AS checksum_b, true AS deterministic
+         FROM c""",
 
     "q296_priority_sampling" ->
       """WITH p AS (SELECT doc_id, n_chars AS wt,

@@ -1847,6 +1847,110 @@ object Relational {
         .orderBy("r_regionkey")
     }),
 
+    // V2 TableCatalog at the SQL layer — the reference's `Catalog`
+    // (`catalog.rs:20-23`; name → table lookup `catalog.rs:60-65`)
+    // completed as a first-class Spark catalog plugin: with
+    // spark.sql.catalog.graftcat = graft.sources.GraftMemCatalog, a
+    // registered memory table is addressable as `graftcat.<name>` in
+    // PLAIN SQL — no read.format() plumbing — and the entire pushdown
+    // stack (pruning, filters, q305's aggregates, q309's partitioning)
+    // applies because loadTable returns the same GraftMemTable. This is
+    // the three-level namespace a lakehouse exposes; the catalog is
+    // read-only by design, like the reference's (registration happens
+    // outside SQL). Oracle replays over the parquet table.
+    "q310_dsv2_catalog" -> ((s, d) => {
+      val nation = ld(s, d, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      graft.sources.GraftMemRegistry.register("nation_cat",
+        nation.schema, nation.collect().toSeq)
+      s.conf.set("spark.sql.catalog.graftcat",
+        "graft.sources.GraftMemCatalog")
+      s.sql("""SELECT n_regionkey, count(*) AS n,
+                      max(n_nationkey) AS max_key
+               FROM graftcat.nation_cat
+               WHERE n_nationkey < 20
+               GROUP BY n_regionkey ORDER BY n_regionkey""")
+    }),
+
+    // REFERENTIAL-INTEGRITY (FK orphan) AUDIT — every foreign-key edge
+    // of the schema checked in one pass each: child keys with no
+    // matching parent, via LEFT ANTI joins (the q98 decontamination
+    // shape applied to integrity). The audit is the gate a pipeline
+    // runs before joins are TRUSTED — an orphaned fact silently
+    // disappears from every inner join downstream (q11's 5-way chain),
+    // which is a data-loss bug that never throws. Per edge: child
+    // cardinality, orphan count, intact verdict. Anti-joins are keyed
+    // shuffles; parent key sets are corpus-proportional so nothing
+    // broadcasts by hint — Catalyst may still broadcast the genuinely
+    // tiny dims (nation/region), which is correct.
+    "q311_fk_orphans" -> ((s, d) => {
+      def keyed(df: DataFrame, k: String): DataFrame =
+        df.select(col(k).as("k"))
+      def audit(edge: String, childK: DataFrame,
+          parentK: DataFrame): DataFrame = {
+        val orphans = childK
+          .join(parentK.distinct(), Seq("k"), "left_anti")
+        childK.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(edge).as("fk_edge"), col("n_child"),
+            col("n_orphans"), (col("n_orphans") === 0L).as("intact"))
+      }
+      val li = ld(s, d, "lineitem"); val o = ld(s, d, "orders")
+      val c = ld(s, d, "customer"); val su = ld(s, d, "supplier")
+      val n = ld(s, d, "nation"); val r = ld(s, d, "region")
+      val p = ld(s, d, "part")
+      Seq(
+        audit("lineitem.l_orderkey->orders.o_orderkey",
+          keyed(li, "l_orderkey"), keyed(o, "o_orderkey")),
+        audit("lineitem.l_partkey->part.p_partkey",
+          keyed(li, "l_partkey"), keyed(p, "p_partkey")),
+        audit("lineitem.l_suppkey->supplier.s_suppkey",
+          keyed(li, "l_suppkey"), keyed(su, "s_suppkey")),
+        audit("orders.o_custkey->customer.c_custkey",
+          keyed(o, "o_custkey"), keyed(c, "c_custkey")),
+        audit("customer.c_nationkey->nation.n_nationkey",
+          keyed(c, "c_nationkey"), keyed(n, "n_nationkey")),
+        audit("supplier.s_nationkey->nation.n_nationkey",
+          keyed(su, "s_nationkey"), keyed(n, "n_nationkey")),
+        audit("nation.n_regionkey->region.r_regionkey",
+          keyed(n, "n_regionkey"), keyed(r, "r_regionkey")))
+        .reduce(_ unionByName _)
+        .orderBy("fk_edge")
+    }),
+
+    // TRENDING RANK MOVEMENT — month-over-month part-popularity rank
+    // deltas, the "what is rising" monitor a feed ranks with: parts
+    // ranked per month by order-line count (month-partitioned
+    // row_number, ties by part key — bit-stable), adjacent months
+    // joined on the part, and the last month's top-10 risers by rank
+    // improvement. New entrants (no prior-month rank) are excluded by
+    // the inner join — deliberately: a rank DELTA needs both ends; the
+    // entrant report is a different query (q204-family). Per-month
+    // partitions are catalog-sized, never corpus-sized; the only
+    // corpus-wide work is one map-side-combined (month, part) rollup.
+    "q313_trending_rank" -> ((s, d) => {
+      val cnt = ld(s, d, "lineitem")
+        .select(expr("CAST(year(l_shipdate) * 12 + month(l_shipdate)" +
+          " AS BIGINT)").as("ym"), col("l_partkey"))
+        .groupBy("ym", "l_partkey").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // both adjacent-month join sides
+      val w = Window.partitionBy("ym")
+        .orderBy(col("n").desc, col("l_partkey"))
+      val rk = cnt.withColumn("rnk", row_number().over(w))
+      val last = rk.agg(max("ym").as("maxym"))
+      rk.as("p").join(rk.as("c").hint("shuffle_hash"),
+          col("c.ym") === col("p.ym") + 1 &&
+            col("c.l_partkey") === col("p.l_partkey"))
+        .crossJoin(broadcast(last))
+        .filter(col("c.ym") === col("maxym"))
+        .select(col("c.l_partkey").as("l_partkey"),
+          col("p.rnk").cast("long").as("rank_prev"),
+          col("c.rnk").cast("long").as("rank_now"),
+          (col("p.rnk").cast("long") - col("c.rnk").cast("long"))
+            .as("rank_delta"))
+        .orderBy(col("rank_delta").desc, col("l_partkey")).limit(10)
+    }),
+
     // ARRAY HIGHER-ORDER FUNCTIONS — the lambda SQL surface
     // (transform / filter / aggregate / exists) over a per-row array,
     // a type family the reference does not have at all (DataType::List
@@ -2093,6 +2197,62 @@ object Relational {
                 min(n_name) AS first_nation
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY 1, 2 ORDER BY 1""",
+
+    "q310_dsv2_catalog" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+                CAST(max(n_nationkey) AS BIGINT) AS max_key
+         FROM nation WHERE n_nationkey < 20
+         GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    // q311: the seven FK edges generated by the same loop shape as the
+    // Spark side so the edge inventory can never drift.
+    "q311_fk_orphans" -> {
+      val edges = Seq(
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+          "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+          "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer.c_custkey",
+          "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation.n_nationkey",
+          "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation.n_nationkey",
+          "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region.r_regionkey",
+          "nation", "n_regionkey", "region", "r_regionkey"))
+      edges.map { case (edge, ct, ck, pt, pk) =>
+        s"""SELECT '$edge' AS fk_edge,
+                   CAST((SELECT count(*) FROM $ct) AS BIGINT) AS n_child,
+                   CAST((SELECT count(*) FROM $ct c
+                         WHERE NOT EXISTS (SELECT 1 FROM $pt p
+                                           WHERE p.$pk = c.$ck))
+                        AS BIGINT) AS n_orphans,
+                   ((SELECT count(*) FROM $ct c
+                     WHERE NOT EXISTS (SELECT 1 FROM $pt p
+                                       WHERE p.$pk = c.$ck)) = 0)
+                     AS intact"""
+      }.mkString(" UNION ALL ") + " ORDER BY fk_edge"
+    },
+
+    "q313_trending_rank" ->
+      """WITH cnt AS (SELECT CAST(year(l_shipdate) * 12
+                             + month(l_shipdate) AS BIGINT) AS ym,
+                             l_partkey, count(*) AS n
+                      FROM lineitem GROUP BY 1, 2),
+              rk AS (SELECT ym, l_partkey, n,
+                            row_number() OVER (PARTITION BY ym
+                              ORDER BY n DESC, l_partkey) AS rnk
+                     FROM cnt),
+              mx AS (SELECT max(ym) AS maxym FROM rk)
+         SELECT c.l_partkey, CAST(p.rnk AS BIGINT) AS rank_prev,
+                CAST(c.rnk AS BIGINT) AS rank_now,
+                CAST(p.rnk - c.rnk AS BIGINT) AS rank_delta
+         FROM rk p JOIN rk c
+           ON c.ym = p.ym + 1 AND c.l_partkey = p.l_partkey, mx
+         WHERE c.ym = mx.maxym
+         ORDER BY rank_delta DESC, c.l_partkey LIMIT 10""",
 
     "q307_array_hof" ->
       """SELECT doc_id,

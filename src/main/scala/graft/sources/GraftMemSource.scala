@@ -70,6 +70,12 @@ object GraftMemRegistry {
   def register(name: String, schema: StructType, rows: Seq[Row]): Unit =
     tables.put(name, (schema, rows))
 
+  /** Registered table names (catalog listTables/tableExists). */
+  def tableNames: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    tables.keySet().asScala.toSeq.sorted
+  }
+
   def schemaOf(name: String): StructType = {
     val t = tables.get(name)
     require(t != null, s"graft-mem table not registered: $name")

@@ -1771,6 +1771,41 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Scan parquet"))
   }
 
+  test("q310: the SQL-catalog path reads through the same V2 BatchScan " +
+    "with the filter pushed — plain SQL, zero parquet") {
+    val p = plan("q310_dsv2_catalog")
+    assert(p.contains("BatchScan"))
+    assert(!p.contains("Scan parquet"))
+    assert(!p.matches("""(?s).*\(\d+\) Filter.*"""),
+      "n_nationkey < 20 (and its IsNotNull) must be fully pushed — no " +
+        "residual Filter node")
+  }
+
+  test("q311: every FK edge audits via a keyed LEFT ANTI join — no " +
+    "cartesian anywhere in the 7-edge union") {
+    val p = plan("q311_fk_orphans")
+    assert("LeftAnti".r.findAllIn(p).size >= 7)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q312: the two checksum trees shuffle on DIFFERENT bucket keys " +
+    "(mod 7 vs mod 13) — distinct topologies the optimizer cannot " +
+    "normalize into one; no window") {
+    val p = plan("q312_determinism_cert")
+    assert(p.contains("% 7") && p.contains("% 13"),
+      "both bucket keys must survive into the physical plan")
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+  }
+
+  test("q313: trending — one (month, part) rollup pinned, ranks in " +
+    "month-partitioned windows, adjacent months joined keyed") {
+    val p = plan("q313_trending_rank")
+    assert(p.contains("Scan ExistingRDD") && !p.contains("Scan parquet"),
+      "the month-part counts must be pinned — both join sides read them")
+    assert(p.contains("ShuffledHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
