@@ -38,6 +38,14 @@ object CollapseIdempotentStringFns extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => CollapseIdempotentStringFns)
+    // whole-operator seam: the native AS-OF join (logical node +
+    // strategy + physical merge, AsOfJoinPlan.scala)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // SQL-syntax seam: `ASOF JOIN a KEY k TIME t TO b KEY k2 TIME t2`
+    // parses to the same operator (GraftSqlParser.scala); the paired
+    // resolution rule binds key/time names per side.
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectResolutionRule(_ => ResolveAsOfJoin)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName,

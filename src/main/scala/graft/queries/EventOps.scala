@@ -1620,6 +1620,69 @@ object EventOps {
         .orderBy("event_type")
     }),
 
+    // NATIVE AS-OF JOIN — q49's semantics through the WHOLE-OPERATOR
+    // extension seam: a custom logical node (graft.plans.AsOfJoin), a
+    // planner strategy (injected here via experimental.extraStrategies;
+    // GraftExtensions carries it for extension-built sessions), and a
+    // physical AsOfJoinExec whose requiredChildDistribution/-Ordering
+    // let EnsureRequirements place the key Exchanges and (key, time)
+    // sorts — then ONE forward merge per partition with O(1) buffered
+    // state (the SortMergeJoin streamed shape, specialized to
+    // latest-right-at-or-before). Same answer as q49's union-tagged
+    // carry-forward window, same DuckDB ASOF LEFT JOIN oracle — two
+    // implementations, one truth, and the plan pin proves THIS one runs
+    // through AsOfJoinExec. At 100 TB the operator wins over the
+    // union-window form by never materializing the union frame and
+    // keeping one row of state instead of a window buffer.
+    "q314_native_asof" -> ((s, d) => {
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .experimental.extraStrategies = Seq(graft.plans.AsOfJoinStrategy)
+      val ev = ld(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      graft.plans.AsOfJoinOps.asof(s, p, c,
+          "user_id", "c_user", "ts", "click_ts")
+        .select(col("event_id"), col("user_id"),
+          col("click_ts").as("last_click_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"))
+        .orderBy("event_id")
+    }),
+
+    // ASOF FROM PURE SQL — the parser seam end-to-end: the statement
+    // `ASOF JOIN <l> KEY <k> TIME <t> TO <r> KEY <k2> TIME <t2>`
+    // (GraftSqlParser, injected via injectParser + a per-side
+    // injectResolutionRule) plans to the SAME AsOfJoinExec as q314 —
+    // no DataFrame-side constructor, just spark.sql on two temp views.
+    // The query itself is the view→last-click attribution roll-up:
+    // per user, how many views had a preceding click and the summed
+    // staleness. Output columns carry only per-(key,time) functional
+    // values (click_ts, never click attrs), so duplicate-timestamp
+    // ties cost nothing. Scale: the as-of merge is the q314 operator
+    // (key-clustered, (key,time)-sorted, O(1) state); the roll-up
+    // reuses the same user_id clustering — AQE sees the join output
+    // already hash-partitioned on user_id, and the agg is map-side
+    // combined either way.
+    "q315_asof_sql" -> ((s, d) => {
+      val ev = ld(s, d, "events")
+      ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("g_views")
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+        .createOrReplaceTempView("g_clicks")
+      s.sql("ASOF JOIN g_views KEY user_id TIME ts " +
+          "TO g_clicks KEY c_user TIME click_ts")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_views"),
+          count(col("click_ts")).as("n_with_click"),
+          sum(unix_micros(col("ts")) - unix_micros(col("click_ts")))
+            .as("sum_gap_us"))
+        .orderBy("user_id")
+    }),
+
     // DEAD-LETTER SPLIT SINK — the ingest-hardening rung beside q281's
     // idempotent MERGE: every micro-batch is split INSIDE the stream
     // into parseable rows (valid JSON props carrying the required key)
@@ -1683,6 +1746,34 @@ object EventOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // q314: the SAME oracle as q49 — the custom physical operator must
+    // reproduce the composed form's answer bit for bit.
+    "q314_native_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, ts AS click_ts FROM events
+                    WHERE event_type = 'click')
+         SELECT event_id, p.user_id AS user_id, click_ts AS last_click_ts,
+                epoch_us(ts) - epoch_us(click_ts) AS gap_us
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.click_ts
+         ORDER BY event_id""",
+
+    // q315: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    // parser-injected statement — same semantics, independent engine.
+    "q315_asof_sql" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'view'),
+              c AS (SELECT user_id AS c_user, ts AS click_ts FROM events
+                    WHERE event_type = 'click')
+         SELECT user_id, count(*) AS n_views,
+                count(click_ts) AS n_with_click,
+                CAST(sum(epoch_us(ts) - epoch_us(click_ts)) AS BIGINT)
+                  AS sum_gap_us
+         FROM v ASOF LEFT JOIN c
+           ON v.user_id = c.c_user AND v.ts >= c.click_ts
+         GROUP BY user_id ORDER BY user_id""",
+
     "q304_stream_dead_letter" ->
       """WITH c AS (SELECT event_type,
                            CASE WHEN event_id % 37 = 0 THEN '{bad'

@@ -56,4 +56,88 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.clearDefaultSession()
     }
   }
+
+  test("injectPlannerStrategy: the native AsOfJoin plans to AsOfJoinExec " +
+    "in an extensions-built session, and its edge semantics hold " +
+    "(equal-ts visible, no-match null, carry across left rows)") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-asof-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      import s.implicits._
+      val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+        .toDF("k", "t", "tag")
+      val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (3L, 1L, "r1"))
+        .toDF("rk", "rt", "rv")
+      val df = graft.plans.AsOfJoinOps.asof(s, left, right,
+        "k", "rk", "t", "rt")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("AsOfJoin"), // nodeName renders without the Exec suffix
+        "strategy must plan the custom node")
+      val rows = df.orderBy("k", "t")
+        .select("k", "t", "tag", "rt", "rv").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          Option(r.getString(4)).getOrElse("-")))
+        .toSeq
+      assert(rows == Seq(
+        (1L, 10L, "a", 10L, "r10"), // equal-ts right row IS visible
+        (1L, 20L, "b", 15L, "r15"), // latest at-or-before wins
+        (2L, 5L, "c", -1L, "-")), // no right key -> nulls (left outer)
+        rows.toString)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  test("injectParser: the ASOF JOIN statement parses to the custom node, " +
+    "same-name keys on both sides resolve per-side (generic resolution " +
+    "would call that ambiguous), and stock SQL still parses untouched") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-parser-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      import s.implicits._
+      // both sides deliberately name the key "k" and the time "t"
+      Seq((1L, 10L, "a"), (1L, 20L, "b"), (7L, 3L, "c"))
+        .toDF("k", "t", "tag").createOrReplaceTempView("pl")
+      Seq((1L, 15L, 99L), (7L, 9L, 42L))
+        .toDF("k", "t", "v").createOrReplaceTempView("pr")
+      val df = s.sql("ASOF JOIN pl KEY k TIME t TO pr KEY k TIME t")
+      assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+      val got = df.selectExpr("pl.k", "pl.t", "tag", "v")
+        .orderBy("k", "t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+      assert(got == Seq(
+        (1L, 10L, "a", -1L), // right row at t=15 is in the future
+        (1L, 20L, "b", 99L),
+        (7L, 3L, "c", -1L)), got.toString)
+      // stock grammar is untouched: a plain statement round-trips
+      assert(s.sql("SELECT count(*) AS n FROM pl").head().getLong(0) == 3L)
+      // and a malformed ASOF statement falls through to Spark's parser,
+      // which rejects it as a ParseException (not a match-error here)
+      intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+        s.sql("ASOF JOIN pl KEY k TIME t")
+      }
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
 }

@@ -1806,6 +1806,37 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q314: the native as-of join runs through AsOfJoinExec — one " +
+    "key Exchange per side placed by EnsureRequirements, no union " +
+    "frame, no window") {
+    val p = plan("q314_native_asof")
+    assert(p.contains("AsOfJoin"), "the custom operator must plan")
+    assert(p.contains("hashpartitioning(user_id") &&
+      p.contains("hashpartitioning(c_user"),
+      "both sides must cluster on their key")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Exchange\s*""")) == 3,
+      "two key exchanges + the output-order range exchange, no more")
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""),
+      "the operator replaces the carry-forward window entirely")
+    assert(!p.contains("Union"))
+  }
+
+  test("q315: the SQL-parsed ASOF statement plans through AsOfJoinExec " +
+    "and the roll-up rides the join's user_id clustering — no extra " +
+    "key Exchange between join and aggregate") {
+    val p = plan("q315_asof_sql")
+    assert(p.contains("AsOfJoin"), "parser must reach the custom operator")
+    assert(p.contains("HashAggregate"))
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+    assert(!p.contains("Union"))
+    // exchanges: one per join side + the final order's range partition;
+    // the aggregate must NOT add a fourth (user_id clustering is reused)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Exchange\s*""")) == 3,
+      "agg must reuse the join's hash clustering")
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {

@@ -11,6 +11,7 @@ trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.plans.GraftExtensions)
     .getOrCreate()
 
   override def afterAll(): Unit = {
