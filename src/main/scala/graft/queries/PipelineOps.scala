@@ -2726,6 +2726,37 @@ object PipelineOps {
             .as("err_bp"))
     }),
 
+    // NATIVE BOTTOM-K SKETCH SAMPLE — the engine-internal UDAF rung:
+    // a TypedImperativeAggregate (functions/BottomK.scala) holding the
+    // k=16 (hash, doc_id) pairs with the smallest md5-derived 60-bit
+    // hash per source — the KMV/bottom-k construction, i.e. a
+    // DETERMINISTIC uniform per-group sample with mergeable fixed-size
+    // state. Where q54's Aggregator is the Encoder-typed seam and
+    // q135/q296 sample relationally (rank windows / top-k), this is
+    // the form Spark's own percentile/collect_list use: raw
+    // InternalRow updates into a size-bounded primitive max-heap,
+    // opaque 4+16k-byte serialized partials, explicit merge. At
+    // 100 TB each executor ships ONE 260-byte blob per (source ×
+    // partition) — never rows, never a corpus-wide rank window. The
+    // hash is engine-portable md5, so DuckDB replays the exact member
+    // choice: full hash-match, not a property check.
+    "q316_bottomk_sketch_sample" -> ((s, d) => {
+      import org.apache.spark.sql.graftx.ColumnBridge
+      val hv = expr("CAST(conv(substring(md5(concat(CAST(doc_id AS " +
+        "STRING), ':', text)), 1, 15), 16, 10) AS BIGINT)")
+      val agg = ColumnBridge.toColumn(
+        graft.functions.BottomKIds(
+          ColumnBridge.toExpression(hv),
+          ColumnBridge.toExpression(col("doc_id")), 16)
+          .toAggregateExpression())
+      ld(s, d, "documents")
+        .groupBy("source")
+        .agg(agg.as("sample"))
+        .select(col("source"),
+          posexplode(col("sample")).as(Seq("rank", "doc_id")))
+        .orderBy("source", "rank")
+    }),
+
     // COLUMN-RENAME DETECTION by content fingerprint — the schema-
     // drift mapper for feeds that rename columns between snapshot
     // versions (the failure mode q140's mergeSchema read can't see:
@@ -3184,6 +3215,20 @@ object PipelineOps {
                             % exact_total) + exact_total) % exact_total)))
                      // exact_total AS BIGINT) AS err_bp
          FROM est, tot""",
+
+    // q316: DuckDB replays the bottom-k membership exactly — same md5
+    // hash, same (hash, id) tie-break, rank = position in hash order.
+    "q316_bottomk_sketch_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) ||
+                              ':' || text), 1, 15))::BIGINT AS hv
+                    FROM documents),
+              r AS (SELECT source, doc_id,
+                           row_number() OVER (PARTITION BY source
+                                              ORDER BY hv, doc_id) AS rk
+                    FROM h)
+         SELECT source, CAST(rk - 1 AS INT) AS rank, doc_id
+         FROM r WHERE rk <= 16 ORDER BY source, rank""",
 
     "q298_rename_detect" ->
       """WITH v1 AS (

@@ -1837,6 +1837,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "agg must reuse the join's hash clustering")
   }
 
+  test("q316: the native bottom-k aggregate runs as a two-phase " +
+    "ObjectHashAggregate — partial sketches merge across ONE source " +
+    "Exchange; no rank window, no corpus-wide sort") {
+    val p = plan("q316_bottomk_sketch_sample")
+    assert(p.contains("ObjectHashAggregate"),
+      "TypedImperativeAggregate must plan to ObjectHashAggregate")
+    assert(p.contains("partial_graft_bottom_k_ids") ||
+      p.matches("""(?s).*partial.*graft_bottom_k_ids.*"""),
+      "map-side partial sketch must exist")
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""),
+      "sampling must not pay a rank window")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Exchange\s*""")) == 2,
+      "one source-key Exchange + the presentation sort's range exchange")
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
