@@ -690,10 +690,21 @@ object PipelineOps {
         L.join(R.hint("shuffle_hash"),
           keys.map(k => col(s"a_$k") === col(s"b_$k"))
             .reduce(_ && _) && col("a_pk") < col("b_pk"))
+          .select("a_pk", "b_pk")
+      // Pair-dedup runs NARROW: the generators emit only (a_pk, b_pk)
+      // — 16-byte rows — so the cross-pass distinct shuffles ~12× fewer
+      // bytes than dedup over full dual-width entity rows (the pair
+      // table is ~70× the entity table here: 1.4M pairs / 20k parts at
+      // sf0.1), and only the DEDUPED survivors pay the two attr-fetch
+      // joins below. At 100 TB this ordering — block narrow, dedup
+      // narrow, enrich once — is the production ER shape.
       val cand = pass("noun", "typ", "band")
         .unionByName(pass("noun", "brand"))
         .distinct()
-      scorePairs(cand).orderBy("a_pk", "b_pk")
+      val enriched = cand
+        .join(L.hint("shuffle_hash"), Seq("a_pk"))
+        .join(R.hint("shuffle_hash"), Seq("b_pk"))
+      scorePairs(enriched).orderBy("a_pk", "b_pk")
     }),
 
     // PII SCRUB: regex redaction of emails/phone numbers with a per-doc

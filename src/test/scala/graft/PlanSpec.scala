@@ -308,15 +308,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q146: entity-resolution candidates come from the two keyed " +
-    "blocking self-joins — no all-pairs product, both sides shuffled") {
+    "blocking self-joins, dedup runs NARROW (pk-pair projection before " +
+    "the distinct), and attrs are fetched once after — no all-pairs " +
+    "product, everything shuffled") {
     val p = plan("q146_entity_resolution")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), "blocking bypassed: pair product")
+    // 2 blocking self-joins + 2 post-dedup attr-fetch joins
     assert(p.linesIterator
-      .count(_.matches("""\(\d+\) ShuffledHashJoin""")) == 2,
-      "expected exactly the two blocking-pass self-joins, keyed + shuffled")
+      .count(_.matches("""\(\d+\) ShuffledHashJoin""")) == 4,
+      "expected two blocking passes + two attr-fetch joins, all shuffled")
     assert(p.linesIterator.count(_.matches("""\(\d+\) Union""")) == 1,
       "multi-pass union missing")
+    // the dedup aggregate must key on exactly (a_pk, b_pk) — the narrow
+    // form; full-width dedup would list every entity column here
+    assert(p.matches("""(?s).*Keys \[2\]: \[a_pk#\d+L, b_pk#\d+L\].*"""),
+      "pair dedup must be narrow on (a_pk, b_pk)")
   }
 
   test("q148: CMS consumers read the pinned vocab — the corpus token " +
