@@ -1951,6 +1951,35 @@ object Relational {
         .orderBy(col("rank_delta").desc, col("l_partkey")).limit(10)
     }),
 
+    // DSv2 WRITE PATH — the missing half of the q303/q305/q309/q310
+    // source family: BATCH_WRITE through the V2 two-phase commit
+    // protocol. Executors buffer rows per task and hand them up as
+    // WriterCommitMessages; the driver's BatchWrite.commit installs
+    // ALL partitions in one atomic registry swap (partition-ordered,
+    // so the committed row order is deterministic regardless of task
+    // finish order), and a failed task routes to abort() leaving the
+    // table untouched — DsV2WriteSpec pins both arms, this query
+    // drives the happy path end to end: aggregate lineitem, write
+    // with mode(Overwrite) (negotiated via SupportsTruncate), read
+    // the committed table back through the same V2 scan the q303
+    // family pins. At 100 TB the identical contract holds with staged
+    // files + a manifest swap instead of a registry entry — commit
+    // atomicity lives in the driver-side swap either way.
+    "q321_dsv2_write_commit" -> ((s, d) => {
+      val agg = ld(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100" +
+            " AS BIGINT)")).as("revenue_cents"))
+      graft.sources.GraftMemRegistry.register("li_sink", agg.schema, Nil)
+      agg.write.format("graft.sources.GraftMemSource")
+        .option("table", "li_sink").mode("overwrite").save()
+      s.read.format("graft.sources.GraftMemSource")
+        .option("table", "li_sink").load()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // ARRAY HIGHER-ORDER FUNCTIONS — the lambda SQL surface
     // (transform / filter / aggregate / exists) over a per-row array,
     // a type family the reference does not have at all (DataType::List
@@ -2253,6 +2282,15 @@ object Relational {
            ON c.ym = p.ym + 1 AND c.l_partkey = p.l_partkey, mx
          WHERE c.ym = mx.maxym
          ORDER BY rank_delta DESC, c.l_partkey LIMIT 10""",
+
+    // q321: the oracle sees only the numbers — the write/read-back
+    // round trip must be invisible to the result.
+    "q321_dsv2_write_commit" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                              AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q307_array_hof" ->
       """SELECT doc_id,

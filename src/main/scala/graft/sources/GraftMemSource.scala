@@ -8,10 +8,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, IsNotNull, IsNull, LessThan}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -107,6 +108,24 @@ object GraftMemRegistry {
 
   /** Last pushed aggregation description (spec assertion). */
   def lastAgg(name: String): Option[String] = Option(pushedAggs.get(name))
+
+  /** Driver-side atomic install of a committed batch write: overwrite
+    * swaps the whole entry; append concatenates onto the existing rows
+    * (compute() gives per-key atomicity vs concurrent committers). */
+  private[sources] def commitWrite(name: String, schema: StructType,
+      rows: Seq[Row], overwrite: Boolean): Unit =
+    tables.compute(name, (_, prev) =>
+      if (overwrite || prev == null) (schema, rows)
+      else (prev._1, prev._2 ++ rows))
+
+  private val abortCounts = new ConcurrentHashMap[String, Integer]()
+  private[sources] def recordAbort(name: String): Unit =
+    abortCounts.merge(name, Integer.valueOf(1), (a, b) =>
+      Integer.valueOf(a.intValue() + b.intValue()))
+
+  /** How many batch writes aborted for this table (spec assertion). */
+  def abortCount(name: String): Int =
+    abortCounts.getOrDefault(name, Integer.valueOf(0)).intValue()
 }
 
 /** Row-level evaluation shared by the plain scan's readers and the
@@ -148,17 +167,31 @@ private[sources] object GraftMemEval {
   }
 }
 
-class GraftMemTable(name: String) extends Table with SupportsRead {
+class GraftMemTable(name: String) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-mem:$name"
   override def schema(): StructType = GraftMemRegistry.schemaOf(name)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftMemScanBuilder(name, schema(),
       options.getBoolean("pushAgg", false),
       Option(options.get("partitionKey")))
+
+  /** WRITE path — the V2 two-phase commit protocol: executors buffer
+    * rows per task and return them as [[WriterCommitMessage]]s on task
+    * commit; NOTHING reaches the registry until the driver's
+    * [[BatchWrite.commit]] installs all partitions in one atomic swap.
+    * A failed task (or job) routes to abort() and the table is
+    * untouched — the all-or-nothing contract a real sink implements
+    * with staged files + a manifest swap; here the "manifest" is the
+    * registry entry. `.mode(Overwrite)` negotiates [[SupportsTruncate]].
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftMemWriteBuilder(name, info)
 }
 
 object GraftMemTable { val MaxSplits = 4 }
@@ -412,4 +445,80 @@ class GraftMemReaderFactory(name: String, full: StructType,
       override def close(): Unit = ()
     }
   }
+}
+
+/** Negotiates the write: plain append by default; `.mode(Overwrite)`
+  * reaches [[SupportsTruncate.truncate]] and flips the commit to a
+  * whole-table swap. The `failPartition` option injects a task failure
+  * for the abort-path spec. */
+class GraftMemWriteBuilder(name: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftMemBatchWrite(
+      name, info.schema(), overwrite,
+      info.options().getInt("failPartition", -1))
+  }
+}
+
+/** Driver-side coordinator of the two-phase commit: task-buffered rows
+  * arrive as [[GraftMemCommit]] messages; commit() installs them in
+  * partition order (deterministic row order regardless of task finish
+  * order), abort() records the discard and leaves the table untouched. */
+class GraftMemBatchWrite(name: String, schema: StructType,
+    overwrite: Boolean, failPartition: Int) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftMemWriterFactory(schema, failPartition)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.collect { case m: GraftMemCommit => m }
+      .sortBy(_.partitionId).toSeq.flatMap(_.rows)
+    GraftMemRegistry.commitWrite(name, schema, rows, overwrite)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftMemRegistry.recordAbort(name)
+}
+
+case class GraftMemCommit(partitionId: Int, rows: Seq[Row])
+    extends WriterCommitMessage
+
+/** Executor-side writer: buffers external-typed Rows per task. The
+  * conversion is the exact inverse of [[GraftMemEval.toCatalyst]] so a
+  * committed write reads back bit-identically through the scan path. */
+class GraftMemWriterFactory(schema: StructType, failPartition: Int)
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+
+      override def write(r: InternalRow): Unit = {
+        if (partitionId == failPartition)
+          throw new RuntimeException(
+            s"graft-mem injected write failure (partition $partitionId)")
+        buf += Row.fromSeq(schema.fields.zipWithIndex.map {
+          case (f, i) =>
+            if (r.isNullAt(i)) null
+            else f.dataType match {
+              case LongType => r.getLong(i)
+              case IntegerType => r.getInt(i)
+              case DoubleType => r.getDouble(i)
+              case StringType => r.getUTF8String(i).toString
+              case org.apache.spark.sql.types.BooleanType => r.getBoolean(i)
+              case dt => throw new IllegalArgumentException(
+                s"graft-mem write: unsupported type $dt")
+            }
+        }.toIndexedSeq)
+      }
+
+      override def commit(): WriterCommitMessage =
+        GraftMemCommit(partitionId, buf.toSeq)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
 }
