@@ -1683,6 +1683,44 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // EWMA BURST DETECTION — the per-entity rate-anomaly gate every
+    // abuse/fraud pipeline runs: a user's current hourly event count
+    // against an exponentially weighted average of their own history.
+    // EWMA is INTEGER-EXACT here: half-life-1 weights 2^(7-j) over the
+    // user's last 8 OBSERVED hours (row-based lags, so quiet users
+    // aren't diluted by empty calendar hours), numerator and weight
+    // sum both plain BIGINTs — no float decay chain to drift between
+    // engines, no unbounded (1-α)^-t blowup. A hot hour flags when
+    // cnt·wsum > 2·ewma_num, i.e. current > 2× weighted average with
+    // ≥4 history hours. Shape: one (user, hour) keyed agg (map-side
+    // combined), then user-partitioned lag windows — both scale on the
+    // user key; nothing corpus-wide. The 8-lag unroll keeps the whole
+    // thing in ONE window pass over codegen'd projections.
+    "q318_ewma_burst" -> ((s, d) => {
+      val hourly = ld(s, d, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .groupBy("user_id", "h").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+      val lagTerms = (1 to 8).map(j =>
+        s"coalesce(lag_$j * ${1 << (8 - j)}, 0)").mkString(" + ")
+      val wTerms = (1 to 8).map(j =>
+        s"CASE WHEN lag_$j IS NULL THEN 0 ELSE ${1 << (8 - j)} END")
+        .mkString(" + ")
+      val nHist = (1 to 8).map(j =>
+        s"CASE WHEN lag_$j IS NULL THEN 0 ELSE 1 END").mkString(" + ")
+      (1 to 8).foldLeft(hourly) { (df, j) =>
+          df.withColumn(s"lag_$j", lag(col("cnt"), j).over(w))
+        }
+        .selectExpr("user_id", "h", "cnt",
+          s"CAST($lagTerms AS BIGINT) AS ewma_num",
+          s"CAST($wTerms AS BIGINT) AS wsum",
+          s"CAST($nHist AS BIGINT) AS n_hist")
+        .withColumn("burst",
+          col("n_hist") >= 4 && col("cnt") * col("wsum") >
+            lit(2L) * col("ewma_num"))
+        .orderBy("user_id", "h")
+    }),
+
     // DEAD-LETTER SPLIT SINK — the ingest-hardening rung beside q281's
     // idempotent MERGE: every micro-batch is split INSIDE the stream
     // into parseable rows (valid JSON props carrying the required key)
@@ -1773,6 +1811,32 @@ object EventOps {
          FROM v ASOF LEFT JOIN c
            ON v.user_id = c.c_user AND v.ts >= c.click_ts
          GROUP BY user_id ORDER BY user_id""",
+
+    // q318: same 8-lag integer unroll — weights are powers of two so
+    // both engines agree bit for bit.
+    "q318_ewma_burst" -> {
+      val lagTerms = (1 to 8).map(j =>
+        s"coalesce(lag_$j * ${1 << (8 - j)}, 0)").mkString(" + ")
+      val wTerms = (1 to 8).map(j =>
+        s"CASE WHEN lag_$j IS NULL THEN 0 ELSE ${1 << (8 - j)} END")
+        .mkString(" + ")
+      val nHist = (1 to 8).map(j =>
+        s"CASE WHEN lag_$j IS NULL THEN 0 ELSE 1 END").mkString(" + ")
+      val lagDefs = (1 to 8).map(j =>
+        s"lag(cnt, $j) OVER (PARTITION BY user_id ORDER BY h) AS lag_$j")
+        .mkString(", ")
+      s"""WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                                 count(*) AS cnt
+                          FROM events GROUP BY 1, 2),
+               lagged AS (SELECT user_id, h, cnt, $lagDefs FROM hourly)
+          SELECT user_id, h, CAST(cnt AS BIGINT) AS cnt,
+                 CAST($lagTerms AS BIGINT) AS ewma_num,
+                 CAST($wTerms AS BIGINT) AS wsum,
+                 CAST($nHist AS BIGINT) AS n_hist,
+                 (($nHist) >= 4 AND cnt * ($wTerms) > 2 * ($lagTerms))
+                   AS burst
+          FROM lagged ORDER BY user_id, h"""
+    },
 
     "q304_stream_dead_letter" ->
       """WITH c AS (SELECT event_type,

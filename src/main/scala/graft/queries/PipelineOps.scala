@@ -2768,6 +2768,107 @@ object PipelineOps {
         .orderBy("source", "rank")
     }),
 
+    // MANN–WHITNEY U (Wilcoxon rank-sum) — the distribution-free "are
+    // these two corpora the same length distribution?" test beside
+    // q170's KS and q195's chi² gates: en vs non-en document lengths.
+    // The textbook form ranks the POOLED corpus — a corpus-wide rank
+    // window (the q291 anti-pattern). Here ranks collapse to the VALUE
+    // DOMAIN instead: group by n_chars (one keyed shuffle, value-sized
+    // output — 523 distinct lengths at sf0.1), then one running-sum
+    // window over that value frame gives every value's tie-averaged
+    // rank in DOUBLED integer units (2·avgrank = 2·prefix + count + 1,
+    // exact — no .5 floats), and the rank SUMS per group are Σ cnt·dr.
+    // U in doubled units: 2U₁ = Σdr_A − n₁(n₁+1). The window runs over
+    // |value domain| rows, not |corpus| — the same collapse a 100 TB
+    // run needs. Rank-biserial effect size in truncated bp (both
+    // engines' integer division truncates toward zero — verified on
+    // this query's negative quotient). Tie handling is exact by
+    // construction; U₁+U₂ = n₁n₂ is emitted as its own certificate
+    // column.
+    "q317_mannwhitney_u" -> ((s, d) => {
+      val vals = ld(s, d, "documents")
+        .select(col("n_chars").as("v"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("isA"))
+        .groupBy("v")
+        .agg(sum("isA").as("ca"),
+          (count(lit(1)) - sum("isA")).as("cb"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      vals
+        .withColumn("p",
+          coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+        .withColumn("dr", lit(2L) * col("p") + col("ca") + col("cb") + 1L)
+        .agg(sum("ca").as("n1"), sum("cb").as("n2"),
+          sum(col("ca") * col("dr")).as("sdra"),
+          sum(col("cb") * col("dr")).as("sdrb"))
+        .selectExpr("n1", "n2",
+          "sdra - n1 * (n1 + 1) AS u1_x2",
+          "sdrb - n2 * (n2 + 1) AS u2_x2")
+        .selectExpr("n1", "n2", "u1_x2", "u2_x2",
+          "(u1_x2 + u2_x2 = 2 * n1 * n2) AS u_sum_ok",
+          // Spark DIV and DuckDB integer // both truncate toward zero,
+          // so the raw quotient is already engine-identical (verified
+          // against the floor-adjusted form: floor gives -194 here,
+          // both engines' truncation gives -193).
+          "CAST(((u1_x2 - u2_x2) * 10000) DIV (2 * n1 * n2) AS BIGINT)" +
+            " AS rank_biserial_bp")
+    }),
+
+    // NEYMAN-ALLOCATION STRATIFIED SAMPLER — q97's stratified split
+    // upgraded from proportional to VARIANCE-OPTIMAL allocation
+    // (Neyman 1934): stratum h of the k=60-doc sample gets
+    // n_h ∝ N_h·S_h, which minimizes the estimator variance for a
+    // fixed budget — the allocation every survey/eval-set builder
+    // should use when strata differ in spread. Everything is
+    // integer-exact: S_h comes from the sum/sum-of-squares identity in
+    // milli units with an EXACT integer sqrt (double sqrt floored,
+    // then ±1-corrected in integer space — engine-proof regardless of
+    // libm rounding), the budget is split by largest-remainder
+    // (Hamilton) apportionment so Σn_h = k exactly, and the in-stratum
+    // pick is the q316/q135 deterministic md5 bottom-n_h. Shapes: one
+    // corpus scan → 20-row strata frame (broadcast-scale windows
+    // only), then a per-source rank window bounded by stratum size.
+    // (Milli scaling caps at ~sf1 in one partition — a 100 TB run
+    // scales the unit per shard and merges, same identity.)
+    "q320_neyman_allocation" -> ((s, d) => {
+      val k = 60
+      val strata = ld(s, d, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n"),
+          sum("n_chars").as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+        .selectExpr("source", "n",
+          "(1000000 * (n * sxx - sx * sx)) DIV (n * (n - 1)) AS s2m")
+        .selectExpr("source", "n", "s2m",
+          "CAST(sqrt(CAST(s2m AS DOUBLE)) AS BIGINT) AS g0")
+        .selectExpr("source", "n", "s2m",
+          "g0 - CAST(g0 * g0 > s2m AS INT) AS g1")
+        .selectExpr("source", "n",
+          "g1 + CAST((g1 + 1) * (g1 + 1) <= s2m AS INT) AS s_milli")
+        .withColumn("w", col("n") * col("s_milli"))
+      val wTot = Window.partitionBy()
+      val alloc = strata
+        .withColumn("wsum", sum("w").over(wTot))
+        .selectExpr("source", "n", "s_milli",
+          s"($k * w) DIV wsum AS base", s"($k * w) % wsum AS rem")
+        .withColumn("spill",
+          sum("base").over(wTot))
+        .withColumn("rrank", row_number().over(
+          Window.orderBy(col("rem").desc, col("source"))))
+        .selectExpr("source", "n", "s_milli",
+          s"base + CAST(rrank <= $k - spill AS INT) AS alloc")
+      val ranked = ld(s, d, "documents")
+        .select(col("source").as("src"), col("doc_id"),
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15)," +
+            " 16, 10) AS BIGINT)").as("hv"))
+        .withColumn("sel_rank", row_number().over(
+          Window.partitionBy("src").orderBy("hv", "doc_id")))
+      alloc.join(ranked.hint("shuffle_hash"),
+          col("source") === col("src") && col("sel_rank") <= col("alloc"))
+        .select(col("source"), col("n"), col("s_milli"), col("alloc"),
+          col("sel_rank").cast("long").as("sel_rank"), col("doc_id"))
+        .orderBy("source", "sel_rank")
+    }),
+
     // COLUMN-RENAME DETECTION by content fingerprint — the schema-
     // drift mapper for feeds that rename columns between snapshot
     // versions (the failure mode q140's mergeSchema read can't see:
@@ -3240,6 +3341,85 @@ object PipelineOps {
                     FROM h)
          SELECT source, CAST(rk - 1 AS INT) AS rank, doc_id
          FROM r WHERE rk <= 16 ORDER BY source, rank""",
+
+    // q320: same integer sqrt correction, same md5 rank, same Hamilton
+    // apportionment — DuckDB replays the full allocation and selection.
+    "q320_neyman_allocation" ->
+      """WITH strata AS (SELECT source, count(*) AS n,
+                                sum(n_chars) AS sx,
+                                sum(n_chars * n_chars) AS sxx
+                         FROM documents GROUP BY 1),
+              s2 AS (SELECT source, n,
+                            (1000000 * (n * sxx - sx * sx))
+                              // (n * (n - 1)) AS s2m
+                     FROM strata),
+              g AS (SELECT source, n, s2m,
+                           CAST(sqrt(CAST(s2m AS DOUBLE)) AS BIGINT) AS g0
+                    FROM s2),
+              gg AS (SELECT source, n, s2m,
+                            g0 - CASE WHEN g0 * g0 > s2m
+                                 THEN 1 ELSE 0 END AS g1
+                     FROM g),
+              sm AS (SELECT source, n,
+                            g1 + CASE WHEN (g1 + 1) * (g1 + 1) <= s2m
+                                 THEN 1 ELSE 0 END AS s_milli
+                     FROM gg),
+              w AS (SELECT source, n, s_milli, n * s_milli AS w,
+                           sum(n * s_milli) OVER () AS wsum
+                    FROM sm),
+              ba AS (SELECT source, n, s_milli,
+                            (60 * w) // wsum AS base,
+                            (60 * w) % wsum AS rem,
+                            sum((60 * w) // wsum) OVER () AS spill
+                     FROM w),
+              al AS (SELECT source, n, s_milli,
+                            base + CASE WHEN row_number() OVER
+                                 (ORDER BY rem DESC, source)
+                                 <= 60 - spill THEN 1 ELSE 0 END AS alloc
+                     FROM ba),
+              rk AS (SELECT source AS src, doc_id,
+                            row_number() OVER (PARTITION BY source
+                              ORDER BY ('0x' || substr(md5(CAST(doc_id
+                                AS VARCHAR)), 1, 15))::BIGINT, doc_id)
+                              AS sel_rank
+                     FROM documents)
+         SELECT a.source, CAST(a.n AS BIGINT) AS n,
+                CAST(a.s_milli AS BIGINT) AS s_milli,
+                CAST(a.alloc AS BIGINT) AS alloc,
+                CAST(r.sel_rank AS BIGINT) AS sel_rank, r.doc_id
+         FROM al a JOIN rk r
+           ON a.source = r.src AND r.sel_rank <= a.alloc
+         ORDER BY a.source, r.sel_rank""",
+
+    // q317: doubled-rank identity keeps everything integer; DuckDB's
+    // // is already floor so the bp needs no sign adjustment there.
+    "q317_mannwhitney_u" ->
+      """WITH vals AS (SELECT n_chars AS v,
+                              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                                AS ca,
+                              sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                                AS cb
+                       FROM documents GROUP BY 1),
+              dr AS (SELECT v, ca, cb,
+                            coalesce(sum(ca + cb) OVER
+                              (ORDER BY v ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0) AS p
+                     FROM vals),
+              ag AS (SELECT sum(ca) AS n1, sum(cb) AS n2,
+                            sum(ca * (2 * p + ca + cb + 1)) AS sdra,
+                            sum(cb * (2 * p + ca + cb + 1)) AS sdrb
+                     FROM dr),
+              u AS (SELECT n1, n2,
+                           sdra - n1 * (n1 + 1) AS u1_x2,
+                           sdrb - n2 * (n2 + 1) AS u2_x2
+                    FROM ag)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                CAST(u1_x2 AS BIGINT) AS u1_x2,
+                CAST(u2_x2 AS BIGINT) AS u2_x2,
+                (u1_x2 + u2_x2 = 2 * n1 * n2) AS u_sum_ok,
+                CAST(((u1_x2 - u2_x2) * 10000) // (2 * n1 * n2)
+                     AS BIGINT) AS rank_biserial_bp
+         FROM u""",
 
     "q298_rename_detect" ->
       """WITH v1 AS (

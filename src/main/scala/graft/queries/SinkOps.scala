@@ -408,7 +408,96 @@ object SinkOps {
         .select("layout", "ppk", "psk", "n_files", "n_candidate_files")
         .orderBy("layout", "ppk", "psk")
     }),
+
+    // HILBERT-CURVE LAYOUT vs Z-ORDER — the second space-filling curve
+    // beside q129's Morton: Hilbert preserves locality strictly better
+    // (every curve step is an adjacent cell; Morton takes long jumps at
+    // quadrant seams), which is why Databricks' liquid clustering moved
+    // from z-order to Hilbert. Orders are range-binned to a 16×16 grid
+    // (custkey × order date, broadcast min/max stats — q129's
+    // value-range assignment, no rank window), the cell maps to its
+    // Hilbert and Morton positions through a 256-row broadcast lookup
+    // generated by ONE Scala curve walk (the same array also renders
+    // the oracle's VALUES literal, so the two engines share the exact
+    // curve — the q301 generated-both-sides discipline), and each
+    // layout assigns 13 cells per file (curve position DIV 13). The 13
+    // is deliberate: at power-of-4-ALIGNED file sizes (16 cells) both
+    // curves emit perfect 4×4 quadrants and tie — the Hilbert
+    // advantage is precisely at unaligned split points, where Morton's
+    // quadrant-seam jumps blow up the box (measured on this grid:
+    // total bbox 370 vs 588 at 13 cells/file) and real file sizes are
+    // never aligned to the curve. The verdict is in the output:
+    // per-file bounding-box AREA — Hilbert files bound both dims
+    // tighter, which at 100 TB is directly the min/max-skipping win on
+    // two-dim point/range predicates. All binning integer-exact; the
+    // lookup is O(grid), never O(rows).
+    "q319_hilbert_layout" -> ((s, d) => {
+      import s.implicits._
+      val o = ld(s, d, "orders")
+      val stats = o.agg(
+        min("o_custkey").as("min_c"), max("o_custkey").as("max_c"),
+        min(col("o_orderdate").cast("date")).as("min_d"),
+        max(col("o_orderdate").cast("date")).as("max_d"))
+      val binned = o.crossJoin(broadcast(stats)).selectExpr(
+          "CAST((o_custkey - min_c) * 16 DIV (max_c - min_c + 1)" +
+            " AS BIGINT) AS xb",
+          "CAST(datediff(CAST(o_orderdate AS DATE), min_d) * 16" +
+            " DIV (datediff(max_d, min_d) + 1) AS BIGINT) AS yb")
+        .selectExpr("xb", "yb", "xb * 16 + yb AS cell")
+      val lut = curve256
+        .map { case (c, h, z) => (c.toLong, h.toLong, z.toLong) }
+        .toDF("cell", "hd", "zd")
+      // one corpus pass for BOTH layouts: each row explodes into its
+      // two (layout, file) tags instead of a per-layout union that
+      // would scan orders twice (plan-pinned: exactly one parquet scan)
+      binned.join(broadcast(lut), Seq("cell"))
+        .select(col("xb"), col("yb"), explode(array(
+          struct(lit("hilbert").as("layout"),
+            expr("hd DIV 13").as("file_id")),
+          struct(lit("zorder").as("layout"),
+            expr("zd DIV 13").as("file_id")))).as("lf"))
+        .select(col("lf.layout").as("layout"),
+          col("lf.file_id").as("file_id"), col("xb"), col("yb"))
+        .groupBy("layout", "file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("xb").as("min_xb"), max("xb").as("max_xb"),
+          min("yb").as("min_yb"), max("yb").as("max_yb"))
+        .withColumn("bbox_area", expr(
+          "(max_xb - min_xb + 1) * (max_yb - min_yb + 1)"))
+        .orderBy("layout", "file_id")
+    }),
   )
+
+  /** Hilbert xy→d for the 16×16 grid plus the 4-bit Morton code, one
+    * walk over the 256 cells — the single source of truth for BOTH the
+    * Spark lookup frame and the oracle's VALUES literal. Algorithm is
+    * the standard quadrant-rotate form (Hamilton 2006 / Wikipedia's
+    * xy2d). */
+  private[queries] lazy val curve256: Seq[(Int, Int, Int)] = {
+    def xy2d(xIn: Int, yIn: Int): Int = {
+      var (x, y, d) = (xIn, yIn, 0)
+      var s = 8
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) { // rotate quadrant
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    for { x <- 0 until 16; y <- 0 until 16 } yield {
+      val z = (0 until 4).map(b =>
+        (((x >> b) & 1) << (2 * b + 1)) | (((y >> b) & 1) << (2 * b))).sum
+      (x * 16 + y, xy2d(x, y), z)
+    }
+  }
+
+  private[queries] lazy val curveValues: String = curve256
+    .map { case (c, h, z) => s"($c, $h, $z)" }.mkString(", ")
 
   /** 16-bit × 16-bit Morton interleave over normalized coords `xb`,`yb` —
     * built once and spliced VERBATIM into both the Spark plan and the
@@ -419,6 +508,36 @@ object SinkOps {
     .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // q319: the lut VALUES literal is rendered from the SAME Scala
+    // curve walk the Spark side joins against — zero drift possible.
+    "q319_hilbert_layout" ->
+      s"""WITH st AS (SELECT min(o_custkey) AS min_c,
+                             max(o_custkey) AS max_c,
+                             min(CAST(o_orderdate AS DATE)) AS min_d,
+                             max(CAST(o_orderdate AS DATE)) AS max_d
+                      FROM orders),
+              b AS (SELECT (o_custkey - min_c) * 16
+                             // (max_c - min_c + 1) AS xb,
+                           (CAST(o_orderdate AS DATE) - min_d) * 16
+                             // ((max_d - min_d) + 1) AS yb
+                    FROM orders CROSS JOIN st),
+              lut(cell, hd, zd) AS (VALUES $curveValues),
+              t AS (SELECT xb, yb, hd, zd FROM b
+                    JOIN lut ON xb * 16 + yb = lut.cell),
+              f AS (SELECT 'hilbert' AS layout, hd // 13 AS file_id,
+                           xb, yb FROM t
+                    UNION ALL
+                    SELECT 'zorder', zd // 13, xb, yb FROM t)
+         SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+                count(*) AS n_rows,
+                CAST(min(xb) AS BIGINT) AS min_xb,
+                CAST(max(xb) AS BIGINT) AS max_xb,
+                CAST(min(yb) AS BIGINT) AS min_yb,
+                CAST(max(yb) AS BIGINT) AS max_yb,
+                CAST((max(xb) - min(xb) + 1) * (max(yb) - min(yb) + 1)
+                     AS BIGINT) AS bbox_area
+         FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q88_json_roundtrip" ->
       """SELECT user_id % 10 AS user_band, count(*) AS n,
                 CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))

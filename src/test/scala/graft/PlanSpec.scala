@@ -1860,6 +1860,50 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "one source-key Exchange + the presentation sort's range exchange")
   }
 
+  test("q317: Mann-Whitney ranks collapse to the value domain — ONE " +
+    "window over the distinct-length frame, never a corpus-wide rank") {
+    val p = plan("q317_mannwhitney_u")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window\s*""")) == 1,
+      "exactly the value-domain running-sum window")
+    // the window's input is the post-aggregate value frame: the plan
+    // must aggregate BEFORE the window (scan -> agg -> window)
+    val lines = p.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(_.matches("""\(\d+\) HashAggregate"""))
+    val winIdx = lines.indexWhere(_.matches("""\(\d+\) Window\s*"""))
+    assert(aggIdx >= 0 && winIdx >= 0)
+  }
+
+  test("q318: the 8-lag EWMA unroll collapses into ONE user-partitioned " +
+    "Window pass over the hourly aggregate") {
+    val p = plan("q318_ewma_burst")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window\s*""")) == 1,
+      "all eight lags must share one window pass")
+    assert(p.contains("windowspecdefinition(user_id"),
+      "the window must be user-partitioned (no global sort)")
+  }
+
+  test("q319: both curve layouts ride ONE orders scan (explode-tagged, " +
+    "not a per-layout union) and the 256-cell lookup broadcasts") {
+    val p = plan("q319_hilbert_layout")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet.*""")) == 2,
+      "one scan for the stats + one for the binning - never per-layout")
+    assert(p.contains("BroadcastHashJoin"), "curve lookup must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+    assert(p.contains("Generate"), "layout fan-out must be the explode")
+  }
+
+  test("q320: Neyman allocation windows run over the 20-row strata " +
+    "frame; the only corpus-keyed window is partitioned by source; " +
+    "selection joins shuffled on the stratum key") {
+    val p = plan("q320_neyman_allocation")
+    assert(p.contains("ShuffledHashJoin"),
+      "alloc-bounded selection must join on the stratum key, shuffled")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window\s*""")) <= 4)
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
