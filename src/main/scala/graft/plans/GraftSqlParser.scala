@@ -40,6 +40,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case _ => delegate.parsePlan(sqlText)
   }
 
+  /** MUST delegate explicitly: the interface default drops the
+    * parameter context on the floor (it just calls parsePlan), which
+    * left q220's named parameters unbound. The ASOF statement takes no
+    * parameters, so the custom arm routes through parsePlan. */
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
+      : LogicalPlan = sqlText match {
+    case Asof(_*) => parsePlan(sqlText)
+    case _ => delegate.parsePlanWithParameters(sqlText, ctx)
+  }
+
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

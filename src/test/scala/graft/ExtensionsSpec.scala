@@ -130,6 +130,10 @@ class ExtensionsSpec extends AnyFunSuite {
         (7L, 3L, "c", -1L)), got.toString)
       // stock grammar is untouched: a plain statement round-trips
       assert(s.sql("SELECT count(*) AS n FROM pl").head().getLong(0) == 3L)
+      // parameterized SQL still binds (regression: the interface default
+      // parsePlanWithParameters drops the parameter context — q220)
+      assert(s.sql("SELECT count(*) AS n FROM pl WHERE k >= :kmin",
+        Map("kmin" -> 7)).head().getLong(0) == 1L)
       // and a malformed ASOF statement falls through to Spark's parser,
       // which rejects it as a ParseException (not a match-error here)
       intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
