@@ -1721,6 +1721,87 @@ object EventOps {
         .orderBy("user_id", "h")
     }),
 
+    // MAX CONCURRENCY via TWO-LEVEL PREFIX SUM — "how many 30-minute
+    // event intervals overlap at peak, per day": the capacity-planning
+    // sweep line. The textbook form is ONE global running sum over all
+    // boundaries — a single-partition window (the q291 anti-pattern).
+    // Here the scan is SEGMENTED: each interval explodes to (+1 at
+    // start, −1 at end) boundaries; days aggregate their net delta
+    // (map-side combined) and a tiny window over the DAYS frame gives
+    // each day's carry-in; the within-day running sum is day-
+    // partitioned — the classic parallel prefix-sum decomposition, so
+    // at 100 TB every window is bounded by a day's boundaries, never
+    // the corpus. Tie order is pinned (−1 before +1 at equal us: [s,e)
+    // intervals — a departure and arrival at the same instant never
+    // double-count); the day PEAK is invariant to ordering among equal
+    // deltas, which is why only day-level rows are emitted.
+    "q322_max_concurrency" -> ((s, d) => {
+      val bounds = ld(s, d, "events")
+        .select(unix_micros(col("ts")).as("st"))
+        .select(explode(array(
+          struct(col("st").as("us"), lit(1L).as("delta")),
+          struct((col("st") + 1800L * 1000000L).as("us"),
+            lit(-1L).as("delta")))).as("b"))
+        .select(col("b.us").as("us"), col("b.delta").as("delta"))
+        .withColumn("day", expr("CAST(timestamp_micros(us) AS DATE)"))
+      val wDays = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = bounds.groupBy("day")
+        .agg(sum("delta").as("net"), count(lit(1)).as("n_bounds"))
+        .withColumn("carry_in", coalesce(sum("net").over(wDays), lit(0L)))
+      val wIn = Window.partitionBy("day").orderBy("us", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val peak = bounds.withColumn("run", sum("delta").over(wIn))
+        .groupBy("day").agg(max("run").as("peak_local"))
+      carry.join(peak, Seq("day"))
+        .select(col("day"), col("n_bounds"), col("carry_in"),
+          (col("carry_in") + col("peak_local")).as("day_max_concurrency"))
+        .orderBy("day")
+    }),
+
+    // EXACT-CENTS MULTI-TOUCH ATTRIBUTION — q162 identifies first/last
+    // touch; this is the LINEAR model that splits each purchase's
+    // revenue equally across ALL of the user's prior views, with the
+    // money staying integer-exact: each view gets cents DIV n, and the
+    // remainder r = cents % n goes +1 cent each to the r MOST RECENT
+    // views (largest-remainder on recency — deterministic, and
+    // Σshares = cents by construction, so no fraction of a cent is
+    // ever minted or lost across millions of purchases; the oracle
+    // equality IS the conservation proof). Shape: purchase→prior-view
+    // pairing is a user-keyed join (pair space bounded per user, never
+    // corpus²), the recency rank is a per-purchase window, and the
+    // final per-view rollup is map-side combined.
+    "q323_linear_attribution" -> ((s, d) => {
+      val ev = ld(s, d, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("event_id").as("view_id"),
+          col("us").as("vus"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("us").as("pus"), col("cents"))
+      val pairs = purchases
+        .join(views.hint("shuffle_hash"),
+          col("user_id") === col("vu") && col("vus") < col("pus"))
+      val wr = Window.partitionBy("purchase_id")
+        .orderBy(col("vus").desc, col("view_id"))
+      pairs
+        .withColumn("recency", row_number().over(wr))
+        .withColumn("nv", count(lit(1)).over(
+          Window.partitionBy("purchase_id")))
+        .select(col("view_id"), col("user_id"),
+          expr("cents DIV nv + CAST(recency <= cents % nv AS INT)")
+            .as("share"))
+        .groupBy("user_id", "view_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum("share").as("attributed_cents"))
+        .orderBy("user_id", "view_id")
+    }),
+
     // DEAD-LETTER SPLIT SINK — the ingest-hardening rung beside q281's
     // idempotent MERGE: every micro-batch is split INSIDE the stream
     // into parseable rows (valid JSON props carrying the required key)
@@ -1837,6 +1918,71 @@ object EventOps {
                    AS burst
           FROM lagged ORDER BY user_id, h"""
     },
+
+    // q322: DuckDB replays the same segmented sweep (the oracle could
+    // use one global window but mirroring the two-level form keeps the
+    // tie-order semantics identical by construction).
+    "q322_max_concurrency" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS st FROM events),
+              b AS (SELECT us, delta FROM (
+                      SELECT st AS us, 1 AS delta FROM ev
+                      UNION ALL
+                      SELECT st + 1800 * 1000000, -1 FROM ev)),
+              bd AS (SELECT us, delta,
+                            CAST(make_timestamp(us) AS DATE) AS day
+                     FROM b),
+              carry AS (SELECT day, sum(delta) AS net,
+                               count(*) AS n_bounds
+                        FROM bd GROUP BY day),
+              c2 AS (SELECT day, n_bounds,
+                            coalesce(sum(net) OVER (ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS carry_in
+                     FROM carry),
+              runs AS (SELECT day,
+                              sum(delta) OVER (PARTITION BY day
+                                ORDER BY us, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS run
+                       FROM bd),
+              pk AS (SELECT day, max(run) AS peak_local FROM runs
+                     GROUP BY day)
+         SELECT c2.day, CAST(n_bounds AS BIGINT) AS n_bounds,
+                CAST(carry_in AS BIGINT) AS carry_in,
+                CAST(carry_in + peak_local AS BIGINT)
+                  AS day_max_concurrency
+         FROM c2 JOIN pk ON c2.day = pk.day
+         ORDER BY c2.day""",
+
+    // q323: same largest-remainder-on-recency split — the hash match
+    // doubles as the cents-conservation proof.
+    "q323_linear_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+                            epoch_us(ts) AS us,
+                            CAST(CAST(value AS DECIMAL(14,2)) * 100
+                                 AS BIGINT) AS cents
+                     FROM events
+                     WHERE event_type IN ('view', 'purchase')),
+              v AS (SELECT user_id AS vu, event_id AS view_id,
+                           us AS vus
+                    FROM ev WHERE event_type = 'view'),
+              p AS (SELECT user_id, event_id AS purchase_id, us AS pus,
+                           cents
+                    FROM ev WHERE event_type = 'purchase'),
+              pr AS (SELECT p.user_id, p.purchase_id, p.cents,
+                            v.view_id,
+                            row_number() OVER (PARTITION BY purchase_id
+                              ORDER BY vus DESC, view_id) AS recency,
+                            count(*) OVER (PARTITION BY purchase_id)
+                              AS nv
+                     FROM p JOIN v
+                       ON p.user_id = v.vu AND v.vus < p.pus)
+         SELECT user_id, view_id,
+                CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(sum(cents // nv + CASE WHEN recency <= cents % nv
+                         THEN 1 ELSE 0 END) AS BIGINT)
+                  AS attributed_cents
+         FROM pr GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q304_stream_dead_letter" ->
       """WITH c AS (SELECT event_type,

@@ -1980,6 +1980,45 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // ADAMIC–ADAR LINK PREDICTION — the classic common-neighbor score
+    // weighted by neighbor RARITY: AA(s₁,s₂) = Σ_{shared part}
+    // 1/ln(deg(part)), so two suppliers sharing a niche part signal a
+    // stronger tie than two sharing a commodity everyone supplies —
+    // the link-prediction rung beside q134's triangle significance and
+    // q255's personalized PPR. The irrational 1/ln(d) weights come
+    // from ONE Scala-generated micro-unit lookup (d ∈ 2..512) rendered
+    // into BOTH engines (the q319/q301 discipline — no libm log drift
+    // can exist because neither engine ever calls log), an in-plan
+    // assert_true fails loudly if a degree ever exceeds the table, and
+    // the pair space is part-blocked (common-neighbor join on the part
+    // key, never supplier²). Top-50 ties broken on (s1, s2); rides
+    // TakeOrderedAndProject.
+    "q324_adamic_adar" -> ((s, d) => {
+      import s.implicits._
+      val ps = ld(s, d, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sp"))
+        .distinct()
+        .localCheckpoint() // feeds the degree frame + both pair sides
+      val deg = ps.groupBy("p").agg(count(lit(1)).as("dg"))
+        .withColumn("_mag_ok", assert_true(col("dg") <= 512L,
+          lit("q324 AA weight table covers deg 2..512: widen lnLut")))
+        .filter(col("_mag_ok").isNull).drop("_mag_ok")
+      val lut = lnLut.toDF("dg", "w_micro")
+      val wp = deg.filter(col("dg") >= 2)
+        .join(broadcast(lut), Seq("dg"))
+        .select(col("p"), col("w_micro"))
+      ps.as("a")
+        .join(ps.as("b").hint("shuffle_hash"),
+          col("a.p") === col("b.p") && col("a.sp") < col("b.sp"))
+        .select(col("a.p").as("p"), col("a.sp").as("s1"),
+          col("b.sp").as("s2"))
+        .join(wp.hint("shuffle_hash"), Seq("p"))
+        .groupBy("s1", "s2")
+        .agg(count(lit(1)).as("common_parts"),
+          sum("w_micro").as("aa_micro"))
+        .orderBy(col("aa_micro").desc, col("s1"), col("s2")).limit(50)
+    }),
+
     // ARRAY HIGHER-ORDER FUNCTIONS — the lambda SQL surface
     // (transform / filter / aggregate / exists) over a per-row array,
     // a type family the reference does not have at all (DataType::List
@@ -2080,6 +2119,16 @@ object Relational {
     * 10.5 s at sf0.1). In production this is the persisted edge table
     * every graph pass starts from. Memoized per (session, dir) like the
     * q117/q123 shared derivation, so a bench run pays the build once. */
+  /** q324's Adamic–Adar weights: round(1e6 / ln(d)) for d ∈ 2..512,
+    * generated ONCE in Scala and rendered both as the Spark broadcast
+    * lookup and the oracle's VALUES literal — neither engine ever
+    * evaluates log, so libm rounding cannot diverge. */
+  private[queries] lazy val lnLut: Seq[(Long, Long)] =
+    (2 to 512).map(dg => (dg.toLong, math.round(1e6 / math.log(dg))))
+
+  private[queries] lazy val lnLutValues: String =
+    lnLut.map { case (dg, w) => s"($dg, $w)" }.mkString(", ")
+
   private val coSupplyCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
       DataFrame]()
@@ -2291,6 +2340,25 @@ object Relational {
                 CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
                               AS BIGINT)) AS BIGINT) AS revenue_cents
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q324: the lut literal is the SAME Scala-generated table the
+    // Spark side broadcasts.
+    "q324_adamic_adar" ->
+      s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sp
+                      FROM lineitem),
+               deg AS (SELECT p, count(*) AS dg FROM ps GROUP BY p),
+               lut(dg, w_micro) AS (VALUES $lnLutValues),
+               wp AS (SELECT deg.p, w_micro FROM deg
+                      JOIN lut ON deg.dg = lut.dg
+                      WHERE deg.dg >= 2),
+               pr AS (SELECT a.p, a.sp AS s1, b.sp AS s2
+                      FROM ps a JOIN ps b
+                        ON a.p = b.p AND a.sp < b.sp)
+          SELECT s1, s2, count(*) AS common_parts,
+                 CAST(sum(w_micro) AS BIGINT) AS aa_micro
+          FROM pr JOIN wp ON pr.p = wp.p
+          GROUP BY 1, 2
+          ORDER BY aa_micro DESC, s1, s2 LIMIT 50""",
 
     "q307_array_hof" ->
       """SELECT doc_id,

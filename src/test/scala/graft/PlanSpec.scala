@@ -1904,6 +1904,42 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.linesIterator.count(_.matches("""\(\d+\) Window\s*""")) <= 4)
   }
 
+  test("q322: the sweep line is SEGMENTED — the carry window runs over " +
+    "the aggregated days frame, the running sum is day-partitioned; " +
+    "no corpus-wide running window") {
+    val p = plan("q322_max_concurrency")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window\s*""")) == 2,
+      "days-frame carry window + day-partitioned running window")
+    assert(p.contains("windowspecdefinition(day"),
+      "the boundary running sum must be day-partitioned")
+    assert(p.contains("Generate"), "boundary fan-out must be the explode")
+  }
+
+  test("q323: attribution pairs join shuffled on the user key and both " +
+    "rank windows are purchase-partitioned — pair space bounded per " +
+    "user, never corpus-wide") {
+    val p = plan("q323_linear_attribution")
+    assert(p.contains("ShuffledHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("windowspecdefinition(purchase_id"),
+      "recency/nv windows must be purchase-partitioned")
+    // every windowspec in this plan is purchase-keyed (no empty spec)
+    assert(!p.contains("windowspecdefinition(specifiedwindowframe"),
+      "no partition-less window allowed here")
+  }
+
+  test("q324: Adamic-Adar pairs are part-blocked (shuffled common-" +
+    "neighbor join), the ln lookup broadcasts, top-50 rides " +
+    "TakeOrderedAndProject") {
+    val p = plan("q324_adamic_adar")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) ShuffledHashJoin""")) == 2,
+      "pair join + weight join, both part-keyed")
+    assert(p.contains("BroadcastHashJoin"), "ln lut must broadcast")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
