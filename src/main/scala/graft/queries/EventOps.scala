@@ -14,6 +14,20 @@ import graft.Tables.ld
   */
 object EventOps {
 
+  /** q326's protocol DFA — one Scala literal rendered both as the Spark
+    * broadcast frame and the oracle's VALUES (the q319/q324
+    * generated-both-sides discipline). */
+  private[queries] val dfaAllowed: Seq[(String, String)] = Seq(
+    "signup" -> "view", "signup" -> "error",
+    "view" -> "view", "view" -> "click", "view" -> "error",
+    "click" -> "view", "click" -> "click", "click" -> "purchase",
+    "click" -> "error",
+    "purchase" -> "view", "purchase" -> "signup",
+    "error" -> "view", "error" -> "signup")
+
+  private[queries] lazy val dfaAllowedValues: String = dfaAllowed
+    .map { case (f, t) => s"('$f', '$t')" }.mkString(", ")
+
   /** Run `f` against a CLONED session (`s.newSession()`: shared
     * SparkContext and persistent catalog, ISOLATED runtime conf and temp
     * views) whose spark.sql.shuffle.partitions is fixed at `n`. Stateful
@@ -1802,6 +1816,41 @@ object EventOps {
         .orderBy("user_id", "view_id")
     }),
 
+    // DFA TRANSITION VALIDATION — q149 MEASURES the transition matrix;
+    // this VALIDATES each user's event sequence against a declared
+    // protocol (the broadcast allowed-transition table: signup starts a
+    // journey, views browse, clicks need a view, purchases need a
+    // click, errors may follow anything but only a view/signup may
+    // follow an error — a funnel contract). Per user: transitions
+    // taken, violations (null-probe against the DFA — the q98
+    // decontamination shape applied to protocol checking), the
+    // lexicographically-smallest offending pair (deterministic
+    // summary), and a valid verdict. Sequence pairing is the
+    // q149 user-partitioned lag window; the DFA is a 13-row broadcast;
+    // the rollup is map-side combined — protocol validation at 100 TB
+    // costs one keyed window plus a broadcast probe.
+    "q326_dfa_validation" -> ((s, d) => {
+      import s.implicits._
+      val allowed = dfaAllowed
+        .toDF("from_type", "to_type").withColumn("ok", lit(true))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = ld(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type").as("to_type"))
+        .withColumn("from_type", lag("to_type", 1).over(w))
+        .filter(col("from_type").isNotNull)
+      trans.join(broadcast(allowed), Seq("from_type", "to_type"), "left")
+        .withColumn("bad", col("ok").isNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_transitions"),
+          sum(col("bad").cast("long")).as("n_violations"),
+          min(when(col("bad"),
+            concat_ws(">", col("from_type"), col("to_type"))))
+            .as("min_violation"),
+          (sum(col("bad").cast("long")) === 0L).as("valid"))
+        .orderBy("user_id")
+    }),
+
     // DEAD-LETTER SPLIT SINK — the ingest-hardening rung beside q281's
     // idempotent MERGE: every micro-batch is split INSIDE the stream
     // into parseable rows (valid JSON props carrying the required key)
@@ -1918,6 +1967,30 @@ object EventOps {
                    AS burst
           FROM lagged ORDER BY user_id, h"""
     },
+
+    // q326: the DFA literal is the same Scala table the Spark side
+    // broadcasts; min() over the violating pair mirrors exactly.
+    "q326_dfa_validation" ->
+      s"""WITH allowed(from_type, to_type) AS (VALUES $dfaAllowedValues),
+               tr AS (SELECT user_id,
+                             lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+                             event_type AS to_type
+                      FROM events),
+               t2 AS (SELECT t.user_id, t.from_type, t.to_type,
+                             CASE WHEN a.from_type IS NULL
+                                  THEN 1 ELSE 0 END AS bad
+                      FROM tr t LEFT JOIN allowed a
+                        ON t.from_type = a.from_type
+                       AND t.to_type = a.to_type
+                      WHERE t.from_type IS NOT NULL)
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+                 CAST(sum(bad) AS BIGINT) AS n_violations,
+                 min(CASE WHEN bad = 1
+                     THEN from_type || '>' || to_type END)
+                   AS min_violation,
+                 (sum(bad) = 0) AS valid
+          FROM t2 GROUP BY user_id ORDER BY user_id""",
 
     // q322: DuckDB replays the same segmented sweep (the oracle could
     // use one global window but mirroring the two-level form keeps the

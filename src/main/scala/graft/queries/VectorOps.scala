@@ -192,6 +192,68 @@ object VectorOps {
     * broadcast join against just those lists.
     */
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // GRID DBSCAN — density clustering the SCALABLE way: no per-point
+    // ε-neighborhood search (that's a similarity self-join) but the
+    // grid-density formulation (GriT/GridDBSCAN family): project each
+    // embedding to 2D in exact integer micro-units (per-element round
+    // THEN integer sum — order-free, the q119 recipe; dims 1-32 vs
+    // 33-64 as the two deterministic axes), range-bin to a 24×24 grid
+    // (broadcast min/max, q319's value-range assignment), keep cells
+    // with ≥4 points as CORE, connect 8-adjacent core cells, and run
+    // the SAME large-star/small-star CC primitive as q101/q102/q107 —
+    // proving the component step is source-agnostic across simhash,
+    // minhash, embedding AND density edges. Adjacency is a KEYED probe
+    // join (each core cell explodes its 4 half-neighborhood keys),
+    // never a cell² product; every frame after the one corpus scan is
+    // grid-bounded. Output: per-cluster cell/point counts + bbox, plus
+    // the noise row (points in sparse cells) — DBSCAN's third class.
+    // Oracle: exact recursive-CTE closure over the same cell edges.
+    "q325_grid_dbscan" -> ((s, d) => {
+      val micro = "v -> CAST(round(v * 1000000, 0) AS BIGINT)"
+      val pts = ld(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("ce"))
+        .selectExpr("vec_id",
+          s"aggregate(transform(slice(ce, 1, 32), $micro), 0L," +
+            " (a, x) -> a + x) AS xm",
+          s"aggregate(transform(slice(ce, 33, 32), $micro), 0L," +
+            " (a, x) -> a + x) AS ym")
+      val st = pts.agg(min("xm").as("minx"), max("xm").as("maxx"),
+        min("ym").as("miny"), max("ym").as("maxy"))
+      val cells = pts.crossJoin(broadcast(st))
+        .selectExpr("vec_id",
+          "(xm - minx) * 24 DIV (maxx - minx + 1) AS cx",
+          "(ym - miny) * 24 DIV (maxy - miny + 1) AS cy")
+      val dense = cells.groupBy("cx", "cy")
+        .agg(count(lit(1)).as("npts"))
+        .filter(col("npts") >= 4)
+        .withColumn("cell", col("cx") * 1024L + col("cy"))
+        .localCheckpoint() // feeds probes, the probe target, and labels
+      val probes = dense.selectExpr("cell AS da",
+        """explode(array((cx + 1) * 1024 + cy,
+                         cx * 1024 + (cy + 1),
+                         (cx + 1) * 1024 + (cy + 1),
+                         (cx + 1) * 1024 + (cy - 1))) AS db""")
+      val edges = probes
+        .join(dense.select(col("cell").as("db")), Seq("db"))
+        .select("da", "db").localCheckpoint()
+      val cc = GraphOps.connectedComponents(edges)
+        .withColumnRenamed("doc_id", "cell")
+      val labeled = dense.join(cc, Seq("cell"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("cell")))
+      val clusters = labeled.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_cells"), sum("npts").as("n_points"),
+          min("cx").as("min_cx"), max("cx").as("max_cx"),
+          min("cy").as("min_cy"), max("cy").as("max_cy"))
+      val noise = cells
+        .join(dense.select("cx", "cy"), Seq("cx", "cy"), "left_anti")
+        .agg(count(lit(1)).as("n_points"))
+        .select(lit(-1L).as("cluster_id"), lit(0L).as("n_cells"),
+          col("n_points"), lit(-1L).as("min_cx"), lit(-1L).as("max_cx"),
+          lit(-1L).as("min_cy"), lit(-1L).as("max_cy"))
+      clusters.unionByName(noise).orderBy("cluster_id")
+    }),
+
     // One unrolled k-means iteration (k=4, init = vectors 0..3): assign →
     // recenter → reassign, reporting final cluster sizes and mean distance.
     // The iterative-ML shape: per iteration one broadcast of k centroids +
@@ -1496,6 +1558,60 @@ object VectorOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // q325: exact recursive-CTE closure over the same core-cell
+    // adjacency; micro-unit projection identical per element.
+    "q325_grid_dbscan" ->
+      """WITH RECURSIVE
+          pts AS (SELECT vec_id,
+                         list_sum(list_transform(ce[1:32],
+                           v -> CAST(round(v * 1000000, 0) AS BIGINT)))
+                           AS xm,
+                         list_sum(list_transform(ce[33:64],
+                           v -> CAST(round(v * 1000000, 0) AS BIGINT)))
+                           AS ym
+                  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                        FROM embeddings)),
+          st AS (SELECT min(xm) AS minx, max(xm) AS maxx,
+                        min(ym) AS miny, max(ym) AS maxy FROM pts),
+          cells AS (SELECT vec_id,
+                           (xm - minx) * 24 // (maxx - minx + 1) AS cx,
+                           (ym - miny) * 24 // (maxy - miny + 1) AS cy
+                    FROM pts, st),
+          dense AS (SELECT cx, cy, cx * 1024 + cy AS cell,
+                           count(*) AS npts
+                    FROM cells GROUP BY 1, 2 HAVING count(*) >= 4),
+          edges AS (SELECT a.cell AS da, b.cell AS db
+                    FROM dense a JOIN dense b
+                      ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+                     AND a.cell < b.cell),
+          syms AS (SELECT da AS a, db AS b FROM edges
+                   UNION ALL SELECT db, da FROM edges),
+          reach AS (SELECT cell AS a, cell AS b FROM dense
+                    UNION
+                    SELECT r.a, s.b FROM reach r JOIN syms s ON r.b = s.a),
+          lab AS (SELECT a AS cell, min(b) AS cluster_id
+                  FROM reach GROUP BY a),
+          summary AS (SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+                             CAST(count(*) AS BIGINT) AS n_cells,
+                             CAST(sum(npts) AS BIGINT) AS n_points,
+                             CAST(min(cx) AS BIGINT) AS min_cx,
+                             CAST(max(cx) AS BIGINT) AS max_cx,
+                             CAST(min(cy) AS BIGINT) AS min_cy,
+                             CAST(max(cy) AS BIGINT) AS max_cy
+                      FROM dense JOIN lab USING (cell) GROUP BY 1),
+          noise AS (SELECT CAST(-1 AS BIGINT) AS cluster_id,
+                           CAST(0 AS BIGINT) AS n_cells,
+                           CAST(count(*) AS BIGINT) AS n_points,
+                           CAST(-1 AS BIGINT) AS min_cx,
+                           CAST(-1 AS BIGINT) AS max_cx,
+                           CAST(-1 AS BIGINT) AS min_cy,
+                           CAST(-1 AS BIGINT) AS max_cy
+                    FROM cells c LEFT JOIN dense d
+                      ON c.cx = d.cx AND c.cy = d.cy
+                    WHERE d.cell IS NULL)
+         SELECT * FROM summary
+         UNION ALL SELECT * FROM noise
+         ORDER BY cluster_id""",
     // q289: full replay of the integer power-iteration chain — covariance
     // via the n·Σxy − ΣxΣy identity in HUGEINT (Spark side: DECIMAL(38)),
     // three unrolled rounds, all signed divisions through the shared

@@ -1940,6 +1940,31 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q325: grid DBSCAN's final plan reads the checkpointed dense-" +
+    "cell/CC frames (the iterative part ran once, eagerly) plus the " +
+    "corpus scans for the noise arm — no pair product anywhere") {
+    val p = plan("q325_grid_dbscan")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop is the 1-row min/max stats broadcast (the
+    // q129/q319 range-binning shape) — never a pair product
+    assert(p.linesIterator.count(
+      _.contains("BroadcastNestedLoopJoin")) <= 2)
+    assert(p.contains("Scan ExistingRDD"),
+      "dense cells + component labels must come from the pinned frames")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet.*""")) <= 2,
+      "noise arm re-derives cells from at most the stats+binning scans")
+  }
+
+  test("q326: the protocol DFA broadcasts; sequence pairing is ONE " +
+    "user-partitioned lag window") {
+    val p = plan("q326_dfa_validation")
+    assert(p.contains("BroadcastHashJoin"), "13-row DFA must broadcast")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window\s*""")) == 1)
+    assert(p.contains("windowspecdefinition(user_id"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
