@@ -36,8 +36,12 @@ object EventOps {
     * AvailableNow microbatch pays a fixed per-store maintenance cost — at
     * this corpus (100k events) the fixed costs dominate. Measured isolated
     * at sf0.1 going 32 → 8 partitions (min-of-2): q85 10.4 → 8.8, q76
-    * 6.0 → 4.1, q74 within noise. At production volume the same knob sizes
-    * state partitions to throughput, per query. Cloning instead of the old
+    * 6.0 → 4.1, q74 within noise. q85 — the only TWO-sided stateful op
+    * (a stream-stream join keeps a store per side per partition) — pays
+    * double the per-store cost, so it runs at 4 (r12 re-measure: 8 → 4
+    * gives 5.8 → 2.8 s; 2 regresses to 3.2 s as parallelism loss wins).
+    * At production volume the same knob sizes state partitions to
+    * throughput, per query. Cloning instead of the old
     * mutate-and-restore means a concurrently running query on the parent
     * session can never observe the temporary value and there is no restore
     * to race (r4 advice). The memory sink registers its temp view in the
@@ -544,7 +548,7 @@ object EventOps {
     // finite run, so inner is the honest choice here). The range condition
     // stays on the watermarked TIMESTAMP columns (required for state
     // eviction analysis); the oracle mirrors it in epoch_us arithmetic.
-    "q85_stream_stream_join" -> ((s, d) => withStreamSession(s, 8) { ss =>
+    "q85_stream_stream_join" -> ((s, d) => withStreamSession(s, 4) { ss =>
       val rawSchema = ss.read.parquet(s"$d/events.parquet").schema
       def src = ss.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
