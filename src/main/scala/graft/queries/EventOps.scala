@@ -1855,6 +1855,33 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // OHLC DOWNSAMPLING — the time-series compaction every metrics
+    // store runs: per (user, hour) candle with open/high/low/close of
+    // the event value in exact cents. Open/close are ORDER-dependent
+    // (first/last by (ts, event_id)) — the trap is that first()/last()
+    // over an unordered aggregate is nondeterministic under shuffles;
+    // here they come from min_by/max_by on the (us, event_id) struct
+    // key, which is a pure function of the data (total order — ids are
+    // unique), so the candle is shuffle-order-proof. One keyed agg,
+    // map-side combined; at 100 TB this is the compaction that turns
+    // raw events into the 3-orders-smaller frame dashboards read.
+    "q327_ohlc_downsample" -> ((s, d) => {
+      ld(s, d, "events")
+        .select(col("user_id"),
+          date_trunc("hour", col("ts")).as("h"),
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .groupBy("user_id", "h")
+        .agg(count(lit(1)).as("n"),
+          expr("min_by(cents, struct(us, event_id))").as("open_cents"),
+          max("cents").as("high_cents"),
+          min("cents").as("low_cents"),
+          expr("max_by(cents, struct(us, event_id))").as("close_cents"),
+          sum("cents").as("vol_cents"))
+        .orderBy("user_id", "h")
+    }),
+
     // DEAD-LETTER SPLIT SINK — the ingest-hardening rung beside q281's
     // idempotent MERGE: every micro-batch is split INSIDE the stream
     // into parseable rows (valid JSON props carrying the required key)
@@ -1971,6 +1998,31 @@ object EventOps {
                    AS burst
           FROM lagged ORDER BY user_id, h"""
     },
+
+    // q327: the oracle takes the window route to the same total order
+    // (rank-1 rows under (us, event_id) asc/desc) — arg-min/max by a
+    // composite key expressed two independent ways, one answer.
+    "q327_ohlc_downsample" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                           epoch_us(ts) AS us, event_id,
+                           CAST(CAST(value AS DECIMAL(14,2)) * 100
+                                AS BIGINT) AS cents
+                    FROM events),
+              r AS (SELECT *,
+                           row_number() OVER (PARTITION BY user_id, h
+                             ORDER BY us, event_id) AS ra,
+                           row_number() OVER (PARTITION BY user_id, h
+                             ORDER BY us DESC, event_id DESC) AS rd
+                    FROM e)
+         SELECT user_id, h, CAST(count(*) AS BIGINT) AS n,
+                CAST(min(CASE WHEN ra = 1 THEN cents END) AS BIGINT)
+                  AS open_cents,
+                CAST(max(cents) AS BIGINT) AS high_cents,
+                CAST(min(cents) AS BIGINT) AS low_cents,
+                CAST(min(CASE WHEN rd = 1 THEN cents END) AS BIGINT)
+                  AS close_cents,
+                CAST(sum(cents) AS BIGINT) AS vol_cents
+         FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // q326: the DFA literal is the same Scala table the Spark side
     // broadcasts; min() over the violating pair mirrors exactly.

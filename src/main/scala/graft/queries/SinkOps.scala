@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.ld
 
@@ -466,6 +467,46 @@ object SinkOps {
           "(max_xb - min_xb + 1) * (max_yb - min_yb + 1)"))
         .orderBy("layout", "file_id")
     }),
+
+    // DELTA-ENCODING BIT-WIDTH AUDIT — which sort order makes the ts
+    // column cheapest to store? Parquet's DELTA_BINARY_PACKED wins
+    // exactly when consecutive deltas are small, so the audit computes,
+    // per candidate layout, the exact bit-width a delta stream needs:
+    // bits(Δ) = length(bin(Δ)) (an ENGINE-EXACT integer log2 — no
+    // floats), partition leaders charged the full 64 bits. Layouts
+    // model the page-local reality of columnar encoding (deltas only
+    // ever span a page, never the corpus): 'time_clustered' deltas
+    // within each day (the q322 segmentation), 'user_clustered' within
+    // each user — BOTH windows partition-bounded, no global sort — and
+    // 'plain' is the 64-bit baseline. Output per layout: value count,
+    // total bits, bytes vs plain, and the compression ratio in bp.
+    // This is the storage-planning twin of q319's read-locality audit:
+    // q319 picks the layout for SKIPPING, this prices the same
+    // decision for ENCODING.
+    "q328_bitwidth_audit" -> ((s, d) => {
+      val us = ld(s, d, "events")
+        .select(unix_micros(col("ts")).as("us"), col("event_id"),
+          col("user_id"),
+          expr("CAST(CAST(ts AS DATE) AS STRING)").as("day"))
+      def layout(name: String, part: String) = {
+        val w = Window.partitionBy(part).orderBy("us", "event_id")
+        us.withColumn("delta", col("us") - lag("us", 1).over(w))
+          .selectExpr(s"'$name' AS layout",
+            "CASE WHEN delta IS NULL THEN 64" +
+              " ELSE length(bin(delta)) END AS bits")
+      }
+      layout("time_clustered", "day")
+        .unionByName(layout("user_clustered", "user_id"))
+        .unionByName(us.selectExpr("'plain' AS layout", "64 AS bits"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_values"),
+          sum(col("bits").cast("long")).as("total_bits"))
+        .selectExpr("layout", "n_values", "total_bits",
+          "(total_bits + 7) DIV 8 AS enc_bytes",
+          "8 * n_values AS plain_bytes",
+          "(10000 * total_bits) DIV (64 * n_values) AS ratio_bp")
+        .orderBy("layout")
+    }),
   )
 
   /** Hilbert xy→d for the 16×16 grid plus the 4-bit Morton code, one
@@ -537,6 +578,35 @@ object SinkOps {
                 CAST((max(xb) - min(xb) + 1) * (max(yb) - min(yb) + 1)
                      AS BIGINT) AS bbox_area
          FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q328: same bin()-length bit-width, same partition-bounded lags.
+    "q328_bitwidth_audit" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_id, user_id,
+                           CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+                    FROM events),
+              t AS (
+                SELECT 'time_clustered' AS layout,
+                       CASE WHEN lag(us) OVER w1 IS NULL THEN 64
+                            ELSE length(bin(us - lag(us) OVER w1))
+                       END AS bits
+                FROM e WINDOW w1 AS (PARTITION BY day
+                                     ORDER BY us, event_id)
+                UNION ALL
+                SELECT 'user_clustered',
+                       CASE WHEN lag(us) OVER w2 IS NULL THEN 64
+                            ELSE length(bin(us - lag(us) OVER w2))
+                       END
+                FROM e WINDOW w2 AS (PARTITION BY user_id
+                                     ORDER BY us, event_id)
+                UNION ALL
+                SELECT 'plain', 64 FROM e)
+         SELECT layout, CAST(count(*) AS BIGINT) AS n_values,
+                CAST(sum(bits) AS BIGINT) AS total_bits,
+                CAST((sum(bits) + 7) // 8 AS BIGINT) AS enc_bytes,
+                CAST(8 * count(*) AS BIGINT) AS plain_bytes,
+                CAST((10000 * sum(bits)) // (64 * count(*)) AS BIGINT)
+                  AS ratio_bp
+         FROM t GROUP BY 1 ORDER BY 1""",
 
     "q88_json_roundtrip" ->
       """SELECT user_id % 10 AS user_band, count(*) AS n,

@@ -254,6 +254,44 @@ object VectorOps {
       clusters.unionByName(noise).orderBy("cluster_id")
     }),
 
+    // LABEL-NOISE DETECTION by centroid disagreement — the cheap first
+    // pass of confident-learning-style label auditing: build each
+    // class's centroid, assign every vector to its NEAREST class
+    // centroid, and flag vectors whose nearest class isn't their own
+    // label. Output is the full label×nearest confusion matrix with
+    // the off-diagonal marked — the frame a labeling team triages.
+    // Exactness: per-element micro-unit quantization (round then
+    // integer everything after — the q119 recipe), centroids as
+    // truncated integer means (both engines' integer division
+    // truncates toward zero, verified on q317), squared distances in
+    // integer micro², argmin tie-broken by class id. Shapes: one
+    // explode feeds centroid build AND the distance probe
+    // (localCheckpoint pin); the 640-row centroid table BROADCASTS
+    // into the probe, so the corpus never shuffles for the assignment;
+    // rollups map-side combine. At 100 TB this is one scan + one
+    // broadcast — the cheapest possible full-corpus label audit.
+    "q329_label_noise" -> ((s, d) => {
+      val vm = ld(s, d, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(expr("transform(CAST(embedding AS ARRAY<DOUBLE>)," +
+            " v -> CAST(round(v * 1000000, 0) AS BIGINT))"))
+            .as(Seq("pos", "vm")))
+        .localCheckpoint() // feeds the centroid build AND the probe
+      val cent = vm.groupBy(col("label").as("clabel"), col("pos"))
+        .agg(expr("CAST(sum(vm) AS BIGINT) DIV count(1)").as("cm"))
+      val dist = vm.join(broadcast(cent), Seq("pos"))
+        .groupBy("vec_id", "label", "clabel")
+        .agg(sum((col("vm") - col("cm")) * (col("vm") - col("cm")))
+          .as("d2"))
+      val wN = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+      dist.withColumn("rn", row_number().over(wN))
+        .filter(col("rn") === 1)
+        .groupBy(col("label"), col("clabel").as("nearest_label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("is_noise", col("label") =!= col("nearest_label"))
+        .orderBy("label", "nearest_label")
+    }),
+
     // One unrolled k-means iteration (k=4, init = vectors 0..3): assign →
     // recenter → reassign, reporting final cluster sizes and mean distance.
     // The iterative-ML shape: per iteration one broadcast of k centroids +
@@ -1558,6 +1596,30 @@ object VectorOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // q329: same micro quantization, truncated-mean centroids, and
+    // (d2, class) argmin tie-break.
+    "q329_label_noise" ->
+      """WITH vm AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                            i - 1 AS pos,
+                            CAST(round(CAST(embedding[i] AS DOUBLE)
+                                 * 1000000, 0) AS BIGINT) AS vm
+                     FROM embeddings,
+                          unnest(range(1, len(embedding) + 1)) AS t(i)),
+              cent AS (SELECT label AS clabel, pos,
+                              CAST(sum(vm) AS BIGINT) // count(*) AS cm
+                       FROM vm GROUP BY 1, 2),
+              dist AS (SELECT vec_id, label, clabel,
+                              sum((vm - cm) * (vm - cm)) AS d2
+                       FROM vm JOIN cent USING (pos)
+                       GROUP BY 1, 2, 3),
+              near AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2, clabel) AS rn
+                       FROM dist)
+         SELECT label, clabel AS nearest_label,
+                CAST(count(*) AS BIGINT) AS n,
+                (label <> clabel) AS is_noise
+         FROM near WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // q325: exact recursive-CTE closure over the same core-cell
     // adjacency; micro-unit projection identical per element.
     "q325_grid_dbscan" ->

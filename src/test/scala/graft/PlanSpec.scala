@@ -1965,6 +1965,35 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q327: the OHLC candle is ONE keyed aggregate — min_by/max_by " +
+    "carry the open/close, no rank windows, partial agg map-side") {
+    val p = plan("q327_ohlc_downsample")
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""),
+      "open/close must come from min_by/max_by, not rank windows")
+    assert(p.contains("partial_min_by") || p.contains("min_by"),
+      "the composite-key argmin must be in the aggregate")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Exchange\s*""")) == 2,
+      "one (user, hour) exchange + the output sort")
+  }
+
+  test("q328: both delta layouts are partition-bounded lag windows " +
+    "(day / user) — no corpus-wide sort anywhere") {
+    val p = plan("q328_bitwidth_audit")
+    assert(p.contains("windowspecdefinition(day"))
+    assert(p.contains("windowspecdefinition(user_id"))
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Window\s*""")) == 2)
+  }
+
+  test("q329: the 640-row centroid table broadcasts into the probe — " +
+    "the corpus never shuffles for assignment; argmin is " +
+    "vec-partitioned") {
+    val p = plan("q329_label_noise")
+    assert(p.contains("BroadcastHashJoin"), "centroids must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("windowspecdefinition(vec_id"))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
