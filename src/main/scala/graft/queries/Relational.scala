@@ -2019,6 +2019,59 @@ object Relational {
         .orderBy(col("aa_micro").desc, col("s1"), col("s2")).limit(50)
     }),
 
+    // SQL SCRIPTING — Spark 4's procedural surface (BEGIN/DECLARE/
+    // WHILE/IF/LEAVE, SQL/PSM) driving a real curation decision: find
+    // the largest halving-chain length cutoff that still passes ≥60 %
+    // of the corpus (the budget-driven quality-gate search every
+    // data-mix owner runs). The loop body is ONE aggregate per probe —
+    // the script engine orchestrates, the cluster aggregates; at
+    // 100 TB each probe is a scan-bounded job and the chain is ≤11
+    // probes. Oracle: the same search unrolled relationally (the
+    // halving chain as a VALUES list, first passing cutoff by chain
+    // order). Exact integers only (bp via DIV).
+    "q330_sql_scripting" -> ((s, d) => {
+      graft.Tables.view(s, d, "documents")
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      s.sql("""
+        BEGIN
+          DECLARE cutoff BIGINT DEFAULT 800;
+          DECLARE pass_bp BIGINT DEFAULT 0;
+          DECLARE total BIGINT;
+          SET total = (SELECT count(*) FROM documents);
+          gate: WHILE cutoff >= 0 DO
+            SET pass_bp = (SELECT (10000 * count(*)) DIV total
+                           FROM documents WHERE n_chars >= cutoff);
+            IF pass_bp >= 6000 THEN
+              LEAVE gate;
+            END IF;
+            SET cutoff = cutoff DIV 2;
+          END WHILE;
+          SELECT cutoff AS chosen_cutoff, pass_bp, total AS n_docs;
+        END""")
+    }),
+
+    // SQL SESSION VARIABLES — the second Spark 4 scripting-family
+    // surface: DECLARE VARIABLE / SET VAR with a scalar-subquery
+    // initializer, then plain SQL referencing the variable — the
+    // parameterize-without-string-splicing mechanism (q220's named
+    // parameters are per-call; variables persist across statements in
+    // the session). The variable pins the 90%-of-max price threshold
+    // once; the consumer query filters against it.
+    "q331_session_variables" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("DECLARE OR REPLACE VARIABLE g_hi_cut BIGINT")
+      s.sql("""SET VAR g_hi_cut =
+                 (SELECT (max(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                               * 100 AS BIGINT)) * 90) DIV 100
+                  FROM orders)""")
+      s.sql("""SELECT o_orderpriority, count(*) AS n_high,
+                      min(g_hi_cut) AS cut_cents
+               FROM orders
+               WHERE CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                          AS BIGINT) >= g_hi_cut
+               GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     // ARRAY HIGHER-ORDER FUNCTIONS — the lambda SQL surface
     // (transform / filter / aggregate / exists) over a per-row array,
     // a type family the reference does not have at all (DataType::List
@@ -2359,6 +2412,33 @@ object Relational {
           FROM pr JOIN wp ON pr.p = wp.p
           GROUP BY 1, 2
           ORDER BY aa_micro DESC, s1, s2 LIMIT 50""",
+
+    // q330: the script's halving-chain search unrolled relationally.
+    "q330_sql_scripting" ->
+      """WITH total AS (SELECT count(*) AS t FROM documents),
+              cand(cutoff, ord) AS (VALUES (800, 0), (400, 1), (200, 2),
+                (100, 3), (50, 4), (25, 5), (12, 6), (6, 7), (3, 8),
+                (1, 9), (0, 10)),
+              fr AS (SELECT cutoff, ord,
+                            (10000 * (SELECT count(*) FROM documents
+                                      WHERE n_chars >= cutoff)) // t AS bp
+                     FROM cand, total)
+         SELECT CAST(cutoff AS BIGINT) AS chosen_cutoff,
+                CAST(bp AS BIGINT) AS pass_bp,
+                CAST(t AS BIGINT) AS n_docs
+         FROM fr, total WHERE bp >= 6000 ORDER BY ord LIMIT 1""",
+
+    // q331: variable replayed as a scalar subquery.
+    "q331_session_variables" ->
+      """WITH cut AS (SELECT (max(CAST(CAST(o_totalprice
+                        AS DECIMAL(14,2)) * 100 AS BIGINT)) * 90) // 100
+                        AS g FROM orders)
+         SELECT o_orderpriority, count(*) AS n_high,
+                CAST(min(g) AS BIGINT) AS cut_cents
+         FROM orders, cut
+         WHERE CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               >= g
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q307_array_hof" ->
       """SELECT doc_id,
