@@ -29,5 +29,10 @@ object SparkEntry {
     (Relational.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
       EventOps.oracle ++ MultimodalOps.oracle ++ SinkOps.oracle ++
       PipelineOps.oracle)
-      .view.mapValues(_.stripMargin.trim).toMap
+      // trim only — NO stripMargin: every oracle is plain-indented SQL,
+      // and stripMargin silently eats one pipe from a line-leading `||`
+      // (string concat), which twice shipped a broken oracle (q316,
+      // q334) that surfaced only as a DuckDB binder error at check
+      // time. A margin-styled oracle would be the bug now.
+      .view.mapValues(_.trim).toMap
 }

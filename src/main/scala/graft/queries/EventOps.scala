@@ -1882,6 +1882,38 @@ object EventOps {
         .orderBy("user_id", "h")
     }),
 
+    // TYPED COGROUP — the Dataset API's two-sided per-key seam beside
+    // q77's one-sided mapGroups: both event streams group by user and
+    // ONE function sees each user's views and purchases together —
+    // the shape for per-entity logic that genuinely needs both sides
+    // materialized (here: how many purchases predate the user's first
+    // view — the "bought before browsing" cohort a recommender audits;
+    // imperative per-key array logic, which is exactly when cogroup
+    // beats a join+window). Scale: cogroup is one co-partitioned
+    // shuffle of both sides on the key; per-user state is that user's
+    // rows only. Encoder-typed end to end; the oracle replays it
+    // relationally (min-view window + conditional count).
+    "q333_typed_cogroup" -> ((s, d) => {
+      import s.implicits._
+      val ev = ld(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as[Long], col("us").as[Long])
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as[Long], col("us").as[Long])
+      views.groupByKey(_._1).cogroup(purchases.groupByKey(_._1)) {
+        (user, vs, ps) =>
+          val vl = vs.map(_._2).toArray
+          val pl = ps.map(_._2).toArray
+          val firstView =
+            if (vl.nonEmpty) vl.min else Long.MaxValue
+          Iterator((user, vl.length.toLong, pl.length.toLong,
+            pl.count(_ < firstView).toLong))
+      }.toDF("user_id", "n_views", "n_purchases", "bought_before_browse")
+        .orderBy("user_id")
+    }),
+
     // DEAD-LETTER SPLIT SINK — the ingest-hardening rung beside q281's
     // idempotent MERGE: every micro-batch is split INSIDE the stream
     // into parseable rows (valid JSON props carrying the required key)
@@ -2023,6 +2055,34 @@ object EventOps {
                   AS close_cents,
                 CAST(sum(cents) AS BIGINT) AS vol_cents
          FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q333: the cogroup's imperative per-user logic replayed
+    // relationally — min-view + conditional count.
+    "q333_typed_cogroup" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                    FROM events
+                    WHERE event_type IN ('view', 'purchase')),
+              fv AS (SELECT user_id,
+                            min(CASE WHEN event_type = 'view'
+                                THEN us END) AS first_view,
+                            sum(CASE WHEN event_type = 'view'
+                                THEN 1 ELSE 0 END) AS n_views,
+                            sum(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS n_purchases
+                     FROM e GROUP BY 1),
+              bb AS (SELECT e.user_id,
+                            count(*) AS bought_before
+                     FROM e JOIN fv ON e.user_id = fv.user_id
+                     WHERE e.event_type = 'purchase'
+                       AND e.us < coalesce(fv.first_view,
+                                           9223372036854775807)
+                     GROUP BY 1)
+         SELECT fv.user_id, CAST(n_views AS BIGINT) AS n_views,
+                CAST(n_purchases AS BIGINT) AS n_purchases,
+                CAST(coalesce(bought_before, 0) AS BIGINT)
+                  AS bought_before_browse
+         FROM fv LEFT JOIN bb ON fv.user_id = bb.user_id
+         ORDER BY fv.user_id""",
 
     // q326: the DFA literal is the same Scala table the Spark side
     // broadcasts; min() over the violating pair mirrors exactly.

@@ -28,6 +28,39 @@ object MultimodalOps {
       .filter(col("_cap_ok").isNull).drop("_cap_ok")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BINARYFILE SOURCE — the raw-blob ingestion format the multimodal
+    // family reads from in production (images/audio land as FILES, not
+    // parquet cells): one blob per source is materialized (per-source
+    // text concatenated in doc_id order — deterministic bytes), then
+    // read back through spark.read.format("binaryFile"), which yields
+    // (path, modificationTime, length, content) with the blob as a
+    // binary column — exactly the decode-seam input
+    // operators/Multimodal.scala consumes. The check proves BYTE
+    // fidelity end to end: md5 over the file's content must equal the
+    // oracle's md5 over the same string built straight from the rows
+    // (including the text sink's trailing newline). Partitioned-dir
+    // source attribution comes from the path (the q93 pruning layout
+    // read in reverse). At 100 TB binaryFile is the listing-bounded
+    // source: one task per blob, driver cost ∝ file count — which is
+    // why blobs are per-source aggregates here, not per-document
+    // shards (the q100 small-file lesson applied to ingestion).
+    "q334_binaryfile_ingest" -> ((s, d) => {
+      val path = java.nio.file.Paths.get(sys.props("user.dir"), "target",
+        "sink", SinkOps.sfName(d), "source_blobs").toString
+      ld(s, d, "documents")
+        .groupBy("source")
+        .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(doc_id, text))), x -> x.text), '\n')")
+          .as("blob"))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("source").text(path)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt").load(path)
+        .select(
+          regexp_extract(col("path"), "source=([^/]+)", 1).as("source"),
+          col("length"), md5(col("content")).as("blob_md5"))
+        .orderBy("source")
+    }),
     "q80_media_meta" -> ((s, d) => {
       import s.implicits._
       val payloads = ld(s, d, "documents")
@@ -375,6 +408,18 @@ object MultimodalOps {
   }
 
   val oracle: Map[String, String] = Map(
+    // q334: the blob rebuilt straight from the rows (doc_id order,
+    // '\n' joins, the text sink's trailing newline); md5 equality IS
+    // the byte-fidelity proof, strlen counts bytes like the file.
+    "q334_binaryfile_ingest" ->
+      """WITH b AS (SELECT source,
+                           string_agg(text, chr(10) ORDER BY doc_id) ||
+                             chr(10) AS blob
+                    FROM documents GROUP BY 1)
+         SELECT source, CAST(strlen(blob) AS BIGINT) AS length,
+                md5(blob) AS blob_md5
+         FROM b ORDER BY source""",
+
     // brute-force all-pairs over the replayed per-video majority
     // signature — green ⇒ signature AND banding recall both exact
     "q144_video_neardup" -> duckVideoNeardupSql,

@@ -1994,6 +1994,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("windowspecdefinition(vec_id"))
   }
 
+  test("q332: both band aggregates read the persisted rollup — " +
+    "InMemoryTableScan serves two consumers, the rollup computes once") {
+    val p = plan("q332_cached_reuse")
+    assert(p.linesIterator.count(
+      _.contains("InMemoryTableScan")) >= 2,
+      "both branches must read the cache")
+    // parquet appears ONLY inside the InMemoryRelation's embedded
+    // cache-build description — every consumer goes through the scan
+    assert(p.linesIterator.forall(l =>
+      !l.contains("Scan parquet") || p.contains("InMemoryRelation")),
+      "parquet may only appear as the cache's build plan")
+  }
+
+  test("q333: the typed cogroup plans to CoGroup over two key-" +
+    "clustered children") {
+    val p = plan("q333_typed_cogroup")
+    assert(p.contains("CoGroup"), "must use the typed cogroup operator")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q334: ingestion reads through the binaryFile source with the " +
+    "partition-dir source attribute from the path") {
+    val p = plan("q334_binaryfile_ingest")
+    assert(p.contains("binaryFile"), "must scan the binaryFile source")
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
