@@ -2173,17 +2173,21 @@ object EventOps {
                   AS attributed_cents
          FROM pr GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // CASE does NOT guarantee lazy evaluation in a vectorized engine:
+    // at sf0.1 DuckDB evaluated json_extract on rows the json_valid
+    // guard excluded and threw Malformed JSON (sf0.01 happened not
+    // to). The WHERE-split below is the guaranteed-safe form — invalid
+    // rows never reach json_extract at any scale.
     "q304_stream_dead_letter" ->
-      """WITH c AS (SELECT event_type,
+      """WITH c AS (SELECT event_type, event_id,
                            CASE WHEN event_id % 37 = 0 THEN '{bad'
                                 ELSE props END AS pr
                     FROM events),
-              t AS (SELECT event_type,
-                           CASE WHEN json_valid(pr)
-                                 AND json_extract(pr, '$.k') IS NOT NULL
-                                THEN CAST(json_extract(pr, '$.k')
-                                          AS BIGINT) END AS k
-                    FROM c)
+              v AS (SELECT event_id,
+                           CAST(json_extract(pr, '$.k') AS BIGINT) AS k
+                    FROM c WHERE json_valid(pr)),
+              t AS (SELECT c.event_type, v.k
+                    FROM c LEFT JOIN v ON c.event_id = v.event_id)
          SELECT event_type,
                 CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)
                      AS BIGINT) AS n_valid,

@@ -507,6 +507,79 @@ object SinkOps {
           "(10000 * total_bits) DIV (64 * n_values) AS ratio_bp")
         .orderBy("layout")
     }),
+
+    // CSV MALFORMED-RECORD MODES — the ingestion-robustness contract
+    // q304's JSON dead-letter split expressed for the CSV reader's
+    // BUILT-IN modes: the same deterministically corrupted feed (every
+    // 37th record loses its numeric field to a stray token) read twice
+    // — PERMISSIVE keeps every row and surfaces breakage as nulls +
+    // _corrupt_record (count them, never silently absorb), while
+    // DROPMALFORMED returns the clean subset only. Emitting BOTH
+    // modes' row/violation counts side by side is the audit a feed
+    // owner signs off on before choosing a mode. The corrupted file is
+    // written once per run (overwrite, per-sf path); the oracle
+    // re-derives every count from the injection rule itself.
+    "q335_csv_malformed" -> ((s, d) => {
+      val path = outDir(d, "orders_dirty_csv")
+      ld(s, d, "orders")
+        .selectExpr("o_orderkey",
+          "CASE WHEN o_orderkey % 37 = 0 THEN 'oops'" +
+            " ELSE CAST(o_custkey AS STRING) END AS custkey_raw",
+          "o_orderpriority")
+        .selectExpr(
+          "concat_ws(',', CAST(o_orderkey AS STRING), custkey_raw," +
+            " o_orderpriority) AS line")
+        .coalesce(1).write.mode("overwrite").text(path)
+      val schema = "o_orderkey BIGINT, o_custkey BIGINT," +
+        " o_orderpriority STRING, _corrupt_record STRING"
+      val permissive = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .agg(lit("permissive").as("mode"), count(lit(1)).as("n_rows"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          sum(col("o_custkey")).as("custkey_sum"))
+      val dropm = s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT," +
+          " o_orderpriority STRING")
+        .option("mode", "DROPMALFORMED").csv(path)
+        .agg(lit("dropmalformed").as("mode"), count(lit(1)).as("n_rows"),
+          lit(0L).as("n_corrupt"), sum(col("o_custkey")).as("custkey_sum"))
+      permissive.unionByName(dropm).orderBy("mode")
+    }),
+
+    // DYNAMIC PARTITION OVERWRITE — the lakehouse write semantics that
+    // makes partitioned re-runs safe: with partitionOverwriteMode=
+    // dynamic, INSERT OVERWRITE replaces ONLY the partitions the new
+    // data touches and leaves every other partition's files intact
+    // (static mode would truncate the whole table — the classic
+    // accidental-wipe). Sequence: full write of the per-flag rollup,
+    // then a dynamic overwrite of flag 'R' alone with reduced rows;
+    // the read-back must show R's new content beside A/N's ORIGINAL
+    // content. At 100 TB this is how daily reprocessing replaces one
+    // day-partition under a table serving reads.
+    "q336_dynamic_partition_overwrite" -> ((s, d) => {
+      val path = outDir(d, "li_flag_dyn")
+      val conf = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.get(conf)
+      try {
+        val rollup = ld(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("qty"))
+        rollup.write.mode("overwrite")
+          .partitionBy("l_returnflag").parquet(path)
+        s.conf.set(conf, "dynamic")
+        rollup.filter(col("l_returnflag") === "R")
+          .withColumn("n", col("n") * 0L) // the "reprocessed" day: zeroed
+          .write.mode("overwrite")
+          .partitionBy("l_returnflag").parquet(path)
+        s.read.parquet(path)
+          .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+            col("qty"))
+          .orderBy("l_returnflag", "l_linestatus")
+      } finally s.conf.set(conf, prev)
+    }),
   )
 
   /** Hilbert xy→d for the 16×16 grid plus the 4-bit Morton code, one
@@ -578,6 +651,35 @@ object SinkOps {
                 CAST((max(xb) - min(xb) + 1) * (max(yb) - min(yb) + 1)
                      AS BIGINT) AS bbox_area
          FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q335: every count re-derived from the injection rule itself.
+    "q335_csv_malformed" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey,
+                              (o_orderkey % 37 = 0) AS bad
+                       FROM orders)
+         SELECT * FROM (
+           SELECT 'dropmalformed' AS mode,
+                  CAST(count(*) FILTER (NOT bad) AS BIGINT) AS n_rows,
+                  CAST(0 AS BIGINT) AS n_corrupt,
+                  CAST(sum(o_custkey) FILTER (NOT bad) AS BIGINT)
+                    AS custkey_sum
+           FROM base
+           UNION ALL
+           SELECT 'permissive', CAST(count(*) AS BIGINT),
+                  CAST(count(*) FILTER (bad) AS BIGINT),
+                  CAST(sum(o_custkey) FILTER (NOT bad) AS BIGINT)
+           FROM base)
+         ORDER BY mode""",
+
+    // q336: R's n zeroed by the dynamic overwrite, everything else as
+    // originally written — partition isolation proven by equality.
+    "q336_dynamic_partition_overwrite" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(CASE WHEN l_returnflag = 'R' THEN 0
+                     ELSE count(*) END AS BIGINT) AS n,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
 
     // q328: same bin()-length bit-width, same partition-bounded lags.
     "q328_bitwidth_audit" ->

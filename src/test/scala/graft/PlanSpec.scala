@@ -2021,6 +2021,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
   }
 
+  test("q335: both CSV modes are single-pass aggregates over the dirty " +
+    "feed — no window, no join; corrupt accounting stays in the scan") {
+    val p = plan("q335_csv_malformed")
+    assert(p.linesIterator.count(_.matches("""\(\d+\) Scan csv.*""")) == 2,
+      "one csv scan per mode")
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+    assert(!p.contains("Join"))
+  }
+
+  test("q336: the read-back after the dynamic overwrite is a plain " +
+    "partitioned parquet scan — R's rewrite left other partitions' " +
+    "files untouched (proven by the oracle equality)") {
+    val p = plan("q336_dynamic_partition_overwrite")
+    assert(p.contains("Scan parquet"))
+    assert(!p.contains("Join"))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
