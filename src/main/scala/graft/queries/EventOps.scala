@@ -1914,6 +1914,83 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // NULL-SAFE JOIN (<=>) — the one equality variant the join family
+    // hadn't pinned: ordinary equi-joins DROP null keys on both sides
+    // (SQL three-valued logic), while <=> (IS NOT DISTINCT FROM)
+    // matches null to null — the semantics a dedup/rollup join needs
+    // when "unknown" is itself a valid bucket. The audit runs the SAME
+    // rollup join both ways over a feed where every 13th customer key
+    // is nulled, and reports the row counts side by side plus the
+    // null-bucket size — the exact number of rows a naive equi-join
+    // silently loses. Null-safe equality hash-partitions like any key
+    // (nulls form one bucket), so the plan stays a shuffled hash join.
+    "q337_null_safe_join" -> ((s, d) => {
+      val o = ld(s, d, "orders").selectExpr("o_orderkey",
+        "CASE WHEN o_custkey % 13 = 0 THEN NULL" +
+          " ELSE o_custkey END AS ck",
+        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)" +
+          " AS cents")
+      val agg = o.groupBy(col("ck").as("ak"))
+        .agg(count(lit(1)).as("n_orders"))
+      val equi = o.join(agg.hint("shuffle_hash"), col("ck") === col("ak"))
+        .agg(lit("equi").as("join_mode"), count(lit(1)).as("n_matched"),
+          sum("cents").as("cents_matched"))
+      val nsafe = o.join(agg.hint("shuffle_hash"), col("ck") <=> col("ak"))
+        .agg(lit("null_safe").as("join_mode"),
+          count(lit(1)).as("n_matched"), sum("cents").as("cents_matched"))
+      val nulls = o.filter(col("ck").isNull)
+        .agg(lit("null_bucket").as("join_mode"),
+          count(lit(1)).as("n_matched"), sum("cents").as("cents_matched"))
+      equi.unionByName(nsafe).unionByName(nulls).orderBy("join_mode")
+    }),
+
+    // NEAREST-MODE AS-OF — completes the as-of family (q49/q314
+    // backward, q270 forward): each purchase pairs with its CLOSEST
+    // click in either direction, ties to the earlier (backward) side.
+    // Built from the NATIVE AsOfJoinExec applied twice — backward
+    // directly, forward by running the SAME operator on negated
+    // micro timestamps (latest(-t_c) ≤ -t_p ⇔ earliest t_c ≥ t_p), so
+    // one physical merge implements both directions; the combine is a
+    // purchase-keyed join of two already-key-clustered frames.
+    // Oracle: DuckDB's ASOF with the opposite inequality per
+    // direction, same tie rule.
+    "q338_asof_nearest" -> ((s, d) => {
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .experimental.extraStrategies = Seq(graft.plans.AsOfJoinStrategy)
+      val ev = ld(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("pus"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          unix_micros(col("ts")).as("cus"))
+      val back = graft.plans.AsOfJoinOps.asof(s, p, c,
+          "user_id", "c_user", "pus", "cus")
+        .select(col("event_id"), col("user_id"),
+          (col("pus") - col("cus")).as("gap_back"))
+      val fwd = graft.plans.AsOfJoinOps.asof(s,
+          p.select(col("event_id").as("f_id"), col("user_id").as("f_user"),
+            (-col("pus")).as("npus")),
+          c.select(col("c_user").as("fc_user"), (-col("cus")).as("ncus")),
+          "f_user", "fc_user", "npus", "ncus")
+        .select(col("f_id").as("event_id"),
+          (col("npus") - col("ncus")).as("gap_fwd"))
+      back.join(fwd, Seq("event_id"))
+        .selectExpr("event_id", "user_id", "gap_back", "gap_fwd",
+          """CASE
+               WHEN gap_back IS NULL AND gap_fwd IS NULL THEN NULL
+               WHEN gap_fwd IS NULL THEN 'backward'
+               WHEN gap_back IS NULL THEN 'forward'
+               WHEN gap_back <= gap_fwd THEN 'backward'
+               ELSE 'forward' END AS direction""",
+          """CASE
+               WHEN gap_back IS NULL THEN gap_fwd
+               WHEN gap_fwd IS NULL THEN gap_back
+               WHEN gap_back <= gap_fwd THEN gap_back
+               ELSE gap_fwd END AS nearest_gap_us""")
+        .orderBy("event_id")
+    }),
+
     // DEAD-LETTER SPLIT SINK — the ingest-hardening rung beside q281's
     // idempotent MERGE: every micro-batch is split INSIDE the stream
     // into parseable rows (valid JSON props carrying the required key)
@@ -2055,6 +2132,62 @@ object EventOps {
                   AS close_cents,
                 CAST(sum(cents) AS BIGINT) AS vol_cents
          FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q337: IS NOT DISTINCT FROM is DuckDB's <=>.
+    "q337_null_safe_join" ->
+      """WITH o AS (SELECT o_orderkey,
+                           CASE WHEN o_custkey % 13 = 0 THEN NULL
+                                ELSE o_custkey END AS ck,
+                           CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                                AS BIGINT) AS cents
+                    FROM orders),
+              a AS (SELECT ck AS ak, count(*) AS n_orders
+                    FROM o GROUP BY 1)
+         SELECT * FROM (
+           SELECT 'equi' AS join_mode, CAST(count(*) AS BIGINT)
+                    AS n_matched,
+                  CAST(sum(cents) AS BIGINT) AS cents_matched
+           FROM o JOIN a ON o.ck = a.ak
+           UNION ALL
+           SELECT 'null_bucket', CAST(count(*) AS BIGINT),
+                  CAST(sum(cents) AS BIGINT)
+           FROM o WHERE ck IS NULL
+           UNION ALL
+           SELECT 'null_safe', CAST(count(*) AS BIGINT),
+                  CAST(sum(cents) AS BIGINT)
+           FROM o JOIN a ON o.ck IS NOT DISTINCT FROM a.ak)
+         ORDER BY join_mode""",
+
+    // q338: DuckDB's ASOF with the opposite inequality per direction —
+    // >= picks the latest earlier click, <= the earliest later one.
+    "q338_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pus
+                    FROM events WHERE event_type = 'purchase'),
+              c AS (SELECT user_id AS c_user, epoch_us(ts) AS cus
+                    FROM events WHERE event_type = 'click'),
+              b AS (SELECT event_id, p.user_id AS user_id,
+                           pus - cus AS gap_back
+                    FROM p ASOF LEFT JOIN c
+                      ON p.user_id = c.c_user AND p.pus >= c.cus),
+              f AS (SELECT event_id, cus - pus AS gap_fwd
+                    FROM p ASOF LEFT JOIN c
+                      ON p.user_id = c.c_user AND p.pus <= c.cus)
+         SELECT b.event_id, user_id,
+                CAST(gap_back AS BIGINT) AS gap_back,
+                CAST(gap_fwd AS BIGINT) AS gap_fwd,
+                CASE
+                  WHEN gap_back IS NULL AND gap_fwd IS NULL THEN NULL
+                  WHEN gap_fwd IS NULL THEN 'backward'
+                  WHEN gap_back IS NULL THEN 'forward'
+                  WHEN gap_back <= gap_fwd THEN 'backward'
+                  ELSE 'forward' END AS direction,
+                CAST(CASE
+                  WHEN gap_back IS NULL THEN gap_fwd
+                  WHEN gap_fwd IS NULL THEN gap_back
+                  WHEN gap_back <= gap_fwd THEN gap_back
+                  ELSE gap_fwd END AS BIGINT) AS nearest_gap_us
+         FROM b JOIN f ON b.event_id = f.event_id
+         ORDER BY b.event_id""",
 
     // q333: the cogroup's imperative per-user logic replayed
     // relationally — min-view + conditional count.

@@ -2038,6 +2038,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"))
   }
 
+  test("q337: null-safe equality stays a hash join — <=> hash-" +
+    "partitions like any key (nulls form one bucket), never a " +
+    "nested-loop fallback") {
+    val p = plan("q337_null_safe_join")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) ShuffledHashJoin\s*""")) == 2,
+      "equi AND null-safe branches must both be hash joins")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "<=> must not degrade to a nested loop")
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+  }
+
+  test("q338: nearest-mode as-of runs the native operator twice " +
+    "(backward + negated-time forward) — no window carry-forward, " +
+    "one merge join for the purchase-keyed combine") {
+    val p = plan("q338_asof_nearest")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) AsOfJoin\s*""")) == 2,
+      "both directions must go through AsOfJoinExec")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) SortMergeJoin\s*""")) == 1,
+      "the combine is one event_id-keyed merge join")
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+    assert(!p.contains("Union"))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
