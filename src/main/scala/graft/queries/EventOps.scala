@@ -1991,6 +1991,34 @@ object EventOps {
         .orderBy("event_id")
     }),
 
+    // DST-AWARE LOCAL-DAY LEDGER — "daily" rollups are a TIMEZONE
+    // statement: the same UTC feed grouped by America/New_York vs
+    // Europe/Berlin local days yields different day boundaries, and
+    // the DST transitions (US 2024-03-10, EU 2024-03-31) make those
+    // local days 23 wall-clock hours long — visible here as the
+    // distinct-local-hour count dipping below a full day's coverage.
+    // `convert_timezone` is evaluated per row from the IANA tzdb (a
+    // deterministic, codegen'd expression — no shuffle), so the only
+    // exchange is the (zone, local_day) rollup: ~2×150 keys at any
+    // corpus size. The 120-day deterministic spread pushes the
+    // one-month fixture across both transitions. Oracle: DuckDB's
+    // two-step `timezone()` algebra (naive→UTC instant→local naive),
+    // session-timezone-independent on both sides.
+    "q343_tz_ledger" -> ((s, d) => {
+      val ev = ld(s, d, "events").select(
+        expr("timestampadd(DAY, CAST(event_id % 120 AS INT), ts)")
+          .as("uts"))
+      def one(zone: String) = ev.select(lit(zone).as("zone"),
+        expr(s"convert_timezone('UTC', '$zone', " +
+          "CAST(uts AS TIMESTAMP_NTZ))").as("lts"))
+      one("America/New_York").unionByName(one("Europe/Berlin"))
+        .groupBy(col("zone"), to_date(col("lts")).as("local_day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(date_trunc("HOUR", col("lts")))
+            .as("n_local_hours"))
+        .orderBy("zone", "local_day")
+    }),
+
     // DEAD-LETTER SPLIT SINK — the ingest-hardening rung beside q281's
     // idempotent MERGE: every micro-batch is split INSIDE the stream
     // into parseable rows (valid JSON props carrying the required key)
@@ -2188,6 +2216,27 @@ object EventOps {
                   ELSE gap_fwd END AS BIGINT) AS nearest_gap_us
          FROM b JOIN f ON b.event_id = f.event_id
          ORDER BY b.event_id""",
+
+    // q343: timezone(tz, naive) interprets IN tz → instant;
+    // timezone(tz, instant) renders the local naive — the two-step is
+    // session-timezone-independent, unlike a bare ::TIMESTAMPTZ cast.
+    "q343_tz_ledger" ->
+      """WITH e AS (SELECT ts + (event_id % 120) * INTERVAL 1 DAY AS uts
+                    FROM events),
+              l AS (SELECT 'America/New_York' AS zone,
+                           timezone('America/New_York',
+                                    timezone('UTC', uts)) AS lts
+                    FROM e
+                    UNION ALL
+                    SELECT 'Europe/Berlin',
+                           timezone('Europe/Berlin',
+                                    timezone('UTC', uts))
+                    FROM e)
+         SELECT zone, CAST(lts AS DATE) AS local_day,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT date_trunc('hour', lts)) AS BIGINT)
+                  AS n_local_hours
+         FROM l GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // q333: the cogroup's imperative per-user logic replayed
     // relationally — min-view + conditional count.

@@ -2156,6 +2156,108 @@ object Relational {
             .as("tau_a_bp"))
         .orderBy("grp")
     }),
+
+    // CALENDAR-CYCLE ARITHMETIC — month arithmetic is NOT addition:
+    // `add_months` clamps Jan 31 + 1 month to Feb 29/28 (the billing
+    // date a real invoice cycle uses), `last_day` marks end-of-month
+    // billing, and `next_day` finds the strictly-next Monday shipping
+    // cutoff. These are the calendar semantics a partition-by-month
+    // 100 TB layout inherits, and every engine implements them
+    // slightly differently — so the audit rolls all three up per bill
+    // month and proves agreement with the oracle's interval algebra
+    // (DuckDB has no add_months/next_day; its `+ INTERVAL 1 MONTH`
+    // clamps identically and next-Monday is the isodow congruence).
+    // Pure narrow ops into one month-keyed agg — map-side combined,
+    // one shuffle of ~80 month keys regardless of corpus size.
+    "q339_billing_cycles" -> ((s, d) => {
+      ld(s, d, "orders")
+        .select(to_date(col("o_orderdate")).as("od"))
+        .select(col("od"), add_months(col("od"), 1).as("bill"),
+          last_day(col("od")).as("eom"),
+          next_day(col("od"), "MON").as("cutoff"))
+        .select(date_format(col("bill"), "yyyy-MM").as("bill_month"),
+          when(dayofmonth(col("bill")) < dayofmonth(col("od")), 1L)
+            .otherwise(0L).as("clamped"),
+          when(col("od") === col("eom"), 1L).otherwise(0L).as("on_eom"),
+          datediff(col("cutoff"), col("od")).as("cutoff_gap"))
+        .groupBy("bill_month")
+        .agg(count(lit(1)).as("n_orders"), sum("clamped").as("n_clamped"),
+          sum("on_eom").as("n_eom"),
+          sum("cutoff_gap").as("sum_cutoff_days"))
+        .orderBy("bill_month")
+    }),
+
+    // MOMENT STATISTICS — per-group skewness/kurtosis of the price
+    // distribution, the shape diagnostics a sampling or outlier gate
+    // reads before trusting a mean. Spark's `skewness`/`kurtosis` are
+    // POPULATION moments (g1, excess g2) while DuckDB's are the
+    // bias-corrected SAMPLE estimators — the audit applies the exact
+    // estimator conversion in-plan (G1 = g1·√(n(n−1))/(n−2); G2 =
+    // (n−1)/((n−2)(n−3))·((n+1)g2+6)) so both engines report the same
+    // number, documenting the divergence instead of hiding it. One
+    // partial+final aggregate; moments merge associatively, so the
+    // map-side combine works at any executor count.
+    "q340_moment_stats" -> ((s, d) => {
+      ld(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          skewness(col("l_extendedprice")).as("g1"),
+          kurtosis(col("l_extendedprice")).as("g2"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          round(col("g1") * sqrt(col("n") * (col("n") - 1)) /
+            (col("n") - 2), 5).as("skew_sample"),
+          round((col("n") - 1) / ((col("n") - 2) * (col("n") - 3)) *
+            ((col("n") + 1) * col("g2") + 6), 5).as("kurt_sample"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // CONTRACT-CHECK AGGREGATES — `count_if` / `bool_and` / `bool_or`
+    // turn a data contract ("quantity within the contracted band",
+    // "no ship date before the catalog epoch") into ONE aggregate
+    // pass instead of N filtered subqueries: the boolean aggregates
+    // fold flags map-side, so the whole SLA audit is a single shuffle
+    // of |returnflag| keys. The violation COUNTS ride along with the
+    // pass/fail verdicts, so a red contract comes with its incidence
+    // for free.
+    "q341_contract_checks" -> ((s, d) => {
+      ld(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          expr("count_if(l_discount > 0.05)").as("n_discounted"),
+          expr("count_if(l_extendedprice > 50000)").as("n_big_tickets"),
+          expr("bool_and(l_quantity >= 1 AND l_quantity <= 50)")
+            .as("qty_in_contract"),
+          expr("bool_or(l_discount > 0.09)").as("any_deep_discount"),
+          expr("bool_and(l_shipdate >= DATE '1992-01-01')")
+            .as("ship_after_epoch"))
+        .orderBy("l_returnflag")
+    }),
+
+    // EQUI-WIDTH HISTOGRAM + OGIVE — `width_bucket` bins prices into
+    // 64 buckets whose width (2048) is a power of two, so the
+    // float division is a pure exponent shift and the bucket edge
+    // arithmetic is EXACT in both engines (a 10.24-width bucket would
+    // hash-diverge on edge values); the cumulative share is integer
+    // ppm via DIV so no float rounding can flip a digit. The corpus
+    // pass is one map-side-combined 64-key aggregate; the window runs
+    // over the 64-row histogram, never the corpus — the ogive a
+    // quantile-layout planner reads costs nothing at 100 TB.
+    "q342_price_histogram" -> ((s, d) => {
+      val h = ld(s, d, "lineitem")
+        .select(expr("width_bucket(l_extendedprice, 0D, 131072D, 64)")
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+      val wCum = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      h.select(col("bucket"), col("n"),
+          sum("n").over(wCum).as("cum_n"),
+          sum("n").over(wAll).as("total"))
+        .select(col("bucket"), col("n"), col("cum_n"),
+          expr("CAST((cum_n * 1000000) DIV total AS BIGINT)")
+            .as("cum_ppm"))
+        .orderBy("bucket")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -3355,5 +3457,71 @@ object Relational {
                 CAST(max((2 * rn * 10000 + cnt) // (2 * cnt)) AS BIGINT)
                   AS max_cume_bp
          FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q339: DuckDB has no add_months/next_day — `+ INTERVAL 1 MONTH`
+    // clamps identically; next-Monday is the isodow congruence with
+    // the 0 → 7 remap so Monday maps strictly forward.
+    "q339_billing_cycles" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS od FROM orders),
+              e AS (SELECT od,
+                           od + INTERVAL 1 MONTH AS bill,
+                           last_day(od) AS eom,
+                           od + CAST(CASE WHEN (8 - isodow(od)) % 7 = 0
+                                          THEN 7
+                                          ELSE (8 - isodow(od)) % 7 END
+                                     AS INTEGER) * INTERVAL 1 DAY
+                             AS cutoff
+                    FROM o)
+         SELECT strftime(bill, '%Y-%m') AS bill_month,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CASE WHEN day(bill) < day(od)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+                CAST(sum(CASE WHEN od = CAST(eom AS DATE)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_eom,
+                CAST(sum(date_diff('day', od, CAST(cutoff AS DATE)))
+                     AS BIGINT) AS sum_cutoff_days
+         FROM e GROUP BY 1 ORDER BY 1""",
+
+    // q340: DuckDB's skewness/kurtosis ARE the sample estimators the
+    // Spark side converts its population moments into.
+    "q340_moment_stats" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(count(*) AS BIGINT) AS n,
+                round(skewness(l_extendedprice), 5) AS skew_sample,
+                round(kurtosis(l_extendedprice), 5) AS kurt_sample
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q341_contract_checks" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(count_if(l_discount > 0.05) AS BIGINT)
+                  AS n_discounted,
+                CAST(count_if(l_extendedprice > 50000) AS BIGINT)
+                  AS n_big_tickets,
+                bool_and(l_quantity >= 1 AND l_quantity <= 50)
+                  AS qty_in_contract,
+                bool_or(l_discount > 0.09) AS any_deep_discount,
+                bool_and(l_shipdate >= DATE '1992-01-01')
+                  AS ship_after_epoch
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // q342: width_bucket replayed as the floor identity — exact
+    // because the bucket width 2048 is a power of two.
+    "q342_price_histogram" ->
+      """WITH b AS (SELECT CASE WHEN l_extendedprice < 0 THEN 0
+                               WHEN l_extendedprice >= 131072 THEN 65
+                               ELSE CAST(floor(l_extendedprice / 2048)
+                                         AS BIGINT) + 1 END AS bucket
+                    FROM lineitem),
+              h AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1)
+         SELECT CAST(bucket AS BIGINT) AS bucket,
+                CAST(n AS BIGINT) AS n,
+                CAST(sum(n) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_n,
+                CAST((sum(n) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      * 1000000) // (sum(n) OVER ()) AS BIGINT)
+                  AS cum_ppm
+         FROM h ORDER BY bucket""",
   )
 }

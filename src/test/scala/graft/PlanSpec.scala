@@ -2065,6 +2065,65 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Union"))
   }
 
+  test("q339: calendar-cycle audit is one partial+final aggregate — " +
+    "the month arithmetic is narrow, the only shuffle carries ~80 " +
+    "month keys") {
+    val p = plan("q339_billing_cycles")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) HashAggregate\s*""")) == 2,
+      "partial+final, map-side combined")
+    assert(!p.contains("Join"))
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+  }
+
+  test("q340: moment statistics merge as partial+final central " +
+    "moments — the estimator correction is a post-agg projection, " +
+    "never a second pass") {
+    val p = plan("q340_moment_stats")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) HashAggregate\s*""")) == 2)
+    assert(!p.contains("Join"))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+      "one corpus pass for all four moments")
+  }
+
+  test("q341: the whole SLA contract is one aggregate pass — " +
+    "count_if/bool_and/bool_or fold map-side, no filtered subqueries") {
+    val p = plan("q341_contract_checks")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) HashAggregate\s*""")) == 2)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1,
+      "six verdicts, one corpus pass")
+    assert(!p.contains("Join"))
+  }
+
+  test("q342: histogram windows run over the 64-row bucket frame, " +
+    "never the corpus — the agg comes first, and both frames share " +
+    "one Window node") {
+    val p = plan("q342_price_histogram")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) HashAggregate\s*""")) == 2,
+      "bucket agg is partial+final")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Window\s*""")) == 1,
+      "cum + total must share one Window over the bucket frame")
+    val lines = p.linesIterator.toVector
+    val aggIdx = lines.indexWhere(_.matches("""\(\d+\) HashAggregate\s*"""))
+    val winIdx = lines.indexWhere(_.matches("""\(\d+\) Window\s*"""))
+    assert(aggIdx < winIdx, "window must consume the aggregate output")
+  }
+
+  test("q343: the timezone ledger needs no join — per-row tz " +
+    "conversion, a union of the two zone branches, one keyed " +
+    "rollup (distinct-hour pre-agg + final)") {
+    val p = plan("q343_tz_ledger")
+    assert(p.contains("Union"))
+    assert(!p.contains("Join"))
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
