@@ -2019,6 +2019,43 @@ object EventOps {
         .orderBy("zone", "local_day")
     }),
 
+    // ARRAY SET ALGEBRA — day-over-day behavioral drift as SET
+    // operations on each user's daily event-type repertoire:
+    // array_intersect (kept), array_except (added/dropped) and
+    // array_union (basis for Jaccard) over collect_set arrays, lagged
+    // one day per user with a strict consecutive-day guard. The
+    // arrays are bounded by |event types| (≤5), so the set ops are
+    // O(1) per row and the whole audit is the (user, day) rollup +
+    // one user-partitioned window — the same cost as any sessionize.
+    // Jaccard in integer bp so no float can drift. Oracle rebuilds
+    // the sets with list(DISTINCT) and derives the same sizes from
+    // len + list_intersect (union = |a|+|b|−|∩| on sets).
+    "q346_type_set_drift" -> ((s, d) => {
+      val daily = ld(s, d, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(collect_set(col("event_type")).as("types"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+      daily
+        .withColumn("prev_day", lag("day", 1).over(w))
+        .withColumn("prev", lag("types", 1).over(w))
+        .where(col("prev").isNotNull &&
+          datediff(col("day"), col("prev_day")) === 1)
+        .select(col("day"),
+          size(array_intersect(col("types"), col("prev"))).as("inter"),
+          size(array_union(col("types"), col("prev"))).as("uni"),
+          size(array_except(col("types"), col("prev"))).as("added"),
+          size(array_except(col("prev"), col("types"))).as("dropped"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("inter").cast("long").as("sum_inter"),
+          sum("added").cast("long").as("sum_added"),
+          sum("dropped").cast("long").as("sum_dropped"),
+          sum(expr("(inter * 10000) DIV uni")).cast("long")
+            .as("sum_jaccard_bp"))
+        .orderBy("day")
+    }),
+
     // DEAD-LETTER SPLIT SINK — the ingest-hardening rung beside q281's
     // idempotent MERGE: every micro-batch is split INSIDE the stream
     // into parseable rows (valid JSON props carrying the required key)
@@ -2237,6 +2274,40 @@ object EventOps {
                 CAST(count(DISTINCT date_trunc('hour', lts)) AS BIGINT)
                   AS n_local_hours
          FROM l GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q346: sets via list(DISTINCT); union/except sizes derived from
+    // len + intersect (exact on sets), Jaccard by integer division.
+    "q346_type_set_drift" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                               list(DISTINCT event_type) AS types
+                        FROM events GROUP BY 1, 2),
+              lagged AS (SELECT day, types,
+                                lag(day) OVER w AS prev_day,
+                                lag(types) OVER w AS prev
+                         FROM daily
+                         WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY day)),
+              pairs AS (SELECT day,
+                               len(list_intersect(types, prev)) AS inter,
+                               len(types) + len(prev)
+                                 - len(list_intersect(types, prev))
+                                 AS uni,
+                               len(types)
+                                 - len(list_intersect(types, prev))
+                                 AS added,
+                               len(prev)
+                                 - len(list_intersect(types, prev))
+                                 AS dropped
+                        FROM lagged
+                        WHERE prev IS NOT NULL
+                          AND date_diff('day', prev_day, day) = 1)
+         SELECT day, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(inter) AS BIGINT) AS sum_inter,
+                CAST(sum(added) AS BIGINT) AS sum_added,
+                CAST(sum(dropped) AS BIGINT) AS sum_dropped,
+                CAST(sum((inter * 10000) // uni) AS BIGINT)
+                  AS sum_jaccard_bp
+         FROM pairs GROUP BY 1 ORDER BY 1""",
 
     // q333: the cogroup's imperative per-user logic replayed
     // relationally — min-view + conditional count.

@@ -2258,6 +2258,116 @@ object Relational {
             .as("cum_ppm"))
         .orderBy("bucket")
     }),
+
+    // SPATIAL GRID NEAREST NEIGHBOR — exact NN over a planar point
+    // cloud without the n² pair join: points land in 62500-unit grid
+    // cells, each point probes only its 3×3 cell neighborhood (an
+    // EQUI-join on cell coords, so it hash-partitions and scales), and
+    // a candidate at d < cell width is CERTIFIED optimal — any point
+    // outside the neighborhood is ≥ one full cell away. The rare
+    // uncertified points (sparse corners where the true NN may sit
+    // beyond the neighborhood) ESCALATE to a brute-force pass — a
+    // broadcast of just those points against the cloud, so exactness
+    // never costs n². Coordinates are md5-derived integer micro-units
+    // (the engine-portable determinism recipe), distances exact
+    // BIGINT; ties break to the smaller neighbor id via the packed
+    // d²·10⁶+id encoding. Oracle: DuckDB brute-forces the full n²
+    // min — same packing, same answer.
+    "q344_grid_nearest_neighbor" -> ((s, d) => {
+      val cell = 62500L
+      val pts = ld(s, d, "customer").selectExpr(
+        "c_custkey AS id",
+        "CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 1, 8)," +
+          " 16, 10) AS BIGINT) % 1000000 AS x",
+        "CAST(conv(substr(md5(CAST(c_custkey AS STRING)), 9, 8)," +
+          " 16, 10) AS BIGINT) % 1000000 AS y")
+        .localCheckpoint()
+      val probe = pts.selectExpr("id", "x", "y",
+          s"explode(sequence(x DIV $cell - 1, x DIV $cell + 1)) AS cx")
+        .selectExpr("id", "x", "y", "cx",
+          s"explode(sequence(y DIV $cell - 1, y DIV $cell + 1)) AS cy")
+      val build = pts.selectExpr("id AS bid", "x AS bx", "y AS by",
+        s"x DIV $cell AS cx", s"y DIV $cell AS cy")
+      // one row per point — checkpointed so the three consumers
+      // (certified filter, escalation semi, no-candidate anti) read
+      // the grid join ONCE, not three times
+      val grid = probe.join(build.hint("shuffle_hash"), Seq("cx", "cy"))
+        .where(col("id") =!= col("bid"))
+        .selectExpr("id",
+          "((bx - x) * (bx - x) + (by - y) * (by - y)) * 1000000L + bid" +
+            " AS pack")
+        .groupBy("id").agg(min("pack").as("pack"))
+        .localCheckpoint()
+      val certified = grid.where(col("pack") < lit(cell * cell * 1000000L))
+      val escalate = pts.join(broadcast(grid.where(
+          col("pack") >= lit(cell * cell * 1000000L)).select("id")),
+          Seq("id"), "left_semi")
+        .unionByName(pts.join(broadcast(grid.select("id")), Seq("id"),
+          "left_anti"))
+      val brute = broadcast(escalate).as("a")
+        .join(pts.selectExpr("id AS bid", "x AS bx", "y AS by"),
+          col("id") =!= col("bid"))
+        .selectExpr("id",
+          "((bx - x) * (bx - x) + (by - y) * (by - y)) * 1000000L + bid" +
+            " AS pack")
+        .groupBy("id").agg(min("pack").as("pack"))
+      certified.unionByName(brute)
+        .selectExpr("id", "CAST(pack DIV 1000000 AS BIGINT) AS d2",
+          "CAST(pack % 1000000 AS BIGINT) AS nn_id",
+          s"pack DIV 1000000 < ${cell * cell}L AS certified")
+        .orderBy("id")
+    }),
+
+    // BITMAP DISTINCT ACCELERATION — count(DISTINCT key) at 100 TB
+    // pays a full expand+reshuffle of every (group, key) pair; the
+    // bitmap aggregate family replaces it with fixed 4 KB bucket
+    // bitmaps (32768 bits each) that OR together associatively: the
+    // map side emits at most |buckets| bitmaps per group no matter how
+    // many duplicate keys it saw, and the merge is bitwise. The audit
+    // reports the bitmap-derived distinct count per priority next to
+    // the bucket count (= how many 4 KB pages the key range actually
+    // touched); the oracle's exact COUNT(DISTINCT) proves the bitmaps
+    // lose nothing.
+    "q345_bitmap_distinct" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""SELECT o_orderpriority,
+                      CAST(sum(bitmap_count(b)) AS BIGINT)
+                        AS n_distinct_custs,
+                      CAST(count(*) AS BIGINT) AS n_buckets
+               FROM (SELECT o_orderpriority,
+                            bitmap_bucket_number(o_custkey) AS bkt,
+                            bitmap_construct_agg(
+                              bitmap_bit_position(o_custkey)) AS b
+                     FROM orders GROUP BY 1, 2)
+               GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // GROUPING-ID PROVENANCE — a ROLLUP emits detail rows and total
+    // rows into ONE result; downstream consumers must tell them apart
+    // WITHOUT string-matching on nulls (a real nation named 'ALL'
+    // would corrupt a coalesce-only scheme). grouping()/grouping_id()
+    // are the provenance bits: 0 = real key, 1 = aggregated away —
+    // identical bit semantics in DuckDB's GROUPING_ID. Keys are
+    // coalesced to a sentinel ONLY for display/ordering; the bits are
+    // the truth. Customer and nation are broadcast dims; the rollup
+    // itself is one expand+aggregate over the fact.
+    "q347_grouping_provenance" -> ((s, d) => {
+      Seq("orders", "customer", "nation")
+        .foreach(graft.Tables.view(s, d, _))
+      s.sql("""SELECT coalesce(n_name, 'ALL') AS nation,
+                      coalesce(o_orderpriority, 'ALL') AS priority,
+                      CAST(grouping_id() AS BIGINT) AS gid,
+                      CAST(grouping(n_name) AS BIGINT) AS g_nation,
+                      CAST(count(*) AS BIGINT) AS n_orders,
+                      CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                                    * 100 AS BIGINT)) AS BIGINT)
+                        AS cents
+               FROM orders
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY ROLLUP(n_name, o_orderpriority)
+               ORDER BY gid, nation, priority""")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -3523,5 +3633,58 @@ object Relational {
                       * 1000000) // (sum(n) OVER ()) AS BIGINT)
                   AS cum_ppm
          FROM h ORDER BY bucket""",
+
+    // q344: the oracle brute-forces the full n² min with the same
+    // md5-derived coordinates and the same d²·10⁶+id tie packing —
+    // the grid+escalation path must land on the identical optimum.
+    "q344_grid_nearest_neighbor" ->
+      """WITH p AS (SELECT c_custkey AS id,
+                           CAST(('0x' || substr(md5(
+                                CAST(c_custkey AS VARCHAR)), 1, 8))
+                                AS BIGINT) % 1000000 AS x,
+                           CAST(('0x' || substr(md5(
+                                CAST(c_custkey AS VARCHAR)), 9, 8))
+                                AS BIGINT) % 1000000 AS y
+                    FROM customer),
+              m AS (SELECT a.id,
+                           min(((b.x - a.x) * (b.x - a.x)
+                                + (b.y - a.y) * (b.y - a.y)) * 1000000
+                               + b.id) AS pack
+                    FROM p a JOIN p b ON a.id <> b.id
+                    GROUP BY a.id)
+         SELECT id, CAST(pack // 1000000 AS BIGINT) AS d2,
+                CAST(pack % 1000000 AS BIGINT) AS nn_id,
+                pack // 1000000 < 3906250000 AS certified
+         FROM m ORDER BY id""",
+
+    // q345: exact COUNT(DISTINCT) proves the bitmaps lossless; the
+    // bucket number is 1 + floor((key-1)/32768) — FLOOR, not DuckDB's
+    // truncating //, so key 0 lands in bucket 0 exactly like Spark.
+    "q345_bitmap_distinct" ->
+      """SELECT o_orderpriority,
+                CAST(count(DISTINCT o_custkey) AS BIGINT)
+                  AS n_distinct_custs,
+                CAST(count(DISTINCT 1 + CAST(floor((o_custkey - 1)
+                       / 32768.0) AS BIGINT)) AS BIGINT)
+                  AS n_buckets
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // q347: DuckDB's GROUPING_ID takes the columns explicitly; the
+    // bit semantics (1 = aggregated away, first column = high bit)
+    // match Spark's zero-arg grouping_id().
+    "q347_grouping_provenance" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                CAST(GROUPING_ID(n_name, o_orderpriority) AS BIGINT)
+                  AS gid,
+                CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                              AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY ROLLUP(n_name, o_orderpriority)
+         ORDER BY gid, nation, priority""",
   )
 }

@@ -2124,6 +2124,59 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
   }
 
+  test("q344: grid NN — the candidate join is an EQUI join on cell " +
+    "coords (hash-partitionable, never n²); the checkpointed grid " +
+    "result feeds all three consumers; only the rare escalation side " +
+    "is a broadcast nested loop") {
+    val p = plan("q344_grid_nearest_neighbor")
+    assert(!p.contains("CartesianProduct"),
+      "the corpus-sized pair join must never be a cartesian product")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin\s*""")) == 1,
+      "exactly one NLJ: the tiny escalation side against the cloud")
+    // the grid join ran once, eagerly, at checkpoint time — the final
+    // plan reads its RDD, it does not re-join per consumer
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+      "grid join must be checkpoint-pinned, not recomputed per branch")
+    assert(p.contains("Scan ExistingRDD"))
+  }
+
+  test("q345: bitmap distinct — partial bitmap construction is " +
+    "map-side (partial+final aggregate pairs), no expand of " +
+    "(group, key) pairs") {
+    val p = plan("q345_bitmap_distinct")
+    assert(p.linesIterator.count(l =>
+      l.matches("""\(\d+\) SortAggregate\s*""") ||
+      l.matches("""\(\d+\) HashAggregate\s*""")) == 4,
+      "bucket-bitmap agg + rollup agg, each partial+final")
+    assert(!p.contains("Expand"),
+      "the bitmap path must not plan a count-distinct Expand")
+    assert(!p.contains("Join"))
+  }
+
+  test("q346: set-drift — collect_set is a partial+final " +
+    "ObjectHashAggregate; one user-partitioned window; the set ops " +
+    "are per-row projections, no pair join") {
+    val p = plan("q346_type_set_drift")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) ObjectHashAggregate\s*""")) == 2)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Window\s*""")) == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q347: grouping provenance — both dims broadcast, the rollup " +
+    "is one Expand + partial+final aggregate over the fact") {
+    val p = plan("q347_grouping_provenance")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastHashJoin\s*""")) == 2,
+      "customer and nation must broadcast")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Expand\s*""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) HashAggregate\s*""")) == 2)
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
