@@ -2056,6 +2056,68 @@ object EventOps {
         .orderBy("day")
     }),
 
+    // CHI-SQUARED INDEPENDENCE — is event mix independent of weekday?
+    // The contingency machinery beside q317's Mann-Whitney and q297's
+    // Kendall: one corpus pass builds the |types|×7 cell counts
+    // (checkpointed — row totals, column totals and N all derive from
+    // the 35-row cell frame, never re-scanning the corpus), then each
+    // cell's χ² contribution uses the (N·n−r·c)²/(N·r·c) form so the
+    // expected counts never materialize as intermediate floats; the
+    // per-type partial χ² rounds at 1e-3, far above the 1e-15
+    // addition-order noise. Weekday is Monday=0 on both sides
+    // (Spark weekday() ↔ DuckDB isodow−1 — their dayofweek()s
+    // disagree on Sunday).
+    "q348_chisq_independence" -> ((s, d) => {
+      val cells = ld(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("weekday(CAST(ts AS DATE))").as("dow"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val rows = cells.groupBy("event_type").agg(sum("n").as("r"))
+      val cols = cells.groupBy("dow").agg(sum("n").as("c"))
+      val tot = cells.agg(sum("n").as("nn"))
+      cells.join(broadcast(rows), "event_type")
+        .join(broadcast(cols), "dow")
+        .crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n"),
+          (pow(col("nn") * col("n") - col("r") * col("c"), 2) /
+            (col("nn") * col("r") * col("c"))).as("contrib"))
+        .groupBy("event_type")
+        .agg(sum("n").cast("long").as("n_events"),
+          round(sum("contrib"), 3).as("chi2_part"))
+        .orderBy("event_type")
+    }),
+
+    // TIMESTAMP FORMAT ROUNDTRIP — ingest at scale lives and dies on
+    // format-pattern fidelity: the audit renders every microsecond
+    // timestamp through a non-ISO pattern (dd/MM/yyyy + 6-digit
+    // fraction), parses it back, and proves bit-exact equality per
+    // row; a predicate-keyed dirty slice (date-only truncation, 1/97
+    // incidence — production shape, not an exception storm, per the
+    // q284 lesson) exercises try_to_timestamp's NULL-absorbing parse.
+    // All narrow projections; the only shuffle is the |types| rollup.
+    // Oracle: DuckDB strftime/strptime with the %-pattern equivalents
+    // — the query IS the Java-pattern ↔ strptime mapping test.
+    "q350_timestamp_roundtrip" -> ((s, d) => {
+      ld(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("ts"))
+        .withColumn("str",
+          date_format(col("ts"), "dd/MM/yyyy HH:mm:ss.SSSSSS"))
+        .withColumn("dirty",
+          when(col("event_id") % 97 === 0, substring(col("str"), 1, 10))
+            .otherwise(col("str")))
+        .select(col("event_type"),
+          (to_timestamp(col("str"), "dd/MM/yyyy HH:mm:ss.SSSSSS")
+            === col("ts")).as("exact"),
+          expr("try_to_timestamp(dirty, 'dd/MM/yyyy HH:mm:ss.SSSSSS')")
+            .isNull.as("failed"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("count_if(exact)").as("n_roundtrip_exact"),
+          expr("count_if(failed)").as("n_dirty_fail"))
+        .orderBy("event_type")
+    }),
+
     // DEAD-LETTER SPLIT SINK — the ingest-hardening rung beside q281's
     // idempotent MERGE: every micro-batch is split INSIDE the stream
     // into parseable rows (valid JSON props carrying the required key)
@@ -2308,6 +2370,45 @@ object EventOps {
                 CAST(sum((inter * 10000) // uni) AS BIGINT)
                   AS sum_jaccard_bp
          FROM pairs GROUP BY 1 ORDER BY 1""",
+
+    // q348: same (N·n−r·c)²/(N·r·c) cell form; isodow−1 = Spark's
+    // weekday (Monday=0).
+    "q348_chisq_independence" ->
+      """WITH cells AS (SELECT event_type,
+                               isodow(CAST(ts AS DATE)) - 1 AS dow,
+                               count(*) AS n
+                        FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, sum(n) AS r FROM cells
+                    GROUP BY 1),
+              c AS (SELECT dow, sum(n) AS c FROM cells GROUP BY 1),
+              t AS (SELECT sum(n) AS nn FROM cells)
+         SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+                round(sum(CAST(nn * n - r.r * c.c AS DOUBLE)
+                          * CAST(nn * n - r.r * c.c AS DOUBLE)
+                          / (CAST(nn AS DOUBLE) * r.r * c.c)), 3)
+                  AS chi2_part
+         FROM cells JOIN r USING (event_type) JOIN c USING (dow)
+         CROSS JOIN t
+         GROUP BY 1 ORDER BY 1""",
+
+    // q350: the %-pattern equivalents of dd/MM/yyyy HH:mm:ss.SSSSSS;
+    // try_strptime absorbs the date-only dirty rows as NULL.
+    "q350_timestamp_roundtrip" ->
+      """WITH e AS (SELECT event_id, event_type, ts,
+                           strftime(ts, '%d/%m/%Y %H:%M:%S.%f') AS str
+                    FROM events),
+              x AS (SELECT event_type,
+                           strptime(str, '%d/%m/%Y %H:%M:%S.%f') = ts
+                             AS exact,
+                           try_strptime(
+                             CASE WHEN event_id % 97 = 0
+                                  THEN substr(str, 1, 10) ELSE str END,
+                             '%d/%m/%Y %H:%M:%S.%f') IS NULL AS failed
+                    FROM e)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(count_if(exact) AS BIGINT) AS n_roundtrip_exact,
+                CAST(count_if(failed) AS BIGINT) AS n_dirty_fail
+         FROM x GROUP BY 1 ORDER BY 1""",
 
     // q333: the cogroup's imperative per-user logic replayed
     // relationally — min-view + conditional count.

@@ -2368,6 +2368,41 @@ object Relational {
                GROUP BY ROLLUP(n_name, o_orderpriority)
                ORDER BY gid, nation, priority""")
     }),
+
+    // XML INGEST PATH — the third semi-structured format beside JSON
+    // (q304) and CSV (q335): `from_xml` parses attribute + element
+    // fields against a declared schema and the Hive `xpath_*` family
+    // extracts ad hoc. The documents are constructed from order
+    // columns in-plan, so the oracle can compute the SAME rollup from
+    // the base columns directly — if the parse path drops, mangles,
+    // or mistypes one field, the aggregate diverges. Parsing is a
+    // per-row projection (no shuffle); the rollup is the only
+    // exchange. The parsed total re-enters exact cents space before
+    // aggregation so no decimal-vs-float drift can hide.
+    "q349_xml_ingest" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        WITH docs AS (
+          SELECT concat('<order id="', o_orderkey, '"><priority>',
+                        o_orderpriority, '</priority><total>',
+                        CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                             AS STRING), '</total></order>') AS doc
+          FROM orders),
+        parsed AS (
+          SELECT from_xml(doc,
+                   '_id BIGINT, priority STRING, total DECIMAL(14,2)')
+                   AS x,
+                 xpath_long(doc, '/order/@id') AS xp_id
+          FROM docs)
+        SELECT x.priority AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(x.total * 100 AS BIGINT)) AS BIGINT)
+                 AS cents,
+               CAST(sum(x._id) AS BIGINT) AS sum_ids,
+               CAST(sum(CASE WHEN x._id = xp_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_xpath_agree
+        FROM parsed GROUP BY 1 ORDER BY 1""")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -3686,5 +3721,16 @@ object Relational {
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY ROLLUP(n_name, o_orderpriority)
          ORDER BY gid, nation, priority""",
+
+    // q349: the oracle never parses XML — it computes the rollup from
+    // the base columns, which is exactly what the parse must recover.
+    "q349_xml_ingest" ->
+      """SELECT o_orderpriority AS priority,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                              AS BIGINT)) AS BIGINT) AS cents,
+                CAST(sum(o_orderkey) AS BIGINT) AS sum_ids,
+                CAST(count(*) AS BIGINT) AS n_xpath_agree
+         FROM orders GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -2177,6 +2177,38 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       _.matches("""\(\d+\) HashAggregate\s*""")) == 2)
   }
 
+  test("q348: chi-squared — the corpus is scanned once into the " +
+    "checkpointed cell frame; row/col/N totals and the cell join all " +
+    "read the 35-row RDD with broadcasts") {
+    val p = plan("q348_chisq_independence")
+    assert(!p.contains("Scan parquet"),
+      "all consumers must read the checkpointed cells, not the corpus")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastHashJoin\s*""")) == 2,
+      "row and column totals broadcast onto the cells")
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+  }
+
+  test("q349: XML parse is a per-row projection — one corpus scan, " +
+    "one partial+final rollup, no shuffle before the aggregate") {
+    val p = plan("q349_xml_ingest")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) HashAggregate\s*""")) == 2)
+    assert(!p.contains("Join"))
+  }
+
+  test("q350: format roundtrip is narrow — render/parse/compare in " +
+    "projections, one partial+final rollup of |types| keys") {
+    val p = plan("q350_timestamp_roundtrip")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) HashAggregate\s*""")) == 2)
+    assert(!p.contains("Join"))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
