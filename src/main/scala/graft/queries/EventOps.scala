@@ -2118,6 +2118,84 @@ object EventOps {
         .orderBy("event_type")
     }),
 
+    // ALLEN INTERVAL ALGEBRA — the 13 mutually-exclusive temporal
+    // relations (precedes/meets/overlaps/starts/during/finishes,
+    // their inverses, equals) classified EXACTLY in integer micros
+    // between each user's per-type activity windows [first ts,
+    // last ts]. This is the vocabulary a temporal-join planner
+    // reasons in: "overlaps" pairs are the ones a range join must
+    // catch, "meets" is the boundary equality a half-open window
+    // convention flips. The pair join is an EQUI join on user_id
+    // (≤ C(5,2)=10 pairs per user, never corpus²) and the CASE
+    // cascade is order-sensitive but exhaustive, so every pair lands
+    // in exactly one bucket — the rollup proves both engines agree
+    // on all 13 definitions at every boundary.
+    "q351_allen_relations" -> ((s, d) => {
+      // |users|×|types| rows — checkpointed so the self-join's two
+      // sides read one corpus pass, not two
+      val iv = ld(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi"))
+        .localCheckpoint()
+      val rel =
+        """CASE
+             WHEN a_hi <  b_lo THEN 'precedes'
+             WHEN a_hi =  b_lo THEN 'meets'
+             WHEN b_hi <  a_lo THEN 'preceded_by'
+             WHEN b_hi =  a_lo THEN 'met_by'
+             WHEN a_lo = b_lo AND a_hi = b_hi THEN 'equals'
+             WHEN a_lo = b_lo AND a_hi < b_hi THEN 'starts'
+             WHEN a_lo = b_lo THEN 'started_by'
+             WHEN a_hi = b_hi AND a_lo > b_lo THEN 'finishes'
+             WHEN a_hi = b_hi THEN 'finished_by'
+             WHEN a_lo > b_lo AND a_hi < b_hi THEN 'during'
+             WHEN a_lo < b_lo AND a_hi > b_hi THEN 'contains'
+             WHEN a_lo < b_lo THEN 'overlaps'
+             ELSE 'overlapped_by' END"""
+      iv.select(col("user_id"), col("event_type").as("ta"),
+          col("lo").as("a_lo"), col("hi").as("a_hi"))
+        .join(iv.select(col("user_id"), col("event_type").as("tb"),
+          col("lo").as("b_lo"), col("hi").as("b_hi"))
+          .hint("shuffle_hash"), Seq("user_id"))
+        .where(col("ta") < col("tb"))
+        .select(col("ta"), col("tb"), expr(rel).as("relation"))
+        .groupBy("ta", "tb", "relation")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("ta", "tb", "relation")
+    }),
+
+    // AUTOCORRELATION — the ACF of the daily revenue series at lags
+    // 1..7, the diagnostic a forecasting or seasonality gate reads
+    // first (weekly cadence shows as a lag-7 peak). One corpus pass
+    // rolls the feed into the ~30-row daily frame (checkpointed);
+    // the lag alignment is a self-join on day = day − ℓ over that
+    // tiny frame, so the per-lag Pearson runs on ≤30 pairs per lag
+    // regardless of corpus size. The (nΣxy−ΣxΣy)/√(…) form uses
+    // dollar doubles and rounds at 1e-4, far above addition-order
+    // noise on 30 terms.
+    "q352_autocorrelation" -> ((s, d) => {
+      val daily = ld(s, d, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("rev"))
+        .localCheckpoint()
+      val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+      daily.as("a")
+        .crossJoin(broadcast(lags))
+        .join(daily.as("b").hint("shuffle_hash"),
+          expr("b.day = date_add(a.day, -lag)"))
+        .select(col("lag"), col("a.rev").as("x"), col("b.rev").as("y"))
+        .groupBy("lag")
+        .agg(count(lit(1)).as("n_pairs"),
+          round((count(lit(1)) * sum(col("x") * col("y"))
+              - sum("x") * sum("y")) /
+            sqrt((count(lit(1)) * sum(col("x") * col("x"))
+                - sum("x") * sum("x")) *
+              (count(lit(1)) * sum(col("y") * col("y"))
+                - sum("y") * sum("y"))), 4).as("acf"))
+        .orderBy("lag")
+    }),
+
     // DEAD-LETTER SPLIT SINK — the ingest-hardening rung beside q281's
     // idempotent MERGE: every micro-batch is split INSIDE the stream
     // into parseable rows (valid JSON props carrying the required key)
@@ -2409,6 +2487,51 @@ object EventOps {
                 CAST(count_if(exact) AS BIGINT) AS n_roundtrip_exact,
                 CAST(count_if(failed) AS BIGINT) AS n_dirty_fail
          FROM x GROUP BY 1 ORDER BY 1""",
+
+    // q351: identical CASE cascade over the same integer-micro
+    // endpoints — both engines must agree at every boundary equality.
+    "q351_allen_relations" ->
+      """WITH iv AS (SELECT user_id, event_type,
+                            min(epoch_us(ts)) AS lo,
+                            max(epoch_us(ts)) AS hi
+                     FROM events GROUP BY 1, 2)
+         SELECT a.event_type AS ta, b.event_type AS tb,
+                CASE
+                  WHEN a.hi <  b.lo THEN 'precedes'
+                  WHEN a.hi =  b.lo THEN 'meets'
+                  WHEN b.hi <  a.lo THEN 'preceded_by'
+                  WHEN b.hi =  a.lo THEN 'met_by'
+                  WHEN a.lo = b.lo AND a.hi = b.hi THEN 'equals'
+                  WHEN a.lo = b.lo AND a.hi < b.hi THEN 'starts'
+                  WHEN a.lo = b.lo THEN 'started_by'
+                  WHEN a.hi = b.hi AND a.lo > b.lo THEN 'finishes'
+                  WHEN a.hi = b.hi THEN 'finished_by'
+                  WHEN a.lo > b.lo AND a.hi < b.hi THEN 'during'
+                  WHEN a.lo < b.lo AND a.hi > b.hi THEN 'contains'
+                  WHEN a.lo < b.lo THEN 'overlaps'
+                  ELSE 'overlapped_by' END AS relation,
+                CAST(count(*) AS BIGINT) AS n_pairs
+         FROM iv a JOIN iv b ON a.user_id = b.user_id
+                            AND a.event_type < b.event_type
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // q352: same (nΣxy−ΣxΣy)/√ form over the same daily dollars.
+    "q352_autocorrelation" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                               sum(value) AS rev
+                        FROM events GROUP BY 1),
+              l AS (SELECT CAST(range AS INTEGER) AS lag
+                    FROM range(1, 8)),
+              p AS (SELECT lag, a.rev AS x, b.rev AS y
+                    FROM daily a CROSS JOIN l
+                    JOIN daily b ON b.day = a.day - l.lag)
+         SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                round((count(*) * sum(x * y) - sum(x) * sum(y))
+                      / sqrt((count(*) * sum(x * x)
+                              - sum(x) * sum(x))
+                             * (count(*) * sum(y * y)
+                                - sum(y) * sum(y))), 4) AS acf
+         FROM p GROUP BY 1 ORDER BY 1""",
 
     // q333: the cogroup's imperative per-user logic replayed
     // relationally — min-view + conditional count.

@@ -2209,6 +2209,28 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"))
   }
 
+  test("q351: Allen algebra — the pair join is an equi join on " +
+    "user_id over the checkpointed interval frame (one corpus pass); " +
+    "the 13-way CASE is a projection") {
+    val p = plan("q351_allen_relations")
+    assert(!p.contains("Scan parquet"),
+      "both join sides must read the checkpointed intervals")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) ShuffledHashJoin\s*""")) == 1)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q352: ACF — one corpus pass into the checkpointed daily " +
+    "frame; lag alignment and Pearson run on the ~30-row series") {
+    val p = plan("q352_autocorrelation")
+    assert(!p.contains("Scan parquet"),
+      "lag join must read the checkpointed daily frame")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) HashAggregate\s*""")) == 2)
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
