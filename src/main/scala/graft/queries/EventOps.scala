@@ -2196,6 +2196,68 @@ object EventOps {
         .orderBy("lag")
     }),
 
+    // TIME-WEIGHTED AVERAGE — a plain mean over-weights bursts; the
+    // TWAP weights each observation by how long it REMAINED the
+    // current value (lead(ts) − ts within its type's timeline, the
+    // step-function integral a market-data or sensor rollup needs).
+    // The integral stays EXACT: cents×micros products sum in
+    // DECIMAL(38,0) (they overflow BIGINT at corpus scale — 1e16 per
+    // segment × 1e5 rows), and the TWAP itself is integer division of
+    // the two totals. One type-partitioned window for the lead, one
+    // |types|-key rollup — no joins, corpus scanned once.
+    "q353_time_weighted_avg" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("us", "event_id")
+      ld(s, d, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .withColumn("dur", lead("us", 1).over(w) - col("us"))
+        .where(col("dur").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_segments"),
+          sum("dur").cast("long").as("total_dur_us"),
+          sum(col("cents").cast("decimal(38,0)") * col("dur"))
+            .as("wsum"))
+        .selectExpr("event_type", "n_segments", "total_dur_us",
+          "CAST(wsum DIV total_dur_us AS BIGINT) AS twap_cents")
+        .orderBy("event_type")
+    }),
+
+    // CLAMPED RUNNING BALANCE — max(0, b+Δ) folds look inherently
+    // sequential (each row depends on the previous CLAMPED value),
+    // which at 100 TB would mean a per-key imperative pass. The
+    // closed form b_t = cum_t − min(0, min_{k≤t} cum_k) turns the
+    // fold into TWO stock window functions over the same (user, ts)
+    // sort — cumulative sum and running minimum — so the wallet
+    // semantics (purchases debit, everything else credits, floor at
+    // zero) distribute exactly like any windowed aggregate: one
+    // user-partitioned sort, no recursion, no UDF. All arithmetic in
+    // exact cents; ties broken by event_id so the fold order is
+    // total.
+    "q354_clamped_balance" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ld(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          expr("""CASE WHEN event_type = 'purchase'
+                       THEN -CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                  AS BIGINT)
+                       ELSE CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                 AS BIGINT) END""").as("delta"))
+        .withColumn("cum", sum("delta").over(w))
+        .withColumn("clamped",
+          col("cum") - least(lit(0L), min("cum").over(w)))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_tx"),
+          max("clamped").as("peak_cents"),
+          expr("count_if(clamped = 0)").as("n_floored"))
+        .orderBy("user_id")
+    }),
+
     // DEAD-LETTER SPLIT SINK — the ingest-hardening rung beside q281's
     // idempotent MERGE: every micro-batch is split INSIDE the stream
     // into parseable rows (valid JSON props carrying the required key)
@@ -2532,6 +2594,53 @@ object EventOps {
                              * (count(*) * sum(y * y)
                                 - sum(y) * sum(y))), 4) AS acf
          FROM p GROUP BY 1 ORDER BY 1""",
+
+    // q353: same step-function integral; DuckDB's BIGINT sums widen
+    // to HUGEINT automatically, // is the same integer division.
+    "q353_time_weighted_avg" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+                           CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                AS BIGINT) AS cents
+                    FROM events),
+              seg AS (SELECT event_type, cents,
+                             lead(us) OVER (PARTITION BY event_type
+                                            ORDER BY us, event_id)
+                               - us AS dur
+                      FROM e)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_segments,
+                CAST(sum(dur) AS BIGINT) AS total_dur_us,
+                CAST(sum(cents * dur) // sum(dur) AS BIGINT)
+                  AS twap_cents
+         FROM seg WHERE dur IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+
+    // q354: the same two-window closed form — cumulative sum and
+    // running minimum over the identical total order.
+    "q354_clamped_balance" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                           CASE WHEN event_type = 'purchase'
+                                THEN -CAST(CAST(value AS DECIMAL(12,2))
+                                           * 100 AS BIGINT)
+                                ELSE CAST(CAST(value AS DECIMAL(12,2))
+                                          * 100 AS BIGINT) END AS delta
+                    FROM events),
+              c1 AS (SELECT user_id, us, event_id,
+                            sum(delta) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+                     FROM e),
+              c2 AS (SELECT user_id,
+                            cum - least(0, min(cum) OVER (
+                              PARTITION BY user_id
+                              ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)) AS clamped
+                     FROM c1)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_tx,
+                CAST(max(clamped) AS BIGINT) AS peak_cents,
+                CAST(count_if(clamped = 0) AS BIGINT) AS n_floored
+         FROM c2 GROUP BY 1 ORDER BY 1""",
 
     // q333: the cogroup's imperative per-user logic replayed
     // relationally — min-view + conditional count.

@@ -2403,6 +2403,32 @@ object Relational {
                     AS BIGINT) AS n_xpath_agree
         FROM parsed GROUP BY 1 ORDER BY 1""")
     }),
+
+    // SQL PIPE SYNTAX — Spark 4's |> operator chain: each stage is a
+    // self-contained relational step applied top-to-bottom, so the
+    // query reads in EXECUTION order (the way a pipeline author
+    // thinks) instead of SQL's inside-out nesting. Semantically it
+    // plans to the identical tree — same broadcast dim join, same
+    // partial+final aggregate — which the plain-SQL oracle proves.
+    // The statement also exercises the injected parser seam
+    // (GraftExtensions delegates non-extension syntax to the stock
+    // parser, q176's lesson): pipe syntax must survive the
+    // extension's parser wrapper.
+    "q355_pipe_syntax" -> ((s, d) => {
+      Seq("orders", "customer", "nation")
+        .foreach(graft.Tables.view(s, d, _))
+      s.sql("""FROM orders
+               |> JOIN customer ON o_custkey = c_custkey
+               |> JOIN nation ON c_nationkey = n_nationkey
+               |> WHERE o_totalprice > 1000
+               |> EXTEND CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                              AS BIGINT) AS cents
+               |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                            CAST(sum(cents) AS BIGINT) AS cents
+                  GROUP BY n_name
+               |> WHERE n_orders >= 10
+               |> ORDER BY n_name""")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -3732,5 +3758,20 @@ object Relational {
                 CAST(sum(o_orderkey) AS BIGINT) AS sum_ids,
                 CAST(count(*) AS BIGINT) AS n_xpath_agree
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // q355: the same query in ordinary nested SQL — pipe syntax must
+    // be pure surface, zero semantic difference.
+    "q355_pipe_syntax" ->
+      """SELECT n_name,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                              AS BIGINT)) AS BIGINT) AS cents
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_totalprice > 1000
+         GROUP BY n_name
+         HAVING count(*) >= 10
+         ORDER BY n_name""",
   )
 }

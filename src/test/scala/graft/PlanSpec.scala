@@ -2231,6 +2231,42 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
   }
 
+  test("q353: TWAP — one window for the lead, and the type rollup " +
+    "RIDES the window's clustering: two exchanges total (window key " +
+    "+ output order), none between partial and final agg") {
+    val p = plan("q353_time_weighted_avg")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Window\s*""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Exchange\s*""")) == 2,
+      "agg must reuse the window's event_type partitioning")
+    assert(!p.contains("Join"))
+  }
+
+  test("q354: clamped balance — cumsum and running-min share ONE " +
+    "user sort (two Window nodes, no re-exchange between), and the " +
+    "per-user rollup rides the same clustering") {
+    val p = plan("q354_clamped_balance")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Window\s*""")) == 2,
+      "closed form = exactly two windows, no recursion")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Exchange\s*""")) == 2,
+      "one user-key exchange + the output order, nothing else")
+    assert(!p.contains("Join"))
+  }
+
+  test("q355: pipe syntax is pure surface — the |> chain plans to " +
+    "the identical tree: both dims broadcast, partial+final agg, " +
+    "HAVING as a post-agg filter") {
+    val p = plan("q355_pipe_syntax")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastHashJoin\s*""")) == 2)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) HashAggregate\s*""")) == 2)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
