@@ -2258,6 +2258,33 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // MAP-TYPED PROFILE — the MapType column family end to end:
+    // map_from_entries builds each user's type→count profile from
+    // collected structs, transform_values rewrites counts to
+    // share-of-total basis points IN PLACE (the lambda sees key and
+    // value), map_filter drops sub-10% entries, and explode returns
+    // to relational rows for comparison. Maps are how feature stores
+    // ship sparse per-entity profiles; the audit proves the map
+    // algebra computes exactly what the relational oracle derives
+    // without maps. Integer bp arithmetic throughout; the maps are
+    // bounded by |event types| so every lambda is O(1) per row.
+    "q357_map_profile" -> ((s, d) => {
+      ld(s, d, "events")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("n"))))).as("m"),
+          sum("n").as("tot"))
+        .select(col("user_id"),
+          expr("map_filter(transform_values(m," +
+            " (k, v) -> (v * 10000) DIV tot), (k, v) -> v >= 1000)")
+            .as("mf"))
+        .select(col("user_id"), explode(col("mf"))
+          .as(Seq("event_type", "share_bp")))
+        .orderBy("user_id", "event_type")
+    }),
+
     // DEAD-LETTER SPLIT SINK — the ingest-hardening rung beside q281's
     // idempotent MERGE: every micro-batch is split INSIDE the stream
     // into parseable rows (valid JSON props carrying the required key)
@@ -2641,6 +2668,18 @@ object EventOps {
                 CAST(max(clamped) AS BIGINT) AS peak_cents,
                 CAST(count_if(clamped = 0) AS BIGINT) AS n_floored
          FROM c2 GROUP BY 1 ORDER BY 1""",
+
+    // q357: the map algebra replayed relationally — share-of-total in
+    // integer bp with the same ≥10% cut.
+    "q357_map_profile" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2),
+              t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+         SELECT c.user_id, event_type,
+                CAST((n * 10000) // tot AS BIGINT) AS share_bp
+         FROM c JOIN t USING (user_id)
+         WHERE (n * 10000) // tot >= 1000
+         ORDER BY 1, 2""",
 
     // q333: the cogroup's imperative per-user logic replayed
     // relationally — min-view + conditional count.

@@ -2942,6 +2942,46 @@ object PipelineOps {
           (col("offset") + row_number().over(wb)).as("dense_id"))
         .orderBy("dense_id")
     }),
+
+    // PII REDACTION — the curation rung every crawl pipeline runs
+    // before training: find-and-mask emails and phone numbers, and
+    // ACCOUNT for what was removed (redaction without an audit trail
+    // is silent data loss). The corpus is deterministically salted
+    // in-plan (1-in-3 docs get an email, 1-in-5 a phone) so the
+    // oracle knows the ground truth; patterns use [.] classes instead
+    // of backslash escapes so the regex text is byte-identical under
+    // Spark's and DuckDB's literal rules. regexp_count + the chained
+    // regexp_replace are per-row codegen'd projections — the only
+    // shuffle is the |sources| rollup.
+    "q356_pii_redaction" -> ((s, d) => {
+      val emailRe = "[a-z0-9]+@[a-z]+[.]com"
+      val phoneRe = "555-[0-9]{4}"
+      ld(s, d, "documents")
+        .selectExpr("source",
+          """concat(text,
+               CASE WHEN doc_id % 3 = 0
+                    THEN concat(' contact user', CAST(doc_id AS STRING),
+                                '@example.com now')
+                    ELSE '' END,
+               CASE WHEN doc_id % 5 = 0
+                    THEN concat(' call 555-',
+                                lpad(CAST(doc_id % 10000 AS STRING),
+                                     4, '0'), ' today')
+                    ELSE '' END) AS dirty""")
+        .selectExpr("source",
+          s"regexp_count(dirty, '$emailRe') AS n_em",
+          s"regexp_count(dirty, '$phoneRe') AS n_ph",
+          s"length(regexp_replace(regexp_replace(dirty, '$emailRe'," +
+            s" '<EMAIL>'), '$phoneRe', '<PHONE>')) AS red_len",
+          "length(dirty) AS dirty_len")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_em").cast("long").as("n_emails"),
+          sum("n_ph").cast("long").as("n_phones"),
+          sum(expr("dirty_len - red_len")).cast("long")
+            .as("chars_removed"))
+        .orderBy("source")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -5220,5 +5260,39 @@ object PipelineOps {
                      AS BIGINT) AS n_from_b,
                 CAST(sum(wcents) AS BIGINT) AS merged_cents
          FROM g""",
+
+    // q356: same salting, same [.]-class patterns; DuckDB needs the
+    // 'g' flag for global replace (Spark replaces all by default) and
+    // counts via regexp_extract_all.
+    "q356_pii_redaction" ->
+      """WITH dirty AS (
+           SELECT source,
+                  concat(text,
+                    CASE WHEN doc_id % 3 = 0
+                         THEN concat(' contact user',
+                                     CAST(doc_id AS VARCHAR),
+                                     '@example.com now')
+                         ELSE '' END,
+                    CASE WHEN doc_id % 5 = 0
+                         THEN concat(' call 555-',
+                                     lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                          4, '0'), ' today')
+                         ELSE '' END) AS d
+           FROM documents),
+         m AS (
+           SELECT source,
+                  len(regexp_extract_all(d, '[a-z0-9]+@[a-z]+[.]com'))
+                    AS n_em,
+                  len(regexp_extract_all(d, '555-[0-9]{4}')) AS n_ph,
+                  length(d)
+                  - length(regexp_replace(regexp_replace(d,
+                      '[a-z0-9]+@[a-z]+[.]com', '<EMAIL>', 'g'),
+                      '555-[0-9]{4}', '<PHONE>', 'g')) AS removed
+           FROM dirty)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_em) AS BIGINT) AS n_emails,
+                CAST(sum(n_ph) AS BIGINT) AS n_phones,
+                CAST(sum(removed) AS BIGINT) AS chars_removed
+         FROM m GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -2267,6 +2267,28 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
   }
 
+  test("q356: PII redaction — salting, matching and masking are all " +
+    "codegen'd projections; one corpus scan, one |sources| rollup") {
+    val p = plan("q356_pii_redaction")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) HashAggregate\s*""")) == 2)
+    assert(!p.contains("Join"))
+  }
+
+  test("q357: map profile — counts then map-collect, each " +
+    "partial+final; the map lambdas and explode are projections, " +
+    "no join back to the corpus") {
+    val p = plan("q357_map_profile")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) ObjectHashAggregate\s*""")) == 2,
+      "map_from_entries collect is partial+final")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Generate\s*""")) == 1, "one explode")
+    assert(!p.contains("Join"))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
