@@ -111,4 +111,82 @@ class ExpressionSemanticsSpec extends AnyFunSuite with SparkFixture {
     assert(r.getString(8) == "  Hello")
     assert(r.getString(9) == "  hello  ")
   }
+
+  test("q354 closed form: cum − min(0, running-min cum) equals the " +
+    "imperative max(0, b+Δ) fold, clamps included") {
+    import spark.implicits._
+    val deltas = Seq(500L, -800L, 300L, -100L, 900L, -2000L, 50L)
+    // imperative reference fold
+    val expected = deltas.scanLeft(0L)((b, d) => math.max(0L, b + d)).tail
+    val df = deltas.zipWithIndex.map { case (d, i) => (i, d) }
+      .toDF("i", "delta")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("i")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val got = df.withColumn("cum", sum("delta").over(w))
+      .withColumn("clamped",
+        col("cum") - least(lit(0L), min("cum").over(w)))
+      .orderBy("i").select("clamped").as[Long].collect().toSeq
+    assert(got == expected, s"closed form $got != fold $expected")
+  }
+
+  test("q351 Allen cascade: each of the 13 relations classifies " +
+    "exactly one hand-built interval pair") {
+    import spark.implicits._
+    // (a_lo, a_hi, b_lo, b_hi, expected relation)
+    val cases = Seq(
+      (0L, 1L, 2L, 3L, "precedes"), (0L, 2L, 2L, 3L, "meets"),
+      (2L, 3L, 0L, 1L, "preceded_by"), (2L, 3L, 0L, 2L, "met_by"),
+      (0L, 3L, 0L, 3L, "equals"), (0L, 2L, 0L, 3L, "starts"),
+      (0L, 3L, 0L, 2L, "started_by"), (1L, 3L, 0L, 3L, "finishes"),
+      (0L, 3L, 1L, 3L, "finished_by"), (1L, 2L, 0L, 3L, "during"),
+      (0L, 3L, 1L, 2L, "contains"), (0L, 2L, 1L, 3L, "overlaps"),
+      (1L, 3L, 0L, 2L, "overlapped_by"))
+    val rel =
+      """CASE
+           WHEN a_hi <  b_lo THEN 'precedes'
+           WHEN a_hi =  b_lo THEN 'meets'
+           WHEN b_hi <  a_lo THEN 'preceded_by'
+           WHEN b_hi =  a_lo THEN 'met_by'
+           WHEN a_lo = b_lo AND a_hi = b_hi THEN 'equals'
+           WHEN a_lo = b_lo AND a_hi < b_hi THEN 'starts'
+           WHEN a_lo = b_lo THEN 'started_by'
+           WHEN a_hi = b_hi AND a_lo > b_lo THEN 'finishes'
+           WHEN a_hi = b_hi THEN 'finished_by'
+           WHEN a_lo > b_lo AND a_hi < b_hi THEN 'during'
+           WHEN a_lo < b_lo AND a_hi > b_hi THEN 'contains'
+           WHEN a_lo < b_lo THEN 'overlaps'
+           ELSE 'overlapped_by' END"""
+    val got = cases.toDF("a_lo", "a_hi", "b_lo", "b_hi", "want")
+      .select(col("want"), expr(rel).as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)}, classified ${r.getString(1)}"))
+    assert(got.map(_.getString(1)).distinct.length == 13,
+      "all 13 relations must be reachable")
+  }
+
+  test("q340 estimator conversion: population→sample skewness and " +
+    "kurtosis match directly computed sample estimators") {
+    import spark.implicits._
+    val xs = Seq(1.0, 2.0, 3.0, 10.0)
+    val n = xs.length.toDouble
+    val mean = xs.sum / n
+    def m(p: Int) = xs.map(x => math.pow(x - mean, p)).sum / n
+    val g1 = m(3) / math.pow(m(2), 1.5)
+    val g2 = m(4) / (m(2) * m(2)) - 3
+    val sampleSkew = g1 * math.sqrt(n * (n - 1)) / (n - 2)
+    val sampleKurt = (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * g2 + 6)
+    val r = xs.toDF("x").agg(count(lit(1)).as("n"),
+        skewness(col("x")).as("g1"), kurtosis(col("x")).as("g2"))
+      .select(
+        (col("g1") * sqrt(col("n") * (col("n") - 1)) / (col("n") - 2))
+          .as("sk"),
+        ((col("n") - 1) / ((col("n") - 2) * (col("n") - 3)) *
+          ((col("n") + 1) * col("g2") + 6)).as("ku")).head()
+    assert(math.abs(r.getDouble(0) - sampleSkew) < 1e-9)
+    assert(math.abs(r.getDouble(1) - sampleKurt) < 1e-9)
+    // cross-check against the independently known values for this set
+    assert(math.abs(r.getDouble(0) - 1.763632614803888) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 3.228) < 1e-3)
+  }
 }
