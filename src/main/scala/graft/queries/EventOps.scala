@@ -2285,6 +2285,88 @@ object EventOps {
         .orderBy("user_id", "event_type")
     }),
 
+    // CUPED VARIANCE REDUCTION — the experimentation-platform
+    // adjustment: θ = cov(pre, post)/var(pre) fitted on the POOLED
+    // user frame, then y_adj = y − θ(x − x̄) strips the pre-period
+    // component from every user's post-period metric, shrinking
+    // variance without biasing the A/B delta (assignment is
+    // md5-deterministic, so both engines agree on who's in B). One
+    // corpus pass builds the per-user pre/post frame (checkpointed);
+    // θ and x̄ are a broadcast scalar; the variant rollup uses the
+    // Σ-forms so both engines compute the identical arithmetic,
+    // rounded far above float noise.
+    "q358_cuped_adjustment" -> ((s, d) => {
+      val users = ld(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          sum(when(dayofmonth(col("ts")) <= 15, col("value"))
+            .otherwise(lit(0.0))).as("x"),
+          sum(when(dayofmonth(col("ts")) > 15, col("value"))
+            .otherwise(lit(0.0))).as("y"))
+        .withColumn("variant",
+          expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 4)," +
+            " 16, 10) AS BIGINT) % 2").cast("int"))
+        .localCheckpoint()
+      val pooled = users.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+        .selectExpr("sx / n AS xbar",
+          "(n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta")
+      users.crossJoin(broadcast(pooled))
+        .select(col("variant"), col("y"),
+          (col("y") - col("theta") * (col("x") - col("xbar")))
+            .as("yadj"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n_users"),
+          round(avg("y"), 4).as("mean_y"),
+          round(avg("yadj"), 4).as("mean_y_adj"),
+          round(var_pop("y"), 2).as("var_y"),
+          round(var_pop("yadj"), 2).as("var_y_adj"))
+        .orderBy("variant")
+    }),
+
+    // FIFO LOT ATTRIBUTION — first-in-first-out drawdown without the
+    // sequential matcher: credits (non-purchase events) form lots
+    // whose CUMULATIVE cents interval [cum−size, cum) is computed by
+    // one window, and because FIFO consumes strictly in that order,
+    // lot i's consumed amount against the user's total purchases P is
+    // just the interval clamp max(0, min(hi, P) − lo) — per-lot
+    // closed form, no lot×purchase pair join, the same
+    // "sequential-looking fold → window algebra" move as q354. Exact
+    // cents; per user we report lots fully/partially burned, the
+    // remaining balance, and the age of the oldest unconsumed lot.
+    "q359_fifo_attribution" -> ((s, d) => {
+      val ev = ld(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"),
+          expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .localCheckpoint()
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(sum("cents").as("p"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.where(col("event_type") =!= "purchase")
+        .withColumn("hi", sum("cents").over(w))
+        .withColumn("lo", col("hi") - col("cents"))
+        .join(purchases.hint("shuffle_hash"), Seq("user_id"), "left")
+        .select(col("user_id"), col("us"), col("cents"),
+          greatest(lit(0L),
+            least(col("hi"), coalesce(col("p"), lit(0L))) - col("lo"))
+            .as("consumed"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_lots"),
+          expr("count_if(consumed = cents)").as("n_burned"),
+          expr("count_if(consumed > 0 AND consumed < cents)")
+            .as("n_partial"),
+          sum(col("cents") - col("consumed")).cast("long")
+            .as("remaining_cents"),
+          min(when(col("consumed") < col("cents"), col("us")))
+            .as("oldest_open_us"))
+        .orderBy("user_id")
+    }),
+
     // DEAD-LETTER SPLIT SINK — the ingest-hardening rung beside q281's
     // idempotent MERGE: every micro-batch is split INSIDE the stream
     // into parseable rows (valid JSON props carrying the required key)
@@ -2680,6 +2762,62 @@ object EventOps {
          FROM c JOIN t USING (user_id)
          WHERE (n * 10000) // tot >= 1000
          ORDER BY 1, 2""",
+
+    // q358: identical Σ-form θ and x̄; same md5 variant assignment.
+    "q358_cuped_adjustment" ->
+      """WITH u AS (SELECT user_id,
+                           sum(CASE WHEN day(ts) <= 15 THEN value
+                                    ELSE 0.0 END) AS x,
+                           sum(CASE WHEN day(ts) > 15 THEN value
+                                    ELSE 0.0 END) AS y,
+                           CAST(CAST(('0x' || substr(md5(
+                                CAST(user_id AS VARCHAR)), 1, 4))
+                                AS BIGINT) % 2 AS INTEGER) AS variant
+                    FROM events GROUP BY 1),
+              p AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                           sum(x * x) AS sxx, sum(x * y) AS sxy
+                    FROM u),
+              t AS (SELECT sx / n AS xbar,
+                           (n * sxy - sx * sy)
+                             / (n * sxx - sx * sx) AS theta
+                    FROM p)
+         SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+                round(avg(y), 4) AS mean_y,
+                round(avg(y - theta * (x - xbar)), 4) AS mean_y_adj,
+                round(var_pop(y), 2) AS var_y,
+                round(var_pop(y - theta * (x - xbar)), 2) AS var_y_adj
+         FROM u CROSS JOIN t
+         GROUP BY 1 ORDER BY 1""",
+
+    // q359: same cumulative-interval clamp — FIFO consumption is
+    // max(0, min(hi, P) − lo) per lot.
+    "q359_fifo_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                           event_type,
+                           CAST(CAST(value AS DECIMAL(12,2)) * 100
+                                AS BIGINT) AS cents
+                    FROM events),
+              pur AS (SELECT user_id, sum(cents) AS p FROM e
+                      WHERE event_type = 'purchase' GROUP BY 1),
+              lots AS (SELECT user_id, us, cents,
+                              sum(cents) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS hi
+                       FROM e WHERE event_type <> 'purchase'),
+              c AS (SELECT l.user_id, us, cents,
+                           greatest(0, least(hi, coalesce(p, 0))
+                                       - (hi - cents)) AS consumed
+                    FROM lots l LEFT JOIN pur USING (user_id))
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_lots,
+                CAST(count_if(consumed = cents) AS BIGINT) AS n_burned,
+                CAST(count_if(consumed > 0 AND consumed < cents)
+                     AS BIGINT) AS n_partial,
+                CAST(sum(cents - consumed) AS BIGINT)
+                  AS remaining_cents,
+                CAST(min(CASE WHEN consumed < cents THEN us END)
+                     AS BIGINT) AS oldest_open_us
+         FROM c GROUP BY 1 ORDER BY 1""",
 
     // q333: the cogroup's imperative per-user logic replayed
     // relationally — min-view + conditional count.

@@ -2289,6 +2289,32 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"))
   }
 
+  test("q358: CUPED — one corpus pass into the checkpointed user " +
+    "frame; θ/x̄ broadcast as a one-row scalar; variant rollup " +
+    "partial+final") {
+    val p = plan("q358_cuped_adjustment")
+    assert(!p.contains("Scan parquet"),
+      "users frame must be checkpointed, corpus scanned once")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin\s*""")) == 1,
+      "the pooled scalars ride one broadcast cross join")
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+  }
+
+  test("q359: FIFO — one lot window, purchases joined on the " +
+    "window's user clustering, final rollup rides the same keys " +
+    "(no exchange between the join and the aggregate)") {
+    val p = plan("q359_fifo_attribution")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Window\s*""")) == 1,
+      "closed-form clamp needs exactly one cumulative window")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) ShuffledHashJoin\s*""")) == 1)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "no lot-by-purchase pair join")
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
