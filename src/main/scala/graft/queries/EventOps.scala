@@ -2367,6 +2367,28 @@ object EventOps {
         .orderBy("user_id")
     }),
 
+    // SLIDING-WINDOW DISTINCT — exact 7-day-active users per day.
+    // COUNT(DISTINCT) OVER a sliding range frame is the classic
+    // scale trap (the state is the whole window's key set per row);
+    // the scalable form dedups FIRST: presence = distinct (user,
+    // day) — corpus → user-days, the only big shuffle — then each
+    // presence day is exploded to the ≤7 window anchors it can serve
+    // and a bounded distinct count per anchor finishes the job. The
+    // explode factor is the window length, a constant — at 100 TB
+    // the intermediate is 7×user-days, not 7×events, and never a
+    // per-row set. Anchors past the last data day trail off
+    // deterministically (windows ending there see partial weeks).
+    "q360_sliding_distinct" -> ((s, d) => {
+      ld(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .select(col("user_id"), explode(expr(
+          "sequence(day, date_add(day, 6))")).as("w"))
+        .groupBy("w")
+        .agg(countDistinct("user_id").as("n_active_7d"))
+        .orderBy("w")
+    }),
+
     // DEAD-LETTER SPLIT SINK — the ingest-hardening rung beside q281's
     // idempotent MERGE: every micro-batch is split INSIDE the stream
     // into parseable rows (valid JSON props carrying the required key)
@@ -2818,6 +2840,19 @@ object EventOps {
                 CAST(min(CASE WHEN consumed < cents THEN us END)
                      AS BIGINT) AS oldest_open_us
          FROM c GROUP BY 1 ORDER BY 1""",
+
+    // q360: same dedup-first shape — presence days exploded to their
+    // ≤7 anchors, then a bounded distinct per anchor.
+    "q360_sliding_distinct" ->
+      """WITH pres AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                       FROM events),
+              x AS (SELECT user_id,
+                           CAST(unnest(generate_series(day, day + 6,
+                                INTERVAL 1 DAY)) AS DATE) AS w
+                    FROM pres)
+         SELECT w, CAST(count(DISTINCT user_id) AS BIGINT)
+                  AS n_active_7d
+         FROM x GROUP BY 1 ORDER BY 1""",
 
     // q333: the cogroup's imperative per-user logic replayed
     // relationally — min-view + conditional count.

@@ -2982,6 +2982,40 @@ object PipelineOps {
             .as("chars_removed"))
         .orderBy("source")
     }),
+
+    // KL DIVERGENCE — how far each source's token distribution sits
+    // from the corpus mixture, the importance measure a DSIR-style
+    // selector (q-series mixture ops) thresholds on. One tokenize
+    // pass builds the (source, word) counts (checkpointed); the
+    // corpus distribution is DERIVED from that frame, never a second
+    // scan, and joins back per word (the vocabulary is tiny next to
+    // the corpus, so it broadcasts). KL = Σ p·ln(p/q) in nats, every
+    // word's q > 0 by construction (the mixture contains each
+    // source), rounded at 1e-6 — eight orders above libm noise on a
+    // 50-term sum.
+    "q361_kl_divergence" -> ((s, d) => {
+      val wc = ld(s, d, "documents")
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("source", "word").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val srcTot = wc.groupBy("source").agg(sum("c").as("st"))
+      val corpus = wc.groupBy("word").agg(sum("c").as("cw"))
+      val corpusTot = wc.agg(sum("c").as("ct"))
+      wc.join(broadcast(srcTot), "source")
+        .join(broadcast(corpus), "word")
+        .crossJoin(broadcast(corpusTot))
+        .select(col("source"), col("c"),
+          ((col("c") / col("st")) *
+            log((col("c") / col("st")) / (col("cw") / col("ct"))))
+            .as("term"))
+        .groupBy("source")
+        .agg(sum("c").cast("long").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          round(sum("term"), 6).as("kl_nats"))
+        .orderBy("source")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -5294,5 +5328,24 @@ object PipelineOps {
                 CAST(sum(n_ph) AS BIGINT) AS n_phones,
                 CAST(sum(removed) AS BIGINT) AS chars_removed
          FROM m GROUP BY 1 ORDER BY 1""",
+
+    // q361: same Σ p·ln(p/q) in nats over the same tokenization.
+    "q361_kl_divergence" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' '))
+                             AS word
+                      FROM documents),
+              wc AS (SELECT source, word, count(*) AS c
+                     FROM tok WHERE length(word) > 0 GROUP BY 1, 2),
+              st AS (SELECT source, sum(c) AS st FROM wc GROUP BY 1),
+              cw AS (SELECT word, sum(c) AS cw FROM wc GROUP BY 1),
+              ct AS (SELECT sum(c) AS ct FROM wc)
+         SELECT wc.source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(count(*) AS BIGINT) AS vocab,
+                round(sum((c / st.st)
+                          * ln((c / st.st) / (cw.cw / ct.ct))), 6)
+                  AS kl_nats
+         FROM wc JOIN st USING (source) JOIN cw USING (word)
+         CROSS JOIN ct
+         GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -2315,6 +2315,34 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "no lot-by-purchase pair join")
   }
 
+  test("q360: sliding distinct — dedup comes FIRST (corpus → " +
+    "user-days), the explode factor is the constant window length, " +
+    "and no Window node carries per-row key sets") {
+    val p = plan("q360_sliding_distinct")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Generate\s*""")) == 1)
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""),
+      "sliding distinct must not be a range-frame window")
+    assert(!p.contains("Join"))
+    val lines = p.linesIterator.toVector
+    assert(lines.indexWhere(_.matches("""\(\d+\) HashAggregate\s*""")) <
+      lines.indexWhere(_.matches("""\(\d+\) Generate\s*""")),
+      "presence dedup must precede the explode")
+  }
+
+  test("q361: KL — one tokenize pass into the checkpointed counts; " +
+    "source totals and corpus distribution broadcast back; the " +
+    "pooled total rides a one-row cross join") {
+    val p = plan("q361_kl_divergence")
+    assert(!p.contains("Scan parquet"),
+      "corpus and source distributions must derive from the " +
+        "checkpointed counts")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastHashJoin\s*""")) == 2)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin\s*""")) == 1)
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
