@@ -2389,6 +2389,58 @@ object EventOps {
         .orderBy("w")
     }),
 
+    // TOP JOURNEYS — the most common session-opening paths: sessions
+    // cut at the 30-minute gap (q71's rule), each session reduced to
+    // its first five event types joined '>'-separated, then a global
+    // journey census with a total ordering (count desc, path asc) so
+    // the top-20 is deterministic. The session assembly is one
+    // user-partitioned window + one per-session collect; the journey
+    // census shuffles |distinct paths| keys (bounded by 5^|types|,
+    // not by corpus); TakeOrdered finishes without a global sort.
+    "q362_top_journeys" -> ((s, d) => {
+      val wl = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val wc = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ld(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+        .withColumn("brk",
+          when(col("us") - lag("us", 1).over(wl) > 1800000000L ||
+            lag("us", 1).over(wl).isNull, 1L).otherwise(0L))
+        .withColumn("sess", sum("brk").over(wc))
+        .groupBy("user_id", "sess")
+        .agg(array_join(slice(transform(sort_array(collect_list(
+          struct(col("us"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), 1, 5), ">").as("journey"))
+        .groupBy("journey").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("journey"))
+        .limit(20)
+    }),
+
+    // WILSON INTERVAL — the conversion-rate bound that stays sane at
+    // small n and extreme p̂ (the plain normal interval escapes
+    // [0, 1]): per event type, the share of high-value events with
+    // the 95% Wilson lower/upper bounds. Everything derives from two
+    // integers per group (successes, trials) in one map-side-combined
+    // pass; the closed form is a projection. Rounded at 1e-5 — the
+    // two engines' sqrt differ by at most one ulp.
+    "q363_wilson_interval" -> ((s, d) => {
+      val z = 1.959963984540054 // Φ⁻¹(0.975)
+      ld(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("count_if(value > 50.0)").as("k"))
+        .selectExpr("event_type", "n", "k",
+          "k / CAST(n AS DOUBLE) AS phat")
+        .selectExpr("event_type", "n", "k",
+          "round(phat, 5) AS p_hat",
+          s"round((phat + $z*$z/(2*n) - $z * sqrt(phat*(1-phat)/n" +
+            s" + $z*$z/(4*n*n))) / (1 + $z*$z/n), 5) AS wilson_lo",
+          s"round((phat + $z*$z/(2*n) + $z * sqrt(phat*(1-phat)/n" +
+            s" + $z*$z/(4*n*n))) / (1 + $z*$z/n), 5) AS wilson_hi")
+        .orderBy("event_type")
+    }),
+
     // DEAD-LETTER SPLIT SINK — the ingest-hardening rung beside q281's
     // idempotent MERGE: every micro-batch is split INSIDE the stream
     // into parseable rows (valid JSON props carrying the required key)
@@ -2853,6 +2905,61 @@ object EventOps {
          SELECT w, CAST(count(DISTINCT user_id) AS BIGINT)
                   AS n_active_7d
          FROM x GROUP BY 1 ORDER BY 1""",
+
+    // q362: DuckDB's ordered list() + 1-based inclusive slice mirror
+    // sort_array+slice; same total ordering on the census.
+    "q362_top_journeys" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                           event_type
+                    FROM events),
+              b AS (SELECT user_id, event_id, us, event_type,
+                           CASE WHEN us - lag(us) OVER w > 1800000000
+                                  OR lag(us) OVER w IS NULL
+                                THEN 1 ELSE 0 END AS brk
+                    FROM e
+                    WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY us, event_id)),
+              s AS (SELECT user_id, event_type, us, event_id,
+                           sum(brk) OVER (PARTITION BY user_id
+                             ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS sess
+                    FROM b),
+              j AS (SELECT user_id, sess,
+                           array_to_string(list(event_type
+                             ORDER BY us, event_id)[1:5], '>')
+                             AS journey
+                    FROM s GROUP BY 1, 2)
+         SELECT journey, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM j GROUP BY 1
+         ORDER BY n_sessions DESC, journey LIMIT 20""",
+
+    // q363: identical closed form, same z literal.
+    "q363_wilson_interval" ->
+      """WITH g AS (SELECT event_type, count(*) AS n,
+                           count_if(value > 50.0) AS k
+                    FROM events GROUP BY 1),
+              h AS (SELECT event_type, n, k,
+                           k / CAST(n AS DOUBLE) AS phat
+                    FROM g)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+                CAST(k AS BIGINT) AS k,
+                round(phat, 5) AS p_hat,
+                round((phat + 1.959963984540054*1.959963984540054/(2*n)
+                       - 1.959963984540054
+                         * sqrt(phat*(1-phat)/n
+                                + 1.959963984540054*1.959963984540054
+                                  /(4*n*n)))
+                      / (1 + 1.959963984540054*1.959963984540054/n), 5)
+                  AS wilson_lo,
+                round((phat + 1.959963984540054*1.959963984540054/(2*n)
+                       + 1.959963984540054
+                         * sqrt(phat*(1-phat)/n
+                                + 1.959963984540054*1.959963984540054
+                                  /(4*n*n)))
+                      / (1 + 1.959963984540054*1.959963984540054/n), 5)
+                  AS wilson_hi
+         FROM h ORDER BY event_type""",
 
     // q333: the cogroup's imperative per-user logic replayed
     // relationally — min-view + conditional count.

@@ -3016,6 +3016,43 @@ object PipelineOps {
           round(sum("term"), 6).as("kl_nats"))
         .orderBy("source")
     }),
+
+    // RANK-BIASED OVERLAP — how much two rankings of the same
+    // catalog agree, top-weighted: RBO(p) = (1−p)·Σ p^(d−1)·X_d/d,
+    // where X_d is the overlap of the two top-d prefixes. The key
+    // identity: a source is inside BOTH top-d prefixes iff
+    // max(rank_a, rank_b) ≤ d, so X_d is a cumulative count over
+    // max-rank — no per-depth set intersection. Rankings (by total
+    // chars vs by doc count) are integer-derived with name
+    // tie-breaks, so both engines agree exactly; 1−p is written as
+    // the literal 0.1 (computing 1−0.9 in binary gives 0.0999…8 and
+    // would drift the hash). Everything after the one corpus rollup
+    // runs on the |sources|-row frame.
+    "q364_rank_biased_overlap" -> ((s, d) => {
+      val m = ld(s, d, "documents")
+        .groupBy("source")
+        .agg(sum("n_chars").as("chars"), count(lit(1)).as("docs"))
+        .localCheckpoint()
+      val wa = Window.orderBy(col("chars").desc, col("source"))
+      val wb = Window.orderBy(col("docs").desc, col("source"))
+      val ranked = m.withColumn("ra", row_number().over(wa))
+        .withColumn("rb", row_number().over(wb))
+        .select(greatest(col("ra"), col("rb")).as("mr"))
+      val depths = s.range(1, 21)
+        .select(col("id").cast("int").as("depth"))
+      val counts = ranked.crossJoin(broadcast(depths))
+        .where(col("mr") <= col("depth"))
+        .groupBy("depth").agg(count(lit(1)).as("cnt"))
+      val wd = Window.orderBy("depth")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      depths.join(counts, Seq("depth"), "left")
+        .select(col("depth"),
+          coalesce(col("cnt"), lit(0L)).as("x_d"))
+        .withColumn("rbo", round(sum(lit(0.1) *
+          pow(lit(0.9), col("depth") - 1) * col("x_d") /
+          col("depth")).over(wd), 6))
+        .orderBy("depth")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -5347,5 +5384,29 @@ object PipelineOps {
          FROM wc JOIN st USING (source) JOIN cw USING (word)
          CROSS JOIN ct
          GROUP BY 1 ORDER BY 1""",
+
+    // q364: same max-rank cumulative identity, same 0.1/0.9 literals.
+    "q364_rank_biased_overlap" ->
+      """WITH m AS (SELECT source, sum(n_chars) AS chars,
+                           count(*) AS docs
+                    FROM documents GROUP BY 1),
+              r AS (SELECT greatest(
+                             row_number() OVER (ORDER BY chars DESC,
+                                                source),
+                             row_number() OVER (ORDER BY docs DESC,
+                                                source)) AS mr
+                    FROM m),
+              d AS (SELECT CAST(range AS INTEGER) AS depth
+                    FROM range(1, 21)),
+              x AS (SELECT depth,
+                           (SELECT count(*) FROM r WHERE mr <= depth)
+                             AS x_d
+                    FROM d)
+         SELECT depth, CAST(x_d AS BIGINT) AS x_d,
+                round(sum(0.1 * pow(0.9, depth - 1) * x_d / depth)
+                      OVER (ORDER BY depth
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW), 6) AS rbo
+         FROM x ORDER BY depth""",
   )
 }

@@ -2343,6 +2343,41 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       _.matches("""\(\d+\) BroadcastNestedLoopJoin\s*""")) == 1)
   }
 
+  test("q362: journeys — both session windows share one user sort, " +
+    "the per-session collect rides that clustering (no exchange " +
+    "between its phases), and the top-20 is TakeOrdered, not a " +
+    "global sort") {
+    val p = plan("q362_top_journeys")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Window\s*""")) == 2)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Exchange\s*""")) == 2,
+      "user sort + journey census — nothing else reshuffles")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q363: Wilson bounds — two integers per group from one " +
+    "map-side-combined pass; the closed form is a projection") {
+    val p = plan("q363_wilson_interval")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) HashAggregate\s*""")) == 2)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q364: RBO — after the checkpointed source rollup every " +
+    "operator runs on the |sources|/depth frames; no parquet " +
+    "re-scan, overlap via the max-rank identity (no set " +
+    "intersection per depth)") {
+    val p = plan("q364_rank_biased_overlap")
+    assert(!p.contains("Scan parquet"),
+      "rankings must derive from the checkpointed rollup")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Window\s*""")) == 3,
+      "two rank windows + the cumulative RBO window")
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
