@@ -108,7 +108,13 @@ object Bench {
     val calSamples = scala.collection.mutable.ArrayBuffer(
       median((1 to 3).map(_ => calibrate(spark))))
     var sinceCal = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset (builder-side spot benches; the driver never sets
+    // it, so the per-round artifact always covers the full inventory).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       // In-run samples are median-of-3 like the baseline: a single-shot
       // sample lets one GC pause skew the ratio of the next CalEvery
       // queries — the exact noise the calibration exists to remove.
