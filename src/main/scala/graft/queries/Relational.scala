@@ -2436,6 +2436,70 @@ object Relational {
                |> WHERE n_orders >= 10
                |> ORDER BY n_name""")
     }),
+
+    // HASH-RING NEGATIVE SAMPLING — contrastive training needs K
+    // negatives per (user, positive) WITHOUT a user×catalog cross
+    // join. The closed form: negative k for user u is simply
+    // catalog key md5(u,k) mod |catalog| — no join materializes the
+    // candidate, the only join is the COLLISION check against the
+    // user's positives (an equi-join on (user, candidate), linear in
+    // users·K). Collisions are counted, not silently kept — the
+    // consumer decides whether 1/|catalog| leakage matters. Part
+    // keys are contiguous 0..P−1 in this corpus, so mod maps
+    // directly onto real keys; |catalog| rides in as a broadcast
+    // scalar.
+    "q365_negative_sampling" -> ((s, d) => {
+      val pos = ld(s, d, "orders")
+        .join(ld(s, d, "lineitem").hint("shuffle_hash"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint()
+      val nParts = ld(s, d, "part").agg(count(lit(1)).as("np"))
+      val cands = ld(s, d, "customer").select(col("c_custkey").as("u"))
+        .crossJoin(broadcast(nParts))
+        .select(col("u"), explode(expr("sequence(1, 3)")).as("k"),
+          col("np"))
+        .selectExpr("u", "k",
+          "CAST(conv(substr(md5(concat(CAST(u AS STRING), '#'," +
+            " CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % np" +
+            " AS cand")
+      cands.join(pos.hint("shuffle_hash"),
+          cands("u") === pos("u") && col("cand") === col("pk"),
+          "left")
+        .select(cands("u").as("u"), col("cand"),
+          col("pk").isNotNull.as("collision"))
+        .groupBy("u")
+        .agg(expr("count_if(NOT collision)").as("n_neg_clean"),
+          expr("count_if(collision)").as("n_collisions"),
+          sum("cand").cast("long").as("cand_checksum"))
+        .orderBy("u")
+    }),
+
+    // ORDERED-SET AGGREGATES + FILTER CLAUSE — the two declarative
+    // aggregate surfaces a metrics layer leans on: percentile_cont
+    // WITHIN GROUP (ORDER BY …) interpolates the exact type-7
+    // quantile inside the aggregate (no manual row_number scaffold),
+    // and FILTER (WHERE …) scopes a measure without a second scan or
+    // a CASE-NULL idiom. One partial+final pass; the quantile state
+    // is per-group collected values — bounded here by group size,
+    // the documented trade against the q141 sketch for exactness.
+    "q366_ordered_set_aggs" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""SELECT o_orderpriority,
+                      CAST(count(*) FILTER (WHERE o_totalprice > 100000)
+                           AS BIGINT) AS n_big,
+                      round(percentile_cont(0.5)
+                            WITHIN GROUP (ORDER BY o_totalprice), 2)
+                        AS p50,
+                      round(percentile_cont(0.95)
+                            WITHIN GROUP (ORDER BY o_totalprice), 2)
+                        AS p95,
+                      round(avg(o_totalprice)
+                            FILTER (WHERE o_totalprice > 100000), 2)
+                        AS avg_big
+               FROM orders GROUP BY 1 ORDER BY 1""")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -3781,5 +3845,45 @@ object Relational {
          GROUP BY n_name
          HAVING count(*) >= 10
          ORDER BY n_name""",
+
+    // q365: same md5 ring, same collision check.
+    "q365_negative_sampling" ->
+      """WITH pos AS (SELECT DISTINCT o_custkey AS u,
+                             l_partkey AS pk
+                      FROM orders JOIN lineitem
+                        ON o_orderkey = l_orderkey),
+              np AS (SELECT count(*) AS np FROM part),
+              c AS (SELECT c_custkey AS u,
+                           CAST(unnest(generate_series(1, 3))
+                                AS INTEGER) AS k
+                    FROM customer),
+              cand AS (SELECT u, k,
+                              CAST(('0x' || substr(md5(concat(
+                                   CAST(u AS VARCHAR), '#',
+                                   CAST(k AS VARCHAR))), 1, 8))
+                                   AS BIGINT) % np AS cand
+                       FROM c CROSS JOIN np),
+              j AS (SELECT cand.u AS u, cand.cand,
+                           (pk IS NOT NULL) AS collision
+                    FROM cand LEFT JOIN pos
+                      ON cand.u = pos.u AND cand.cand = pos.pk)
+         SELECT u, CAST(count_if(NOT collision) AS BIGINT)
+                  AS n_neg_clean,
+                CAST(count_if(collision) AS BIGINT) AS n_collisions,
+                CAST(sum(cand) AS BIGINT) AS cand_checksum
+         FROM j GROUP BY 1 ORDER BY 1""",
+
+    // q366: quantile_cont is the same type-7 interpolation; FILTER
+    // syntax is shared verbatim.
+    "q366_ordered_set_aggs" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) FILTER (WHERE o_totalprice > 100000)
+                     AS BIGINT) AS n_big,
+                round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+                round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+                round(avg(o_totalprice)
+                      FILTER (WHERE o_totalprice > 100000), 2)
+                  AS avg_big
+         FROM orders GROUP BY 1 ORDER BY 1""",
   )
 }

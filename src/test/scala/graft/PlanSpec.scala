@@ -2378,6 +2378,28 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "two rank windows + the cumulative RBO window")
   }
 
+  test("q365: negative sampling — candidates come from the hash " +
+    "ring (the only NLJ is the one-row |catalog| scalar), the " +
+    "collision check is an equi hash join, never user×catalog") {
+    val p = plan("q365_negative_sampling")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastNestedLoopJoin\s*""")) == 1,
+      "only the broadcast scalar cross join")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) ShuffledHashJoin\s*""")) == 1,
+      "collision check is one equi join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q366: ordered-set aggregates — percentiles and FILTERed " +
+    "measures in ONE partial+final pass, no row_number scaffold") {
+    val p = plan("q366_ordered_set_aggs")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) ObjectHashAggregate\s*""")) == 2)
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+    assert(!p.contains("Join"))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
