@@ -1728,7 +1728,10 @@ object TextOps {
     // closed form over the 5-row pick frame, no per-round corpus
     // recount. At 100 TB: K anti-join passes of a partitioned-in-place
     // shingle table against a broadcastable covered set (bounded by
-    // K · max-doc-shingles, not the corpus).
+    // K · max-doc-shingles, not the corpus). Phantom-swing record
+    // (r12): one full-session sample printed 6.9 s (ratio 11.5) after
+    // a 2.9 s warm run; the isolated median the same hour is 2.18 s
+    // (runs 2.82/2.18/1.93) — in-session load spike, not the plan.
     "q261_greedy_coverage" -> ((s, d) => {
       val sets = shinglesPortable(s, d).select("doc_id", "gh")
         .localCheckpoint()
