@@ -2500,6 +2500,67 @@ object Relational {
                         AS avg_big
                FROM orders GROUP BY 1 ORDER BY 1""")
     }),
+
+    // ENCRYPTED COLUMN AT REST — the PII column family's crypto
+    // rung beside q356's redaction: aes_encrypt/aes_decrypt (ECB for
+    // determinism — GCM's random IV can't hash-compare), base64
+    // transport encoding, and the roundtrip proven per row. The
+    // oracle never encrypts: AES-ECB+PKCS ciphertext length is PURE
+    // ARITHMETIC — (⌊len/16⌋+1)·16 bytes, 4·⌈ct/3⌉ base64 chars — so
+    // byte accounting is provable from the plaintext lengths alone,
+    // and a wrong padding mode or a truncated cipher shows up as a
+    // count mismatch. Per-row projections; one |nations| rollup.
+    "q367_encrypted_column" -> ((s, d) => {
+      graft.Tables.view(s, d, "customer")
+      s.sql("""
+        WITH e AS (
+          SELECT c_nationkey, c_name,
+                 aes_encrypt(c_name, '0123456789abcdef', 'ECB') AS ct
+          FROM customer),
+        r AS (
+          SELECT c_nationkey, c_name, ct,
+                 CAST(aes_decrypt(ct, '0123456789abcdef', 'ECB')
+                      AS STRING) AS rt
+          FROM e)
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+               CAST(count_if(rt = c_name) AS BIGINT) AS n_roundtrip_ok,
+               CAST(sum(length(ct)) AS BIGINT) AS ct_bytes,
+               CAST(sum(length(base64(ct))) AS BIGINT) AS b64_chars
+        FROM r GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // DIFFERENCE-IN-DIFFERENCES — the pre/post × A/B estimator that
+    // closes the experimentation family (q358 CUPED, q363 Wilson):
+    // DiD = (B_post − B_pre) − (A_post − A_pre) cancels both the
+    // variant-level baseline and the period-level shock. Means are
+    // exact-cents sums divided at the end (one integer state per
+    // cell); assignment is the same md5 ring as q358 so both engines
+    // agree on membership. One corpus pass into four cells.
+    "q368_did_estimator" -> ((s, d) => {
+      ld(s, d, "orders")
+        .selectExpr(
+          "CAST(conv(substr(md5(CAST(o_custkey AS STRING)), 1, 4)," +
+            " 16, 10) AS BIGINT) % 2 AS variant",
+          "CASE WHEN year(o_orderdate) >= 1998 THEN 'post'" +
+            " ELSE 'pre' END AS period",
+          "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)" +
+            " AS cents")
+        .groupBy("variant", "period")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+        .agg(
+          expr("""round(
+              sum(CASE WHEN variant = 1 AND period = 'post'
+                       THEN CAST(sc AS DOUBLE) / n END)
+            - sum(CASE WHEN variant = 1 AND period = 'pre'
+                       THEN CAST(sc AS DOUBLE) / n END)
+            - sum(CASE WHEN variant = 0 AND period = 'post'
+                       THEN CAST(sc AS DOUBLE) / n END)
+            + sum(CASE WHEN variant = 0 AND period = 'pre'
+                       THEN CAST(sc AS DOUBLE) / n END), 2)""")
+            .as("did_cents"),
+          sum("n").cast("long").as("n_orders"),
+          count(lit(1)).as("n_cells"))
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -3885,5 +3946,43 @@ object Relational {
                       FILTER (WHERE o_totalprice > 100000), 2)
                   AS avg_big
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // q367: the oracle is pure length arithmetic — AES-ECB+PKCS is
+    // (⌊len/16⌋+1)·16 bytes, base64 is 4·⌈bytes/3⌉ chars.
+    "q367_encrypted_column" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) AS BIGINT) AS n_roundtrip_ok,
+                CAST(sum((length(c_name) // 16 + 1) * 16) AS BIGINT)
+                  AS ct_bytes,
+                CAST(sum(4 * (((length(c_name) // 16 + 1) * 16 + 2)
+                              // 3)) AS BIGINT) AS b64_chars
+         FROM customer GROUP BY 1 ORDER BY 1""",
+
+    // q368: same four cells, same md5 ring, same exact-cents means.
+    "q368_did_estimator" ->
+      """WITH c AS (SELECT
+                      CAST(('0x' || substr(md5(CAST(o_custkey
+                           AS VARCHAR)), 1, 4)) AS BIGINT) % 2
+                        AS variant,
+                      CASE WHEN year(o_orderdate) >= 1998 THEN 'post'
+                           ELSE 'pre' END AS period,
+                      CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                           AS BIGINT) AS cents
+                    FROM orders),
+              g AS (SELECT variant, period, count(*) AS n,
+                           sum(cents) AS sc
+                    FROM c GROUP BY 1, 2)
+         SELECT round(
+                  (SELECT CAST(sc AS DOUBLE) / n FROM g
+                   WHERE variant = 1 AND period = 'post')
+                - (SELECT CAST(sc AS DOUBLE) / n FROM g
+                   WHERE variant = 1 AND period = 'pre')
+                - (SELECT CAST(sc AS DOUBLE) / n FROM g
+                   WHERE variant = 0 AND period = 'post')
+                + (SELECT CAST(sc AS DOUBLE) / n FROM g
+                   WHERE variant = 0 AND period = 'pre'), 2)
+                  AS did_cents,
+                (SELECT CAST(sum(n) AS BIGINT) FROM g) AS n_orders,
+                (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_cells""",
   )
 }

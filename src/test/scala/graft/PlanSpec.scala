@@ -2400,6 +2400,27 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"))
   }
 
+  test("q367: encrypted column — encrypt/decrypt/encode are per-row " +
+    "projections; one corpus scan, one |nations| rollup") {
+    val p = plan("q367_encrypted_column")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) HashAggregate\s*""")) == 2)
+    assert(!p.contains("Join"))
+  }
+
+  test("q368: DiD — one corpus pass into four cells, the estimator " +
+    "folds over the cell frame; two aggregate levels, no join") {
+    val p = plan("q368_did_estimator")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) HashAggregate\s*""")) == 4,
+      "cell rollup + estimator fold, each partial+final")
+    assert(!p.contains("Join"))
+  }
+
   test("q291: dense ids — the corpus-sized window is bucket-partitioned; " +
     "the only unpartitioned window runs over the tiny bucket-count " +
     "frame; offsets broadcast") {
