@@ -2561,6 +2561,180 @@ object Relational {
           sum("n").cast("long").as("n_orders"),
           count(lit(1)).as("n_cells"))
     }),
+
+    // KAPLAN–MEIER SURVIVAL — the censoring-aware churn curve the
+    // experimentation family (q358/q363/q368) still lacked: customers
+    // whose last order sits inside the observation window are EVENTS
+    // (churned at lifetime t), the rest are right-censored — dropping
+    // them (naive churn rate) biases survival down. Estimator:
+    // S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) with the risk set nᵢ = everyone
+    // whose lifetime ≥ tᵢ, censored included (the whole point). Shape:
+    // one customer rollup (map-side combined), then EVERYTHING runs on
+    // the |lifetime-buckets| frame (≤ ~90 rows at any sf): the risk
+    // set is a reverse cumulative window, the product is
+    // exp(Σ ln(1−d/n)) — one window pass, rounded at 1e-6, eight
+    // orders above libm noise (the q361 stance). The d = n_risk
+    // terminal factor (ln 0) is excluded from both the sum and the
+    // output — S has already hit its floor there.
+    "q369_kaplan_meier" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        WITH life AS (
+          SELECT o_custkey,
+                 datediff(CAST(max(o_orderdate) AS DATE),
+                          CAST(min(o_orderdate) AS DATE)) DIV 28 AS t,
+                 CASE WHEN max(o_orderdate) < TIMESTAMP '2001-01-01'
+                      THEN 1 ELSE 0 END AS ev
+          FROM orders GROUP BY o_custkey),
+        by_t AS (
+          SELECT t, CAST(count_if(ev = 1) AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS tot
+          FROM life GROUP BY t),
+        risk AS (
+          SELECT t, d,
+                 CAST(sum(tot) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                      AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+          FROM by_t),
+        curve AS (
+          SELECT t, d, n_risk,
+                 round(exp(sum(CASE WHEN d < n_risk
+                        THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk) END)
+                      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)), 6) AS survival
+          FROM risk)
+        SELECT t, n_risk, d AS n_events, survival
+        FROM curve WHERE d > 0 AND d < n_risk ORDER BY t""")
+    }),
+
+    // SPRT — Wald's sequential probability ratio test, the
+    // early-stopping gate a streaming experiment runs INSTEAD of the
+    // fixed-horizon tests (q348 χ², q363 Wilson): walk the trials in
+    // event order, accumulate the log-likelihood ratio for
+    // H1: p=0.72 vs H0: p=0.65, stop the first time it leaves
+    // (ln β/(1−α), ln (1−β)/α). The per-trial increments and the
+    // ±ln 19 boundaries are INTEGER NANO-NAT literals (74107972,
+    // −223143551, 2944438979) — the cumulative walk is exact integer
+    // arithmetic, no libm in either engine, bit-identical by
+    // construction. One variant-filtered pass, one ordered window
+    // cumsum, then a single aggregate with FILTER clauses finds the
+    // first crossing (min seq) — never a per-row early-exit loop. The
+    // ordered walk is single-partition BY DEFINITION (a sequential
+    // test is a total order over trials); at scale the walk runs per
+    // experiment-arm partition, and each arm's trial stream is the
+    // size of ONE experiment, not the corpus.
+    "q370_sprt_ab" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        WITH t AS (
+          SELECT CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+                      AS BIGINT) AS seq,
+                 CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS x
+          FROM orders
+          WHERE CAST(conv(substr(md5(CAST(o_custkey AS STRING)), 1, 4),
+                          16, 10) AS BIGINT) % 2 = 1),
+        llr AS (
+          SELECT seq,
+                 CAST(sum(CASE WHEN x = 1 THEN 74107972
+                          ELSE -223143551 END)
+                      OVER (ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS llr_nano
+          FROM t)
+        SELECT CAST(count(*) AS BIGINT) AS n_trials,
+               max_by(llr_nano, seq) AS llr_final,
+               min(seq) FILTER (WHERE abs(llr_nano) >= 2944438979)
+                 AS n_at_decision,
+               min_by(llr_nano, seq)
+                 FILTER (WHERE abs(llr_nano) >= 2944438979)
+                 AS llr_at_decision,
+               CASE WHEN count(*)
+                         FILTER (WHERE abs(llr_nano) >= 2944438979) = 0
+                    THEN 'continue'
+                    WHEN min_by(llr_nano, seq)
+                         FILTER (WHERE abs(llr_nano) >= 2944438979) > 0
+                    THEN 'accept_h1' ELSE 'accept_h0' END AS decision
+        FROM llr""")
+    }),
+
+    // BELLMAN–FORD (bounded) — WEIGHTED shortest path over the
+    // part↔supplier graph, the cost-aware sibling of q240's unit-hop
+    // BFS: edge weight = min lineitem quantity for the pair, seeds =
+    // part nodes 0–4 at distance 0, K=4 synchronous relaxation
+    // rounds. Each round is ONE src-keyed join of the tentative-
+    // distance frame against the edge frame plus a min-rollup —
+    // distances only ever tighten, so the frame stays node-sized and
+    // there is no path enumeration. The edge frame is partitioned by
+    // src BEFORE its one checkpoint (the q240 trick: only the small
+    // distance frame reshuffles per round). All-integer weights and
+    // distances; the oracle replays the identical four rounds as a
+    // CTE chain, so every tentative distance is bit-identical.
+    "q371_bellman_ford" -> ((s, d) => {
+      val pairs = ld(s, d, "lineitem")
+        .groupBy((col("l_partkey") * 2).as("p"),
+          (col("l_suppkey") * 2 + 1).as("q"))
+        .agg(min("l_quantity").cast("long").as("w"))
+      val edges = pairs.select(col("p").as("src"), col("q").as("dst"),
+          col("w"))
+        .unionAll(pairs.select(col("q").as("src"), col("p").as("dst"),
+          col("w")))
+        .repartition(col("src"))
+        .localCheckpoint()
+      var dist = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") < 10 && col("node") % 2 === 0)
+        .withColumn("dist", lit(0L))
+        .localCheckpoint()
+      for (_ <- 1 to 4) {
+        val relaxed = edges.join(dist, col("src") === col("node"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        dist = dist.unionByName(relaxed)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint()
+      }
+      edges.select(col("src").as("node")).distinct()
+        .join(dist.withColumnRenamed("node", "rn"),
+          col("node") === col("rn"), "left")
+        .agg(count(lit(1)).as("n_nodes"),
+          count(col("rn")).as("n_reached"),
+          sum("dist").cast("long").as("sum_dist"),
+          max("dist").as("max_dist"),
+          expr("count_if(dist = 0)").as("n_seeds"))
+    }),
+
+    // POINT-IN-POLYGON — ray casting as a RELATIONAL operator (the
+    // geofence/service-area classifier beside q344's grid NN):
+    // deterministic md5-derived integer coordinates per customer, a
+    // 5-edge literal polygon, and the classic odd-crossings parity
+    // test. The divisionless crossing predicate cross-multiplies both
+    // sides by (y2−y1) and flips the inequality with its sign, so the
+    // whole test is EXACT BIGINT arithmetic (coords ≤ 10⁴, products
+    // ≤ 10⁸ — no overflow, no FP edge jitter, both engines agree on
+    // every boundary case by construction). Shape: points ⨯ broadcast
+    // 5-row edge table (bounded 5× inflation), parity per point, one
+    // |nations| rollup — no shuffle wider than the final groupBy.
+    "q372_point_in_polygon" -> ((s, d) => {
+      val pts = ld(s, d, "customer").selectExpr("c_custkey", "c_nationkey",
+        "CAST(conv(substr(md5(concat('x#', CAST(c_custkey AS STRING)))," +
+          " 1, 8), 16, 10) AS BIGINT) % 10000 AS px",
+        "CAST(conv(substr(md5(concat('y#', CAST(c_custkey AS STRING)))," +
+          " 1, 8), 16, 10) AS BIGINT) % 10000 AS py")
+      val poly = s.sql("""SELECT * FROM VALUES
+          (2000L, 1000L, 8000L, 2000L), (8000L, 2000L, 9000L, 7000L),
+          (9000L, 7000L, 5000L, 9500L), (5000L, 9500L, 1000L, 6000L),
+          (1000L, 6000L, 2000L, 1000L) AS poly(x1, y1, x2, y2)""")
+      pts.crossJoin(broadcast(poly))
+        .withColumn("c", expr(
+          """CASE WHEN (y1 > py) != (y2 > py)
+                   AND (CASE WHEN y2 > y1
+                        THEN (px - x1) * (y2 - y1) < (x2 - x1) * (py - y1)
+                        ELSE (px - x1) * (y2 - y1) > (x2 - x1) * (py - y1)
+                        END)
+              THEN 1 ELSE 0 END"""))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(sum("c").as("nc"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"),
+          expr("count_if(nc % 2 = 1)").as("n_inside"))
+        .orderBy("c_nationkey")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -3984,5 +4158,134 @@ object Relational {
                   AS did_cents,
                 (SELECT CAST(sum(n) AS BIGINT) FROM g) AS n_orders,
                 (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_cells""",
+
+    // q369: same lifetime buckets, same reverse-cumulative risk set,
+    // same exp-sum-ln product with the terminal ln(0) factor excluded.
+    "q369_kaplan_meier" ->
+      """WITH life AS (
+           SELECT o_custkey,
+                  date_diff('day', min(o_orderdate), max(o_orderdate))
+                    // 28 AS t,
+                  CASE WHEN max(o_orderdate) < TIMESTAMP '2001-01-01'
+                       THEN 1 ELSE 0 END AS ev
+           FROM orders GROUP BY o_custkey),
+         by_t AS (
+           SELECT t, CAST(count_if(ev = 1) AS BIGINT) AS d,
+                  CAST(count(*) AS BIGINT) AS tot
+           FROM life GROUP BY t),
+         risk AS (
+           SELECT t, d,
+                  CAST(sum(tot) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                       AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+           FROM by_t),
+         curve AS (
+           SELECT t, d, n_risk,
+                  round(exp(sum(CASE WHEN d < n_risk
+                         THEN ln(CAST(n_risk - d AS DOUBLE) / n_risk) END)
+                       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)), 6) AS survival
+           FROM risk)
+         SELECT t, n_risk, d AS n_events, survival
+         FROM curve WHERE d > 0 AND d < n_risk ORDER BY t""",
+
+    // q370: identical integer nano-nat walk; only the md5-ring spelling
+    // differs by dialect.
+    "q370_sprt_ab" ->
+      """WITH t AS (
+           SELECT CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+                       AS BIGINT) AS seq,
+                  CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS x
+           FROM orders
+           WHERE CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                       1, 4)) AS BIGINT) % 2 = 1),
+         llr AS (
+           SELECT seq,
+                  CAST(sum(CASE WHEN x = 1 THEN 74107972
+                           ELSE -223143551 END)
+                       OVER (ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS llr_nano
+           FROM t)
+         SELECT CAST(count(*) AS BIGINT) AS n_trials,
+                max_by(llr_nano, seq) AS llr_final,
+                min(seq) FILTER (WHERE abs(llr_nano) >= 2944438979)
+                  AS n_at_decision,
+                min_by(llr_nano, seq)
+                  FILTER (WHERE abs(llr_nano) >= 2944438979)
+                  AS llr_at_decision,
+                CASE WHEN count(*)
+                          FILTER (WHERE abs(llr_nano) >= 2944438979) = 0
+                     THEN 'continue'
+                     WHEN min_by(llr_nano, seq)
+                          FILTER (WHERE abs(llr_nano) >= 2944438979) > 0
+                     THEN 'accept_h1' ELSE 'accept_h0' END AS decision
+         FROM llr""",
+
+    // q371: the four relaxation rounds replayed as a CTE chain —
+    // min-rollup per round over (carry ∪ one-hop extensions).
+    "q371_bellman_ford" ->
+      """WITH pairs AS (
+           SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q,
+                  CAST(min(l_quantity) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+         edges AS (
+           SELECT p AS src, q AS dst, w FROM pairs
+           UNION ALL SELECT q, p, w FROM pairs),
+         d0 AS (
+           SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+           FROM edges WHERE src < 10 AND src % 2 = 0),
+         r1 AS (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d0
+           UNION ALL SELECT e.dst, d.dist + e.w FROM d0 d
+           JOIN edges e ON d.node = e.src) GROUP BY node),
+         r2 AS (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM r1
+           UNION ALL SELECT e.dst, d.dist + e.w FROM r1 d
+           JOIN edges e ON d.node = e.src) GROUP BY node),
+         r3 AS (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM r2
+           UNION ALL SELECT e.dst, d.dist + e.w FROM r2 d
+           JOIN edges e ON d.node = e.src) GROUP BY node),
+         r4 AS (SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM r3
+           UNION ALL SELECT e.dst, d.dist + e.w FROM r3 d
+           JOIN edges e ON d.node = e.src) GROUP BY node),
+         nodes AS (SELECT DISTINCT src AS node FROM edges)
+         SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                CAST(count(r.node) AS BIGINT) AS n_reached,
+                CAST(sum(r.dist) AS BIGINT) AS sum_dist,
+                CAST(max(r.dist) AS BIGINT) AS max_dist,
+                CAST(count_if(r.dist = 0) AS BIGINT) AS n_seeds
+         FROM nodes n LEFT JOIN r4 r ON n.node = r.node""",
+
+    // q372: same integer cross-multiplied crossing test, same literal
+    // pentagon; only the md5-hex spelling differs by dialect.
+    "q372_point_in_polygon" ->
+      """WITH pts AS (
+           SELECT c_custkey, c_nationkey,
+                  CAST(('0x' || substr(md5('x#' ||
+                       CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 10000 AS px,
+                  CAST(('0x' || substr(md5('y#' ||
+                       CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 10000 AS py
+           FROM customer),
+         poly(x1, y1, x2, y2) AS (VALUES
+           (2000, 1000, 8000, 2000), (8000, 2000, 9000, 7000),
+           (9000, 7000, 5000, 9500), (5000, 9500, 1000, 6000),
+           (1000, 6000, 2000, 1000)),
+         hits AS (
+           SELECT c_custkey, c_nationkey,
+                  sum(CASE WHEN (y1 > py) <> (y2 > py)
+                            AND (CASE WHEN y2 > y1
+                                 THEN (px - x1) * (y2 - y1)
+                                    < (x2 - x1) * (py - y1)
+                                 ELSE (px - x1) * (y2 - y1)
+                                    > (x2 - x1) * (py - y1) END)
+                           THEN 1 ELSE 0 END) AS nc
+           FROM pts CROSS JOIN poly
+           GROUP BY 1, 2)
+         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+                CAST(count_if(nc % 2 = 1) AS BIGINT) AS n_inside
+         FROM hits GROUP BY 1 ORDER BY 1""",
   )
 }
