@@ -2501,6 +2501,62 @@ object EventOps {
       }.toDF("event_type", "n_valid", "k_sum", "n_dlq")
         .orderBy("event_type")
     }),
+
+    // SHAPLEY CHANNEL ATTRIBUTION — the axiomatic credit split the
+    // heuristic attributors (q162 last-touch, q323 linear) can't
+    // give: each touch channel's marginal contribution averaged over
+    // every arrival order. The key scale move is COALITION
+    // COMPRESSION: journeys collapse to a channel BITMASK per user
+    // (touches strictly before the first purchase — the attribution
+    // window), masks collapse to counts, and Shapley runs entirely on
+    // the 2^k SUBSET LATTICE (k=4 ⇒ 16 rows, broadcast-sized at any
+    // corpus scale; v(S) = converted users whose mask ⊆ S via one
+    // tiny containment join). Weights |S|!·(k−1−|S|)! are INTEGER
+    // literals and φ·k! stays exact BIGINT (phi_scaled); only the
+    // final /24 is floating. Efficiency axiom holds by construction:
+    // Σφ = v(full) − v(∅) = conversions with ≥1 prior touch.
+    "q374_shapley_attribution" -> ((s, d) => {
+      graft.Tables.view(s, d, "events")
+      s.sql("""
+        WITH fp AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS fpts
+          FROM events GROUP BY user_id),
+        ch AS (
+          SELECT e.user_id,
+                 CAST(coalesce(bit_or(
+                   CASE WHEN e.event_type <> 'purchase'
+                         AND (f.fpts IS NULL OR e.ts < f.fpts)
+                        THEN CASE e.event_type
+                             WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                             WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                             END END), 0) AS BIGINT) AS mask,
+                 max(CASE WHEN f.fpts IS NOT NULL THEN 1 ELSE 0 END)
+                   AS conv
+          FROM events e JOIN fp f ON e.user_id = f.user_id
+          GROUP BY e.user_id),
+        mc AS (SELECT mask, CAST(count_if(conv = 1) AS BIGINT) AS n_conv
+               FROM ch GROUP BY mask),
+        subsets AS (SELECT CAST(id AS BIGINT) AS s FROM range(0, 16)),
+        v AS (SELECT s, CAST(coalesce(sum(n_conv), 0) AS BIGINT) AS v
+              FROM subsets LEFT JOIN mc ON (mask & s) = mask
+              GROUP BY s),
+        chans AS (SELECT * FROM VALUES
+          (1, 'click'), (2, 'error'), (4, 'signup'), (8, 'view')
+          AS chans(c, channel)),
+        terms AS (
+          SELECT ch.channel,
+                 CASE bit_count(sub.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                      WHEN 2 THEN 2 ELSE 6 END AS w,
+                 vc.v - vs.v AS delta
+          FROM chans ch JOIN subsets sub ON (sub.s & ch.c) = 0
+          JOIN v vs ON vs.s = sub.s
+          JOIN v vc ON vc.s = (sub.s | ch.c))
+        SELECT channel, CAST(sum(w * delta) AS BIGINT) AS phi_scaled,
+               round(CAST(sum(w * delta) AS DOUBLE) / 24, 6) AS phi
+        FROM terms GROUP BY channel ORDER BY channel""")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -3885,6 +3941,49 @@ object EventOps {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                 CAST(2 * count(*) AS BIGINT) AS n_naive
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // q374: identical lattice walk — only the integer-range table
+    // function's spelling differs by dialect.
+    "q374_shapley_attribution" ->
+      """WITH fp AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END)
+                    AS fpts
+           FROM events GROUP BY user_id),
+         ch AS (
+           SELECT e.user_id,
+                  CAST(coalesce(bit_or(
+                    CASE WHEN e.event_type <> 'purchase'
+                          AND (f.fpts IS NULL OR e.ts < f.fpts)
+                         THEN CASE e.event_type
+                              WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                              WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                              END END), 0) AS BIGINT) AS mask,
+                  max(CASE WHEN f.fpts IS NOT NULL THEN 1 ELSE 0 END)
+                    AS conv
+           FROM events e JOIN fp f ON e.user_id = f.user_id
+           GROUP BY e.user_id),
+         mc AS (SELECT mask, CAST(count_if(conv = 1) AS BIGINT)
+                  AS n_conv
+                FROM ch GROUP BY mask),
+         subsets AS (SELECT CAST(unnest(generate_series(0, 15))
+                            AS BIGINT) AS s),
+         v AS (SELECT s, CAST(coalesce(sum(n_conv), 0) AS BIGINT) AS v
+               FROM subsets LEFT JOIN mc ON (mask & s) = mask
+               GROUP BY s),
+         chans(c, channel) AS (VALUES
+           (1, 'click'), (2, 'error'), (4, 'signup'), (8, 'view')),
+         terms AS (
+           SELECT ch.channel,
+                  CASE bit_count(sub.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                       WHEN 2 THEN 2 ELSE 6 END AS w,
+                  vc.v - vs.v AS delta
+           FROM chans ch JOIN subsets sub ON (sub.s & ch.c) = 0
+           JOIN v vs ON vs.s = sub.s
+           JOIN v vc ON vc.s = (sub.s | ch.c))
+         SELECT channel, CAST(sum(w * delta) AS BIGINT) AS phi_scaled,
+                round(CAST(sum(w * delta) AS DOUBLE) / 24, 6) AS phi
+         FROM terms GROUP BY channel ORDER BY channel""",
   )
 }
 

@@ -2735,6 +2735,135 @@ object Relational {
           expr("count_if(nc % 2 = 1)").as("n_inside"))
         .orderBy("c_nationkey")
     }),
+
+    // LEVENSHTEIN BLOCKED FUZZY JOIN — typo-tolerant matching via the
+    // codegen'd edit-distance kernel, the general-alphabet sibling of
+    // q189's deletion-neighborhood trick (which only catches single
+    // deletions): match DISTINCT part names within a blocking key
+    // (the product noun) at edit distance ≤ 2. The DICTIONARY-LEVEL
+    // shape is the scale story: names dedup to a vocabulary frame
+    // orders of magnitude smaller than the corpus (64 vs 2000 rows
+    // here; the same ratio holds at 100 TB), the quadratic lev work
+    // runs inside blocks of that small frame, and the corpus only
+    // ever joins back BY EQUALITY. The |len_a − len_b| ≤ 2 length
+    // filter is the standard lev lower bound, applied before the
+    // O(n·m) kernel runs.
+    "q373_levenshtein_block" -> ((s, d) => {
+      graft.Tables.view(s, d, "part")
+      s.sql("""
+        WITH names AS (
+          SELECT p_name, split_part(p_name, ' ', 2) AS noun,
+                 CAST(count(*) AS BIGINT) AS n_parts
+          FROM part GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.p_name AS name_a, b.p_name AS name_b,
+                 CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+                 a.n_parts AS parts_a, b.n_parts AS parts_b
+          FROM names a JOIN names b
+            ON a.noun = b.noun AND a.p_name < b.p_name
+          WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+            AND levenshtein(a.p_name, b.p_name) <= 2)
+        SELECT name_a, name_b, dist, parts_a, parts_b
+        FROM pairs ORDER BY name_a, name_b""")
+    }),
+
+    // CDC NET-EFFECT COMPACTION — collapse an ordered I/U/D change
+    // log to one net operation per key (the Debezium-consumer /
+    // MERGE-prep primitive beside q130's SCD2 and q94's incremental
+    // dedup): insert-then-delete nets to nothing, insert-then-updates
+    // net to one insert carrying the LAST image, pre-existing keys
+    // net to upsert or delete. The log is synthesized
+    // deterministically from orders (md5-derived op mix 20/60/20).
+    // Shape: ONE key-partitioned aggregate — min_by/max_by on a
+    // single composite BIGINT sequence key (epoch·10⁶ + orderkey, no
+    // per-key window pass, no sort) — then a 4-row rollup. At 100 TB
+    // the compaction is exactly one shuffle of the log by key, which
+    // is the floor for any per-key fold.
+    "q375_cdc_net_effect" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        WITH log AS (
+          SELECT o_orderkey % 2000 AS k,
+                 unix_timestamp(o_orderdate) * 1000000
+                   + o_orderkey % 1000000 AS seq,
+                 CASE WHEN CAST(conv(substr(md5(concat('op#',
+                        CAST(o_orderkey AS STRING))), 1, 4), 16, 10)
+                        AS BIGINT) % 10 < 2 THEN 'I'
+                      WHEN CAST(conv(substr(md5(concat('op#',
+                        CAST(o_orderkey AS STRING))), 1, 4), 16, 10)
+                        AS BIGINT) % 10 < 8 THEN 'U'
+                      ELSE 'D' END AS op,
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT) AS cents
+          FROM orders),
+        per_key AS (
+          SELECT k, min_by(op, seq) AS first_op,
+                 max_by(op, seq) AS last_op,
+                 max_by(cents, seq) AS last_cents,
+                 CAST(count(*) AS BIGINT) AS n_ops
+          FROM log GROUP BY k),
+        net AS (
+          SELECT k, n_ops, last_cents,
+                 CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'drop'
+                      WHEN first_op = 'I' THEN 'insert'
+                      WHEN last_op = 'D' THEN 'delete'
+                      ELSE 'upsert' END AS net_op
+          FROM per_key)
+        SELECT net_op, CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(n_ops) AS BIGINT) AS n_source_ops,
+               CAST(sum(CASE WHEN net_op IN ('insert', 'upsert')
+                        THEN last_cents ELSE 0 END) AS BIGINT)
+                 AS final_cents
+        FROM net GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // UPLIFT / QINI DECILES — the incremental-impact evaluation that
+    // closes the causal family (q358 CUPED, q368 DiD): rank by a
+    // model score, walk the deciles top-down, and at each depth
+    // compare treated vs control response RATES (Qini's
+    // unequal-arm-size correction). Two scale decisions: (1) deciles
+    // come from the UNIFORM HASH SCORE's range (score DIV 100000) —
+    // no global sort, no single-partition row_number, bucket
+    // boundaries identical in both engines by construction; (2) the
+    // cumulative walk runs on the 10-row decile frame. Qini numerator
+    // is kept as the EXACT integer crt·cnc − crc·cnt; only the final
+    // rate divides, rounded at 1e-6.
+    "q376_uplift_qini" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        WITH base AS (
+          SELECT CAST(conv(substr(md5(concat('t#',
+                   CAST(o_custkey AS STRING))), 1, 4), 16, 10)
+                   AS BIGINT) % 2 AS treat,
+                 CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END
+                   AS resp,
+                 9 - (CAST(conv(substr(md5(concat('s#',
+                   CAST(o_orderkey AS STRING))), 1, 8), 16, 10)
+                   AS BIGINT) % 1000000) DIV 100000 AS d
+          FROM orders),
+        dec AS (
+          SELECT d, CAST(count_if(treat = 1) AS BIGINT) AS n_t,
+                 CAST(count_if(treat = 0) AS BIGINT) AS n_c,
+                 CAST(sum(CASE WHEN treat = 1 THEN resp ELSE 0 END)
+                      AS BIGINT) AS resp_t,
+                 CAST(sum(CASE WHEN treat = 0 THEN resp ELSE 0 END)
+                      AS BIGINT) AS resp_c
+          FROM base GROUP BY d),
+        cum AS (
+          SELECT d, n_t, n_c, resp_t, resp_c,
+                 CAST(sum(n_t) OVER w AS BIGINT) AS cnt,
+                 CAST(sum(n_c) OVER w AS BIGINT) AS cnc,
+                 CAST(sum(resp_t) OVER w AS BIGINT) AS crt,
+                 CAST(sum(resp_c) OVER w AS BIGINT) AS crc
+          FROM dec
+          WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW))
+        SELECT d, n_t, n_c, resp_t, resp_c,
+               crt * cnc - crc * cnt AS qini_num,
+               round(CAST(crt * cnc - crc * cnt AS DOUBLE)
+                     / (cnt * cnc), 6) AS uplift
+        FROM cum ORDER BY d""")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -4287,5 +4416,96 @@ object Relational {
          SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
                 CAST(count_if(nc % 2 = 1) AS BIGINT) AS n_inside
          FROM hits GROUP BY 1 ORDER BY 1""",
+
+    // q373: DuckDB's levenshtein is the same unit-cost edit distance.
+    "q373_levenshtein_block" ->
+      """WITH names AS (
+           SELECT p_name, split_part(p_name, ' ', 2) AS noun,
+                  CAST(count(*) AS BIGINT) AS n_parts
+           FROM part GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.p_name AS name_a, b.p_name AS name_b,
+                  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+                    AS dist,
+                  a.n_parts AS parts_a, b.n_parts AS parts_b
+           FROM names a JOIN names b
+             ON a.noun = b.noun AND a.p_name < b.p_name
+           WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+             AND levenshtein(a.p_name, b.p_name) <= 2)
+         SELECT name_a, name_b, dist, parts_a, parts_b
+         FROM pairs ORDER BY name_a, name_b""",
+
+    // q375: epoch() is unix_timestamp under the UTC session — the
+    // composite sequence key is the same BIGINT in both engines.
+    "q375_cdc_net_effect" ->
+      """WITH log AS (
+           SELECT o_orderkey % 2000 AS k,
+                  epoch(o_orderdate) * 1000000
+                    + o_orderkey % 1000000 AS seq,
+                  CASE WHEN CAST(('0x' || substr(md5('op#' ||
+                         CAST(o_orderkey AS VARCHAR)), 1, 4))
+                         AS BIGINT) % 10 < 2 THEN 'I'
+                       WHEN CAST(('0x' || substr(md5('op#' ||
+                         CAST(o_orderkey AS VARCHAR)), 1, 4))
+                         AS BIGINT) % 10 < 8 THEN 'U'
+                       ELSE 'D' END AS op,
+                  CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                       AS BIGINT) AS cents
+           FROM orders),
+         per_key AS (
+           SELECT k, min_by(op, seq) AS first_op,
+                  max_by(op, seq) AS last_op,
+                  max_by(cents, seq) AS last_cents,
+                  CAST(count(*) AS BIGINT) AS n_ops
+           FROM log GROUP BY k),
+         net AS (
+           SELECT k, n_ops, last_cents,
+                  CASE WHEN first_op = 'I' AND last_op = 'D'
+                       THEN 'drop'
+                       WHEN first_op = 'I' THEN 'insert'
+                       WHEN last_op = 'D' THEN 'delete'
+                       ELSE 'upsert' END AS net_op
+           FROM per_key)
+         SELECT net_op, CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(n_ops) AS BIGINT) AS n_source_ops,
+                CAST(sum(CASE WHEN net_op IN ('insert', 'upsert')
+                         THEN last_cents ELSE 0 END) AS BIGINT)
+                  AS final_cents
+         FROM net GROUP BY 1 ORDER BY 1""",
+
+    // q376: same hash deciles, same integer Qini numerator.
+    "q376_uplift_qini" ->
+      """WITH base AS (
+           SELECT CAST(('0x' || substr(md5('t#' ||
+                    CAST(o_custkey AS VARCHAR)), 1, 4)) AS BIGINT) % 2
+                    AS treat,
+                  CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END
+                    AS resp,
+                  9 - (CAST(('0x' || substr(md5('s#' ||
+                    CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 1000000) // 100000 AS d
+           FROM orders),
+         dec AS (
+           SELECT d, CAST(count_if(treat = 1) AS BIGINT) AS n_t,
+                  CAST(count_if(treat = 0) AS BIGINT) AS n_c,
+                  CAST(sum(CASE WHEN treat = 1 THEN resp ELSE 0 END)
+                       AS BIGINT) AS resp_t,
+                  CAST(sum(CASE WHEN treat = 0 THEN resp ELSE 0 END)
+                       AS BIGINT) AS resp_c
+           FROM base GROUP BY d),
+         cum AS (
+           SELECT d, n_t, n_c, resp_t, resp_c,
+                  CAST(sum(n_t) OVER w AS BIGINT) AS cnt,
+                  CAST(sum(n_c) OVER w AS BIGINT) AS cnc,
+                  CAST(sum(resp_t) OVER w AS BIGINT) AS crt,
+                  CAST(sum(resp_c) OVER w AS BIGINT) AS crc
+           FROM dec
+           WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW))
+         SELECT d, n_t, n_c, resp_t, resp_c,
+                crt * cnc - crc * cnt AS qini_num,
+                round(CAST(crt * cnc - crc * cnt AS DOUBLE)
+                      / (cnt * cnc), 6) AS uplift
+         FROM cum ORDER BY d""",
   )
 }
