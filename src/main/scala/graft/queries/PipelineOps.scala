@@ -3053,6 +3053,71 @@ object PipelineOps {
           col("depth")).over(wd), 6))
         .orderBy("depth")
     }),
+
+    // MUTUAL INFORMATION — the feature-dependence audit beside q361's
+    // KL (distribution distance) and q348's χ² (significance): how
+    // many nats knowing `lang` tells you about `source`, the quantity
+    // a leakage check thresholds before a metadata column is allowed
+    // into a training feature set. I(X;Y) = Σ p(x,y)·ln(p(x,y)/
+    // (p(x)p(y))); joint entropy rides the same cell frame. Shape:
+    // ONE corpus rollup to the |lang|×|source| contingency frame,
+    // marginals DERIVED from that frame (never a second scan), then
+    // all transcendental work on ≤ ~100 cells, rounded at 1e-6 (the
+    // q361 libm stance).
+    "q377_mutual_information" -> ((s, d) => {
+      graft.Tables.view(s, d, "documents")
+      s.sql("""
+        WITH j AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+        mx AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cx
+               FROM j GROUP BY 1),
+        my AS (SELECT source, CAST(sum(c) AS BIGINT) AS cy
+               FROM j GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               round(sum((CAST(c AS DOUBLE) / n) *
+                     ln((CAST(c AS DOUBLE) * n)
+                        / (CAST(cx AS DOUBLE) * cy))), 6) AS mi_nats,
+               round(-sum((CAST(c AS DOUBLE) / n)
+                     * ln(CAST(c AS DOUBLE) / n)), 6) AS h_joint
+        FROM j JOIN mx USING (lang) JOIN my USING (source)
+        CROSS JOIN tot""")
+    }),
+
+    // URL PARSING — Spark's parse_url/url_decode extraction surface
+    // (codegen'd expressions, the log/clickstream normalization
+    // primitive) proven by ROUNDTRIP: URLs are constructed
+    // deterministically from document fields, parsed back, and every
+    // extraction must reproduce the constructed ground truth — host,
+    // path length, query params present/absent, and a percent-encoded
+    // token decoding to its source. The oracle never parses: it
+    // recomputes the same counts from the fields that BUILT the URLs,
+    // so any extraction drift (wrong component, wrong decode) breaks
+    // the hash. Per-row projections + one |sources| rollup.
+    "q379_parse_url" -> ((s, d) => {
+      graft.Tables.view(s, d, "documents")
+      s.sql("""
+        WITH u AS (
+          SELECT doc_id, lang, source,
+                 concat('https://', source, '.example.com/docs/',
+                        CAST(doc_id AS STRING), '?lang=', lang,
+                        '&title=a%20b',
+                        CASE WHEN doc_id % 3 = 0 THEN '&ref=x'
+                             ELSE '' END) AS url
+          FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT parse_url(url, 'HOST')) AS BIGINT)
+                 AS n_hosts,
+               CAST(sum(length(parse_url(url, 'PATH'))) AS BIGINT)
+                 AS path_chars,
+               CAST(count_if(parse_url(url, 'QUERY', 'lang') = 'en')
+                 AS BIGINT) AS n_lang_en,
+               CAST(count_if(parse_url(url, 'QUERY', 'ref')
+                 IS NOT NULL) AS BIGINT) AS n_ref,
+               CAST(count_if(url_decode(parse_url(url, 'QUERY',
+                 'title')) = 'a b') AS BIGINT) AS n_title_ok
+        FROM u GROUP BY source ORDER BY source""")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -5408,5 +5473,36 @@ object PipelineOps {
                             ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND CURRENT ROW), 6) AS rbo
          FROM x ORDER BY depth""",
+
+    // q377: identical contingency-frame MI; ln is libm on ≤100 cells,
+    // rounded at 1e-6.
+    "q377_mutual_information" ->
+      """WITH j AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+                    FROM documents GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+         mx AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cx
+                FROM j GROUP BY 1),
+         my AS (SELECT source, CAST(sum(c) AS BIGINT) AS cy
+                FROM j GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                round(sum((CAST(c AS DOUBLE) / n) *
+                      ln((CAST(c AS DOUBLE) * n)
+                         / (CAST(cx AS DOUBLE) * cy))), 6) AS mi_nats,
+                round(-sum((CAST(c AS DOUBLE) / n)
+                      * ln(CAST(c AS DOUBLE) / n)), 6) AS h_joint
+         FROM j JOIN mx USING (lang) JOIN my USING (source)
+         CROSS JOIN tot""",
+
+    // q379: the oracle recomputes every extraction from the fields
+    // that constructed the URLs — ground truth, no parser at all.
+    "q379_parse_url" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(1 AS BIGINT) AS n_hosts,
+                CAST(sum(6 + length(CAST(doc_id AS VARCHAR)))
+                     AS BIGINT) AS path_chars,
+                CAST(count_if(lang = 'en') AS BIGINT) AS n_lang_en,
+                CAST(count_if(doc_id % 3 = 0) AS BIGINT) AS n_ref,
+                CAST(count(*) AS BIGINT) AS n_title_ok
+         FROM documents GROUP BY source ORDER BY source""",
   )
 }

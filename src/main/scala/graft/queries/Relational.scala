@@ -2864,6 +2864,79 @@ object Relational {
                      / (cnt * cnc), 6) AS uplift
         FROM cum ORDER BY d""")
     }),
+
+    // OCC WRITE-WRITE CONFLICT AUDIT — snapshot-isolation validation
+    // over a transaction log: two transactions conflict iff their
+    // [start, commit) intervals overlap AND they touch the same lock
+    // key; first-committer-wins aborts the later one. Transactions
+    // are synthesized deterministically from orders (md5-derived
+    // duration ≤ 72 h). The scale move is the q53/q132 INTERVAL
+    // BANDING recipe with a key twist: candidates must share (lock,
+    // 3-day bucket) — an EQUI-join after a bounded explode (duration
+    // cap ⇒ ≤ 2 buckets per txn), so the candidate set is 475 pairs
+    // from 15 000 txns here and stays per-lock-local at any scale —
+    // never an all-pairs interval test. DISTINCT collapses pairs
+    // found in two shared buckets; everything is integer seconds.
+    "q378_occ_conflicts" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        WITH txn AS (
+          SELECT o_orderkey AS tid, o_custkey % 500 AS lock,
+                 unix_timestamp(o_orderdate) AS st,
+                 unix_timestamp(o_orderdate) + 3600 *
+                   (1 + CAST(conv(substr(md5(concat('d#',
+                     CAST(o_orderkey AS STRING))), 1, 4), 16, 10)
+                     AS BIGINT) % 72) AS en
+          FROM orders),
+        b AS (SELECT tid, lock, st, en, st DIV 259200 AS b0,
+                     en DIV 259200 AS b1 FROM txn),
+        ex AS (SELECT tid, lock, st, en,
+                      explode(sequence(b0, b1)) AS bk FROM b),
+        cand AS (
+          SELECT a.tid AS ta, x.tid AS tb, a.lock AS lock,
+                 a.st AS sa, a.en AS ea, x.st AS sb, x.en AS eb
+          FROM ex a JOIN ex x
+            ON a.lock = x.lock AND a.bk = x.bk AND a.tid < x.tid),
+        dist AS (SELECT DISTINCT ta, tb, lock, sa, ea, sb, eb
+                 FROM cand),
+        conf AS (SELECT *, (sa < eb AND sb < ea) AS overlap
+                 FROM dist),
+        aborted AS (SELECT DISTINCT CASE WHEN ea >= eb THEN ta
+                           ELSE tb END AS t
+                    FROM conf WHERE overlap)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM txn) AS n_txns,
+               CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+               CAST(count_if(overlap) AS BIGINT) AS n_conflicts,
+               (SELECT CAST(count(*) AS BIGINT) FROM aborted)
+                 AS n_aborted_txns
+        FROM conf""")
+    }),
+
+    // REGR_* AGGREGATE FAMILY — the ANSI bivariate-regression
+    // aggregates (slope/intercept/R²/avgx/avgy/count) as ONE
+    // declarative map-side-combined pass, the surface q165 built by
+    // hand from sums: price-per-quantity fit per return flag.
+    // Both engines implement the same textbook moments; the doubles
+    // are rounded a decade above the engines' accumulation-order
+    // noise (slope/intercept at 1e-4 on ~1e4-magnitude values, R²
+    // at 1e-6 on [0,1]). regr_count is exact.
+    "q380_regr_aggregates" -> ((s, d) => {
+      graft.Tables.view(s, d, "lineitem")
+      s.sql("""
+        SELECT l_returnflag,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+                 AS n,
+               round(regr_slope(l_extendedprice, l_quantity), 4)
+                 AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4)
+                 AS icept,
+               round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+               round(regr_avgx(l_extendedprice, l_quantity), 4)
+                 AS avgx,
+               round(regr_avgy(l_extendedprice, l_quantity), 4)
+                 AS avgy
+        FROM lineitem GROUP BY 1 ORDER BY 1""")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -4507,5 +4580,55 @@ object Relational {
                 round(CAST(crt * cnc - crc * cnt AS DOUBLE)
                       / (cnt * cnc), 6) AS uplift
          FROM cum ORDER BY d""",
+
+    // q378: identical integer-seconds banding; epoch() under the UTC
+    // session is unix_timestamp.
+    "q378_occ_conflicts" ->
+      """WITH txn AS (
+           SELECT o_orderkey AS tid, o_custkey % 500 AS lock,
+                  CAST(epoch(o_orderdate) AS BIGINT) AS st,
+                  CAST(epoch(o_orderdate) AS BIGINT) + 3600 *
+                    (1 + CAST(('0x' || substr(md5('d#' ||
+                      CAST(o_orderkey AS VARCHAR)), 1, 4))
+                      AS BIGINT) % 72) AS en
+           FROM orders),
+         b AS (SELECT tid, lock, st, en, st // 259200 AS b0,
+                      en // 259200 AS b1 FROM txn),
+         ex AS (SELECT tid, lock, st, en,
+                       unnest(generate_series(b0, b1)) AS bk FROM b),
+         cand AS (
+           SELECT a.tid AS ta, x.tid AS tb, a.lock AS lock,
+                  a.st AS sa, a.en AS ea, x.st AS sb, x.en AS eb
+           FROM ex a JOIN ex x
+             ON a.lock = x.lock AND a.bk = x.bk AND a.tid < x.tid),
+         dist AS (SELECT DISTINCT ta, tb, lock, sa, ea, sb, eb
+                  FROM cand),
+         conf AS (SELECT *, (sa < eb AND sb < ea) AS overlap
+                  FROM dist),
+         aborted AS (SELECT DISTINCT CASE WHEN ea >= eb THEN ta
+                            ELSE tb END AS t
+                     FROM conf WHERE overlap)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM txn) AS n_txns,
+                CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+                CAST(count_if(overlap) AS BIGINT) AS n_conflicts,
+                (SELECT CAST(count(*) AS BIGINT) FROM aborted)
+                  AS n_aborted_txns
+         FROM conf""",
+
+    // q380: same ANSI aggregates in DuckDB, same rounding decades.
+    "q380_regr_aggregates" ->
+      """SELECT l_returnflag,
+                CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+                  AS n,
+                round(regr_slope(l_extendedprice, l_quantity), 4)
+                  AS slope,
+                round(regr_intercept(l_extendedprice, l_quantity), 4)
+                  AS icept,
+                round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                round(regr_avgx(l_extendedprice, l_quantity), 4)
+                  AS avgx,
+                round(regr_avgy(l_extendedprice, l_quantity), 4)
+                  AS avgy
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
   )
 }
