@@ -2937,6 +2937,138 @@ object Relational {
                  AS avgy
         FROM lineitem GROUP BY 1 ORDER BY 1""")
     }),
+
+    // INTERSECT ALL / EXCEPT ALL — the BAG-semantics set operators
+    // q22/q23 left uncovered (their DISTINCT forms answer "which
+    // keys", these answer "how many occurrences survive"): bag
+    // intersection keeps min(multiplicity), bag difference subtracts
+    // with clamping — the semantics a reconciliation between two
+    // event logs actually needs (losing duplicates under-counts).
+    // Both engines plan this as one partial-aggregated count join —
+    // a single shuffle on the key, no row-level materialization of
+    // either multiset beyond its count frame.
+    "q381_bag_set_ops" -> ((s, d) => {
+      graft.Tables.view(s, d, "lineitem")
+      s.sql("""
+        WITH a AS (SELECT l_partkey AS k FROM lineitem
+                   WHERE l_returnflag = 'R'),
+        b AS (SELECT l_partkey AS k FROM lineitem
+              WHERE l_linestatus = 'F'),
+        ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+        ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM ia)
+            AS n_intersect_all,
+          (SELECT CAST(sum(k) AS BIGINT) FROM ia)
+            AS sum_intersect_all,
+          (SELECT CAST(count(*) AS BIGINT) FROM ea) AS n_except_all,
+          (SELECT CAST(sum(k) AS BIGINT) FROM ea)
+            AS sum_except_all""")
+    }),
+
+    // MAP HIGHER-ORDER FUNCTIONS — the MapType transformation
+    // surface (map_from_entries / map_zip_with / map_filter /
+    // transform_values) that q225/q357 only read: build two aligned
+    // per-priority maps (status→count, status→cents), zip them into
+    // an exact integer average, filter by value, and explode back to
+    // rows. The lambdas run INSIDE codegen per row of the 5-row maps
+    // frame — the map stage is a second-level aggregate over the
+    // |prio|×|status| cell frame, so the corpus is scanned once and
+    // everything map-typed is broadcast-sized. The oracle computes
+    // the same cells relationally — the map machinery must be a
+    // lossless detour.
+    "q382_map_hof" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        WITH cells AS (
+          SELECT o_orderpriority AS prio, o_orderstatus AS st,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                      * 100 AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1, 2),
+        maps AS (
+          SELECT prio,
+                 map_from_entries(sort_array(collect_list(
+                   struct(st, n)))) AS mn,
+                 map_from_entries(sort_array(collect_list(
+                   struct(st, cents)))) AS mc
+          FROM cells GROUP BY prio),
+        z AS (
+          SELECT prio,
+                 map_filter(map_zip_with(mn, mc,
+                   (k, a, b) -> b DIV a), (k, v) -> v > 15000000)
+                   AS avg_map,
+                 transform_values(mn, (k, v) -> v * 2) AS twice_map
+          FROM maps)
+        SELECT prio, ex.key AS st, ex.value AS avg_cents,
+               element_at(twice_map, ex.key) AS n_twice
+        FROM z LATERAL VIEW explode(avg_map) ex AS key, value
+        ORDER BY prio, st""")
+    }),
+
+    // ROLLING REGRESSION — regr_slope as a WINDOW aggregate (the
+    // q380 family moved onto a trailing frame): the 8-week rolling
+    // revenue trend per order priority, the drift detector a
+    // forecasting pipeline recomputes incrementally. Reuses the
+    // weeklyRevenue rollup (exact integer cents), so the window walk
+    // runs on the ~340-row weekly frame, partitioned by priority —
+    // never the order corpus. Only FULL 8-week frames are emitted:
+    // shorter prefixes would compare each engine's under-determined
+    // fit (n=1 slope is NaN in DuckDB, NULL in Spark — a contract
+    // mismatch by construction, excluded rather than papered over).
+    "q383_rolling_regr" -> ((s, d) => {
+      val win = Window.partitionBy("grp").orderBy("w")
+        .rowsBetween(-7, 0)
+      val rn = Window.partitionBy("grp").orderBy("w")
+      weeklyRevenue(s, d)
+        .withColumn("slope8",
+          round(expr("regr_slope(CAST(y AS DOUBLE)," +
+            " CAST(w AS DOUBLE))").over(win), 2))
+        .withColumn("rn", row_number().over(rn))
+        .filter(col("rn") >= 8)
+        .select("grp", "w", "slope8")
+        .orderBy("grp", "w")
+    }),
+
+    // BORŮVKA PHASE — the minimum-spanning-forest round that seeds
+    // every distributed MST: each node picks its cheapest incident
+    // edge (deterministic composite tie-break w·10⁸+dst — min_by on
+    // ONE scalar, no sort), picks are normalized to undirected edges
+    // and deduped, and the component count after the union is the
+    // CLOSED FORM nodes − forest_edges (a forest never cycles — no
+    // iterative CC needed to count components, the insight that
+    // keeps this one aggregate + one dedup instead of a fixpoint
+    // loop). One pass over the q371 edge frame; everything after is
+    // node-sized.
+    "q384_boruvka_phase" -> ((s, d) => {
+      graft.Tables.view(s, d, "lineitem")
+      s.sql("""
+        WITH pairs AS (
+          SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q,
+                 CAST(min(l_quantity) AS BIGINT) AS w
+          FROM lineitem GROUP BY 1, 2),
+        edges AS (
+          SELECT p AS src, q AS dst, w FROM pairs
+          UNION ALL SELECT q, p, w FROM pairs),
+        pick AS (
+          SELECT src, min_by(dst, w * 100000000 + dst) AS dst
+          FROM edges GROUP BY src),
+        norm AS (
+          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+          FROM pick),
+        wmin AS (
+          SELECT n.u, n.v, min(e.w) AS w
+          FROM norm n JOIN edges e ON e.src = n.u AND e.dst = n.v
+          GROUP BY n.u, n.v)
+        SELECT
+          (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM edges)
+            AS n_nodes,
+          CAST(count(*) AS BIGINT) AS n_forest_edges,
+          CAST(sum(w) AS BIGINT) AS forest_weight,
+          (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM edges)
+            - CAST(count(*) AS BIGINT) AS n_components
+        FROM wmin""")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -4630,5 +4762,87 @@ object Relational {
                 round(regr_avgy(l_extendedprice, l_quantity), 4)
                   AS avgy
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // q381: identical bag-semantics text.
+    "q381_bag_set_ops" ->
+      """WITH a AS (SELECT l_partkey AS k FROM lineitem
+                    WHERE l_returnflag = 'R'),
+         b AS (SELECT l_partkey AS k FROM lineitem
+               WHERE l_linestatus = 'F'),
+         ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+         ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM ia)
+             AS n_intersect_all,
+           (SELECT CAST(sum(k) AS BIGINT) FROM ia)
+             AS sum_intersect_all,
+           (SELECT CAST(count(*) AS BIGINT) FROM ea) AS n_except_all,
+           (SELECT CAST(sum(k) AS BIGINT) FROM ea)
+             AS sum_except_all""",
+
+    // q382: the oracle skips the map machinery entirely — same cells,
+    // same integer average, same filter, relationally.
+    "q382_map_hof" ->
+      """SELECT o_orderpriority AS prio, o_orderstatus AS st,
+                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                     * 100 AS BIGINT))
+                     // count(*) AS BIGINT) AS avg_cents,
+                CAST(count(*) * 2 AS BIGINT) AS n_twice
+         FROM orders GROUP BY 1, 2
+         HAVING sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                    AS BIGINT)) // count(*) > 15000000
+         ORDER BY prio, st""",
+
+    // q383: same weekly cents rollup, same trailing frame, full
+    // windows only.
+    "q383_rolling_regr" ->
+      """WITH wr AS (
+           SELECT o_orderpriority AS grp,
+                  date_diff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) // 7 AS w,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                       * 100 AS BIGINT)) AS BIGINT) AS y
+           FROM orders GROUP BY 1, 2),
+         r AS (
+           SELECT grp, w,
+                  round(regr_slope(CAST(y AS DOUBLE),
+                        CAST(w AS DOUBLE))
+                    OVER (PARTITION BY grp ORDER BY w
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+                    2) AS slope8,
+                  row_number() OVER (PARTITION BY grp ORDER BY w)
+                    AS rn
+           FROM wr)
+         SELECT grp, w, slope8 FROM r WHERE rn >= 8
+         ORDER BY grp, w""",
+
+    // q384: identical pick/normalize/count chain.
+    "q384_boruvka_phase" ->
+      """WITH pairs AS (
+           SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q,
+                  CAST(min(l_quantity) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+         edges AS (
+           SELECT p AS src, q AS dst, w FROM pairs
+           UNION ALL SELECT q, p, w FROM pairs),
+         pick AS (
+           SELECT src, min_by(dst, w * 100000000 + dst) AS dst
+           FROM edges GROUP BY src),
+         norm AS (
+           SELECT DISTINCT least(src, dst) AS u,
+                  greatest(src, dst) AS v
+           FROM pick),
+         wmin AS (
+           SELECT n.u, n.v, min(e.w) AS w
+           FROM norm n JOIN edges e ON e.src = n.u AND e.dst = n.v
+           GROUP BY n.u, n.v)
+         SELECT
+           (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM edges)
+             AS n_nodes,
+           CAST(count(*) AS BIGINT) AS n_forest_edges,
+           CAST(sum(w) AS BIGINT) AS forest_weight,
+           (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM edges)
+             - CAST(count(*) AS BIGINT) AS n_components
+         FROM wmin""",
   )
 }
