@@ -3069,6 +3069,150 @@ object Relational {
             - CAST(count(*) AS BIGINT) AS n_components
         FROM wmin""")
     }),
+
+    // GAPS & ISLANDS — longest consecutive-month purchase streak per
+    // customer via the classic difference trick: within a customer,
+    // month_index − dense_rank(month_index) is CONSTANT exactly along
+    // a consecutive run, so streaks fall out of one grouped count —
+    // no self-join chain, no iterative expansion (the naive "extend
+    // while adjacent" loop is O(longest streak) passes; this is one
+    // window + two rollups, and the window partitions by customer so
+    // the walk never crosses executor boundaries at scale). The
+    // output is the retention-curve histogram: customers by best
+    // streak length.
+    "q385_order_streaks" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        WITH m AS (SELECT DISTINCT o_custkey,
+                     year(o_orderdate) * 12 + month(o_orderdate) AS mo
+                   FROM orders),
+        g AS (SELECT o_custkey, mo,
+                mo - dense_rank() OVER (PARTITION BY o_custkey
+                                        ORDER BY mo) AS grp
+              FROM m),
+        runs AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS len
+                 FROM g GROUP BY o_custkey, grp),
+        best AS (SELECT o_custkey, max(len) AS best_streak
+                 FROM runs GROUP BY o_custkey)
+        SELECT best_streak, CAST(count(*) AS BIGINT) AS n_customers
+        FROM best GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // BASKET JACCARD DRIFT — how much a customer's consecutive
+    // baskets overlap, the repeat-purchase signal behind
+    // substitution/loyalty analysis: per order, the DISTINCT part
+    // set as a native array (sort_array(collect_set)); per customer,
+    // lag() pairs each basket with its predecessor; array_intersect/
+    // array_union sizes give exact Jaccard. The array algebra runs
+    // per ROW on basket-sized arrays (≤ ~40 parts), the window
+    // partitions by customer — nothing quadratic, nothing global.
+    // The oracle has no array types: it recomputes |∩| via a
+    // positional three-way join and |∪| by inclusion–exclusion, so
+    // the Spark array kernels are checked against pure relational
+    // algebra.
+    "q386_basket_jaccard" -> ((s, d) => {
+      val items = ld(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val baskets = items.groupBy("l_orderkey")
+        .agg(sort_array(collect_set("l_partkey")).as("basket"))
+      val ord = ld(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+      ord.join(baskets, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("prev", lag("basket", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("i",
+          size(array_intersect(col("basket"), col("prev"))).cast("long"))
+        .withColumn("u",
+          size(array_union(col("basket"), col("prev"))).cast("long"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("i").cast("double") / col("u")), 6)
+            .as("avg_jaccard"),
+          expr("count_if(i = 0)").as("n_disjoint"),
+          sum("i").cast("long").as("sum_overlap"))
+    }),
+
+    // HAVERSINE HUB kNN — great-circle top-3 per service hub, the
+    // spherical sibling of q344's planar grid NN: deterministic
+    // md5-derived lat/lon per customer, 5 literal hubs, the
+    // half-angle haversine evaluated in codegen (sin/cos/asin — libm
+    // on both engines, distances rounded at 1 m where the inter-rank
+    // gaps are hundreds of km). Shape: points ⨯ broadcast 5-row hub
+    // table, then row_number per hub — the per-hub top-k is
+    // TakeOrdered-sized, never a global sort of the corpus. At real
+    // scale the hub table stays broadcast and a bounding-box
+    // prefilter (q344's grid) would cut the cross product first.
+    "q387_haversine_knn" -> ((s, d) => {
+      graft.Tables.view(s, d, "customer")
+      s.sql("""
+        WITH pts AS (
+          SELECT c_custkey,
+                 CAST(conv(substr(md5(concat('lat#',
+                   CAST(c_custkey AS STRING))), 1, 8), 16, 10)
+                   AS BIGINT) % 1400000 / 10000.0 - 70 AS lat,
+                 CAST(conv(substr(md5(concat('lon#',
+                   CAST(c_custkey AS STRING))), 1, 8), 16, 10)
+                   AS BIGINT) % 3600000 / 10000.0 - 180 AS lon
+          FROM customer),
+        hubs AS (SELECT * FROM VALUES
+          (1, 40.7D, -74.0D), (2, 51.5D, -0.1D), (3, 35.7D, 139.7D),
+          (4, -33.9D, 151.2D), (5, 19.4D, -99.1D)
+          AS hubs(hub_id, hlat, hlon)),
+        d AS (
+          SELECT hub_id, c_custkey,
+                 round(2 * 6371.0 * asin(sqrt(
+                   sin(radians((lat - hlat) / 2))
+                     * sin(radians((lat - hlat) / 2))
+                   + cos(radians(hlat)) * cos(radians(lat))
+                     * sin(radians((lon - hlon) / 2))
+                     * sin(radians((lon - hlon) / 2)))), 3) AS km
+          FROM pts CROSS JOIN hubs),
+        r AS (SELECT hub_id, c_custkey, km,
+                     row_number() OVER (PARTITION BY hub_id
+                       ORDER BY km, c_custkey) AS rank
+              FROM d)
+        SELECT hub_id, rank, c_custkey, km
+        FROM r WHERE rank <= 3 ORDER BY hub_id, rank""")
+    }),
+
+    // CORRELATED SUBQUERY DECORRELATION — EXISTS, NOT EXISTS, and a
+    // correlated scalar aggregate in one query, the surface Catalyst
+    // must rewrite into joins (RewritePredicateSubquery → semi/anti;
+    // scalar → aggregate + left outer) because a tuple-at-a-time
+    // evaluation is O(customers × orders) at scale. The three
+    // subqueries all correlate on custkey, so the physical plan is
+    // three key-partitioned joins off ONE orders scan lineage — the
+    // decorrelated shape is what makes this runnable at 100 TB.
+    // Exact cents everywhere; per-nation rollup.
+    "q388_correlated_exists" -> ((s, d) => {
+      graft.Tables.view(s, d, "customer", "orders", "nation")
+      s.sql("""
+        WITH base AS (
+          SELECT c_custkey, c_nationkey,
+                 (SELECT CAST(max(CAST(o_totalprice AS DECIMAL(14,2))
+                              * 100) AS BIGINT)
+                  FROM orders o WHERE o.o_custkey = c.c_custkey)
+                   AS max_cents
+          FROM customer c),
+        whale AS (SELECT c_custkey FROM customer c
+                  WHERE EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_totalprice > 400000)),
+        nosmall AS (SELECT c_custkey FROM customer c
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_custkey = c.c_custkey
+                                        AND o.o_totalprice < 20000))
+        SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(count(w.c_custkey) AS BIGINT) AS n_whales,
+               CAST(count(ns.c_custkey) AS BIGINT) AS n_never_small,
+               CAST(sum(coalesce(max_cents, 0)) AS BIGINT)
+                 AS sum_max_cents
+        FROM base b JOIN nation ON b.c_nationkey = n_nationkey
+        LEFT JOIN whale w ON w.c_custkey = b.c_custkey
+        LEFT JOIN nosmall ns ON ns.c_custkey = b.c_custkey
+        GROUP BY n_name ORDER BY n_name""")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -4844,5 +4988,117 @@ object Relational {
            (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM edges)
              - CAST(count(*) AS BIGINT) AS n_components
          FROM wmin""",
+
+    // q385: identical difference-trick text.
+    "q385_order_streaks" ->
+      """WITH m AS (SELECT DISTINCT o_custkey,
+                      year(o_orderdate) * 12 + month(o_orderdate)
+                        AS mo
+                    FROM orders),
+         g AS (SELECT o_custkey, mo,
+                 mo - dense_rank() OVER (PARTITION BY o_custkey
+                                         ORDER BY mo) AS grp
+               FROM m),
+         runs AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS len
+                  FROM g GROUP BY o_custkey, grp),
+         best AS (SELECT o_custkey, max(len) AS best_streak
+                  FROM runs GROUP BY o_custkey)
+         SELECT best_streak, CAST(count(*) AS BIGINT) AS n_customers
+         FROM best GROUP BY 1 ORDER BY 1""",
+
+    // q386: |∩| via a positional three-way join, |∪| by
+    // inclusion–exclusion — no array types on the oracle side.
+    "q386_basket_jaccard" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+         sizes AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+                   FROM items GROUP BY 1),
+         -- rank only orders WITH baskets: the Spark side inner-joins
+         -- baskets before the lag, so basket-less orders neither pair
+         -- nor break adjacency.
+         ord AS (SELECT o_orderkey, o_custkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS rn
+                 FROM orders
+                 JOIN sizes ON o_orderkey = l_orderkey),
+         pairs AS (SELECT a.o_orderkey AS ka, b.o_orderkey AS kb
+                   FROM ord a JOIN ord b
+                     ON a.o_custkey = b.o_custkey
+                      AND b.rn = a.rn + 1),
+         inter AS (SELECT p.ka, p.kb, CAST(count(*) AS BIGINT) AS i
+                   FROM pairs p
+                   JOIN items x ON x.l_orderkey = p.ka
+                   JOIN items y ON y.l_orderkey = p.kb
+                     AND y.l_partkey = x.l_partkey
+                   GROUP BY 1, 2),
+         j AS (SELECT p.ka, coalesce(i.i, 0) AS i,
+                      sa.c + sb.c - coalesce(i.i, 0) AS u
+               FROM pairs p
+               JOIN sizes sa ON sa.l_orderkey = p.ka
+               JOIN sizes sb ON sb.l_orderkey = p.kb
+               LEFT JOIN inter i ON i.ka = p.ka AND i.kb = p.kb)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                round(avg(CAST(i AS DOUBLE) / u), 6) AS avg_jaccard,
+                CAST(count_if(i = 0) AS BIGINT) AS n_disjoint,
+                CAST(sum(i) AS BIGINT) AS sum_overlap
+         FROM j""",
+
+    // q387: same half-angle haversine; only the md5-hex and double-
+    // literal spellings differ by dialect.
+    "q387_haversine_knn" ->
+      """WITH pts AS (
+           SELECT c_custkey,
+                  CAST(('0x' || substr(md5('lat#' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 1400000 / 10000.0 - 70 AS lat,
+                  CAST(('0x' || substr(md5('lon#' ||
+                    CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 3600000 / 10000.0 - 180 AS lon
+           FROM customer),
+         hubs(hub_id, hlat, hlon) AS (VALUES
+           (1, 40.7, -74.0), (2, 51.5, -0.1), (3, 35.7, 139.7),
+           (4, -33.9, 151.2), (5, 19.4, -99.1)),
+         d AS (
+           SELECT hub_id, c_custkey,
+                  round(2 * 6371.0 * asin(sqrt(
+                    sin(radians((lat - hlat) / 2))
+                      * sin(radians((lat - hlat) / 2))
+                    + cos(radians(hlat)) * cos(radians(lat))
+                      * sin(radians((lon - hlon) / 2))
+                      * sin(radians((lon - hlon) / 2)))), 3) AS km
+           FROM pts CROSS JOIN hubs),
+         r AS (SELECT hub_id, c_custkey, km,
+                      row_number() OVER (PARTITION BY hub_id
+                        ORDER BY km, c_custkey) AS rank
+               FROM d)
+         SELECT hub_id, rank, c_custkey, km
+         FROM r WHERE rank <= 3 ORDER BY hub_id, rank""",
+
+    // q388: identical decorrelation-shaped text.
+    "q388_correlated_exists" ->
+      """WITH base AS (
+           SELECT c_custkey, c_nationkey,
+                  (SELECT CAST(max(CAST(o_totalprice AS DECIMAL(14,2))
+                               * 100) AS BIGINT)
+                   FROM orders o WHERE o.o_custkey = c.c_custkey)
+                    AS max_cents
+           FROM customer c),
+         whale AS (SELECT c_custkey FROM customer c
+                   WHERE EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_totalprice > 400000)),
+         nosmall AS (SELECT c_custkey FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_custkey = c.c_custkey
+                                         AND o.o_totalprice < 20000))
+         SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+                CAST(count(w.c_custkey) AS BIGINT) AS n_whales,
+                CAST(count(ns.c_custkey) AS BIGINT) AS n_never_small,
+                CAST(sum(coalesce(max_cents, 0)) AS BIGINT)
+                  AS sum_max_cents
+         FROM base b JOIN nation ON b.c_nationkey = n_nationkey
+         LEFT JOIN whale w ON w.c_custkey = b.c_custkey
+         LEFT JOIN nosmall ns ON ns.c_custkey = b.c_custkey
+         GROUP BY n_name ORDER BY n_name""",
   )
 }
