@@ -2516,28 +2516,31 @@ object EventOps {
     // final /24 is floating. Efficiency axiom holds by construction:
     // Σφ = v(full) − v(∅) = conversions with ≥1 prior touch.
     "q374_shapley_attribution" -> ((s, d) => {
-      graft.Tables.view(s, d, "events")
+      // ONE corpus scan: the first-purchase timestamp is a per-user
+      // window (no self-join), and the mask-count frame (≤ 16 rows)
+      // is checkpointed before the lattice SQL references it twice —
+      // CTE inlining would otherwise re-derive the corpus rollup
+      // once per v-table reference.
+      val wu = Window.partitionBy("user_id")
+      ld(s, d, "events").select("user_id", "ts", "event_type")
+        .withColumn("fpts",
+          min(when(col("event_type") === "purchase", col("ts")))
+            .over(wu))
+        .groupBy("user_id")
+        .agg(
+          coalesce(expr("bit_or(CASE WHEN event_type <> 'purchase'" +
+            " AND (fpts IS NULL OR ts < fpts)" +
+            " THEN CASE event_type" +
+            " WHEN 'click' THEN 1 WHEN 'error' THEN 2" +
+            " WHEN 'signup' THEN 4 WHEN 'view' THEN 8" +
+            " END END)"), lit(0)).cast("long").as("mask"),
+          max(when(col("fpts").isNotNull, 1).otherwise(0)).as("conv"))
+        .groupBy("mask")
+        .agg(expr("CAST(count_if(conv = 1) AS BIGINT)").as("n_conv"))
+        .localCheckpoint()
+        .createOrReplaceTempView("shapley_mask_counts")
       s.sql("""
-        WITH fp AS (
-          SELECT user_id,
-                 min(CASE WHEN event_type = 'purchase' THEN ts END)
-                   AS fpts
-          FROM events GROUP BY user_id),
-        ch AS (
-          SELECT e.user_id,
-                 CAST(coalesce(bit_or(
-                   CASE WHEN e.event_type <> 'purchase'
-                         AND (f.fpts IS NULL OR e.ts < f.fpts)
-                        THEN CASE e.event_type
-                             WHEN 'click' THEN 1 WHEN 'error' THEN 2
-                             WHEN 'signup' THEN 4 WHEN 'view' THEN 8
-                             END END), 0) AS BIGINT) AS mask,
-                 max(CASE WHEN f.fpts IS NOT NULL THEN 1 ELSE 0 END)
-                   AS conv
-          FROM events e JOIN fp f ON e.user_id = f.user_id
-          GROUP BY e.user_id),
-        mc AS (SELECT mask, CAST(count_if(conv = 1) AS BIGINT) AS n_conv
-               FROM ch GROUP BY mask),
+        WITH mc AS (SELECT mask, n_conv FROM shapley_mask_counts),
         subsets AS (SELECT CAST(id AS BIGINT) AS s FROM range(0, 16)),
         v AS (SELECT s, CAST(coalesce(sum(n_conv), 0) AS BIGINT) AS v
               FROM subsets LEFT JOIN mc ON (mask & s) = mask

@@ -3065,10 +3065,15 @@ object PipelineOps {
     // all transcendental work on ≤ ~100 cells, rounded at 1e-6 (the
     // q361 libm stance).
     "q377_mutual_information" -> ((s, d) => {
-      graft.Tables.view(s, d, "documents")
+      // The contingency frame is checkpointed ONCE — CTE inlining
+      // would re-run the corpus rollup for each marginal (4 scans).
+      ld(s, d, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).cast("long").as("c"))
+        .localCheckpoint()
+        .createOrReplaceTempView("mi_cells")
       s.sql("""
-        WITH j AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
-                   FROM documents GROUP BY 1, 2),
+        WITH j AS (SELECT lang, source, c FROM mi_cells),
         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
         mx AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cx
                FROM j GROUP BY 1),

@@ -2749,22 +2749,26 @@ object Relational {
     // filter is the standard lev lower bound, applied before the
     // O(n·m) kernel runs.
     "q373_levenshtein_block" -> ((s, d) => {
-      graft.Tables.view(s, d, "part")
-      s.sql("""
-        WITH names AS (
-          SELECT p_name, split_part(p_name, ' ', 2) AS noun,
-                 CAST(count(*) AS BIGINT) AS n_parts
-          FROM part GROUP BY 1, 2),
-        pairs AS (
-          SELECT a.p_name AS name_a, b.p_name AS name_b,
-                 CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
-                 a.n_parts AS parts_a, b.n_parts AS parts_b
-          FROM names a JOIN names b
-            ON a.noun = b.noun AND a.p_name < b.p_name
-          WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
-            AND levenshtein(a.p_name, b.p_name) <= 2)
-        SELECT name_a, name_b, dist, parts_a, parts_b
-        FROM pairs ORDER BY name_a, name_b""")
+      // The dictionary is built ONCE and checkpointed — a CTE self-join
+      // would inline the rollup twice (two corpus scans).
+      val names = ld(s, d, "part")
+        .groupBy(col("p_name"),
+          expr("split_part(p_name, ' ', 2)").as("noun"))
+        .agg(count(lit(1)).as("n_parts"))
+        .localCheckpoint()
+      val a = names.select(col("p_name").as("name_a"), col("noun"),
+        col("n_parts").as("parts_a"))
+      val b = names.select(col("p_name").as("name_b"),
+        col("noun").as("noun_b"), col("n_parts").as("parts_b"))
+      a.join(b, col("noun") === col("noun_b") &&
+          col("name_a") < col("name_b"))
+        .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2
+          && levenshtein(col("name_a"), col("name_b")) <= 2)
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long")
+            .as("dist"),
+          col("parts_a"), col("parts_b"))
+        .orderBy("name_a", "name_b")
     }),
 
     // CDC NET-EFFECT COMPACTION — collapse an ordered I/U/D change
@@ -2878,38 +2882,41 @@ object Relational {
     // never an all-pairs interval test. DISTINCT collapses pairs
     // found in two shared buckets; everything is integer seconds.
     "q378_occ_conflicts" -> ((s, d) => {
-      graft.Tables.view(s, d, "orders")
-      s.sql("""
-        WITH txn AS (
-          SELECT o_orderkey AS tid, o_custkey % 500 AS lock,
-                 unix_timestamp(o_orderdate) AS st,
-                 unix_timestamp(o_orderdate) + 3600 *
-                   (1 + CAST(conv(substr(md5(concat('d#',
-                     CAST(o_orderkey AS STRING))), 1, 4), 16, 10)
-                     AS BIGINT) % 72) AS en
-          FROM orders),
-        b AS (SELECT tid, lock, st, en, st DIV 259200 AS b0,
-                     en DIV 259200 AS b1 FROM txn),
-        ex AS (SELECT tid, lock, st, en,
-                      explode(sequence(b0, b1)) AS bk FROM b),
-        cand AS (
-          SELECT a.tid AS ta, x.tid AS tb, a.lock AS lock,
-                 a.st AS sa, a.en AS ea, x.st AS sb, x.en AS eb
-          FROM ex a JOIN ex x
-            ON a.lock = x.lock AND a.bk = x.bk AND a.tid < x.tid),
-        dist AS (SELECT DISTINCT ta, tb, lock, sa, ea, sb, eb
-                 FROM cand),
-        conf AS (SELECT *, (sa < eb AND sb < ea) AS overlap
-                 FROM dist),
-        aborted AS (SELECT DISTINCT CASE WHEN ea >= eb THEN ta
-                           ELSE tb END AS t
-                    FROM conf WHERE overlap)
-        SELECT (SELECT CAST(count(*) AS BIGINT) FROM txn) AS n_txns,
-               CAST(count(*) AS BIGINT) AS n_candidate_pairs,
-               CAST(count_if(overlap) AS BIGINT) AS n_conflicts,
-               (SELECT CAST(count(*) AS BIGINT) FROM aborted)
-                 AS n_aborted_txns
-        FROM conf""")
+      // The banded-explode frame is checkpointed ONCE and self-joined —
+      // a CTE self-join would inline the scan + explode twice; the
+      // conflict frame (475 rows at sf0.01) is checkpointed because
+      // three aggregates branch off it.
+      val ex = ld(s, d, "orders").selectExpr(
+          "o_orderkey AS tid", "o_custkey % 500 AS lock",
+          "unix_timestamp(o_orderdate) AS st",
+          "unix_timestamp(o_orderdate) + 3600 * (1 + CAST(conv(" +
+            "substr(md5(concat('d#', CAST(o_orderkey AS STRING)))," +
+            " 1, 4), 16, 10) AS BIGINT) % 72) AS en")
+        .selectExpr("tid", "lock", "st", "en",
+          "explode(sequence(st DIV 259200, en DIV 259200)) AS bk")
+        .localCheckpoint()
+      val a = ex.select(col("tid").as("ta"), col("lock"), col("bk"),
+        col("st").as("sa"), col("en").as("ea"))
+      val x = ex.select(col("tid").as("tb"),
+        col("lock").as("lock_x"), col("bk").as("bk_x"),
+        col("st").as("sb"), col("en").as("eb"))
+      val conf = a.join(x, col("lock") === col("lock_x") &&
+          col("bk") === col("bk_x") && col("ta") < col("tb"))
+        .select("ta", "tb", "lock", "sa", "ea", "sb", "eb").distinct()
+        .withColumn("overlap", col("sa") < col("eb") &&
+          col("sb") < col("ea"))
+        .localCheckpoint()
+      val nTx = ex.select("tid").distinct()
+        .agg(count(lit(1)).as("n_txns"))
+      val nAborted = conf.filter(col("overlap"))
+        .select(when(col("ea") >= col("eb"), col("ta"))
+          .otherwise(col("tb")).as("t")).distinct()
+        .agg(count(lit(1)).as("n_aborted_txns"))
+      conf.agg(count(lit(1)).as("n_candidate_pairs"),
+          expr("count_if(overlap)").as("n_conflicts"))
+        .crossJoin(broadcast(nTx)).crossJoin(broadcast(nAborted))
+        .select("n_txns", "n_candidate_pairs", "n_conflicts",
+          "n_aborted_txns")
     }),
 
     // REGR_* AGGREGATE FAMILY — the ANSI bivariate-regression
@@ -2956,14 +2963,15 @@ object Relational {
               WHERE l_linestatus = 'F'),
         ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
         ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
-        SELECT
-          (SELECT CAST(count(*) AS BIGINT) FROM ia)
-            AS n_intersect_all,
-          (SELECT CAST(sum(k) AS BIGINT) FROM ia)
-            AS sum_intersect_all,
-          (SELECT CAST(count(*) AS BIGINT) FROM ea) AS n_except_all,
-          (SELECT CAST(sum(k) AS BIGINT) FROM ea)
-            AS sum_except_all""")
+        SELECT i.n_intersect_all, i.sum_intersect_all,
+               e.n_except_all, e.sum_except_all
+        FROM (SELECT CAST(count(*) AS BIGINT) AS n_intersect_all,
+                     CAST(sum(k) AS BIGINT) AS sum_intersect_all
+              FROM ia) i
+        CROSS JOIN
+             (SELECT CAST(count(*) AS BIGINT) AS n_except_all,
+                     CAST(sum(k) AS BIGINT) AS sum_except_all
+              FROM ea) e""")
     }),
 
     // MAP HIGHER-ORDER FUNCTIONS — the MapType transformation
@@ -3041,33 +3049,35 @@ object Relational {
     // loop). One pass over the q371 edge frame; everything after is
     // node-sized.
     "q384_boruvka_phase" -> ((s, d) => {
-      graft.Tables.view(s, d, "lineitem")
-      s.sql("""
-        WITH pairs AS (
-          SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q,
-                 CAST(min(l_quantity) AS BIGINT) AS w
-          FROM lineitem GROUP BY 1, 2),
-        edges AS (
-          SELECT p AS src, q AS dst, w FROM pairs
-          UNION ALL SELECT q, p, w FROM pairs),
-        pick AS (
-          SELECT src, min_by(dst, w * 100000000 + dst) AS dst
-          FROM edges GROUP BY src),
-        norm AS (
-          SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-          FROM pick),
-        wmin AS (
-          SELECT n.u, n.v, min(e.w) AS w
-          FROM norm n JOIN edges e ON e.src = n.u AND e.dst = n.v
-          GROUP BY n.u, n.v)
-        SELECT
-          (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM edges)
-            AS n_nodes,
-          CAST(count(*) AS BIGINT) AS n_forest_edges,
-          CAST(sum(w) AS BIGINT) AS forest_weight,
-          (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM edges)
-            - CAST(count(*) AS BIGINT) AS n_components
-        FROM wmin""")
+      // Edge frame checkpointed once (the q371 recipe): pick, the
+      // weight re-join, and the node census all branch off it — CTE
+      // inlining would re-derive the corpus rollup four times.
+      val pairs = ld(s, d, "lineitem")
+        .groupBy((col("l_partkey") * 2).as("p"),
+          (col("l_suppkey") * 2 + 1).as("q"))
+        .agg(min("l_quantity").cast("long").as("w"))
+      val edges = pairs.select(col("p").as("src"), col("q").as("dst"),
+          col("w"))
+        .unionAll(pairs.select(col("q").as("src"), col("p").as("dst"),
+          col("w")))
+        .localCheckpoint()
+      val pick = edges.groupBy("src")
+        .agg(expr("min_by(dst, w * 100000000 + dst)").as("dst"))
+      val norm = pick
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      val wmin = norm.join(edges,
+          col("u") === col("src") && col("v") === col("dst"))
+        .groupBy("u", "v").agg(min("w").as("w"))
+      val nNodes = edges.select("src").distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      wmin.agg(count(lit(1)).as("n_forest_edges"),
+          sum("w").cast("long").as("forest_weight"))
+        .crossJoin(broadcast(nNodes))
+        .select(col("n_nodes"), col("n_forest_edges"),
+          col("forest_weight"),
+          (col("n_nodes") - col("n_forest_edges")).as("n_components"))
     }),
 
     // GAPS & ISLANDS — longest consecutive-month purchase streak per

@@ -2431,4 +2431,188 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), "offsets must broadcast")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q369: Kaplan–Meier — one corpus scan; the survival windows run " +
+    "on the lifetime-bucket frame, never a join") {
+    val p = plan("q369_kaplan_meier")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q370: SPRT — one scan, ONE exchange into the ordered walk " +
+    "(a sequential test is a total order by definition), no join") {
+    val p = plan("q370_sprt_ab")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Exchange\s*""")) == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q371: Bellman–Ford — relaxation rounds join node-sized frames " +
+    "against the checkpointed edge frame; never a cartesian product") {
+    val p = plan("q371_bellman_ford")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Join"), "the final reachability left join")
+  }
+
+  test("q372: point-in-polygon — the 5-edge literal polygon is the " +
+    "broadcast side of the only product; one corpus scan") {
+    val p = plan("q372_point_in_polygon")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LocalTableScan"))
+  }
+
+  test("q373: levenshtein block — the name dictionary is checkpointed " +
+    "once (no parquet rescan); blocked matching is an equi-join") {
+    val p = plan("q373_levenshtein_block")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0,
+      "dictionary must come from the checkpoint, not a rescan")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q374: Shapley — the whole lattice runs off the checkpointed " +
+    "16-row mask frame; no corpus rescan, containment joins are " +
+    "lattice-sized broadcasts") {
+    val p = plan("q374_shapley_attribution")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "mask ⊆ S containment join over broadcast-sized frames")
+    assert(p.contains("LocalTableScan"), "literal channel table")
+  }
+
+  test("q375: CDC net effect — one key-shuffled fold (min_by/max_by " +
+    "on the composite seq), no window pass, no join") {
+    val p = plan("q375_cdc_net_effect")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("Join"))
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""),
+      "per-key fold must be an aggregate, not a window sort")
+  }
+
+  test("q376: Qini — hash-derived deciles need no global sort; the " +
+    "cumulative walk is one window over the 10-row decile frame") {
+    val p = plan("q376_uplift_qini")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Window\s*""")) == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q377: mutual information — marginals derive from the " +
+    "checkpointed contingency frame (no corpus rescan); joins are " +
+    "cell-frame broadcasts") {
+    val p = plan("q377_mutual_information")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q378: OCC conflicts — the banded-explode frame is checkpointed " +
+    "once and self-joined on (lock, bucket); no cartesian interval test") {
+    val p = plan("q378_occ_conflicts")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q379: parse_url — extraction is per-row projection; one scan, " +
+    "partial+final rollup, no join") {
+    val p = plan("q379_parse_url")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q380: regr family — one partial+final aggregate pass, no join") {
+    val p = plan("q380_regr_aggregates")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) HashAggregate\s*""")) == 2)
+    assert(!p.contains("Join"))
+  }
+
+  test("q381: bag set ops — INTERSECT/EXCEPT ALL plan through the " +
+    "replicate_rows generator (count-join + re-expansion), the real " +
+    "bag-semantics machinery; two scans per multiset") {
+    val p = plan("q381_bag_set_ops")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 4)
+    assert(p.contains("replicaterows") || p.contains("Generate"),
+      "bag semantics must re-expand multiplicities, not dedup")
+  }
+
+  test("q382: map HOFs — collect_list aggregates are object-hash " +
+    "(no sort-based fallback); one corpus scan; explode back to rows") {
+    val p = plan("q382_map_hof")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.contains("ObjectHashAggregate"))
+    assert(p.matches("""(?s).*\(\d+\) Generate.*"""))
+  }
+
+  test("q383: rolling regr — the trailing window runs on the " +
+    "checkpointed weekly frame, partitioned by priority") {
+    val p = plan("q383_rolling_regr")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0,
+      "weekly revenue comes from the shared checkpoint")
+    assert(p.contains("hashpartitioning(grp"),
+      "window must partition by priority, not run single-partition")
+  }
+
+  test("q384: Borůvka — pick, weight re-join, and node census all " +
+    "branch off the checkpointed edge frame; no corpus rescan") {
+    val p = plan("q384_boruvka_phase")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q385: order streaks — one scan; the difference-trick window " +
+    "partitions by customer") {
+    val p = plan("q385_order_streaks")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.contains("hashpartitioning(o_custkey"),
+      "the dense_rank window must partition by customer")
+    assert(!p.contains("Join"))
+  }
+
+  test("q386: basket jaccard — two scans (items + orders), the lag " +
+    "window partitions by customer, baskets collect via object hash") {
+    val p = plan("q386_basket_jaccard")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 2)
+    assert(p.contains("ObjectHashAggregate"), "collect_set baskets")
+    assert(p.contains("hashpartitioning(o_custkey"))
+  }
+
+  test("q387: haversine kNN — hubs are the broadcast side of the only " +
+    "product; per-hub top-k, one corpus scan") {
+    val p = plan("q387_haversine_knn")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("hashpartitioning(hub_id"),
+      "rank window partitions per hub")
+  }
+
+  test("q388: correlated subqueries — Catalyst decorrelates EXISTS / " +
+    "NOT EXISTS into semi/anti joins (never tuple-at-a-time), scalar " +
+    "agg into an outer join") {
+    val p = plan("q388_correlated_exists")
+    assert(p.contains("LeftSemi"), "EXISTS must become a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must become an anti join")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
