@@ -3223,6 +3223,164 @@ object Relational {
         LEFT JOIN nosmall ns ON ns.c_custkey = b.c_custkey
         GROUP BY n_name ORDER BY n_name""")
     }),
+
+    // BITEMPORAL SNAPSHOT AUDIT — the two-axis version question SCD2
+    // (q130) and PIT lookup (q145) can't answer: "what did we BELIEVE
+    // on Feb 1 about the state valid on Jan 1, and how did that
+    // belief change by Jun 1?" Versions carry valid_from (when true)
+    // AND tx_from (when recorded, md5-derived ≤ 180-day lag); each
+    // snapshot is an argmax over valid time among versions RECORDED
+    // by the transaction horizon. Both snapshots are FILTERed max_by
+    // aggregates on ONE composite BIGINT key in ONE grouped pass —
+    // no window, no self-join, and moving the transaction horizon is
+    // a filter change, not a recompute. n_late_revisions counts parts
+    // whose Jan-1 truth was revised by late-arriving data — the
+    // number that justifies bitemporal bookkeeping at all.
+    "q389_bitemporal_audit" -> ((s, d) => {
+      graft.Tables.view(s, d, "lineitem")
+      s.sql("""
+        WITH v AS (
+          SELECT l_partkey AS pk,
+                 unix_timestamp(l_shipdate) AS valid_from,
+                 unix_timestamp(l_shipdate) + 86400 *
+                   (CAST(conv(substr(md5(concat('tx#',
+                      CAST(l_orderkey AS STRING), '#',
+                      CAST(l_linenumber AS STRING))), 1, 4), 16, 10)
+                      AS BIGINT) % 180) AS tx_from,
+                 CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT) AS cents,
+                 l_orderkey * 10 + l_linenumber AS vid
+          FROM lineitem),
+        snap AS (
+          SELECT pk,
+                 max_by(cents, valid_from * 10000000 + vid % 10000000)
+                   FILTER (WHERE valid_from <=
+                       unix_timestamp(TIMESTAMP '1998-01-01')
+                     AND tx_from <=
+                       unix_timestamp(TIMESTAMP '1998-02-01'))
+                   AS cents_t1,
+                 max_by(cents, valid_from * 10000000 + vid % 10000000)
+                   FILTER (WHERE valid_from <=
+                       unix_timestamp(TIMESTAMP '1998-01-01')
+                     AND tx_from <=
+                       unix_timestamp(TIMESTAMP '1998-06-01'))
+                   AS cents_t2
+          FROM v GROUP BY pk)
+        SELECT CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(count(cents_t1) AS BIGINT) AS n_known_t1,
+               CAST(count(cents_t2) AS BIGINT) AS n_known_t2,
+               CAST(sum(coalesce(cents_t2, 0)) AS BIGINT)
+                 AS snapshot_cents,
+               CAST(count_if(NOT (cents_t1 <=> cents_t2)) AS BIGINT)
+                 AS n_late_revisions
+        FROM snap""")
+    }),
+
+    // WEIGHTED MEDIAN — the survey-statistics quantile q141/q278
+    // don't cover: the median priced UNIT (weight = quantity), not
+    // the median line item — a fleet-pricing / cost-of-goods number
+    // where heavy lines must count by volume. Exact integer
+    // algorithm: collapse to (group, cents) cells with summed
+    // weights, one cumulative window per group ordered by cents, and
+    // the answer is the first cents where 2·cum ≥ total (type-1
+    // weighted quantile — no interpolation, no doubles anywhere).
+    // The window runs on the distinct-price cell frame, partitioned
+    // by group.
+    "q390_weighted_median" -> ((s, d) => {
+      graft.Tables.view(s, d, "lineitem")
+      s.sql("""
+        WITH g AS (
+          SELECT l_returnflag AS flag,
+                 CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT) AS cents,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+          FROM lineitem GROUP BY 1, 2),
+        c AS (
+          SELECT flag, cents, wt,
+                 CAST(sum(wt) OVER (PARTITION BY flag ORDER BY cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum,
+                 CAST(sum(wt) OVER (PARTITION BY flag) AS BIGINT)
+                   AS tot
+          FROM g)
+        SELECT flag, CAST(min(tot) AS BIGINT) AS total_weight,
+               CAST(min(CASE WHEN 2 * cum >= tot THEN cents END)
+                    AS BIGINT) AS weighted_median_cents
+        FROM c GROUP BY flag ORDER BY flag""")
+    }),
+
+    // ABC CLASSIFICATION — the 80/95 cumulative-revenue-share split
+    // behind inventory tiering (the single-axis sibling of q260's
+    // Pareto frontier): parts ranked by revenue, classified by where
+    // their INCLUSIVE cumulative share lands. Class boundaries are
+    // integer cross-multiplications (cum·100 ≤ tot·80) — no share
+    // division until the final basis-point report, which uses the
+    // q261 half-up integer idiom. The global ordered window runs on
+    // the |parts| rollup (dim-sized), not the corpus; ties break by
+    // part key so both engines rank identically.
+    "q391_abc_classification" -> ((s, d) => {
+      graft.Tables.view(s, d, "lineitem")
+      s.sql("""
+        WITH rev AS (
+          SELECT l_partkey AS pk,
+                 CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2))
+                      * 100 AS BIGINT)) AS BIGINT) AS cents
+          FROM lineitem GROUP BY 1),
+        c AS (
+          SELECT pk, cents,
+                 CAST(sum(cents) OVER (ORDER BY cents DESC, pk
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum,
+                 CAST(sum(cents) OVER () AS BIGINT) AS tot
+          FROM rev),
+        cls AS (
+          SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                      WHEN cum * 100 <= tot * 95 THEN 'B'
+                      ELSE 'C' END AS abc,
+                 cents, tot FROM c)
+        SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(cents) AS BIGINT) AS class_cents,
+               CAST((2 * sum(cents) * 10000 + min(tot))
+                    DIV (2 * min(tot)) AS BIGINT) AS share_bp
+        FROM cls GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // DUPLICATE-CHARGE DETECTION — the billing-fraud audit: same
+    // customer, same exact amount, charged twice within two days.
+    // Ground truth is INJECTED (the q356 synthesize-then-detect
+    // recipe): 1-in-97 orders get a clone a day later, and the
+    // detector must find exactly that plant. The blocking insight:
+    // (customer, exact cents) equality IS the block — the join is a
+    // plain equi-join whose candidate set is near-empty on clean
+    // data (real float prices almost never collide), so no banding
+    // is needed and the date filter runs on a tiny frame. The charge
+    // log is checkpointed once and self-joined.
+    "q392_duplicate_charges" -> ((s, d) => {
+      val base = ld(s, d, "orders").selectExpr(
+        "o_orderkey AS ok", "o_custkey AS ck",
+        "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)" +
+          " AS cents",
+        "unix_timestamp(o_orderdate) DIV 86400 AS day")
+      val log = base.unionAll(base.filter(col("ok") % 97 === 0)
+          .select((col("ok") * 1000000 + 1).as("ok"), col("ck"),
+            col("cents"), (col("day") + 1).as("day")))
+        .localCheckpoint()
+      val a = log.select(col("ck"), col("cents"),
+        col("ok").as("ok_a"), col("day").as("day_a"))
+      val b = log.select(col("ck").as("ck_b"),
+        col("cents").as("cents_b"), col("ok").as("ok_b"),
+        col("day").as("day_b"))
+      val p = a.join(b, col("ck") === col("ck_b") &&
+          col("cents") === col("cents_b") &&
+          col("ok_a") < col("ok_b"))
+        .filter(abs(col("day_a") - col("day_b")) <= 2)
+      val nCh = log.agg(count(lit(1)).as("n_charges"))
+      p.agg(count(lit(1)).as("n_pairs"),
+          countDistinct("ck").as("n_customers"),
+          sum("cents").cast("long").as("dup_cents"))
+        .crossJoin(broadcast(nCh))
+        .select("n_pairs", "n_customers", "dup_cents", "n_charges")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -5110,5 +5268,119 @@ object Relational {
          LEFT JOIN whale w ON w.c_custkey = b.c_custkey
          LEFT JOIN nosmall ns ON ns.c_custkey = b.c_custkey
          GROUP BY n_name ORDER BY n_name""",
+
+    // q389: IS DISTINCT FROM is DuckDB's spelling of Spark's
+    // NOT (a <=> b); everything else is the same integer argmax.
+    "q389_bitemporal_audit" ->
+      """WITH v AS (
+           SELECT l_partkey AS pk,
+                  CAST(epoch(l_shipdate) AS BIGINT) AS valid_from,
+                  CAST(epoch(l_shipdate) AS BIGINT) + 86400 *
+                    (CAST(('0x' || substr(md5('tx#' ||
+                       CAST(l_orderkey AS VARCHAR) || '#' ||
+                       CAST(l_linenumber AS VARCHAR)), 1, 4))
+                       AS BIGINT) % 180) AS tx_from,
+                  CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                       AS BIGINT) AS cents,
+                  l_orderkey * 10 + l_linenumber AS vid
+           FROM lineitem),
+         snap AS (
+           SELECT pk,
+                  max_by(cents, valid_from * 10000000
+                                + vid % 10000000)
+                    FILTER (WHERE valid_from <=
+                        CAST(epoch(TIMESTAMP '1998-01-01') AS BIGINT)
+                      AND tx_from <=
+                        CAST(epoch(TIMESTAMP '1998-02-01') AS BIGINT))
+                    AS cents_t1,
+                  max_by(cents, valid_from * 10000000
+                                + vid % 10000000)
+                    FILTER (WHERE valid_from <=
+                        CAST(epoch(TIMESTAMP '1998-01-01') AS BIGINT)
+                      AND tx_from <=
+                        CAST(epoch(TIMESTAMP '1998-06-01') AS BIGINT))
+                    AS cents_t2
+           FROM v GROUP BY pk)
+         SELECT CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(count(cents_t1) AS BIGINT) AS n_known_t1,
+                CAST(count(cents_t2) AS BIGINT) AS n_known_t2,
+                CAST(sum(coalesce(cents_t2, 0)) AS BIGINT)
+                  AS snapshot_cents,
+                CAST(count_if(cents_t1 IS DISTINCT FROM cents_t2)
+                     AS BIGINT) AS n_late_revisions
+         FROM snap""",
+
+    // q390: identical exact type-1 weighted quantile.
+    "q390_weighted_median" ->
+      """WITH g AS (
+           SELECT l_returnflag AS flag,
+                  CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                       AS BIGINT) AS cents,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                    AS wt
+           FROM lineitem GROUP BY 1, 2),
+         c AS (
+           SELECT flag, cents, wt,
+                  CAST(sum(wt) OVER (PARTITION BY flag ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cum,
+                  CAST(sum(wt) OVER (PARTITION BY flag) AS BIGINT)
+                    AS tot
+           FROM g)
+         SELECT flag, CAST(min(tot) AS BIGINT) AS total_weight,
+                CAST(min(CASE WHEN 2 * cum >= tot THEN cents END)
+                     AS BIGINT) AS weighted_median_cents
+         FROM c GROUP BY flag ORDER BY flag""",
+
+    // q391: identical integer class boundaries.
+    "q391_abc_classification" ->
+      """WITH rev AS (
+           SELECT l_partkey AS pk,
+                  CAST(sum(CAST(CAST(l_extendedprice
+                       AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM lineitem GROUP BY 1),
+         c AS (
+           SELECT pk, cents,
+                  CAST(sum(cents) OVER (ORDER BY cents DESC, pk
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS cum,
+                  CAST(sum(cents) OVER () AS BIGINT) AS tot
+           FROM rev),
+         cls AS (
+           SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                       WHEN cum * 100 <= tot * 95 THEN 'B'
+                       ELSE 'C' END AS abc,
+                  cents, tot FROM c)
+         SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+                CAST(sum(cents) AS BIGINT) AS class_cents,
+                CAST((2 * sum(cents) * 10000 + min(tot))
+                     // (2 * min(tot)) AS BIGINT) AS share_bp
+         FROM cls GROUP BY 1 ORDER BY 1""",
+
+    // q392: same injected clones, same equi-block join.
+    "q392_duplicate_charges" ->
+      """WITH base AS (
+           SELECT o_orderkey AS ok, o_custkey AS ck,
+                  CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                       AS BIGINT) AS cents,
+                  CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day
+           FROM orders),
+         log AS (
+           SELECT ok, ck, cents, day FROM base
+           UNION ALL
+           SELECT ok * 1000000 + 1, ck, cents, day + 1 FROM base
+           WHERE ok % 97 = 0),
+         p AS (
+           SELECT a.ck, a.cents
+           FROM log a JOIN log b
+             ON a.ck = b.ck AND a.cents = b.cents AND a.ok < b.ok
+           WHERE abs(a.day - b.day) <= 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(count(DISTINCT ck) AS BIGINT) AS n_customers,
+                CAST(sum(cents) AS BIGINT) AS dup_cents,
+                (SELECT CAST(count(*) AS BIGINT) FROM log)
+                  AS n_charges
+         FROM p""",
   )
 }
