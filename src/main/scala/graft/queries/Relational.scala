@@ -3381,6 +3381,147 @@ object Relational {
         .crossJoin(broadcast(nCh))
         .select("n_pairs", "n_customers", "dup_cents", "n_charges")
     }),
+
+    // HAAR ENERGY COMPACTION — three levels of the unnormalized Haar
+    // transform over the dense daily-revenue series (the
+    // signal-processing sibling of q327's OHLC and q328's
+    // delta-encoding audits): per level, approximations are pairwise
+    // SUMS and details pairwise DIFFERENCES, so the whole pyramid is
+    // exact BIGINT arithmetic (dollars, not cents, keep the squared
+    // detail energies under 2⁶³). Level energies tell a compression
+    // planner how much signal survives each halving — the decision
+    // number behind storing coarse aggregates + sparse corrections.
+    // The dense 2048-day spine is checkpointed ONCE (2 KB); every
+    // level is a k-keyed rollup of the level above, so no shuffle
+    // ever exceeds the series length.
+    "q393_haar_energy" -> ((s, d) => {
+      val rev = ld(s, d, "orders").selectExpr(
+          "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')" +
+            " AS day",
+          "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)" +
+            " DIV 100 AS dollars")
+        .groupBy("day").agg(sum("dollars").as("v"))
+      s.sql("SELECT explode(sequence(0, 2047)) AS day")
+        .join(rev, Seq("day"), "left").na.fill(0L, Seq("v"))
+        .localCheckpoint()
+        .createOrReplaceTempView("haar_series")
+      s.sql("""
+        WITH l1 AS (SELECT day DIV 2 AS k,
+                      CAST(sum(CASE WHEN day % 2 = 0 THEN v ELSE -v
+                               END) AS BIGINT) AS dt,
+                      CAST(sum(v) AS BIGINT) AS ap
+                    FROM haar_series GROUP BY 1),
+        l2 AS (SELECT k DIV 2 AS k,
+                 CAST(sum(CASE WHEN k % 2 = 0 THEN ap ELSE -ap END)
+                      AS BIGINT) AS dt,
+                 CAST(sum(ap) AS BIGINT) AS ap
+               FROM l1 GROUP BY 1),
+        l3 AS (SELECT k DIV 2 AS k,
+                 CAST(sum(CASE WHEN k % 2 = 0 THEN ap ELSE -ap END)
+                      AS BIGINT) AS dt,
+                 CAST(sum(ap) AS BIGINT) AS ap
+               FROM l2 GROUP BY 1)
+        SELECT * FROM (
+          SELECT 0 AS level, CAST(count(*) AS BIGINT) AS n_coeffs,
+                 CAST(sum(v * v) AS BIGINT) AS energy
+          FROM haar_series
+          UNION ALL SELECT 1, CAST(count(*) AS BIGINT),
+                 CAST(sum(dt * dt) AS BIGINT) FROM l1
+          UNION ALL SELECT 2, CAST(count(*) AS BIGINT),
+                 CAST(sum(dt * dt) AS BIGINT) FROM l2
+          UNION ALL SELECT 3, CAST(count(*) AS BIGINT),
+                 CAST(sum(dt * dt) AS BIGINT) FROM l3)
+        ORDER BY level""")
+    }),
+
+    // QQ DECILES — distribution-shift diagnosis by QUANTILE PAIRS
+    // (where the shift lives), complementing q170's KS statistic (one
+    // number saying whether it exists): exact type-1 deciles of two
+    // priority classes side by side. The pick index ⌈q·n/10⌉ is the
+    // integer (q·n + 9) DIV 10, row_number ties break by order key —
+    // no interpolation, no percentile state, both engines pick the
+    // IDENTICAL row. Windows partition by priority class (corpus-
+    // partitioned); the decile join is against a 9-row literal range.
+    "q395_qq_deciles" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        WITH x AS (
+          SELECT o_orderpriority AS p,
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT) AS cents,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                            * 100 AS BIGINT), o_orderkey) AS rn,
+                 count(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        qs AS (SELECT CAST(id AS BIGINT) AS q FROM range(1, 10)),
+        picks AS (SELECT p, q, cents FROM x
+                  JOIN qs ON rn = (q * n + 9) DIV 10)
+        SELECT q,
+               CAST(max(CASE WHEN p = '1-URGENT' THEN cents END)
+                    AS BIGINT) AS qa_cents,
+               CAST(max(CASE WHEN p = '5-LOW' THEN cents END)
+                    AS BIGINT) AS qb_cents,
+               CAST(max(CASE WHEN p = '1-URGENT' THEN cents END)
+                    - max(CASE WHEN p = '5-LOW' THEN cents END)
+                    AS BIGINT) AS diff_cents
+        FROM picks GROUP BY q ORDER BY q""")
+    }),
+
+    // MAHALANOBIS OUTLIERS — bivariate outlier detection that the
+    // univariate robust stats (q156 MAD, q150 winsorize) cannot do:
+    // a tripled price at normal quantity is invisible marginally but
+    // far outside the (quantity, price) covariance ellipse. Dirt is
+    // INJECTED at 1-in-97 via a single-scan explode (each row emits
+    // 1 or 2 copies — no second corpus pass for the plant). The 2×2
+    // moments are EXACT INTEGER sums (dollars bound y² under 2⁶³), so
+    // both engines derive bit-identical covariance doubles and the
+    // closed-form inverse needs no linear algebra. Two corpus passes
+    // total (moments, then score) — the correct trade at 100 TB
+    // versus caching the corpus. The avg(m²) = 2.0 identity (trace
+    // of the standardized covariance) is a built-in self-check.
+    "q396_mahalanobis_outliers" -> ((s, d) => {
+      graft.Tables.view(s, d, "lineitem")
+      s.sql("""
+        WITH b AS (
+          SELECT CAST(l_quantity AS BIGINT) AS x,
+                 (CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                       AS BIGINT) DIV 100) * mult AS y
+          FROM lineitem
+          LATERAL VIEW explode(CASE WHEN l_orderkey % 97 = 0
+            THEN array(1L, 3L) ELSE array(1L) END) t AS mult),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x*x) AS BIGINT) AS sxx,
+                     CAST(sum(x*y) AS BIGINT) AS sxy,
+                     CAST(sum(y*y) AS BIGINT) AS syy
+              FROM b),
+        c AS (SELECT n, CAST(sx AS DOUBLE)/n AS mx,
+                     CAST(sy AS DOUBLE)/n AS my,
+                     CAST(sxx AS DOUBLE)/n
+                       - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n)
+                       AS vxx,
+                     CAST(sxy AS DOUBLE)/n
+                       - (CAST(sx AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n)
+                       AS vxy,
+                     CAST(syy AS DOUBLE)/n
+                       - (CAST(sy AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n)
+                       AS vyy
+              FROM m),
+        dd AS (SELECT b.x, b.y, c.n,
+                     ((b.x - mx)*(b.x - mx)*vyy
+                       - 2*(b.x - mx)*(b.y - my)*vxy
+                       + (b.y - my)*(b.y - my)*vxx)
+                       / (vxx*vyy - vxy*vxy) AS m2
+              FROM b CROSS JOIN c)
+        SELECT CAST(min(n) AS BIGINT) AS n,
+               CAST(count_if(round(m2, 6) > 9.21034) AS BIGINT)
+                 AS n_outliers,
+               round(avg(m2), 6) AS avg_m2
+        FROM dd""")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -5382,5 +5523,111 @@ object Relational {
                 (SELECT CAST(count(*) AS BIGINT) FROM log)
                   AS n_charges
          FROM p""",
+
+    // q393: identical integer pyramid over the same dense spine.
+    "q393_haar_energy" ->
+      """WITH days AS (SELECT unnest(generate_series(0, 2047))
+                         AS day),
+         rev AS (
+           SELECT date_diff('day', DATE '1995-01-01',
+                            CAST(o_orderdate AS DATE)) AS day,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                       * 100 AS BIGINT) // 100) AS BIGINT) AS v
+           FROM orders GROUP BY 1),
+         s AS (SELECT d.day, coalesce(r.v, 0) AS v
+               FROM days d LEFT JOIN rev r ON d.day = r.day),
+         l1 AS (SELECT day // 2 AS k,
+                  CAST(sum(CASE WHEN day % 2 = 0 THEN v ELSE -v END)
+                       AS BIGINT) AS dt,
+                  CAST(sum(v) AS BIGINT) AS ap
+                FROM s GROUP BY 1),
+         l2 AS (SELECT k // 2 AS k,
+                  CAST(sum(CASE WHEN k % 2 = 0 THEN ap ELSE -ap END)
+                       AS BIGINT) AS dt,
+                  CAST(sum(ap) AS BIGINT) AS ap
+                FROM l1 GROUP BY 1),
+         l3 AS (SELECT k // 2 AS k,
+                  CAST(sum(CASE WHEN k % 2 = 0 THEN ap ELSE -ap END)
+                       AS BIGINT) AS dt,
+                  CAST(sum(ap) AS BIGINT) AS ap
+                FROM l2 GROUP BY 1)
+         SELECT * FROM (
+           SELECT 0 AS level, CAST(count(*) AS BIGINT) AS n_coeffs,
+                  CAST(sum(v * v) AS BIGINT) AS energy FROM s
+           UNION ALL SELECT 1, CAST(count(*) AS BIGINT),
+                  CAST(sum(dt * dt) AS BIGINT) FROM l1
+           UNION ALL SELECT 2, CAST(count(*) AS BIGINT),
+                  CAST(sum(dt * dt) AS BIGINT) FROM l2
+           UNION ALL SELECT 3, CAST(count(*) AS BIGINT),
+                  CAST(sum(dt * dt) AS BIGINT) FROM l3)
+         ORDER BY level""",
+
+    // q395: identical integer pick indices.
+    "q395_qq_deciles" ->
+      """WITH x AS (
+           SELECT o_orderpriority AS p,
+                  CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                       AS BIGINT) AS cents,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                             * 100 AS BIGINT), o_orderkey) AS rn,
+                  count(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         qs AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT)
+                  AS q),
+         picks AS (SELECT p, q, cents FROM x
+                   JOIN qs ON rn = (q * n + 9) // 10)
+         SELECT q,
+                CAST(max(CASE WHEN p = '1-URGENT' THEN cents END)
+                     AS BIGINT) AS qa_cents,
+                CAST(max(CASE WHEN p = '5-LOW' THEN cents END)
+                     AS BIGINT) AS qb_cents,
+                CAST(max(CASE WHEN p = '1-URGENT' THEN cents END)
+                     - max(CASE WHEN p = '5-LOW' THEN cents END)
+                     AS BIGINT) AS diff_cents
+         FROM picks GROUP BY q ORDER BY q""",
+
+    // q396: same single-scan unnest plant, same exact integer
+    // moments, same closed-form inverse.
+    "q396_mahalanobis_outliers" ->
+      """WITH b AS (
+           SELECT CAST(l_quantity AS BIGINT) AS x,
+                  (CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                        AS BIGINT) // 100) * mult AS y
+           FROM lineitem,
+                unnest(CASE WHEN l_orderkey % 97 = 0
+                       THEN [CAST(1 AS BIGINT), CAST(3 AS BIGINT)]
+                       ELSE [CAST(1 AS BIGINT)] END) AS t(mult)),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x*x) AS BIGINT) AS sxx,
+                      CAST(sum(x*y) AS BIGINT) AS sxy,
+                      CAST(sum(y*y) AS BIGINT) AS syy
+               FROM b),
+         c AS (SELECT n, CAST(sx AS DOUBLE)/n AS mx,
+                      CAST(sy AS DOUBLE)/n AS my,
+                      CAST(sxx AS DOUBLE)/n
+                        - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n)
+                        AS vxx,
+                      CAST(sxy AS DOUBLE)/n
+                        - (CAST(sx AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n)
+                        AS vxy,
+                      CAST(syy AS DOUBLE)/n
+                        - (CAST(sy AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n)
+                        AS vyy
+               FROM m),
+         dd AS (SELECT b.x, b.y, c.n,
+                      ((b.x - mx)*(b.x - mx)*vyy
+                        - 2*(b.x - mx)*(b.y - my)*vxy
+                        + (b.y - my)*(b.y - my)*vxx)
+                        / (vxx*vyy - vxy*vxy) AS m2
+               FROM b CROSS JOIN c)
+         SELECT CAST(min(n) AS BIGINT) AS n,
+                CAST(count_if(round(m2, 6) > 9.21034) AS BIGINT)
+                  AS n_outliers,
+                round(avg(m2), 6) AS avg_m2
+         FROM dd""",
   )
 }

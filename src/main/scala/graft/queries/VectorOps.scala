@@ -1341,6 +1341,39 @@ object VectorOps {
             " AS BIGINT)").as("var_bp"))
         .orderBy("pos")
     }),
+
+    // CLUSTER MEDOID — the most-central REAL member per label, the
+    // representative a cluster summary actually ships (a centroid is
+    // a synthetic average; a medoid is an exhibitable document):
+    // argmax over members of total within-cluster cosine. All-pairs
+    // ONLY within a label (the q111 SemDeDup stance — cluster-bounded
+    // quadratic work, ~50² per label here, never corpus²); sims are
+    // rounded at 1e-6 BEFORE the per-member sum (rounded at 1e-4,
+    // ten decades above accumulation noise), and the argmax breaks
+    // ties by vec_id via row_number so both engines elect the same
+    // medoid bit-for-bit.
+    "q394_cluster_medoid" -> ((s, d) => {
+      val e = withNorm(ld(s, d, "embeddings")).localCheckpoint()
+      val a = e.select(col("label"), col("vec_id").as("va"),
+        col("emb").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("label").as("lb"), col("vec_id").as("vb"),
+        col("emb").as("eb"), col("nrm").as("nb"))
+      val tot = a.join(b.hint("shuffle_hash"),
+          col("label") === col("lb") && col("va") =!= col("vb"))
+        .select(col("label"), col("va"),
+          round(graft.functions.VectorExprs.dotp(col("ea"), col("eb"))
+            / (col("na") * col("nb")), 6).as("sim"))
+        .groupBy("label", "va")
+        .agg(round(sum("sim"), 4).as("total_sim"),
+          count(lit(1)).as("n_others"))
+      val w = Window.partitionBy("label")
+        .orderBy(col("total_sim").desc, col("va"))
+      tot.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("label"), col("va").as("medoid_id"),
+          col("total_sim"), (col("n_others") + 1).as("n_members"))
+        .orderBy("label")
+    }),
   )
 
   /** q125's composed IVF×PQ chain, ranked pre-top-k — shared with q120's
@@ -2393,5 +2426,26 @@ object VectorOps {
          FROM asg JOIN cands ON asg.cid = cands.cid
          GROUP BY 1, 2 ORDER BY cands.cid"""
     },
+
+    // q394: same label-bounded all-pairs, same two-stage rounding,
+    // same row_number tie-break.
+    "q394_cluster_medoid" ->
+      s"""WITH c AS (SELECT vec_id, label,
+                            CAST(embedding AS DOUBLE[]) AS ce
+                     FROM embeddings),
+               p AS (SELECT a.label, a.vec_id AS va,
+                            round(${dcos("a.ce", "b.ce")}, 6) AS sim
+                     FROM c a JOIN c b
+                       ON a.label = b.label AND a.vec_id <> b.vec_id),
+               t AS (SELECT label, va,
+                            round(sum(sim), 4) AS total_sim,
+                            CAST(count(*) AS BIGINT) AS n_others
+                     FROM p GROUP BY 1, 2),
+               r AS (SELECT *, row_number() OVER (PARTITION BY label
+                       ORDER BY total_sim DESC, va) AS rn
+                     FROM t)
+          SELECT label, va AS medoid_id, total_sim,
+                 CAST(n_others + 1 AS BIGINT) AS n_members
+          FROM r WHERE rn = 1 ORDER BY label""",
   )
 }
