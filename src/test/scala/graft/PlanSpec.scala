@@ -2615,4 +2615,79 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("LeftAnti"), "NOT EXISTS must become an anti join")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q389: bitemporal — both snapshots are FILTERed argmaxes in ONE " +
+    "grouped pass; one scan, no window, no join") {
+    val p = plan("q389_bitemporal_audit")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("Join"))
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+  }
+
+  test("q390: weighted median — one scan; the cumulative window runs " +
+    "on the (group, price) cell frame, partitioned by group") {
+    val p = plan("q390_weighted_median")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.contains("hashpartitioning(flag"),
+      "cumulative weight window must partition by group")
+    assert(!p.contains("Join"))
+  }
+
+  test("q391: ABC — one scan; the ordered share window runs on the " +
+    "dim-sized part rollup, never the corpus") {
+    val p = plan("q391_abc_classification")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Window\s*""")) <= 2)
+    assert(!p.contains("Join"))
+  }
+
+  test("q392: duplicate charges — the charge log is checkpointed once " +
+    "(no parquet rescan); (customer, cents) equality is the block") {
+    val p = plan("q392_duplicate_charges")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q393: Haar — every level is a rollup of the checkpointed " +
+    "2048-day spine; no corpus rescan, no join") {
+    val p = plan("q393_haar_energy")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("Join"))
+  }
+
+  test("q394: medoid — all-pairs only within a label (shuffle-hash on " +
+    "the label key), sims summed then ranked per label") {
+    val p = plan("q394_cluster_medoid")
+    assert(!p.contains("CartesianProduct"),
+      "pair work must stay label-bounded, never corpus²")
+    assert(p.contains("hashpartitioning(label"),
+      "medoid election partitions by label")
+  }
+
+  test("q395: QQ deciles — per-class windows partition by priority; " +
+    "the pick join is against a 9-row literal range") {
+    val p = plan("q395_qq_deciles")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.contains("hashpartitioning(o_orderpriority"),
+      "rank windows must partition by priority class")
+  }
+
+  test("q396: Mahalanobis — two corpus passes (integer moments, then " +
+    "score), the 1-row moment frame broadcast; plant injected via " +
+    "generator, not a second union scan") {
+    val p = plan("q396_mahalanobis_outliers")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 2)
+    assert(p.matches("""(?s).*\(\d+\) Generate.*"""),
+      "dirt injection must be the single-scan explode")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row moments frame must broadcast")
+  }
 }
