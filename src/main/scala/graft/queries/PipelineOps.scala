@@ -3123,6 +3123,33 @@ object PipelineOps {
                  'title')) = 'a b') AS BIGINT) AS n_title_ok
         FROM u GROUP BY source ORDER BY source""")
     }),
+
+    // TEXT COMPLEXITY PROFILE — the readability rung of the quality
+    // family (q42 measures length/punct ratios; this measures HOW
+    // HARD the words are): vowel-group count as the classic syllable
+    // proxy, per-source syllables-per-word and share of complex
+    // (≥3-syllable) words — the Flesch-style inputs a curriculum
+    // sampler uses to order training data easy→hard. One explode +
+    // one keyed rollup; ratios are the half-up integer idiom
+    // (per-10k), so no doubles anywhere. The '[aeiou]+' class
+    // behaves identically in Java regex and RE2.
+    "q397_text_complexity" -> ((s, d) => {
+      ld(s, d, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("word"))
+        .where(length(col("word")) > 0)
+        .select(col("source"),
+          expr("CAST(regexp_count(word, '[aeiou]+') AS BIGINT)")
+            .as("syl"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum("syl").cast("long").as("n_syllables"),
+          expr("CAST((2 * sum(syl) * 10000 + count(*))" +
+            " DIV (2 * count(*)) AS BIGINT)").as("syl_per_word_e4"),
+          expr("CAST((2 * count_if(syl >= 3) * 10000 + count(*))" +
+            " DIV (2 * count(*)) AS BIGINT)").as("complex_bp"))
+        .orderBy("source")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -5509,5 +5536,23 @@ object PipelineOps {
                 CAST(count_if(doc_id % 3 = 0) AS BIGINT) AS n_ref,
                 CAST(count(*) AS BIGINT) AS n_title_ok
          FROM documents GROUP BY source ORDER BY source""",
+
+    // q397: RE2's '[aeiou]+' matches Java's; same half-up integers.
+    "q397_text_complexity" ->
+      """WITH w AS (
+           SELECT source, unnest(string_split(lower(text), ' '))
+             AS word
+           FROM documents),
+         ws AS (SELECT source,
+                  CAST(len(regexp_extract_all(word, '[aeiou]+'))
+                       AS BIGINT) AS syl
+                FROM w WHERE length(word) > 0)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(syl) AS BIGINT) AS n_syllables,
+                CAST((2 * sum(syl) * 10000 + count(*))
+                     // (2 * count(*)) AS BIGINT) AS syl_per_word_e4,
+                CAST((2 * count_if(syl >= 3) * 10000 + count(*))
+                     // (2 * count(*)) AS BIGINT) AS complex_bp
+         FROM ws GROUP BY source ORDER BY source""",
   )
 }

@@ -3522,6 +3522,38 @@ object Relational {
                round(avg(m2), 6) AS avg_m2
         FROM dd""")
     }),
+
+    // LARGEST-REMAINDER APPORTIONMENT — allocate a fixed integer
+    // capacity (1000 shard-slots) across priority classes in
+    // proportion to revenue, the quota-assignment primitive behind
+    // proportional samplers and partition budgeting (q180's
+    // waterfill solves the CONTINUOUS version; this is the integer
+    // one where naive rounding loses or invents slots). Hamilton's
+    // method, fully integer: floor quotas via (capacity·cents) DIV
+    // total, leftover slots to the largest remainders with a
+    // deterministic priority tie-break — Σ seats = capacity EXACTLY,
+    // by construction, at any scale. Everything after the one corpus
+    // rollup runs on the |priorities| frame.
+    "q400_largest_remainder" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        WITH rev AS (SELECT o_orderpriority AS p,
+                       CAST(sum(CAST(CAST(o_totalprice
+                            AS DECIMAL(14,2)) * 100 AS BIGINT))
+                            AS BIGINT) AS cents
+                     FROM orders GROUP BY 1),
+        tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+        qf AS (SELECT p, cents, (1000 * cents) DIV t AS fl,
+                      (1000 * cents) % t AS rem
+               FROM rev CROSS JOIN tot),
+        extra AS (SELECT CAST(1000 - sum(fl) AS BIGINT) AS e FROM qf),
+        rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, p)
+                 AS rr FROM qf)
+        SELECT p, cents, CAST(fl AS BIGINT) AS floor_seats,
+               CAST(fl + CASE WHEN rr <= e THEN 1 ELSE 0 END
+                    AS BIGINT) AS seats
+        FROM rk CROSS JOIN extra ORDER BY p""")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -5629,5 +5661,25 @@ object Relational {
                   AS n_outliers,
                 round(avg(m2), 6) AS avg_m2
          FROM dd""",
+
+    // q400: identical integer Hamilton apportionment.
+    "q400_largest_remainder" ->
+      """WITH rev AS (SELECT o_orderpriority AS p,
+                        CAST(sum(CAST(CAST(o_totalprice
+                             AS DECIMAL(14,2)) * 100 AS BIGINT))
+                             AS BIGINT) AS cents
+                      FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+         qf AS (SELECT p, cents, (1000 * cents) // t AS fl,
+                       (1000 * cents) % t AS rem
+                FROM rev CROSS JOIN tot),
+         extra AS (SELECT CAST(1000 - sum(fl) AS BIGINT) AS e
+                   FROM qf),
+         rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, p)
+                  AS rr FROM qf)
+         SELECT p, cents, CAST(fl AS BIGINT) AS floor_seats,
+                CAST(fl + CASE WHEN rr <= e THEN 1 ELSE 0 END
+                     AS BIGINT) AS seats
+         FROM rk CROSS JOIN extra ORDER BY p""",
   )
 }

@@ -1374,6 +1374,104 @@ object VectorOps {
           col("total_sim"), (col("n_others") + 1).as("n_members"))
         .orderBy("label")
     }),
+
+    // AVERAGE PRECISION@20 — the rank-position-weighted retrieval
+    // metric q233's P@10/MRR scorecard lacks: AP rewards putting ALL
+    // relevant hits early, not just the first (MRR) or any (P@k).
+    // Same ranker shape as q60/q233 (20 probes broadcast, one corpus
+    // scan, rounded-cosine + id tie-break so ranks are bit-stable);
+    // the cumulative-hits window runs on the top-20 frame per probe.
+    // The denominator min(R, 20) uses the label-cohort size from the
+    // |labels|-row count frame — broadcast, never a corpus re-join.
+    "q398_average_precision" -> ((s, d) => {
+      val e = withNorm(ld(s, d, "embeddings")).localCheckpoint()
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("emb").as("qe"), col("nrm").as("qn"))
+      val r = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id"),
+          col("label"),
+          round(dotp(col("qe"), col("emb"))
+            / (col("qn") * col("nrm")), 6).as("sim"))
+        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rn") <= 20)
+        .withColumn("rel",
+          when(col("label") === col("q_label"), 1L).otherwise(0L))
+        .withColumn("hits", sum("rel").over(Window.partitionBy("q_id")
+          .orderBy("rn")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      val lc = e.groupBy("label").agg(count(lit(1)).as("cnt"))
+      r.groupBy("q_id", "q_label")
+        .agg(sum(when(col("rel") === 1,
+          col("hits").cast("double") / col("rn")).otherwise(0.0))
+          .as("ap_num"))
+        .join(broadcast(lc), col("q_label") === col("label"))
+        .select(col("q_id"),
+          round(col("ap_num") / least(col("cnt") - 1, lit(20L)), 6)
+            .as("ap20"),
+          (col("cnt") - 1).as("n_rel"))
+        .orderBy("q_id")
+    }),
+
+    // nDCG@10 — GRADED-relevance ranking quality (same-label gain 2,
+    // adjacent-label gain 1), the metric that distinguishes "right
+    // things, wrong order" from "wrong things": DCG discounts by
+    // log₂(rank+1); the IDEAL DCG is a CLOSED FORM over cohort
+    // counts (best top-10 = all 2s then 1s), so no second ranking
+    // pass exists anywhere — idcg comes from the |labels|-row count
+    // frame joined to a 10-row depth range. Probes whose cohorts are
+    // empty (idcg = 0) are excluded rather than divided.
+    "q399_ndcg" -> ((s, d) => {
+      val e = withNorm(ld(s, d, "embeddings")).localCheckpoint()
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("emb").as("qe"), col("nrm").as("qn"))
+      val dcg = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id"),
+          col("label"),
+          round(dotp(col("qe"), col("emb"))
+            / (col("qn") * col("nrm")), 6).as("sim"))
+        .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rn") <= 10)
+        .withColumn("gain",
+          when(col("label") === col("q_label"), 2L)
+            .when(abs(col("label") - col("q_label")) === 1, 1L)
+            .otherwise(0L))
+        .groupBy("q_id", "q_label")
+        .agg(round(sum(col("gain") / log2(col("rn") + 1)), 6)
+          .as("dcg"))
+      val lc = e.groupBy("label").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // three broadcast joins below
+      val coh = dcg.select(col("q_id"), col("q_label"))
+        .join(broadcast(lc), col("q_label") === col("label"))
+        .select(col("q_id"), col("q_label"),
+          (col("cnt") - 1).as("n2"))
+        .join(broadcast(lc.select((col("label") + 1).as("lm"),
+          col("cnt").as("cm"))), col("q_label") === col("lm"), "left")
+        .join(broadcast(lc.select((col("label") - 1).as("lp"),
+          col("cnt").as("cp"))), col("q_label") === col("lp"), "left")
+        .select(col("q_id"), col("n2"),
+          (coalesce(col("cm"), lit(0L)) + coalesce(col("cp"), lit(0L)))
+            .as("n1"))
+      val ks = s.range(1, 11).select(col("id").as("k"))
+      val ideal = coh.crossJoin(broadcast(ks))
+        .withColumn("g",
+          when(col("k") <= least(col("n2"), lit(10L)), 2L)
+            .when(col("k") <= least(col("n2") + col("n1"), lit(10L)),
+              1L)
+            .otherwise(0L))
+        .groupBy("q_id")
+        .agg(round(sum(col("g") / log2(col("k") + 1)), 6).as("idcg"))
+      dcg.join(ideal, "q_id")
+        .filter(col("idcg") > 0)
+        .select(col("q_id"), col("dcg"), col("idcg"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg10"))
+        .orderBy("q_id")
+    }),
   )
 
   /** q125's composed IVF×PQ chain, ranked pre-top-k — shared with q120's
@@ -2447,5 +2545,88 @@ object VectorOps {
           SELECT label, va AS medoid_id, total_sim,
                  CAST(n_others + 1 AS BIGINT) AS n_members
           FROM r WHERE rn = 1 ORDER BY label""",
+
+    // q398: same rounded-cosine ranks; the cohort denominator counts
+    // the same same-label set relationally.
+    "q398_average_precision" ->
+      s"""WITH c AS (SELECT vec_id, label,
+                            CAST(embedding AS DOUBLE[]) AS ce
+                     FROM embeddings),
+               q AS (SELECT vec_id AS q_id, label AS q_label, ce AS qe
+                     FROM c WHERE vec_id < 20),
+               sims AS (SELECT q_id, q_label, vec_id, label,
+                               round(${dcos("qe", "ce")}, 6) AS sim
+                        FROM c CROSS JOIN q WHERE vec_id <> q_id),
+               r AS (SELECT q_id, q_label, label,
+                            row_number() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, vec_id) AS rn
+                     FROM sims),
+               t AS (SELECT q_id, rn,
+                            CASE WHEN label = q_label THEN 1 ELSE 0
+                            END AS rel,
+                            CAST(sum(CASE WHEN label = q_label THEN 1
+                                     ELSE 0 END)
+                                 OVER (PARTITION BY q_id ORDER BY rn
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+                              AS hits
+                     FROM r WHERE rn <= 20),
+               coh AS (SELECT q.q_id, CAST(count(*) AS BIGINT)
+                         AS n_rel
+                       FROM q JOIN c ON c.label = q.q_label
+                         AND c.vec_id <> q.q_id
+                       GROUP BY 1)
+          SELECT t.q_id,
+                 round(sum(CASE WHEN rel = 1
+                           THEN CAST(hits AS DOUBLE) / rn
+                           ELSE 0 END) / least(max(coh.n_rel), 20), 6)
+                   AS ap20,
+                 CAST(max(coh.n_rel) AS BIGINT) AS n_rel
+          FROM t JOIN coh ON t.q_id = coh.q_id
+          GROUP BY t.q_id ORDER BY t.q_id""",
+
+    // q399: same graded gains, same closed-form ideal DCG.
+    "q399_ndcg" ->
+      s"""WITH c AS (SELECT vec_id, label,
+                            CAST(embedding AS DOUBLE[]) AS ce
+                     FROM embeddings),
+               q AS (SELECT vec_id AS q_id, label AS q_label, ce AS qe
+                     FROM c WHERE vec_id < 20),
+               sims AS (SELECT q_id, q_label, vec_id, label,
+                               round(${dcos("qe", "ce")}, 6) AS sim
+                        FROM c CROSS JOIN q WHERE vec_id <> q_id),
+               r AS (SELECT q_id, q_label, label,
+                            row_number() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, vec_id) AS rn
+                     FROM sims),
+               g AS (SELECT q_id, rn,
+                            CASE WHEN label = q_label THEN 2
+                                 WHEN abs(label - q_label) = 1 THEN 1
+                                 ELSE 0 END AS gain
+                     FROM r WHERE rn <= 10),
+               dcg AS (SELECT q_id,
+                              round(sum(gain / log2(rn + 1)), 6)
+                                AS dcg
+                       FROM g GROUP BY 1),
+               coh AS (SELECT q.q_id,
+                              CAST(count_if(c.label = q.q_label)
+                                   AS BIGINT) AS n2,
+                              CAST(count_if(abs(c.label - q.q_label)
+                                   = 1) AS BIGINT) AS n1
+                       FROM q JOIN c ON c.vec_id <> q.q_id
+                       GROUP BY 1),
+               ks AS (SELECT CAST(unnest(generate_series(1, 10))
+                             AS BIGINT) AS k),
+               ideal AS (SELECT coh.q_id,
+                                round(sum(CASE WHEN k <= least(n2, 10)
+                                          THEN 2
+                                          WHEN k <= least(n2 + n1, 10)
+                                          THEN 1 ELSE 0 END
+                                          / log2(k + 1)), 6) AS idcg
+                         FROM coh CROSS JOIN ks GROUP BY 1)
+          SELECT d.q_id, d.dcg, i.idcg,
+                 round(d.dcg / i.idcg, 6) AS ndcg10
+          FROM dcg d JOIN ideal i ON d.q_id = i.q_id
+          WHERE i.idcg > 0 ORDER BY d.q_id""",
   )
 }
