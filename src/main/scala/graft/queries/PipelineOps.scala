@@ -3150,6 +3150,53 @@ object PipelineOps {
             " DIV (2 * count(*)) AS BIGINT)").as("complex_bp"))
         .orderBy("source")
     }),
+
+    // FLEISS' KAPPA — inter-rater agreement for MORE than two raters
+    // (q238's Cohen's κ handles exactly two): three md5-synthesized
+    // annotators label each document's language (70% faithful, 30%
+    // 'other'), and κ corrects raw pairwise agreement by the
+    // chance-agreement of the pooled category prevalences. Every
+    // input to the closed form is an exact integer count (per-item
+    // category counts → Σc(c−1); pooled category totals); doubles
+    // appear only in the final 4-term projection, rounded at 1e-6.
+    // One explode (3 raters/doc), two keyed rollups, then everything
+    // runs on the |categories|-row frame.
+    "q406_fleiss_kappa" -> ((s, d) => {
+      graft.Tables.view(s, d, "documents")
+      s.sql("""
+        WITH r AS (
+          SELECT doc_id, rater,
+                 CAST(conv(substr(md5(concat('r#',
+                   CAST(rater AS STRING), '#',
+                   CAST(doc_id AS STRING))), 1, 4), 16, 10)
+                   AS BIGINT) % 10 AS roll,
+                 lang
+          FROM documents
+          LATERAL VIEW explode(sequence(1, 3)) t AS rater),
+        votes AS (SELECT doc_id, rater,
+                    CASE WHEN roll < 7 THEN lang ELSE 'other' END
+                      AS cat
+                  FROM r),
+        cnt AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS c
+                FROM votes GROUP BY 1, 2),
+        pi AS (SELECT doc_id, CAST(sum(c * (c - 1)) AS BIGINT)
+                 AS agree
+               FROM cnt GROUP BY 1),
+        pbar AS (SELECT CAST(sum(agree) AS BIGINT) AS sa,
+                        CAST(count(*) AS BIGINT) AS nd
+                 FROM pi),
+        pj AS (SELECT cat, CAST(sum(c) AS BIGINT) AS cj
+               FROM cnt GROUP BY 1),
+        pe AS (SELECT sum((CAST(cj AS DOUBLE) / (3.0 * nd))
+                        * (CAST(cj AS DOUBLE) / (3.0 * nd))) AS pexp
+               FROM pj CROSS JOIN pbar GROUP BY nd)
+        SELECT nd AS n_docs,
+               round(CAST(sa AS DOUBLE) / (nd * 3 * 2), 6) AS p_bar,
+               round(pexp, 6) AS p_exp,
+               round((CAST(sa AS DOUBLE) / (nd * 3 * 2) - pexp)
+                     / (1 - pexp), 6) AS fleiss_kappa
+        FROM pbar CROSS JOIN pe""")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -5554,5 +5601,41 @@ object PipelineOps {
                 CAST((2 * count_if(syl >= 3) * 10000 + count(*))
                      // (2 * count(*)) AS BIGINT) AS complex_bp
          FROM ws GROUP BY source ORDER BY source""",
+
+    // q406: identical integer counts, identical closed form.
+    "q406_fleiss_kappa" ->
+      """WITH r AS (
+           SELECT doc_id, rater,
+                  CAST(('0x' || substr(md5('r#' ||
+                    CAST(rater AS VARCHAR) || '#' ||
+                    CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                    % 10 AS roll,
+                  lang
+           FROM documents,
+                unnest(generate_series(1, 3)) AS t(rater)),
+         votes AS (SELECT doc_id, rater,
+                     CASE WHEN roll < 7 THEN lang ELSE 'other' END
+                       AS cat
+                   FROM r),
+         cnt AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS c
+                 FROM votes GROUP BY 1, 2),
+         pi AS (SELECT doc_id, CAST(sum(c * (c - 1)) AS BIGINT)
+                  AS agree
+                FROM cnt GROUP BY 1),
+         pbar AS (SELECT CAST(sum(agree) AS BIGINT) AS sa,
+                         CAST(count(*) AS BIGINT) AS nd
+                  FROM pi),
+         pj AS (SELECT cat, CAST(sum(c) AS BIGINT) AS cj
+                FROM cnt GROUP BY 1),
+         pe AS (SELECT sum((CAST(cj AS DOUBLE) / (3.0 * nd))
+                         * (CAST(cj AS DOUBLE) / (3.0 * nd)))
+                  AS pexp
+                FROM pj CROSS JOIN pbar GROUP BY nd)
+         SELECT nd AS n_docs,
+                round(CAST(sa AS DOUBLE) / (nd * 3 * 2), 6) AS p_bar,
+                round(pexp, 6) AS p_exp,
+                round((CAST(sa AS DOUBLE) / (nd * 3 * 2) - pexp)
+                      / (1 - pexp), 6) AS fleiss_kappa
+         FROM pbar CROSS JOIN pe""",
   )
 }

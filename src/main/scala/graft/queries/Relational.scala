@@ -3554,6 +3554,288 @@ object Relational {
                     AS BIGINT) AS seats
         FROM rk CROSS JOIN extra ORDER BY p""")
     }),
+
+    // DECISION STUMP — the best single Gini split of quantity
+    // predicting high-price lines, the depth-1 tree that seeds every
+    // boosting/feature-importance pipeline. The scale insight: a
+    // stump does NOT scan the corpus per candidate threshold — one
+    // rollup to the |distinct x| value frame, one cumulative window,
+    // and every threshold's left/right class counts fall out of the
+    // prefix sums (the classic sorted-histogram split search).
+    // Gini is evaluated in doubles from exact integer counts
+    // (identical inputs ⇒ identical doubles), rounded at 1e-9 before
+    // the argmin, threshold tie-break — both engines pick the same
+    // split.
+    "q401_gini_stump" -> ((s, d) => {
+      graft.Tables.view(s, d, "lineitem")
+      s.sql("""
+        WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                     CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0
+                     END AS y
+                   FROM lineitem),
+        tv AS (SELECT x AS xv, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(y) AS BIGINT) AS pos
+               FROM b GROUP BY 1),
+        cum AS (SELECT xv,
+                  CAST(sum(n) OVER w AS BIGINT) AS nl,
+                  CAST(sum(pos) OVER w AS BIGINT) AS pl,
+                  CAST(sum(n) OVER () AS BIGINT) AS nt,
+                  CAST(sum(pos) OVER () AS BIGINT) AS pt
+                FROM tv
+                WINDOW w AS (ORDER BY xv ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW)),
+        g AS (SELECT xv AS thr, nl, nt - nl AS nr, pl, pt - pl AS pr,
+                (CAST(nl AS DOUBLE)/nt)
+                  * (1.0 - (CAST(pl AS DOUBLE)/nl)
+                           *(CAST(pl AS DOUBLE)/nl)
+                         - (1.0-CAST(pl AS DOUBLE)/nl)
+                           *(1.0-CAST(pl AS DOUBLE)/nl))
+                + (CAST(nt-nl AS DOUBLE)/nt)
+                  * (1.0 - (CAST(pt-pl AS DOUBLE)/(nt-nl))
+                           *(CAST(pt-pl AS DOUBLE)/(nt-nl))
+                         - (1.0-CAST(pt-pl AS DOUBLE)/(nt-nl))
+                           *(1.0-CAST(pt-pl AS DOUBLE)/(nt-nl)))
+                  AS gini_w
+              FROM cum WHERE nl > 0 AND nt - nl > 0),
+        r AS (SELECT *, row_number() OVER (ORDER BY round(gini_w, 9),
+                thr) AS rk FROM g)
+        SELECT CAST(thr AS BIGINT) AS best_threshold,
+               CAST(nl AS BIGINT) AS n_left,
+               CAST(nr AS BIGINT) AS n_right,
+               CAST(pl AS BIGINT) AS pos_left,
+               CAST(pr AS BIGINT) AS pos_right,
+               round(gini_w, 6) AS gini
+        FROM r WHERE rk = 1""")
+    }),
+
+    // ASSOCIATION RULES — support/confidence/lift over order baskets
+    // (the metric layer on top of q174's frequent pairs): pair
+    // supports from one basket self-join blocked by order key, item
+    // supports and the transaction count derived from the SAME items
+    // frame, confidence as half-up integer bp, lift in doubles from
+    // exact counts. The honest finding on this corpus — lift ≈ 1
+    // everywhere (baskets are independent draws) — is exactly what
+    // the audit should report; the top-15 by confidence is still the
+    // deterministic contract. Support pruning (≥ 100) happens at the
+    // pair rollup, BEFORE the metric joins.
+    "q402_association_rules" -> ((s, d) => {
+      val items = ld(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          (col("l_partkey") % 20).as("it"))
+        .distinct()
+        .localCheckpoint() // pairs, supports, txn count share it
+      val nt = items.select("ok").distinct()
+        .agg(count(lit(1)).as("nt"))
+      val sup = items.groupBy("it").agg(count(lit(1)).as("s"))
+      val pairs = items.join(
+          items.select(col("ok").as("ok2"), col("it").as("it2")),
+          col("ok") === col("ok2") && col("it") < col("it2"))
+        .groupBy(col("it").as("ia"), col("it2").as("ib"))
+        .agg(count(lit(1)).as("sab"))
+        .filter(col("sab") >= 100)
+      pairs
+        .join(broadcast(sup.select(col("it").as("ia"),
+          col("s").as("s_a"))), "ia")
+        .join(broadcast(sup.select(col("it").as("ib"),
+          col("s").as("s_b"))), "ib")
+        .crossJoin(broadcast(nt))
+        .selectExpr("ia", "ib", "sab", "s_a", "s_b",
+          "(2 * sab * 10000 + s_a) DIV (2 * s_a) AS conf_bp",
+          "round((CAST(sab AS DOUBLE) * nt)" +
+            " / (CAST(s_a AS DOUBLE) * s_b), 4) AS lift")
+        .withColumn("rk", row_number().over(Window.orderBy(
+          col("conf_bp").desc, col("ia"), col("ib"))))
+        .filter(col("rk") <= 15)
+        .select("ia", "ib", "sab", "s_a", "s_b", "conf_bp", "lift")
+        .orderBy("ia", "ib")
+    }),
+
+    // POWER ANALYSIS — the sample-size planner that closes the
+    // experimentation loop (q358 reduces variance, q363 bounds rates,
+    // q370 stops early; this says how long to RUN): n per arm =
+    // 2(z_α/2+z_β)²σ²/δ² at 95% confidence / 80% power for relative
+    // MDEs of 1–5%. Variance comes from EXACT integer dollar moments
+    // in one corpus pass (the q396 recipe — dollars keep Σy² under
+    // 2⁶³); the z constants are literals; the MDE sweep is a 5-row
+    // range against the one-row moment frame.
+    "q404_power_analysis" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        WITH v AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(CAST(o_totalprice
+                          AS DECIMAL(14,2)) * 100 AS BIGINT)
+                          DIV 100) AS BIGINT) AS s,
+                     CAST(sum((CAST(CAST(o_totalprice
+                          AS DECIMAL(14,2)) * 100 AS BIGINT) DIV 100)
+                        * (CAST(CAST(o_totalprice
+                          AS DECIMAL(14,2)) * 100 AS BIGINT)
+                          DIV 100)) AS BIGINT) AS ss
+                   FROM orders),
+        p AS (SELECT n, CAST(s AS DOUBLE)/n AS mean,
+                     (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/n)
+                       / (n - 1) AS var
+              FROM v),
+        mde AS (SELECT CAST(id AS BIGINT) AS pct FROM range(1, 6))
+        SELECT pct, round(p.mean, 2) AS mean_dollars,
+               CAST(ceil(2 * power(1.959963984540054
+                    + 0.8416212335729143, 2) * p.var
+                    / power(p.mean * pct / 100.0, 2)) AS BIGINT)
+                 AS n_per_arm
+        FROM p CROSS JOIN mde ORDER BY pct""")
+    }),
+
+    // INSTRUMENTAL VARIABLE (Wald) — the causal estimator for when
+    // treatment UPTAKE is self-selected but an ENCOURAGEMENT was
+    // randomized (the one confounding shape q368's DiD and q376's
+    // Qini can't handle): LATE = ITT effect ÷ compliance delta.
+    // Instrument and compliance are md5-synthesized (70/30 uptake by
+    // arm), outcomes are exact cents; the whole estimator is FOUR
+    // integer cells from one corpus pass — the 2×2 (z × Σx, Σy)
+    // frame — and every division happens on that 2-row frame.
+    "q405_iv_wald" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        WITH b AS (
+          SELECT CAST(conv(substr(md5(concat('z#',
+                   CAST(o_custkey AS STRING))), 1, 4), 16, 10)
+                   AS BIGINT) % 2 AS z,
+                 CAST(conv(substr(md5(concat('c#',
+                   CAST(o_orderkey AS STRING))), 1, 4), 16, 10)
+                   AS BIGINT) % 100 AS u,
+                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT) AS cents
+          FROM orders),
+        t AS (SELECT z, CASE WHEN (z = 1 AND u < 70)
+                              OR (z = 0 AND u < 30) THEN 1 ELSE 0
+                        END AS x, cents
+              FROM b),
+        cells AS (SELECT z, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(cents) AS BIGINT) AS sc
+                  FROM t GROUP BY z)
+        SELECT round((SELECT CAST(sc AS DOUBLE)/n FROM cells
+                      WHERE z=1)
+                   - (SELECT CAST(sc AS DOUBLE)/n FROM cells
+                      WHERE z=0), 2) AS itt_cents,
+               round((SELECT CAST(sx AS DOUBLE)/n FROM cells
+                      WHERE z=1)
+                   - (SELECT CAST(sx AS DOUBLE)/n FROM cells
+                      WHERE z=0), 6) AS compliance_delta,
+               round(((SELECT CAST(sc AS DOUBLE)/n FROM cells
+                       WHERE z=1)
+                    - (SELECT CAST(sc AS DOUBLE)/n FROM cells
+                       WHERE z=0))
+                   / ((SELECT CAST(sx AS DOUBLE)/n FROM cells
+                       WHERE z=1)
+                    - (SELECT CAST(sx AS DOUBLE)/n FROM cells
+                       WHERE z=0)), 2) AS late_cents,
+               (SELECT CAST(sum(n) AS BIGINT) FROM cells)
+                 AS n_orders""")
+    }),
+
+    // CHANGEPOINT (binary segmentation, one split) — the best
+    // single break in the weekly revenue series by SSE reduction,
+    // the level-shift detector beside q235's CUSUM (which flags
+    // drift against a FIXED baseline; this finds the optimal split
+    // point): prefix sums of y and y² make every candidate split's
+    // two-segment SSE a closed form — one window pass over the
+    // ~340-week frame, no per-split rescan (the q401 stump recipe in
+    // regression form). Minimum segment length 8 excludes the
+    // degenerate edge splits every real changepoint package also
+    // guards against; argmin rounds at 1e-6 with week tie-break.
+    // The honest finding — var_explained ≈ 1% — says this series
+    // has NO strong break, which is the audit's answer.
+    "q407_changepoint" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        WITH wk AS (
+          SELECT datediff(CAST(o_orderdate AS DATE),
+                          DATE '1995-01-01') DIV 7 AS w,
+                 CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                      * 100 AS BIGINT) DIV 100) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        cum AS (SELECT w, y,
+                  CAST(sum(y) OVER o AS BIGINT) AS cy,
+                  CAST(sum(y*y) OVER o AS BIGINT) AS cy2,
+                  CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS i,
+                  CAST(sum(y) OVER () AS BIGINT) AS ty,
+                  CAST(sum(y*y) OVER () AS BIGINT) AS ty2,
+                  CAST(count(*) OVER () AS BIGINT) AS nt
+                FROM wk
+                WINDOW o AS (ORDER BY w ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW)),
+        sse AS (SELECT w, i, nt,
+                  (CAST(cy2 AS DOUBLE) - CAST(cy AS DOUBLE)*cy/i)
+                  + (CAST(ty2-cy2 AS DOUBLE)
+                     - CAST(ty-cy AS DOUBLE)*(ty-cy)/(nt-i)) AS sse2,
+                  CAST(ty2 AS DOUBLE) - CAST(ty AS DOUBLE)*ty/nt
+                    AS sse1
+                FROM cum WHERE i >= 8 AND i <= nt - 8),
+        r AS (SELECT *, row_number() OVER (ORDER BY round(sse2, 6),
+                w) AS rk FROM sse)
+        SELECT CAST(w AS BIGINT) AS changepoint_week,
+               CAST(i AS BIGINT) AS n_left,
+               CAST(nt - i AS BIGINT) AS n_right,
+               round(sse1, 2) AS sse_nosplit,
+               round(sse2, 2) AS sse_split,
+               round(1.0 - sse2 / sse1, 6) AS var_explained
+        FROM r WHERE rk = 1""")
+    }),
+
+    // MERKLE DIVERGENCE LOCATION — anti-entropy repair between two
+    // table replicas (one with a planted 1-in-4999 divergence): q173
+    // proves WHETHER tables differ in one digest; this finds WHERE,
+    // the way Cassandra/Dynamo repair does — compare coarse 512-key
+    // range digests, drill 64-key digests ONLY into mismatched
+    // ranges, fetch rows only from mismatched fine ranges. Digests
+    // are order-independent integer sums of md5 words, so each level
+    // is one map-side-combined rollup; the drill-down predicate is a
+    // broadcast semi-join of the tiny mismatch list. Probed-vs-
+    // possible (27 of 235 fine buckets here) is the audit's
+    // bandwidth-saving number.
+    "q408_merkle_repair" -> ((s, d) => {
+      // One parquet scan: replica B's plant derives from the same
+      // frame; both digest levels and the row fetch branch off the
+      // checkpointed (k, v_a, v_b) pair frame.
+      val pair = ld(s, d, "orders").selectExpr(
+          "o_orderkey AS k",
+          "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)" +
+            " AS va")
+        .selectExpr("k", "va",
+          "CASE WHEN k % 4999 = 0 THEN va + 1 ELSE va END AS vb")
+        .selectExpr("k", "va", "vb",
+          "CAST(conv(substr(md5(concat(CAST(k AS STRING), '#'," +
+            " CAST(va AS STRING))), 1, 8), 16, 10) AS BIGINT) AS ha",
+          "CAST(conv(substr(md5(concat(CAST(k AS STRING), '#'," +
+            " CAST(vb AS STRING))), 1, 8), 16, 10) AS BIGINT) AS hb")
+        .localCheckpoint()
+      pair.createOrReplaceTempView("merkle_pair")
+      s.sql("""
+        WITH l1 AS (SELECT k DIV 512 AS b1,
+                      CAST(sum(ha) AS BIGINT) AS da,
+                      CAST(sum(hb) AS BIGINT) AS db
+                    FROM merkle_pair GROUP BY 1),
+        m1 AS (SELECT b1 FROM l1 WHERE da <> db),
+        l2 AS (SELECT k DIV 64 AS b2,
+                 CAST(sum(ha) AS BIGINT) AS da,
+                 CAST(sum(hb) AS BIGINT) AS db
+               FROM merkle_pair
+               WHERE k DIV 512 IN (SELECT b1 FROM m1) GROUP BY 1),
+        m2 AS (SELECT b2 FROM l2 WHERE da <> db),
+        rows_div AS (SELECT k FROM merkle_pair
+                     WHERE va <> vb
+                       AND k DIV 64 IN (SELECT b2 FROM m2))
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM l1)
+                 AS n_l1_buckets,
+               (SELECT CAST(count(*) AS BIGINT) FROM m1)
+                 AS n_l1_mismatch,
+               (SELECT CAST(count(*) AS BIGINT) FROM l2)
+                 AS n_l2_probed,
+               (SELECT CAST(count(*) AS BIGINT) FROM m2)
+                 AS n_l2_mismatch,
+               (SELECT CAST(count(*) AS BIGINT) FROM rows_div)
+                 AS n_rows_diverged""")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -5681,5 +5963,215 @@ object Relational {
                 CAST(fl + CASE WHEN rr <= e THEN 1 ELSE 0 END
                      AS BIGINT) AS seats
          FROM rk CROSS JOIN extra ORDER BY p""",
+
+    // q401: identical prefix-sum split search.
+    "q401_gini_stump" ->
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                      CASE WHEN l_extendedprice > 30000 THEN 1 ELSE 0
+                      END AS y
+                    FROM lineitem),
+         tv AS (SELECT x AS xv, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(y) AS BIGINT) AS pos
+                FROM b GROUP BY 1),
+         cum AS (SELECT xv,
+                   CAST(sum(n) OVER w AS BIGINT) AS nl,
+                   CAST(sum(pos) OVER w AS BIGINT) AS pl,
+                   CAST(sum(n) OVER () AS BIGINT) AS nt,
+                   CAST(sum(pos) OVER () AS BIGINT) AS pt
+                 FROM tv
+                 WINDOW w AS (ORDER BY xv ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW)),
+         g AS (SELECT xv AS thr, nl, nt - nl AS nr, pl,
+                 pt - pl AS pr,
+                 (CAST(nl AS DOUBLE)/nt)
+                   * (1.0 - (CAST(pl AS DOUBLE)/nl)
+                            *(CAST(pl AS DOUBLE)/nl)
+                          - (1.0-CAST(pl AS DOUBLE)/nl)
+                            *(1.0-CAST(pl AS DOUBLE)/nl))
+                 + (CAST(nt-nl AS DOUBLE)/nt)
+                   * (1.0 - (CAST(pt-pl AS DOUBLE)/(nt-nl))
+                            *(CAST(pt-pl AS DOUBLE)/(nt-nl))
+                          - (1.0-CAST(pt-pl AS DOUBLE)/(nt-nl))
+                            *(1.0-CAST(pt-pl AS DOUBLE)/(nt-nl)))
+                   AS gini_w
+               FROM cum WHERE nl > 0 AND nt - nl > 0),
+         r AS (SELECT *, row_number() OVER (ORDER BY round(gini_w, 9),
+                 thr) AS rk FROM g)
+         SELECT CAST(thr AS BIGINT) AS best_threshold,
+                CAST(nl AS BIGINT) AS n_left,
+                CAST(nr AS BIGINT) AS n_right,
+                CAST(pl AS BIGINT) AS pos_left,
+                CAST(pr AS BIGINT) AS pos_right,
+                round(gini_w, 6) AS gini
+         FROM r WHERE rk = 1""",
+
+    // q402: same blocked pair rollup and metric joins.
+    "q402_association_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok,
+                          l_partkey % 20 AS it
+                        FROM lineitem),
+         n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS nt
+               FROM items),
+         sup AS (SELECT it, CAST(count(*) AS BIGINT) AS s
+                 FROM items GROUP BY 1),
+         pairs AS (SELECT a.it AS ia, b.it AS ib,
+                     CAST(count(*) AS BIGINT) AS sab
+                   FROM items a JOIN items b
+                     ON a.ok = b.ok AND a.it < b.it
+                   GROUP BY 1, 2 HAVING count(*) >= 100),
+         rules AS (
+           SELECT ia, ib, sab, sa.s AS s_a, sb.s AS s_b,
+                  (2 * sab * 10000 + sa.s) // (2 * sa.s) AS conf_bp,
+                  round((CAST(sab AS DOUBLE) * nt)
+                        / (CAST(sa.s AS DOUBLE) * sb.s), 4) AS lift
+           FROM pairs JOIN sup sa ON sa.it = pairs.ia
+           JOIN sup sb ON sb.it = pairs.ib CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER (ORDER BY conf_bp DESC,
+                 ia, ib) AS rk FROM rules)
+         SELECT ia, ib, sab, s_a, s_b,
+                CAST(conf_bp AS BIGINT) AS conf_bp, lift
+         FROM r WHERE rk <= 15 ORDER BY ia, ib""",
+
+    // q404: same exact dollar moments, same closed form.
+    "q404_power_analysis" ->
+      """WITH v AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CAST(CAST(o_totalprice
+                           AS DECIMAL(14,2)) * 100 AS BIGINT)
+                           // 100) AS BIGINT) AS s,
+                      CAST(sum((CAST(CAST(o_totalprice
+                           AS DECIMAL(14,2)) * 100 AS BIGINT) // 100)
+                         * (CAST(CAST(o_totalprice
+                           AS DECIMAL(14,2)) * 100 AS BIGINT)
+                           // 100)) AS BIGINT) AS ss
+                    FROM orders),
+         p AS (SELECT n, CAST(s AS DOUBLE)/n AS mean,
+                      (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/n)
+                        / (n - 1) AS var
+               FROM v),
+         mde AS (SELECT CAST(unnest(generate_series(1, 5)) AS BIGINT)
+                   AS pct)
+         SELECT pct, round(p.mean, 2) AS mean_dollars,
+                CAST(ceil(2 * power(1.959963984540054
+                     + 0.8416212335729143, 2) * p.var
+                     / power(p.mean * pct / 100.0, 2)) AS BIGINT)
+                  AS n_per_arm
+         FROM p CROSS JOIN mde ORDER BY pct""",
+
+    // q405: identical four-cell Wald.
+    "q405_iv_wald" ->
+      """WITH b AS (
+           SELECT CAST(('0x' || substr(md5('z#' ||
+                    CAST(o_custkey AS VARCHAR)), 1, 4)) AS BIGINT)
+                    % 2 AS z,
+                  CAST(('0x' || substr(md5('c#' ||
+                    CAST(o_orderkey AS VARCHAR)), 1, 4)) AS BIGINT)
+                    % 100 AS u,
+                  CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                       AS BIGINT) AS cents
+           FROM orders),
+         t AS (SELECT z, CASE WHEN (z = 1 AND u < 70)
+                               OR (z = 0 AND u < 30) THEN 1 ELSE 0
+                         END AS x, cents
+               FROM b),
+         cells AS (SELECT z, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(x) AS BIGINT) AS sx,
+                          CAST(sum(cents) AS BIGINT) AS sc
+                   FROM t GROUP BY z)
+         SELECT round((SELECT CAST(sc AS DOUBLE)/n FROM cells
+                       WHERE z=1)
+                    - (SELECT CAST(sc AS DOUBLE)/n FROM cells
+                       WHERE z=0), 2) AS itt_cents,
+                round((SELECT CAST(sx AS DOUBLE)/n FROM cells
+                       WHERE z=1)
+                    - (SELECT CAST(sx AS DOUBLE)/n FROM cells
+                       WHERE z=0), 6) AS compliance_delta,
+                round(((SELECT CAST(sc AS DOUBLE)/n FROM cells
+                        WHERE z=1)
+                     - (SELECT CAST(sc AS DOUBLE)/n FROM cells
+                        WHERE z=0))
+                    / ((SELECT CAST(sx AS DOUBLE)/n FROM cells
+                        WHERE z=1)
+                     - (SELECT CAST(sx AS DOUBLE)/n FROM cells
+                        WHERE z=0)), 2) AS late_cents,
+                (SELECT CAST(sum(n) AS BIGINT) FROM cells)
+                  AS n_orders""",
+
+    // q407: identical prefix-sum SSE search with the same guards.
+    "q407_changepoint" ->
+      """WITH wk AS (
+           SELECT date_diff('day', DATE '1995-01-01',
+                            CAST(o_orderdate AS DATE)) // 7 AS w,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                       * 100 AS BIGINT) // 100) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         cum AS (SELECT w, y,
+                   CAST(sum(y) OVER o AS BIGINT) AS cy,
+                   CAST(sum(y*y) OVER o AS BIGINT) AS cy2,
+                   CAST(row_number() OVER (ORDER BY w) AS BIGINT)
+                     AS i,
+                   CAST(sum(y) OVER () AS BIGINT) AS ty,
+                   CAST(sum(y*y) OVER () AS BIGINT) AS ty2,
+                   CAST(count(*) OVER () AS BIGINT) AS nt
+                 FROM wk
+                 WINDOW o AS (ORDER BY w ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW)),
+         sse AS (SELECT w, i, nt,
+                   (CAST(cy2 AS DOUBLE) - CAST(cy AS DOUBLE)*cy/i)
+                   + (CAST(ty2-cy2 AS DOUBLE)
+                      - CAST(ty-cy AS DOUBLE)*(ty-cy)/(nt-i))
+                     AS sse2,
+                   CAST(ty2 AS DOUBLE) - CAST(ty AS DOUBLE)*ty/nt
+                     AS sse1
+                 FROM cum WHERE i >= 8 AND i <= nt - 8),
+         r AS (SELECT *, row_number() OVER (ORDER BY round(sse2, 6),
+                 w) AS rk FROM sse)
+         SELECT CAST(w AS BIGINT) AS changepoint_week,
+                CAST(i AS BIGINT) AS n_left,
+                CAST(nt - i AS BIGINT) AS n_right,
+                round(sse1, 2) AS sse_nosplit,
+                round(sse2, 2) AS sse_split,
+                round(1.0 - sse2 / sse1, 6) AS var_explained
+         FROM r WHERE rk = 1""",
+
+    // q408: same two-level digest drill-down.
+    "q408_merkle_repair" ->
+      """WITH pair AS (
+           SELECT o_orderkey AS k,
+                  CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                       AS BIGINT) AS va,
+                  CASE WHEN o_orderkey % 4999 = 0
+                       THEN CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                            * 100 AS BIGINT) + 1
+                       ELSE CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                            * 100 AS BIGINT) END AS vb
+           FROM orders),
+         h AS (SELECT k, va, vb,
+                 CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#' ||
+                      CAST(va AS VARCHAR)), 1, 8)) AS BIGINT) AS ha,
+                 CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '#' ||
+                      CAST(vb AS VARCHAR)), 1, 8)) AS BIGINT) AS hb
+               FROM pair),
+         l1 AS (SELECT k // 512 AS b1, CAST(sum(ha) AS BIGINT) AS da,
+                       CAST(sum(hb) AS BIGINT) AS db
+                FROM h GROUP BY 1),
+         m1 AS (SELECT b1 FROM l1 WHERE da <> db),
+         l2 AS (SELECT k // 64 AS b2, CAST(sum(ha) AS BIGINT) AS da,
+                       CAST(sum(hb) AS BIGINT) AS db
+                FROM h WHERE k // 512 IN (SELECT b1 FROM m1)
+                GROUP BY 1),
+         m2 AS (SELECT b2 FROM l2 WHERE da <> db),
+         rows_div AS (SELECT k FROM h
+                      WHERE va <> vb
+                        AND k // 64 IN (SELECT b2 FROM m2))
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM l1)
+                  AS n_l1_buckets,
+                (SELECT CAST(count(*) AS BIGINT) FROM m1)
+                  AS n_l1_mismatch,
+                (SELECT CAST(count(*) AS BIGINT) FROM l2)
+                  AS n_l2_probed,
+                (SELECT CAST(count(*) AS BIGINT) FROM m2)
+                  AS n_l2_mismatch,
+                (SELECT CAST(count(*) AS BIGINT) FROM rows_div)
+                  AS n_rows_diverged""",
   )
 }

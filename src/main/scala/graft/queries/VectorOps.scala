@@ -1472,6 +1472,51 @@ object VectorOps {
           round(col("dcg") / col("idcg"), 6).as("ndcg10"))
         .orderBy("q_id")
     }),
+
+    // SIMPLIFIED SILHOUETTE — cluster-quality score per label using
+    // CENTROID distances (a = own centroid, b = nearest other), the
+    // O(n·k) formulation that replaces true silhouette's O(n²)
+    // all-pairs at scale (the same linearization trade q111 makes,
+    // documented): negative silhouettes are points sitting closer to
+    // a foreign centroid than their own — the per-cluster misplaced
+    // count is the actionable output. Centroids use q63's exact
+    // assembly (rounded per-component means), distances rounded at
+    // 1e-6 before the min/compare so both engines agree on every
+    // a/b choice.
+    "q403_silhouette" -> ((s, d) => {
+      val e = ld(s, d, "embeddings")
+      val cent = e
+        .select(col("label").as("cl"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "v")))
+        .groupBy("cl", "pos").agg(round(avg("v"), 6).as("c"))
+        .groupBy("cl")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+          .as("pc"))
+        .select(col("cl"), expr("transform(pc, x -> x.c)").as("cc"))
+      val dist = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("cl"),
+          round(sqrt(aggregate(
+            zip_with(col("embedding").cast("array<double>"), col("cc"),
+              (x, c) => (x - c) * (x - c)),
+            lit(0.0), (acc, v) => acc + v)), 6).as("dist"))
+      dist.groupBy("vec_id", "label")
+        .agg(min(when(col("cl") === col("label"), col("dist")))
+            .as("a"),
+          min(when(col("cl") =!= col("label"), col("dist"))).as("b"))
+        .select(col("label"),
+          // micro-unit integer: a/b are 6-dp-rounded, so both engines
+          // compute the identical ratio double and ×1e6+round agrees
+          // bit-for-bit; summing INTEGERS avoids the avg() accumulation
+          // -order ulp that flipped label 8's round(6) mean at sf0.1
+          expr("CAST(round(((b - a) / greatest(a, b)) * 1000000)" +
+            " AS BIGINT)").as("sil_e6"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum("sil_e6").cast("long").as("sum_sil_e6"),
+          expr("count_if(sil_e6 < 0)").as("n_misplaced"))
+        .orderBy("label")
+    }),
   )
 
   /** q125's composed IVF×PQ chain, ranked pre-top-k — shared with q120's
@@ -2628,5 +2673,36 @@ object VectorOps {
                  round(d.dcg / i.idcg, 6) AS ndcg10
           FROM dcg d JOIN ideal i ON d.q_id = i.q_id
           WHERE i.idcg > 0 ORDER BY d.q_id""",
+
+    // q403: q63's exact centroid assembly, same rounded distances.
+    "q403_silhouette" ->
+      """WITH c AS (SELECT vec_id, label,
+                           CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings),
+              comp AS (SELECT label, i AS pos, round(avg(ce[i]), 6)
+                         AS cv
+                       FROM c, range(1, 65) t(i) GROUP BY 1, 2),
+              cent AS (SELECT label AS cl, list(cv ORDER BY pos) AS cc
+                       FROM comp GROUP BY 1),
+              d AS (SELECT c.vec_id, c.label, cent.cl,
+                           round(sqrt(list_sum(list_transform(
+                             range(1, 65),
+                             i -> (ce[i] - cc[i]) * (ce[i] - cc[i])))),
+                             6) AS dist
+                    FROM c CROSS JOIN cent),
+              ab AS (SELECT vec_id, label,
+                            min(CASE WHEN cl = label THEN dist END)
+                              AS a,
+                            min(CASE WHEN cl <> label THEN dist END)
+                              AS b
+                     FROM d GROUP BY 1, 2),
+              sil AS (SELECT label,
+                             CAST(round(((b - a) / greatest(a, b))
+                                  * 1000000) AS BIGINT) AS sil_e6
+                      FROM ab)
+         SELECT label, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(sil_e6) AS BIGINT) AS sum_sil_e6,
+                CAST(count_if(sil_e6 < 0) AS BIGINT) AS n_misplaced
+         FROM sil GROUP BY label ORDER BY label""",
   )
 }
