@@ -3162,23 +3162,24 @@ object PipelineOps {
     // One explode (3 raters/doc), two keyed rollups, then everything
     // runs on the |categories|-row frame.
     "q406_fleiss_kappa" -> ((s, d) => {
-      graft.Tables.view(s, d, "documents")
+      // ONE corpus scan: the (doc, category) count frame is
+      // checkpointed — the per-item agreement, the pooled
+      // prevalences, and the doc census all branch off it (CTE
+      // inlining re-ran the explode 3×, measured).
+      ld(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(expr("sequence(1, 3)")).as("rater"))
+        .selectExpr("doc_id",
+          "CASE WHEN CAST(conv(substr(md5(concat('r#'," +
+            " CAST(rater AS STRING), '#'," +
+            " CAST(doc_id AS STRING))), 1, 4), 16, 10)" +
+            " AS BIGINT) % 10 < 7 THEN lang ELSE 'other' END AS cat")
+        .groupBy("doc_id", "cat")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+        .createOrReplaceTempView("fleiss_counts")
       s.sql("""
-        WITH r AS (
-          SELECT doc_id, rater,
-                 CAST(conv(substr(md5(concat('r#',
-                   CAST(rater AS STRING), '#',
-                   CAST(doc_id AS STRING))), 1, 4), 16, 10)
-                   AS BIGINT) % 10 AS roll,
-                 lang
-          FROM documents
-          LATERAL VIEW explode(sequence(1, 3)) t AS rater),
-        votes AS (SELECT doc_id, rater,
-                    CASE WHEN roll < 7 THEN lang ELSE 'other' END
-                      AS cat
-                  FROM r),
-        cnt AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS c
-                FROM votes GROUP BY 1, 2),
+        WITH cnt AS (SELECT doc_id, cat, c FROM fleiss_counts),
         pi AS (SELECT doc_id, CAST(sum(c * (c - 1)) AS BIGINT)
                  AS agree
                FROM cnt GROUP BY 1),

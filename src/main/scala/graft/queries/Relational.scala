@@ -3535,13 +3535,18 @@ object Relational {
     // by construction, at any scale. Everything after the one corpus
     // rollup runs on the |priorities| frame.
     "q400_largest_remainder" -> ((s, d) => {
-      graft.Tables.view(s, d, "orders")
+      // One corpus scan: the |priorities| revenue frame is
+      // checkpointed; CTE inlining would re-run the rollup for the
+      // total, the floor quotas, and the remainder ranking.
+      ld(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("p"))
+        .agg(expr("CAST(sum(CAST(CAST(o_totalprice" +
+          " AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)")
+          .as("cents"))
+        .localCheckpoint()
+        .createOrReplaceTempView("seat_rev")
       s.sql("""
-        WITH rev AS (SELECT o_orderpriority AS p,
-                       CAST(sum(CAST(CAST(o_totalprice
-                            AS DECIMAL(14,2)) * 100 AS BIGINT))
-                            AS BIGINT) AS cents
-                     FROM orders GROUP BY 1),
+        WITH rev AS (SELECT p, cents FROM seat_rev),
         tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
         qf AS (SELECT p, cents, (1000 * cents) DIV t AS fl,
                       (1000 * cents) % t AS rem
@@ -3693,26 +3698,28 @@ object Relational {
     // integer cells from one corpus pass — the 2×2 (z × Σx, Σy)
     // frame — and every division happens on that 2-row frame.
     "q405_iv_wald" -> ((s, d) => {
-      graft.Tables.view(s, d, "orders")
+      // ONE corpus scan: the 2-row cell frame is checkpointed —
+      // every scalar subquery below would otherwise re-derive it
+      // from orders (9 scans, measured before this pin).
+      ld(s, d, "orders").selectExpr(
+          "CAST(conv(substr(md5(concat('z#'," +
+            " CAST(o_custkey AS STRING))), 1, 4), 16, 10)" +
+            " AS BIGINT) % 2 AS z",
+          "CAST(conv(substr(md5(concat('c#'," +
+            " CAST(o_orderkey AS STRING))), 1, 4), 16, 10)" +
+            " AS BIGINT) % 100 AS u",
+          "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100" +
+            " AS BIGINT) AS cents")
+        .selectExpr("z",
+          "CASE WHEN (z = 1 AND u < 70) OR (z = 0 AND u < 30)" +
+            " THEN 1 ELSE 0 END AS x", "cents")
+        .groupBy("z")
+        .agg(count(lit(1)).as("n"), sum("x").cast("long").as("sx"),
+          sum("cents").cast("long").as("sc"))
+        .localCheckpoint()
+        .createOrReplaceTempView("iv_cells")
       s.sql("""
-        WITH b AS (
-          SELECT CAST(conv(substr(md5(concat('z#',
-                   CAST(o_custkey AS STRING))), 1, 4), 16, 10)
-                   AS BIGINT) % 2 AS z,
-                 CAST(conv(substr(md5(concat('c#',
-                   CAST(o_orderkey AS STRING))), 1, 4), 16, 10)
-                   AS BIGINT) % 100 AS u,
-                 CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
-                      AS BIGINT) AS cents
-          FROM orders),
-        t AS (SELECT z, CASE WHEN (z = 1 AND u < 70)
-                              OR (z = 0 AND u < 30) THEN 1 ELSE 0
-                        END AS x, cents
-              FROM b),
-        cells AS (SELECT z, CAST(count(*) AS BIGINT) AS n,
-                         CAST(sum(x) AS BIGINT) AS sx,
-                         CAST(sum(cents) AS BIGINT) AS sc
-                  FROM t GROUP BY z)
+        WITH cells AS (SELECT z, n, sx, sc FROM iv_cells)
         SELECT round((SELECT CAST(sc AS DOUBLE)/n FROM cells
                       WHERE z=1)
                    - (SELECT CAST(sc AS DOUBLE)/n FROM cells

@@ -2690,4 +2690,105 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastNestedLoopJoin"),
       "the 1-row moments frame must broadcast")
   }
+
+  test("q397: text complexity — one scan, explode + one keyed rollup, " +
+    "no join") {
+    val p = plan("q397_text_complexity")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.matches("""(?s).*\(\d+\) Generate.*"""))
+    assert(!p.contains("Join"))
+  }
+
+  test("q398: AP@20 — ranker off the checkpointed corpus (no parquet " +
+    "rescan); windows partition per probe; cohort sizes broadcast") {
+    val p = plan("q398_average_precision")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.contains("hashpartitioning(q_id"),
+      "rank/cumulative windows must partition per probe")
+    assert(p.contains("BroadcastHashJoin"), "cohort counts broadcast")
+  }
+
+  test("q399: nDCG — ideal DCG is closed-form over broadcast count " +
+    "frames, never a second ranking pass; no parquet rescan") {
+    val p = plan("q399_ndcg")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.contains("hashpartitioning(q_id"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q400: apportionment — seat math runs on the checkpointed " +
+    "|priorities| frame; no corpus rescan") {
+    val p = plan("q400_largest_remainder")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+  }
+
+  test("q401: Gini stump — one scan; every threshold's counts come " +
+    "from prefix sums over the |distinct x| frame, no per-threshold " +
+    "rescan, no join") {
+    val p = plan("q401_gini_stump")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q402: association rules — pair/item supports and the txn " +
+    "count all branch off the checkpointed items frame; metric joins " +
+    "broadcast") {
+    val p = plan("q402_association_rules")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q403: silhouette — centroid distances via one broadcast of " +
+    "the k-row centroid frame; two scans (centroids, then scoring)") {
+    val p = plan("q403_silhouette")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 2)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
+  test("q404: power analysis — one moment pass, MDE sweep on a 5-row " +
+    "range against the broadcast 1-row frame") {
+    val p = plan("q404_power_analysis")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q405: IV Wald — all scalar subqueries read the checkpointed " +
+    "2-row cell frame, never the corpus (9 scans before the pin)") {
+    val p = plan("q405_iv_wald")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+  }
+
+  test("q406: Fleiss kappa — agreement, prevalences, and the doc " +
+    "census branch off the checkpointed count frame; no corpus " +
+    "rescan") {
+    val p = plan("q406_fleiss_kappa")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+  }
+
+  test("q407: changepoint — one scan; every split's SSE from prefix " +
+    "sums over the weekly frame, no per-split rescan") {
+    val p = plan("q407_changepoint")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q408: merkle repair — both digest levels and the row fetch " +
+    "branch off the checkpointed pair frame; no corpus rescan") {
+    val p = plan("q408_merkle_repair")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+  }
 }
