@@ -2791,4 +2791,71 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.linesIterator.count(
       _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
   }
+
+  test("q409: rank windows — one scan, one window pass partitioned " +
+    "by flag, no join") {
+    val p = plan("q409_rank_window_suite")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Window\s*""")) == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q410: modularity — all math branches off the checkpointed " +
+    "edge/community frames; no corpus rescan, no cartesian") {
+    val p = plan("q410_graph_modularity")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q411: NB fit — one scan, two aggregate levels, no join") {
+    val p = plan("q411_negbin_fit")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q412: MRR waterfall — active and churn branches share the " +
+    "checkpointed span frame; no corpus rescan") {
+    val p = plan("q412_mrr_waterfall")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+  }
+
+  test("q413: Simpson — pooled and per-stratum signs share the " +
+    "checkpointed |nations| cell frame; no corpus rescan") {
+    val p = plan("q413_simpson_paradox")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("Join"), "sign math runs on the cell frame")
+  }
+
+  test("q414: MASE — one scan; both 'models' are lags in one ordered " +
+    "window over the weekly frame") {
+    val p = plan("q414_mase_forecast")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Window\s*""")) == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q415: Huber — no window, no join in the driver plan; the " +
+    "IRLS rounds are scalar-subquery corpus passes by design") {
+    val p = plan("q415_huber_mean")
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q416: LTV — one corpus scan for monthly revenue; cohort frame " +
+    "checkpointed and broadcast; cumulative window per cohort") {
+    val p = plan("q416_ltv_curve")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("hashpartitioning(cohort"),
+      "the cumulative window partitions by cohort")
+  }
 }
