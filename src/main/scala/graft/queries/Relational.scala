@@ -4177,6 +4177,85 @@ object Relational {
           "CAST(cum_rev DIV cohort_n AS BIGINT) AS ltv_per_customer")
         .orderBy("cohort", "age")
     }),
+
+    // IN-ENGINE LOGISTIC REGRESSION — four Newton/IRLS rounds
+    // training a one-feature quality classifier entirely in SQL, the
+    // trainable rung above q163's fixed-threshold gates: each round
+    // is ONE corpus pass computing the 5 sufficient sums (gradient +
+    // Hessian), and the 2×2 Newton solve is a closed-form projection
+    // on the 1-row frame — no driver-side loop, no collect. The
+    // label is a PLANTED noisy monotone rule (md5 noise, the q392
+    // recipe), so the audit has ground truth: the trainer must
+    // recover β ≈ (−4.43, 11.95) at round 4. Verified
+    // reorder-stable to 1e-7 (sum-order drift contracts through
+    // Newton); coefficients reported at 1e-4, accuracy as exact
+    // integers. Four corpus passes IS the iterative algorithm's
+    // honest cost (q131 stance) — you don't cache a 100 TB corpus
+    // to save scans.
+    "q418_logistic_irls" -> ((s, d) => {
+      graft.Tables.view(s, d, "lineitem")
+      val round = (bIn: String, bOut: String) =>
+        s"""$bOut AS (
+             SELECT b0 + (w11*g0 - w01*g1)/(w00*w11 - w01*w01) AS b0,
+                    b1 + (w00*g1 - w01*g0)/(w00*w11 - w01*w01) AS b1
+             FROM (
+               SELECT b0, b1,
+                      sum(y - 1/(1+exp(-(b0 + b1*x)))) AS g0,
+                      sum(x*(y - 1/(1+exp(-(b0 + b1*x))))) AS g1,
+                      sum((1/(1+exp(-(b0+b1*x))))
+                          *(1-1/(1+exp(-(b0+b1*x))))) AS w00,
+                      sum(x*(1/(1+exp(-(b0+b1*x))))
+                          *(1-1/(1+exp(-(b0+b1*x))))) AS w01,
+                      sum(x*x*(1/(1+exp(-(b0+b1*x))))
+                          *(1-1/(1+exp(-(b0+b1*x))))) AS w11
+               FROM b CROSS JOIN $bIn GROUP BY b0, b1))"""
+      s.sql(s"""
+        WITH b AS (
+          SELECT CAST(l_quantity AS DOUBLE) / 50 AS x,
+                 CASE WHEN CAST(l_quantity AS BIGINT)
+                       + CAST(conv(substr(md5(concat('n#',
+                           CAST(l_orderkey AS STRING), '#',
+                           CAST(l_linenumber AS STRING))), 1, 4),
+                           16, 10) AS BIGINT) % 25 > 30
+                      THEN 1.0D ELSE 0.0D END AS y
+          FROM lineitem),
+        c0 AS (SELECT 0.0D AS b0, 0.0D AS b1),
+        ${round("c0", "c1")},
+        ${round("c1", "c2")},
+        ${round("c2", "c3")},
+        ${round("c3", "c4")},
+        acc AS (SELECT count_if((1/(1+exp(-(b0 + b1*x))) >= 0.5)
+                                = (y = 1.0D)) AS n_correct,
+                       count(*) AS n
+                FROM b CROSS JOIN c4)
+        SELECT round((SELECT b0 FROM c4), 4) AS beta0,
+               round((SELECT b1 FROM c4), 4) AS beta1,
+               (SELECT CAST(n_correct AS BIGINT) FROM acc)
+                 AS n_correct,
+               (SELECT CAST(n AS BIGINT) FROM acc) AS n""")
+    }),
+
+    // LIKE QUANTIFIERS — Spark's LIKE ALL / LIKE ANY multi-pattern
+    // predicates (the parser surface, not just the semantics: the
+    // quantified form is what a generated WHERE clause emits when a
+    // filter UI hands it N patterns), plus NOT LIKE and RLIKE in the
+    // same pass. The oracle proves the QUANTIFIER rewrite — DuckDB
+    // has no LIKE ALL/ANY, so it states the conjunction/disjunction
+    // explicitly, and the counts must match exactly. One dimension
+    // scan, four codegen'd predicates, one row out.
+    "q420_like_quantifiers" -> ((s, d) => {
+      graft.Tables.view(s, d, "part")
+      s.sql("""
+        SELECT CAST(count_if(p_name LIKE ALL ('%bolt%', 'c%'))
+                 AS BIGINT) AS n_like_all,
+               CAST(count_if(p_name LIKE ANY ('%bolt%', '%gear%'))
+                 AS BIGINT) AS n_like_any,
+               CAST(count_if(p_name NOT LIKE '%o%') AS BIGINT)
+                 AS n_not_like,
+               CAST(count_if(p_name RLIKE '^(red|blue) (bolt|gear)$')
+                 AS BIGINT) AS n_rlike
+        FROM part""")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -6743,5 +6822,99 @@ object Relational {
          FROM cum JOIN cs ON cohort = cohort2
          WHERE cohort BETWEEN 23941 AND 23952 AND age <= 12
          ORDER BY cohort, age""",
+
+    // q418: identical four Newton rounds from the same planted rule.
+    "q418_logistic_irls" ->
+      """WITH b AS (
+           SELECT CAST(l_quantity AS DOUBLE) / 50 AS x,
+                  CASE WHEN CAST(l_quantity AS BIGINT)
+                        + CAST(('0x' || substr(md5('n#' ||
+                            CAST(l_orderkey AS VARCHAR) || '#' ||
+                            CAST(l_linenumber AS VARCHAR)), 1, 4))
+                            AS BIGINT) % 25 > 30
+                       THEN 1.0 ELSE 0.0 END AS y
+           FROM lineitem),
+         c0 AS (SELECT 0.0 AS b0, 0.0 AS b1),
+         c1 AS (
+           SELECT b0 + (w11*g0 - w01*g1)/(w00*w11 - w01*w01) AS b0,
+                  b1 + (w00*g1 - w01*g0)/(w00*w11 - w01*w01) AS b1
+           FROM (
+             SELECT b0, b1,
+                    sum(y - 1/(1+exp(-(b0 + b1*x)))) AS g0,
+                    sum(x*(y - 1/(1+exp(-(b0 + b1*x))))) AS g1,
+                    sum((1/(1+exp(-(b0+b1*x))))
+                        *(1-1/(1+exp(-(b0+b1*x))))) AS w00,
+                    sum(x*(1/(1+exp(-(b0+b1*x))))
+                        *(1-1/(1+exp(-(b0+b1*x))))) AS w01,
+                    sum(x*x*(1/(1+exp(-(b0+b1*x))))
+                        *(1-1/(1+exp(-(b0+b1*x))))) AS w11
+             FROM b CROSS JOIN c0 GROUP BY b0, b1)),
+         c2 AS (
+           SELECT b0 + (w11*g0 - w01*g1)/(w00*w11 - w01*w01) AS b0,
+                  b1 + (w00*g1 - w01*g0)/(w00*w11 - w01*w01) AS b1
+           FROM (
+             SELECT b0, b1,
+                    sum(y - 1/(1+exp(-(b0 + b1*x)))) AS g0,
+                    sum(x*(y - 1/(1+exp(-(b0 + b1*x))))) AS g1,
+                    sum((1/(1+exp(-(b0+b1*x))))
+                        *(1-1/(1+exp(-(b0+b1*x))))) AS w00,
+                    sum(x*(1/(1+exp(-(b0+b1*x))))
+                        *(1-1/(1+exp(-(b0+b1*x))))) AS w01,
+                    sum(x*x*(1/(1+exp(-(b0+b1*x))))
+                        *(1-1/(1+exp(-(b0+b1*x))))) AS w11
+             FROM b CROSS JOIN c1 GROUP BY b0, b1)),
+         c3 AS (
+           SELECT b0 + (w11*g0 - w01*g1)/(w00*w11 - w01*w01) AS b0,
+                  b1 + (w00*g1 - w01*g0)/(w00*w11 - w01*w01) AS b1
+           FROM (
+             SELECT b0, b1,
+                    sum(y - 1/(1+exp(-(b0 + b1*x)))) AS g0,
+                    sum(x*(y - 1/(1+exp(-(b0 + b1*x))))) AS g1,
+                    sum((1/(1+exp(-(b0+b1*x))))
+                        *(1-1/(1+exp(-(b0+b1*x))))) AS w00,
+                    sum(x*(1/(1+exp(-(b0+b1*x))))
+                        *(1-1/(1+exp(-(b0+b1*x))))) AS w01,
+                    sum(x*x*(1/(1+exp(-(b0+b1*x))))
+                        *(1-1/(1+exp(-(b0+b1*x))))) AS w11
+             FROM b CROSS JOIN c2 GROUP BY b0, b1)),
+         c4 AS (
+           SELECT b0 + (w11*g0 - w01*g1)/(w00*w11 - w01*w01) AS b0,
+                  b1 + (w00*g1 - w01*g0)/(w00*w11 - w01*w01) AS b1
+           FROM (
+             SELECT b0, b1,
+                    sum(y - 1/(1+exp(-(b0 + b1*x)))) AS g0,
+                    sum(x*(y - 1/(1+exp(-(b0 + b1*x))))) AS g1,
+                    sum((1/(1+exp(-(b0+b1*x))))
+                        *(1-1/(1+exp(-(b0+b1*x))))) AS w00,
+                    sum(x*(1/(1+exp(-(b0+b1*x))))
+                        *(1-1/(1+exp(-(b0+b1*x))))) AS w01,
+                    sum(x*x*(1/(1+exp(-(b0+b1*x))))
+                        *(1-1/(1+exp(-(b0+b1*x))))) AS w11
+             FROM b CROSS JOIN c3 GROUP BY b0, b1)),
+         acc AS (SELECT count_if((1/(1+exp(-(b0 + b1*x))) >= 0.5)
+                                 = (y = 1.0)) AS n_correct,
+                        count(*) AS n
+                 FROM b CROSS JOIN c4)
+         SELECT round((SELECT b0 FROM c4), 4) AS beta0,
+                round((SELECT b1 FROM c4), 4) AS beta1,
+                (SELECT CAST(n_correct AS BIGINT) FROM acc)
+                  AS n_correct,
+                (SELECT CAST(n AS BIGINT) FROM acc) AS n""",
+
+    // q420: DuckDB lacks LIKE ALL/ANY — the oracle states the
+    // conjunction/disjunction the quantifier must rewrite to.
+    "q420_like_quantifiers" ->
+      """SELECT CAST(count_if(p_name LIKE '%bolt%'
+                              AND p_name LIKE 'c%') AS BIGINT)
+                  AS n_like_all,
+                CAST(count_if(p_name LIKE '%bolt%'
+                              OR p_name LIKE '%gear%') AS BIGINT)
+                  AS n_like_any,
+                CAST(count_if(p_name NOT LIKE '%o%') AS BIGINT)
+                  AS n_not_like,
+                CAST(count_if(regexp_matches(p_name,
+                     '^(red|blue) (bolt|gear)$')) AS BIGINT)
+                  AS n_rlike
+         FROM part""",
   )
 }
