@@ -2575,32 +2575,33 @@ object EventOps {
     // engines (the q421 cast-rounding trap).
     "q419_exponential_fit" -> ((s, d) => {
       graft.Tables.view(s, d, "events")
-      s.sql("""
+      // The gap frame is derived ONCE and checkpoint-pinned (the
+      // q400/q405 cell-frame stance): the moment fit, the ECDF rank,
+      // and the scalar readouts all branch off it — a pure CTE chain
+      // re-ran the per-user lag window 5× (measured 5 scans / 6
+      // window passes before the pin).
+      val x = s.sql("""
         WITH g AS (
           SELECT unix_micros(ts) DIV 1000000
                  - lag(unix_micros(ts) DIV 1000000)
                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS gap
-          FROM events),
-        x AS (SELECT CAST(gap AS DOUBLE) AS gap FROM g
-              WHERE gap IS NOT NULL AND gap > 0),
-        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                     avg(gap) AS mean_gap FROM x),
-        r AS (SELECT gap, row_number() OVER (ORDER BY gap) AS i,
-                     n, mean_gap
-              FROM x CROSS JOIN m),
-        dev AS (SELECT greatest(
-                  abs(CAST(i AS DOUBLE)/n
-                      - (1 - exp(-gap/mean_gap))),
-                  abs(CAST(i-1 AS DOUBLE)/n
-                      - (1 - exp(-gap/mean_gap)))) AS dv
-                FROM r)
-        SELECT (SELECT n FROM m) AS n_gaps,
-               round((SELECT mean_gap FROM m), 2) AS mean_gap_s,
-               round(max(dv), 6) AS ks_stat,
-               round(1.36 / sqrt((SELECT n FROM m)), 6)
-                 AS ks_crit_05
-        FROM dev""")
+          FROM events)
+        SELECT CAST(gap AS DOUBLE) AS gap FROM g
+        WHERE gap IS NOT NULL AND gap > 0""").localCheckpoint()
+      val m = x.agg(expr("CAST(count(*) AS BIGINT)").as("n"),
+          expr("avg(gap)").as("mean_gap"))
+        .localCheckpoint()
+      val dev = x.crossJoin(broadcast(m))
+        .withColumn("i", row_number().over(Window.orderBy("gap")))
+        .selectExpr("""greatest(
+            abs(CAST(i AS DOUBLE)/n - (1 - exp(-gap/mean_gap))),
+            abs(CAST(i-1 AS DOUBLE)/n - (1 - exp(-gap/mean_gap))))
+          AS dv""")
+        .agg(expr("round(max(dv), 6)").as("ks_stat"))
+      dev.crossJoin(m).selectExpr("n AS n_gaps",
+        "round(mean_gap, 2) AS mean_gap_s", "ks_stat",
+        "round(1.36 / sqrt(n), 6) AS ks_crit_05")
     }),
 
     // INTERVAL UNION LENGTH — total COVERED time per population from

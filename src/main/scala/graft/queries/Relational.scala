@@ -4179,60 +4179,58 @@ object Relational {
     }),
 
     // IN-ENGINE LOGISTIC REGRESSION — four Newton/IRLS rounds
-    // training a one-feature quality classifier entirely in SQL, the
-    // trainable rung above q163's fixed-threshold gates: each round
-    // is ONE corpus pass computing the 5 sufficient sums (gradient +
-    // Hessian), and the 2×2 Newton solve is a closed-form projection
-    // on the 1-row frame — no driver-side loop, no collect. The
-    // label is a PLANTED noisy monotone rule (md5 noise, the q392
-    // recipe), so the audit has ground truth: the trainer must
+    // training a one-feature quality classifier, the trainable rung
+    // above q163's fixed-threshold gates: each round is ONE corpus
+    // pass computing the 5 sufficient sums (gradient + Hessian)
+    // against the BROADCAST 1-row coefficient frame, and the 2×2
+    // Newton solve is a closed-form projection on that 1-row frame.
+    // The per-round coefficients are localCheckpoint-pinned — a pure
+    // CTE chain re-expands the corpus subtree per reference (first
+    // cut measured 18 parquet scans for 4 rounds; checkpointing the
+    // 1-ROW frames, never the corpus, collapses it to the honest 5).
+    // The label is a PLANTED noisy monotone rule (md5 noise, the
+    // q392 recipe), so the audit has ground truth: the trainer must
     // recover β ≈ (−4.43, 11.95) at round 4. Verified
     // reorder-stable to 1e-7 (sum-order drift contracts through
     // Newton); coefficients reported at 1e-4, accuracy as exact
-    // integers. Four corpus passes IS the iterative algorithm's
+    // integers. Five corpus passes IS the iterative algorithm's
     // honest cost (q131 stance) — you don't cache a 100 TB corpus
     // to save scans.
     "q418_logistic_irls" -> ((s, d) => {
-      graft.Tables.view(s, d, "lineitem")
-      val round = (bIn: String, bOut: String) =>
-        s"""$bOut AS (
-             SELECT b0 + (w11*g0 - w01*g1)/(w00*w11 - w01*w01) AS b0,
-                    b1 + (w00*g1 - w01*g0)/(w00*w11 - w01*w01) AS b1
-             FROM (
-               SELECT b0, b1,
-                      sum(y - 1/(1+exp(-(b0 + b1*x)))) AS g0,
-                      sum(x*(y - 1/(1+exp(-(b0 + b1*x))))) AS g1,
-                      sum((1/(1+exp(-(b0+b1*x))))
-                          *(1-1/(1+exp(-(b0+b1*x))))) AS w00,
-                      sum(x*(1/(1+exp(-(b0+b1*x))))
-                          *(1-1/(1+exp(-(b0+b1*x))))) AS w01,
-                      sum(x*x*(1/(1+exp(-(b0+b1*x))))
-                          *(1-1/(1+exp(-(b0+b1*x))))) AS w11
-               FROM b CROSS JOIN $bIn GROUP BY b0, b1))"""
-      s.sql(s"""
-        WITH b AS (
-          SELECT CAST(l_quantity AS DOUBLE) / 50 AS x,
-                 CASE WHEN CAST(l_quantity AS BIGINT)
-                       + CAST(conv(substr(md5(concat('n#',
-                           CAST(l_orderkey AS STRING), '#',
-                           CAST(l_linenumber AS STRING))), 1, 4),
-                           16, 10) AS BIGINT) % 25 > 30
-                      THEN 1.0D ELSE 0.0D END AS y
-          FROM lineitem),
-        c0 AS (SELECT 0.0D AS b0, 0.0D AS b1),
-        ${round("c0", "c1")},
-        ${round("c1", "c2")},
-        ${round("c2", "c3")},
-        ${round("c3", "c4")},
-        acc AS (SELECT count_if((1/(1+exp(-(b0 + b1*x))) >= 0.5)
-                                = (y = 1.0D)) AS n_correct,
-                       count(*) AS n
-                FROM b CROSS JOIN c4)
-        SELECT round((SELECT b0 FROM c4), 4) AS beta0,
-               round((SELECT b1 FROM c4), 4) AS beta1,
-               (SELECT CAST(n_correct AS BIGINT) FROM acc)
-                 AS n_correct,
-               (SELECT CAST(n AS BIGINT) FROM acc) AS n""")
+      val b = ld(s, d, "lineitem").selectExpr(
+        "CAST(l_quantity AS DOUBLE) / 50 AS x",
+        """CASE WHEN CAST(l_quantity AS BIGINT)
+              + CAST(conv(substr(md5(concat('n#',
+                  CAST(l_orderkey AS STRING), '#',
+                  CAST(l_linenumber AS STRING))), 1, 4),
+                  16, 10) AS BIGINT) % 25 > 30
+             THEN 1.0D ELSE 0.0D END AS y""")
+      var coef = s.sql("SELECT 0.0D AS b0, 0.0D AS b1").localCheckpoint()
+      for (_ <- 1 to 4) {
+        coef = b.crossJoin(broadcast(coef))
+          .groupBy("b0", "b1")
+          .agg(
+            expr("sum(y - 1/(1+exp(-(b0 + b1*x))))").as("g0"),
+            expr("sum(x*(y - 1/(1+exp(-(b0 + b1*x)))))").as("g1"),
+            expr("sum((1/(1+exp(-(b0+b1*x))))" +
+              "*(1-1/(1+exp(-(b0+b1*x)))))").as("w00"),
+            expr("sum(x*(1/(1+exp(-(b0+b1*x))))" +
+              "*(1-1/(1+exp(-(b0+b1*x)))))").as("w01"),
+            expr("sum(x*x*(1/(1+exp(-(b0+b1*x))))" +
+              "*(1-1/(1+exp(-(b0+b1*x)))))").as("w11"))
+          .selectExpr(
+            "b0 + (w11*g0 - w01*g1)/(w00*w11 - w01*w01) AS b0",
+            "b1 + (w00*g1 - w01*g0)/(w00*w11 - w01*w01) AS b1")
+          .localCheckpoint()
+      }
+      val acc = b.crossJoin(broadcast(coef)).agg(
+          expr("CAST(count_if((1/(1+exp(-(b0 + b1*x))) >= 0.5)" +
+            " = (y = 1.0D)) AS BIGINT)").as("n_correct"),
+          expr("CAST(count(*) AS BIGINT)").as("n"))
+        .localCheckpoint()
+      coef.crossJoin(acc).selectExpr(
+        "round(b0, 4) AS beta0", "round(b1, 4) AS beta1",
+        "n_correct", "n")
     }),
 
     // LIKE QUANTIFIERS — Spark's LIKE ALL / LIKE ANY multi-pattern

@@ -2858,4 +2858,86 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("hashpartitioning(cohort"),
       "the cumulative window partitions by cohort")
   }
+
+  test("q417: contamination curve — bench and corpus grams share the " +
+    "checkpointed gram frame; no corpus rescan, no cartesian") {
+    val p = plan("q417_contamination_curve")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q418: logistic IRLS — every round's coefficients are " +
+    "checkpoint-pinned 1-row frames; the driver plan is scan- and " +
+    "shuffle-free (first cut re-expanded 18 corpus scans)") {
+    val p = plan("q418_logistic_irls")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Exchange\s*""")) == 0)
+  }
+
+  test("q419: exponential fit — moment fit and ECDF rank branch off " +
+    "the checkpointed gap frame; one global rank window") {
+    val p = plan("q419_exponential_fit")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Window\s*""")) == 1)
+  }
+
+  test("q420: LIKE quantifiers — one dimension scan, four codegen'd " +
+    "predicates folded into one aggregate, no join") {
+    val p = plan("q420_like_quantifiers")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q421: interval union — one corpus scan (both sweep endpoints " +
+    "explode from the same row), one user-partitioned sweep window") {
+    val p = plan("q421_interval_union")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Window\s*""")) == 1)
+    assert(!p.contains("Join"))
+    assert(p.contains("hashpartitioning(user_id"),
+      "the sweep sort must stay inside the user partition")
+  }
+
+  test("q422: dedup quality shift — pre and survivor mixes share the " +
+    "checkpointed fingerprint frame; no corpus rescan") {
+    val p = plan("q422_dedup_quality_shift")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q423: tokenizer fertility — one scan, subwords via the " +
+    "aggregate() HOF (no explode/Generate), no join") {
+    val p = plan("q423_tokenizer_fertility")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("Generate"))
+    assert(!p.contains("Join"))
+  }
+
+  test("q424: source leakage — corpus and bench sides share the " +
+    "checkpointed gram frame; benchmark vocabulary joins broadcast") {
+    val p = plan("q424_source_leakage_matrix")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q425: curriculum — one scan, one corpus-ranked ntile window, " +
+    "3-row output, no join") {
+    val p = plan("q425_curriculum_schedule")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Window\s*""")) == 1)
+    assert(!p.contains("Join"))
+  }
 }
