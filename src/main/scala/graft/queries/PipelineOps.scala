@@ -3378,6 +3378,133 @@ object PipelineOps {
                CAST(max(complexity_e4) AS BIGINT) AS max_complexity
         FROM phased GROUP BY phase ORDER BY phase""")
     }),
+
+    // KRUSKAL–WALLIS H — the k-sample generalization of q317's
+    // Mann–Whitney: are the five language length distributions
+    // exchangeable, or does one language's docs run systematically
+    // longer? Same value-domain rank collapse (ranks live on the
+    // |distinct n_chars| frame — 523 rows at sf0.1 — never the
+    // corpus), same doubled-rank integer units (2·avgrank = 2·prefix
+    // + count + 1, exact), and H in EXACT e4 fixed point:
+    // H·10⁴ = 3·Σ_g⌊sdr_g²·10⁴/n_g⌋ DIV (N(N+1)) − 30000(N+1),
+    // where sdr_g is the doubled rank sum. The tie-corrected rescale
+    // H/C crosses BIGINT (h_e4 · (N³−N) ≈ 6e19), so it rides
+    // DECIMAL(38,0) (HUGEINT in the oracle — the q134/q165 posture).
+    // The (v,lang) cell frame is checkpoint-pinned: rank prefix,
+    // group rank sums, and the tie sum all branch off it, one corpus
+    // scan total.
+    "q426_kruskal_wallis" -> ((s, d) => {
+      val cells = ld(s, d, "documents")
+        .groupBy(col("n_chars").as("v"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val tot = cells.groupBy("v").agg(sum("cnt").as("tot"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dr = tot
+        .withColumn("p", coalesce(sum("tot").over(w), lit(0L)))
+        .withColumn("dr", lit(2L) * col("p") + col("tot") + 1L)
+      val g = cells.join(dr.select("v", "dr"), "v")
+        .groupBy("lang").agg(sum("cnt").as("n_g"),
+          sum(col("cnt") * col("dr")).as("sdr"))
+      val a = g.agg(
+        sum("n_g").as("n"), count(lit(1)).as("k"),
+        sum(expr("(CAST(sdr AS DECIMAL(38,0)) * sdr * 10000) DIV n_g"))
+          .as("term_e4"))
+      val t = tot.agg(
+        sum(expr("tot * tot * tot - tot")).as("tie_sum"))
+      a.crossJoin(t)
+        .selectExpr("n", "k", "tie_sum",
+          "(3 * term_e4) DIV (n * (n + 1)) - 30000 * (n + 1) AS h_e4")
+        .selectExpr("n", "k", "CAST(h_e4 AS BIGINT) AS h_e4",
+          "CAST(tie_sum AS BIGINT) AS tie_sum",
+          "CAST((2 * CAST(h_e4 AS DECIMAL(38,0)) * (n*n*n - n)" +
+            " + ((n*n*n - n) - tie_sum))" +
+            " DIV (2 * ((n*n*n - n) - tie_sum)) AS BIGINT)" +
+            " AS h_tie_e4")
+    }),
+
+    // McNEMAR'S TEST — when two quality detectors disagree, is the
+    // disagreement SYSTEMATIC or coin-flip? The paired test the
+    // detector-upgrade decision needs (q164 calibrates ONE detector
+    // against truth; this compares TWO on the same docs): truth is a
+    // planted noisy length rule (md5 noise, the q392/q418 recipe),
+    // detector A gates on n_chars, detector B on word count. Only
+    // the discordant cells matter: χ² = (b−c)²/(b+c), plus the
+    // continuity-corrected form — both in exact half-up e6 (no
+    // doubles anywhere). One corpus scan, one 1-row aggregate.
+    "q428_mcnemar" -> ((s, d) => {
+      ld(s, d, "documents")
+        .selectExpr(
+          """CAST(n_chars + CAST(conv(substr(md5(concat('mc#',
+               CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)
+               % 300 > 450 AS INT) AS truth""",
+          "CAST(n_chars > 300 AS INT) AS da",
+          "CAST(size(filter(split(text, ' '), w -> length(w) > 0))" +
+            " > 52 AS INT) AS db")
+        .agg(
+          expr("sum(CAST(da = truth AND db <> truth AS BIGINT))")
+            .as("b_only_a"),
+          expr("sum(CAST(da <> truth AND db = truth AS BIGINT))")
+            .as("c_only_b"),
+          expr("sum(CAST(da = truth AND db = truth AS BIGINT))")
+            .as("n_both_right"),
+          expr("sum(CAST(da <> truth AND db <> truth AS BIGINT))")
+            .as("n_both_wrong"))
+        .selectExpr("b_only_a", "c_only_b", "n_both_right",
+          "n_both_wrong",
+          "CAST((2 * (b_only_a - c_only_b) * (b_only_a - c_only_b)" +
+            " * 1000000 + (b_only_a + c_only_b))" +
+            " DIV (2 * (b_only_a + c_only_b)) AS BIGINT) AS chi2_e6",
+          "CAST((2 * (abs(b_only_a - c_only_b) - 1)" +
+            " * (abs(b_only_a - c_only_b) - 1)" +
+            " * 1000000 + (b_only_a + c_only_b))" +
+            " DIV (2 * (b_only_a + c_only_b)) AS BIGINT)" +
+            " AS chi2_cc_e6")
+    }),
+
+    // BENJAMINI–HOCHBERG FDR — the multiple-testing correction every
+    // per-cell anomaly sweep needs before it pages anyone: testing
+    // all 100 (source,lang) cells for mean-length deviation at
+    // α=0.05 each expects 5 false pages; BH caps the FALSE DISCOVERY
+    // RATE instead. Per-cell z² statistic from exact integer moments
+    // (global variance via N·ΣX²−S², the q340 identity); the p-value
+    // is the analytic one-term tail exp(−t/2) — the ONLY libm call,
+    // and the BH rank deliberately orders by t DESC, not p ASC (exp
+    // is monotone, so the order is integer-exact even if exp drifts
+    // a ulp cross-engine). Step-up: k* = max{k : p_k ≤ k·α/m},
+    // reject ranks ≤ k*. The cell frame is 100 rows — every window
+    // after the rollup is broadcast-scale.
+    "q429_bh_fdr" -> ((s, d) => {
+      // one corpus scan: the global moments re-aggregate the
+      // checkpointed 100-row cell frame (cells carry Σx² for that)
+      val cells = ld(s, d, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_c"), sum("n_chars").as("sx_c"),
+          sum(col("n_chars") * col("n_chars")).as("sxx_c"))
+        .localCheckpoint()
+      val glob = cells.agg(sum("n_c").as("n"), sum("sx_c").as("s"),
+          sum("sxx_c").as("ss"))
+      val wAll = Window.partitionBy()
+      val t = cells.crossJoin(broadcast(glob))
+        .selectExpr("source", "lang", "n_c",
+          "CAST(n_c AS DOUBLE) * pow(CAST(sx_c AS DOUBLE) / n_c" +
+            " - CAST(s AS DOUBLE) / n, 2)" +
+            " / ((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)" +
+            " / (CAST(n AS DOUBLE) * (n - 1))) AS t")
+        .withColumn("m", count(lit(1)).over(wAll))
+        .withColumn("p_rank", row_number().over(
+          Window.orderBy(col("t").desc, col("source"), col("lang"))))
+      t.withColumn("kstar", max(when(
+            expr("exp(-t / 2) * m <= p_rank * 0.05"), col("p_rank")))
+          .over(wAll))
+        .selectExpr("source", "lang", "n_c AS n_docs",
+          "round(t, 6) AS t_stat",
+          "round(exp(-t / 2), 8) AS p_tail",
+          "p_rank", "m",
+          "p_rank <= coalesce(kstar, 0) AS rejected")
+        .orderBy("p_rank")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -5959,5 +6086,105 @@ object PipelineOps {
                 CAST(min(complexity_e4) AS BIGINT) AS min_complexity,
                 CAST(max(complexity_e4) AS BIGINT) AS max_complexity
          FROM phased GROUP BY phase ORDER BY phase""",
+
+    // q426: same doubled-rank collapse; HUGEINT mirrors DECIMAL(38,0),
+    // // floors = Spark DIV truncation on these all-positive terms.
+    "q426_kruskal_wallis" ->
+      """WITH cells AS (SELECT n_chars AS v, lang, count(*) AS cnt
+                        FROM documents GROUP BY 1, 2),
+              tot AS (SELECT v, sum(cnt) AS tot FROM cells GROUP BY 1),
+              dr AS (SELECT v, tot,
+                            2 * coalesce(sum(tot) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) + tot + 1 AS dr
+                     FROM tot),
+              g AS (SELECT lang, sum(cnt) AS n_g, sum(cnt * dr) AS sdr
+                    FROM cells JOIN dr USING (v) GROUP BY 1),
+              a AS (SELECT sum(n_g) AS n, count(*) AS k,
+                           sum((CAST(sdr AS HUGEINT) * sdr * 10000)
+                               // n_g) AS term_e4
+                    FROM g),
+              t AS (SELECT sum(tot * tot * tot - tot) AS tie_sum
+                    FROM tot),
+              h AS (SELECT n, k, tie_sum,
+                           (3 * term_e4) // (n * (n + 1))
+                             - 30000 * (n + 1) AS h_e4
+                    FROM a CROSS JOIN t)
+         SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+                CAST(h_e4 AS BIGINT) AS h_e4,
+                CAST(tie_sum AS BIGINT) AS tie_sum,
+                CAST((2 * CAST(h_e4 AS HUGEINT) * (n*n*n - n)
+                      + ((n*n*n - n) - tie_sum))
+                     // (2 * ((n*n*n - n) - tie_sum)) AS BIGINT)
+                  AS h_tie_e4
+         FROM h""",
+
+    // q428: same planted rule; DuckDB's 0x-cast mirrors Spark's conv.
+    "q428_mcnemar" ->
+      """WITH f AS (
+           SELECT CAST(n_chars
+                    + ('0x' || substr(md5('mc#'
+                        || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                      % 300 > 450 AS INT) AS truth,
+                  CAST(n_chars > 300 AS INT) AS da,
+                  CAST(len(list_filter(string_split(text, ' '),
+                       w -> len(w) > 0)) > 52 AS INT) AS db
+           FROM documents),
+         a AS (SELECT sum(CASE WHEN da = truth AND db <> truth
+                          THEN 1 ELSE 0 END) AS b_only_a,
+                      sum(CASE WHEN da <> truth AND db = truth
+                          THEN 1 ELSE 0 END) AS c_only_b,
+                      sum(CASE WHEN da = truth AND db = truth
+                          THEN 1 ELSE 0 END) AS n_both_right,
+                      sum(CASE WHEN da <> truth AND db <> truth
+                          THEN 1 ELSE 0 END) AS n_both_wrong
+               FROM f)
+         SELECT CAST(b_only_a AS BIGINT) AS b_only_a,
+                CAST(c_only_b AS BIGINT) AS c_only_b,
+                CAST(n_both_right AS BIGINT) AS n_both_right,
+                CAST(n_both_wrong AS BIGINT) AS n_both_wrong,
+                CAST((2 * (b_only_a - c_only_b) * (b_only_a - c_only_b)
+                      * 1000000 + (b_only_a + c_only_b))
+                     // (2 * (b_only_a + c_only_b)) AS BIGINT)
+                  AS chi2_e6,
+                CAST((2 * (abs(b_only_a - c_only_b) - 1)
+                      * (abs(b_only_a - c_only_b) - 1)
+                      * 1000000 + (b_only_a + c_only_b))
+                     // (2 * (b_only_a + c_only_b)) AS BIGINT)
+                  AS chi2_cc_e6
+         FROM a""",
+
+    // q429: rank by t DESC (exp is monotone — the order never touches
+    // libm); identical double expression tree on both engines.
+    "q429_bh_fdr" ->
+      """WITH cells AS (SELECT source, lang, count(*) AS n_c,
+                               sum(n_chars) AS sx_c
+                        FROM documents GROUP BY 1, 2),
+              gstats AS (SELECT count(*) AS n, sum(n_chars) AS s,
+                                sum(n_chars * n_chars) AS ss
+                         FROM documents),
+              t AS (SELECT source, lang, n_c,
+                           CAST(n_c AS DOUBLE)
+                             * pow(CAST(sx_c AS DOUBLE) / n_c
+                                   - CAST(s AS DOUBLE) / n, 2)
+                           / ((CAST(n AS DOUBLE) * ss
+                               - CAST(s AS DOUBLE) * s)
+                              / (CAST(n AS DOUBLE) * (n - 1))) AS t
+                    FROM cells CROSS JOIN gstats),
+              r AS (SELECT *, count(*) OVER () AS m,
+                           row_number() OVER (ORDER BY t DESC,
+                             source, lang) AS p_rank
+                    FROM t),
+              ks AS (SELECT *, max(CASE WHEN exp(-t / 2) * m
+                                     <= p_rank * 0.05
+                                   THEN p_rank END) OVER () AS kstar
+                     FROM r)
+         SELECT source, lang, CAST(n_c AS BIGINT) AS n_docs,
+                round(t, 6) AS t_stat,
+                round(exp(-t / 2), 8) AS p_tail,
+                CAST(p_rank AS BIGINT) AS p_rank,
+                CAST(m AS BIGINT) AS m,
+                p_rank <= coalesce(kstar, 0) AS rejected
+         FROM ks ORDER BY p_rank""",
   )
 }

@@ -4254,6 +4254,47 @@ object Relational {
                  AS BIGINT) AS n_rlike
         FROM part""")
     }),
+
+    // ONE-WAY ANOVA F — does order value differ by priority class?
+    // The parametric counterpart of q426's rank test, kept EXACT the
+    // whole way: the between/total sum-of-squares identities clear
+    // means by integer division (SSB = Σ⌊S_g²/n_g⌋ − ⌊S²/N⌋,
+    // truncation < k units² on e15-scale values, identical in both
+    // engines), and F and η² come out as half-up e6/bp integers in
+    // DECIMAL(38,0) — no doubles, no libm, nothing order-dependent.
+    // y is WHOLE DOLLARS, not cents: Spark's decimal DIV converts
+    // the quotient through a long, and the cents-scale ⌊S²/N⌋ ≈
+    // 9.4e18 crosses Long.Max and WRAPS NEGATIVE (found live: sst
+    // came out bigger than Σy²; DuckDB's HUGEINT // is immune).
+    // Dollar-scale quotients stay ~1e15 at sf0.1 with headroom to
+    // ~sf1000. One map-side combined rollup to a 5-row frame;
+    // everything after is 1-row math.
+    "q427_anova_f" -> ((s, d) => {
+      val g = ld(s, d, "orders")
+        .select(col("o_orderpriority").as("grp"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100" +
+            " AS BIGINT) DIV 100").as("y"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_g"),
+          sum(col("y").cast("decimal(38,0)")).as("s_g"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("ss_g"))
+      g.agg(sum("n_g").as("n"), count(lit(1)).as("k"),
+          sum("s_g").as("s"), sum("ss_g").as("ss"),
+          // quotients re-enter DECIMAL(38,0) immediately: summed and
+          // rescaled by 2·(n−k)·10⁶ below, they overflow BIGINT
+          sum(expr("CAST((s_g * s_g) DIV n_g AS DECIMAL(38,0))"))
+            .as("sb_raw"))
+        .selectExpr("n", "k",
+          "ss - CAST((s * s) DIV n AS DECIMAL(38,0)) AS sst",
+          "sb_raw - CAST((s * s) DIV n AS DECIMAL(38,0)) AS ssb")
+        .selectExpr("n", "k",
+          "CAST(sst AS STRING) AS sst_d2",
+          "CAST(ssb AS STRING) AS ssb_d2",
+          "CAST((2 * ssb * (n - k) * 1000000 + (sst - ssb) * (k - 1))" +
+            " DIV (2 * (sst - ssb) * (k - 1)) AS BIGINT) AS f_e6",
+          "CAST((2 * ssb * 10000 + sst) DIV (2 * sst) AS BIGINT)" +
+            " AS eta2_bp")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -6914,5 +6955,33 @@ object Relational {
                      '^(red|blue) (bolt|gear)$')) AS BIGINT)
                   AS n_rlike
          FROM part""",
+
+    // q427: HUGEINT mirrors DECIMAL(38,0); // floors = Spark DIV
+    // truncation on these all-positive quantities. Whole dollars,
+    // like the Spark side (see the decimal-DIV wrap note there).
+    "q427_anova_f" ->
+      """WITH y AS (SELECT o_orderpriority AS grp,
+                           CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                                AS HUGEINT) // 100 AS y
+                    FROM orders),
+              g AS (SELECT grp, count(*) AS n_g, sum(y) AS s_g,
+                           sum(y * y) AS ss_g
+                    FROM y GROUP BY 1),
+              a AS (SELECT sum(n_g) AS n, count(*) AS k, sum(s_g) AS s,
+                           sum(ss_g) AS ss,
+                           sum((s_g * s_g) // n_g) AS sb_raw
+                    FROM g),
+              b AS (SELECT n, k, ss - (s * s) // n AS sst,
+                           sb_raw - (s * s) // n AS ssb
+                    FROM a)
+         SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+                CAST(sst AS VARCHAR) AS sst_d2,
+                CAST(ssb AS VARCHAR) AS ssb_d2,
+                CAST((2 * ssb * (n - k) * 1000000
+                      + (sst - ssb) * (k - 1))
+                     // (2 * (sst - ssb) * (k - 1)) AS BIGINT) AS f_e6,
+                CAST((2 * ssb * 10000 + sst) // (2 * sst) AS BIGINT)
+                  AS eta2_bp
+         FROM b""",
   )
 }

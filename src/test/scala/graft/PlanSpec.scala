@@ -2940,4 +2940,42 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       _.matches("""\(\d+\) Window\s*""")) == 1)
     assert(!p.contains("Join"))
   }
+
+  test("q426: Kruskal–Wallis — rank prefix, group sums, and tie sum " +
+    "all branch off the checkpointed (v,lang) cell frame; the rank " +
+    "window runs over the value domain, never the corpus") {
+    val p = plan("q426_kruskal_wallis")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Window\s*""")) == 1)
+  }
+
+  test("q427: ANOVA F — one corpus scan, partial+final aggregate to " +
+    "the 5-row group frame, no window, no join") {
+    val p = plan("q427_anova_f")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "group sums must combine map-side")
+    assert(!p.contains("Join"))
+  }
+
+  test("q428: McNemar — one scan folded into one 1-row aggregate; " +
+    "no window, no join, no explode") {
+    val p = plan("q428_mcnemar")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("Join"))
+    assert(!p.contains("Generate"))
+  }
+
+  test("q429: BH-FDR — global moments re-aggregate the checkpointed " +
+    "100-row cell frame (no second corpus scan); BH windows are " +
+    "cell-frame-scale") {
+    val p = plan("q429_bh_fdr")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
 }
