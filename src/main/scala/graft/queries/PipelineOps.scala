@@ -3505,6 +3505,125 @@ object PipelineOps {
           "p_rank <= coalesce(kstar, 0) AS rejected")
         .orderBy("p_rank")
     }),
+
+    // BRADLEY–TERRY PAIRWISE FIT — the preference-strength model
+    // under every pairwise-eval leaderboard (and RLHF reward-data
+    // QA): each doc stages one match between its source and an
+    // md5-picked opponent; the winner is decided by PLANTED integer
+    // strengths (100 + md5%400), so the fit has ground truth to
+    // recover. Three Zermelo/MM rounds run ALL-INTEGER in e6
+    // π-units: the denominator Σ n_ij/(π_i+π_j) is summed as
+    // per-term floors (n·10¹²) DIV (π_i+π_j) — exact, order-free,
+    // no doubles — and each item plays a 2-match anchor against a
+    // fixed dummy (π=10⁶), the standard gauge fix that also keeps
+    // every divisor positive. One corpus scan to the 190-row pair
+    // frame; rounds are 20-row math on checkpoint-pinned frames.
+    "q430_bradley_terry" -> ((s, d) => {
+      val pm = ld(s, d, "documents")
+        .selectExpr("source AS i",
+          "concat('src', CAST(CAST(conv(substr(md5(concat('op#'," +
+            " CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)" +
+            " % 20 AS STRING)) AS j",
+          "CAST(conv(substr(md5(concat('bt#'," +
+            " CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT)" +
+            " AS r")
+        .filter("i <> j")
+        .selectExpr("i", "j", "r",
+          "100 + CAST(conv(substr(md5(concat('st#', i)), 1, 4)," +
+            " 16, 10) AS BIGINT) % 400 AS si",
+          "100 + CAST(conv(substr(md5(concat('st#', j)), 1, 4)," +
+            " 16, 10) AS BIGINT) % 400 AS sj")
+        .selectExpr("i", "j", "r % (si + sj) < si AS iwin")
+        .selectExpr(
+          "CASE WHEN i < j THEN i ELSE j END AS a",
+          "CASE WHEN i < j THEN j ELSE i END AS b",
+          "CASE WHEN (i < j) = iwin THEN 1 ELSE 0 END AS awin")
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("nm"), sum("awin").as("wa"))
+        .localCheckpoint()
+      val dir = pm.selectExpr("a AS i", "b AS j", "nm", "wa AS wi")
+        .union(pm.selectExpr("b AS i", "a AS j", "nm",
+          "(nm - wa) AS wi"))
+        .localCheckpoint()
+      val w = dir.groupBy("i")
+        .agg(sum("wi").as("w"), sum("nm").as("nm_tot"))
+        .localCheckpoint()
+      var pi = w.selectExpr("i", "CAST(1000000 AS BIGINT) AS pi")
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val t = dir
+          .join(pi.withColumnRenamed("i", "ii")
+            .withColumnRenamed("pi", "pii"), col("i") === col("ii"))
+          .join(pi.withColumnRenamed("i", "jj")
+            .withColumnRenamed("pi", "pij"), col("j") === col("jj"))
+          .groupBy("i")
+          .agg(sum(expr("(nm * 1000000000000) DIV (pii + pij)"))
+            .as("t"))
+        pi = w.join(t, "i").join(pi, "i")
+          .selectExpr("i",
+            "((w + 1) * 1000000000000) DIV" +
+              " (t + (2000000000000 DIV (pi + 1000000))) AS pi")
+          .localCheckpoint()
+      }
+      pi.join(w, "i")
+        .selectExpr("i AS source",
+          "100 + CAST(conv(substr(md5(concat('st#', i)), 1, 4)," +
+            " 16, 10) AS BIGINT) % 400 AS true_strength",
+          "nm_tot AS n_matches", "w AS n_wins", "pi AS pi_e6")
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("pi_e6").desc, col("source")))
+          .cast("long"))
+        .orderBy("rnk")
+    }),
+
+    // KRIPPENDORFF'S ALPHA (nominal) — the agreement coefficient
+    // that generalizes q238's Cohen (2 raters) and q406's Fleiss
+    // (fixed panel, chance from the pooled margin): three planted
+    // annotators re-label each doc's language with increasing md5
+    // noise (10/20/30%, wrong label md5-picked from the other
+    // four). For m=3 raters the unit disagreement collapses to a
+    // 3-comparison expression (0/4/6 ordered unequal pairs — always
+    // even, so the /(m−1) in the coincidence matrix stays integer),
+    // and α = 1 − (n−1)·Σd_u / (2(n²−Σn_c²)) comes out half-up e6
+    // from pure BIGINT identities. One corpus scan to the
+    // checkpoint-pinned label frame; unit and category rollups both
+    // branch off it.
+    "q432_krippendorff_alpha" -> ((s, d) => {
+      def h(tag: String) =
+        s"CAST(conv(substr(md5(concat('$tag'," +
+          " CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)"
+      val lf = ld(s, d, "documents")
+        .selectExpr("doc_id", "lang",
+          s"${h("ka#")} % 10 AS na", s"${h("kb#")} % 10 AS nb",
+          s"${h("kc#")} % 10 AS ncc",
+          s"${h("wa#")} % 4 AS wa", s"${h("wb#")} % 4 AS wb",
+          s"${h("wc#")} % 4 AS wc")
+        .selectExpr("doc_id",
+          "CASE WHEN na < 1 THEN element_at(filter(array('de','en'," +
+            "'es','fr','zh'), x -> x <> lang), CAST(wa + 1 AS INT))" +
+            " ELSE lang END AS la",
+          "CASE WHEN nb < 2 THEN element_at(filter(array('de','en'," +
+            "'es','fr','zh'), x -> x <> lang), CAST(wb + 1 AS INT))" +
+            " ELSE lang END AS lb",
+          "CASE WHEN ncc < 3 THEN element_at(filter(array('de','en'," +
+            "'es','fr','zh'), x -> x <> lang), CAST(wc + 1 AS INT))" +
+            " ELSE lang END AS lc")
+        .localCheckpoint()
+      val dsum = lf.selectExpr("doc_id",
+          "2 * (CAST(la <> lb AS INT) + CAST(la <> lc AS INT)" +
+            " + CAST(lb <> lc AS INT)) AS du")
+        .agg(sum("du").as("dsum"), count(lit(1)).as("n_units"),
+          expr("sum(CAST(du = 0 AS BIGINT))").as("n_perfect"))
+      val cat = lf.selectExpr("explode(array(la, lb, lc)) AS c")
+        .groupBy("c").agg(count(lit(1)).as("n_c"))
+        .agg(sum("n_c").as("n"), sum(expr("n_c * n_c")).as("sq"))
+      dsum.crossJoin(cat).selectExpr(
+        "n_units", "n AS n_labels", "dsum AS disagree_pairs",
+        "n_perfect",
+        "CAST(1000000 - (2 * (n - 1) * dsum * 1000000" +
+          " + 2 * (n * n - sq)) DIV (2 * 2 * (n * n - sq))" +
+          " AS BIGINT) AS alpha_e6")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -6186,5 +6305,126 @@ object PipelineOps {
                 CAST(m AS BIGINT) AS m,
                 p_rank <= coalesce(kstar, 0) AS rejected
          FROM ks ORDER BY p_rank""",
+
+    // q430: same planted strengths and all-integer MM rounds,
+    // unrolled; // = DIV on these all-positive terms.
+    "q430_bradley_terry" ->
+      """WITH m AS (SELECT source AS i,
+                'src' || CAST(('0x' || substr(md5('op#'
+                    || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 20
+                  AS VARCHAR) AS j,
+                ('0x' || substr(md5('bt#'
+                    || CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT AS r
+           FROM documents),
+         mf AS (SELECT i, j, r,
+                       100 + ('0x' || substr(md5('st#' || i), 1, 4))
+                         ::BIGINT % 400 AS si,
+                       100 + ('0x' || substr(md5('st#' || j), 1, 4))
+                         ::BIGINT % 400 AS sj
+                FROM m WHERE i <> j),
+         mw AS (SELECT i, j, r % (si + sj) < si AS iwin FROM mf),
+         pm AS (SELECT CASE WHEN i < j THEN i ELSE j END AS a,
+                       CASE WHEN i < j THEN j ELSE i END AS b,
+                       count(*) AS nm,
+                       sum(CASE WHEN (i < j) = iwin THEN 1 ELSE 0 END)
+                         AS wa
+                FROM mw GROUP BY 1, 2),
+         dir AS (SELECT a AS i, b AS j, nm, wa AS wi FROM pm
+                 UNION ALL SELECT b, a, nm, nm - wa FROM pm),
+         w AS (SELECT i, sum(wi) AS w, sum(nm) AS nm_tot
+               FROM dir GROUP BY 1),
+         p0 AS (SELECT i, CAST(1000000 AS BIGINT) AS pi FROM w),
+         t1 AS (SELECT d.i,
+                       sum((d.nm * 1000000000000) // (x.pi + y.pi))
+                         AS t
+                FROM dir d JOIN p0 x ON d.i = x.i
+                  JOIN p0 y ON d.j = y.i
+                GROUP BY 1),
+         p1 AS (SELECT w.i, ((w.w + 1) * 1000000000000)
+                  // (t1.t + (2000000000000 // (p0.pi + 1000000)))
+                  AS pi
+                FROM w JOIN t1 ON w.i = t1.i JOIN p0 ON w.i = p0.i),
+         t2 AS (SELECT d.i,
+                       sum((d.nm * 1000000000000) // (x.pi + y.pi))
+                         AS t
+                FROM dir d JOIN p1 x ON d.i = x.i
+                  JOIN p1 y ON d.j = y.i
+                GROUP BY 1),
+         p2 AS (SELECT w.i, ((w.w + 1) * 1000000000000)
+                  // (t2.t + (2000000000000 // (p1.pi + 1000000)))
+                  AS pi
+                FROM w JOIN t2 ON w.i = t2.i JOIN p1 ON w.i = p1.i),
+         t3 AS (SELECT d.i,
+                       sum((d.nm * 1000000000000) // (x.pi + y.pi))
+                         AS t
+                FROM dir d JOIN p2 x ON d.i = x.i
+                  JOIN p2 y ON d.j = y.i
+                GROUP BY 1),
+         p3 AS (SELECT w.i, ((w.w + 1) * 1000000000000)
+                  // (t3.t + (2000000000000 // (p2.pi + 1000000)))
+                  AS pi
+                FROM w JOIN t3 ON w.i = t3.i JOIN p2 ON w.i = p2.i)
+         SELECT w.i AS source,
+                100 + ('0x' || substr(md5('st#' || w.i), 1, 4))
+                  ::BIGINT % 400 AS true_strength,
+                CAST(w.nm_tot AS BIGINT) AS n_matches,
+                CAST(w.w AS BIGINT) AS n_wins,
+                CAST(p3.pi AS BIGINT) AS pi_e6,
+                CAST(row_number() OVER (ORDER BY p3.pi DESC, w.i)
+                  AS BIGINT) AS rnk
+         FROM w JOIN p3 ON w.i = p3.i
+         ORDER BY rnk""",
+
+    // q432: same planted annotators; pure BIGINT identities.
+    "q432_krippendorff_alpha" ->
+      """WITH lf AS (
+           SELECT doc_id,
+                  CASE WHEN ('0x' || substr(md5('ka#'
+                         || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                         % 10 < 1
+                       THEN (list_filter(['de','en','es','fr','zh'],
+                             x -> x <> lang))
+                            [('0x' || substr(md5('wa#'
+                              || CAST(doc_id AS VARCHAR)), 1, 4))
+                              ::BIGINT % 4 + 1]
+                       ELSE lang END AS la,
+                  CASE WHEN ('0x' || substr(md5('kb#'
+                         || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                         % 10 < 2
+                       THEN (list_filter(['de','en','es','fr','zh'],
+                             x -> x <> lang))
+                            [('0x' || substr(md5('wb#'
+                              || CAST(doc_id AS VARCHAR)), 1, 4))
+                              ::BIGINT % 4 + 1]
+                       ELSE lang END AS lb,
+                  CASE WHEN ('0x' || substr(md5('kc#'
+                         || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                         % 10 < 3
+                       THEN (list_filter(['de','en','es','fr','zh'],
+                             x -> x <> lang))
+                            [('0x' || substr(md5('wc#'
+                              || CAST(doc_id AS VARCHAR)), 1, 4))
+                              ::BIGINT % 4 + 1]
+                       ELSE lang END AS lc
+           FROM documents),
+         d AS (SELECT sum(2 * (CAST(la <> lb AS INT)
+                               + CAST(la <> lc AS INT)
+                               + CAST(lb <> lc AS INT))) AS dsum,
+                      count(*) AS n_units,
+                      sum(CASE WHEN la = lb AND lb = lc
+                          THEN 1 ELSE 0 END) AS n_perfect
+               FROM lf),
+         cat AS (SELECT c, count(*) AS n_c FROM (
+                   SELECT unnest([la, lb, lc]) AS c FROM lf)
+                 GROUP BY 1),
+         ca AS (SELECT sum(n_c) AS n, sum(n_c * n_c) AS sq FROM cat)
+         SELECT CAST(n_units AS BIGINT) AS n_units,
+                CAST(n AS BIGINT) AS n_labels,
+                CAST(dsum AS BIGINT) AS disagree_pairs,
+                CAST(n_perfect AS BIGINT) AS n_perfect,
+                CAST(1000000 - (2 * (n - 1) * dsum * 1000000
+                      + 2 * (n * n - sq))
+                     // (2 * 2 * (n * n - sq)) AS BIGINT) AS alpha_e6
+         FROM d CROSS JOIN ca""",
   )
 }

@@ -2246,6 +2246,51 @@ object TextOps {
       // (PlanSpec pins this).
       s.sql(lshCurveSql("DIV", order = false))
         .coalesce(1).sortWithinPartitions("r", "s_milli")),
+
+    // TEXTRANK KEYWORDS — unsupervised keyword extraction as
+    // PageRank over the word co-occurrence graph (adjacent ≥4-char
+    // words), the graph-centrality upgrade over q104's TF-IDF and
+    // q171's PMI (both are pair statistics; TextRank propagates
+    // importance TRANSITIVELY). Same integer fixed-point discipline
+    // as q131: pr in e6 micro-units, per-neighbor terms
+    // (pr_j·w_ij) DIV s_j summed exactly — no doubles, no
+    // order-dependence; 3 rounds, each round's rank frame
+    // checkpoint-pinned, the symmetrized edge frame built once. The
+    // explicit size≥2 guard matters: Spark's sequence(2,1) counts
+    // DOWN (a 2-element pair list from a 1-word doc), DuckDB's
+    // range(2,2) is empty — the guard makes the engines agree by
+    // never asking.
+    "q431_textrank_keywords" -> ((s, d) => {
+      val edges = ld(s, d, "documents")
+        .select(expr("filter(split(lower(text), ' ')," +
+          " w -> length(w) >= 4)").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr("transform(sequence(2, size(ws))," +
+          " i -> struct(element_at(ws, i - 1) AS a," +
+          " element_at(ws, i) AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b"))
+      val und = edges.select(col("a").as("i"), col("b").as("j"))
+        .union(edges.select(col("b").as("i"), col("a").as("j")))
+        .groupBy("i", "j").agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+      val sj = und.groupBy("j").agg(sum("w").as("sj"))
+        .localCheckpoint()
+      var pr = und.select(col("i")).distinct()
+        .withColumn("pr", lit(1000000L)).localCheckpoint()
+      for (_ <- 1 to 3) {
+        pr = und
+          .join(pr.withColumnRenamed("i", "j"), "j")
+          .join(sj, "j")
+          .groupBy("i")
+          .agg(sum(expr("(pr * w) DIV sj")).as("acc"))
+          .selectExpr("i",
+            "150000 + (850000 * acc) DIV 1000000 AS pr")
+          .localCheckpoint()
+      }
+      pr.orderBy(col("pr").desc, col("i")).limit(20)
+        .selectExpr("i AS word", "pr AS pr_e6")
+    }),
   )
 
   /** q285's S-curve, generated once and parameterized only by the
@@ -3827,5 +3872,43 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
                 CAST((2 * (n_tri - n_l0) * 10000 + n_tri)
                      // (2 * n_tri) AS BIGINT) AS novelty_bp
          FROM agg ORDER BY doc_id""",
+
+    // q431: same integer e6 rank rounds, unrolled; // = DIV on these
+    // all-positive terms.
+    "q431_textrank_keywords" ->
+      """WITH wl AS (SELECT list_filter(string_split(lower(text), ' '),
+                            w -> len(w) >= 4) AS ws
+                     FROM documents),
+              pr_pairs AS (SELECT ws[i - 1] AS a, ws[i] AS b
+                           FROM wl, unnest(range(2, len(ws) + 1)) AS u(i)
+                           WHERE len(ws) >= 2),
+              e AS (SELECT a, b FROM pr_pairs WHERE a <> b),
+              und AS (SELECT i, j, count(*) AS w FROM (
+                        SELECT a AS i, b AS j FROM e
+                        UNION ALL SELECT b, a FROM e)
+                      GROUP BY 1, 2),
+              sj AS (SELECT j, sum(w) AS sj FROM und GROUP BY 1),
+              p0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS pr
+                     FROM und),
+              p1 AS (SELECT und.i,
+                            150000 + (850000 * sum((p0.pr * und.w)
+                              // sj.sj)) // 1000000 AS pr
+                     FROM und JOIN p0 ON und.j = p0.i
+                       JOIN sj ON und.j = sj.j
+                     GROUP BY und.i),
+              p2 AS (SELECT und.i,
+                            150000 + (850000 * sum((p1.pr * und.w)
+                              // sj.sj)) // 1000000 AS pr
+                     FROM und JOIN p1 ON und.j = p1.i
+                       JOIN sj ON und.j = sj.j
+                     GROUP BY und.i),
+              p3 AS (SELECT und.i,
+                            150000 + (850000 * sum((p2.pr * und.w)
+                              // sj.sj)) // 1000000 AS pr
+                     FROM und JOIN p2 ON und.j = p2.i
+                       JOIN sj ON und.j = sj.j
+                     GROUP BY und.i)
+         SELECT i AS word, CAST(pr AS BIGINT) AS pr_e6
+         FROM p3 ORDER BY pr DESC, i LIMIT 20""",
   )
 }

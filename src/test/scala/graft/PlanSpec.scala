@@ -2978,4 +2978,30 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q430: Bradley–Terry — MM rounds are 20-row math on " +
+    "checkpointed frames; the driver plan never rescans the corpus") {
+    val p = plan("q430_bradley_terry")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q431: TextRank — the top-k reads the checkpointed round-3 " +
+    "rank frame: no scan, no Exchange, TakeOrdered not global sort") {
+    val p = plan("q431_textrank_keywords")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Exchange\s*""")) == 0)
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q432: Krippendorff — unit and category rollups branch off " +
+    "the checkpointed label frame; no corpus rescan") {
+    val p = plan("q432_krippendorff_alpha")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
 }
