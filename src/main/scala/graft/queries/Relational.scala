@@ -4295,6 +4295,105 @@ object Relational {
           "CAST((2 * ssb * 10000 + sst) DIV (2 * sst) AS BIGINT)" +
             " AS eta2_bp")
     }),
+
+    // BOOLEAN + BITWISE AGGREGATES — the last aggregate-surface
+    // corner q366's ordered-set family left open: bool_and/bool_or,
+    // the ANSI `every` synonym, and the bit_and/bit_or/bit_xor
+    // lattice aggregates (bit_xor is the q173/q298 checksum
+    // primitive as a FIRST-CLASS aggregate here). The oracle proves
+    // the synonym rewrite — DuckDB has no `every`, so it states
+    // bool_and — and the bit lattice exactly. One scan, one
+    // map-side-combined rollup.
+    "q433_bool_bit_aggs" -> ((s, d) => {
+      graft.Tables.view(s, d, "lineitem")
+      s.sql("""
+        SELECT l_returnflag,
+               bool_and(CAST(l_quantity AS BIGINT) > 1)
+                 AS all_qty_gt1,
+               bool_or(CAST(l_quantity AS BIGINT) > 49)
+                 AS any_qty_gt49,
+               every(CAST(l_discount AS DOUBLE) >= 0)
+                 AS every_disc_nonneg,
+               bit_and(CAST(l_quantity AS BIGINT)) AS qty_bit_and,
+               bit_or(CAST(l_quantity AS BIGINT)) AS qty_bit_or,
+               bit_xor(CAST(l_quantity AS BIGINT)) AS qty_bit_xor,
+               CAST(count_if(CAST(l_quantity AS BIGINT) % 2 = 0)
+                 AS BIGINT) AS n_even
+        FROM lineitem GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // LATERAL COLUMN ALIASES — a SELECT item referencing an alias
+    // defined earlier in the SAME select list (cents → dollars →
+    // k-dollar bucket), the generated-SQL surface (Spark 3.4+) that
+    // otherwise needs nested subqueries. The chain lives in the
+    // inner SELECT; the rollup on top proves the aliases resolve to
+    // the same values DuckDB computes (DuckDB resolves lateral
+    // aliases natively too — the oracle is near-verbatim). Still
+    // one scan + one aggregate: alias chains are pure projection
+    // sugar and must cost nothing.
+    "q434_lateral_alias" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        SELECT kd AS k_dollars, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dollars) AS BIGINT) AS dollars
+        FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                       AS BIGINT) AS cents,
+                     cents DIV 100 AS dollars,
+                     dollars DIV 100000 AS kd
+              FROM orders)
+        GROUP BY kd ORDER BY kd""")
+    }),
+
+    // IDENTIFIER() CLAUSE — SQL templating without string
+    // interpolation: table and column names arrive as constant
+    // STRING expressions and bind late (Spark 3.5+), the
+    // injection-safe seam a query generator needs beside q220's
+    // parameter markers (values) — this one parameterizes
+    // IDENTIFIERS. The oracle is the resolved plain statement: the
+    // clause must be pure name indirection with zero semantic
+    // residue.
+    "q435_identifier_clause" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        SELECT IDENTIFIER('o_orderpriority') AS pri,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(max(IDENTIFIER('o_totalprice')) AS DOUBLE)
+                 AS max_price
+        FROM IDENTIFIER('orders')
+        GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // GRUBBS OUTLIER STATISTIC — "is the single most extreme order
+    // a statistical outlier?" The max-studentized-deviation test,
+    // kept EXACT by clearing every denominator: maxdevN = max|n·y −
+    // S| is an integer, and G² = maxdevN²·(n−1) / (n·(nΣy²−S²))
+    // comes out half-up e6 in DECIMAL(38,0) — no sqrt (G² is
+    // compared against critical², the q170 no-libm stance), no
+    // doubles. Whole dollars (the q427 decimal-DIV-wrap lesson).
+    // One scan, two 1-row aggregates off one checkpointed moment
+    // frame.
+    "q436_grubbs" -> ((s, d) => {
+      val y = ld(s, d, "orders")
+        .selectExpr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100" +
+          " AS BIGINT) DIV 100 AS y")
+        .localCheckpoint()
+      val m = y.agg(count(lit(1)).as("n"),
+        sum(col("y").cast("decimal(38,0)")).as("s"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("ss"))
+        .localCheckpoint()
+      y.crossJoin(broadcast(m))
+        .selectExpr("n", "s", "ss",
+          "abs(CAST(n AS DECIMAL(38,0)) * y - s) AS devn")
+        .groupBy("n", "s", "ss")
+        .agg(max("devn").as("maxdevn"))
+        .selectExpr("n",
+          "CAST(maxdevn DIV n AS BIGINT) AS max_dev_dollars",
+          "CAST((2 * maxdevn * maxdevn * (n - 1) * 1000000" +
+            " + n * (n * ss - s * s))" +
+            " DIV (2 * n * (n * ss - s * s)) AS BIGINT) AS g2_e6",
+          "CAST(((n - 1) * (n - 1) * 1000000) DIV n AS BIGINT)" +
+            " AS g2_max_e6")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -6983,5 +7082,60 @@ object Relational {
                 CAST((2 * ssb * 10000 + sst) // (2 * sst) AS BIGINT)
                   AS eta2_bp
          FROM b""",
+
+    // q433: DuckDB has no `every` — bool_and states the synonym's
+    // semantics; count_if via CASE for 1.0 compatibility.
+    "q433_bool_bit_aggs" ->
+      """SELECT l_returnflag,
+                bool_and(CAST(l_quantity AS BIGINT) > 1)
+                  AS all_qty_gt1,
+                bool_or(CAST(l_quantity AS BIGINT) > 49)
+                  AS any_qty_gt49,
+                bool_and(CAST(l_discount AS DOUBLE) >= 0)
+                  AS every_disc_nonneg,
+                bit_and(CAST(l_quantity AS BIGINT)) AS qty_bit_and,
+                bit_or(CAST(l_quantity AS BIGINT)) AS qty_bit_or,
+                bit_xor(CAST(l_quantity AS BIGINT)) AS qty_bit_xor,
+                CAST(sum(CASE WHEN CAST(l_quantity AS BIGINT) % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // q434: DuckDB resolves lateral select-list aliases natively —
+    // near-verbatim statement.
+    "q434_lateral_alias" ->
+      """SELECT kd AS k_dollars, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(dollars) AS BIGINT) AS dollars
+         FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                        AS BIGINT) AS cents,
+                      cents // 100 AS dollars,
+                      dollars // 100000 AS kd
+               FROM orders)
+         GROUP BY kd ORDER BY kd""",
+
+    // q435: the resolved statement — IDENTIFIER() must be pure name
+    // indirection.
+    "q435_identifier_clause" ->
+      """SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n,
+                CAST(max(o_totalprice) AS DOUBLE) AS max_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // q436: HUGEINT mirrors DECIMAL(38,0); whole dollars like the
+    // Spark side.
+    "q436_grubbs" ->
+      """WITH y AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                           * 100 AS HUGEINT) // 100 AS y
+                    FROM orders),
+              m AS (SELECT count(*) AS n, sum(y) AS s, sum(y * y) AS ss
+                    FROM y),
+              dv AS (SELECT n, s, ss, max(abs(n * y - s)) AS maxdevn
+                     FROM y CROSS JOIN m GROUP BY 1, 2, 3)
+         SELECT CAST(n AS BIGINT) AS n,
+                CAST(maxdevn // n AS BIGINT) AS max_dev_dollars,
+                CAST((2 * maxdevn * maxdevn * (n - 1) * 1000000
+                      + n * (n * ss - s * s))
+                     // (2 * n * (n * ss - s * s)) AS BIGINT) AS g2_e6,
+                CAST(((n - 1) * (n - 1) * 1000000) // n AS BIGINT)
+                  AS g2_max_e6
+         FROM dv""",
   )
 }

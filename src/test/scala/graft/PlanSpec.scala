@@ -3004,4 +3004,38 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q433: bool/bit aggregates — one scan, partial+final " +
+    "aggregate, no join") {
+    val p = plan("q433_bool_bit_aggs")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("Join"))
+  }
+
+  test("q434: lateral aliases — pure projection sugar: one scan, " +
+    "one aggregate, no extra operators from the alias chain") {
+    val p = plan("q434_lateral_alias")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("Join"))
+    assert(!p.contains("Window"))
+  }
+
+  test("q435: IDENTIFIER clause — resolves to the plain scan+agg " +
+    "plan, zero semantic residue") {
+    val p = plan("q435_identifier_clause")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q436: Grubbs — deviation max branches off the checkpointed " +
+    "dollar frame against the broadcast 1-row moment frame") {
+    val p = plan("q436_grubbs")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
 }
