@@ -3624,6 +3624,32 @@ object PipelineOps {
           " + 2 * (n * n - sq)) DIV (2 * 2 * (n * n - sq))" +
           " AS BIGINT) AS alpha_e6")
     }),
+
+    // COCHRAN'S Q — do k=3 quality gates (length, word-count, vowel
+    // ratio) pass the SAME fraction of docs, on matched units? The
+    // k-treatment generalization of q428's McNemar (which compares
+    // 2 detectors): Q = (k−1)(kΣC_j² − (ΣC_j)²)/(kΣR_i − ΣR_i²)
+    // over per-doc pass rows R_i and per-gate column totals C_j —
+    // every term a BIGINT from one corpus pass (rows and columns
+    // fold into the same aggregate), Q half-up e6, no doubles. Under
+    // H₀ Q ~ χ²(2), so the e6 integer compares directly against the
+    // 5.991 cutoff.
+    "q438_cochran_q" -> ((s, d) => {
+      ld(s, d, "documents")
+        .selectExpr("CAST(n_chars > 300 AS INT) AS ga",
+          "CAST(size(filter(split(text, ' '), w -> length(w) > 0))" +
+            " > 52 AS INT) AS gb",
+          "CAST(CAST(regexp_count(text, '[aeiou]') AS BIGINT) * 1000" +
+            " > n_chars * 380 AS INT) AS gc")
+        .agg(count(lit(1)).as("n"),
+          sum("ga").as("ca"), sum("gb").as("cb"), sum("gc").as("cc"),
+          sum(expr("ga + gb + gc")).as("sr"),
+          sum(expr("(ga + gb + gc) * (ga + gb + gc)")).as("sr2"))
+        .selectExpr("n", "ca", "cb", "cc",
+          "CAST((2 * 2 * (3 * (ca*ca + cb*cb + cc*cc)" +
+            " - (ca+cb+cc)*(ca+cb+cc)) * 1000000 + (3 * sr - sr2))" +
+            " DIV (2 * (3 * sr - sr2)) AS BIGINT) AS q_e6")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -6426,5 +6452,28 @@ object PipelineOps {
                       + 2 * (n * n - sq))
                      // (2 * 2 * (n * n - sq)) AS BIGINT) AS alpha_e6
          FROM d CROSS JOIN ca""",
+
+    // q438: same three gates; len(regexp_extract_all) mirrors
+    // Spark's regexp_count.
+    "q438_cochran_q" ->
+      """WITH f AS (
+           SELECT CAST(n_chars > 300 AS INT) AS ga,
+                  CAST(len(list_filter(string_split(text, ' '),
+                       w -> len(w) > 0)) > 52 AS INT) AS gb,
+                  CAST(CAST(len(regexp_extract_all(text, '[aeiou]'))
+                       AS BIGINT) * 1000 > n_chars * 380 AS INT) AS gc
+           FROM documents),
+         a AS (SELECT count(*) AS n, sum(ga) AS ca, sum(gb) AS cb,
+                      sum(gc) AS cc,
+                      sum(ga + gb + gc) AS sr,
+                      sum((ga + gb + gc) * (ga + gb + gc)) AS sr2
+               FROM f)
+         SELECT CAST(n AS BIGINT) AS n, CAST(ca AS BIGINT) AS ca,
+                CAST(cb AS BIGINT) AS cb, CAST(cc AS BIGINT) AS cc,
+                CAST((2 * 2 * (3 * (ca*ca + cb*cb + cc*cc)
+                      - (ca+cb+cc)*(ca+cb+cc)) * 1000000
+                      + (3 * sr - sr2))
+                     // (2 * (3 * sr - sr2)) AS BIGINT) AS q_e6
+         FROM a""",
   )
 }

@@ -4394,6 +4394,87 @@ object Relational {
           "CAST(((n - 1) * (n - 1) * 1000000) DIV n AS BIGINT)" +
             " AS g2_max_e6")
     }),
+
+    // BROWN–FORSYTHE (median Levene) — q427 tests MEANS assuming
+    // equal variances; this tests the VARIANCES themselves, the
+    // robust way (deviations from the group MEDIAN, so heavy tails
+    // don't masquerade as unequal spread): z = |y − med_g| stays a
+    // whole-dollar INTEGER because the lower median is an actual
+    // data point (row_number = ⌈n_g/2⌉ under ORDER BY y — the value
+    // at a rank is tie-order-invariant), and the ANOVA-F identities
+    // on z reuse q427's exact DECIMAL(38) machinery verbatim. One
+    // scan to the checkpointed (grp,y) frame; the median is one
+    // group-partitioned rank window over it (at 100 TB: per-group
+    // range partition, the q87 stance).
+    "q437_brown_forsythe" -> ((s, d) => {
+      val y = ld(s, d, "orders")
+        .selectExpr("o_orderpriority AS grp",
+          "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100" +
+            " AS BIGINT) DIV 100 AS y")
+        .localCheckpoint()
+      val wg = Window.partitionBy("grp").orderBy("y")
+      val med = y
+        .withColumn("rn", row_number().over(wg))
+        .withColumn("ng", count(lit(1)).over(Window.partitionBy("grp")))
+        .filter(expr("rn = (ng + 1) DIV 2"))
+        .selectExpr("grp", "y AS med")
+      val g = y.join(broadcast(med), "grp")
+        .selectExpr("grp", "abs(y - med) AS z")
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_g"),
+          sum(col("z").cast("decimal(38,0)")).as("s_g"),
+          sum(col("z").cast("decimal(38,0)") * col("z")).as("ss_g"))
+      g.agg(sum("n_g").as("n"), count(lit(1)).as("k"),
+          sum("s_g").as("s"), sum("ss_g").as("ss"),
+          sum(expr("CAST((s_g * s_g) DIV n_g AS DECIMAL(38,0))"))
+            .as("sb_raw"))
+        .selectExpr("n", "k",
+          "ss - CAST((s * s) DIV n AS DECIMAL(38,0)) AS sst",
+          "sb_raw - CAST((s * s) DIV n AS DECIMAL(38,0)) AS ssb")
+        .selectExpr("n", "k",
+          "CAST((2 * ssb * (n - k) * 1000000 + (sst - ssb) * (k - 1))" +
+            " DIV (2 * (sst - ssb) * (k - 1)) AS BIGINT)" +
+            " AS f_bf_e6")
+    }),
+
+    // WALD–WOLFOWITZ RUNS TEST — is the daily-revenue series RANDOM
+    // around its median, or does it trend/cluster (the yes/no
+    // randomness gate under q352's ACF and q228's seasonality —
+    // those measure structure, this certifies its existence): sign
+    // = day above/below the lower-median revenue day (ties with the
+    // median drop, the textbook rule), R = sign-change runs via one
+    // ordered lag, and z² = (Rn−2ab−n)²(n−1) / (2ab(2ab−n)) with
+    // every denominator cleared — half-up e6 in DECIMAL(38,0), no
+    // doubles. Two keyed rollups (day frame ≪ corpus), one global
+    // rank for the median and one ordered lag over the |days| frame.
+    "q439_runs_test" -> ((s, d) => {
+      val day = ld(s, d, "orders")
+        .groupBy(col("o_orderdate").as("dt"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2))" +
+          " * 100 AS BIGINT)")).cast("long").as("rev"))
+        .localCheckpoint()
+      val med = day
+        .withColumn("rn", row_number().over(Window.orderBy("rev")))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy()))
+        .filter(expr("rn = (nd + 1) DIV 2"))
+        .selectExpr("rev AS med")
+      val sg = day.crossJoin(broadcast(med))
+        .filter(col("rev") =!= col("med"))
+        .selectExpr("dt", "CAST(rev > med AS INT) AS sg")
+      sg.withColumn("chg", expr("CAST(sg <> lag(sg, 1)" +
+          " OVER (ORDER BY dt) AS INT)"))
+        .agg(count(lit(1)).as("n"),
+          sum("sg").as("a"),
+          expr("1 + sum(coalesce(chg, 0))").as("runs"))
+        .selectExpr("n", "a", "n - a AS b", "runs")
+        .selectExpr("n", "a", "b", "runs",
+          "CAST((2 * CAST((runs * n - 2 * a * b - n)" +
+            " AS DECIMAL(38,0))" +
+            " * (runs * n - 2 * a * b - n) * (n - 1) * 1000000" +
+            " + 2 * a * b * (2 * a * b - n))" +
+            " DIV (2 * 2 * a * b * (2 * a * b - n)) AS BIGINT)" +
+            " AS z2_e6")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -7137,5 +7218,68 @@ object Relational {
                 CAST(((n - 1) * (n - 1) * 1000000) // n AS BIGINT)
                   AS g2_max_e6
          FROM dv""",
+
+    // q437: same lower-median + exact ANOVA-on-|y−med| identities.
+    "q437_brown_forsythe" ->
+      """WITH y AS (SELECT o_orderpriority AS grp,
+                           CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                             * 100 AS HUGEINT) // 100 AS y
+                    FROM orders),
+              r AS (SELECT grp, y,
+                           row_number() OVER (PARTITION BY grp
+                             ORDER BY y) AS rn,
+                           count(*) OVER (PARTITION BY grp) AS ng
+                    FROM y),
+              med AS (SELECT grp, y AS med FROM r
+                      WHERE rn = (ng + 1) // 2),
+              z AS (SELECT y.grp, abs(y.y - med.med) AS z
+                    FROM y JOIN med ON y.grp = med.grp),
+              g AS (SELECT grp, count(*) AS n_g, sum(z) AS s_g,
+                           sum(z * z) AS ss_g
+                    FROM z GROUP BY 1),
+              a AS (SELECT sum(n_g) AS n, count(*) AS k,
+                           sum(s_g) AS s, sum(ss_g) AS ss,
+                           sum((s_g * s_g) // n_g) AS sb_raw
+                    FROM g),
+              b AS (SELECT n, k, ss - (s * s) // n AS sst,
+                           sb_raw - (s * s) // n AS ssb
+                    FROM a)
+         SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+                CAST((2 * ssb * (n - k) * 1000000
+                      + (sst - ssb) * (k - 1))
+                     // (2 * (sst - ssb) * (k - 1)) AS BIGINT)
+                  AS f_bf_e6
+         FROM b""",
+
+    // q439: same dropped-median-tie rule and cleared-denominator z².
+    "q439_runs_test" ->
+      """WITH day AS (SELECT o_orderdate AS dt,
+                             sum(CAST(CAST(o_totalprice
+                               AS DECIMAL(14,2)) * 100 AS BIGINT))
+                               AS rev
+                      FROM orders GROUP BY 1),
+              r AS (SELECT dt, rev,
+                           row_number() OVER (ORDER BY rev) AS rn,
+                           count(*) OVER () AS nd
+                    FROM day),
+              med AS (SELECT rev AS med FROM r
+                      WHERE rn = (nd + 1) // 2),
+              sg AS (SELECT dt, CAST(rev > med AS INT) AS sg
+                     FROM day CROSS JOIN med WHERE rev <> med),
+              ch AS (SELECT sg, CAST(sg <> lag(sg, 1)
+                       OVER (ORDER BY dt) AS INT) AS chg
+                     FROM sg),
+              ag AS (SELECT count(*) AS n, sum(sg) AS a,
+                            1 + sum(coalesce(chg, 0)) AS runs
+                     FROM ch),
+              fx AS (SELECT n, a, n - a AS b, runs FROM ag)
+         SELECT CAST(n AS BIGINT) AS n, CAST(a AS BIGINT) AS a,
+                CAST(b AS BIGINT) AS b, CAST(runs AS BIGINT) AS runs,
+                CAST((2 * CAST(runs * n - 2 * a * b - n AS HUGEINT)
+                      * (runs * n - 2 * a * b - n) * (n - 1) * 1000000
+                      + 2 * a * b * (2 * a * b - n))
+                     // (2 * 2 * a * b * (2 * a * b - n)) AS BIGINT)
+                  AS z2_e6
+         FROM fx""",
   )
 }

@@ -3038,4 +3038,29 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q437: Brown–Forsythe — median and z-rollup branch off the " +
+    "checkpointed (grp,y) frame; the 5-row median frame broadcasts") {
+    val p = plan("q437_brown_forsythe")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q438: Cochran's Q — rows and columns fold into one corpus " +
+    "pass: one scan, one 1-row aggregate, no join, no window") {
+    val p = plan("q438_cochran_q")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("Join"))
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+  }
+
+  test("q439: runs test — median rank, sign lag, and the final " +
+    "aggregate all run on the checkpointed |days| frame") {
+    val p = plan("q439_runs_test")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
 }
