@@ -3650,6 +3650,85 @@ object PipelineOps {
             " - (ca+cb+cc)*(ca+cb+cc)) * 1000000 + (3 * sr - sr2))" +
             " DIV (2 * (3 * sr - sr2)) AS BIGINT) AS q_e6")
     }),
+
+    // CORPUS SATURATION CURVE — the diminishing-returns readout
+    // behind every "do we need more data?" call: walk the corpus in
+    // ingest order (doc_id), split into deciles, and measure what
+    // fraction of each decile's trigram occurrences are NEW (first
+    // seen in that decile). Heaps' law (q215) fits the vocabulary
+    // exponent; this is the operational curve a data buyer reads —
+    // novelty_bp per decile plus the cumulative distinct count. One
+    // gram scan, checkpoint-pinned; deciles, first-seen assignment,
+    // and per-decile occurrence mass all branch off it. At 100 TB
+    // the decile cut is a range partition on ingest key, and
+    // first-seen is the same min-keyed rollup.
+    "q440_saturation_curve" -> ((s, d) => {
+      val grams = ld(s, d, "documents")
+        .select(col("doc_id"),
+          split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(ws) - 2)," +
+            " i -> array_join(slice(ws, i, 3), ' '))")).as("g"))
+        .localCheckpoint()
+      val dd = grams.select("doc_id").distinct()
+        .withColumn("dec",
+          ntile(10).over(Window.orderBy("doc_id")).cast("long"))
+        .localCheckpoint()
+      val firstSeen = grams.groupBy("g")
+        .agg(min("doc_id").as("fdoc"))
+        .join(dd.withColumnRenamed("doc_id", "fdoc"), "fdoc")
+        .groupBy("dec").agg(count(lit(1)).as("n_new_grams"))
+      val occ = grams.join(dd, "doc_id")
+        .groupBy("dec").agg(count(lit(1)).as("n_gram_tokens"),
+          countDistinct("doc_id").as("n_docs"))
+      occ.join(firstSeen, Seq("dec"), "left")
+        .selectExpr("dec", "n_docs", "n_gram_tokens",
+          "coalesce(n_new_grams, 0L) AS n_new_grams",
+          "CAST((2 * coalesce(n_new_grams, 0L) * 10000" +
+            " + n_gram_tokens) DIV (2 * n_gram_tokens) AS BIGINT)" +
+            " AS novelty_bp")
+        .withColumn("cum_distinct",
+          sum("n_new_grams").over(Window.orderBy("dec")
+            .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .orderBy("dec")
+    }),
+
+    // SAMPLED DUP-RATE ESTIMATOR CALIBRATION — at 100 TB you
+    // estimate the duplicate rate from a sample BEFORE paying for
+    // the full fingerprint pass; this query runs estimator and
+    // ground truth side by side so the correction factor is
+    // MEASURED, not assumed: duplicate-PAIR mass scales as r² under
+    // a uniform r=10% md5 sample (each pair survives with r²), so
+    // est = sample_pairs·100; duplicate-DOC rate does NOT rescale
+    // linearly — the side-by-side shows exactly that bias. Exact
+    // integer counts throughout, one corpus scan to the
+    // checkpointed fingerprint frame, sample stats branch off it.
+    "q441_dup_rate_sample" -> ((s, d) => {
+      val fp = ld(s, d, "documents")
+        .selectExpr("doc_id", "md5(text) AS fp",
+          "CAST(conv(substr(md5(concat('s#'," +
+            " CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)" +
+            " % 10 = 0 AS in_sample")
+        .localCheckpoint()
+      val full = fp.groupBy("fp")
+        .agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"),
+          sum(expr("c * (c - 1) DIV 2")).as("n_pairs"))
+      val samp = fp.filter(col("in_sample")).groupBy("fp")
+        .agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("s_n"), count(lit(1)).as("s_distinct"),
+          sum(expr("c * (c - 1) DIV 2")).as("s_pairs"))
+      full.crossJoin(samp).selectExpr(
+        "n", "n - n_distinct AS n_dup_docs",
+        "CAST((2 * (n - n_distinct) * 10000 + n) DIV (2 * n)" +
+          " AS BIGINT) AS dup_bp",
+        "n_pairs",
+        "s_n", "s_n - s_distinct AS s_dup_docs", "s_pairs",
+        "s_pairs * 100 AS est_pairs",
+        "CAST((2 * (s_n - s_distinct) * 10000 + s_n) DIV (2 * s_n)" +
+          " AS BIGINT) AS sample_dup_bp")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -6475,5 +6554,70 @@ object PipelineOps {
                       + (3 * sr - sr2))
                      // (2 * (3 * sr - sr2)) AS BIGINT) AS q_e6
          FROM a""",
+
+    // q440: same decile cut (ntile over doc_id) and first-seen rule.
+    "q440_saturation_curve" ->
+      """WITH grams AS (
+           SELECT doc_id, g FROM (
+             SELECT doc_id, string_split(lower(text), ' ') AS ws
+             FROM documents) s,
+             unnest(list_transform(range(1, len(ws) - 1),
+               i -> array_to_string(ws[i:i+2], ' '))) AS u(g)
+           WHERE len(ws) >= 3),
+         dd AS (SELECT doc_id,
+                       CAST(ntile(10) OVER (ORDER BY doc_id)
+                         AS BIGINT) AS dec
+                FROM (SELECT DISTINCT doc_id FROM grams)),
+         fs AS (SELECT dec, count(*) AS n_new_grams FROM (
+                  SELECT g, min(doc_id) AS fdoc FROM grams
+                  GROUP BY 1) fm
+                  JOIN dd ON fm.fdoc = dd.doc_id
+                GROUP BY 1),
+         occ AS (SELECT dec, count(*) AS n_gram_tokens,
+                        count(DISTINCT grams.doc_id) AS n_docs
+                 FROM grams JOIN dd ON grams.doc_id = dd.doc_id
+                 GROUP BY 1)
+         SELECT occ.dec, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_gram_tokens AS BIGINT) AS n_gram_tokens,
+                CAST(coalesce(n_new_grams, 0) AS BIGINT)
+                  AS n_new_grams,
+                CAST((2 * coalesce(n_new_grams, 0) * 10000
+                      + n_gram_tokens)
+                     // (2 * n_gram_tokens) AS BIGINT) AS novelty_bp,
+                CAST(sum(coalesce(n_new_grams, 0))
+                     OVER (ORDER BY occ.dec ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_distinct
+         FROM occ LEFT JOIN fs ON occ.dec = fs.dec
+         ORDER BY occ.dec""",
+
+    // q441: same md5 10% sample and exact pair counts.
+    "q441_dup_rate_sample" ->
+      """WITH fp AS (SELECT doc_id, md5(text) AS fp,
+                            ('0x' || substr(md5('s#'
+                              || CAST(doc_id AS VARCHAR)), 1, 4))
+                              ::BIGINT % 10 = 0 AS in_sample
+                     FROM documents),
+         fc AS (SELECT fp, count(*) AS c FROM fp GROUP BY 1),
+         fl AS (SELECT sum(c) AS n, count(*) AS n_distinct,
+                       sum(c * (c - 1) // 2) AS n_pairs
+                FROM fc),
+         sc AS (SELECT fp, count(*) AS c FROM fp
+                WHERE in_sample GROUP BY 1),
+         sl AS (SELECT sum(c) AS s_n, count(*) AS s_distinct,
+                       sum(c * (c - 1) // 2) AS s_pairs
+                FROM sc)
+         SELECT CAST(n AS BIGINT) AS n,
+                CAST(n - n_distinct AS BIGINT) AS n_dup_docs,
+                CAST((2 * (n - n_distinct) * 10000 + n) // (2 * n)
+                  AS BIGINT) AS dup_bp,
+                CAST(n_pairs AS BIGINT) AS n_pairs,
+                CAST(s_n AS BIGINT) AS s_n,
+                CAST(s_n - s_distinct AS BIGINT) AS s_dup_docs,
+                CAST(s_pairs AS BIGINT) AS s_pairs,
+                CAST(s_pairs * 100 AS BIGINT) AS est_pairs,
+                CAST((2 * (s_n - s_distinct) * 10000 + s_n)
+                     // (2 * s_n) AS BIGINT) AS sample_dup_bp
+         FROM fl CROSS JOIN sl""",
   )
 }

@@ -4475,6 +4475,33 @@ object Relational {
             " DIV (2 * 2 * a * b * (2 * a * b - n)) AS BIGINT)" +
             " AS z2_e6")
     }),
+
+    // UNION BY NAME — schema-drift-tolerant union: the second
+    // branch arrives with reordered columns AND a missing one
+    // (priority), the exact shape a multi-vintage ingest produces.
+    // unionByName(allowMissingColumns=true) aligns by NAME and
+    // null-fills the gap — positional UNION would silently zip the
+    // wrong columns (key under cents), the classic silent-corruption
+    // bug. DuckDB's UNION ALL BY NAME is the independent semantics
+    // check. The rollup on top proves both the alignment and the
+    // null-fill.
+    "q442_union_by_name" -> ((s, d) => {
+      val cents = "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100" +
+        " AS BIGINT)"
+      val a = ld(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .selectExpr("o_orderkey AS k", "o_orderpriority AS pri",
+          s"$cents AS cents")
+      val b = ld(s, d, "orders")
+        .filter(col("o_orderpriority") === "5-LOW")
+        .selectExpr(s"$cents AS cents", "o_orderkey AS k")
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy(coalesce(col("pri"), lit("<missing>")).as("pri"))
+        .agg(count(lit(1)).as("n"),
+          sum("cents").cast("long").as("cents"),
+          expr("CAST(min(k) AS BIGINT)").as("min_key"))
+        .orderBy("pri")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -7281,5 +7308,23 @@ object Relational {
                      // (2 * 2 * a * b * (2 * a * b - n)) AS BIGINT)
                   AS z2_e6
          FROM fx""",
+
+    // q442: DuckDB's native UNION ALL BY NAME null-fills the missing
+    // column — the independent check of Spark's unionByName.
+    "q442_union_by_name" ->
+      """SELECT coalesce(pri, '<missing>') AS pri,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(cents) AS BIGINT) AS cents,
+                CAST(min(k) AS BIGINT) AS min_key
+         FROM (
+           SELECT o_orderkey AS k, o_orderpriority AS pri,
+                  CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                    AS BIGINT) AS cents
+           FROM orders WHERE o_orderpriority = '1-URGENT'
+           UNION ALL BY NAME
+           SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                    AS BIGINT) AS cents, o_orderkey AS k
+           FROM orders WHERE o_orderpriority = '5-LOW')
+         GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -3063,4 +3063,31 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q440: saturation — deciles, first-seen, and occurrence mass " +
+    "all branch off the checkpointed gram frame; no corpus rescan") {
+    val p = plan("q440_saturation_curve")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q441: dup-rate sample — exact and sampled stats branch off " +
+    "the checkpointed fingerprint frame") {
+    val p = plan("q441_dup_rate_sample")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q442: union by name — two pruned scans, aligned union, one " +
+    "aggregate; no join") {
+    val p = plan("q442_union_by_name")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 2)
+    assert(p.contains("Union"))
+    assert(!p.contains("Join"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority)"),
+      "the branch filters must reach both scans")
+  }
 }
