@@ -1517,6 +1517,73 @@ object VectorOps {
           expr("count_if(sil_e6 < 0)").as("n_misplaced"))
         .orderBy("label")
     }),
+
+    // NEAREST-CENTROID CLASSIFIER EVAL — the cheapest embedding-
+    // quality probe there is (the "can the space separate labels at
+    // all?" gate you run before paying for a linear probe): assign
+    // every vector to its nearest label centroid and emit the
+    // CONFUSION MATRIX. Centroids are the q63 6-dp-rounded per-dim
+    // means (engine-identical); squared distances are per-row
+    // zip_with folds rounded 6 BEFORE the argmin, so the nearest
+    // pick can't flip on a cross-engine ulp; ties break on label.
+    // Shapes: |labels|-sized centroid broadcast against one
+    // checkpointed vector frame — at 100 TB this is the same
+    // broadcast-scan as q63, never a pair join.
+    "q443_nearest_centroid_eval" -> ((s, d) => {
+      val e = ld(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("ce"))
+        .localCheckpoint()
+      val cent = e
+        .select(col("label").as("cl"),
+          posexplode(col("ce")).as(Seq("pos", "v")))
+        .groupBy("cl", "pos").agg(round(avg("v"), 6).as("c"))
+        .groupBy("cl")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+          .as("pc"))
+        .select(col("cl"), expr("transform(pc, x -> x.c)").as("cc"))
+      e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("cl"),
+          round(aggregate(
+            zip_with(col("ce"), col("cc"),
+              (x, c) => (x - c) * (x - c)),
+            lit(0.0), (acc, v) => acc + v), 6).as("d2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d2"), col("cl"))))
+        .filter(col("rk") === 1)
+        .groupBy("label", "cl")
+        .agg(count(lit(1)).as("n"))
+        .selectExpr("label", "cl AS pred", "n")
+        .orderBy("label", "pred")
+    }),
+
+    // EMBEDDING NORM AUDIT — the datasheet QA pass every vector
+    // store needs before ANN indexing (zero vectors break cosine;
+    // norm drift across labels means the encoder changed under
+    // you): per-row L2 norms fold deterministically inside the
+    // array, round to INTEGER micro-units at the row (the q403
+    // sum-order lesson: aggregate integers, never raw doubles), and
+    // the per-label rollup is all-BIGINT — half-up mean, min/max,
+    // zero-vector count, dim contract check. One scan, one keyed
+    // rollup.
+    "q444_embedding_norm_audit" -> ((s, d) => {
+      ld(s, d, "embeddings")
+        .selectExpr("label",
+          "CAST(round(sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>)," +
+            " 0.0D, (acc, x) -> acc + x * x)) * 1000000) AS BIGINT)" +
+            " AS norm_e6",
+          "CAST(size(embedding) AS BIGINT) AS dim")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(min(dim) AS BIGINT)").as("dim_min"),
+          expr("CAST(max(dim) AS BIGINT)").as("dim_max"),
+          min("norm_e6").as("norm_min_e6"),
+          max("norm_e6").as("norm_max_e6"),
+          expr("CAST((2 * sum(norm_e6) + count(*))" +
+            " DIV (2 * count(*)) AS BIGINT)").as("norm_mean_e6"),
+          expr("count_if(norm_e6 = 0)").as("n_zero_vecs"))
+        .orderBy("label")
+    }),
   )
 
   /** q125's composed IVF×PQ chain, ranked pre-top-k — shared with q120's
@@ -2704,5 +2771,46 @@ object VectorOps {
                 CAST(sum(sil_e6) AS BIGINT) AS sum_sil_e6,
                 CAST(count_if(sil_e6 < 0) AS BIGINT) AS n_misplaced
          FROM sil GROUP BY label ORDER BY label""",
+
+    // q443: q63's centroid recipe + 6-dp distances BEFORE argmin.
+    "q443_nearest_centroid_eval" ->
+      """WITH c AS (SELECT vec_id, label,
+                           CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings),
+              comp AS (SELECT label AS cl, i AS pos,
+                              round(avg(ce[i]), 6) AS cv
+                       FROM c, range(1, 65) t(i) GROUP BY 1, 2),
+              cent AS (SELECT cl, list(cv ORDER BY pos) AS cc
+                       FROM comp GROUP BY cl),
+              d AS (SELECT vec_id, label, cl,
+                           round(list_sum(list_transform(range(1, 65),
+                             i -> (ce[i] - cc[i]) * (ce[i] - cc[i]))),
+                             6) AS d2
+                    FROM c CROSS JOIN cent),
+              pr AS (SELECT vec_id, label, cl,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, cl) AS rk
+                     FROM d)
+         SELECT label, cl AS pred, CAST(count(*) AS BIGINT) AS n
+         FROM pr WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q444: per-row integer micro-unit norms, all-BIGINT rollup.
+    "q444_embedding_norm_audit" ->
+      """WITH r AS (SELECT label,
+                           CAST(round(sqrt(list_sum(list_transform(
+                             CAST(embedding AS DOUBLE[]),
+                             x -> x * x))) * 1000000) AS BIGINT)
+                             AS norm_e6,
+                           CAST(len(embedding) AS BIGINT) AS dim
+                    FROM embeddings)
+         SELECT label, CAST(count(*) AS BIGINT) AS n,
+                CAST(min(dim) AS BIGINT) AS dim_min,
+                CAST(max(dim) AS BIGINT) AS dim_max,
+                CAST(min(norm_e6) AS BIGINT) AS norm_min_e6,
+                CAST(max(norm_e6) AS BIGINT) AS norm_max_e6,
+                CAST((2 * sum(norm_e6) + count(*)) // (2 * count(*))
+                  AS BIGINT) AS norm_mean_e6,
+                CAST(count_if(norm_e6 = 0) AS BIGINT) AS n_zero_vecs
+         FROM r GROUP BY label ORDER BY label""",
   )
 }

@@ -3080,6 +3080,24 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q443: nearest centroid — |labels| centroid frame broadcast " +
+    "against the checkpointed vector frame; never a pair join") {
+    val p = plan("q443_nearest_centroid_eval")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q444: norm audit — one scan, per-row integer norms, one " +
+    "keyed rollup, no join, no window") {
+    val p = plan("q444_embedding_norm_audit")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("Join"))
+    assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
+  }
+
   test("q442: union by name — two pruned scans, aligned union, one " +
     "aggregate; no join") {
     val p = plan("q442_union_by_name")
