@@ -2652,6 +2652,37 @@ object EventOps {
                 FROM sw)
         SELECT n_users, covered_seconds, raw_seconds FROM agg""")
     }),
+
+    // SKEW-SALT PLANNER — the 100 TB skew playbook AS A QUERY:
+    // q50/q86 execute salting and q116 lets AQE split at runtime;
+    // this emits the PLAN a static pipeline config needs — per-key
+    // salt factors sized so no task exceeds the even-split target
+    // T = ⌈N/32⌉: salt_k = ⌈c_k/T⌉ for every key over target. The
+    // summary row carries the before/after max task load and the
+    // added shuffle width (Σ extra buckets), i.e. the cost of the
+    // fix next to the skew it removes. One keyed count rollup +
+    // |keys|-frame math; ceilings via (a+b−1) DIV b, all BIGINT.
+    "q446_skew_salt_planner" -> ((s, d) => {
+      val counts = ld(s, d, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      counts
+        .withColumn("n", sum("c").over(Window.partitionBy()))
+        .selectExpr("user_id", "c", "(n + 31) DIV 32 AS t")
+        .selectExpr("c", "t", "(c + t - 1) DIV t AS salt")
+        .agg(count(lit(1)).as("n_keys"),
+          expr("max(t)").as("target_rows"),
+          expr("count_if(salt > 1)").as("n_hot_keys"),
+          max("c").as("max_key_rows"),
+          expr("max((c + salt - 1) DIV salt)").as("max_after_split"),
+          expr("sum(salt - 1)").as("extra_buckets"))
+        .selectExpr("n_keys", "target_rows", "n_hot_keys",
+          "max_key_rows", "max_after_split", "extra_buckets",
+          "CAST((2 * max_key_rows * 100 + target_rows)" +
+            " DIV (2 * target_rows) AS BIGINT) AS skew_x100_before",
+          "CAST((2 * max_after_split * 100 + target_rows)" +
+            " DIV (2 * target_rows) AS BIGINT) AS skew_x100_after")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4133,6 +4164,35 @@ object EventOps {
                   AS covered_seconds,
                 CAST(sum(-dd * t) AS BIGINT) AS raw_seconds
          FROM sw""",
+
+    // q446: same ⌈⌉ identities; // = DIV on positives.
+    "q446_skew_salt_planner" ->
+      """WITH counts AS (SELECT user_id, count(*) AS c FROM events
+                         GROUP BY 1),
+              x AS (SELECT user_id, c,
+                           (sum(c) OVER () + 31) // 32 AS t
+                    FROM counts),
+              y AS (SELECT c, t, (c + t - 1) // t AS salt FROM x),
+              a AS (SELECT count(*) AS n_keys, max(t) AS target_rows,
+                           count_if(salt > 1) AS n_hot_keys,
+                           max(c) AS max_key_rows,
+                           max((c + salt - 1) // salt)
+                             AS max_after_split,
+                           sum(salt - 1) AS extra_buckets
+                    FROM y)
+         SELECT CAST(n_keys AS BIGINT) AS n_keys,
+                CAST(target_rows AS BIGINT) AS target_rows,
+                CAST(n_hot_keys AS BIGINT) AS n_hot_keys,
+                CAST(max_key_rows AS BIGINT) AS max_key_rows,
+                CAST(max_after_split AS BIGINT) AS max_after_split,
+                CAST(extra_buckets AS BIGINT) AS extra_buckets,
+                CAST((2 * max_key_rows * 100 + target_rows)
+                     // (2 * target_rows) AS BIGINT)
+                  AS skew_x100_before,
+                CAST((2 * max_after_split * 100 + target_rows)
+                     // (2 * target_rows) AS BIGINT)
+                  AS skew_x100_after
+         FROM a""",
   )
 }
 

@@ -3729,6 +3729,44 @@ object PipelineOps {
         "CAST((2 * (s_n - s_distinct) * 10000 + s_n) DIV (2 * s_n)" +
           " AS BIGINT) AS sample_dup_bp")
     }),
+
+    // BLOOM SIZING PLANNER — q110/q194 consume bloom filters; this
+    // SIZES them from measured cardinalities: for each candidate
+    // membership set (docs, distinct trigrams, distinct users) and
+    // each target FPR on the grid, m = ⌈n·c_p/1000⌉ bits with the
+    // bits-per-element constants as engine-neutral literals
+    // (9.585 @1%, 14.378 @0.1% — ln never evaluated at runtime, the
+    // q324 LUT stance) and the literal optimal k beside them. The
+    // cardinalities are REAL aggregates (the distinct-gram pass is
+    // the expensive one and exists to be measured); the plan math
+    // is a 6-row cross join. Ceilings via (a+b−1) DIV b, all
+    // BIGINT.
+    "q447_bloom_sizing_planner" -> ((s, d) => {
+      val nDocs = ld(s, d, "documents")
+        .agg(count(lit(1)).as("n"))
+        .selectExpr("'documents' AS item", "n")
+      val nTri = ld(s, d, "documents")
+        .select(split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(explode(expr("transform(sequence(1, size(ws) - 2)," +
+          " i -> array_join(slice(ws, i, 3), ' '))")).as("g"))
+        .agg(countDistinct("g").as("n"))
+        .selectExpr("'doc_trigrams' AS item", "n")
+      val nUsers = ld(s, d, "events")
+        .agg(countDistinct("user_id").as("n"))
+        .selectExpr("'event_users' AS item", "n")
+      val grid = s.sql("SELECT * FROM VALUES (100, 9585, 7)," +
+        " (10, 14378, 10) AS t(p_bp, c_e3, k_hashes)")
+      nDocs.union(nTri).union(nUsers)
+        .crossJoin(broadcast(grid))
+        .selectExpr("item", "n", "p_bp", "CAST(k_hashes AS BIGINT)" +
+          " AS k_hashes",
+          "(n * c_e3 + 999) DIV 1000 AS m_bits",
+          "((n * c_e3 + 999) DIV 1000 + 7) DIV 8 AS m_bytes")
+        .selectExpr("item", "n", "CAST(p_bp AS BIGINT) AS p_bp",
+          "k_hashes", "m_bits", "m_bytes")
+        .orderBy("item", "p_bp")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -6619,5 +6657,29 @@ object PipelineOps {
                 CAST((2 * (s_n - s_distinct) * 10000 + s_n)
                      // (2 * s_n) AS BIGINT) AS sample_dup_bp
          FROM fl CROSS JOIN sl""",
+
+    // q447: same literal constants grid and ceiling identities.
+    "q447_bloom_sizing_planner" ->
+      """WITH items AS (
+           SELECT 'documents' AS item, count(*) AS n FROM documents
+           UNION ALL
+           SELECT 'doc_trigrams', count(DISTINCT g) FROM (
+             SELECT array_to_string(ws[i:i+2], ' ') AS g FROM (
+               SELECT string_split(lower(text), ' ') AS ws
+               FROM documents) s,
+               unnest(range(1, len(ws) - 1)) AS u(i)
+             WHERE len(ws) >= 3) g
+           UNION ALL
+           SELECT 'event_users', count(DISTINCT user_id) FROM events),
+         grid AS (SELECT * FROM (VALUES (100, 9585, 7),
+                  (10, 14378, 10)) t(p_bp, c_e3, k_hashes))
+         SELECT item, CAST(n AS BIGINT) AS n,
+                CAST(p_bp AS BIGINT) AS p_bp,
+                CAST(k_hashes AS BIGINT) AS k_hashes,
+                CAST((n * c_e3 + 999) // 1000 AS BIGINT) AS m_bits,
+                CAST(((n * c_e3 + 999) // 1000 + 7) // 8 AS BIGINT)
+                  AS m_bytes
+         FROM items CROSS JOIN grid
+         ORDER BY item, p_bp""",
   )
 }

@@ -1584,6 +1584,59 @@ object VectorOps {
           expr("count_if(norm_e6 = 0)").as("n_zero_vecs"))
         .orderBy("label")
     }),
+
+    // EMBEDDING LEARNING CURVE — how much labeled data does the
+    // space need? q443's nearest-centroid eval re-fit on 10%, 30%,
+    // and 100% md5 training samples, all three fits evaluated on
+    // the FULL corpus in one pass: the centroid frames are
+    // (frac,label)-keyed (30 rows total, broadcast), distances are
+    // the same 6-dp-rounded row folds, and the curve is accuracy
+    // vs training fraction — flat curve ⇒ the space is easy,
+    // rising ⇒ buy more labels. One corpus scan feeds both the
+    // three fits and the eval (checkpoint-pinned).
+    "q445_learning_curve" -> ((s, d) => {
+      val e = ld(s, d, "embeddings")
+        .selectExpr("vec_id", "label",
+          "CAST(embedding AS ARRAY<DOUBLE>) AS ce",
+          "CAST(conv(substr(md5(concat('lc#'," +
+            " CAST(vec_id AS STRING))), 1, 4), 16, 10) AS BIGINT)" +
+            " % 100 AS pick")
+        .localCheckpoint()
+      val fr = s.range(1, 4).selectExpr(
+        "CASE id WHEN 1 THEN 10 WHEN 2 THEN 30 ELSE 100 END AS frac")
+      val cent = e.crossJoin(broadcast(fr))
+        .filter(col("pick") < col("frac"))
+        .select(col("frac"), col("label").as("cl"),
+          posexplode(col("ce")).as(Seq("pos", "v")))
+        .groupBy("frac", "cl", "pos").agg(round(avg("v"), 6).as("c"))
+        .groupBy("frac", "cl")
+        .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+          .as("pc"))
+        .select(col("frac"), col("cl"),
+          expr("transform(pc, x -> x.c)").as("cc"))
+      val nTrain = e.crossJoin(broadcast(fr))
+        .filter(col("pick") < col("frac"))
+        .groupBy("frac").agg(count(lit(1)).as("n_train"))
+      e.crossJoin(broadcast(cent))
+        .select(col("frac"), col("vec_id"), col("label"), col("cl"),
+          round(aggregate(
+            zip_with(col("ce"), col("cc"),
+              (x, c) => (x - c) * (x - c)),
+            lit(0.0), (acc, v) => acc + v), 6).as("d2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("frac", "vec_id")
+            .orderBy(col("d2"), col("cl"))))
+        .filter(col("rk") === 1)
+        .groupBy("frac")
+        .agg(count(lit(1)).as("n_eval"),
+          expr("sum(CAST(label = cl AS BIGINT))").as("n_correct"))
+        .join(broadcast(nTrain), "frac")
+        .selectExpr("CAST(frac AS BIGINT) AS frac", "n_train",
+          "n_eval", "n_correct",
+          "CAST((2 * n_correct * 10000 + n_eval) DIV (2 * n_eval)" +
+            " AS BIGINT) AS acc_bp")
+        .orderBy("frac")
+    }),
   )
 
   /** q125's composed IVF×PQ chain, ranked pre-top-k — shared with q120's
@@ -2812,5 +2865,45 @@ object VectorOps {
                   AS BIGINT) AS norm_mean_e6,
                 CAST(count_if(norm_e6 = 0) AS BIGINT) AS n_zero_vecs
          FROM r GROUP BY label ORDER BY label""",
+
+    // q445: three md5-sampled fits, one full-corpus eval.
+    "q445_learning_curve" ->
+      """WITH c AS (SELECT vec_id, label,
+                           CAST(embedding AS DOUBLE[]) AS ce,
+                           ('0x' || substr(md5('lc#'
+                             || CAST(vec_id AS VARCHAR)), 1, 4))
+                             ::BIGINT % 100 AS pick
+                    FROM embeddings),
+              fr AS (SELECT unnest([10, 30, 100]) AS frac),
+              comp AS (SELECT frac, label AS cl, i AS pos,
+                              round(avg(ce[i]), 6) AS cv
+                       FROM c CROSS JOIN fr, range(1, 65) t(i)
+                       WHERE pick < frac GROUP BY 1, 2, 3),
+              cent AS (SELECT frac, cl, list(cv ORDER BY pos) AS cc
+                       FROM comp GROUP BY 1, 2),
+              ntr AS (SELECT frac, count(*) AS n_train
+                      FROM c CROSS JOIN fr WHERE pick < frac
+                      GROUP BY 1),
+              dd AS (SELECT cent.frac, vec_id, label, cl,
+                            round(list_sum(list_transform(range(1, 65),
+                              i -> (ce[i] - cc[i]) * (ce[i] - cc[i]))),
+                              6) AS d2
+                     FROM c CROSS JOIN cent),
+              pr AS (SELECT frac, vec_id, label, cl,
+                            row_number() OVER (PARTITION BY frac,
+                              vec_id ORDER BY d2, cl) AS rk
+                     FROM dd),
+              acc AS (SELECT frac, count(*) AS n_eval,
+                             sum(CASE WHEN label = cl THEN 1 ELSE 0
+                                 END) AS n_correct
+                      FROM pr WHERE rk = 1 GROUP BY 1)
+         SELECT CAST(acc.frac AS BIGINT) AS frac,
+                CAST(n_train AS BIGINT) AS n_train,
+                CAST(n_eval AS BIGINT) AS n_eval,
+                CAST(n_correct AS BIGINT) AS n_correct,
+                CAST((2 * n_correct * 10000 + n_eval) // (2 * n_eval)
+                  AS BIGINT) AS acc_bp
+         FROM acc JOIN ntr ON acc.frac = ntr.frac
+         ORDER BY frac""",
   )
 }

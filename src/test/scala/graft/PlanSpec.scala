@@ -3098,6 +3098,32 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.matches("""(?s).*\(\d+\) Window.*"""))
   }
 
+  test("q445: learning curve — three fits and the eval branch off " +
+    "the checkpointed vector frame; centroid frames broadcast") {
+    val p = plan("q445_learning_curve")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q446: skew planner — one keyed count rollup, then |keys|-" +
+    "frame math; no join") {
+    val p = plan("q446_skew_salt_planner")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("Join"))
+  }
+
+  test("q447: bloom sizing — three measured cardinalities cross the " +
+    "2-row literal grid; grid side broadcast") {
+    val p = plan("q447_bloom_sizing_planner")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q442: union by name — two pruned scans, aligned union, one " +
     "aggregate; no join") {
     val p = plan("q442_union_by_name")
