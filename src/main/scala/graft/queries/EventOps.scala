@@ -2683,6 +2683,63 @@ object EventOps {
           "CAST((2 * max_after_split * 100 + target_rows)" +
             " DIV (2 * target_rows) AS BIGINT) AS skew_x100_after")
     }),
+
+    // URL CANONICAL DEDUP — the web-crawl dedup rung BEFORE content
+    // fingerprints (q40 hashes bodies; most crawl dupes are the
+    // SAME resource under URL noise): events stage deterministic
+    // messy URLs (md5-picked host-case variants, shuffled param
+    // order, utm_* tracking params, fragments), and the
+    // canonicalizer — parse with split_part, lowercase the host
+    // only, drop utm_* and the fragment, SORT the surviving params
+    // — collapses them. Canonicalization is pure per-row string/
+    // array algebra (no UDF, no join); the rollup reports the
+    // collapse per canonical host. raw→canonical distinct-count
+    // ratio is the dedup yield a crawl planner budgets from.
+    "q448_url_canonical_dedup" -> ((s, d) => {
+      def h(tag: String) =
+        s"CAST(conv(substr(md5(concat('$tag'," +
+          " CAST(event_id AS STRING))), 1, 4), 16, 10) AS BIGINT)"
+      val urls = ld(s, d, "events")
+        .selectExpr("event_id",
+          s"element_at(array('example.com', 'EXAMPLE.com'," +
+            s" 'Example.Com', 'shop.example.net')," +
+            s" CAST(${h("h#")} % 4 + 1 AS INT)) AS host",
+          s"concat('/p/', CAST(event_id % 50 AS STRING)) AS path",
+          s"concat('id=', CAST(event_id % 97 AS STRING)) AS p_id",
+          s"CASE WHEN ${h("u#")} % 3 > 0 THEN concat('utm_source=s'," +
+            s" CAST(${h("u#")} % 3 AS STRING)) ELSE NULL END AS p_utm",
+          s"${h("o#")} % 2 = 0 AS id_first",
+          s"CASE WHEN ${h("f#")} % 2 = 0 THEN concat('#s'," +
+            s" CAST(event_id % 3 AS STRING)) ELSE '' END AS frag")
+        .selectExpr("event_id",
+          "concat('https://', host, path, '?'," +
+            " CASE WHEN p_utm IS NULL THEN p_id" +
+            "      WHEN id_first THEN concat(p_id, '&', p_utm)" +
+            "      ELSE concat(p_utm, '&', p_id) END, frag) AS url")
+        .localCheckpoint()
+      val canon = urls.selectExpr("url",
+          "split_part(split_part(split_part(url, '://', 2), '/', 1)," +
+            " '#', 1) AS host",
+          "split_part(split_part(url, '?', 2), '#', 1) AS qs")
+        .selectExpr("url", "lower(host) AS chost",
+          "substr(split_part(url, '?', 1)," +
+            " 9 + length(host)) AS path",
+          "array_join(array_sort(filter(split(qs, '&')," +
+            " x -> substr(x, 1, 4) <> 'utm_')), '&') AS cq")
+        .selectExpr("url", "chost",
+          "concat('https://', chost, path," +
+            " CASE WHEN cq <> '' THEN concat('?', cq) ELSE '' END)" +
+            " AS curl")
+      canon.groupBy("chost")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("url").as("n_raw_urls"),
+          countDistinct("curl").as("n_canon_urls"))
+        .selectExpr("chost", "n_events", "n_raw_urls", "n_canon_urls",
+          "CAST((2 * (n_raw_urls - n_canon_urls) * 10000" +
+            " + n_raw_urls) DIV (2 * n_raw_urls) AS BIGINT)" +
+            " AS collapse_bp")
+        .orderBy("chost")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4193,6 +4250,68 @@ object EventOps {
                      // (2 * target_rows) AS BIGINT)
                   AS skew_x100_after
          FROM a""",
+
+    // q448: identical staged URLs and the same canonicalizer in
+    // DuckDB string/list algebra.
+    "q448_url_canonical_dedup" ->
+      """WITH u AS (
+           SELECT event_id,
+                  (['example.com','EXAMPLE.com','Example.Com',
+                    'shop.example.net'])
+                  [('0x' || substr(md5('h#'
+                    || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 4 + 1] AS host,
+                  '/p/' || CAST(event_id % 50 AS VARCHAR) AS path,
+                  'id=' || CAST(event_id % 97 AS VARCHAR) AS p_id,
+                  CASE WHEN ('0x' || substr(md5('u#'
+                         || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT
+                         % 3 > 0
+                       THEN 'utm_source=s' || CAST(('0x'
+                         || substr(md5('u#'
+                         || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT
+                         % 3 AS VARCHAR)
+                       ELSE NULL END AS p_utm,
+                  ('0x' || substr(md5('o#'
+                    || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 2 = 0 AS id_first,
+                  CASE WHEN ('0x' || substr(md5('f#'
+                         || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT
+                         % 2 = 0
+                       THEN '#s' || CAST(event_id % 3 AS VARCHAR)
+                       ELSE '' END AS frag
+           FROM events),
+         raw AS (SELECT 'https://' || host || path || '?' ||
+                        CASE WHEN p_utm IS NULL THEN p_id
+                             WHEN id_first THEN p_id || '&' || p_utm
+                             ELSE p_utm || '&' || p_id END
+                        || frag AS url
+                 FROM u),
+         c1 AS (SELECT url,
+                       split_part(split_part(split_part(url, '://',
+                         2), '/', 1), '#', 1) AS host,
+                       split_part(split_part(url, '?', 2), '#', 1)
+                         AS qs
+                FROM raw),
+         c2 AS (SELECT url, lower(host) AS chost,
+                       substr(split_part(url, '?', 1),
+                         9 + length(host)) AS path,
+                       array_to_string(list_sort(list_filter(
+                         string_split(qs, '&'),
+                         x -> substr(x, 1, 4) <> 'utm_')), '&') AS cq
+                FROM c1),
+         c3 AS (SELECT url, chost,
+                       'https://' || chost || path ||
+                       CASE WHEN cq <> '' THEN '?' || cq ELSE ''
+                       END AS curl
+                FROM c2)
+         SELECT chost, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(count(DISTINCT url) AS BIGINT) AS n_raw_urls,
+                CAST(count(DISTINCT curl) AS BIGINT) AS n_canon_urls,
+                CAST((2 * (count(DISTINCT url) - count(DISTINCT curl))
+                      * 10000 + count(DISTINCT url))
+                     // (2 * count(DISTINCT url)) AS BIGINT)
+                  AS collapse_bp
+         FROM c3 GROUP BY 1 ORDER BY 1""",
   )
 }
 

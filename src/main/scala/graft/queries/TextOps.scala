@@ -2291,6 +2291,54 @@ object TextOps {
       pr.orderBy(col("pr").desc, col("i")).limit(20)
         .selectExpr("i AS word", "pr AS pr_e6")
     }),
+
+    // NEAR-DUP MUTATION ROBUSTNESS — how much edit does the shingle
+    // Jaccard signal survive? Every doc is mutated by dropping each
+    // k-th word (k = 20/10/5 ≈ 5/10/20% edits, deterministic — the
+    // planted-ground-truth stance of q430/q418: every (original,
+    // mutant) pair IS a true duplicate), and the curve reports the
+    // exact trigram Jaccard per strength plus how many true dupes
+    // the q46-style 0.8 gate would still catch. Everything is
+    // PER-ROW array algebra (mutant, both shingle sets, |∩|/|∪|) —
+    // no self-join, no shuffle beyond the 3-row rollup; the 100 TB
+    // cost is one embarrassingly-parallel pass. Index-free lambda
+    // mutation (transform over a filtered index range) because
+    // DuckDB's and Spark's index-lambda calling conventions differ.
+    "q449_mutation_robustness" -> ((s, d) => {
+      val ks = (se: SparkSession) => broadcast(se.range(0, 3)
+        .selectExpr("CAST(element_at(array(20, 10, 5)," +
+          " CAST(id + 1 AS INT)) AS BIGINT) AS k"))
+      ld(s, d, "documents")
+        .select(expr("filter(split(lower(text), ' ')," +
+          " w -> length(w) > 0)").as("ws"))
+        .filter(size(col("ws")) >= 8)
+        .crossJoin(ks(s))
+        .selectExpr("k", "ws",
+          "transform(filter(sequence(1, size(ws))," +
+            " i -> i % k != 0), i -> element_at(ws, i)) AS mw")
+        .selectExpr("k",
+          "array_distinct(transform(sequence(1, size(ws) - 2)," +
+            " i -> array_join(slice(ws, i, 3), ' '))) AS ga",
+          "array_distinct(transform(sequence(1, size(mw) - 2)," +
+            " i -> array_join(slice(mw, i, 3), ' '))) AS gb")
+        .selectExpr("k",
+          "CAST(size(array_intersect(ga, gb)) AS BIGINT) AS ni",
+          "CAST(size(array_union(ga, gb)) AS BIGINT) AS nu")
+        .selectExpr("k",
+          "CAST((2 * ni * 10000 + nu) DIV (2 * nu) AS BIGINT)" +
+            " AS jac_bp")
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("CAST((2 * sum(jac_bp) + count(*))" +
+            " DIV (2 * count(*)) AS BIGINT)").as("mean_jac_bp"),
+          expr("count_if(jac_bp >= 8000)").as("n_caught_at_80"),
+          min("jac_bp").as("min_jac_bp"))
+        .selectExpr("k", "n_pairs", "mean_jac_bp", "min_jac_bp",
+          "n_caught_at_80",
+          "CAST((2 * n_caught_at_80 * 10000 + n_pairs)" +
+            " DIV (2 * n_pairs) AS BIGINT) AS recall_bp")
+        .orderBy(col("k").desc)
+    }),
   )
 
   /** q285's S-curve, generated once and parameterized only by the
@@ -3910,5 +3958,48 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
                      GROUP BY und.i)
          SELECT i AS word, CAST(pr AS BIGINT) AS pr_e6
          FROM p3 ORDER BY pr DESC, i LIMIT 20""",
+
+    // q449: same index-range mutation and per-row set algebra.
+    "q449_mutation_robustness" ->
+      """WITH w AS (SELECT list_filter(string_split(lower(text), ' '),
+                            x -> len(x) > 0) AS ws
+                    FROM documents),
+              f AS (SELECT ws FROM w WHERE len(ws) >= 8),
+              ks AS (SELECT unnest([20, 10, 5]) AS k),
+              m AS (SELECT k, ws,
+                           list_transform(list_filter(
+                             range(1, len(ws) + 1), i -> i % k <> 0),
+                             i -> ws[i]) AS mw
+                    FROM f CROSS JOIN ks),
+              g AS (SELECT k,
+                           list_distinct(list_transform(
+                             range(1, len(ws) - 1),
+                             i -> array_to_string(ws[i:i+2], ' ')))
+                             AS ga,
+                           list_distinct(list_transform(
+                             range(1, len(mw) - 1),
+                             i -> array_to_string(mw[i:i+2], ' ')))
+                             AS gb
+                    FROM m),
+              j AS (SELECT k,
+                           CAST(len(list_intersect(ga, gb)) AS BIGINT)
+                             AS ni,
+                           CAST(len(list_distinct(list_concat(ga,
+                             gb))) AS BIGINT) AS nu
+                    FROM g),
+              jb AS (SELECT k, (2 * ni * 10000 + nu) // (2 * nu)
+                              AS jac_bp
+                     FROM j)
+         SELECT CAST(k AS BIGINT) AS k,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST((2 * sum(jac_bp) + count(*)) // (2 * count(*))
+                  AS BIGINT) AS mean_jac_bp,
+                CAST(min(jac_bp) AS BIGINT) AS min_jac_bp,
+                CAST(count_if(jac_bp >= 8000) AS BIGINT)
+                  AS n_caught_at_80,
+                CAST((2 * count_if(jac_bp >= 8000) * 10000
+                      + count(*)) // (2 * count(*)) AS BIGINT)
+                  AS recall_bp
+         FROM jb GROUP BY 1 ORDER BY k DESC""",
   )
 }

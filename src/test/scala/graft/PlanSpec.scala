@@ -3124,6 +3124,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q448: URL canonical dedup — per-row string algebra off the " +
+    "checkpointed staged-URL frame; no join, one keyed rollup") {
+    val p = plan("q448_url_canonical_dedup")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("Join"))
+  }
+
+  test("q449: mutation robustness — one scan, per-row set algebra " +
+    "against the broadcast 3-row strength grid, 3-row rollup") {
+    val p = plan("q449_mutation_robustness")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q442: union by name — two pruned scans, aligned union, one " +
     "aggregate; no join") {
     val p = plan("q442_union_by_name")
