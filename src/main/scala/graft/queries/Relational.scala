@@ -4502,6 +4502,86 @@ object Relational {
           expr("CAST(min(k) AS BIGINT)").as("min_key"))
         .orderBy("pri")
     }),
+
+    // JONCKHEERE–TERPSTRA — the ORDERED-alternative k-sample test
+    // (q426's Kruskal–Wallis asks "any difference?"; this asks
+    // "does order value RISE with priority class?"): J = Σ_{g<h}
+    // U_gh, computed WITHOUT the pairwise explosion by the q317
+    // value-domain collapse generalized to 5 groups — per-value
+    // conditional counts c1..c5, one shared prefix window p1..p5,
+    // and all 10 pair terms fold into ONE pass over the value
+    // frame: J₂ = Σ_v Σ_{g<h} (2·c_h·p_g + c_g·c_h) (doubled units,
+    // ties counted half — exact). The null moments clear to
+    // integers (2μ = (n²−Σn_g²)/2·2 is even by construction; 72·Var
+    // is the textbook polynomial), so z² lands half-up e6 in
+    // DECIMAL(38,0) — no doubles anywhere. Whole dollars.
+    "q450_jonckheere" -> ((s, d) => {
+      val cs = (1 to 5).map(g =>
+        sum(expr(s"CAST(g = $g AS BIGINT)")).as(s"c$g"))
+      val cells = ld(s, d, "orders")
+        .selectExpr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100" +
+          " AS BIGINT) DIV 100 AS v",
+          "CAST(substr(o_orderpriority, 1, 1) AS INT) AS g")
+        .groupBy("v").agg(cs.head, cs.tail: _*)
+        .localCheckpoint()
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pf = cells.select(col("*") +:
+        (1 to 5).map(g => coalesce(sum(s"c$g").over(w), lit(0L))
+          .as(s"p$g")): _*)
+      val pairTerms = (for { g <- 1 to 4; h <- (g + 1) to 5 }
+        yield s"2*c$h*p$g + c$g*c$h").mkString(" + ")
+      pf.agg(
+          sum(expr(pairTerms)).as("j2"),
+          sum(expr("c1+c2+c3+c4+c5")).as("n"))
+        .crossJoin(cells.agg(
+          expr("sum(c1)").as("n1"), expr("sum(c2)").as("n2"),
+          expr("sum(c3)").as("n3"), expr("sum(c4)").as("n4"),
+          expr("sum(c5)").as("n5")))
+        .selectExpr("j2", "n",
+          "(n * n - (n1*n1 + n2*n2 + n3*n3 + n4*n4 + n5*n5))" +
+            " DIV 2 AS mu2",
+          "n * n * (2 * n + 3)" +
+            " - (n1*n1*(2*n1+3) + n2*n2*(2*n2+3) + n3*n3*(2*n3+3)" +
+            " + n4*n4*(2*n4+3) + n5*n5*(2*n5+3)) AS den72")
+        .selectExpr("n", "j2", "mu2",
+          "CAST((2 * 18 * CAST((j2 - mu2) AS DECIMAL(38,0))" +
+            " * (j2 - mu2) * 1000000 + den72)" +
+            " DIV (2 * den72) AS BIGINT) AS z2_e6",
+          "CAST(j2 > mu2 AS BOOLEAN) AS trend_up")
+    }),
+
+    // FRIEDMAN TEST — blocked rank ANOVA: within each complete week
+    // (block), rank the 5 priority classes by revenue, and test
+    // whether any class ranks systematically high/low across
+    // blocks: Q = 12/(Nk(k+1))·ΣR_j² − 3N(k+1), half-up e6 from
+    // pure BIGINTs. Blocks are the |weeks| frame (one keyed rollup
+    // off the corpus); incomplete weeks drop (the textbook rule);
+    // exact-cents revenue makes within-block ties measure-zero and
+    // rank() resolves any that DO occur identically in both engines
+    // (min-rank convention, documented). The rank window partitions
+    // by week — never a global sort.
+    "q451_friedman_test" -> ((s, d) => {
+      val wk = ld(s, d, "orders")
+        .groupBy(expr("CAST(datediff(o_orderdate, DATE'1992-01-01')" +
+          " AS BIGINT) DIV 7").as("w"),
+          col("o_orderpriority").as("pri"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2))" +
+          " * 100 AS BIGINT)")).as("rev"))
+        .localCheckpoint()
+      wk.withColumn("npri", count(lit(1)).over(Window.partitionBy("w")))
+        .filter(col("npri") === 5)
+        .withColumn("r", rank().over(
+          Window.partitionBy("w").orderBy("rev")).cast("long"))
+        .groupBy("pri")
+        .agg(sum("r").as("rj"), count(lit(1)).as("nblk"))
+        .agg(count(lit(1)).as("k"), min("nblk").as("nb"),
+          sum(expr("rj * rj")).as("sr2"))
+        .selectExpr("nb AS n_blocks", "k", "sr2",
+          "CAST((2 * 12 * sr2 * 1000000 + nb * k * (k + 1))" +
+            " DIV (2 * nb * k * (k + 1))" +
+            " - 3 * nb * (k + 1) * 1000000 AS BIGINT) AS q_e6")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -7326,5 +7406,80 @@ object Relational {
                     AS BIGINT) AS cents, o_orderkey AS k
            FROM orders WHERE o_orderpriority = '5-LOW')
          GROUP BY 1 ORDER BY 1""",
+
+    // q450: same value-domain collapse; explicit c/p columns.
+    "q450_jonckheere" ->
+      """WITH y AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                           * 100 AS BIGINT) // 100 AS v,
+                           CAST(substr(o_orderpriority, 1, 1) AS INT)
+                             AS g
+                    FROM orders),
+         cells AS (SELECT v,
+                          sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1,
+                          sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS c2,
+                          sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS c3,
+                          sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS c4,
+                          sum(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS c5
+                   FROM y GROUP BY 1),
+         pf AS (SELECT *, coalesce(sum(c1) OVER pw, 0) AS p1,
+                       coalesce(sum(c2) OVER pw, 0) AS p2,
+                       coalesce(sum(c3) OVER pw, 0) AS p3,
+                       coalesce(sum(c4) OVER pw, 0) AS p4,
+                       coalesce(sum(c5) OVER pw, 0) AS p5
+                FROM cells
+                WINDOW pw AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING)),
+         a AS (SELECT sum(2*c2*p1 + c1*c2 + 2*c3*p1 + c1*c3
+                        + 2*c4*p1 + c1*c4 + 2*c5*p1 + c1*c5
+                        + 2*c3*p2 + c2*c3 + 2*c4*p2 + c2*c4
+                        + 2*c5*p2 + c2*c5 + 2*c4*p3 + c3*c4
+                        + 2*c5*p3 + c3*c5 + 2*c5*p4 + c4*c5) AS j2,
+                      sum(c1+c2+c3+c4+c5) AS n
+               FROM pf),
+         ng AS (SELECT sum(c1) AS n1, sum(c2) AS n2, sum(c3) AS n3,
+                       sum(c4) AS n4, sum(c5) AS n5
+                FROM cells),
+         b AS (SELECT j2, n,
+                      (n * n - (n1*n1 + n2*n2 + n3*n3 + n4*n4
+                        + n5*n5)) // 2 AS mu2,
+                      n * n * (2 * n + 3)
+                        - (n1*n1*(2*n1+3) + n2*n2*(2*n2+3)
+                           + n3*n3*(2*n3+3) + n4*n4*(2*n4+3)
+                           + n5*n5*(2*n5+3)) AS den72
+               FROM a CROSS JOIN ng)
+         SELECT CAST(n AS BIGINT) AS n, CAST(j2 AS BIGINT) AS j2,
+                CAST(mu2 AS BIGINT) AS mu2,
+                CAST((2 * 18 * CAST(j2 - mu2 AS HUGEINT) * (j2 - mu2)
+                      * 1000000 + den72) // (2 * den72) AS BIGINT)
+                  AS z2_e6,
+                j2 > mu2 AS trend_up
+         FROM b""",
+
+    // q451: same complete-block filter, min-rank tie convention.
+    "q451_friedman_test" ->
+      """WITH wk AS (SELECT CAST(date_diff('day', DATE '1992-01-01',
+                             o_orderdate) AS BIGINT) // 7 AS w,
+                           o_orderpriority AS pri,
+                           sum(CAST(CAST(o_totalprice
+                             AS DECIMAL(14,2)) * 100 AS BIGINT))
+                             AS rev
+                    FROM orders GROUP BY 1, 2),
+         cb AS (SELECT w, pri, rev,
+                       count(*) OVER (PARTITION BY w) AS npri
+                FROM wk),
+         rk AS (SELECT pri, rank() OVER (PARTITION BY w ORDER BY rev)
+                         AS r
+                FROM cb WHERE npri = 5),
+         rs AS (SELECT pri, sum(r) AS rj, count(*) AS nblk
+                FROM rk GROUP BY 1),
+         a AS (SELECT count(*) AS k, min(nblk) AS nb,
+                      sum(rj * rj) AS sr2
+               FROM rs)
+         SELECT CAST(nb AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+                CAST(sr2 AS BIGINT) AS sr2,
+                CAST((2 * 12 * sr2 * 1000000 + nb * k * (k + 1))
+                     // (2 * nb * k * (k + 1))
+                     - 3 * nb * (k + 1) * 1000000 AS BIGINT) AS q_e6
+         FROM a""",
   )
 }

@@ -3141,6 +3141,25 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q450: Jonckheere — all 10 pair terms fold into one pass " +
+    "over the checkpointed value frame; one shared prefix window") {
+    val p = plan("q450_jonckheere")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Window\s*""")) == 1,
+      "the five prefix sums must share one Window node")
+  }
+
+  test("q451: Friedman — block completeness and ranks are two " +
+    "week-partitioned windows over the checkpointed |weeks| frame") {
+    val p = plan("q451_friedman_test")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.contains("hashpartitioning(w"),
+      "rank windows partition by week, never a global sort")
+  }
+
   test("q442: union by name — two pruned scans, aligned union, one " +
     "aggregate; no join") {
     val p = plan("q442_union_by_name")
