@@ -2740,6 +2740,36 @@ object EventOps {
             " AS collapse_bp")
         .orderBy("chost")
     }),
+
+    // DOMAIN BLOCKLIST GATE — the crawl-side cousin of q448's
+    // canonicalizer: hosts are gated against a suffix blocklist
+    // with correct SUBDOMAIN semantics (block 'example.net' ⇒
+    // block 'shop.example.net' but NOT 'notexample.net' — the
+    // classic suffix-match bug this query's exact-equality-or-
+    // dot-suffix predicate avoids). The host census is one keyed
+    // rollup; the blocklist is a broadcast literal joined by the
+    // non-equi suffix predicate — at 100 TB the blocklist is still
+    // driver-small and the gate stays a broadcast filter, never a
+    // shuffle.
+    "q453_domain_blocklist_gate" -> ((s, d) => {
+      val hosts = ld(s, d, "events")
+        .selectExpr(
+          "element_at(array('example.com', 'EXAMPLE.com'," +
+            " 'Example.Com', 'shop.example.net')," +
+            " CAST(CAST(conv(substr(md5(concat('h#'," +
+            " CAST(event_id AS STRING))), 1, 4), 16, 10) AS BIGINT)" +
+            " % 4 + 1 AS INT)) AS host")
+        .selectExpr("lower(host) AS chost")
+        .groupBy("chost").agg(count(lit(1)).as("n_events"))
+      val bl = s.sql("SELECT * FROM VALUES ('example.net')," +
+        " ('badsite.org') AS t(suffix)")
+      hosts.join(broadcast(bl),
+          expr("chost = suffix OR chost LIKE concat('%.', suffix)"),
+          "left")
+        .selectExpr("chost", "n_events", "suffix AS matched_suffix",
+          "suffix IS NOT NULL AS blocked")
+        .orderBy("chost")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4312,6 +4342,26 @@ object EventOps {
                      // (2 * count(DISTINCT url)) AS BIGINT)
                   AS collapse_bp
          FROM c3 GROUP BY 1 ORDER BY 1""",
+
+    // q453: same staged hosts, same suffix predicate.
+    "q453_domain_blocklist_gate" ->
+      """WITH h AS (SELECT lower((['example.com','EXAMPLE.com',
+                      'Example.Com','shop.example.net'])
+                      [('0x' || substr(md5('h#'
+                        || CAST(event_id AS VARCHAR)), 1, 4))::BIGINT
+                        % 4 + 1]) AS chost
+                    FROM events),
+              hc AS (SELECT chost, count(*) AS n_events FROM h
+                     GROUP BY 1),
+              bl AS (SELECT * FROM (VALUES ('example.net'),
+                     ('badsite.org')) t(suffix))
+         SELECT chost, CAST(n_events AS BIGINT) AS n_events,
+                suffix AS matched_suffix,
+                suffix IS NOT NULL AS blocked
+         FROM hc LEFT JOIN bl
+           ON hc.chost = bl.suffix
+           OR hc.chost LIKE '%.' || bl.suffix
+         ORDER BY chost""",
   )
 }
 

@@ -2339,6 +2339,70 @@ object TextOps {
             " DIV (2 * n_pairs) AS BIGINT) AS recall_bp")
         .orderBy(col("k").desc)
     }),
+
+    // LSH CONFIG CHOOSER — q285's S-curve is pure theory over a
+    // literal grid; this chooses (r,b) from MEASURED data: the
+    // q449 planted 10%-mutation pairs give the real duplicate-
+    // similarity distribution, and each grid config's expected
+    // recall is E[1−(1−s^r)^b] over those pairs. Every power is an
+    // EXPLICIT repeated-squaring multiply chain in DOUBLE (s²,s⁴,s⁸
+    // and q²…q³²) — identical IEEE ops on both engines, no libm
+    // pow — and per-pair catch probabilities round to e6 integers
+    // BEFORE the cross-row mean (the q403 sum-order lesson). The
+    // chosen config is the cheapest (min b·r, then r) whose
+    // expected recall clears 99%. One corpus scan to the
+    // checkpointed pair-similarity frame; the grid is a 12-row
+    // broadcast.
+    "q452_lsh_config_chooser" -> ((s, d) => {
+      val sims = ld(s, d, "documents")
+        .select(expr("filter(split(lower(text), ' ')," +
+          " w -> length(w) > 0)").as("ws"))
+        .filter(size(col("ws")) >= 8)
+        .selectExpr("ws",
+          "transform(filter(sequence(1, size(ws))," +
+            " i -> i % 10 != 0), i -> element_at(ws, i)) AS mw")
+        .selectExpr(
+          "array_distinct(transform(sequence(1, size(ws) - 2)," +
+            " i -> array_join(slice(ws, i, 3), ' '))) AS ga",
+          "array_distinct(transform(sequence(1, size(mw) - 2)," +
+            " i -> array_join(slice(mw, i, 3), ' '))) AS gb")
+        .selectExpr("CAST(size(array_intersect(ga, gb)) AS DOUBLE)" +
+          " / size(array_union(ga, gb)) AS sj")
+        .selectExpr("sj", "sj * sj AS s2")
+        .selectExpr("sj", "s2", "s2 * s2 AS s4")
+        .selectExpr("sj", "s2", "s4", "s4 * s4 AS s8")
+        .localCheckpoint()
+      val grid = s.sql("SELECT * FROM VALUES" +
+        " (2,4),(2,8),(2,16),(2,32),(4,4),(4,8),(4,16),(4,32)," +
+        " (8,4),(8,8),(8,16),(8,32) AS t(r, b)")
+      sims.crossJoin(broadcast(grid))
+        .selectExpr("r", "b",
+          "1.0D - CASE r WHEN 2 THEN s2 WHEN 4 THEN s4" +
+            " ELSE s8 END AS q")
+        .selectExpr("r", "b", "q * q AS q2")
+        .selectExpr("r", "b", "q2 * q2 AS q4")
+        .selectExpr("r", "b", "q4", "q4 * q4 AS q8")
+        .selectExpr("r", "b", "q4", "q8", "q8 * q8 AS q16")
+        .selectExpr("r", "b", "q4", "q8", "q16",
+          "q16 * q16 AS q32")
+        .selectExpr("r", "b",
+          "CAST(round((1.0D - CASE b WHEN 4 THEN q4" +
+            " WHEN 8 THEN q8 WHEN 16 THEN q16 ELSE q32 END)" +
+            " * 1000000) AS BIGINT) AS catch_e6")
+        .groupBy("r", "b")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("CAST((2 * sum(catch_e6) + count(*))" +
+            " DIV (2 * count(*)) AS BIGINT)").as("mean_recall_e6"))
+        .selectExpr("CAST(r AS BIGINT) AS r", "CAST(b AS BIGINT) AS b",
+          "n_pairs", "mean_recall_e6",
+          "mean_recall_e6 >= 990000 AS meets_99")
+        .withColumn("pick_rank", row_number().over(
+          Window.orderBy(expr("CASE WHEN mean_recall_e6 >= 990000" +
+            " THEN 0 ELSE 1 END"), expr("b * r"), col("r"),
+            col("b"))).cast("long"))
+        .withColumn("chosen", col("pick_rank") === 1L)
+        .orderBy("r", "b")
+    }),
   )
 
   /** q285's S-curve, generated once and parameterized only by the
@@ -4001,5 +4065,66 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
                       + count(*)) // (2 * count(*)) AS BIGINT)
                   AS recall_bp
          FROM jb GROUP BY 1 ORDER BY k DESC""",
+
+    // q452: identical repeated-squaring multiply chains — the CTE
+    // ladder mirrors the Spark select ladder op for op.
+    "q452_lsh_config_chooser" ->
+      """WITH w AS (SELECT list_filter(string_split(lower(text), ' '),
+                            x -> len(x) > 0) AS ws
+                    FROM documents),
+              f AS (SELECT ws, list_transform(list_filter(
+                             range(1, len(ws) + 1), i -> i % 10 <> 0),
+                             i -> ws[i]) AS mw
+                    FROM w WHERE len(ws) >= 8),
+              g AS (SELECT list_distinct(list_transform(
+                             range(1, len(ws) - 1),
+                             i -> array_to_string(ws[i:i+2], ' ')))
+                             AS ga,
+                           list_distinct(list_transform(
+                             range(1, len(mw) - 1),
+                             i -> array_to_string(mw[i:i+2], ' ')))
+                             AS gb
+                    FROM f),
+              sj0 AS (SELECT CAST(len(list_intersect(ga, gb))
+                               AS DOUBLE)
+                             / len(list_distinct(list_concat(ga, gb)))
+                             AS sj
+                      FROM g),
+              sp AS (SELECT sj, sj * sj AS s2 FROM sj0),
+              sp2 AS (SELECT sj, s2, s2 * s2 AS s4 FROM sp),
+              sp3 AS (SELECT sj, s2, s4, s4 * s4 AS s8 FROM sp2),
+              grid AS (SELECT * FROM (VALUES (2,4),(2,8),(2,16),
+                       (2,32),(4,4),(4,8),(4,16),(4,32),(8,4),(8,8),
+                       (8,16),(8,32)) t(r, b)),
+              qq AS (SELECT r, b, 1.0 - CASE r WHEN 2 THEN s2
+                              WHEN 4 THEN s4 ELSE s8 END AS q
+                     FROM sp3 CROSS JOIN grid),
+              p1 AS (SELECT r, b, q * q AS q2 FROM qq),
+              p2 AS (SELECT r, b, q2 * q2 AS q4 FROM p1),
+              p3 AS (SELECT r, b, q4, q4 * q4 AS q8 FROM p2),
+              p4 AS (SELECT r, b, q4, q8, q8 * q8 AS q16 FROM p3),
+              p5 AS (SELECT r, b, q4, q8, q16, q16 * q16 AS q32
+                     FROM p4),
+              ce AS (SELECT r, b,
+                            CAST(round((1.0 - CASE b WHEN 4 THEN q4
+                              WHEN 8 THEN q8 WHEN 16 THEN q16
+                              ELSE q32 END) * 1000000) AS BIGINT)
+                              AS catch_e6
+                     FROM p5),
+              agg AS (SELECT r, b, count(*) AS n_pairs,
+                             (2 * sum(catch_e6) + count(*))
+                               // (2 * count(*)) AS mean_recall_e6
+                      FROM ce GROUP BY 1, 2),
+              rkd AS (SELECT *, row_number() OVER (ORDER BY
+                        CASE WHEN mean_recall_e6 >= 990000 THEN 0
+                        ELSE 1 END, b * r, r, b) AS pick_rank
+                      FROM agg)
+         SELECT CAST(r AS BIGINT) AS r, CAST(b AS BIGINT) AS b,
+                CAST(n_pairs AS BIGINT) AS n_pairs,
+                CAST(mean_recall_e6 AS BIGINT) AS mean_recall_e6,
+                mean_recall_e6 >= 990000 AS meets_99,
+                CAST(pick_rank AS BIGINT) AS pick_rank,
+                pick_rank = 1 AS chosen
+         FROM rkd ORDER BY r, b""",
   )
 }

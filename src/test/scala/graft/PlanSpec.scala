@@ -3141,6 +3141,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q452: LSH chooser — grid scoring runs on the checkpointed " +
+    "pair-similarity frame against the broadcast 12-row grid") {
+    val p = plan("q452_lsh_config_chooser")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q453: blocklist gate — host census rollup, then a broadcast " +
+    "non-equi suffix join; never a shuffle join") {
+    val p = plan("q453_domain_blocklist_gate")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q450: Jonckheere — all 10 pair terms fold into one pass " +
     "over the checkpointed value frame; one shared prefix window") {
     val p = plan("q450_jonckheere")
