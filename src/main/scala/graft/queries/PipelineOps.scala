@@ -3767,6 +3767,71 @@ object PipelineOps {
           "k_hashes", "m_bits", "m_bytes")
         .orderBy("item", "p_bp")
     }),
+
+    // CRONBACH'S ALPHA — do three length proxies (chars, scaled
+    // words, scaled ⌈len/4⌉ subwords) measure the same construct?
+    // The internal-consistency coefficient every metric-suite owner
+    // should run before averaging submetrics: α = k/(k−1)·(1 −
+    // Σvar_i/var_total), and because every variance is the SAME
+    // n·ΣX²−S² integer form the n(n−1) denominators cancel — α is
+    // a pure BIGINT ratio, half-up e6, no doubles. One corpus scan
+    // folding all four moment pairs (3 items + total) into one
+    // aggregate.
+    "q455_cronbach_alpha" -> ((s, d) => {
+      ld(s, d, "documents")
+        .selectExpr("CAST(n_chars AS BIGINT) AS s1",
+          "6 * CAST(size(filter(split(text, ' ')," +
+            " w -> length(w) > 0)) AS BIGINT) AS s2",
+          "4 * aggregate(filter(split(text, ' ')," +
+            " w -> length(w) > 0), 0L," +
+            " (acc, w) -> acc + (length(w) + 3) DIV 4) AS s3")
+        .selectExpr("s1", "s2", "s3", "s1 + s2 + s3 AS st")
+        .agg(count(lit(1)).as("n"),
+          sum("s1").as("a1"), sum(expr("s1 * s1")).as("b1"),
+          sum("s2").as("a2"), sum(expr("s2 * s2")).as("b2"),
+          sum("s3").as("a3"), sum(expr("s3 * s3")).as("b3"),
+          sum("st").as("at"), sum(expr("st * st")).as("bt"))
+        .selectExpr("n",
+          "(n * b1 - a1 * a1) + (n * b2 - a2 * a2)" +
+            " + (n * b3 - a3 * a3) AS va",
+          "n * bt - at * at AS vb")
+        .selectExpr("n",
+          // ×10⁶ pushes the e13-scale variance sums past BIGINT —
+          // the rescale rides DECIMAL(38,0) (q426 posture)
+          "CAST((2 * 3 * CAST(vb - va AS DECIMAL(38,0)) * 1000000" +
+            " + 2 * vb) DIV (2 * 2 * vb) AS BIGINT) AS alpha_e6",
+          "CAST((2 * CAST(va AS DECIMAL(38,0)) * 1000000 + vb)" +
+            " DIV (2 * vb) AS BIGINT) AS var_ratio_e6")
+    }),
+
+    // STRATIFIED SAMPLE-SIZE PLANNER — q404 powers a mean test;
+    // this sizes PROPORTION estimates per stratum: for each source,
+    // the measured gate pass-rate p̂ and the Wald n = z²p̂(1−p̂)/w²
+    // requirement at two target half-widths (±1%, ±0.5%), z²=3.8416
+    // as the e4 literal, ceilings exact: n_req = ⌈38416·p̂_bp·
+    // (10⁴−p̂_bp)/(10⁴·w_bp²)⌉ — all BIGINT. The verdict column
+    // says which strata the CURRENT corpus already covers. One
+    // keyed rollup × 2-row literal grid.
+    "q456_sample_size_planner" -> ((s, d) => {
+      val strata = ld(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_now"),
+          expr("sum(CAST(n_chars > 300 AS BIGINT))").as("n_pass"))
+        .selectExpr("source", "n_now",
+          "CAST((2 * n_pass * 10000 + n_now) DIV (2 * n_now)" +
+            " AS BIGINT) AS p_hat_bp")
+      val grid = s.sql(
+        "SELECT * FROM VALUES (100), (50) AS t(w_bp)")
+      strata.crossJoin(broadcast(grid))
+        .selectExpr("source", "n_now", "p_hat_bp",
+          "CAST(w_bp AS BIGINT) AS w_bp",
+          "(38416 * p_hat_bp * (10000 - p_hat_bp)" +
+            " + 10000 * w_bp * w_bp - 1)" +
+            " DIV (10000 * w_bp * w_bp) AS n_req")
+        .selectExpr("source", "n_now", "p_hat_bp", "w_bp", "n_req",
+          "n_now >= n_req AS enough")
+        .orderBy("source", "w_bp")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -6681,5 +6746,59 @@ object PipelineOps {
                   AS m_bytes
          FROM items CROSS JOIN grid
          ORDER BY item, p_bp""",
+
+    // q455: same items; HUGEINT absorbs the e6 rescale.
+    "q455_cronbach_alpha" ->
+      """WITH sc AS (
+           SELECT CAST(n_chars AS BIGINT) AS s1,
+                  6 * CAST(len(list_filter(string_split(text, ' '),
+                      w -> len(w) > 0)) AS BIGINT) AS s2,
+                  4 * list_sum(list_transform(list_filter(
+                      string_split(text, ' '), w -> len(w) > 0),
+                      w -> (len(w) + 3) // 4)) AS s3
+           FROM documents),
+         st AS (SELECT s1, s2, s3, s1 + s2 + s3 AS st FROM sc),
+         m AS (SELECT count(*) AS n,
+                      sum(s1) AS a1, sum(s1 * s1) AS b1,
+                      sum(s2) AS a2, sum(s2 * s2) AS b2,
+                      sum(s3) AS a3, sum(s3 * s3) AS b3,
+                      sum(st) AS at, sum(st * st) AS bt
+               FROM st),
+         v AS (SELECT n,
+                      (n * b1 - a1 * a1) + (n * b2 - a2 * a2)
+                        + (n * b3 - a3 * a3) AS va,
+                      n * bt - at * at AS vb
+               FROM m)
+         SELECT CAST(n AS BIGINT) AS n,
+                CAST((2 * 3 * CAST(vb - va AS HUGEINT) * 1000000
+                      + 2 * vb) // (2 * 2 * vb) AS BIGINT)
+                  AS alpha_e6,
+                CAST((2 * CAST(va AS HUGEINT) * 1000000 + vb)
+                     // (2 * vb) AS BIGINT) AS var_ratio_e6
+         FROM v""",
+
+    // q456: same Wald identity and ceilings.
+    "q456_sample_size_planner" ->
+      """WITH strata AS (
+           SELECT source, count(*) AS n_now,
+                  sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)
+                    AS n_pass
+           FROM documents GROUP BY 1),
+         p AS (SELECT source, n_now,
+                      (2 * n_pass * 10000 + n_now) // (2 * n_now)
+                        AS p_hat_bp
+               FROM strata),
+         grid AS (SELECT * FROM (VALUES (100), (50)) t(w_bp))
+         SELECT source, CAST(n_now AS BIGINT) AS n_now,
+                CAST(p_hat_bp AS BIGINT) AS p_hat_bp,
+                CAST(w_bp AS BIGINT) AS w_bp,
+                CAST((38416 * p_hat_bp * (10000 - p_hat_bp)
+                      + 10000 * w_bp * w_bp - 1)
+                     // (10000 * w_bp * w_bp) AS BIGINT) AS n_req,
+                n_now >= (38416 * p_hat_bp * (10000 - p_hat_bp)
+                      + 10000 * w_bp * w_bp - 1)
+                     // (10000 * w_bp * w_bp) AS enough
+         FROM p CROSS JOIN grid
+         ORDER BY source, w_bp""",
   )
 }

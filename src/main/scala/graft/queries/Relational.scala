@@ -4582,6 +4582,29 @@ object Relational {
             " DIV (2 * nb * k * (k + 1))" +
             " - 3 * nb * (k + 1) * 1000000 AS BIGINT) AS q_e6")
     }),
+
+    // JOIN STRATEGY HINTS — the escape hatch when statistics lie:
+    // /*+ SHUFFLE_MERGE(c) */ forces a sort-merge join on the
+    // customer side that Spark would otherwise broadcast, and
+    // /*+ BROADCAST(na) */ pins the nation dim the other way.
+    // PlanSpec asserts BOTH strategies appear — the hint surface is
+    // the point; the oracle proves hints change the plan, never the
+    // answer. (At 100 TB this is how you stop a 2 GB "small" table
+    // from OOMing every executor.)
+    "q454_join_hints" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      graft.Tables.view(s, d, "customer")
+      graft.Tables.view(s, d, "nation")
+      s.sql("""
+        SELECT /*+ BROADCAST(na), SHUFFLE_MERGE(c) */
+               na.n_name, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                 * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation na ON c.c_nationkey = na.n_nationkey
+        GROUP BY 1 ORDER BY 1""")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -7481,5 +7504,15 @@ object Relational {
                      // (2 * nb * k * (k + 1))
                      - 3 * nb * (k + 1) * 1000000 AS BIGINT) AS q_e6
          FROM a""",
+
+    // q454: the unhinted statement — hints must not change answers.
+    "q454_join_hints" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                  * 100 AS BIGINT)) AS BIGINT) AS cents
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation na ON c.c_nationkey = na.n_nationkey
+         GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -3141,6 +3141,31 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q454: join hints — SHUFFLE_MERGE(c) forces the SMJ Spark " +
+    "would not pick; BROADCAST(na) pins the dim side: both appear") {
+    val p = plan("q454_join_hints")
+    assert(p.contains("SortMergeJoin"),
+      "the customer join must obey the SHUFFLE_MERGE hint")
+    assert(p.contains("BroadcastHashJoin"),
+      "the nation join must obey the BROADCAST hint")
+  }
+
+  test("q455: Cronbach — one scan folds all four moment pairs into " +
+    "one aggregate; no join, no window") {
+    val p = plan("q455_cronbach_alpha")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("q456: sample-size planner — one keyed rollup crossed with " +
+    "the broadcast 2-row width grid") {
+    val p = plan("q456_sample_size_planner")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q452: LSH chooser — grid scoring runs on the checkpointed " +
     "pair-similarity frame against the broadcast 12-row grid") {
     val p = plan("q452_lsh_config_chooser")
