@@ -4605,6 +4605,100 @@ object Relational {
         JOIN nation na ON c.c_nationkey = na.n_nationkey
         GROUP BY 1 ORDER BY 1""")
     }),
+
+    // CENTRALITY PROBE — closeness AND harmonic centrality from 4
+    // deterministic seeds over the significant co-supply graph
+    // (q134's memoized edges), via the q240 multi-SOURCE labeled
+    // BFS (frontier carries the seed, the visited set keys on
+    // (seed,node)): 4 synchronous rounds, frontier-partitioned
+    // checkpoints. Harmonic sums Σ1/d EXACTLY as Σ⌊720/d⌋ integer
+    // numerators (720 = lcm(1..6) — d ≤ 4 here, so the floor never
+    // truncates); closeness is Wasserman–Faust R²/((n−1)·Σd),
+    // half-up e6. Disconnected nodes simply never enter the sum —
+    // the harmonic column is exactly why that's sound (the
+    // textbook reason harmonic beats closeness on disconnected
+    // graphs).
+    "q457_centrality_probe" -> ((s, d) => {
+      val e0 = coSupplyEdges(s, d)
+      val edges = e0.select(col("s1").as("src"), col("s2").as("dst"))
+        .unionAll(e0.select(col("s2").as("src"), col("s1").as("dst")))
+        .repartition(col("src"))
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("node")).distinct()
+        .localCheckpoint()
+      val seeds = nodes.orderBy("node").limit(4)
+        .select(col("node").as("seed")).localCheckpoint()
+      var visited = seeds.select(col("seed"), col("seed").as("node"))
+        .withColumn("hop", lit(0L)).localCheckpoint()
+      var frontier = visited.select("seed", "node")
+      for (r <- 1 to 4) {
+        frontier = edges.join(frontier, col("src") === col("node"))
+          .select(col("seed"), col("dst").as("node")).distinct()
+          .join(visited.select("seed", "node"), Seq("seed", "node"),
+            "left_anti")
+          .localCheckpoint()
+        visited = visited
+          .unionByName(frontier.withColumn("hop", lit(r.toLong)))
+          .localCheckpoint()
+      }
+      val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+      visited.filter(col("hop") > 0)
+        .groupBy("seed")
+        .agg(count(lit(1)).as("n_reached"),
+          sum("hop").as("sum_d"),
+          sum(expr("720 DIV hop")).as("harm720"))
+        .crossJoin(broadcast(nn))
+        .selectExpr("seed", "n_reached", "CAST(sum_d AS BIGINT)" +
+          " AS sum_d",
+          "CAST((2 * n_reached * n_reached * 1000000" +
+            " + (n_nodes - 1) * sum_d)" +
+            " DIV (2 * (n_nodes - 1) * sum_d) AS BIGINT)" +
+            " AS closeness_e6",
+          "CAST((2 * harm720 * 1000000 + 720 * (n_nodes - 1))" +
+            " DIV (2 * 720 * (n_nodes - 1)) AS BIGINT)" +
+            " AS harmonic_e6")
+        .orderBy("seed")
+    }),
+
+    // ROW-LEVEL SECURITY VIEWS — multi-tenant isolation as the
+    // engine enforces it: per-tenant TEMP VIEWS carry the tenant
+    // predicate (the only layer many lakehouse RLS schemes have),
+    // consumers query the view never the base table, and the audit
+    // columns PROVE isolation — the cross-view key intersection is
+    // emitted as n_leaked and must be 0. The governance rung beside
+    // q160 (k-anonymity), q245 (DP release), q356 (redaction),
+    // q367 (encryption at rest): those protect values, this
+    // protects ROWS.
+    "q458_rls_tenant_views" -> ((s, d) => {
+      // the tenant views share ONE checkpoint-pinned base projection
+      // — naive per-view join trees re-scanned the three dims 12×
+      // (views re-derive per reference; at 100 TB customer is a
+      // corpus table, so the base materializes once)
+      ld(s, d, "customer").as("c")
+        .join(ld(s, d, "nation").as("n"),
+          col("c.c_nationkey") === col("n.n_nationkey"))
+        .join(broadcast(ld(s, d, "region").as("r")),
+          col("n.n_regionkey") === col("r.r_regionkey"))
+        .select(col("c_custkey"), col("n_name"), col("r_name"))
+        .localCheckpoint()
+        .createOrReplaceTempView("rls_base")
+      Seq("ASIA", "EUROPE").foreach { t =>
+        s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW
+            rls_${t.toLowerCase} AS
+          SELECT c_custkey, n_name, r_name FROM rls_base
+          WHERE r_name = '$t'""")
+      }
+      s.sql("""
+        SELECT r_name AS tenant,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(count(DISTINCT n_name) AS BIGINT) AS n_nations,
+               CAST((SELECT count(*) FROM rls_asia a
+                     JOIN rls_europe e ON a.c_custkey = e.c_custkey)
+                 AS BIGINT) AS n_leaked
+        FROM (SELECT * FROM rls_asia
+              UNION ALL SELECT * FROM rls_europe)
+        GROUP BY 1 ORDER BY 1""")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -7513,6 +7607,71 @@ object Relational {
          FROM orders o
          JOIN customer c ON o.o_custkey = c.c_custkey
          JOIN nation na ON c.c_nationkey = na.n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+
+    // q457: same labeled multi-source BFS, rounds MATERIALIZED (the
+    // q240/q243 inlining lesson).
+    "q457_centrality_probe" -> {
+      val rounds = (1 to 4).map { r =>
+        s"""f$r AS MATERIALIZED (SELECT DISTINCT f.seed, e.dst AS node
+                 FROM undm e JOIN f${r - 1} f ON e.src = f.node
+                 WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} v
+                   WHERE v.seed = f.seed AND v.node = e.dst)),
+            v$r AS MATERIALIZED (SELECT seed, node, hop FROM v${r - 1}
+                 UNION ALL SELECT seed, node, $r FROM f$r)"""
+      }.mkString(",\n            ")
+      s"""WITH $duckCoSupplyUnd,
+              undm AS MATERIALIZED (SELECT u AS src, v AS dst
+                                    FROM und),
+              nodes AS MATERIALIZED (SELECT DISTINCT src AS node
+                                     FROM undm),
+              nn AS (SELECT count(*) AS n_nodes FROM nodes),
+              seeds AS MATERIALIZED (SELECT node AS seed FROM nodes
+                                     ORDER BY node LIMIT 4),
+              v0 AS MATERIALIZED (SELECT seed, seed AS node, 0 AS hop
+                                  FROM seeds),
+              f0 AS MATERIALIZED (SELECT seed, node FROM v0),
+              $rounds,
+              agg AS (SELECT seed, count(*) AS n_reached,
+                             sum(hop) AS sum_d,
+                             sum(720 // hop) AS harm720
+                      FROM v4 WHERE hop > 0 GROUP BY 1)
+         SELECT CAST(seed AS BIGINT) AS seed,
+                CAST(n_reached AS BIGINT) AS n_reached,
+                CAST(sum_d AS BIGINT) AS sum_d,
+                CAST((2 * n_reached * n_reached * 1000000
+                      + (n_nodes - 1) * sum_d)
+                     // (2 * (n_nodes - 1) * sum_d) AS BIGINT)
+                  AS closeness_e6,
+                CAST((2 * harm720 * 1000000 + 720 * (n_nodes - 1))
+                     // (2 * 720 * (n_nodes - 1)) AS BIGINT)
+                  AS harmonic_e6
+         FROM agg CROSS JOIN nn ORDER BY seed"""
+    },
+
+    // q458: views inlined as CTEs — predicate semantics, not view
+    // machinery, decide the rows.
+    "q458_rls_tenant_views" ->
+      """WITH rls_asia AS (
+           SELECT c.c_custkey, n.n_name, r.r_name
+           FROM customer c
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE r.r_name = 'ASIA'),
+         rls_europe AS (
+           SELECT c.c_custkey, n.n_name, r.r_name
+           FROM customer c
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE r.r_name = 'EUROPE')
+         SELECT r_name AS tenant,
+                CAST(count(*) AS BIGINT) AS n_customers,
+                CAST(count(DISTINCT n_name) AS BIGINT) AS n_nations,
+                CAST((SELECT count(*) FROM rls_asia a
+                      JOIN rls_europe e ON a.c_custkey = e.c_custkey)
+                  AS BIGINT) AS n_leaked
+         FROM (SELECT * FROM rls_asia
+               UNION ALL SELECT * FROM rls_europe)
          GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -3141,6 +3141,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q457: centrality probe — BFS rounds and the final rollup " +
+    "branch off checkpointed frontier/edge frames; no corpus rescan") {
+    val p = plan("q457_centrality_probe")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q458: RLS views — both tenant views and the leak audit read " +
+    "the one checkpointed base projection; no dim rescan") {
+    val p = plan("q458_rls_tenant_views")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+  }
+
   test("q454: join hints — SHUFFLE_MERGE(c) forces the SMJ Spark " +
     "would not pick; BROADCAST(na) pins the dim side: both appear") {
     val p = plan("q454_join_hints")
