@@ -2770,6 +2770,57 @@ object EventOps {
           "suffix IS NOT NULL AS blocked")
         .orderBy("chost")
     }),
+
+    // GROUP-SEQUENTIAL A/B — interim analysis done right: three
+    // calendar-ordered looks (ntile thirds of the event stream,
+    // CUMULATIVE counts at each), the two-proportion z² at every
+    // look with all denominators cleared (z² = (x_a·n_b −
+    // x_b·n_a)²·n / (n_a·n_b·x·(n−x)), DECIMAL(38,0)), and the
+    // O'Brien–Fleming K=3 boundaries as e6 LITERALS (z = 3.471 /
+    // 2.454 / 2.004 — computed offline, the q324 LUT stance). The
+    // sibling of q370's SPRT (always-valid) — this is the fixed-
+    // looks committee protocol. Peeking without boundaries is the
+    // bug; the crossed column is the only ship/no-ship signal.
+    "q460_group_sequential" -> ((s, d) => {
+      val looks = ld(s, d, "events")
+        .selectExpr("event_id", "ts",
+          "CAST(conv(substr(md5(concat('gs#'," +
+            " CAST(user_id AS STRING))), 1, 4), 16, 10) AS BIGINT)" +
+            " % 2 AS arm",
+          "CAST(event_type = 'purchase' AS BIGINT) AS conv")
+        .withColumn("look", ntile(3).over(
+          Window.orderBy("ts", "event_id")).cast("long"))
+        .groupBy("look")
+        .agg(expr("sum(CAST(arm = 0 AS BIGINT))").as("na_i"),
+          expr("sum(CAST(arm = 1 AS BIGINT))").as("nb_i"),
+          expr("sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)")
+            .as("xa_i"),
+          expr("sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)")
+            .as("xb_i"))
+        .localCheckpoint()
+      val wc = Window.orderBy("look")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      looks
+        .withColumn("na", sum("na_i").over(wc))
+        .withColumn("nb", sum("nb_i").over(wc))
+        .withColumn("xa", sum("xa_i").over(wc))
+        .withColumn("xb", sum("xb_i").over(wc))
+        .selectExpr("look", "na", "nb", "xa", "xb",
+          // the uncorrected denominator na·nb·x·(n−x) ≈ 6e21 at
+          // sf0.1 — every product rides DECIMAL(38,0)
+          "CAST((2 * CAST(xa * nb - xb * na AS DECIMAL(38,0))" +
+            " * (xa * nb - xb * na) * (na + nb) * 1000000" +
+            " + CAST(na AS DECIMAL(38,0)) * nb * (xa + xb)" +
+            " * (na + nb - xa - xb))" +
+            " DIV (2 * CAST(na AS DECIMAL(38,0)) * nb * (xa + xb)" +
+            " * (na + nb - xa - xb))" +
+            " AS BIGINT) AS z2_e6",
+          "element_at(array(12047841L, 6022116L, 4016016L)," +
+            " CAST(look AS INT)) AS bound_z2_e6")
+        .selectExpr("look", "na", "nb", "xa", "xb", "z2_e6",
+          "bound_z2_e6", "z2_e6 >= bound_z2_e6 AS crossed")
+        .orderBy("look")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4362,6 +4413,53 @@ object EventOps {
            ON hc.chost = bl.suffix
            OR hc.chost LIKE '%.' || bl.suffix
          ORDER BY chost""",
+
+    // q460: same looks, cleared-denominator z², literal OBF bounds.
+    "q460_group_sequential" ->
+      """WITH e AS (SELECT event_id, ts,
+                           ('0x' || substr(md5('gs#'
+                             || CAST(user_id AS VARCHAR)), 1, 4))
+                             ::BIGINT % 2 AS arm,
+                           CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END AS conv
+                    FROM events),
+         lk AS (SELECT arm, conv,
+                       ntile(3) OVER (ORDER BY ts, event_id) AS look
+                FROM e),
+         li AS (SELECT look,
+                       sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                         AS na_i,
+                       sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                         AS nb_i,
+                       sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                         AS xa_i,
+                       sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                         AS xb_i
+                FROM lk GROUP BY 1),
+         cu AS (SELECT look,
+                       sum(na_i) OVER w AS na, sum(nb_i) OVER w AS nb,
+                       sum(xa_i) OVER w AS xa, sum(xb_i) OVER w AS xb
+                FROM li
+                WINDOW w AS (ORDER BY look ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW)),
+         z AS (SELECT look, na, nb, xa, xb,
+                      (2 * CAST(xa * nb - xb * na AS HUGEINT)
+                        * (xa * nb - xb * na) * (na + nb) * 1000000
+                        + CAST(na AS HUGEINT) * nb * (xa + xb)
+                          * (na + nb - xa - xb))
+                      // (2 * CAST(na AS HUGEINT) * nb * (xa + xb)
+                          * (na + nb - xa - xb)) AS z2_e6,
+                      ([12047841, 6022116, 4016016])[look]
+                        AS bound_z2_e6
+               FROM cu)
+         SELECT CAST(look AS BIGINT) AS look, CAST(na AS BIGINT)
+                  AS na,
+                CAST(nb AS BIGINT) AS nb, CAST(xa AS BIGINT) AS xa,
+                CAST(xb AS BIGINT) AS xb,
+                CAST(z2_e6 AS BIGINT) AS z2_e6,
+                CAST(bound_z2_e6 AS BIGINT) AS bound_z2_e6,
+                z2_e6 >= bound_z2_e6 AS crossed
+         FROM z ORDER BY look""",
   )
 }
 

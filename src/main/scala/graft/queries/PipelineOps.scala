@@ -3832,6 +3832,56 @@ object PipelineOps {
           "n_now >= n_req AS enough")
         .orderBy("source", "w_bp")
     }),
+
+    // SUCCESSIVE HALVING — the hyperparameter tournament run AS A
+    // QUERY: 8 gate-threshold configs race against planted truth
+    // (the q428 rule) on md5 data rungs of 12%/25%/50%; each rung
+    // keeps the top half (8→4→2→1) ranked by correct count. ALL
+    // (config,rung) cells come from ONE corpus pass (the rung
+    // filters nest, so the pass is ~0.9× corpus rows total), and
+    // the halving logic is three rank windows over the 24-cell
+    // checkpointed frame — the expensive part scales with data,
+    // the decision part with configs, exactly the split a 100 TB
+    // sweep needs. Fully deterministic: integer scores, ties break
+    // on config id.
+    "q459_successive_halving" -> ((s, d) => {
+      val conf = s.range(1, 9).selectExpr("CAST(id AS INT) AS c",
+        "CAST(200 + 50 * id AS BIGINT) AS t")
+      val rungs = s.sql("SELECT * FROM VALUES (1, 12), (2, 25)," +
+        " (3, 50) AS t(r, frac)")
+      val cells = ld(s, d, "documents")
+        .selectExpr("n_chars",
+          """CAST(n_chars + CAST(conv(substr(md5(concat('mc#',
+               CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)
+               % 300 > 450 AS INT) AS truth""",
+          "CAST(conv(substr(md5(concat('sh#'," +
+            " CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)" +
+            " % 100 AS pick")
+        .crossJoin(broadcast(conf)).crossJoin(broadcast(rungs))
+        .filter(col("pick") < col("frac"))
+        .groupBy("r", "c", "t")
+        .agg(count(lit(1)).as("n_eval"),
+          expr("sum(CAST((n_chars > t) = (truth = 1) AS BIGINT))")
+            .as("n_correct"))
+        .localCheckpoint()
+      def rung(rn: Int, alive: DataFrame, keep: Int): DataFrame = {
+        val base = cells.filter(col("r") === rn)
+        val filtered = if (alive == null) base
+          else base.join(broadcast(alive), "c")
+        filtered.withColumn("rk", row_number().over(
+            Window.orderBy(col("n_correct").desc, col("c")))
+            .cast("long"))
+          .withColumn("survives", col("rk") <= keep)
+      }
+      val r1 = rung(1, null, 4)
+      val r2 = rung(2, r1.filter(col("survives")).select("c"), 2)
+      val r3 = rung(3, r2.filter(col("survives")).select("c"), 1)
+      r1.unionByName(r2).unionByName(r3)
+        .selectExpr("CAST(r AS BIGINT) AS rung", "CAST(c AS BIGINT)" +
+          " AS config", "t AS threshold", "n_eval", "n_correct",
+          "rk", "survives")
+        .orderBy("rung", "rk")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -6800,5 +6850,47 @@ object PipelineOps {
                      // (10000 * w_bp * w_bp) AS enough
          FROM p CROSS JOIN grid
          ORDER BY source, w_bp""",
+
+    // q459: same rungs, same ranks, ties on config id.
+    "q459_successive_halving" ->
+      """WITH base AS (
+           SELECT n_chars,
+                  CAST(n_chars + ('0x' || substr(md5('mc#'
+                    || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 300 > 450 AS INT) AS truth,
+                  ('0x' || substr(md5('sh#'
+                    || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 100 AS pick
+           FROM documents),
+         conf AS (SELECT c, CAST(200 + 50 * c AS BIGINT) AS t
+                  FROM (SELECT unnest(range(1, 9)) AS c)),
+         rungs AS (SELECT * FROM (VALUES (1, 12), (2, 25), (3, 50))
+                   t(r, frac)),
+         cells AS (SELECT r, c, t, count(*) AS n_eval,
+                          sum(CASE WHEN (n_chars > t) = (truth = 1)
+                              THEN 1 ELSE 0 END) AS n_correct
+                   FROM base CROSS JOIN conf CROSS JOIN rungs
+                   WHERE pick < frac GROUP BY 1, 2, 3),
+         r1 AS (SELECT *, row_number() OVER (ORDER BY n_correct
+                  DESC, c) AS rk
+                FROM cells WHERE r = 1),
+         r2 AS (SELECT cells.*, row_number() OVER (ORDER BY
+                  cells.n_correct DESC, cells.c) AS rk
+                FROM cells JOIN r1 ON cells.c = r1.c
+                WHERE cells.r = 2 AND r1.rk <= 4),
+         r3 AS (SELECT cells.*, row_number() OVER (ORDER BY
+                  cells.n_correct DESC, cells.c) AS rk
+                FROM cells JOIN r2 ON cells.c = r2.c
+                WHERE cells.r = 3 AND r2.rk <= 2),
+         un AS (SELECT *, rk <= 4 AS survives FROM r1
+                UNION ALL SELECT *, rk <= 2 FROM r2
+                UNION ALL SELECT *, rk <= 1 FROM r3)
+         SELECT CAST(r AS BIGINT) AS rung, CAST(c AS BIGINT)
+                  AS config,
+                CAST(t AS BIGINT) AS threshold,
+                CAST(n_eval AS BIGINT) AS n_eval,
+                CAST(n_correct AS BIGINT) AS n_correct,
+                CAST(rk AS BIGINT) AS rk, survives
+         FROM un ORDER BY rung, rk""",
   )
 }

@@ -3141,6 +3141,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q459: successive halving — all 24 tournament cells from the " +
+    "checkpointed one-pass frame; rank windows are config-scale") {
+    val p = plan("q459_successive_halving")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q460: group sequential — cumulative looks are a 3-row " +
+    "window over the checkpointed per-look frame") {
+    val p = plan("q460_group_sequential")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("Join"))
+  }
+
   test("q457: centrality probe — BFS rounds and the final rollup " +
     "branch off checkpointed frontier/edge frames; no corpus rescan") {
     val p = plan("q457_centrality_probe")
