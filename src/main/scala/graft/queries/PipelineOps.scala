@@ -3882,6 +3882,45 @@ object PipelineOps {
           "rk", "survives")
         .orderBy("rung", "rk")
     }),
+
+    // TWO-SAMPLE ENERGY DISTANCE — the distribution-equality test
+    // that sees what KS (q170) can miss (KS is max-gap; energy
+    // integrates ALL gaps): E = 2E|X−Y| − E|X−X'| − E|Y−Y'| over
+    // en vs non-en doc lengths. In 1D every pairwise-|Δ| mass
+    // collapses onto the VALUE DOMAIN (the q317/q450 trick): with
+    // per-value counts and ONE shared prefix window carrying
+    // (count, Σv) per sample, Σ|x−y| = Σ_v [c_x(v)·(v·Pc_y −
+    // Ps_y) + c_y(v)·(v·Pc_x − Ps_x)] — exact BIGINTs, no n²
+    // pair join anywhere. Per-term truncating e6 division at the
+    // end, documented and engine-identical on these positives.
+    "q461_energy_distance" -> ((s, d) => {
+      val vals = ld(s, d, "documents")
+        .selectExpr("n_chars AS v",
+          "CAST(lang = 'en' AS BIGINT) AS isx")
+        .groupBy("v")
+        .agg(sum("isx").as("cx"),
+          (count(lit(1)) - sum("isx")).as("cy"))
+        .localCheckpoint()
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      vals
+        .withColumn("pcx", coalesce(sum("cx").over(w), lit(0L)))
+        .withColumn("psx",
+          coalesce(sum(expr("cx * v")).over(w), lit(0L)))
+        .withColumn("pcy", coalesce(sum("cy").over(w), lit(0L)))
+        .withColumn("psy",
+          coalesce(sum(expr("cy * v")).over(w), lit(0L)))
+        .agg(sum("cx").as("n"), sum("cy").as("m"),
+          sum(expr("cx * (v * pcy - psy) + cy * (v * pcx - psx)"))
+            .as("dxy"),
+          sum(expr("cx * (v * pcx - psx)")).as("dxx"),
+          sum(expr("cy * (v * pcy - psy)")).as("dyy"))
+        .selectExpr("n", "m", "dxy", "dxx", "dyy",
+          "CAST((2 * dxy * 1000000) DIV (n * m)" +
+            " - (2 * dxx * 1000000) DIV (n * n)" +
+            " - (2 * dyy * 1000000) DIV (m * m) AS BIGINT)" +
+            " AS energy_e6")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -6892,5 +6931,36 @@ object PipelineOps {
                 CAST(n_correct AS BIGINT) AS n_correct,
                 CAST(rk AS BIGINT) AS rk, survives
          FROM un ORDER BY rung, rk""",
+
+    // q461: same value-domain collapse, same truncating per-term e6.
+    "q461_energy_distance" ->
+      """WITH vals AS (SELECT n_chars AS v,
+                              sum(CASE WHEN lang = 'en' THEN 1
+                                  ELSE 0 END) AS cx,
+                              sum(CASE WHEN lang = 'en' THEN 0
+                                  ELSE 1 END) AS cy
+                       FROM documents GROUP BY 1),
+              pf AS (SELECT *, coalesce(sum(cx) OVER pw, 0) AS pcx,
+                            coalesce(sum(cx * v) OVER pw, 0) AS psx,
+                            coalesce(sum(cy) OVER pw, 0) AS pcy,
+                            coalesce(sum(cy * v) OVER pw, 0) AS psy
+                     FROM vals
+                     WINDOW pw AS (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND 1 PRECEDING)),
+              a AS (SELECT sum(cx) AS n, sum(cy) AS m,
+                           sum(cx * (v * pcy - psy)
+                             + cy * (v * pcx - psx)) AS dxy,
+                           sum(cx * (v * pcx - psx)) AS dxx,
+                           sum(cy * (v * pcy - psy)) AS dyy
+                    FROM pf)
+         SELECT CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+                CAST(dxy AS BIGINT) AS dxy,
+                CAST(dxx AS BIGINT) AS dxx,
+                CAST(dyy AS BIGINT) AS dyy,
+                CAST((2 * dxy * 1000000) // (n * m)
+                     - (2 * dxx * 1000000) // (n * n)
+                     - (2 * dyy * 1000000) // (m * m) AS BIGINT)
+                  AS energy_e6
+         FROM a""",
   )
 }

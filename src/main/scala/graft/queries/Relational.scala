@@ -4699,6 +4699,40 @@ object Relational {
               UNION ALL SELECT * FROM rls_europe)
         GROUP BY 1 ORDER BY 1""")
     }),
+
+    // GOODMAN–KRUSKAL GAMMA — ordinal×ordinal association (does
+    // priority CLASS track value QUARTILE?), the contingency-table
+    // sibling of q297's pairwise Kendall: concordant/discordant
+    // mass comes from the 5×4 cell table self-joined (20×20 rows —
+    // broadcast scale), never from order pairs. γ = (C−D)/(C+D) in
+    // half-up e6 with the SIGN SPLIT spelled out (both branches
+    // divide positives — Spark DIV truncates toward zero, DuckDB
+    // // floors, and on negatives they'd disagree; the split makes
+    // the question never arise). Quartiles are one corpus-ranked
+    // ntile (q425 stance).
+    "q462_gk_gamma" -> ((s, d) => {
+      val cells = ld(s, d, "orders")
+        .selectExpr("CAST(substr(o_orderpriority, 1, 1) AS INT)" +
+          " AS g",
+          "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)" +
+            " AS cents", "o_orderkey")
+        .withColumn("b", ntile(4).over(
+          Window.orderBy("cents", "o_orderkey")))
+        .groupBy("g", "b").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val pairs = cells.as("x").crossJoin(broadcast(cells.as("y")))
+      pairs.agg(
+          sum(expr("CASE WHEN y.g > x.g AND y.b > x.b" +
+            " THEN x.n * y.n ELSE 0 END")).as("c"),
+          sum(expr("CASE WHEN y.g > x.g AND y.b < x.b" +
+            " THEN x.n * y.n ELSE 0 END")).as("dd"))
+        .selectExpr("c AS concordant", "dd AS discordant",
+          "CASE WHEN c >= dd THEN" +
+            " CAST((2 * (c - dd) * 1000000 + (c + dd))" +
+            " DIV (2 * (c + dd)) AS BIGINT)" +
+            " ELSE -CAST((2 * (dd - c) * 1000000 + (c + dd))" +
+            " DIV (2 * (c + dd)) AS BIGINT) END AS gamma_e6")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -7673,5 +7707,32 @@ object Relational {
          FROM (SELECT * FROM rls_asia
                UNION ALL SELECT * FROM rls_europe)
          GROUP BY 1 ORDER BY 1""",
+
+    // q462: same cell table and sign-split gamma.
+    "q462_gk_gamma" ->
+      """WITH o AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS INT)
+                             AS g,
+                           CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                             * 100 AS BIGINT) AS cents, o_orderkey
+                    FROM orders),
+              q AS (SELECT g, ntile(4) OVER (ORDER BY cents,
+                      o_orderkey) AS b
+                    FROM o),
+              cells AS (SELECT g, b, count(*) AS n FROM q
+                        GROUP BY 1, 2),
+              a AS (SELECT sum(CASE WHEN y.g > x.g AND y.b > x.b
+                             THEN x.n * y.n ELSE 0 END) AS c,
+                           sum(CASE WHEN y.g > x.g AND y.b < x.b
+                             THEN x.n * y.n ELSE 0 END) AS dd
+                    FROM cells x CROSS JOIN cells y)
+         SELECT CAST(c AS BIGINT) AS concordant,
+                CAST(dd AS BIGINT) AS discordant,
+                CASE WHEN c >= dd THEN
+                  CAST((2 * (c - dd) * 1000000 + (c + dd))
+                       // (2 * (c + dd)) AS BIGINT)
+                ELSE
+                  -CAST((2 * (dd - c) * 1000000 + (c + dd))
+                       // (2 * (c + dd)) AS BIGINT) END AS gamma_e6
+         FROM a""",
   )
 }

@@ -3141,6 +3141,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q461: energy distance — all three pairwise-|Δ| masses from " +
+    "one shared prefix window over the checkpointed value frame; " +
+    "no pair join") {
+    val p = plan("q461_energy_distance")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("Join"))
+  }
+
+  test("q462: GK gamma — concordant/discordant mass from the 20-row " +
+    "cell table self-join, never order pairs") {
+    val p = plan("q462_gk_gamma")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q459: successive halving — all 24 tournament cells from the " +
     "checkpointed one-pass frame; rank windows are config-scale") {
     val p = plan("q459_successive_halving")
