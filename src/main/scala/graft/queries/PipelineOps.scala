@@ -3921,6 +3921,88 @@ object PipelineOps {
             " - (2 * dyy * 1000000) DIV (m * m) AS BIGINT)" +
             " AS energy_e6")
     }),
+
+    // PREFIX-CACHE ANALYSIS — how much of the corpus shares a
+    // prompt prefix? The serving-side readout behind KV/prefix
+    // caching: at each depth d (first d words), the hit ratio is
+    // 1 − distinct_prefixes/docs and the reuse mass is
+    // Σ(count−1)·prefix_chars — chars a prefix cache would not
+    // recompute. One corpus scan exploded across the 5-row depth
+    // grid, one (depth,prefix) rollup; the curve's decay rate says
+    // whether prefix caching pays at all on this corpus. Exact
+    // integers throughout.
+    "q463_prefix_cache_analysis" -> ((s, d) => {
+      val depths = broadcast(s.range(1, 6)
+        .selectExpr("CAST(id AS INT) AS dep"))
+      ld(s, d, "documents")
+        .select(expr("filter(split(lower(text), ' ')," +
+          " w -> length(w) > 0)").as("ws"))
+        .crossJoin(depths)
+        .filter(size(col("ws")) >= col("dep"))
+        .selectExpr("dep",
+          "array_join(slice(ws, 1, dep), ' ') AS pfx")
+        .groupBy("dep", "pfx")
+        .agg(count(lit(1)).as("cnt"),
+          max(expr("CAST(length(pfx) AS BIGINT)")).as("plen"))
+        .groupBy("dep")
+        .agg(sum("cnt").as("n_docs"),
+          count(lit(1)).as("n_prefixes"),
+          sum(expr("(cnt - 1) * plen")).as("chars_reused"))
+        .selectExpr("CAST(dep AS BIGINT) AS depth", "n_docs",
+          "n_prefixes",
+          "CAST((2 * (n_docs - n_prefixes) * 10000 + n_docs)" +
+            " DIV (2 * n_docs) AS BIGINT) AS hit_bp",
+          "chars_reused")
+        .orderBy("depth")
+    }),
+
+    // PROPENSITY STRATIFICATION — the causal rung the family still
+    // lacked (q358 CUPED reduces variance, q368 DiD needs panels,
+    // q405 IV needs an instrument; stratification just needs a
+    // CONFOUNDER you can bin): treatment is PLANTED to depend on
+    // doc length (confounded), outcome carries a true +25 effect,
+    // and the naive diff vs the stratified ATT shown side by side
+    // IS the lesson — strata on the confounder's quintiles
+    // (corpus-ranked ntile) recover ≈25 where naive overshoots.
+    // Per-stratum diffs land sign-split half-up e4; the ATT
+    // reweights by treated mass (two-stage rounding, documented).
+    "q464_propensity_strata" -> ((s, d) => {
+      val base = ld(s, d, "documents")
+        .selectExpr("doc_id", "n_chars",
+          """CAST(n_chars + CAST(conv(substr(md5(concat('tr#',
+               CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)
+               % 400 > 500 AS INT) AS t""",
+          """CAST(size(filter(split(text, ' '), w -> length(w) > 0))
+               AS BIGINT)
+             + CAST(conv(substr(md5(concat('ou#',
+                 CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)
+               % 50 AS y0""")
+        .selectExpr("doc_id", "n_chars", "t", "y0 + 25 * t AS y")
+        .withColumn("stratum", ntile(5).over(
+          Window.orderBy("n_chars", "doc_id")).cast("long"))
+        .localCheckpoint()
+      val strata = base.groupBy("stratum")
+        .agg(expr("sum(t)").as("n1"),
+          expr("sum(1 - t)").as("n0"),
+          expr("sum(CASE WHEN t = 1 THEN y ELSE 0 END)").as("s1"),
+          expr("sum(CASE WHEN t = 0 THEN y ELSE 0 END)").as("s0"))
+        .selectExpr("stratum", "n1", "n0",
+          "CASE WHEN s1 * n0 >= s0 * n1 THEN" +
+            " CAST((2 * (s1 * n0 - s0 * n1) * 10000 + n1 * n0)" +
+            " DIV (2 * n1 * n0) AS BIGINT)" +
+            " ELSE -CAST((2 * (s0 * n1 - s1 * n0) * 10000 + n1 * n0)" +
+            " DIV (2 * n1 * n0) AS BIGINT) END AS diff_e4")
+      strata
+        .withColumn("ws", expr("sum(n1 * diff_e4)" +
+          " OVER (PARTITION BY 1)"))
+        .withColumn("wt", expr("sum(n1) OVER (PARTITION BY 1)"))
+        .selectExpr("stratum", "n1", "n0", "diff_e4",
+          "CASE WHEN ws >= 0 THEN" +
+            " CAST((2 * ws + wt) DIV (2 * wt) AS BIGINT)" +
+            " ELSE -CAST((2 * -ws + wt) DIV (2 * wt) AS BIGINT)" +
+            " END AS att_e4")
+        .orderBy("stratum")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -6962,5 +7044,71 @@ object PipelineOps {
                      - (2 * dyy * 1000000) // (m * m) AS BIGINT)
                   AS energy_e6
          FROM a""",
+
+    // q463: same depth grid and inclusive-slice prefixes.
+    "q463_prefix_cache_analysis" ->
+      """WITH w AS (SELECT list_filter(string_split(lower(text), ' '),
+                            x -> len(x) > 0) AS ws
+                    FROM documents),
+              depths AS (SELECT unnest(range(1, 6)) AS dep),
+              px AS (SELECT dep, array_to_string(ws[1:dep], ' ')
+                              AS pfx
+                     FROM w CROSS JOIN depths WHERE len(ws) >= dep),
+              gp AS (SELECT dep, pfx, count(*) AS cnt,
+                            max(CAST(len(pfx) AS BIGINT)) AS plen
+                     FROM px GROUP BY 1, 2),
+              a AS (SELECT dep, sum(cnt) AS n_docs,
+                           count(*) AS n_prefixes,
+                           sum((cnt - 1) * plen) AS chars_reused
+                    FROM gp GROUP BY 1)
+         SELECT CAST(dep AS BIGINT) AS depth,
+                CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_prefixes AS BIGINT) AS n_prefixes,
+                CAST((2 * (n_docs - n_prefixes) * 10000 + n_docs)
+                     // (2 * n_docs) AS BIGINT) AS hit_bp,
+                CAST(chars_reused AS BIGINT) AS chars_reused
+         FROM a ORDER BY depth""",
+
+    // q464: same plant, same two-stage sign-split rounding.
+    "q464_propensity_strata" ->
+      """WITH b0 AS (
+           SELECT doc_id, n_chars,
+                  CAST(n_chars + ('0x' || substr(md5('tr#'
+                    || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 400 > 500 AS INT) AS t,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    w -> len(w) > 0)) AS BIGINT)
+                  + ('0x' || substr(md5('ou#'
+                    || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 50 AS y0
+           FROM documents),
+         b1 AS (SELECT doc_id, n_chars, t, y0 + 25 * t AS y,
+                       ntile(5) OVER (ORDER BY n_chars, doc_id)
+                         AS stratum
+                FROM b0),
+         st AS (SELECT stratum, sum(t) AS n1, sum(1 - t) AS n0,
+                       sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS s1,
+                       sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS s0
+                FROM b1 GROUP BY 1),
+         df AS (SELECT stratum, n1, n0,
+                       CASE WHEN s1 * n0 >= s0 * n1 THEN
+                         (2 * (s1 * n0 - s0 * n1) * 10000 + n1 * n0)
+                         // (2 * n1 * n0)
+                       ELSE
+                         -((2 * (s0 * n1 - s1 * n0) * 10000
+                            + n1 * n0) // (2 * n1 * n0)) END
+                         AS diff_e4
+                FROM st),
+         tot AS (SELECT sum(n1 * diff_e4) AS ws, sum(n1) AS wt
+                 FROM df)
+         SELECT CAST(stratum AS BIGINT) AS stratum,
+                CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+                CAST(diff_e4 AS BIGINT) AS diff_e4,
+                CASE WHEN ws >= 0 THEN
+                  CAST((2 * ws + wt) // (2 * wt) AS BIGINT)
+                ELSE
+                  -CAST((2 * -ws + wt) // (2 * wt) AS BIGINT)
+                END AS att_e4
+         FROM df CROSS JOIN tot ORDER BY stratum""",
   )
 }

@@ -3141,6 +3141,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q463: prefix cache — one scan across the broadcast depth " +
+    "grid, one (depth,prefix) rollup; no shuffle join") {
+    val p = plan("q463_prefix_cache_analysis")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q464: propensity strata — strata and the ATT reweight run " +
+    "on the checkpointed scored frame; windows are 5-row scale") {
+    val p = plan("q464_propensity_strata")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("Join"))
+  }
+
   test("q461: energy distance — all three pairwise-|Δ| masses from " +
     "one shared prefix window over the checkpointed value frame; " +
     "no pair join") {
