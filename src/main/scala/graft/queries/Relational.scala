@@ -4733,6 +4733,46 @@ object Relational {
             " ELSE -CAST((2 * (dd - c) * 1000000 + (c + dd))" +
             " DIV (2 * (c + dd)) AS BIGINT) END AS gamma_e6")
     }),
+
+    // FULFILLMENT LAG PROFILE — order-to-ship days per priority
+    // class, the operations SLA readout: exact day lags from one
+    // orders⋈lineitem key join, then the percentile machinery runs
+    // on the (priority, lag) VALUE DOMAIN (the q317 collapse — a
+    // few hundred distinct lags, never a corpus sort): lower-median
+    // p50 and ceil-indexed p90 are conditional mins over the
+    // prefix-cumulated value frame; the mean is half-up e2. All
+    // BIGINT.
+    "q466_fulfillment_lag" -> ((s, d) => {
+      val lag = ld(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"),
+          col("l_shipdate").cast("date").as("sd"))
+        .join(ld(s, d, "orders").select(col("o_orderkey").as("ok"),
+          col("o_orderdate").as("od"), col("o_orderpriority")
+            .as("pri")), "ok")
+        .selectExpr("pri",
+          "CAST(datediff(sd, od) AS BIGINT) AS lag")
+        .groupBy("pri", "lag").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val w = Window.partitionBy("pri").orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      lag
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("pri")))
+        .withColumn("sx", sum(expr("cnt * lag"))
+          .over(Window.partitionBy("pri")))
+        .groupBy("pri")
+        .agg(max("n").as("n"), max("sx").as("sx"),
+          min(when(expr("cum >= (n + 1) DIV 2"), col("lag")))
+            .as("p50_lag"),
+          min(when(expr("cum >= (9 * n + 9) DIV 10"), col("lag")))
+            .as("p90_lag"),
+          max("lag").as("max_lag"))
+        .selectExpr("pri", "n",
+          "CAST((2 * sx * 100 + n) DIV (2 * n) AS BIGINT)" +
+            " AS mean_lag_e2",
+          "p50_lag", "p90_lag", "max_lag")
+        .orderBy("pri")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -7734,5 +7774,37 @@ object Relational {
                   -CAST((2 * (dd - c) * 1000000 + (c + dd))
                        // (2 * (c + dd)) AS BIGINT) END AS gamma_e6
          FROM a""",
+
+    // q466: same value-domain percentile machinery.
+    "q466_fulfillment_lag" ->
+      """WITH lag AS (
+           SELECT o.o_orderpriority AS pri,
+                  CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag,
+                  count(*) AS cnt
+           FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey
+           GROUP BY 1, 2),
+         cu AS (SELECT pri, lag, cnt,
+                       sum(cnt) OVER (PARTITION BY pri ORDER BY lag
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND
+                         CURRENT ROW) AS cum,
+                       sum(cnt) OVER (PARTITION BY pri) AS n,
+                       sum(cnt * lag) OVER (PARTITION BY pri) AS sx
+                FROM lag),
+         a AS (SELECT pri, max(n) AS n, max(sx) AS sx,
+                      min(CASE WHEN cum >= (n + 1) // 2 THEN lag
+                          END) AS p50_lag,
+                      min(CASE WHEN cum >= (9 * n + 9) // 10
+                          THEN lag END) AS p90_lag,
+                      max(lag) AS max_lag
+               FROM cu GROUP BY 1)
+         SELECT pri, CAST(n AS BIGINT) AS n,
+                CAST((2 * sx * 100 + n) // (2 * n) AS BIGINT)
+                  AS mean_lag_e2,
+                CAST(p50_lag AS BIGINT) AS p50_lag,
+                CAST(p90_lag AS BIGINT) AS p90_lag,
+                CAST(max_lag AS BIGINT) AS max_lag
+         FROM a ORDER BY pri""",
   )
 }

@@ -2403,6 +2403,44 @@ object TextOps {
         .withColumn("chosen", col("pick_rank") === 1L)
         .orderBy("r", "b")
     }),
+
+    // BOILERPLATE SENTENCE DETECTION — doc-level dedup (q40) can't
+    // see the repeated header/footer SENTENCES that pollute
+    // otherwise-unique docs; this is the sentence-granularity pass
+    // every web-corpus cleaner runs: regex sentence split, ≥20-char
+    // sentences fingerprinted, a sentence is boilerplate when it
+    // recurs in ≥3 DISTINCT docs, and the per-source report gives
+    // instance counts and the char mass a scrubber would delete.
+    // One corpus scan to the checkpointed sentence frame; the
+    // boilerplate set is a fingerprint-keyed semi-join (the q118
+    // span-scrub shape, one level up).
+    "q465_boilerplate_sentences" -> ((s, d) => {
+      val sent = ld(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), "[.!?]")).as("raw"))
+        .selectExpr("doc_id", "source", "trim(raw) AS sent")
+        .filter(length(col("sent")) >= 20)
+        .selectExpr("doc_id", "source", "sent",
+          "CAST(length(sent) AS BIGINT) AS slen",
+          "md5(sent) AS fp")
+        .localCheckpoint()
+      val boiler = sent.groupBy("fp")
+        .agg(countDistinct("doc_id").as("ndocs"))
+        .filter(col("ndocs") >= 3)
+        .select("fp")
+      sent.join(boiler.withColumn("isb", lit(1L)), Seq("fp"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sentences"),
+          sum(coalesce(col("isb"), lit(0L))).as("n_boiler"),
+          sum("slen").as("chars_total"),
+          sum(expr("CASE WHEN isb = 1 THEN slen ELSE 0 END"))
+            .as("chars_boiler"))
+        .selectExpr("source", "n_sentences", "n_boiler",
+          "chars_total", "chars_boiler",
+          "CAST((2 * chars_boiler * 10000 + chars_total)" +
+            " DIV (2 * chars_total) AS BIGINT) AS boiler_bp")
+        .orderBy("source")
+    }),
   )
 
   /** q285's S-curve, generated once and parameterized only by the
@@ -4126,5 +4164,34 @@ SELECT CAST(round AS INTEGER) AS round, a AS sym_a, b AS sym_b,
                 CAST(pick_rank AS BIGINT) AS pick_rank,
                 pick_rank = 1 AS chosen
          FROM rkd ORDER BY r, b""",
+
+    // q465: same sentence split, ≥3-distinct-docs rule.
+    "q465_boilerplate_sentences" ->
+      """WITH sent AS (
+           SELECT doc_id, source, trim(raw) AS sent
+           FROM (SELECT doc_id, source,
+                        unnest(regexp_split_to_array(text, '[.!?]'))
+                          AS raw
+                 FROM documents)
+           WHERE len(trim(raw)) >= 20),
+         sf AS (SELECT doc_id, source, sent,
+                       CAST(len(sent) AS BIGINT) AS slen,
+                       md5(sent) AS fp
+                FROM sent),
+         boiler AS (SELECT fp FROM (
+                      SELECT fp, count(DISTINCT doc_id) AS ndocs
+                      FROM sf GROUP BY 1) b
+                    WHERE ndocs >= 3)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_sentences,
+                CAST(sum(CASE WHEN boiler.fp IS NOT NULL THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_boiler,
+                CAST(sum(slen) AS BIGINT) AS chars_total,
+                CAST(sum(CASE WHEN boiler.fp IS NOT NULL THEN slen
+                         ELSE 0 END) AS BIGINT) AS chars_boiler,
+                CAST((2 * sum(CASE WHEN boiler.fp IS NOT NULL
+                         THEN slen ELSE 0 END) * 10000 + sum(slen))
+                     // (2 * sum(slen)) AS BIGINT) AS boiler_bp
+         FROM sf LEFT JOIN boiler ON sf.fp = boiler.fp
+         GROUP BY source ORDER BY source""",
   )
 }

@@ -3141,6 +3141,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q465: boilerplate — instance and mass rollups branch off " +
+    "the checkpointed sentence frame; boilerplate set broadcast") {
+    val p = plan("q465_boilerplate_sentences")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q466: fulfillment lag — percentiles run on the checkpointed " +
+    "(pri,lag) value frame, windows partition by priority") {
+    val p = plan("q466_fulfillment_lag")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.contains("hashpartitioning(pri"))
+  }
+
   test("q463: prefix cache — one scan across the broadcast depth " +
     "grid, one (depth,prefix) rollup; no shuffle join") {
     val p = plan("q463_prefix_cache_analysis")
