@@ -4003,6 +4003,54 @@ object PipelineOps {
             " END AS att_e4")
         .orderBy("stratum")
     }),
+
+    // TARGET-ENCODING LEAKAGE — the classic feature-store bug,
+    // DEMONSTRATED: the target is pure md5 noise (no real signal
+    // exists), yet the naive per-category mean encoding correlates
+    // with it — each row's own y leaks into its feature — while
+    // the leave-one-out encoding (S_c − y_i)/(n_c − 1) stays at
+    // chance. Both corr² land as exact integer ratios (covariance
+    // numerator², DECIMAL(38,0) — no sqrt, the q170 stance), so
+    // "naive > LOO" is an integer comparison, not a judgement
+    // call. One scan to the checkpointed scored frame; category
+    // sums broadcast back.
+    "q467_target_encoding_loo" -> ((s, d) => {
+      val base = ld(s, d, "documents")
+        .selectExpr("doc_id", "source",
+          "CAST(conv(substr(md5(concat('y#'," +
+            " CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)" +
+            " % 1000 AS y")
+        .localCheckpoint()
+      val cat = base.groupBy("source")
+        .agg(sum("y").as("sc"), count(lit(1)).as("nc"))
+      val enc = base.join(broadcast(cat), "source")
+        .selectExpr("y",
+          "CAST((2 * sc * 100 + nc) DIV (2 * nc) AS BIGINT)" +
+            " AS e_naive",
+          "CAST((2 * (sc - y) * 100 + (nc - 1)) DIV (2 * (nc - 1))" +
+            " AS BIGINT) AS e_loo")
+      def corr2(e: String) =
+        s"""CAST((2 * CAST(n * sxy_$e - sx_$e * sy AS DECIMAL(38,0))
+              * (n * sxy_$e - sx_$e * sy) * 1000000
+              + CAST(n * sxx_$e - sx_$e * sx_$e AS DECIMAL(38,0))
+                * (n * syy - sy * sy))
+             DIV (2 * CAST(n * sxx_$e - sx_$e * sx_$e
+                  AS DECIMAL(38,0)) * (n * syy - sy * sy))
+             AS BIGINT)"""
+      enc.agg(count(lit(1)).as("n"), sum("y").as("sy"),
+          sum(expr("y * y")).as("syy"),
+          sum("e_naive").as("sx_naive"),
+          sum(expr("e_naive * e_naive")).as("sxx_naive"),
+          sum(expr("e_naive * y")).as("sxy_naive"),
+          sum("e_loo").as("sx_loo"),
+          sum(expr("e_loo * e_loo")).as("sxx_loo"),
+          sum(expr("e_loo * y")).as("sxy_loo"))
+        .selectExpr("n",
+          s"${corr2("naive")} AS naive_corr2_e6",
+          s"${corr2("loo")} AS loo_corr2_e6")
+        .selectExpr("n", "naive_corr2_e6", "loo_corr2_e6",
+          "naive_corr2_e6 > loo_corr2_e6 AS leakage_detected")
+    }),
   )
 
   /** The five curation-stage frames shared by q117 (survivors) and q123
@@ -7110,5 +7158,50 @@ object PipelineOps {
                   -CAST((2 * -ws + wt) // (2 * wt) AS BIGINT)
                 END AS att_e4
          FROM df CROSS JOIN tot ORDER BY stratum""",
+
+    // q467: same noise target and exact corr² identities.
+    "q467_target_encoding_loo" ->
+      """WITH base AS (
+           SELECT doc_id, source,
+                  ('0x' || substr(md5('y#'
+                    || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                    % 1000 AS y
+           FROM documents),
+         cat AS (SELECT source, sum(y) AS sc, count(*) AS nc
+                 FROM base GROUP BY 1),
+         enc AS (SELECT y,
+                        (2 * sc * 100 + nc) // (2 * nc) AS e_naive,
+                        (2 * (sc - y) * 100 + (nc - 1))
+                          // (2 * (nc - 1)) AS e_loo
+                 FROM base JOIN cat USING (source)),
+         m AS (SELECT count(*) AS n, sum(y) AS sy,
+                      sum(y * y) AS syy,
+                      sum(e_naive) AS sxn,
+                      sum(e_naive * e_naive) AS sxxn,
+                      sum(e_naive * y) AS sxyn,
+                      sum(e_loo) AS sxl,
+                      sum(e_loo * e_loo) AS sxxl,
+                      sum(e_loo * y) AS sxyl
+               FROM enc),
+         r AS (SELECT n,
+                      CAST((2 * CAST(n * sxyn - sxn * sy AS HUGEINT)
+                            * (n * sxyn - sxn * sy) * 1000000
+                            + CAST(n * sxxn - sxn * sxn AS HUGEINT)
+                              * (n * syy - sy * sy))
+                           // (2 * CAST(n * sxxn - sxn * sxn
+                              AS HUGEINT) * (n * syy - sy * sy))
+                           AS BIGINT) AS naive_corr2_e6,
+                      CAST((2 * CAST(n * sxyl - sxl * sy AS HUGEINT)
+                            * (n * sxyl - sxl * sy) * 1000000
+                            + CAST(n * sxxl - sxl * sxl AS HUGEINT)
+                              * (n * syy - sy * sy))
+                           // (2 * CAST(n * sxxl - sxl * sxl
+                              AS HUGEINT) * (n * syy - sy * sy))
+                           AS BIGINT) AS loo_corr2_e6
+               FROM m)
+         SELECT CAST(n AS BIGINT) AS n, naive_corr2_e6,
+                loo_corr2_e6,
+                naive_corr2_e6 > loo_corr2_e6 AS leakage_detected
+         FROM r""",
   )
 }

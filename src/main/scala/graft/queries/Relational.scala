@@ -4773,6 +4773,43 @@ object Relational {
           "p50_lag", "p90_lag", "max_lag")
         .orderBy("pri")
     }),
+
+    // QUANTILE TREATMENT EFFECTS — averages hide WHERE an effect
+    // lands; the QTE curve shows it per decile: a +500-dollar
+    // effect is PLANTED on the md5 arm, and the per-arm decile
+    // values come from the (arm, dollars) VALUE-DOMAIN prefix
+    // frame (the q466 machinery, ceil-indexed picks) — never a
+    // per-arm corpus sort. The readout: a constant additive effect
+    // shows up flat ≈ +500 across deciles (location shift), which
+    // is exactly what the curve certifies. All BIGINT.
+    "q468_qte_deciles" -> ((s, d) => {
+      val vals = ld(s, d, "orders")
+        .selectExpr(
+          "CAST(conv(substr(md5(concat('ar#'," +
+            " CAST(o_custkey AS STRING))), 1, 4), 16, 10) AS BIGINT)" +
+            " % 2 AS arm",
+          "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)" +
+            " DIV 100 AS y0")
+        .selectExpr("arm", "y0 + 500 * arm AS y")
+        .groupBy("arm", "y").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val w = Window.partitionBy("arm").orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = vals
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("arm")))
+      val qs = broadcast(s.range(1, 10)
+        .selectExpr("CAST(id AS BIGINT) AS q"))
+      cum.crossJoin(qs)
+        .filter(expr("cum >= (q * n + 9) DIV 10"))
+        .groupBy("q", "arm").agg(min("y").as("yq"))
+        .groupBy("q")
+        .agg(max(when(col("arm") === 0, col("yq"))).as("y_control"),
+          max(when(col("arm") === 1, col("yq"))).as("y_treated"))
+        .selectExpr("q AS decile", "y_control", "y_treated",
+          "y_treated - y_control AS qte_dollars")
+        .orderBy("decile")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -7806,5 +7843,36 @@ object Relational {
                 CAST(p90_lag AS BIGINT) AS p90_lag,
                 CAST(max_lag AS BIGINT) AS max_lag
          FROM a ORDER BY pri""",
+
+    // q468: same planted shift, same ceil-indexed decile picks.
+    "q468_qte_deciles" ->
+      """WITH v AS (SELECT ('0x' || substr(md5('ar#'
+                      || CAST(o_custkey AS VARCHAR)), 1, 4))::BIGINT
+                      % 2 AS arm,
+                           CAST(CAST(o_totalprice AS DECIMAL(14,2))
+                             * 100 AS BIGINT) // 100 AS y0
+                    FROM orders),
+         vv AS (SELECT arm, y0 + 500 * arm AS y, count(*) AS cnt
+                FROM v GROUP BY 1, 2),
+         cu AS (SELECT arm, y, cnt,
+                       sum(cnt) OVER (PARTITION BY arm ORDER BY y
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND
+                         CURRENT ROW) AS cum,
+                       sum(cnt) OVER (PARTITION BY arm) AS n
+                FROM vv),
+         qs AS (SELECT unnest(range(1, 10)) AS q),
+         pk AS (SELECT q, arm, min(y) AS yq
+                FROM cu CROSS JOIN qs
+                WHERE cum >= (q * n + 9) // 10
+                GROUP BY 1, 2)
+         SELECT CAST(q AS BIGINT) AS decile,
+                CAST(max(CASE WHEN arm = 0 THEN yq END) AS BIGINT)
+                  AS y_control,
+                CAST(max(CASE WHEN arm = 1 THEN yq END) AS BIGINT)
+                  AS y_treated,
+                CAST(max(CASE WHEN arm = 1 THEN yq END)
+                     - max(CASE WHEN arm = 0 THEN yq END) AS BIGINT)
+                  AS qte_dollars
+         FROM pk GROUP BY 1 ORDER BY decile""",
   )
 }

@@ -3141,6 +3141,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q467: target-encoding leakage — both encodings branch off " +
+    "the checkpointed noise-scored frame; category sums broadcast") {
+    val p = plan("q467_target_encoding_loo")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q468: QTE — per-arm decile picks run on the checkpointed " +
+    "(arm,value) frame; windows partition by arm") {
+    val p = plan("q468_qte_deciles")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.contains("hashpartitioning(arm"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q465: boilerplate — instance and mass rollups branch off " +
     "the checkpointed sentence frame; boilerplate set broadcast") {
     val p = plan("q465_boilerplate_sentences")
