@@ -4810,6 +4810,57 @@ object Relational {
           "y_treated - y_control AS qte_dollars")
         .orderBy("decile")
     }),
+
+    // INTERFERENCE (SUTVA) AUDIT — before trusting any of the
+    // experiment estimators (q368/q405/q460/q464/q468), check the
+    // no-interference assumption on units that share an edge:
+    // suppliers are md5-randomized, outcomes are exact revenue
+    // cents, and the audit splits CONTROL units by exposure —
+    // has-a-treated-co-supply-neighbor vs isolated — because under
+    // interference the exposed controls drift toward treatment.
+    // Exposure is one semi-join over q134's memoized edge frame;
+    // the contrast is sign-split half-up e2 in DECIMAL(38,0)
+    // (cents sums cross BIGINT when rescaled). No estimator here,
+    // deliberately: this query GATES the others.
+    "q469_interference_audit" -> ((s, d) => {
+      val arm = (c: String) =>
+        s"CAST(conv(substr(md5(concat('ia#', CAST($c AS STRING)))," +
+          s" 1, 4), 16, 10) AS BIGINT) % 2"
+      val rev = ld(s, d, "lineitem")
+        .groupBy(col("l_suppkey").as("sk"))
+        .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(14,2))" +
+          " * 100 AS BIGINT)")).as("cents"))
+        .selectExpr("sk", "cents", s"${arm("sk")} AS t")
+        .localCheckpoint()
+      val e0 = coSupplyEdges(s, d)
+      val und = e0.select(col("s1").as("u"), col("s2").as("v"))
+        .unionAll(e0.select(col("s2").as("u"), col("s1").as("v")))
+      val exposed = und
+        .join(rev.filter(col("t") === 1).select(col("sk").as("v")),
+          "v")
+        .select(col("u").as("sk")).distinct()
+      rev.filter(col("t") === 0)
+        .join(exposed.withColumn("ex", lit(1L)), Seq("sk"), "left")
+        .selectExpr("cents", "coalesce(ex, 0L) AS ex")
+        .groupBy("ex")
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+        .agg(
+          expr("max(CASE WHEN ex = 1 THEN n END)").as("n_exposed"),
+          expr("max(CASE WHEN ex = 0 THEN n END)").as("n_isolated"),
+          expr("max(CASE WHEN ex = 1 THEN s END)").as("s_exp"),
+          expr("max(CASE WHEN ex = 0 THEN s END)").as("s_iso"))
+        .selectExpr("n_exposed", "n_isolated",
+          "CASE WHEN s_exp * n_isolated >= s_iso * n_exposed THEN" +
+            " CAST((2 * CAST(s_exp * n_isolated - s_iso * n_exposed" +
+            " AS DECIMAL(38,0)) * 100 + n_exposed * n_isolated)" +
+            " DIV (2 * CAST(n_exposed AS DECIMAL(38,0))" +
+            " * n_isolated) AS BIGINT)" +
+            " ELSE -CAST((2 * CAST(s_iso * n_exposed - s_exp" +
+            " * n_isolated AS DECIMAL(38,0)) * 100" +
+            " + n_exposed * n_isolated)" +
+            " DIV (2 * CAST(n_exposed AS DECIMAL(38,0))" +
+            " * n_isolated) AS BIGINT) END AS exposure_diff_e2")
+    }),
   )
 
   /** Weekly revenue per order priority — the calendar-bounded series
@@ -7874,5 +7925,52 @@ object Relational {
                      - max(CASE WHEN arm = 0 THEN yq END) AS BIGINT)
                   AS qte_dollars
          FROM pk GROUP BY 1 ORDER BY decile""",
+
+    // q469: same exposure split over the shared co-supply chain.
+    "q469_interference_audit" ->
+      s"""WITH $duckCoSupplyUnd,
+              rev AS (SELECT l_suppkey AS sk,
+                             sum(CAST(CAST(l_extendedprice
+                               AS DECIMAL(14,2)) * 100 AS BIGINT))
+                               AS cents
+                      FROM lineitem GROUP BY 1),
+              ra AS (SELECT sk, cents,
+                            ('0x' || substr(md5('ia#'
+                              || CAST(sk AS VARCHAR)), 1, 4))::BIGINT
+                              % 2 AS t
+                     FROM rev),
+              exposed AS (SELECT DISTINCT und.u AS sk
+                          FROM und JOIN ra ON und.v = ra.sk
+                            AND ra.t = 1),
+              ctl AS (SELECT ra.cents,
+                             CASE WHEN exposed.sk IS NOT NULL
+                                  THEN 1 ELSE 0 END AS ex
+                      FROM ra LEFT JOIN exposed
+                        ON ra.sk = exposed.sk
+                      WHERE ra.t = 0),
+              g AS (SELECT ex, count(*) AS n, sum(cents) AS s
+                    FROM ctl GROUP BY 1),
+              a AS (SELECT max(CASE WHEN ex = 1 THEN n END)
+                             AS n_exposed,
+                           max(CASE WHEN ex = 0 THEN n END)
+                             AS n_isolated,
+                           max(CASE WHEN ex = 1 THEN s END) AS s_exp,
+                           max(CASE WHEN ex = 0 THEN s END) AS s_iso
+                    FROM g)
+         SELECT CAST(n_exposed AS BIGINT) AS n_exposed,
+                CAST(n_isolated AS BIGINT) AS n_isolated,
+                CASE WHEN s_exp * n_isolated >= s_iso * n_exposed
+                THEN CAST((2 * CAST(s_exp * n_isolated
+                       - s_iso * n_exposed AS HUGEINT) * 100
+                       + n_exposed * n_isolated)
+                     // (2 * CAST(n_exposed AS HUGEINT)
+                        * n_isolated) AS BIGINT)
+                ELSE -CAST((2 * CAST(s_iso * n_exposed
+                       - s_exp * n_isolated AS HUGEINT) * 100
+                       + n_exposed * n_isolated)
+                     // (2 * CAST(n_exposed AS HUGEINT)
+                        * n_isolated) AS BIGINT)
+                END AS exposure_diff_e2
+         FROM a""",
   )
 }

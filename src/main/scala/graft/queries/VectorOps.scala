@@ -1637,6 +1637,52 @@ object VectorOps {
             " AS BIGINT) AS acc_bp")
         .orderBy("frac")
     }),
+
+    // EMBEDDING ISOTROPY AUDIT — anisotropic spaces (one dominant
+    // direction, high mean pairwise cosine) break cosine retrieval;
+    // this measures both WITHOUT a pair join: with unit-normalized
+    // rows quantized to e6 integers at the row (the q444 recipe —
+    // cross-row sums stay exact), the mean pairwise cosine falls
+    // out of the identity E[cos] = (‖Σu‖² − n)/(n(n−1)) from
+    // per-dim integer sums, and the dominant-direction share is
+    // the max per-dim variance over the total (n·Σx² − S² per dim,
+    // HUGEINT-scale squares in DECIMAL(38,0)). One scan, one
+    // 64-row per-dim frame.
+    "q470_embedding_isotropy" -> ((s, d) => {
+      val dims = ld(s, d, "embeddings")
+        .selectExpr("vec_id",
+          "CAST(embedding AS ARRAY<DOUBLE>) AS ce")
+        .selectExpr("vec_id",
+          "sqrt(aggregate(ce, 0.0D, (acc, x) -> acc + x * x))" +
+            " AS nrm", "ce")
+        .filter(col("nrm") > 0)
+        .select(posexplode(expr(
+          "transform(ce, x -> CAST(round(x / nrm * 1000000)" +
+            " AS BIGINT))")).as(Seq("pos", "u")))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"), sum("u").as("su"),
+          sum(expr("CAST(u AS DECIMAL(38,0)) * u")).as("suu"))
+        .localCheckpoint()
+      dims.agg(max("n").as("n"),
+          sum(expr("CAST(su AS DECIMAL(38,0)) * su")).as("ss"),
+          sum("suu").as("tvar_raw"),
+          max(expr("CAST(n AS DECIMAL(38,0)) * suu - CAST(su" +
+            " AS DECIMAL(38,0)) * su")).as("maxvar"),
+          sum(expr("CAST(n AS DECIMAL(38,0)) * suu - CAST(su" +
+            " AS DECIMAL(38,0)) * su")).as("totvar"))
+        .selectExpr("n",
+          "CASE WHEN ss >= CAST(n AS DECIMAL(38,0)) * 1000000000000" +
+            " THEN CAST((2 * (ss - CAST(n AS DECIMAL(38,0))" +
+            " * 1000000000000) + CAST(n AS DECIMAL(38,0)) * (n - 1)" +
+            " * 1000000) DIV (2 * CAST(n AS DECIMAL(38,0)) * (n - 1)" +
+            " * 1000000) AS BIGINT)" +
+            " ELSE -CAST((2 * (CAST(n AS DECIMAL(38,0))" +
+            " * 1000000000000 - ss) + CAST(n AS DECIMAL(38,0))" +
+            " * (n - 1) * 1000000) DIV (2 * CAST(n AS DECIMAL(38,0))" +
+            " * (n - 1) * 1000000) AS BIGINT) END AS mean_cos_e6",
+          "CAST((2 * maxvar * 10000 + totvar) DIV (2 * totvar)" +
+            " AS BIGINT) AS top_dim_share_bp")
+    }),
   )
 
   /** q125's composed IVF×PQ chain, ranked pre-top-k — shared with q120's
@@ -2905,5 +2951,44 @@ object VectorOps {
                   AS BIGINT) AS acc_bp
          FROM acc JOIN ntr ON acc.frac = ntr.frac
          ORDER BY frac""",
+
+    // q470: same per-row e6 quantization and per-dim identities.
+    "q470_embedding_isotropy" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+                    FROM embeddings),
+              nr AS (SELECT vec_id,
+                            sqrt(list_sum(list_transform(ce,
+                              x -> x * x))) AS nrm, ce
+                     FROM c),
+              u AS (SELECT i AS pos,
+                           CAST(round(ce[i] / nrm * 1000000)
+                             AS BIGINT) AS u
+                    FROM nr, range(1, 65) t(i) WHERE nrm > 0),
+              dims AS (SELECT pos, count(*) AS n, sum(u) AS su,
+                              sum(CAST(u AS HUGEINT) * u) AS suu
+                       FROM u GROUP BY 1),
+              a AS (SELECT max(n) AS n,
+                           sum(CAST(su AS HUGEINT) * su) AS ss,
+                           max(CAST(n AS HUGEINT) * suu
+                             - CAST(su AS HUGEINT) * su) AS maxvar,
+                           sum(CAST(n AS HUGEINT) * suu
+                             - CAST(su AS HUGEINT) * su) AS totvar
+                    FROM dims)
+         SELECT CAST(n AS BIGINT) AS n,
+                CASE WHEN ss >= CAST(n AS HUGEINT) * 1000000000000
+                THEN CAST((2 * (ss - CAST(n AS HUGEINT)
+                       * 1000000000000) + CAST(n AS HUGEINT)
+                       * (n - 1) * 1000000)
+                     // (2 * CAST(n AS HUGEINT) * (n - 1) * 1000000)
+                     AS BIGINT)
+                ELSE -CAST((2 * (CAST(n AS HUGEINT) * 1000000000000
+                       - ss) + CAST(n AS HUGEINT) * (n - 1)
+                       * 1000000)
+                     // (2 * CAST(n AS HUGEINT) * (n - 1) * 1000000)
+                     AS BIGINT)
+                END AS mean_cos_e6,
+                CAST((2 * maxvar * 10000 + totvar) // (2 * totvar)
+                  AS BIGINT) AS top_dim_share_bp
+         FROM a""",
   )
 }

@@ -3141,6 +3141,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q469: interference audit — exposure is one join over the " +
+    "memoized co-supply edges against the checkpointed arm frame") {
+    val p = plan("q469_interference_audit")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q470: isotropy — both metrics from the checkpointed 64-row " +
+    "per-dim frame; no pair join anywhere") {
+    val p = plan("q470_embedding_isotropy")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("Join"))
+  }
+
   test("q467: target-encoding leakage — both encodings branch off " +
     "the checkpointed noise-scored frame; category sums broadcast") {
     val p = plan("q467_target_encoding_loo")
