@@ -4811,6 +4811,45 @@ object Relational {
         .orderBy("decile")
     }),
 
+    // ROLLING-ORIGIN BACKTEST — the evaluation PROTOCOL around
+    // q414's MASE: four training origins, each forecasting the
+    // next 8 weeks, naive(last) vs seasonal(lag-52) scored per
+    // fold — a single split overfits the split; the fold table is
+    // what a forecasting rollout actually reviews. The weekly
+    // frame is built once (checkpoint); each fold's predictions
+    // are two tiny self-joins against it (origin row broadcast,
+    // lag row keyed); MAE in exact cents, winner by integer
+    // comparison. Folds grid is literal — at 100 TB the weekly
+    // frame is still |weeks|-sized.
+    "q471_rolling_origin_backtest" -> ((s, d) => {
+      val wk = ld(s, d, "orders")
+        .groupBy(expr("CAST(datediff(o_orderdate, DATE'1992-01-01')" +
+          " AS BIGINT) DIV 7").as("w"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2))" +
+          " * 100 AS BIGINT)")).as("y"))
+        .localCheckpoint()
+      val folds = broadcast(s.range(1, 5)
+        .selectExpr("CAST(id AS BIGINT) AS fold",
+          "CAST(280 + 8 * (id - 1) AS BIGINT) AS origin_w"))
+      val test = wk.crossJoin(folds)
+        .filter(col("w") > col("origin_w") &&
+          col("w") <= col("origin_w") + 8)
+      val naive = wk.selectExpr("w AS origin_w", "y AS y_naive")
+      val snaive = wk.selectExpr("w + 52 AS w", "y AS y_snaive")
+      test
+        .join(broadcast(naive), "origin_w")
+        .join(snaive, "w")
+        .groupBy("fold", "origin_w")
+        .agg(count(lit(1)).as("n_test"),
+          sum(expr("abs(y - y_naive)")).as("mae_naive_sum_c"),
+          sum(expr("abs(y - y_snaive)")).as("mae_snaive_sum_c"))
+        .selectExpr("fold", "origin_w", "n_test",
+          "mae_naive_sum_c", "mae_snaive_sum_c",
+          "CASE WHEN mae_snaive_sum_c < mae_naive_sum_c" +
+            " THEN 'seasonal' ELSE 'naive' END AS winner")
+        .orderBy("fold")
+    }),
+
     // INTERFERENCE (SUTVA) AUDIT — before trusting any of the
     // experiment estimators (q368/q405/q460/q464/q468), check the
     // no-interference assumption on units that share an edge:
@@ -7925,6 +7964,37 @@ object Relational {
                      - max(CASE WHEN arm = 0 THEN yq END) AS BIGINT)
                   AS qte_dollars
          FROM pk GROUP BY 1 ORDER BY decile""",
+
+    // q471: same folds and tiny self-joins on the weekly frame.
+    "q471_rolling_origin_backtest" ->
+      """WITH wk AS (SELECT CAST(date_diff('day', DATE '1992-01-01',
+                             o_orderdate) AS BIGINT) // 7 AS w,
+                            sum(CAST(CAST(o_totalprice
+                              AS DECIMAL(14,2)) * 100 AS BIGINT))
+                              AS y
+                     FROM orders GROUP BY 1),
+         folds AS (SELECT f AS fold,
+                          CAST(280 + 8 * (f - 1) AS BIGINT)
+                            AS origin_w
+                   FROM (SELECT unnest(range(1, 5)) AS f)),
+         test AS (SELECT fold, origin_w, w, y
+                  FROM wk CROSS JOIN folds
+                  WHERE w > origin_w AND w <= origin_w + 8),
+         j AS (SELECT t.fold, t.origin_w, t.y, nv.y AS y_naive,
+                      sn.y AS y_snaive
+               FROM test t JOIN wk nv ON nv.w = t.origin_w
+                 JOIN wk sn ON sn.w + 52 = t.w)
+         SELECT CAST(fold AS BIGINT) AS fold,
+                CAST(origin_w AS BIGINT) AS origin_w,
+                CAST(count(*) AS BIGINT) AS n_test,
+                CAST(sum(abs(y - y_naive)) AS BIGINT)
+                  AS mae_naive_sum_c,
+                CAST(sum(abs(y - y_snaive)) AS BIGINT)
+                  AS mae_snaive_sum_c,
+                CASE WHEN sum(abs(y - y_snaive))
+                       < sum(abs(y - y_naive))
+                     THEN 'seasonal' ELSE 'naive' END AS winner
+         FROM j GROUP BY 1, 2 ORDER BY fold""",
 
     // q469: same exposure split over the shared co-supply chain.
     "q469_interference_audit" ->

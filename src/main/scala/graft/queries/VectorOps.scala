@@ -1683,6 +1683,40 @@ object VectorOps {
           "CAST((2 * maxvar * 10000 + totvar) DIV (2 * totvar)" +
             " AS BIGINT) AS top_dim_share_bp")
     }),
+
+    // ROBUST SCALER FIT — the serving-side preprocessing artifact:
+    // per-dimension median and IQR (the outlier-immune alternative
+    // to mean/std), fitted the value-domain way — raw coords
+    // quantize to e6 integers at the row, each dim's percentiles
+    // are ceil-indexed picks over its own cumulated value frame
+    // (the q466 machinery, partitioned by dim — 64 independent
+    // small sorts, never one global). The 64-row output IS the
+    // scaler config a feature pipeline ships.
+    "q472_robust_scaler_fit" -> ((s, d) => {
+      val vals = ld(s, d, "embeddings")
+        .select(posexplode(expr(
+          "transform(CAST(embedding AS ARRAY<DOUBLE>)," +
+            " x -> CAST(round(x * 1000000) AS BIGINT))"))
+          .as(Seq("pos", "q")))
+        .groupBy("pos", "q").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val w = Window.partitionBy("pos").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      vals
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("pos")))
+        .groupBy("pos")
+        .agg(max("n").as("n"),
+          min(when(expr("cum >= (n + 3) DIV 4"), col("q")))
+            .as("p25_e6"),
+          min(when(expr("cum >= (n + 1) DIV 2"), col("q")))
+            .as("p50_e6"),
+          min(when(expr("cum >= (3 * n + 3) DIV 4"), col("q")))
+            .as("p75_e6"))
+        .selectExpr("CAST(pos AS BIGINT) AS pos", "n", "p25_e6",
+          "p50_e6", "p75_e6", "p75_e6 - p25_e6 AS iqr_e6")
+        .orderBy("pos")
+    }),
   )
 
   /** q125's composed IVF×PQ chain, ranked pre-top-k — shared with q120's
@@ -2990,5 +3024,37 @@ object VectorOps {
                 CAST((2 * maxvar * 10000 + totvar) // (2 * totvar)
                   AS BIGINT) AS top_dim_share_bp
          FROM a""",
+
+    // q472: i−1 aligns DuckDB's 1-based list index with Spark's
+    // 0-based posexplode.
+    "q472_robust_scaler_fit" ->
+      """WITH u AS (SELECT i - 1 AS pos,
+                           CAST(round(ce[i] * 1000000) AS BIGINT)
+                             AS q
+                    FROM (SELECT CAST(embedding AS DOUBLE[]) AS ce
+                          FROM embeddings) c,
+                         range(1, 65) t(i)),
+              vals AS (SELECT pos, q, count(*) AS cnt FROM u
+                       GROUP BY 1, 2),
+              cu AS (SELECT pos, q, cnt,
+                            sum(cnt) OVER (PARTITION BY pos
+                              ORDER BY q ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS cum,
+                            sum(cnt) OVER (PARTITION BY pos) AS n
+                     FROM vals),
+              a AS (SELECT pos, max(n) AS n,
+                           min(CASE WHEN cum >= (n + 3) // 4
+                               THEN q END) AS p25_e6,
+                           min(CASE WHEN cum >= (n + 1) // 2
+                               THEN q END) AS p50_e6,
+                           min(CASE WHEN cum >= (3 * n + 3) // 4
+                               THEN q END) AS p75_e6
+                    FROM cu GROUP BY 1)
+         SELECT CAST(pos AS BIGINT) AS pos, CAST(n AS BIGINT) AS n,
+                CAST(p25_e6 AS BIGINT) AS p25_e6,
+                CAST(p50_e6 AS BIGINT) AS p50_e6,
+                CAST(p75_e6 AS BIGINT) AS p75_e6,
+                CAST(p75_e6 - p25_e6 AS BIGINT) AS iqr_e6
+         FROM a ORDER BY pos""",
   )
 }

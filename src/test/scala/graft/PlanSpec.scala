@@ -3141,6 +3141,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q471: backtest — folds and both prediction joins run on " +
+    "the checkpointed weekly frame; origin rows broadcast") {
+    val p = plan("q471_rolling_origin_backtest")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q472: robust scaler — 64 independent per-dim percentile " +
+    "picks, windows partition by pos; no global sort") {
+    val p = plan("q472_robust_scaler_fit")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.contains("hashpartitioning(pos"))
+    assert(!p.contains("Join"))
+  }
+
   test("q469: interference audit — exposure is one join over the " +
     "memoized co-supply edges against the checkpointed arm frame") {
     val p = plan("q469_interference_audit")
