@@ -2821,6 +2821,76 @@ object EventOps {
           "bound_z2_e6", "z2_e6 >= bound_z2_e6 AS crossed")
         .orderBy("look")
     }),
+
+    // STORAGE TIERING PLAN — the lifecycle policy as data: users
+    // tier by recency against the corpus high-watermark (hot ≤6h,
+    // warm ≤24h, cold — thresholds sized to THIS stream's measured
+    // recency quantiles, p50≈7h/p90≈24h, so all three tiers are
+    // populated), each tier carries its user/event counts
+    // and an exact record-size proxy (fixed fields + measured
+    // string lengths), and the byte shares say what a
+    // hot-on-NVMe / warm-on-object / cold-on-archive split
+    // actually moves. One corpus scan to the per-user rollup; the
+    // watermark is a broadcast 1-row frame.
+    "q473_data_tiering_plan" -> ((s, d) => {
+      val usr = ld(s, d, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_ev"),
+          max(unix_micros(col("ts"))).as("last_us"),
+          sum(expr("40 + CAST(length(event_type) AS BIGINT)" +
+            " + CAST(length(props) AS BIGINT)")).as("bytes"))
+        .localCheckpoint()
+      val mx = usr.agg(max("last_us").as("mx_us"))
+      usr.crossJoin(broadcast(mx))
+        .selectExpr("n_ev", "bytes",
+          "CASE WHEN mx_us - last_us <= 6L * 3600000000" +
+            " THEN 'a_hot'" +
+            " WHEN mx_us - last_us <= 24L * 3600000000" +
+            " THEN 'b_warm' ELSE 'c_cold' END AS tier")
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_users"),
+          sum("n_ev").cast("long").as("n_events"),
+          sum("bytes").cast("long").as("bytes"))
+        .withColumn("tot", sum("bytes").over(Window.partitionBy()))
+        .selectExpr("tier", "n_users", "n_events", "bytes",
+          "CAST((2 * bytes * 10000 + tot) DIV (2 * tot) AS BIGINT)" +
+            " AS bytes_share_bp")
+        .orderBy("tier")
+    }),
+
+    // SEGMENT MIGRATION MATRIX — q149's transitions are event-type
+    // Markov steps; this is the USER-level version a growth team
+    // reads: activity quartile in the first half of the timeline
+    // vs the second (ntile over (count, user_id) — total order, so
+    // both engines cut identical segment boundaries), full-outer
+    // joined so appearing (0→q) and churning (q→0) users are
+    // first-class rows of the matrix. Two keyed rollups off one
+    // scan; the midpoint is a broadcast 1-row frame.
+    "q474_segment_migration" -> ((s, d) => {
+      val ev = ld(s, d, "events")
+        .selectExpr("user_id", "unix_micros(ts) AS us")
+        .localCheckpoint()
+      val mid = ev.agg(expr("(min(us) + max(us)) DIV 2").as("mid"))
+      val halves = ev.crossJoin(broadcast(mid))
+        .selectExpr("user_id",
+          "CAST(us > mid AS INT) AS half")
+        .groupBy("user_id", "half")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("qt", ntile(4).over(
+          Window.partitionBy("half").orderBy("n", "user_id"))
+          .cast("long"))
+        .localCheckpoint()
+      val h0 = halves.filter(col("half") === 0)
+        .select(col("user_id"), col("qt").as("q_first"))
+      val h1 = halves.filter(col("half") === 1)
+        .select(col("user_id"), col("qt").as("q_second"))
+      h0.join(h1, Seq("user_id"), "full_outer")
+        .selectExpr("coalesce(q_first, 0L) AS q_first",
+          "coalesce(q_second, 0L) AS q_second")
+        .groupBy("q_first", "q_second")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("q_first", "q_second")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -4460,6 +4530,57 @@ object EventOps {
                 CAST(bound_z2_e6 AS BIGINT) AS bound_z2_e6,
                 z2_e6 >= bound_z2_e6 AS crossed
          FROM z ORDER BY look""",
+
+    // q473: same watermark tiers and record-size proxy.
+    "q473_data_tiering_plan" ->
+      """WITH usr AS (SELECT user_id, count(*) AS n_ev,
+                             max(epoch_us(ts)) AS last_us,
+                             sum(40 + CAST(len(event_type) AS BIGINT)
+                               + CAST(len(props) AS BIGINT)) AS bytes
+                      FROM events GROUP BY 1),
+              mx AS (SELECT max(last_us) AS mx_us FROM usr),
+              t AS (SELECT n_ev, bytes,
+                           CASE WHEN mx_us - last_us
+                                  <= 6 * 3600000000 THEN 'a_hot'
+                                WHEN mx_us - last_us
+                                  <= 24 * 3600000000 THEN 'b_warm'
+                                ELSE 'c_cold' END AS tier
+                    FROM usr CROSS JOIN mx),
+              g AS (SELECT tier, count(*) AS n_users,
+                           sum(n_ev) AS n_events, sum(bytes) AS bytes
+                    FROM t GROUP BY 1),
+              w AS (SELECT *, sum(bytes) OVER () AS tot FROM g)
+         SELECT tier, CAST(n_users AS BIGINT) AS n_users,
+                CAST(n_events AS BIGINT) AS n_events,
+                CAST(bytes AS BIGINT) AS bytes,
+                CAST((2 * bytes * 10000 + tot) // (2 * tot)
+                  AS BIGINT) AS bytes_share_bp
+         FROM w ORDER BY tier""",
+
+    // q474: same halves, same total-order ntile cut.
+    "q474_segment_migration" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+              mid AS (SELECT (min(us) + max(us)) // 2 AS mid
+                      FROM ev),
+              hh AS (SELECT user_id,
+                            CASE WHEN us > mid THEN 1 ELSE 0 END
+                              AS half
+                     FROM ev CROSS JOIN mid),
+              hn AS (SELECT user_id, half, count(*) AS n FROM hh
+                     GROUP BY 1, 2),
+              hq AS (SELECT user_id, half,
+                            CAST(ntile(4) OVER (PARTITION BY half
+                              ORDER BY n, user_id) AS BIGINT) AS qt
+                     FROM hn),
+              h0 AS (SELECT user_id, qt AS q_first FROM hq
+                     WHERE half = 0),
+              h1 AS (SELECT user_id, qt AS q_second FROM hq
+                     WHERE half = 1)
+         SELECT coalesce(q_first, 0) AS q_first,
+                coalesce(q_second, 0) AS q_second,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM h0 FULL OUTER JOIN h1 USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }
 

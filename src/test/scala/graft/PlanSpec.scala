@@ -3141,6 +3141,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q473: tiering plan — per-user rollup checkpointed, the " +
+    "watermark broadcast; tier math never rescans the corpus") {
+    val p = plan("q473_data_tiering_plan")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q474: segment migration — both halves branch off the " +
+    "checkpointed quartile frame; ntile partitions by half") {
+    val p = plan("q474_segment_migration")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q471: backtest — folds and both prediction joins run on " +
     "the checkpointed weekly frame; origin rows broadcast") {
     val p = plan("q471_rolling_origin_backtest")
