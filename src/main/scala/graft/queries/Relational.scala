@@ -4811,6 +4811,78 @@ object Relational {
         .orderBy("decile")
     }),
 
+    // KEYSET PAGINATION — the O(page) alternative to OFFSET (which
+    // re-sorts and discards at every page — the classic API-scaling
+    // bug): each page seeks past the previous page's last key with
+    // the explicit (d > bd) OR (d = bd AND k > bk) predicate (Spark
+    // has no row-value comparison; this IS the portable spelling),
+    // under the total order (o_orderdate, o_orderkey). Three pages
+    // emitted with their page tags; the oracle re-derives the same
+    // pages, proving keyset ≡ offset pagination on a stable order.
+    // Boundaries come from deterministic scalar subqueries here; a
+    // real API passes them as cursor state.
+    "q475_keyset_pagination" -> ((s, d) => {
+      graft.Tables.view(s, d, "orders")
+      s.sql("""
+        WITH ord AS (SELECT o_orderkey AS k,
+                            CAST(o_orderdate AS DATE) AS dt
+                     FROM orders),
+        b1 AS (SELECT dt AS bd, k AS bk FROM ord
+               ORDER BY dt, k LIMIT 1 OFFSET 4),
+        b2 AS (SELECT dt AS bd, k AS bk FROM ord
+               ORDER BY dt, k LIMIT 1 OFFSET 9),
+        p1 AS (SELECT 1 AS page, dt, k FROM ord
+               ORDER BY dt, k LIMIT 5),
+        p2 AS (SELECT 2 AS page, dt, k FROM ord, b1
+               WHERE dt > bd OR (dt = bd AND k > bk)
+               ORDER BY dt, k LIMIT 5),
+        p3 AS (SELECT 3 AS page, dt, k FROM ord, b2
+               WHERE dt > bd OR (dt = bd AND k > bk)
+               ORDER BY dt, k LIMIT 5)
+        SELECT CAST(page AS BIGINT) AS page, dt AS order_date,
+               CAST(k AS BIGINT) AS order_key
+        FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+              UNION ALL SELECT * FROM p3)
+        ORDER BY page, order_date, order_key""")
+    }),
+
+    // PAGE'S L TREND TEST — Friedman (q451) asks "any treatment
+    // difference across blocks?"; Page's L asks the ORDERED
+    // question — do ranks RISE with priority class? L = Σ_j j·R̄...
+    // computed as Σ_j g_j·R_j with g_j the priority digit over
+    // q451's exact blocked ranks, and the null moments are closed
+    // forms (μ_L = Nk(k+1)²/4, 144·Var_L = N·k²(k+1)²(k²−1)·
+    // ... cleared to the textbook z² = 12·(L−μ)²·... — here kept
+    // as the exact integer pair (L, 4L − Nk(k+1)² which is 4·(L−μ),
+    // sign included) plus z² half-up e6 with every denominator
+    // cleared: z² = 144·(L−μ)²/(N·k²(k+1)²(k²−1)/... ), using
+    // Var_L = N(k³−k)²/144·... the standard form Var = N·k²(k+1)²
+    // (k²−1)/144. All BIGINT.
+    "q476_page_trend" -> ((s, d) => {
+      val wk = ld(s, d, "orders")
+        .groupBy(expr("CAST(datediff(o_orderdate, DATE'1992-01-01')" +
+          " AS BIGINT) DIV 7").as("w"),
+          expr("CAST(substr(o_orderpriority, 1, 1) AS INT)").as("g"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2))" +
+          " * 100 AS BIGINT)")).as("rev"))
+        .localCheckpoint()
+      wk.withColumn("npri", count(lit(1)).over(Window.partitionBy("w")))
+        .filter(col("npri") === 5)
+        .withColumn("r", rank().over(
+          Window.partitionBy("w").orderBy("rev")).cast("long"))
+        .agg(countDistinct("w").as("nb"),
+          sum(expr("g * r")).as("l"))
+        .selectExpr("nb", "l",
+          "4 * l - nb * 5 * 36 AS l_dev4")
+        .selectExpr("nb", "l", "l_dev4",
+          // z² = (L−μ)²/Var, Var = N·k²(k+1)²(k²−1)/144 with k=5:
+          // 144·Var = N·25·36·24 = 21600·N; (L−μ)² = l_dev4²/16
+          "CAST((2 * 9 * l_dev4 * l_dev4 * 1000000" +
+            " + 1350 * nb * 16)" +
+            " DIV (2 * 1350 * nb * 16) AS BIGINT) AS z2_e6",
+          "l_dev4 > 0 AS trend_up")
+    }),
+
     // ROLLING-ORIGIN BACKTEST — the evaluation PROTOCOL around
     // q414's MASE: four training origins, each forecasting the
     // next 8 weeks, naive(last) vs seasonal(lag-52) scored per
@@ -7964,6 +8036,57 @@ object Relational {
                      - max(CASE WHEN arm = 0 THEN yq END) AS BIGINT)
                   AS qte_dollars
          FROM pk GROUP BY 1 ORDER BY decile""",
+
+    // q475: the same three pages — keyset ≡ offset on a stable
+    // total order.
+    "q475_keyset_pagination" ->
+      """WITH ord AS (SELECT o_orderkey AS k,
+                             CAST(o_orderdate AS DATE) AS dt
+                      FROM orders),
+         b1 AS (SELECT dt AS bd, k AS bk FROM ord
+                ORDER BY dt, k LIMIT 1 OFFSET 4),
+         b2 AS (SELECT dt AS bd, k AS bk FROM ord
+                ORDER BY dt, k LIMIT 1 OFFSET 9),
+         p1 AS (SELECT 1 AS page, dt, k FROM ord
+                ORDER BY dt, k LIMIT 5),
+         p2 AS (SELECT 2 AS page, dt, k FROM ord, b1
+                WHERE dt > bd OR (dt = bd AND k > bk)
+                ORDER BY dt, k LIMIT 5),
+         p3 AS (SELECT 3 AS page, dt, k FROM ord, b2
+                WHERE dt > bd OR (dt = bd AND k > bk)
+                ORDER BY dt, k LIMIT 5)
+         SELECT CAST(page AS BIGINT) AS page, dt AS order_date,
+                CAST(k AS BIGINT) AS order_key
+         FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+               UNION ALL SELECT * FROM p3)
+         ORDER BY page, order_date, order_key""",
+
+    // q476: same blocked ranks, closed-form null moments for k=5.
+    "q476_page_trend" ->
+      """WITH wk AS (SELECT CAST(date_diff('day', DATE '1992-01-01',
+                             o_orderdate) AS BIGINT) // 7 AS w,
+                            CAST(substr(o_orderpriority, 1, 1)
+                              AS INT) AS g,
+                            sum(CAST(CAST(o_totalprice
+                              AS DECIMAL(14,2)) * 100 AS BIGINT))
+                              AS rev
+                     FROM orders GROUP BY 1, 2),
+         cb AS (SELECT w, g, rev,
+                       count(*) OVER (PARTITION BY w) AS npri
+                FROM wk),
+         rk AS (SELECT w, g, rank() OVER (PARTITION BY w
+                         ORDER BY rev) AS r
+                FROM cb WHERE npri = 5),
+         a AS (SELECT count(DISTINCT w) AS nb, sum(g * r) AS l
+               FROM rk),
+         b AS (SELECT nb, l, 4 * l - nb * 5 * 36 AS l_dev4 FROM a)
+         SELECT CAST(nb AS BIGINT) AS nb, CAST(l AS BIGINT) AS l,
+                CAST(l_dev4 AS BIGINT) AS l_dev4,
+                CAST((2 * 9 * l_dev4 * l_dev4 * 1000000
+                      + 1350 * nb * 16)
+                     // (2 * 1350 * nb * 16) AS BIGINT) AS z2_e6,
+                l_dev4 > 0 AS trend_up
+         FROM b""",
 
     // q471: same folds and tiny self-joins on the weekly frame.
     "q471_rolling_origin_backtest" ->

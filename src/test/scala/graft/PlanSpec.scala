@@ -3141,6 +3141,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q475: keyset pagination — every page is an independent " +
+    "TakeOrdered seek; the whole plan is Exchange-free") {
+    val p = plan("q475_keyset_pagination")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Exchange\s*""")) == 0,
+      "keyset pages must not shuffle")
+  }
+
+  test("q476: Page trend — blocked ranks on the checkpointed weekly " +
+    "frame, windows partition by week") {
+    val p = plan("q476_page_trend")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(p.contains("hashpartitioning(w"))
+  }
+
   test("q473: tiering plan — per-user rollup checkpointed, the " +
     "watermark broadcast; tier math never rescans the corpus") {
     val p = plan("q473_data_tiering_plan")
