@@ -4811,6 +4811,82 @@ object Relational {
         .orderBy("decile")
     }),
 
+    // SPLIT-CONFORMAL INTERVAL — distribution-free forecast bands
+    // with a finite-sample guarantee (the modern answer to "what's
+    // the error bar on q414's naive forecaster?"): calibration
+    // residuals |y_w − y_{w−1}| on weeks 100–279, q̂ = the
+    // ⌈0.9·(n+1)⌉-th smallest residual picked off the cumulated
+    // residual VALUE frame (ceil-indexed, the q466 machinery), and
+    // the held-out weeks 280–320 report empirical coverage — the
+    // guarantee says ≥ ~90%, and the query MEASURES it. Exact
+    // cents end to end; one weekly rollup, one lag window.
+    "q477_conformal_interval" -> ((s, d) => {
+      val wk = ld(s, d, "orders")
+        .groupBy(expr("CAST(datediff(o_orderdate, DATE'1992-01-01')" +
+          " AS BIGINT) DIV 7").as("w"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2))" +
+          " * 100 AS BIGINT)")).as("y"))
+        .localCheckpoint()
+      val res = wk
+        .withColumn("yl", lag("y", 1).over(Window.orderBy("w")))
+        .filter(col("yl").isNotNull)
+        .selectExpr("w", "abs(y - yl) AS r")
+        .localCheckpoint()
+      val cal = res.filter(col("w").between(100, 279))
+        .groupBy("r").agg(count(lit(1)).as("cnt"))
+      val qhat = cal
+        .withColumn("cum", sum("cnt").over(Window.orderBy("r")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", sum("cnt").over(Window.partitionBy()))
+        .filter(expr("cum >= (9 * (n + 1) + 9) DIV 10"))
+        .agg(min("r").as("qhat"), max("n").as("n_cal"))
+      res.filter(col("w").between(280, 320))
+        .crossJoin(broadcast(qhat))
+        .agg(max("n_cal").as("n_cal"), max("qhat").as("qhat_cents"),
+          count(lit(1)).as("n_test"),
+          expr("sum(CAST(r <= qhat AS BIGINT))").as("n_covered"))
+        .selectExpr("n_cal", "qhat_cents", "n_test", "n_covered",
+          "CAST((2 * n_covered * 10000 + n_test) DIV (2 * n_test)" +
+            " AS BIGINT) AS coverage_bp")
+    }),
+
+    // SEASONAL PROFILE (decomposition) — q352's ACF detects
+    // seasonality, this EXTRACTS it: trend = the centered 53-week
+    // moving average (complete windows only), the detrended series
+    // averages by week-of-year into the 52-row seasonal profile —
+    // each mean a SIGN-SPLIT half-up e2 (detrended values go
+    // negative, where Spark DIV truncates and DuckDB // floors;
+    // the split keeps both engines dividing positives). The rank
+    // column hands a planner the peak/trough weeks directly. One
+    // weekly rollup; one ordered MA window; one 52-key rollup.
+    "q478_seasonal_profile" -> ((s, d) => {
+      val wk = ld(s, d, "orders")
+        .groupBy(expr("CAST(datediff(o_orderdate, DATE'1992-01-01')" +
+          " AS BIGINT) DIV 7").as("w"))
+        .agg(sum(expr("CAST(CAST(o_totalprice AS DECIMAL(14,2))" +
+          " * 100 AS BIGINT)")).as("y"))
+        .localCheckpoint()
+      val wma = Window.orderBy("w").rowsBetween(-26, 26)
+      wk
+        .withColumn("tsum", sum("y").over(wma))
+        .withColumn("tn", count(lit(1)).over(wma))
+        .filter(col("tn") === 53)
+        .selectExpr("w % 52 AS woy",
+          "y * 100 - CAST((2 * tsum * 100 + 53) DIV 106 AS BIGINT)" +
+            " AS d_e2")
+        .groupBy("woy")
+        .agg(count(lit(1)).as("n"), sum("d_e2").as("sd"))
+        .selectExpr("woy", "n",
+          "CASE WHEN sd >= 0 THEN" +
+            " CAST((2 * sd + n) DIV (2 * n) AS BIGINT)" +
+            " ELSE -CAST((2 * -sd + n) DIV (2 * n) AS BIGINT)" +
+            " END AS seasonal_e2")
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("seasonal_e2").desc, col("woy")))
+          .cast("long"))
+        .orderBy("woy")
+    }),
+
     // KEYSET PAGINATION — the O(page) alternative to OFFSET (which
     // re-sorts and discards at every page — the classic API-scaling
     // bug): each page seeks past the previous page's last key with
@@ -8036,6 +8112,68 @@ object Relational {
                      - max(CASE WHEN arm = 0 THEN yq END) AS BIGINT)
                   AS qte_dollars
          FROM pk GROUP BY 1 ORDER BY decile""",
+
+    // q477: same ceil-indexed q̂ pick and held-out coverage.
+    "q477_conformal_interval" ->
+      """WITH wk AS (SELECT CAST(date_diff('day', DATE '1992-01-01',
+                             o_orderdate) AS BIGINT) // 7 AS w,
+                            sum(CAST(CAST(o_totalprice
+                              AS DECIMAL(14,2)) * 100 AS BIGINT))
+                              AS y
+                     FROM orders GROUP BY 1),
+         res AS (SELECT w, abs(y - yl) AS r FROM (
+                   SELECT w, y, lag(y, 1) OVER (ORDER BY w) AS yl
+                   FROM wk) s
+                 WHERE yl IS NOT NULL),
+         cal AS (SELECT r, count(*) AS cnt FROM res
+                 WHERE w BETWEEN 100 AND 279 GROUP BY 1),
+         cu AS (SELECT r,
+                       sum(cnt) OVER (ORDER BY r ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       sum(cnt) OVER () AS n
+                FROM cal),
+         qh AS (SELECT min(r) AS qhat, max(n) AS n_cal FROM cu
+                WHERE cum >= (9 * (n + 1) + 9) // 10),
+         t AS (SELECT r FROM res WHERE w BETWEEN 280 AND 320)
+         SELECT CAST(max(n_cal) AS BIGINT) AS n_cal,
+                CAST(max(qhat) AS BIGINT) AS qhat_cents,
+                CAST(count(*) AS BIGINT) AS n_test,
+                CAST(sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_covered,
+                CAST((2 * sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END)
+                      * 10000 + count(*)) // (2 * count(*))
+                  AS BIGINT) AS coverage_bp
+         FROM t CROSS JOIN qh""",
+
+    // q478: same complete-window MA and sign-split seasonal means.
+    "q478_seasonal_profile" ->
+      """WITH wk AS (SELECT CAST(date_diff('day', DATE '1992-01-01',
+                             o_orderdate) AS BIGINT) // 7 AS w,
+                            sum(CAST(CAST(o_totalprice
+                              AS DECIMAL(14,2)) * 100 AS BIGINT))
+                              AS y
+                     FROM orders GROUP BY 1),
+         ma AS (SELECT w, y,
+                       sum(y) OVER (ORDER BY w ROWS BETWEEN 26
+                         PRECEDING AND 26 FOLLOWING) AS tsum,
+                       count(*) OVER (ORDER BY w ROWS BETWEEN 26
+                         PRECEDING AND 26 FOLLOWING) AS tn
+                FROM wk),
+         dd AS (SELECT w % 52 AS woy,
+                       y * 100 - (2 * tsum * 100 + 53) // 106 AS d_e2
+                FROM ma WHERE tn = 53),
+         g AS (SELECT woy, count(*) AS n, sum(d_e2) AS sd FROM dd
+               GROUP BY 1),
+         sg AS (SELECT woy, n,
+                       CASE WHEN sd >= 0 THEN (2 * sd + n) // (2 * n)
+                            ELSE -((2 * -sd + n) // (2 * n)) END
+                         AS seasonal_e2
+                FROM g)
+         SELECT CAST(woy AS BIGINT) AS woy, CAST(n AS BIGINT) AS n,
+                CAST(seasonal_e2 AS BIGINT) AS seasonal_e2,
+                CAST(row_number() OVER (ORDER BY seasonal_e2 DESC,
+                  woy) AS BIGINT) AS rnk
+         FROM sg ORDER BY woy""",
 
     // q475: the same three pages — keyset ≡ offset on a stable
     // total order.

@@ -3141,6 +3141,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q477: conformal — calibration pick and coverage branch off " +
+    "the checkpointed residual frame; q-hat broadcast to the test") {
+    val p = plan("q477_conformal_interval")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q478: seasonal profile — MA window and 52-key rollup on " +
+    "the checkpointed weekly frame") {
+    val p = plan("q478_seasonal_profile")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("Join"))
+  }
+
   test("q475: keyset pagination — every page is an independent " +
     "TakeOrdered seek; the whole plan is Exchange-free") {
     val p = plan("q475_keyset_pagination")
