@@ -4004,6 +4004,74 @@ object PipelineOps {
         .orderBy("stratum")
     }),
 
+    // SOURCE MARGINAL VALUE — the data-buying number q440's
+    // saturation curve implies but doesn't isolate: per source,
+    // how many distinct trigrams exist ONLY there (the corpus
+    // loses them if the contract lapses)? One gram pass to
+    // (gram → distinct sources); single-source grams attribute to
+    // their source; the share against the corpus distinct count
+    // prices each source's marginal contribution. The q424/q417
+    // gram machinery, pointed at procurement.
+    "q479_source_marginal_value" -> ((s, d) => {
+      val grams = ld(s, d, "documents")
+        .select(col("source"),
+          split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("source"),
+          explode(expr("transform(sequence(1, size(ws) - 2)," +
+            " i -> array_join(slice(ws, i, 3), ' '))")).as("g"))
+        .groupBy("g")
+        .agg(countDistinct("source").as("nsrc"),
+          min("source").as("only_src"))
+        .localCheckpoint()
+      val tot = grams.agg(count(lit(1)).as("n_distinct_grams"))
+      grams.filter(col("nsrc") === 1)
+        .groupBy(col("only_src").as("source"))
+        .agg(count(lit(1)).as("n_unique_grams"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("source", "n_unique_grams", "n_distinct_grams",
+          "CAST((2 * n_unique_grams * 10000 + n_distinct_grams)" +
+            " DIV (2 * n_distinct_grams) AS BIGINT)" +
+            " AS marginal_share_bp")
+        .orderBy("source")
+    }),
+
+    // EFFECTIVE SAMPLE SIZE — reweighting is never free: balancing
+    // the language mix by inverse-share weights shrinks the
+    // EFFECTIVE sample to (Σw)²/Σw². Weights are exact e4 integers
+    // (w_lang = target_share/actual_share with uniform target),
+    // so ESS and the efficiency ratio are pure integer identities
+    // (squares in DECIMAL(38,0)). The uniform-weights row is the
+    // control — ESS = n by construction, and the gap between rows
+    // is the price of balance. One |langs| rollup; per-row math.
+    "q480_ess_weights" -> ((s, d) => {
+      val langs = ld(s, d, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("nl"))
+        .withColumn("n", sum("nl").over(Window.partitionBy()))
+        .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+        // balanced weight per doc of this lang: (n/k)/nl in e4
+        .selectExpr("lang", "nl", "n", "k",
+          "CAST((2 * n * 10000 + k * nl) DIV (2 * k * nl)" +
+            " AS BIGINT) AS w_e4")
+        .localCheckpoint()
+      val bal = langs.agg(
+          sum(expr("nl * w_e4")).as("sw"),
+          sum(expr("CAST(nl AS DECIMAL(38,0)) * w_e4 * w_e4"))
+            .as("sww"),
+          max("n").as("n"))
+        .selectExpr("'balanced' AS scheme", "n",
+          "CAST((2 * CAST(sw AS DECIMAL(38,0)) * sw * 100 + sww)" +
+            " DIV (2 * sww) AS BIGINT) AS ess_e2")
+      val uni = langs.agg(max("n").as("n"))
+        .selectExpr("'uniform' AS scheme", "n",
+          "n * 100 AS ess_e2")
+      bal.unionByName(uni)
+        .selectExpr("scheme", "n", "ess_e2",
+          "CAST((2 * ess_e2 * 100 + n) DIV (2 * n) AS BIGINT)" +
+            " AS efficiency_bp")
+        .orderBy("scheme")
+    }),
+
     // TARGET-ENCODING LEAKAGE — the classic feature-store bug,
     // DEMONSTRATED: the target is pure md5 noise (no real signal
     // exists), yet the naive per-category mean encoding correlates
@@ -7158,6 +7226,57 @@ object PipelineOps {
                   -CAST((2 * -ws + wt) // (2 * wt) AS BIGINT)
                 END AS att_e4
          FROM df CROSS JOIN tot ORDER BY stratum""",
+
+    // q479: same single-source attribution.
+    "q479_source_marginal_value" ->
+      """WITH grams AS (
+           SELECT source, g FROM (
+             SELECT source, string_split(lower(text), ' ') AS ws
+             FROM documents) s,
+             unnest(list_transform(range(1, len(ws) - 1),
+               i -> array_to_string(ws[i:i+2], ' '))) AS u(g)
+           WHERE len(ws) >= 3),
+         gs AS (SELECT g, count(DISTINCT source) AS nsrc,
+                       min(source) AS only_src
+                FROM grams GROUP BY 1),
+         tot AS (SELECT count(*) AS n_distinct_grams FROM gs),
+         uq AS (SELECT only_src AS source, count(*) AS n_unique_grams
+                FROM gs WHERE nsrc = 1 GROUP BY 1)
+         SELECT source, CAST(n_unique_grams AS BIGINT)
+                  AS n_unique_grams,
+                CAST(n_distinct_grams AS BIGINT) AS n_distinct_grams,
+                CAST((2 * n_unique_grams * 10000 + n_distinct_grams)
+                     // (2 * n_distinct_grams) AS BIGINT)
+                  AS marginal_share_bp
+         FROM uq CROSS JOIN tot ORDER BY source""",
+
+    // q480: same e4 weights and exact ESS identity.
+    "q480_ess_weights" ->
+      """WITH langs AS (SELECT lang, count(*) AS nl FROM documents
+                        GROUP BY 1),
+         x AS (SELECT lang, nl, sum(nl) OVER () AS n,
+                      count(*) OVER () AS k
+               FROM langs),
+         w AS (SELECT lang, nl, n, k,
+                      (2 * n * 10000 + k * nl) // (2 * k * nl)
+                        AS w_e4
+               FROM x),
+         bal AS (SELECT 'balanced' AS scheme, max(n) AS n,
+                        (2 * CAST(sum(nl * w_e4) AS HUGEINT)
+                          * sum(nl * w_e4) * 100
+                          + sum(CAST(nl AS HUGEINT) * w_e4 * w_e4))
+                        // (2 * sum(CAST(nl AS HUGEINT) * w_e4
+                           * w_e4)) AS ess_e2
+                 FROM w),
+         uni AS (SELECT 'uniform' AS scheme, max(n) AS n,
+                        max(n) * 100 AS ess_e2
+                 FROM x),
+         un AS (SELECT * FROM bal UNION ALL SELECT * FROM uni)
+         SELECT scheme, CAST(n AS BIGINT) AS n,
+                CAST(ess_e2 AS BIGINT) AS ess_e2,
+                CAST((2 * ess_e2 * 100 + n) // (2 * n) AS BIGINT)
+                  AS efficiency_bp
+         FROM un ORDER BY scheme""",
 
     // q467: same noise target and exact corr² identities.
     "q467_target_encoding_loo" ->

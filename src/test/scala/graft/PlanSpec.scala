@@ -3141,6 +3141,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q479: marginal value — attribution and the corpus total " +
+    "branch off the checkpointed gram-ownership frame") {
+    val p = plan("q479_source_marginal_value")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q480: ESS — both schemes fold the checkpointed |langs| " +
+    "frame; no corpus rescan, no join") {
+    val p = plan("q480_ess_weights")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("Join"))
+  }
+
   test("q477: conformal — calibration pick and coverage branch off " +
     "the checkpointed residual frame; q-hat broadcast to the test") {
     val p = plan("q477_conformal_interval")
