@@ -4004,6 +4004,89 @@ object PipelineOps {
         .orderBy("stratum")
     }),
 
+    // LICENSE-AWARE DATA BUDGET — the governance cut every training
+    // run signs off on: sources carry (planted md5) licenses, each
+    // policy tier admits a license SET (permissive ⊂ research ⊂
+    // all — encoded as an explicit allow matrix, not string
+    // games), and the report prices each tier in docs and chars
+    // with the share of the full corpus it retains. One source-
+    // level license derivation broadcast over one corpus rollup ×
+    // 3-row policy grid.
+    "q481_license_budget" -> ((s, d) => {
+      val src = ld(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+        .selectExpr("source", "n_docs", "chars",
+          "element_at(array('cc-by', 'cc-by-nc', 'proprietary'," +
+            " 'public-domain'), CAST(CAST(conv(substr(md5(" +
+            "concat('li#', source)), 1, 4), 16, 10) AS BIGINT)" +
+            " % 4 + 1 AS INT)) AS lic")
+        .localCheckpoint()
+      val pol = s.sql("SELECT * FROM VALUES" +
+        " ('a_permissive'), ('b_research'), ('c_all') AS t(policy)")
+      src.crossJoin(broadcast(pol))
+        .selectExpr("policy", "n_docs", "chars",
+          "CASE WHEN lic IN ('cc-by', 'public-domain') THEN 1" +
+            " WHEN lic = 'cc-by-nc' AND policy <> 'a_permissive'" +
+            " THEN 1" +
+            " WHEN lic = 'proprietary' AND policy = 'c_all' THEN 1" +
+            " ELSE 0 END AS allowed")
+        .groupBy("policy")
+        .agg(sum(expr("allowed * n_docs")).as("n_docs_usable"),
+          sum(expr("allowed * chars")).as("chars_usable"),
+          sum("chars").as("chars_total"))
+        .selectExpr("policy", "n_docs_usable", "chars_usable",
+          "CAST((2 * chars_usable * 10000 + chars_total)" +
+            " DIV (2 * chars_total) AS BIGINT) AS char_share_bp")
+        .orderBy("policy")
+    }),
+
+    // BLOCKING EVALUATION — record linkage's two-number scorecard
+    // computed against PLANTED truth (each doc's 10%-mutant is its
+    // true match, the q449 plant): PAIR COMPLETENESS (do the true
+    // pairs share a block?) and REDUCTION RATIO (how many candidate
+    // pairs does blocking leave?). Two schemes race: the 2-word
+    // prefix key never misses (mutation keeps words 1–2) but forms
+    // big blocks; the mid-document 3-shingle key misses exactly
+    // the pairs whose shingle spans a dropped word but shrinks
+    // blocks — the PC/RR trade-off IS the output. Per-row key
+    // derivation, one pooled block rollup per scheme, all BIGINT.
+    "q482_blocking_eval" -> ((s, d) => {
+      val base = ld(s, d, "documents")
+        .select(expr("filter(split(lower(text), ' ')," +
+          " w -> length(w) > 0)").as("ws"))
+        .filter(size(col("ws")) >= 12)
+        .selectExpr("ws",
+          "transform(filter(sequence(1, size(ws))," +
+            " i -> i % 10 != 0), i -> element_at(ws, i)) AS mw")
+        .selectExpr(
+          "array_join(slice(ws, 1, 2), ' ') AS ka_o",
+          "array_join(slice(mw, 1, 2), ' ') AS ka_m",
+          "array_join(slice(ws, 9, 3), ' ') AS kb_o",
+          "array_join(slice(mw, 9, 3), ' ') AS kb_m")
+        .localCheckpoint()
+      def scheme(tag: String, ko: String, km: String) = {
+        val pc = base.agg(count(lit(1)).as("n_true"),
+          sum(expr(s"CAST($ko = $km AS BIGINT)")).as("n_coblocked"))
+        val blocks = base.selectExpr(s"$ko AS k")
+          .union(base.selectExpr(s"$km AS k"))
+          .groupBy("k").agg(count(lit(1)).as("c"))
+          .agg(sum(expr("c * (c - 1) DIV 2")).as("cand_pairs"),
+            sum("c").as("nn"))
+        pc.crossJoin(blocks).selectExpr(s"'$tag' AS scheme",
+          "n_true", "n_coblocked",
+          "CAST((2 * n_coblocked * 10000 + n_true) DIV (2 * n_true)" +
+            " AS BIGINT) AS pc_bp",
+          "cand_pairs",
+          "CAST(10000 - (2 * cand_pairs * 10000" +
+            " + nn * (nn - 1) DIV 2)" +
+            " DIV (2 * (nn * (nn - 1) DIV 2)) AS BIGINT) AS rr_bp")
+      }
+      scheme("a_prefix2", "ka_o", "ka_m")
+        .unionByName(scheme("b_mid3", "kb_o", "kb_m"))
+        .orderBy("scheme")
+    }),
+
     // SOURCE MARGINAL VALUE — the data-buying number q440's
     // saturation curve implies but doesn't isolate: per source,
     // how many distinct trigrams exist ONLY there (the corpus
@@ -7226,6 +7309,79 @@ object PipelineOps {
                   -CAST((2 * -ws + wt) // (2 * wt) AS BIGINT)
                 END AS att_e4
          FROM df CROSS JOIN tot ORDER BY stratum""",
+
+    // q481: same license plant and allow matrix.
+    "q481_license_budget" ->
+      """WITH src AS (SELECT source, count(*) AS n_docs,
+                             sum(n_chars) AS chars
+                      FROM documents GROUP BY 1),
+         sl AS (SELECT source, n_docs, chars,
+                       (['cc-by', 'cc-by-nc', 'proprietary',
+                         'public-domain'])
+                       [('0x' || substr(md5('li#' || source), 1, 4))
+                         ::BIGINT % 4 + 1] AS lic
+                FROM src),
+         pol AS (SELECT * FROM (VALUES ('a_permissive'),
+                 ('b_research'), ('c_all')) t(policy)),
+         x AS (SELECT policy, n_docs, chars,
+                      CASE WHEN lic IN ('cc-by', 'public-domain')
+                           THEN 1
+                           WHEN lic = 'cc-by-nc'
+                             AND policy <> 'a_permissive' THEN 1
+                           WHEN lic = 'proprietary'
+                             AND policy = 'c_all' THEN 1
+                           ELSE 0 END AS allowed
+               FROM sl CROSS JOIN pol)
+         SELECT policy,
+                CAST(sum(allowed * n_docs) AS BIGINT)
+                  AS n_docs_usable,
+                CAST(sum(allowed * chars) AS BIGINT) AS chars_usable,
+                CAST((2 * sum(allowed * chars) * 10000 + sum(chars))
+                     // (2 * sum(chars)) AS BIGINT) AS char_share_bp
+         FROM x GROUP BY 1 ORDER BY 1""",
+
+    // q482: same planted pairs, same two keys.
+    "q482_blocking_eval" -> {
+      def scheme(tag: String, ko: String, km: String) =
+        s"""SELECT '$tag' AS scheme,
+                 CAST((SELECT count(*) FROM keys) AS BIGINT)
+                   AS n_true,
+                 CAST((SELECT sum(CASE WHEN $ko = $km THEN 1 ELSE 0
+                   END) FROM keys) AS BIGINT) AS n_coblocked,
+                 CAST((2 * (SELECT sum(CASE WHEN $ko = $km THEN 1
+                     ELSE 0 END) FROM keys) * 10000
+                     + (SELECT count(*) FROM keys))
+                   // (2 * (SELECT count(*) FROM keys)) AS BIGINT)
+                   AS pc_bp,
+                 CAST(bb.cand_pairs AS BIGINT) AS cand_pairs,
+                 CAST(10000 - (2 * bb.cand_pairs * 10000
+                     + bb.nn * (bb.nn - 1) // 2)
+                   // (2 * (bb.nn * (bb.nn - 1) // 2)) AS BIGINT)
+                   AS rr_bp
+          FROM (SELECT sum(c * (c - 1) // 2) AS cand_pairs,
+                       sum(c) AS nn
+                FROM (SELECT k, count(*) AS c FROM (
+                        SELECT $ko AS k FROM keys
+                        UNION ALL SELECT $km FROM keys) u
+                      GROUP BY 1) bc) bb"""
+      s"""WITH base AS (
+           SELECT list_filter(string_split(lower(text), ' '),
+                  x -> len(x) > 0) AS ws
+           FROM documents),
+         f AS (SELECT ws, list_transform(list_filter(
+                   range(1, len(ws) + 1), i -> i % 10 <> 0),
+                   i -> ws[i]) AS mw
+               FROM base WHERE len(ws) >= 12),
+         keys AS (SELECT array_to_string(ws[1:2], ' ') AS ka_o,
+                         array_to_string(mw[1:2], ' ') AS ka_m,
+                         array_to_string(ws[9:11], ' ') AS kb_o,
+                         array_to_string(mw[9:11], ' ') AS kb_m
+                  FROM f)
+         ${scheme("a_prefix2", "ka_o", "ka_m")}
+         UNION ALL
+         ${scheme("b_mid3", "kb_o", "kb_m")}
+         ORDER BY scheme"""
+    },
 
     // q479: same single-source attribution.
     "q479_source_marginal_value" ->

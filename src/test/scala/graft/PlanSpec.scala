@@ -3141,6 +3141,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q481: license budget — one checkpointed source rollup " +
+    "crossed with the broadcast policy grid") {
+    val p = plan("q481_license_budget")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q482: blocking eval — both schemes score the checkpointed " +
+    "key frame; no corpus rescan, no shuffle join") {
+    val p = plan("q482_blocking_eval")
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q479: marginal value — attribution and the corpus total " +
     "branch off the checkpointed gram-ownership frame") {
     val p = plan("q479_source_marginal_value")
