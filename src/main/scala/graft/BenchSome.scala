@@ -15,6 +15,10 @@ object BenchSome {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Declared session default: q309's SPJ demo needs it live at
+      // physical-planning time (the caller's action), so it cannot be
+      // scoped per-query; default-on makes it variance-free across queries.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

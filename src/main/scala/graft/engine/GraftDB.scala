@@ -42,21 +42,29 @@ class GraftDB(val spark: SparkSession) {
     * parser) for those inputs. */
   def createCsvTable(name: String, path: String, header: Boolean = true,
                      delimiter: String = ",",
-                     inferRows: Option[Int] = None): DataFrame = {
-    val reader = spark.read
-      .option("header", header.toString)
-      .option("delimiter", delimiter)
+                     inferRows: Option[Int] = None,
+                     timestampFormat: Option[String] = None): DataFrame = {
+    // timestampFormat mirrors `CsvConfig.datetime_format` (reference
+    // `csv.rs:29`, default None at `csv.rs:41`): an explicit pattern makes
+    // timestamp columns PARSE as TimestampType during inference and read
+    // (Spark's timestampFormat knob, DateTimeFormatter syntax). None =
+    // Spark's default ISO-8601 handling, matching the reference's None.
+    // (`batch_size`/`file_projection`, csv.rs:27-28, stay moot in Spark:
+    // vectorized reader + column pruning.)
+    def opts(r: org.apache.spark.sql.DataFrameReader) = {
+      val base = r.option("header", header.toString)
+        .option("delimiter", delimiter)
+      timestampFormat.fold(base)(f => base.option("timestampFormat", f))
+    }
     val df = inferRows match {
       case Some(n) =>
         val head = spark.read.textFile(path)
           .limit(n + (if (header) 1 else 0))
-        val schema = spark.read
-          .option("header", header.toString)
-          .option("delimiter", delimiter)
+        val schema = opts(spark.read)
           .option("inferSchema", "true")
           .csv(head).schema
-        reader.schema(schema).csv(path)
-      case None => reader.option("inferSchema", "true").csv(path)
+        opts(spark.read).schema(schema).csv(path)
+      case None => opts(spark.read).option("inferSchema", "true").csv(path)
     }
     df.createOrReplaceTempView(name)
     df

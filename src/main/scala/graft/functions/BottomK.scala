@@ -106,7 +106,24 @@ final class BottomKBuffer(k: Int) {
   private def gt(h1: Long, i1: Long, h2: Long, i2: Long): Boolean =
     h1 > h2 || (h1 == h2 && i1 > i2)
 
+  /** Linear membership scan. O(k), but only reached by offers that would
+    * otherwise ENTER the heap (fill phase, or improving on the current
+    * worst) — steady-state non-improving offers still exit on the one
+    * root comparison. Keeps the documented "pure function of the input
+    * SET" contract: a duplicate (hash, id) row must not consume a second
+    * of the k slots (r12 ADVICE; latent while q316 feeds distinct ids). */
+  private def contains(h: Long, i: Long): Boolean = {
+    var n = 0
+    while (n < size) {
+      if (hashes(n) == h && ids(n) == i) return true
+      n += 1
+    }
+    false
+  }
+
   def offer(h: Long, i: Long): Unit = {
+    if (size == k && !gt(hashes(0), ids(0), h, i)) return // non-improving
+    if (contains(h, i)) return // set semantics: duplicates take no slot
     if (size < k) {
       // sift up from the new leaf
       var c = size; size += 1

@@ -106,21 +106,44 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var lastR: InternalRow = null
       var lastRKey = 0L
       lIter.map { l =>
-        val lk = lkB.eval(l).asInstanceOf[Long]
-        val lt = ltB.eval(l).asInstanceOf[Long]
-        // consume right rows with (key, time) <= (lk, lt)
-        var advancing = true
-        while (advancing && rNext != null) {
-          val rk = rkB.eval(rNext).asInstanceOf[Long]
-          if (rk < lk ||
-              (rk == lk && rtB.eval(rNext).asInstanceOf[Long] <= lt)) {
-            lastR = rNext.copy() // buffered past iterator reuse
-            lastRKey = rk
-            rNext = if (rIter.hasNext) rIter.next() else null
-          } else advancing = false
+        // NULL semantics (DuckDB ASOF parity): a NULL key or NULL time on
+        // either side NEVER matches — boxed evals here; the raw
+        // asInstanceOf[Long] unbox turned null into 0L, silently matching
+        // key 0 / epoch 0 (r12 ADVICE). Ascending sort puts NULLS FIRST on
+        // both sides, so null right rows are skipped as encountered and
+        // null left rows emit the null-extended row before any real key.
+        val lkA = lkB.eval(l)
+        val ltA = ltB.eval(l)
+        if (lkA == null || ltA == null) {
+          proj(joined(l, nullRight))
+        } else {
+          val lk = lkA.asInstanceOf[Long]
+          val lt = ltA.asInstanceOf[Long]
+          // consume right rows with (key, time) <= (lk, lt)
+          var advancing = true
+          while (advancing && rNext != null) {
+            val rkA = rkB.eval(rNext)
+            if (rkA == null) {
+              rNext = if (rIter.hasNext) rIter.next() else null
+            } else {
+              val rk = rkA.asInstanceOf[Long]
+              val rtA = rtB.eval(rNext)
+              if (rk < lk || (rk == lk &&
+                  rtA != null && rtA.asInstanceOf[Long] <= lt)) {
+                if (rtA != null) { // null-time rows are never candidates
+                  lastR = rNext.copy() // buffered past iterator reuse
+                  lastRKey = rk
+                }
+                rNext = if (rIter.hasNext) rIter.next() else null
+              } else if (rk == lk && rtA == null) {
+                // null time sorts first within the key group: skip past it
+                rNext = if (rIter.hasNext) rIter.next() else null
+              } else advancing = false
+            }
+          }
+          val r = if (lastR != null && lastRKey == lk) lastR else nullRight
+          proj(joined(l, r))
         }
-        val r = if (lastR != null && lastRKey == lk) lastR else nullRight
-        proj(joined(l, r))
       }
     }
   }

@@ -600,20 +600,39 @@ object PipelineOps {
     // percentile plan (no per-group value buffering, no window sort; the
     // sketch merges associatively across partitions like any partial
     // agg). The chosen element within the error band is sketch-internal,
-    // so the output is engine-specific: no DuckDB oracle — CI-exempted
-    // like q38 and property-checked by SketchPropertySpec, which
-    // recomputes every returned value's TRUE within-source rank and
-    // asserts it lands inside the documented ±(n/accuracy + 1) band
-    // around the target rank, per source, per percentile.
-    "q141_approx_quantiles" -> ((s, d) =>
-      ld(s, d, "documents")
-        .groupBy("source")
+    // so raw values can't cross engines — instead (r13, banded oracle,
+    // q38's recipe) the query emits per (source, percentile) the exact n
+    // plus rank_ok: the returned value's TRUE within-source rank interval
+    // [#{x<v}+1, #{x≤v}] (one broadcast probe over the corpus, map-side
+    // combined) must touch target p·n ± (n/1000 + 1) — the exact band
+    // SketchPropertySpec has asserted since r4, now also hash-checked
+    // against DuckDB every round. A sketch drift flips rank_ok → red row.
+    "q141_approx_quantiles" -> ((s, d) => {
+      val docs = ld(s, d, "documents")
+      val qs = docs.groupBy("source")
         .agg(expr("approx_percentile(n_chars, " +
           "array(0.25D, 0.5D, 0.75D, 0.95D), 1000)").as("qs"),
           count(lit(1)).as("n"))
         .select(col("source"), col("n"),
           posexplode(col("qs")).as(Seq("p_idx", "approx_chars")))
-        .orderBy("source", "p_idx")),
+        .localCheckpoint() // 12 rows: verdict join + corpus probe
+      val ranks = docs.select("source", "n_chars")
+        .join(broadcast(qs), "source")
+        .groupBy("source", "p_idx", "n").agg(
+          sum(when(col("n_chars") < col("approx_chars"), 1L)
+            .otherwise(0L)).as("rank_lo"),
+          sum(when(col("n_chars") <= col("approx_chars"), 1L)
+            .otherwise(0L)).as("rank_hi"))
+      val p = element_at(
+        typedLit(Seq(0.25, 0.5, 0.75, 0.95)), col("p_idx") + 1)
+      ranks.select(col("source"), col("n"), col("p_idx"),
+          (col("rank_hi") > col("rank_lo") && // value exists in the data
+            (col("rank_lo") + 1).cast("double")
+              <= p * col("n") + col("n") / 1000.0 + 1 &&
+            col("rank_hi").cast("double")
+              >= p * col("n") - col("n") / 1000.0 - 1).as("rank_ok"))
+        .orderBy("source", "p_idx")
+    }),
 
     // Deterministic TRAIN/VAL/TEST split (80/10/10) — the dataset-freeze
     // step every training run starts from. The split key is an md5 bucket
@@ -5060,6 +5079,15 @@ object PipelineOps {
                 least((win + 1) * 512, off + n_tokens)
                   - greatest(win * 512, off) AS n_toks
          FROM x ORDER BY source, window_id, doc_id""",
+    // banded oracle (r13, q38's recipe): n replayed exactly; rank_ok is
+    // the Spark-side rank-band verdict vs DuckDB's literal true
+    "q141_approx_quantiles" ->
+      """SELECT d.source, d.n, CAST(t.p_idx AS INTEGER) AS p_idx,
+                true AS rank_ok
+         FROM (SELECT source, count(*) AS n FROM documents
+               GROUP BY source) d
+         CROSS JOIN range(0, 4) t(p_idx)
+         ORDER BY source, p_idx""",
     "q142_dataset_split" ->
       """WITH b AS (SELECT source, n_chars,
                            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),

@@ -83,7 +83,11 @@ object GraftMemRegistry {
     t._1
   }
 
-  def rowsOf(name: String): Seq[Row] = tables.get(name)._2
+  def rowsOf(name: String): Seq[Row] = {
+    val t = tables.get(name)
+    require(t != null, s"graft-mem table not registered: $name")
+    t._2
+  }
 
   private[sources] def recordPruned(name: String, s: StructType): Unit =
     prunedSchemas.put(name, s)

@@ -59,6 +59,26 @@ class BottomKSpec extends AnyFunSuite {
     assert(agg.eval(back).toString.nonEmpty)
   }
 
+  test("set semantics (r13, r12 ADVICE): duplicate (hash, id) offers " +
+    "take no slot and never repeat in the output") {
+    val k = 4
+    val ps = stream(6, 11)
+    val b = new BottomKBuffer(k)
+    // every element offered three times, interleaved
+    (ps ++ ps ++ ps).foreach { case (h, i) => b.offer(h, i) }
+    val got = b.sortedIds.toSeq
+    assert(got == ref(ps, k),
+      s"duplicated stream must sample like the distinct set: $got")
+    assert(got.distinct == got, "an id repeated inside the k slots")
+    // and merging a buffer into itself is idempotent
+    val solo = fill(ps, k)
+    var n = 0
+    val (hs, ids) = (solo.hashes.clone(), solo.ids.clone())
+    val sz = solo.size
+    while (n < sz) { solo.offer(hs(n), ids(n)); n += 1 }
+    assert(solo.sortedIds.toSeq == ref(ps, k))
+  }
+
   test("result is a pure function of the input set: any arrival order, " +
     "any partition split, same sample") {
     val k = 8

@@ -145,6 +145,26 @@ class EngineSpec extends AnyFunSuite with SparkFixture {
     java.nio.file.Files.delete(f)
   }
 
+  test("csv timestampFormat mirrors CsvConfig.datetime_format (csv.rs:29, " +
+    "default None csv.rs:41): custom-format stamps parse as TIMESTAMP") {
+    val f = java.nio.file.Files.createTempFile("graft_tsfmt", ".csv")
+    java.nio.file.Files.writeString(f,
+      "id,ts\n1,2024/01/15 08:30:00\n2,2024/02/20 17:45:10\n")
+    val db = new graft.engine.GraftDB(spark)
+    // with the format: inference types ts TIMESTAMP and values parse
+    val typed = db.createCsvTable("t_tsfmt", f.toString,
+      timestampFormat = Some("yyyy/MM/dd HH:mm:ss"))
+    assert(typed.schema("ts").dataType == TimestampType)
+    val hours = typed.selectExpr("hour(ts)").collect().map(_.getInt(0)).toSeq
+    assert(hours == Seq(8, 17))
+    // without it (the reference's None default): slashes aren't ISO-8601,
+    // the column stays a plain string — same fallback the reference's
+    // arrow CSV reader has
+    val untyped = db.createCsvTable("t_tsfmt_none", f.toString)
+    assert(untyped.schema("ts").dataType == StringType)
+    java.nio.file.Files.delete(f)
+  }
+
   test("mem table with projection pruning (memory.rs:31-41)") {
     val schema = StructType(Seq(
       StructField("a", IntegerType), StructField("b", StringType),

@@ -92,6 +92,32 @@ class ExtensionsSpec extends AnyFunSuite {
         (1L, 20L, "b", 15L, "r15"), // latest at-or-before wins
         (2L, 5L, "c", -1L, "-")), // no right key -> nulls (left outer)
         rows.toString)
+
+      // NULL semantics (r13, DuckDB ASOF parity — the r12 ADVICE trap):
+      // a NULL key or time NEVER matches. Pre-fix, the raw Long unbox
+      // turned left-null keys into 0L (matching a key-0 right row) and
+      // null times into epoch 0. Key 0 and epoch-0 rows included to
+      // prove exactly those no longer capture nulls.
+      val lN = Seq((Option(0L), Option(10L), "k0"),
+        (Option.empty[Long], Option(10L), "nullk"),
+        (Option(0L), Option.empty[Long], "nullt"))
+        .toDF("k", "t", "tag")
+      val rN = Seq((Option(0L), Option(0L), "r_epoch0"),
+        (Option(0L), Option(5L), "r5"),
+        (Option.empty[Long], Option(1L), "r_nullk"),
+        (Option(0L), Option.empty[Long], "r_nullt"))
+        .toDF("rk", "rt", "rv")
+      val nRows = graft.plans.AsOfJoinOps.asof(s, lN, rN,
+        "k", "rk", "t", "rt")
+        .select("tag", "rv").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1)).getOrElse("-"))
+        .toMap
+      assert(nRows == Map(
+        "k0" -> "r5",      // real key-0 row: latest at-or-before, and
+                           // NOT the null-key/null-time right rows
+        "nullk" -> "-",    // null left key matches nothing (was: key 0)
+        "nullt" -> "-"),   // null left time matches nothing (was: epoch 0)
+        nRows.toString)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -91,10 +91,14 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  // Sketches whose output is inherently engine-specific; each must instead
-  // be covered by SketchPropertySpec. Adding a query without an oracle
-  // should be a DELIBERATE act — extend this list AND add a property spec.
-  private val oracleExempt = Set("q38_approx_agg", "q141_approx_quantiles")
+  // Queries whose output is inherently engine-specific and therefore can't
+  // be oracle-checked; each must instead be covered by SketchPropertySpec.
+  // EMPTY since r13: the two sketch queries (q38, q141) were converted to
+  // banded oracles — they emit exact values plus in-band verdict booleans,
+  // so DuckDB hash-checks them like everything else. Adding a query
+  // without an oracle should be a DELIBERATE act — extend this list AND
+  // add a property spec.
+  private val oracleExempt = Set.empty[String]
 
   test("every query WITHOUT an oracle is explicitly exempted (no silent " +
     "rows-only checks)") {

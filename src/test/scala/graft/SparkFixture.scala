@@ -11,6 +11,10 @@ trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+      // Declared session default: q309's SPJ demo needs it live at
+      // physical-planning time (the caller's action), so it cannot be
+      // scoped per-query; default-on makes it variance-free across queries.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
     .withExtensions(new graft.plans.GraftExtensions)
     .getOrCreate()
 
