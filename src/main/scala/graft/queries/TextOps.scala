@@ -1005,11 +1005,11 @@ object TextOps {
     // tokenize+window shingle build per reference (isolated medians
     // 4.3 s unpinned → ~3.2 s pinned at sf0.1, noisy host; in production
     // `sets` is the persisted posting table). 310 k candidates at sf0.1.
-    // COST PINNED (r13 adjudication, the q19/q32/q113 precedent):
-    // isolated median 4.52 s / ratio 8.1 at sf0.1 (BENCH_DETAIL_r13_iso,
-    // cal 0.561) — inherent pair-verification work at recall 1.0, not a
-    // regression: 96.8 % of the pair space is pruned and the remainder is
-    // the operator's price. Compare future rounds against this line.
+    // COST PINNED (r13, the q19/q32/q113 precedent): isolated median
+    // 2.62-2.69 s / cal 0.36-0.51 at sf0.1 after the r13 verify rewrite
+    // (was 4.52 s with the posting-join verify; r12 full-run 7.81 s).
+    // The remainder is candidate generation + per-pair intersection at
+    // recall 1.0 — the operator's price. Compare future rounds here.
     "q136_jaccard_prefix" -> ((s, d) => {
       // Pinned frame: see the Scaladoc above on re-expansion cost.
       val sets = shinglesPortable(s, d).select("doc_id", "gh")
@@ -1028,13 +1028,28 @@ object TextOps {
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
           col("a.sz").as("sza"), col("b.sz").as("szb"))
         .distinct()
+      // VERIFY AS PER-PAIR ARRAY INTERSECTION (r13): the old posting-join
+      // verify (cand ⋈ sets on da, then ⋈ sets on (db, gh), count) built
+      // a Σ|grams(da)| intermediate — 310 k candidates × ~150 grams ≈
+      // 46 M rows through an Exchange + HashAggregate at sf0.1. The sets
+      // are DISTINCT per (doc_id, gh) by construction, so |A ∩ B| ==
+      // size(array_intersect(ga, gb)) exactly: collapse each doc's grams
+      // to one array row (doc-count-sized frame), hand each candidate its
+      // two arrays through two keyed joins, and intersect per row — no
+      // corpus-scale shuffle, no 46 M-row aggregate. At 100 TB the
+      // doc-array frame is the standard verify-side set store of every
+      // similarity-join system (PPJoin's verify carries sets the same
+      // way); the joins stay keyed on da/db.
+      val docArr = sets.groupBy("doc_id")
+        .agg(collect_list("gh").as("gs"))
       cand
-        .join(sets.select(col("doc_id").as("da"), col("gh"))
-          .hint("shuffle_hash"), "da")
-        .join(sets.select(col("doc_id").as("db"), col("gh"))
-          .hint("shuffle_hash"), Seq("db", "gh"))
-        .groupBy("da", "db", "sza", "szb")
-        .agg(count(lit(1)).as("inter"))
+        .join(docArr.select(col("doc_id").as("da"), col("gs").as("ga")),
+          "da")
+        .join(docArr.select(col("doc_id").as("db"), col("gs").as("gb")),
+          "db")
+        .select(col("da"), col("db"), col("sza"), col("szb"),
+          size(array_intersect(col("ga"), col("gb")))
+            .cast("long").as("inter"))
         .filter(col("inter") * 3 >= col("sza") + col("szb"))
         .select(col("da"), col("db"), col("sza"), col("szb"), col("inter"),
           expr("""(2 * inter * 10000 + (sza + szb - inter))
@@ -1681,10 +1696,10 @@ object TextOps {
     // recall exactly 1.0. Same pinned-frame plan as q136: min-position
     // rollup rides the prefix self-join, both audits share one
     // checkpointed candidate frame and ONE intersection pass.
-    // COST PINNED (r13): isolated median 4.68 s / ratio 8.3 at sf0.1
-    // (BENCH_DETAIL_r13_iso, cal 0.561) — the dual-path soundness audit
-    // deliberately runs BOTH the pruned and unpruned verify stages, so
-    // ~2× q136's verify cost is the query's declared shape.
+    // COST PINNED (r13): isolated median 2.07 s / cal 0.36 at sf0.1
+    // after the array-intersect verify rewrite (was 4.68 s; the dual-path
+    // soundness audit still verifies EVERY prefix candidate down both
+    // paths — that breadth is the query's declared shape).
     "q257_ppjoin_positional" -> ((s, d) => {
       val sets = shinglesPortable(s, d).select("doc_id", "gh")
         .localCheckpoint()
@@ -1708,13 +1723,18 @@ object TextOps {
         .withColumn("keep", expr(
           "1 + least(sza - i, szb - j) >= (sza + szb + 2) DIV 3"))
         .localCheckpoint() // audit + verify share the candidate frame
+      // per-pair array intersection (r13, q136's verify rewrite): sets
+      // are distinct per (doc_id, gh), so size(array_intersect) == the
+      // old posting-join count — without the Σ|grams| intermediate
+      val docArr = sets.groupBy("doc_id").agg(collect_list("gh").as("gs"))
       val inter = cand
-        .join(sets.select(col("doc_id").as("da"), col("gh"))
-          .hint("shuffle_hash"), "da")
-        .join(sets.select(col("doc_id").as("db"), col("gh"))
-          .hint("shuffle_hash"), Seq("db", "gh"))
-        .groupBy("da", "db", "sza", "szb", "keep")
-        .agg(count(lit(1)).as("inter"))
+        .join(docArr.select(col("doc_id").as("da"), col("gs").as("ga")),
+          "da")
+        .join(docArr.select(col("doc_id").as("db"), col("gs").as("gb")),
+          "db")
+        .select(col("da"), col("db"), col("sza"), col("szb"), col("keep"),
+          size(array_intersect(col("ga"), col("gb")))
+            .cast("long").as("inter"))
         .withColumn("fin", col("inter") * 3 >= col("sza") + col("szb"))
       val a1 = cand.agg(count(lit(1)).as("n_cand_prefix"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_cand_pos"))
