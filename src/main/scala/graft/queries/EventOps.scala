@@ -2782,14 +2782,20 @@ object EventOps {
     // looks committee protocol. Peeking without boundaries is the
     // bug; the crossed column is the only ship/no-ship signal.
     "q460_group_sequential" -> ((s, d) => {
-      val looks = ld(s, d, "events")
+      val evs = ld(s, d, "events")
         .selectExpr("event_id", "ts",
           "CAST(conv(substr(md5(concat('gs#'," +
             " CAST(user_id AS STRING))), 1, 4), 16, 10) AS BIGINT)" +
             " % 2 AS arm",
           "CAST(event_type = 'purchase' AS BIGINT) AS conv")
-        .withColumn("look", ntile(3).over(
-          Window.orderBy("ts", "event_id")).cast("long"))
+      // staged thirds (r13, Ranks.scala): ntile over the raw event
+      // stream was a single-partition sort of every event — bucket by
+      // hour (monotone prefix of the (ts, event_id) order), rank within
+      // hours keyed, ANSI-ntile closed form from (rank, n)
+      val looks = Ranks.stagedGlobalRank(evs,
+          expr("unix_micros(ts) DIV 3600000000"),
+          Seq(col("ts"), col("event_id")), "gr", "nt")
+        .withColumn("look", Ranks.ntileFromRank(col("gr"), col("nt"), 3))
         .groupBy("look")
         .agg(expr("sum(CAST(arm = 0 AS BIGINT))").as("na_i"),
           expr("sum(CAST(arm = 1 AS BIGINT))").as("nb_i"),

@@ -3690,9 +3690,13 @@ object PipelineOps {
           explode(expr("transform(sequence(1, size(ws) - 2)," +
             " i -> array_join(slice(ws, i, 3), ' '))")).as("g"))
         .localCheckpoint()
-      val dd = grams.select("doc_id").distinct()
-        .withColumn("dec",
-          ntile(10).over(Window.orderBy("doc_id")).cast("long"))
+      // staged deciles (r13, Ranks.scala): ntile over the whole doc-id
+      // frame was a single-partition sort — rank via id-range buckets
+      // (monotone in doc_id), ANSI-ntile closed form from (rank, n)
+      val dd = Ranks.stagedGlobalRank(grams.select("doc_id").distinct(),
+          expr("doc_id DIV 1000"), Seq(col("doc_id")), "gr", "nt")
+        .withColumn("dec", Ranks.ntileFromRank(col("gr"), col("nt"), 10))
+        .select("doc_id", "dec")
         .localCheckpoint()
       val firstSeen = grams.groupBy("g")
         .agg(min("doc_id").as("fdoc"))
@@ -3997,10 +4001,14 @@ object PipelineOps {
                  CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)
                % 50 AS y0""")
         .selectExpr("doc_id", "n_chars", "t", "y0 + 25 * t AS y")
-        .withColumn("stratum", ntile(5).over(
-          Window.orderBy("n_chars", "doc_id")).cast("long"))
         .localCheckpoint()
-      val strata = base.groupBy("stratum")
+      // staged quintiles (r13, Ranks.scala): n_chars itself is the
+      // bounded-domain bucket; rank within equal-n_chars keyed by doc_id
+      val strataBase = Ranks.stagedGlobalRank(base, col("n_chars"),
+          Seq(col("n_chars"), col("doc_id")), "gr", "nt")
+        .withColumn("stratum", Ranks.ntileFromRank(col("gr"), col("nt"), 5))
+        .drop("gr", "nt")
+      val strata = strataBase.groupBy("stratum")
         .agg(expr("sum(t)").as("n1"),
           expr("sum(1 - t)").as("n0"),
           expr("sum(CASE WHEN t = 1 THEN y ELSE 0 END)").as("s1"),

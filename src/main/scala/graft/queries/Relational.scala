@@ -3953,12 +3953,37 @@ object Relational {
           col("p") === col("p2") && col("s") < col("s2"))
         .groupBy(col("s").as("u"), col("s2").as("v"))
         .agg(count(lit(1)).as("shared"))
-      val e = pairs
-        .withColumn("r", row_number().over(
-          Window.orderBy(col("shared").desc, col("u"), col("v"))))
-        .withColumn("nt", count(lit(1)).over(
-          Window.partitionBy()))
-        .filter(col("r") <= expr("(nt + 19) DIV 20"))
+      // top-5 % selection WITHOUT a global single-partition window (r13):
+      // the old row_number() over (shared desc, u, v) pushed the whole
+      // pair frame through ONE task — the q141/q209 two-stage rank
+      // applies instead. Stage 1: per-DISTINCT-shared-value counts (a
+      // |distinct counts|-sized frame — a global window THERE is bounded
+      // and broadcastable at any corpus size) give each value its
+      // preceding-pairs offset and the total. Stage 2: the fine
+      // row_number runs PARTITIONED BY shared (keyed shuffle), tie order
+      // (u, v) as before; global rank = offset + within-value rank.
+      // Selection is bit-identical to the old global sort.
+      // Inline two-stage (not Ranks.stagedGlobalRank): the helper PINS
+      // its input, and checkpointing the full pair frame costs more than
+      // the rank saves (measured 1.1 → 3.2 s). Here the bucket-offset
+      // table also carries the cutoff, so buckets entirely past the top
+      // 5 % drop AT THE BROADCAST JOIN (a map-side filter) and the fine
+      // window shuffles only the ~5 % of survivors — the pair frame is
+      // derived twice (counts pass + filtered pass), which at 100 TB is
+      // two scans instead of one materialization + one global sort.
+      val vc = pairs.groupBy("shared").agg(count(lit(1)).as("nv"))
+      val off = vc
+        .withColumn("before", coalesce(sum("nv").over(
+          Window.orderBy(col("shared").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("k",
+          expr("(sum(nv) OVER (PARTITION BY 1) + 19) DIV 20"))
+        .filter(col("before") < col("k")) // bucket straddles/below cutoff
+        .select("shared", "before", "k")
+      val wuv = Window.partitionBy("shared").orderBy("u", "v")
+      val e = pairs.join(broadcast(off), "shared")
+        .withColumn("r", col("before") + row_number().over(wuv))
+        .filter(col("r") <= col("k"))
         .select("u", "v")
         .localCheckpoint()
       val sup = ld(s, d, "supplier")

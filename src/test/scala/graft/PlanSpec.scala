@@ -412,16 +412,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(b == Seq(1, 0), s"got $b")
   }
 
-  test("q152: RRF broadcasts only the query-gram set and the 1-row query " +
-    "vector; rank fusion is a keyed merge, top-20 TakeOrdered") {
+  test("q152: rank fusion is a keyed full-outer merge over the two " +
+    "staged-rank frames, offsets attach by broadcast, top-20 TakeOrdered") {
     val p = plan("q152_rrf_fusion")
+    // r13: the two corpus-wide rankings run as staged global ranks
+    // (Ranks.scala); their inputs (gram-overlap counts after the
+    // broadcast query-gram semi-probe; cosine scores after the 1-row
+    // query-vector broadcast cross) are materialized behind the staged
+    // rank's eager pin, so the final plan shows the two bounded
+    // bucket-offset BROADCASTS, the keyed fine-rank windows, and the
+    // fusion — and may not contain a parquet scan or BNLJ at all.
     assert(p.linesIterator
-      .count(_.matches("""\(\d+\) BroadcastHashJoin""")) == 1,
-      "exactly one broadcast hash join: the query-gram semi-probe")
-    // the 1-row query-vector broadcast cross is the only BNLJ
+      .count(_.matches("""\(\d+\) BroadcastHashJoin""")) == 2,
+      "broadcast hash joins: the two staged-rank offset tables")
     assert(p.linesIterator
-      .count(_.matches("""\(\d+\) BroadcastNestedLoopJoin""")) == 1,
-      "exactly one BNLJ: the 1-row query-vector broadcast")
+      .count(_.matches("""\(\d+\) BroadcastNestedLoopJoin""")) == 0,
+      "no pair-space product anywhere in the fusion plan")
     assert(p.contains("FullOuter"), "rank fusion must be a full-outer merge")
     assert(p.contains("TakeOrderedAndProject"), "top-20 must be TakeOrdered")
   }
@@ -3297,11 +3303,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q464: propensity strata — strata and the ATT reweight run " +
-    "on the checkpointed scored frame; windows are 5-row scale") {
+    "on the checkpointed scored frame; the only join is the staged-rank " +
+    "offset broadcast; windows are bounded-frame scale") {
     val p = plan("q464_propensity_strata")
     assert(p.linesIterator.count(
       _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
-    assert(!p.contains("Join"))
+    // r13: quintiles via Ranks.stagedGlobalRank — the bounded n_chars
+    // offset table attaches by broadcast; no other join may appear
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastHashJoin""")) == 1,
+      "exactly the staged-rank offset broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("NestedLoop"))
   }
 
   test("q461: energy distance — all three pairwise-|Δ| masses from " +
