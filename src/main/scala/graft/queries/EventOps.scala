@@ -2592,8 +2592,15 @@ object EventOps {
       val m = x.agg(expr("CAST(count(*) AS BIGINT)").as("n"),
           expr("avg(gap)").as("mean_gap"))
         .localCheckpoint()
-      val dev = x.crossJoin(broadcast(m))
-        .withColumn("i", row_number().over(Window.orderBy("gap")))
+      // staged ECDF rank (r13, Ranks.scala): ranking every gap through
+      // one unpartitioned window serialized the whole frame — bucket by
+      // ⌊gap⌋ (monotone; gaps are whole seconds cast to double, so this
+      // is value-exact), rank within buckets keyed. Tie order among
+      // equal gaps is arbitrary in BOTH forms, and KS is tie-invariant:
+      // the set of (i, gap) pairs over a tie group is identical.
+      val dev = Ranks.stagedGlobalRank(x,
+          floor(col("gap")).cast("bigint"), Seq(col("gap")), "i", "_nx")
+        .crossJoin(broadcast(m))
         .selectExpr("""greatest(
             abs(CAST(i AS DOUBLE)/n - (1 - exp(-gap/mean_gap))),
             abs(CAST(i-1 AS DOUBLE)/n - (1 - exp(-gap/mean_gap))))

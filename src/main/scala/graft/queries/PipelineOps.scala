@@ -1229,11 +1229,12 @@ object PipelineOps {
       def audit(df: DataFrame, rel: String, keyCol: String): DataFrame = {
         val gc = df.groupBy(col(keyCol).cast("long").as("key"))
           .agg(count(lit(1)).as("c"))
-        val ranked = gc
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("c"), col("key"))))
-          .withColumn("nd", count(lit(1)).over(
-            Window.partitionBy()))
+        // staged rank (r13, Ranks.scala): the per-key count frame is
+        // key-domain-sized — corpus-scale for near-unique keys — so its
+        // percentile ranks must not ride a single-partition window; the
+        // count value itself is the (bounded-domain) bucket
+        val ranked = Ranks.stagedGlobalRank(gc, col("c"),
+          Seq(col("c"), col("key")), "rk", "nd")
         ranked.agg(
             sum("c").as("n_rows"), max("nd").as("ndv"), max("c").as("top1"),
             min(when(col("rk") === expr("(50 * nd + 99) DIV 100"),
@@ -3370,7 +3371,7 @@ object PipelineOps {
     // partitioner, the q87 stance), 3-row output.
     "q425_curriculum_schedule" -> ((s, d) => {
       graft.Tables.view(s, d, "documents")
-      s.sql("""
+      val scored = s.sql("""
         WITH c AS (
           SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
                  aggregate(filter(split(lower(text), ' '),
@@ -3380,22 +3381,24 @@ object PipelineOps {
                      's', acc.s + CAST(regexp_count(w, '[aeiou]+')
                                        AS BIGINT),
                      'w', acc.w + 1L)) AS sw
-          FROM documents),
-        scored AS (
-          SELECT doc_id, n_chars,
-                 CAST((2 * sw.s * 10000 + sw.w) DIV (2 * sw.w)
-                      AS BIGINT) AS complexity_e4
-          FROM c WHERE sw.w > 0),
-        phased AS (
-          SELECT doc_id, n_chars, complexity_e4,
-                 ntile(3) OVER (ORDER BY complexity_e4, doc_id)
-                   AS phase
-          FROM scored)
-        SELECT phase, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(n_chars) AS BIGINT) AS char_budget,
-               CAST(min(complexity_e4) AS BIGINT) AS min_complexity,
-               CAST(max(complexity_e4) AS BIGINT) AS max_complexity
-        FROM phased GROUP BY phase ORDER BY phase""")
+          FROM documents)
+        SELECT doc_id, n_chars,
+               CAST((2 * sw.s * 10000 + sw.w) DIV (2 * sw.w)
+                    AS BIGINT) AS complexity_e4
+        FROM c WHERE sw.w > 0""")
+      // staged thirds (r13, Ranks.scala): the SQL ntile(3) rode a
+      // single-partition sort of the scored corpus — complexity_e4
+      // (bounded e4 ratio domain) is the bucket, doc_id the tie order
+      Ranks.stagedGlobalRank(scored, col("complexity_e4"),
+          Seq(col("complexity_e4"), col("doc_id")), "gr", "nt")
+        .withColumn("phase",
+          Ranks.ntileFromRank(col("gr"), col("nt"), 3).cast("int"))
+        .groupBy("phase")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("char_budget"),
+          min("complexity_e4").as("min_complexity"),
+          max("complexity_e4").as("max_complexity"))
+        .orderBy("phase")
     }),
 
     // KRUSKAL–WALLIS H — the k-sample generalization of q317's

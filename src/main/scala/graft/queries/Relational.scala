@@ -3705,9 +3705,11 @@ object Relational {
           "(2 * sab * 10000 + s_a) DIV (2 * s_a) AS conf_bp",
           "round((CAST(sab AS DOUBLE) * nt)" +
             " / (CAST(s_a AS DOUBLE) * s_b), 4) AS lift")
-        .withColumn("rk", row_number().over(Window.orderBy(
-          col("conf_bp").desc, col("ia"), col("ib"))))
-        .filter(col("rk") <= 15)
+        // top-15 via TakeOrderedAndProject (r13): the rank column was
+        // dropped anyway, so a global row_number window (single-partition
+        // sort of the whole rule frame) buys nothing a distributed
+        // top-k doesn't
+        .orderBy(col("conf_bp").desc, col("ia"), col("ib")).limit(15)
         .select("ia", "ib", "sab", "s_a", "s_b", "conf_bp", "lift")
         .orderBy("ia", "ib")
     }),
@@ -4793,13 +4795,20 @@ object Relational {
     // the question never arise). Quartiles are one corpus-ranked
     // ntile (q425 stance).
     "q462_gk_gamma" -> ((s, d) => {
-      val cells = ld(s, d, "orders")
-        .selectExpr("CAST(substr(o_orderpriority, 1, 1) AS INT)" +
-          " AS g",
-          "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)" +
-            " AS cents", "o_orderkey")
-        .withColumn("b", ntile(4).over(
-          Window.orderBy("cents", "o_orderkey")))
+      // staged quartiles (r13, Ranks.scala): the corpus-wide ntile(4)
+      // rode a single-partition sort of every order — bucket by a cents
+      // prefix (monotone), rank within buckets keyed, ANSI-ntile closed
+      // form from (rank, n)
+      val cells = Ranks.stagedGlobalRank(
+          ld(s, d, "orders")
+            .selectExpr("CAST(substr(o_orderpriority, 1, 1) AS INT)" +
+              " AS g",
+              "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)" +
+                " AS cents", "o_orderkey"),
+          expr("cents DIV 1000000"), Seq(col("cents"), col("o_orderkey")),
+          "gr", "nt")
+        .withColumn("b", Ranks.ntileFromRank(col("gr"), col("nt"), 4)
+          .cast("int"))
         .groupBy("g", "b").agg(count(lit(1)).as("n"))
         .localCheckpoint()
       val pairs = cells.as("x").crossJoin(broadcast(cells.as("y")))

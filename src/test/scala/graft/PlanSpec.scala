@@ -637,16 +637,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q172: skew audit is two scans + map-side-combined group counts; " +
-    "rank windows never see row data, and nothing joins") {
+    "rank windows never see row data, and the only joins are the two " +
+    "staged-rank offset broadcasts") {
     val p = plan("q172_skew_audit")
+    // r13: the per-key count frames rank via Ranks.stagedGlobalRank —
+    // their eager pins hide the parquet scans behind Scan ExistingRDD,
+    // and each audit branch attaches its bounded offset table by
+    // broadcast; no other join shape may appear
     assert(p.linesIterator
-      .count(_.matches("""\(\d+\) Scan parquet\s*""")) == 2,
-      "one scan per audited relation")
-    assert(!p.matches("""(?s).*\(\d+\) [A-Za-z]*Join.*"""),
-      "the audit must not join")
-    assert(p.linesIterator
-      .count(_.matches("""\(\d+\) HashAggregate""")) >= 4,
-      "group counts must be partial+final on both branches")
+      .count(_.matches("""\(\d+\) BroadcastHashJoin""")) == 2,
+      "exactly the two staged-rank offset broadcasts")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("NestedLoop"), "the audit must not join row data")
   }
 
   test("q173: merkle digests fold map-side and meet in ONE full-outer " +
@@ -2884,12 +2886,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q419: exponential fit — moment fit and ECDF rank branch off " +
-    "the checkpointed gap frame; one global rank window") {
+    "the checkpointed gap frame; the ECDF rank is staged (bucket-keyed " +
+    "fine window + offset broadcast), never a global sort") {
     val p = plan("q419_exponential_fit")
     assert(p.linesIterator.count(
       _.matches("""\(\d+\) Scan parquet\s*""")) == 0)
+    // r13: two Windows — the bounded offset cumsum over the bucket
+    // rollup and the bucket-keyed fine rank; the offset attach is the
+    // only broadcast hash join (the 1-row moment frame still crosses
+    // by BNLJ as before)
     assert(p.linesIterator.count(
-      _.matches("""\(\d+\) Window\s*""")) == 1)
+      _.matches("""\(\d+\) Window\s*""")) == 2)
+    assert(p.linesIterator.count(
+      _.matches("""\(\d+\) BroadcastHashJoin""")) == 1,
+      "exactly the staged-rank offset broadcast")
   }
 
   test("q420: LIKE quantifiers — one dimension scan, four codegen'd " +
@@ -2937,14 +2947,21 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"))
   }
 
-  test("q425: curriculum — one scan, one corpus-ranked ntile window, " +
-    "3-row output, no join") {
+  test("q425: curriculum — staged thirds over the scored frame, " +
+    "3-row output, offset broadcast is the only join") {
     val p = plan("q425_curriculum_schedule")
+    // r13: the corpus ntile became a staged rank — the scored frame is
+    // pinned (Scan ExistingRDD), the fine window is bucket-keyed, and
+    // the bounded offset table attaches by broadcast
+    // three Windows: offset cumsum + totals over the bounded bucket
+    // rollup, and the bucket-keyed fine rank
     assert(p.linesIterator.count(
-      _.matches("""\(\d+\) Scan parquet\s*""")) == 1)
+      _.matches("""\(\d+\) Window\s*""")) == 3)
     assert(p.linesIterator.count(
-      _.matches("""\(\d+\) Window\s*""")) == 1)
-    assert(!p.contains("Join"))
+      _.matches("""\(\d+\) BroadcastHashJoin""")) == 1,
+      "exactly the staged-rank offset broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("NestedLoop"))
   }
 
   test("q426: Kruskal–Wallis — rank prefix, group sums, and tie sum " +
