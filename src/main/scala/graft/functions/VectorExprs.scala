@@ -22,13 +22,37 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  /** NULL ELEMENT semantics (r13): a null element anywhere in either
+    * array yields a NULL result — SQL's contagion rule, matching what
+    * the declarative zip_with/aggregate form produces. Pre-r13 the
+    * kernel read the element slot raw, which on a null decodes as 0.0 —
+    * the AsOf-unbox silent-wrong-answer class. The element checks are
+    * SCHEMA-AWARE: they are emitted only for a side whose ArrayType
+    * admits null elements (a compile-time constant), so inputs typed
+    * containsNull = false — what [[VectorExprs.elementsNotNull]]
+    * produces after its one-pass per-ROW seam validation — keep the
+    * original branch-free multiply loop (a naive per-element check in
+    * the pair loop measured q62 2.24 → 3.06 s at sf0.1). */
+  @transient private lazy val checkLeft: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull
+  @transient private lazy val checkRight: Boolean =
+    right.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || checkLeft || checkRight
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if ((checkLeft && x.isNullAt(i)) || (checkRight && y.isNullAt(i)))
+        return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -37,10 +61,15 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val guards = (if (checkLeft) Seq(s"$x.isNullAt($i)") else Nil) ++
+        (if (checkRight) Seq(s"$y.isNullAt($i)") else Nil)
+      val guard = if (guards.isEmpty) ""
+        else s"if (${guards.mkString(" || ")}) { ${ev.isNull} = true; break; }"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $guard
          |  $s += $x.getDouble($i) * $y.getDouble($i);
          |}
          |${ev.value} = $s;
@@ -69,15 +98,34 @@ case class HyperplaneBands(child: Expression, planes: Seq[Seq[Double]],
   @transient private lazy val dim: Int = planes.head.length
   @transient private lazy val flat: Array[Double] = planes.flatten.toArray
 
+  /** NULL ELEMENT semantics (r13, DotProduct's rule): any null element
+    * yields a NULL result instead of silently reading the slot as 0.0
+    * and banding a garbage projection. Schema-aware like DotProduct —
+    * the scan is skipped entirely when the input's ArrayType is typed
+    * containsNull = false (the elementsNotNull seam). The scan is
+    * per-ROW here (not per pair), so even the nullable-schema cost is
+    * one bitmap pass per vector. */
+  @transient private lazy val checkElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean = child.nullable || checkElems
+
   def compute(a: ArrayData): ArrayData = {
+    val n0 = math.min(a.numElements(), dim)
+    if (checkElems) {
+      var j = 0
+      while (j < n0) {
+        if (a.isNullAt(j)) return null
+        j += 1
+      }
+    }
     val out = new Array[Int](planes.length / rowsPerBand)
     var p = 0
     while (p < planes.length) {
-      val n = math.min(a.numElements(), dim)
       val off = p * dim
       var s = 0.0
       var i = 0
-      while (i < n) { s += a.getDouble(i) * flat(off + i); i += 1 }
+      while (i < n0) { s += a.getDouble(i) * flat(off + i); i += 1 }
       if (s > 0) out(p / rowsPerBand) |= 1 << (p % rowsPerBand)
       p += 1
     }
@@ -90,7 +138,58 @@ case class HyperplaneBands(child: Expression, planes: Seq[Seq[Double]],
     nullSafeCodeGen(ctx, ev, { x =>
       val ref = ctx.addReferenceObj("graftBands", this,
         classOf[HyperplaneBands].getName)
-      s"${ev.value} = $ref.compute($x);"
+      s"""
+         |${ev.value} = $ref.compute($x);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Seam validation for vector columns (r13): one bitmap pass per ROW that
+  * throws on a null element (corrupt vector — an index build should fail
+  * loudly, not silently drop or null-propagate) and, crucially, NARROWS
+  * the output type to containsNull = false. Downstream [[DotProduct]] /
+  * [[HyperplaneBands]] are schema-aware, so everything after this seam
+  * keeps the branch-free pair loops — per-ROW validation buys per-PAIR
+  * fast paths (the all-pairs kernels run O(n²) element reads; this runs
+  * O(n)). */
+case class AssertArrayElementsNotNull(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    child.dataType.asInstanceOf[ArrayType].copy(containsNull = false)
+  override def prettyName: String = "graft_elements_not_null"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (x.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_elements_not_null: null element at index $i — corrupt " +
+          "vector; clean or drop the row upstream")
+      i += 1
+    }
+    x
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { x =>
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $x.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_elements_not_null: null element at index " + $i +
+         |      " — corrupt vector; clean or drop the row upstream");
+         |  }
+         |}
+         |${ev.value} = $x;
+       """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -103,6 +202,13 @@ object VectorExprs {
 
   private def toCol(e: Expression): Column =
     ColumnBridge.toColumn(e)
+
+  /** Validate-and-narrow seam: asserts every element non-null (throws on
+    * corrupt vectors) and types the result containsNull = false so the
+    * pair kernels skip their element guards. Apply ONCE at the load
+    * projection, before any all-pairs work. */
+  def elementsNotNull(a: Column): Column =
+    toCol(AssertArrayElementsNotNull(toExpr(a.cast("array<double>"))))
 
   /** Σ a[i]·b[i] in double with sequential fold — codegen'd native loop. */
   def dotp(a: Column, b: Column): Column =

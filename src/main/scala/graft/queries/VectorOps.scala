@@ -70,7 +70,12 @@ object VectorOps {
     * PAIR: ~4M allocations at sf0.1.) */
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("emb"))
+        // elementsNotNull (r13): one per-ROW validation pass that throws
+        // on corrupt vectors AND narrows the type to containsNull=false,
+        // so every downstream all-pairs dotp/bands kernel keeps its
+        // branch-free loop (the schema-aware guards compile away)
+        graft.functions.VectorExprs.elementsNotNull(col("embedding"))
+          .as("emb"))
       .withColumn("nrm", sqrt(dotp(col("emb"), col("emb"))))
 
   /** K-means building blocks shared by q65 (one unrolled iteration) and
@@ -331,7 +336,9 @@ object VectorOps {
     // memo (the dishonest baseline the r12 hygiene fix removed).
     "q111_semdedup" -> ((s, d) => {
       val v = ld(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("ce"))
+        .select(col("vec_id"), // narrowed seam: pair-loop dotp below
+          graft.functions.VectorExprs.elementsNotNull(col("embedding"))
+            .as("ce"))
       val c0 = v.filter(col("vec_id") < 4)
         .select(col("vec_id").as("cid"), col("ce").as("cc"))
       val c1 = kRecenter(kAssign(v, c0))

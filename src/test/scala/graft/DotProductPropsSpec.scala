@@ -39,6 +39,31 @@ class DotProductPropsSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == want)
   }
 
+  test("null ELEMENT anywhere in either side yields NULL, not a silent " +
+    "0.0-slot read (r13 kernel contract; the AsOf-unbox bug class)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[Option[Double]](Some(1.0), Some(2.0)),
+        Seq[Option[Double]](Some(3.0), Some(4.0))),
+      (2L, Seq[Option[Double]](Some(1.0), None),
+        Seq[Option[Double]](Some(3.0), Some(4.0))),
+      (3L, Seq[Option[Double]](Some(1.0), Some(2.0)),
+        Seq[Option[Double]](None, Some(4.0))))
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        graft.functions.VectorExprs.dotp(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(1L -> Some(11.0), 2L -> None, 3L -> None))
+    // bands: a null element nulls the whole key array — a corrupt vector
+    // must never land in a bucket
+    val planes = Seq.fill(16)(Seq(0.5, -0.5))
+    val bk = df.select(col("id"),
+        graft.functions.VectorExprs.bands(col("a"), planes, 16).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(bk == Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
   test("dotp is symmetric; empty arrays give zero") {
     import spark.implicits._
     val pairs = samples(Gen.zip(vecGen, vecGen), 50)
