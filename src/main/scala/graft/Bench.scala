@@ -65,6 +65,44 @@ object Bench {
 
   private val CalEvery = 8 // one calibration sample per 8 queries (~+2 % runtime)
 
+  /** SELF-ADJUDICATION (r14): two straight rounds lost judge/builder
+    * cycles to unflagged host-load phantoms (r12 q11; r13 q324, whose
+    * measured triple [3.1, 55.2, 25.7] s — a 17.7× within-query spread —
+    * sailed into the round artifact as a silent "green" 25.7 s median).
+    * The bench now adjudicates its own outliers in-run: a query whose
+    * triple spreads >[[SpreadFlag]]× (and isn't trivially fast), or whose
+    * calibration RATIO exceeds 2× its newest committed local ratio (the
+    * load-invariant comparison — absolute seconds swing ±35 % with host
+    * load), is re-measured ONCE in a clean window (post-teardown, after
+    * an adjacent calibration sample). The per-query line then carries
+    * `load_suspect:true` + `recheck_sec`/`recheck_cal`/`recheck_ratio`
+    * (+ the committed numbers), and the summary lists the suspects plus
+    * `suspect_excess_sec` = Σ max(0, median − recheck) — the total's
+    * load-phantom inflation, readable at a glance. The MEDIAN stays the
+    * reported `sec` (the artifact records what was measured; the
+    * annotation is the adjudication). */
+  private val SpreadFlag = 3.0
+
+  /** Newest committed per-query detail (BENCH_DETAIL_r*_local.jsonl):
+    * name → (sec, ratio). The ratio is the round-over-round comparable
+    * number; seconds are kept for the annotation only. */
+  private def committedDetail(): Map[String, (Double, Double)] = {
+    val re = """BENCH_DETAIL_r(\d+)_local\.jsonl""".r
+    val line =
+      """"bench_query":"([^"]+)","sec":([0-9.]+),"ratio":([0-9.]+)""".r
+    Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case re(n) => Some((n.toInt, f))
+        case _ => None
+      })
+      .sortBy(-_._1).headOption.map { case (_, f) =>
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().flatMap(line.findFirstMatchIn(_).map(m =>
+          m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))).toMap
+        finally src.close()
+      }.getOrElse(Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -116,6 +154,11 @@ object Bench {
     // it, so the per-round artifact always covers the full inventory).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val committed = committedDetail()
+    // Subset mode samples calibration per-QUERY: r13's judge adjudication
+    // ran 7 queries against ONE baseline sample (cal n=1) — outlier
+    // adjudication needs a sample adjacent to each measured query.
+    val calEvery = if (only.isDefined) 1 else CalEvery
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -123,7 +166,7 @@ object Bench {
       // sample lets one GC pause skew the ratio of the next CalEvery
       // queries — the exact noise the calibration exists to remove.
       // 3 × ~0.3 s every 8 queries keeps overhead well under 2 %.
-      if (sinceCal >= CalEvery) {
+      if (sinceCal >= calEvery) {
         calSamples += median((1 to 3).map(_ => calibrate(spark)))
         sinceCal = 0
       }
@@ -161,40 +204,85 @@ object Bench {
       // gets dropped. See Artifacts' scaladoc + BASELINE.md for the
       // declaration and the r12 driver evidence that per-run re-training
       // both misprices the PQ family and starves its neighbors.
-      queries.Relational.clearShared()
-      queries.PipelineOps.clearShared()
-      spark.sharedState.cacheManager.clearCache()
-      val artifactIds = graft.engine.Artifacts.pinnedRddIds
-      spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => artifactIds.contains(id) }
-        .values.foreach(_.unpersist(blocking = true))
-      // Full GC between queries: the r12 driver anomaly (q11 at 7.66 s /
-      // 16.7× right after the checkpoint-heavy q119, runs still
-      // ESCALATING 4.6→8.3 s, vs 1.12 s isolated) is collection debt from
-      // the predecessor's freed blocks landing inside the successor's
-      // measured window. Paying it here, outside every window, costs
-      // ~0.1 s/query and makes medians attributable to the query's own
-      // plan.
-      System.gc()
+      def teardown(): Unit = {
+        queries.Relational.clearShared()
+        queries.PipelineOps.clearShared()
+        spark.sharedState.cacheManager.clearCache()
+        val artifactIds = graft.engine.Artifacts.pinnedRddIds
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => artifactIds.contains(id) }
+          .values.foreach(_.unpersist(blocking = true))
+        // Full GC between queries: the r12 driver anomaly (q11 at 7.66 s /
+        // 16.7× right after the checkpoint-heavy q119, runs still
+        // ESCALATING 4.6→8.3 s, vs 1.12 s isolated) is collection debt from
+        // the predecessor's freed blocks landing inside the successor's
+        // measured window. Paying it here, outside every window, costs
+        // ~0.1 s/query and makes medians attributable to the query's own
+        // plan.
+        System.gc()
+      }
+      teardown()
       val runs = times.map(_.map(f3).getOrElse("null")).mkString("[", ",", "]")
       val cal = calSamples.last
       val med = if (ok.nonEmpty) Some(median(ok)) else None
+      // Self-adjudication (see SpreadFlag scaladoc): flag on within-triple
+      // spread OR on the load-invariant ratio-vs-committed comparison, with
+      // a 0.3 s materiality floor on both (sub-0.3 s spreads are scheduler
+      // noise on queries too cheap to matter).
+      val spreadSuspect = ok.size >= 2 && ok.min > 0 &&
+        ok.max / ok.min > SpreadFlag && ok.max >= 0.3
+      val cm = committed.get(name)
+      val ratioSuspect = (med, cm) match {
+        case (Some(m), Some((cSec, cRatio))) =>
+          m / cal > 2 * cRatio && m - cSec >= 0.3
+        case _ => false
+      }
+      val suspect = med.isDefined && (spreadSuspect || ratioSuspect)
+      // Re-measure ONCE in a clean window: teardown already ran, an
+      // adjacent calibration sample prices the host right now, and the
+      // query is warm — a load phantom re-measures at its committed level,
+      // a real regression reproduces. Tear down again after, so the
+      // recheck's own scratch never lands in the next query's window.
+      val (recheckCal, recheckSec) =
+        if (suspect) {
+          val c = calibrate(spark)
+          val r = run()
+          teardown()
+          (Some(c), r)
+        } else (None, None)
       val sec = med.map(f3).getOrElse("null")
       val ratio = med.map(m => f3(m / cal)).getOrElse("null")
       val anyFail = warm.isEmpty || ok.size < times.size
       val err = if (anyFail) ",\"err\":true" else ""
       val warmS = warm.map(f3).getOrElse("null")
-      emit(s"""{"bench_query":"$name","sec":$sec,"ratio":$ratio,"cal":${f3(cal)},"warm":$warmS,"runs":$runs$err}""")
-      (name, med, anyFail, med.map(_ / cal))
+      val adjudication = if (!suspect) "" else {
+        val sb = new StringBuilder(",\"load_suspect\":true")
+        recheckSec.foreach(r => sb ++= s""","recheck_sec":${f3(r)}""")
+        recheckCal.foreach(c => sb ++= s""","recheck_cal":${f3(c)}""")
+        for (r <- recheckSec; c <- recheckCal)
+          sb ++= s""","recheck_ratio":${f3(r / c)}"""
+        cm.foreach { case (cSec, cRatio) =>
+          sb ++= s""","committed_sec":${f3(cSec)},"committed_ratio":${f3(cRatio)}"""
+        }
+        sb.toString
+      }
+      emit(s"""{"bench_query":"$name","sec":$sec,"ratio":$ratio,"cal":${f3(cal)},"warm":$warmS,"runs":$runs$err$adjudication}""")
+      val excess = if (suspect) {
+        for (m <- med; r <- recheckSec) yield math.max(0.0, m - r)
+      } else None
+      (name, med, anyFail, med.map(_ / cal), suspect, excess)
     }
-    val good = results.collect { case (k, Some(v), _, _) => k -> v }
-    val ratios = results.collect { case (k, _, _, Some(r)) => k -> r }.toMap
-    val failed = results.collect { case (k, None, _, _) => k }
+    val good = results.collect { case (k, Some(v), _, _, _, _) => k -> v }
+    val ratios = results.collect { case (k, _, _, Some(r), _, _) => k -> r }.toMap
+    val failed = results.collect { case (k, None, _, _, _, _) => k }
     // flaky = succeeded at least once but also threw at least once; the
     // per-query err line can scroll out of the driver's tail, so surface
     // them in the summary too — a 50%-reproducible crash must not read as
     // a green run.
-    val flaky = results.collect { case (k, Some(_), true, _) => k }
+    val flaky = results.collect { case (k, Some(_), true, _, _, _) => k }
+    val suspects = results.collect { case (k, _, _, _, true, _) => k }
+    val suspectExcess = results.collect {
+      case (_, _, _, _, true, Some(e)) => e }.sum
     val slowest = good.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val slowestRatio = good.sortBy(-_._2).take(10)
@@ -203,9 +291,14 @@ object Bench {
     def names(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = f3(good.map(_._2).sum)
     val calJson = s"""{"med":${f3(median(calSamples.toSeq))},"min":${f3(calSamples.min)},"max":${f3(calSamples.max)},"n":${calSamples.size}}"""
+    // Suspect block stays bounded (cap 12 names + count + excess): a
+    // uniformly loaded host could flag dozens, and the summary must stay
+    // under the driver's tail budget.
+    val suspectJson =
+      s""""suspect":${names(suspects.take(12))},"n_suspect":${suspects.size},"suspect_excess_sec":${f3(suspectExcess)}"""
     // Summary stays <1.5 KB and is the absolute last stdout line so the
     // driver's tail capture always ends with a complete JSON record.
-    emit(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${good.size},"cal":$calJson,"failed":${names(failed)},"flaky":${names(flaky)},"slowest":$slowest,"slowest_ratio":$slowestRatio}""")
+    emit(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${good.size},"cal":$calJson,"failed":${names(failed)},"flaky":${names(flaky)},$suspectJson,"slowest":$slowest,"slowest_ratio":$slowestRatio}""")
     detail.close()
     spark.stop()
   }

@@ -48,6 +48,27 @@ object Artifacts {
   private val pinned: java.util.Set[Integer] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
 
+  /** The cache is process-global but its values (DataFrames, RDD-id pins)
+    * are bound to ONE SparkContext. A caller whose context was stopped and
+    * re-created (getOrCreate after stop) must not be served a frame bound
+    * to the dead context — and stale pinned ids from a dead context can
+    * COLLIDE with fresh RDD ids (ids restart per context), shielding new
+    * scratch blocks from the bench teardown. Bind the cache to the
+    * applicationId and drop everything when it changes. Sessions SHARING a
+    * context (newSession) intentionally keep sharing artifacts: the blocks
+    * live at the context level, like the durable tables they model. */
+  @volatile private var boundApp: String = null
+  private def rebind(spark: SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    if (boundApp != app) this.synchronized {
+      if (boundApp != app) {
+        cache.clear()
+        pinned.clear()
+        boundApp = app
+      }
+    }
+  }
+
   /** RDD ids whose blocks belong to a declared artifact — the bench
     * teardown must not unpersist these. */
   def pinnedRddIds: Set[Int] = pinned.asScala.map(_.intValue).toSet
@@ -56,6 +77,7 @@ object Artifacts {
     * (DataFrame.localCheckpoint() is eager by default) so the persistent-
     * RDD diff captures exactly the artifact's blocks. */
   def memo[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
+    rebind(spark)
     val hit = cache.get(key)
     if (hit != null) return hit.asInstanceOf[T]
     // One builder at a time: a concurrent double-build would pin two

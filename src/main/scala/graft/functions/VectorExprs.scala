@@ -24,9 +24,19 @@ case class DotProduct(left: Expression, right: Expression)
 
   /** NULL ELEMENT semantics (r13): a null element anywhere in either
     * array yields a NULL result — SQL's contagion rule, matching what
-    * the declarative zip_with/aggregate form produces. Pre-r13 the
-    * kernel read the element slot raw, which on a null decodes as 0.0 —
-    * the AsOf-unbox silent-wrong-answer class. The element checks are
+    * the declarative zip_with/aggregate form produces FOR EQUAL-LENGTH
+    * inputs (the seam-validated embedding case this kernel serves).
+    * Scope note (r14, ADVICE): on UNEQUAL lengths the kernel keeps its
+    * documented, spec-pinned truncate-to-common-prefix contract
+    * (DotProductPropsSpec pins it over random unequal pairs), whereas
+    * zip_with null-pads the shorter side and the declarative sum goes
+    * NULL — so the zip_with parity claim does NOT extend to mismatched
+    * lengths, and neither does the nullable derivation below (which is
+    * exact for this kernel's own semantics: it never returns null for
+    * containsNull=false inputs, because it never reads a padded slot).
+    * Pre-r13 the kernel read the element slot raw, which on a null
+    * decodes as 0.0 — the AsOf-unbox silent-wrong-answer class. The
+    * element checks are
     * SCHEMA-AWARE: they are emitted only for a side whose ArrayType
     * admits null elements (a compile-time constant), so inputs typed
     * containsNull = false — what [[VectorExprs.elementsNotNull]]

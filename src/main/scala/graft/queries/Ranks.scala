@@ -46,9 +46,126 @@ object Ranks {
       .withColumn(totalCol, sum("_rk_nb").over(Window.partitionBy()))
       .select(col("_rk_bkt"), col("_rk_off"), col(totalCol))
     val wb = Window.partitionBy("_rk_bkt").orderBy(order: _*)
-    b.join(broadcast(offs), "_rk_bkt")
+    // NULL-SAFE bucket join (r14, ADVICE): a plain equi-join drops any row
+    // whose bucket evaluates to NULL while the offset frame still counts it
+    // (the null group survives the groupBy and is summed into the running
+    // offset) — ranks would shift and rows silently vanish. `<=>` keeps the
+    // null-bucket rows, and since the offset window's ASC order puts nulls
+    // FIRST, they get offset 0 — exactly the NULLS FIRST placement of the
+    // single-partition row_number() this helper replaces. Still a broadcast
+    // hash join: EqualNullSafe is an equi-join key.
+    val offsR = offs.withColumnRenamed("_rk_bkt", "_rk_bkt_o")
+    b.join(broadcast(offsR), col("_rk_bkt") <=> col("_rk_bkt_o"))
       .withColumn(rankCol, col("_rk_off") + row_number().over(wb))
-      .drop("_rk_bkt", "_rk_off")
+      .drop("_rk_bkt", "_rk_bkt_o", "_rk_off")
+  }
+
+  /** Per-group NTILE(t) COUNTS without ranking every row (r14).
+    *
+    * Equivalent to
+    * {{{
+    *   stagedGlobalRank(df, bucket, order, "r", "n")
+    *     .withColumn(tileCol, ntileFromRank(col("r"), col("n"), t))
+    *     .groupBy(groupCols :+ tileCol).count()
+    * }}}
+    * but the only rows that ever see a row_number are those in buckets a
+    * tile boundary cuts THROUGH (at most t−1 buckets): a bucket wholly
+    * inside one tile contributes its per-group counts wholesale from the
+    * coarse (bucket × group) aggregate — the keyed, map-side-combined
+    * pass the caller's own final groupBy already implies. r13's general
+    * staged rank paid a corpus checkpoint + broadcast join + keyed window
+    * to assign per-row ranks the caller's groupBy immediately discarded
+    * (q460 0.32→0.79 s, q462 0.39→0.85 s local); this shape is cheaper
+    * than BOTH the general helper and the single-partition window it
+    * replaced, and at scale the fine window touches only the straddler
+    * buckets' rows (a pushdown-able bucket filter on the re-scan).
+    *
+    * Bit-identity: a row's tile depends only on its global rank; in a
+    * non-straddler bucket every rank maps to the same tile, so those
+    * counts are order-free; straddler rows get the exact
+    * (bucket offset + within-bucket row_number over `order`) rank of the
+    * general helper. Callers pass total tie-breaking order keys, as they
+    * already did. Null buckets follow stagedGlobalRank's NULLS FIRST
+    * placement (range-frame offsets order nulls first; the straddler
+    * filter and offset literals carry explicit isNull branches).
+    *
+    * Returns one row per (groupCols…, tileCol) with `cntCol` (BIGINT);
+    * tiles with zero rows for a group are absent, as with the groupBy
+    * form. `bucket` must be monotone non-decreasing along `order`, and
+    * `groupCols` must name existing columns of `df`. */
+  def stagedNtileCounts(df: DataFrame, bucket: Column, order: Seq[Column],
+      t: Int, groupCols: Seq[String], tileCol: String,
+      cntCol: String): DataFrame = {
+    val gCols = groupCols.map(col)
+    val b = df.withColumn("_nt_bkt", bucket)
+    // coarse cells: (bucket × group) counts — bounded by the bucket/group
+    // domain at any corpus size; pinned because the straddler probe, the
+    // whole-bucket emission, and the final union all branch off it.
+    // coalesce(1): every downstream stage over this bounded frame becomes
+    // a single task — at local bench scale the fold's cost is pure stage
+    // machinery, and 32 tasks per tiny stage dominated the corpus work.
+    val cells = b.groupBy(col("_nt_bkt") +: gCols: _*)
+      .agg(count(lit(1)).as("_nt_c")).coalesce(1).localCheckpoint()
+    // Bucket offset/total/size via RANGE-frame windows DIRECTLY on cells
+    // (no bucket-grain groupBy + join back): the offset is the mass of
+    // strictly smaller buckets — rangeBetween(…, -1) over the bucket
+    // value; nulls order first, so a null bucket gets offset 0 and its
+    // mass precedes every non-null bucket — stagedGlobalRank's NULLS
+    // FIRST placement (pinned in RanksSpec).
+    // (for the null bucket itself a RANGE frame spans its own peer group
+    // — measured — so it is pinned to offset 0 explicitly)
+    val ann = cells
+      .withColumn("_nt_off", when(col("_nt_bkt").isNull, lit(0L))
+        .otherwise(coalesce(sum("_nt_c").over(
+          Window.orderBy("_nt_bkt")
+            .rangeBetween(Window.unboundedPreceding, -1)), lit(0L))))
+      .withColumn("_nt_nb",
+        sum("_nt_c").over(Window.partitionBy("_nt_bkt")))
+      .withColumn("_nt_n", sum("_nt_c").over(Window.partitionBy()))
+      .withColumn("_nt_t1",
+        ntileFromRank(col("_nt_off") + 1, col("_nt_n"), t))
+      .withColumn("_nt_t2",
+        ntileFromRank(col("_nt_off") + col("_nt_nb"), col("_nt_n"), t))
+    // whole buckets: first and last row share a tile → every row does —
+    // their cells pass straight through, no join, no ranking
+    val whole = ann.filter(col("_nt_t1") === col("_nt_t2"))
+      .select(gCols :+ col("_nt_t1").as(tileCol)
+        :+ col("_nt_c").as(cntCol): _*)
+    // straddler buckets (≤ t−1 BY CONSTRUCTION — bounded by the literal
+    // t, the bench's bounded-small collect class): collect (bucket,
+    // offset, total) and inline them as literals, so the re-scan gets a
+    // literal bucket filter that commutes BELOW the caller's projection
+    // (q460's per-row md5 arm runs only for surviving rows — without
+    // this the second pass re-paid the projection corpus-wide) and the
+    // fine rank needs no broadcast join at all.
+    val straddle = ann.filter(col("_nt_t1") =!= col("_nt_t2"))
+      .select("_nt_bkt", "_nt_off", "_nt_n").distinct().collect()
+    require(straddle.length < t, s"ntile($t) straddlers: ${straddle.length}")
+    val out = if (straddle.isEmpty) whole else {
+      val keys = straddle.map(_.get(0))
+      val nonNullKeys = keys.filter(_ != null).toSeq
+      val bktFilter = {
+        val in =
+          if (nonNullKeys.isEmpty) lit(false)
+          else col("_nt_bkt").isInCollection(nonNullKeys)
+        if (keys.contains(null)) in || col("_nt_bkt").isNull else in
+      }
+      val offExpr = straddle.foldLeft(lit(0L)) { (acc, r) =>
+        val cond = if (r.get(0) == null) col("_nt_bkt").isNull
+          else col("_nt_bkt") === lit(r.get(0))
+        when(cond, lit(r.getLong(1))).otherwise(acc)
+      }
+      val nTotal = lit(straddle.head.getLong(2))
+      val wf = Window.partitionBy("_nt_bkt").orderBy(order: _*)
+      val cut = b.filter(bktFilter)
+        .withColumn(tileCol, ntileFromRank(
+          offExpr + row_number().over(wf), nTotal, t))
+        .groupBy(gCols :+ col(tileCol): _*)
+        .agg(count(lit(1)).as(cntCol))
+        .select(gCols :+ col(tileCol) :+ col(cntCol): _*)
+      whole.unionByName(cut)
+    }
+    out.groupBy(gCols :+ col(tileCol): _*).agg(sum(cntCol).as(cntCol))
   }
 
   /** ANSI NTILE(t) from a 1-based global rank and the total count —

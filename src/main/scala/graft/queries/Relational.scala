@@ -4795,21 +4795,23 @@ object Relational {
     // the question never arise). Quartiles are one corpus-ranked
     // ntile (q425 stance).
     "q462_gk_gamma" -> ((s, d) => {
-      // staged quartiles (r13, Ranks.scala): the corpus-wide ntile(4)
-      // rode a single-partition sort of every order — bucket by a cents
-      // prefix (monotone), rank within buckets keyed, ANSI-ntile closed
-      // form from (rank, n)
-      val cells = Ranks.stagedGlobalRank(
+      // staged quartiles via ntile COUNTS (r14, Ranks.stagedNtileCounts):
+      // the query only needs the 5×4 (class × quartile) CELL TABLE, so
+      // only the ≤3 boundary-straddling cents buckets ever see a
+      // row_number — whole buckets contribute through the same coarse
+      // (bucket × class) aggregate the cell table already implies. r13's
+      // general staged rank checkpointed the corpus and ranked every
+      // order for ranks this groupBy immediately discarded (0.39→0.85 s
+      // local); selection is still bit-identical to the corpus ntile.
+      val cells = Ranks.stagedNtileCounts(
           ld(s, d, "orders")
             .selectExpr("CAST(substr(o_orderpriority, 1, 1) AS INT)" +
               " AS g",
               "CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)" +
                 " AS cents", "o_orderkey"),
           expr("cents DIV 1000000"), Seq(col("cents"), col("o_orderkey")),
-          "gr", "nt")
-        .withColumn("b", Ranks.ntileFromRank(col("gr"), col("nt"), 4)
-          .cast("int"))
-        .groupBy("g", "b").agg(count(lit(1)).as("n"))
+          4, Seq("g"), "b", "n")
+        .withColumn("b", col("b").cast("int"))
         .localCheckpoint()
       val pairs = cells.as("x").crossJoin(broadcast(cells.as("y")))
       pairs.agg(

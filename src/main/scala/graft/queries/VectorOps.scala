@@ -671,8 +671,15 @@ object VectorOps {
         .select(col("vec_id").as("doc_id"),
           round(dotp(col("qe"), col("emb")) / (col("qn") * col("nrm")), 6)
             .as("sim"))
+      // NaN guard (r14, ADVICE): a zero-norm embedding makes sim = 0/0 =
+      // NaN, which the non-ANSI double→bigint cast would send to bucket 0
+      // while the within-bucket DESC order ranks NaN GREATEST — wrong
+      // bucket, rank diverges from the single-window form. Spark's desc
+      // sort places NaN first, so NaN must land in the FIRST (smallest)
+      // bucket explicitly.
       val vecRank = Ranks.stagedGlobalRank(sims,
-          (-floor(col("sim") * 1000)).cast("bigint"),
+          when(isnan(col("sim")), lit(Long.MinValue))
+            .otherwise((-floor(col("sim") * 1000)).cast("bigint")),
           Seq(col("sim").desc, col("doc_id")), "vr", "_nv")
         .select(col("doc_id"), col("vr").cast("int").as("vec_rank"))
       lexRank.join(vecRank, Seq("doc_id"), "full_outer")

@@ -78,9 +78,16 @@ class ArtifactsSpec extends AnyFunSuite with SparkFixture {
     Artifacts.clearAll(spark)
     assert(Artifacts.pinnedRddIds.isEmpty)
     assert((persistedIds & created).isEmpty, "blocks must be gone")
-    // and the memo rebuilds cleanly afterwards
-    assert(Artifacts.memo(spark, "spec:clear") {
+    // and the memo rebuilds cleanly afterwards — with the NEW blocks
+    // re-pinned, so a post-rebuild teardown sweep won't drop the live
+    // artifact (the session-restart story the bench relies on)
+    val preRebuild = persistedIds
+    val rebuilt = Artifacts.memo(spark, "spec:clear") {
       spark.range(7).localCheckpoint()
-    }.count() == 7)
+    }
+    val rebuiltIds = persistedIds -- preRebuild
+    assert(rebuiltIds.nonEmpty && rebuiltIds.subsetOf(Artifacts.pinnedRddIds),
+      "rebuild after clearAll must re-pin its blocks")
+    assert(rebuilt.count() == 7)
   }
 }
