@@ -704,7 +704,10 @@ object VectorOps {
     // corpus use, since NEITHER side needs its raw vector; (2) PQ-code
     // BLOCKING: candidate pairs share ≥1 of their M=4 subspace codes (a
     // pigeonhole family: 4 "bands" of 16 values each) — a keyed
-    // equi-self-join on (m, code), never the n² product. The oracle
+    // equi-self-join on (m, code), never the n² product; past 6 000
+    // vectors the key widens to adjacent-subspace code PAIRS (see the
+    // adaptive-width comment at the cand join — corpus-size-dependent
+    // config, engine and oracle flip on the same in-plan count). The oracle
     // replays codebooks, codes, LUT, blocking, ranking, and mutuality
     // bit-for-bit (duckPqCtes — the checked contract is the deployed
     // pipeline, q61's stance). Per-pair distance = 4 integer LUT lookups
@@ -739,9 +742,34 @@ object VectorOps {
           col("v.cid").as("cb"),
           round(l2(col("u.cc"), col("v.cc")) * 1e6, 0).cast("bigint")
             .as("pdu"))
-      val cand = codes.as("x").hint("shuffle_hash")
-        .join(codes.as("y"),
+      // ADAPTIVE BLOCKING WIDTH (r14): the r14 ×8 scaling curve measured
+      // single-code blocking at slope 20.1 — with a FIXED domain of
+      // M=4 × K=16 buckets, per-bucket density grows with n and the
+      // candidate join goes quadratic (the same birthday effect the
+      // q67→q105 band-width pairing documents for simhash). Past 6 000
+      // vectors (committed corpora: 500 @ sf0.01, 2 000 @ sf0.1 — both
+      // stay narrow, outputs bit-identical) the blocking key widens to
+      // the code PAIR of cyclically adjacent subspaces (domain 16 → 256
+      // per m), the q105 move applied to PQ codes. The threshold is
+      // computed IN-PLAN from a broadcast 1-row count and the oracle
+      // replays the identical CASE rule, so engine and oracle flip
+      // together. bk2 = −1 on both sides when narrow — a constant
+      // equi-key, the join is unchanged.
+      val nv = codes.agg(countDistinct("vec_id").as("nv"))
+      val codes2 = codes.as("a")
+        .join(codes.as("b"),
+          col("a.vec_id") === col("b.vec_id") &&
+            col("b.m") === (col("a.m") + 1) % 4)
+        .select(col("a.vec_id"), col("a.m"), col("a.code"),
+          col("b.code").as("code2"))
+        .crossJoin(broadcast(nv))
+        .withColumn("bk2",
+          when(col("nv") > 6000, col("code2")).otherwise(lit(-1L)))
+        .select("vec_id", "m", "code", "bk2")
+      val cand = codes2.as("x").hint("shuffle_hash")
+        .join(codes2.as("y"),
           col("x.m") === col("y.m") && col("x.code") === col("y.code") &&
+            col("x.bk2") === col("y.bk2") &&
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
         .distinct()
@@ -2632,9 +2660,17 @@ object VectorOps {
                               CAST(round(${duckL2Sub("u.cc", "v.cc")}
                                          * 1000000) AS BIGINT) AS pdu
                        FROM c1 u JOIN c1 v ON u.m = v.m),
+              nv AS (SELECT count(DISTINCT vec_id) AS n FROM codes),
+              codes2 AS (SELECT a.vec_id, a.m, a.code,
+                                CASE WHEN (SELECT n FROM nv) > 6000
+                                     THEN b.code ELSE -1 END AS bk2
+                         FROM codes a JOIN codes b
+                           ON b.vec_id = a.vec_id
+                          AND b.m = (a.m + 1) % 4),
               cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
-                       FROM codes x JOIN codes y
+                       FROM codes2 x JOIN codes2 y
                          ON x.m = y.m AND x.code = y.code
+                        AND x.bk2 = y.bk2
                         AND x.vec_id < y.vec_id),
               sdc AS (SELECT va, vb, sum(pdu) AS du
                       FROM cand
