@@ -483,7 +483,10 @@ object EventOps {
     // incremental dedup, and the rung that makes the streaming dedup
     // story complete: new documents are probed against the accumulated
     // snapshot's simhash BAND-BUCKET index (q67's 8×8 banding over the
-    // native SimHash64 kernel), candidates confirmed by exact Hamming
+    // native SimHash64 kernel — the demo config; the r14 ×8 curve
+    // measured fixed 8-bit bands superlinear at corpus scale, where the
+    // q105 4×16 pairing is the config a production snapshot index would
+    // carry, same join shape), candidates confirmed by exact Hamming
     // ≤ 6 — per microbatch, STATELESS on the stream. The snapshot index
     // is the static join side (at 100 TB a bucket-keyed table the stream
     // shuffles against per batch — shuffle_hash-hinted, never broadcast,
