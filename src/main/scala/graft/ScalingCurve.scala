@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
 object ScalingCurve {
 
   private val Stretched =
-    Set("documents", "events", "lineitem", "supplier", "embeddings")
+    Set("documents", "events", "lineitem", "supplier", "embeddings",
+      "customer")
 
   private val DefaultQueries = Seq(
     "q101_dedup_components", "q410_graph_modularity",
@@ -55,7 +56,30 @@ object ScalingCurve {
       case "events" => remap(remap(x, "event_id"), "user_id")
       case "lineitem" => remap(remap(x, "l_partkey"), "l_suppkey")
       case "supplier" => remap(x, "s_suppkey")
-      case "embeddings" => remap(x, "vec_id")
+      case "customer" =>
+        // name salt must survive q189's single-character deletions
+        // without colliding across copies: a DOUBLED copy digit keeps
+        // any two copies' deletion variants ≥ 2 edits apart, so no
+        // cross-copy candidate pairs appear (the within-copy
+        // neighborhood structure is isomorphic to the original).
+        remap(x, "c_custkey").withColumn("c_name",
+          expr("concat('c', CAST(_cp AS STRING), CAST(_cp AS STRING)," +
+            " '_', c_name)"))
+      case "embeddings" =>
+        // Copies must be GEOMETRICALLY disjoint, not just id-disjoint:
+        // identical vectors would make every point's 7 clones exact
+        // near-dups (×64 within-cluster pairs by construction, not by
+        // defect). A per-(copy, dim) DETERMINISTIC SIGN FLIP is the
+        // honest stretch: s_i² = 1 keeps every within-copy dot product
+        // (and norm) bit-preserved — each copy is an isometric image of
+        // the original similarity structure — while cross-copy dots
+        // become ± sums that concentrate near 0, so no cross-copy
+        // near-dup edges appear. md5(copy, i) keeps it reproducible.
+        remap(x, "vec_id").withColumn("embedding",
+          expr("""transform(embedding, (v, i) -> v * CAST(
+                    1 - 2 * (CAST(conv(substr(md5(concat(
+                        CAST(_cp AS STRING), '#', CAST(i AS STRING))),
+                      1, 2), 16, 10) AS INT) % 2) AS FLOAT))"""))
     }
     out.drop("_cp")
   }
