@@ -85,11 +85,21 @@ object Bench {
 
   /** Newest committed per-query detail (BENCH_DETAIL_r*_local.jsonl):
     * name → (sec, ratio). The ratio is the round-over-round comparable
-    * number; seconds are kept for the annotation only. */
-  private def committedDetail(): Map[String, (Double, Double)] = {
+    * number; seconds are kept for the annotation only.
+    *
+    * SF GUARD (r15, ADVICE): ratios are only comparable at the SAME scale
+    * factor — a sf0.01 spot run compared against the committed sf0.1
+    * detail would mass-miss (or, inverted, mass-flag) load suspects. Every
+    * detail file now opens with a `bench_meta` line recording its sfDir;
+    * when the committed file's sf differs from the current run's, the
+    * ratio-vs-committed adjudication is disabled (empty map — the
+    * within-triple spread check still runs). Committed files predating the
+    * meta line are all full sf0.1 runs (r9–r14), the documented default. */
+  private def committedDetail(sfDir: String): Map[String, (Double, Double)] = {
     val re = """BENCH_DETAIL_r(\d+)_local\.jsonl""".r
     val line =
       """"bench_query":"([^"]+)","sec":([0-9.]+),"ratio":([0-9.]+)""".r
+    val metaRe = """"bench_meta":\{"sf":"([^"]+)"""".r
     Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
         case re(n) => Some((n.toInt, f))
@@ -97,9 +107,15 @@ object Bench {
       })
       .sortBy(-_._1).headOption.map { case (_, f) =>
         val src = scala.io.Source.fromFile(f)
-        try src.getLines().flatMap(line.findFirstMatchIn(_).map(m =>
-          m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))).toMap
-        finally src.close()
+        try {
+          val lines = src.getLines().toList
+          val committedSf = lines.iterator
+            .flatMap(metaRe.findFirstMatchIn(_).map(_.group(1)))
+            .nextOption().getOrElse("/root/testdata/sf0.1")
+          if (committedSf != sfDir) Map.empty[String, (Double, Double)]
+          else lines.flatMap(line.findFirstMatchIn(_).map(m =>
+            m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))).toMap
+        } finally src.close()
       }.getOrElse(Map.empty)
   }
 
@@ -128,6 +144,11 @@ object Bench {
     val detail = new java.io.PrintWriter(
       new java.io.FileWriter(detailPath, /*append=*/ false), /*autoFlush=*/ true)
     def emit(line: String): Unit = { println(line); detail.println(line) }
+    // Meta header: records the run's scale factor so committedDetail's
+    // sf guard (and the BenchRegressionSpec live gate) can refuse to
+    // compare ratios across different scales. Ignored by every line
+    // parser (no "bench_query" field).
+    emit(s"""{"bench_meta":{"sf":"$sfDir","iters":$iters,"cpus":$cpus}}""")
     // Warm up session, codegen, and parquet footer/file-listing caches so
     // the first measured query doesn't absorb one-time JVM costs. Per-table
     // try/catch: r10 died here (rc:1, zero timings) when one table's fixture
@@ -154,7 +175,7 @@ object Bench {
     // it, so the per-round artifact always covers the full inventory).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val committed = committedDetail()
+    val committed = committedDetail(sfDir)
     // Subset mode samples calibration per-QUERY: r13's judge adjudication
     // ran 7 queries against ONE baseline sample (cal n=1) — outlier
     // adjudication needs a sample adjacent to each measured query.
@@ -208,7 +229,7 @@ object Bench {
         queries.Relational.clearShared()
         queries.PipelineOps.clearShared()
         spark.sharedState.cacheManager.clearCache()
-        val artifactIds = graft.engine.Artifacts.pinnedRddIds
+        val artifactIds = graft.engine.Artifacts.pinnedRddIds(spark)
         spark.sparkContext.getPersistentRDDs
           .filterNot { case (id, _) => artifactIds.contains(id) }
           .values.foreach(_.unpersist(blocking = true))
@@ -245,6 +266,14 @@ object Bench {
       // recheck's own scratch never lands in the next query's window.
       val (recheckCal, recheckSec) =
         if (suspect) {
+          // One EXCLUDED warm pass first (r15, ADVICE): teardown() just
+          // cleared memos/cached scratch, and the measured medians
+          // exclude re-derivation via their own warm pass — a cold
+          // recheck is biased high for memo-heavy queries, deflating
+          // suspect_excess_sec and making a load phantom read as a
+          // reproduced regression. Then calibrate ADJACENT to the timed
+          // run, then measure.
+          run()
           val c = calibrate(spark)
           val r = run()
           teardown()

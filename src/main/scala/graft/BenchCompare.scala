@@ -57,15 +57,33 @@ object BenchCompare {
 
   /** Parse a detail file's lines into query → (ratio, sec); tolerates the
     * summary line, failed queries ("sec":null) and truncated tails, like
-    * the python tool. */
+    * the python tool.
+    *
+    * ADJUDICATION-AWARE (r15, VERDICT item 7): a line the bench flagged
+    * `load_suspect` carries a clean-window re-measurement
+    * (`recheck_sec`/`recheck_ratio`); for GATING, that is the honest
+    * number — the median was measured under host load, and failing the
+    * build on it would re-litigate exactly the phantom class the
+    * adjudication protocol exists to dismiss (r12 q11, r13 q324). The
+    * detail artifact keeps the median as the record of what was measured;
+    * this parser substitutes the recheck only where one exists. */
   def parse(lines: Seq[String]): Map[String, Entry] =
     lines.flatMap { line =>
+      val suspect = field(line, "load_suspect").contains("true")
+      def num(name: String): Option[Double] =
+        field(line, name).filter(_ != "null").map(_.toDouble)
       for {
         q <- field(line, "bench_query")
-        r <- field(line, "ratio").filter(_ != "null").map(_.toDouble)
-        s <- field(line, "sec").filter(_ != "null").map(_.toDouble)
+        r <- (if (suspect) num("recheck_ratio") else None).orElse(num("ratio"))
+        s <- (if (suspect) num("recheck_sec") else None).orElse(num("sec"))
       } yield q -> Entry(r, s)
     }.toMap
+
+  /** The run's scale factor from the `bench_meta` header line (r15);
+    * absent for pre-r15 committed details, which are all full sf0.1 runs. */
+  def metaSf(lines: Seq[String]): Option[String] =
+    lines.flatMap(l =>
+      if (l.contains("\"bench_meta\"")) field(l, "sf") else None).headOption
 
   /** The gate: common queries whose ratio regressed more than `threshold`×
     * AND slowed by at least `minDeltaSec` absolute seconds. */

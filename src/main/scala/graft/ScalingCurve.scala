@@ -32,9 +32,20 @@ import org.apache.spark.sql.functions._
   */
 object ScalingCurve {
 
+  // JOIN-KEY CLOSURE (r15, ADVICE): every FK/PK pair among stretched
+  // tables is remapped with the SAME (id*F + copy) rule — l_orderkey ↔
+  // o_orderkey, l_partkey ↔ p_partkey, l_suppkey ↔ s_suppkey, o_custkey ↔
+  // c_custkey — so any join among them keeps its original per-copy fanout
+  // (r14 stretched lineitem's part/supp keys but not l_orderkey, and left
+  // part/orders unstretched: a lineitem⋈orders scaling query would have
+  // measured an 8× artificial fanout and lineitem⋈part dangling keys;
+  // latent then — q156/q418 used lineitem standalone — closed now).
+  // nation/region stay unstretched by design: they are bounded dims
+  // (25/5 rows at every scale factor), and stretched tables' nationkey
+  // columns are NOT remapped so dim joins keep resolving.
   private val Stretched =
     Set("documents", "events", "lineitem", "supplier", "embeddings",
-      "customer")
+      "customer", "orders", "part")
 
   private val DefaultQueries = Seq(
     "q101_dedup_components", "q410_graph_modularity",
@@ -54,7 +65,10 @@ object ScalingCurve {
           expr("array_join(transform(split(text, ' '), " +
             "t -> concat('c', CAST(_cp AS STRING), '_', t)), ' ')"))
       case "events" => remap(remap(x, "event_id"), "user_id")
-      case "lineitem" => remap(remap(x, "l_partkey"), "l_suppkey")
+      case "lineitem" =>
+        remap(remap(remap(x, "l_partkey"), "l_suppkey"), "l_orderkey")
+      case "orders" => remap(remap(x, "o_orderkey"), "o_custkey")
+      case "part" => remap(x, "p_partkey")
       case "supplier" => remap(x, "s_suppkey")
       case "customer" =>
         // name salt must survive q189's single-character deletions
@@ -149,7 +163,7 @@ object ScalingCurve {
       graft.queries.Relational.clearShared()
       graft.queries.PipelineOps.clearShared()
       spark.sharedState.cacheManager.clearCache()
-      val keep = graft.engine.Artifacts.pinnedRddIds
+      val keep = graft.engine.Artifacts.pinnedRddIds(spark)
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => keep.contains(id) }
         .values.foreach(_.unpersist(blocking = true))

@@ -70,8 +70,23 @@ object Artifacts {
   }
 
   /** RDD ids whose blocks belong to a declared artifact — the bench
-    * teardown must not unpersist these. */
+    * teardown must not unpersist these. Prefer the session-aware overload
+    * anywhere a session is in hand: this zero-arg form can only report
+    * what the LAST rebind saw, so after a context restart it would keep
+    * returning the dead context's ids until some memo call rebinds —
+    * and RDD ids restart per context, so a stale id can collide with a
+    * fresh scratch RDD and shield it from a teardown sweep (r15 ADVICE).
+    * Kept for same-context diagnostics/tests only. */
   def pinnedRddIds: Set[Int] = pinned.asScala.map(_.intValue).toSet
+
+  /** Session-aware pins: rebinds first, so a teardown sweep that runs
+    * before any memo call in a fresh context sees an EMPTY pin set
+    * instead of the dead context's colliding ids. This is the form the
+    * bench/scaling teardowns use. */
+  def pinnedRddIds(spark: SparkSession): Set[Int] = {
+    rebind(spark)
+    pinnedRddIds
+  }
 
   /** Build-once memo. The build must EAGERLY materialize its checkpoints
     * (DataFrame.localCheckpoint() is eager by default) so the persistent-
@@ -115,8 +130,14 @@ object Artifacts {
   }
 
   /** Test/diagnostic escape hatch: drop every artifact and unpersist its
-    * blocks. NOT called by the bench between queries — that is the point. */
+    * blocks. NOT called by the bench between queries — that is the point.
+    * Rebinds first (r15 ADVICE): if the caller's context is NOT the one
+    * the pins were recorded under, the ids are meaningless in this
+    * context (ids restart per context) and unpersisting them could kill
+    * colliding fresh RDDs — rebind clears the stale state instead, and
+    * the sweep below then has nothing to do. */
   def clearAll(spark: SparkSession): Unit = this.synchronized {
+    rebind(spark)
     val ids = pinned.asScala.map(_.intValue).toSet
     spark.sparkContext.getPersistentRDDs
       .filter { case (id, _) => ids.contains(id) }

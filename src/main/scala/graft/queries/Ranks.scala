@@ -92,7 +92,19 @@ object Ranks {
     * Returns one row per (groupCols…, tileCol) with `cntCol` (BIGINT);
     * tiles with zero rows for a group are absent, as with the groupBy
     * form. `bucket` must be monotone non-decreasing along `order`, and
-    * `groupCols` must name existing columns of `df`. */
+    * `groupCols` must name existing columns of `df`.
+    *
+    * DETERMINISM CONTRACT (r15, ADVICE): `df` and `bucket` must be
+    * deterministic. The straddler pass re-scans the UNPINNED input —
+    * deliberately: pinning `b` would reintroduce the corpus-sized
+    * checkpoint this helper exists to remove, and the re-scan arrives
+    * with a literal bucket filter that pushes to the source — so a
+    * nondeterministic source expression (rand, monotonically_increasing_
+    * id, a table mutated mid-query) could make the re-scanned bucket
+    * masses disagree with the collected offsets and silently skew the
+    * straddler tiles. stagedGlobalRank pins its input and has no such
+    * contract; every current caller feeds parquet scans + deterministic
+    * projections, which is the intended usage. */
   def stagedNtileCounts(df: DataFrame, bucket: Column, order: Seq[Column],
       t: Int, groupCols: Seq[String], tileCol: String,
       cntCol: String): DataFrame = {
@@ -140,7 +152,19 @@ object Ranks {
     // fine rank needs no broadcast join at all.
     val straddle = ann.filter(col("_nt_t1") =!= col("_nt_t2"))
       .select("_nt_bkt", "_nt_off", "_nt_n").distinct().collect()
-    require(straddle.length < t, s"ntile($t) straddlers: ${straddle.length}")
+    // Invariant, not a tunable: the t−1 tile boundaries each fall inside
+    // exactly one bucket's contiguous rank interval, so >t−1 straddlers
+    // means the offset/interval arithmetic itself broke (e.g. a bucket
+    // expression whose value changed between the cells agg and this
+    // probe — see the determinism contract above). Name the caller's
+    // expressions so a production failure points at the query, not here.
+    require(straddle.length < t,
+      s"stagedNtileCounts(t=$t, bucket=`$bucket`, order=${
+        order.mkString("[", ", ", "]")}, groups=${
+        groupCols.mkString("[", ", ", "]")}, tileCol=$tileCol): " +
+        s"${straddle.length} straddler buckets exceed the t-1=${t - 1} " +
+        "bound — bucket/offset invariant violated (nondeterministic " +
+        "bucket or input?)")
     val out = if (straddle.isEmpty) whole else {
       val keys = straddle.map(_.get(0))
       val nonNullKeys = keys.filter(_ != null).toSeq
@@ -172,9 +196,14 @@ object Ranks {
     * "first n MOD t tiles get ⌈n/t⌉ rows", bit-matching Spark's and
     * DuckDB's NTile so oracles replay it. Evaluated as t−1 exact integer
     * boundary comparisons (tile k ends at k·⌊n/t⌋ + min(k, n MOD t)) —
-    * no column division anywhere, so no float-rounding edge exists. */
+    * no column division in the comparisons, so no float-rounding edge
+    * exists FOR n < 2^53: the one double op is the quotient n/t, and an
+    * IEEE double holds every integer up to 2^53 exactly, so its floor is
+    * the exact integer quotient in that range (any real corpus — 10^12
+    * rows ≈ 2^40 — is far inside it; past 2^53 the floor could land one
+    * off and shift a tile boundary). */
   def ntileFromRank(r: Column, n: Column, t: Int): Column = {
-    val bs = floor(n / t).cast("bigint") // quotient ≤ n: exact in double
+    val bs = floor(n / t).cast("bigint") // exact for n < 2^53, see scaladoc
     val rem = n - bs * t
     (1 until t).foldLeft(lit(1L)) { (acc, k) =>
       acc + when(r > lit(k.toLong) * bs + least(lit(k.toLong), rem), 1L)

@@ -26,6 +26,19 @@ import graft.functions.VectorExprs.dotp
   */
 object VectorOps {
 
+  /** q153's adaptive-blocking flip point: past this many distinct vectors
+    * the PQ-code blocking key widens from a single subspace code (domain
+    * 16 per m) to the code PAIR of cyclically adjacent subspaces (domain
+    * 256 per m) — the r14 fix for the fixed-domain birthday effect
+    * (single-code slope 20.1 → 2.04 at ×8). The engine plan and the DuckDB
+    * oracle must flip on the SAME rule or the oracle stops replaying the
+    * engine's plan (still equal output, but the replay property the q153
+    * comment claims would silently break) — so both interpolate THIS
+    * constant, and `MutualKnnThresholdSpec` extracts the number from the
+    * built plan and from the oracle SQL and fails on any one-sided
+    * re-inlining. */
+  val MutualKnnWideningThreshold = 6000L
+
   /** 8 deterministic pseudo-random hyperplanes (hash-seeded, no RNG state —
     * reproducible across executors and rounds). */
   private[queries] val hyperplanes: Seq[Seq[Double]] =
@@ -755,17 +768,7 @@ object VectorOps {
       // replays the identical CASE rule, so engine and oracle flip
       // together. bk2 = −1 on both sides when narrow — a constant
       // equi-key, the join is unchanged.
-      val nv = codes.agg(countDistinct("vec_id").as("nv"))
-      val codes2 = codes.as("a")
-        .join(codes.as("b"),
-          col("a.vec_id") === col("b.vec_id") &&
-            col("b.m") === (col("a.m") + 1) % 4)
-        .select(col("a.vec_id"), col("a.m"), col("a.code"),
-          col("b.code").as("code2"))
-        .crossJoin(broadcast(nv))
-        .withColumn("bk2",
-          when(col("nv") > 6000, col("code2")).otherwise(lit(-1L)))
-        .select("vec_id", "m", "code", "bk2")
+      val codes2 = mutualKnnCodes2(codes)
       val cand = codes2.as("x").hint("shuffle_hash")
         .join(codes2.as("y"),
           col("x.m") === col("y.m") && col("x.code") === col("y.code") &&
@@ -1913,6 +1916,30 @@ object VectorOps {
     * generations inside each PQ query's warm+3-run window (q119 runs
     * escalating 1.97→7.20 s and the alphabetically-next q11 inheriting
     * the GC debt at 7.66 s vs 1.12 s isolated). */
+  /** q153's blocking-key frame (vec_id, m, code, bk2): each code row is
+    * annotated with the cyclically-adjacent subspace's code, and bk2
+    * flips from the constant −1 (narrow single-code blocking) to that
+    * adjacent code (wide pair blocking) when the corpus exceeds
+    * [[MutualKnnWideningThreshold]] — computed IN-PLAN from a broadcast
+    * 1-row countDistinct so a 1000-executor run needs no driver action.
+    * Factored out of q153 so `MutualKnnThresholdSpec` can extract the
+    * threshold from a BUILT plan: q153's own final plan hides this CASE
+    * behind the sdc/topk localCheckpoints (LogicalRDD leaves). */
+  private[graft] def mutualKnnCodes2(codes: DataFrame): DataFrame = {
+    val nv = codes.agg(countDistinct("vec_id").as("nv"))
+    codes.as("a")
+      .join(codes.as("b"),
+        col("a.vec_id") === col("b.vec_id") &&
+          col("b.m") === (col("a.m") + 1) % 4)
+      .select(col("a.vec_id"), col("a.m"), col("a.code"),
+        col("b.code").as("code2"))
+      .crossJoin(broadcast(nv))
+      .withColumn("bk2",
+        when(col("nv") > MutualKnnWideningThreshold, col("code2"))
+          .otherwise(lit(-1L)))
+      .select("vec_id", "m", "code", "bk2")
+  }
+
   private def pqCodesLut(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) =
     graft.engine.Artifacts.memo(s, s"pq-codes-lut:$d") {
@@ -2662,7 +2689,8 @@ object VectorOps {
                        FROM c1 u JOIN c1 v ON u.m = v.m),
               nv AS (SELECT count(DISTINCT vec_id) AS n FROM codes),
               codes2 AS (SELECT a.vec_id, a.m, a.code,
-                                CASE WHEN (SELECT n FROM nv) > 6000
+                                CASE WHEN (SELECT n FROM nv)
+                                          > $MutualKnnWideningThreshold
                                      THEN b.code ELSE -1 END AS bk2
                          FROM codes a JOIN codes b
                            ON b.vec_id = a.vec_id

@@ -59,6 +59,36 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(parsed.isEmpty)
   }
 
+  test("a load-suspect line gates on its recheck, not the inflated median") {
+    // r15 (VERDICT item 7): the median records what was measured under
+    // load; the clean-window recheck is the number the gate must use, or
+    // an adjudicated-and-dismissed phantom could still fail the build.
+    val old = BenchCompare.parse(Seq(line("q_x", 1.0, 2.0)))
+    val flagged = BenchCompare.parse(Seq(
+      """{"bench_query":"q_x","sec":9.0,"ratio":18.0,"cal":0.450,"warm":9.0,""" +
+        """"runs":[9.0,9.1,8.9],"load_suspect":true,"recheck_sec":1.05,""" +
+        """"recheck_cal":0.450,"recheck_ratio":2.1,"committed_sec":1.0,""" +
+        """"committed_ratio":2.0}"""))
+    assert(flagged("q_x") == BenchCompare.Entry(2.1, 1.05))
+    assert(BenchCompare.regressions(old, flagged).isEmpty)
+  }
+
+  test("a load-suspect line with no recheck falls back to the median") {
+    val parsed = BenchCompare.parse(Seq(
+      """{"bench_query":"q_x","sec":9.0,"ratio":18.0,"cal":0.450,"warm":9.0,""" +
+        """"runs":[9.0],"load_suspect":true}"""))
+    assert(parsed("q_x") == BenchCompare.Entry(18.0, 9.0))
+  }
+
+  test("metaSf reads the bench_meta header and ignores query lines") {
+    val lines = Seq(
+      """{"bench_meta":{"sf":"/root/testdata/sf0.01","iters":3,"cpus":32}}""",
+      line("q_x", 1.0, 2.0))
+    assert(BenchCompare.metaSf(lines).contains("/root/testdata/sf0.01"))
+    assert(BenchCompare.metaSf(Seq(line("q_x", 1.0, 2.0))).isEmpty)
+    assert(BenchCompare.parse(lines).keySet == Set("q_x"))
+  }
+
   test("live gate: fresh local detail vs newest committed round detail") {
     val fresh = new java.io.File("target/bench_detail.jsonl")
     val committed = Option(new java.io.File(".").listFiles()).toSeq.flatten
@@ -71,8 +101,20 @@ class BenchRegressionSpec extends AnyFunSuite {
       val src = scala.io.Source.fromFile(f)
       try src.getLines().toList finally src.close()
     }
-    val old = BenchCompare.parse(read(committed.get))
-    val next = BenchCompare.parse(read(fresh))
+    val oldLines = read(committed.get)
+    val freshLines = read(fresh)
+    // Ratios are only comparable at the same scale factor (r15, ADVICE):
+    // a sf0.01 spot run gated against the committed sf0.1 detail compares
+    // incomparable ratios. Pre-meta committed files are all sf0.1.
+    val oldSf = BenchCompare.metaSf(oldLines)
+      .getOrElse("/root/testdata/sf0.1")
+    val freshSf = BenchCompare.metaSf(freshLines)
+      .getOrElse("/root/testdata/sf0.1")
+    assume(oldSf == freshSf,
+      s"fresh detail is $freshSf but committed is $oldSf — " +
+        "cross-sf ratios are not comparable, gate not meaningful")
+    val old = BenchCompare.parse(oldLines)
+    val next = BenchCompare.parse(freshLines)
     // Spot benches (SPARK_GRAFT_BENCH_ONLY) leave tiny details; gating a
     // 3-query spot file against the round artifact is meaningless.
     assume((old.keySet & next.keySet).size >= 25,
