@@ -35,9 +35,24 @@ object BenchSome {
       (System.nanoTime() - t0) / 1e9
     }
     cal() // warm-up
-    val calMed = (1 to 3).map(_ => cal()).sorted.apply(1)
-    println(f"CALIBRATION $calMed%.3f s (synthetic shuffle+agg, median of 3)")
+    // Per-query hygiene + ADJACENT calibration (r15): without Bench's
+    // teardown, checkpoint blocks and shared memos accumulated across a
+    // multi-query invocation and inflated late queries ~2× (the r12
+    // lesson, re-observed r15: q101 measured 4.4 s at position 27/29 vs
+    // its committed 3.8); and a single session-start calibration goes
+    // stale under drifting host load. Same teardown set as Bench.
+    def teardown(): Unit = {
+      queries.Relational.clearShared()
+      queries.PipelineOps.clearShared()
+      spark.sharedState.cacheManager.clearCache()
+      val artifactIds = graft.engine.Artifacts.pinnedRddIds(spark)
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => artifactIds.contains(id) }
+        .values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     args.foreach { name =>
+      val calMed = (1 to 3).map(_ => cal()).sorted.apply(1)
       // warm-up (run0, excluded) + `iters` measured runs; median reported —
       // same protocol as Bench so isolated numbers are comparable.
       val times = (0 to iters).map { run =>
@@ -52,6 +67,7 @@ object BenchSome {
       }
       val m = times.drop(1).sorted.apply((iters - 1) / 2)
       println(f"MEDIAN $name $m%.3f s ratio ${m / calMed}%.2f (vs cal $calMed%.3f)")
+      teardown()
     }
     spark.stop()
   }

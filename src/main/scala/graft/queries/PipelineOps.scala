@@ -29,20 +29,27 @@ object PipelineOps {
 
   /** Same 5-gram frame over any (doc_id, text) frame — q117 grams its
     * dedup survivors, not the whole table. */
-  private def grams5From(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+  private def grams5From(docs: DataFrame): DataFrame =
+    // Map-side 5-gram build (r15): posexplode the token array carrying the
+    // array through the Generate, lead tokens via 0-based `get` (NULL past
+    // the end, = lead()'s semantics). One codegen'd pipeline, no window —
+    // the old doc_id-window shape shuffled+sorted the whole exploded token
+    // stream per consumer (guide §2.4). Hashes identical; see
+    // TextOps.shingles for the family note.
     docs
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("tok"),
-        lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"),
-        lead("tok", 3).over(w).as("t3"), lead("tok", 4).over(w).as("t4"))
+        get(col("toks"), col("pos") + 1).as("t1"),
+        get(col("toks"), col("pos") + 2).as("t2"),
+        get(col("toks"), col("pos") + 3).as("t3"),
+        get(col("toks"), col("pos") + 4).as("t4"))
       .filter(col("t4").isNotNull)
       .select(col("doc_id"),
         xxhash64(col("tok"), col("t1"), col("t2"), col("t3"), col("t4"))
           .as("g5"))
       .repartition(col("g5"))
-  }
 
   /** 4-decimal round-half-up of an integer quotient a/b computed in EXACT
     * integer space — (2a·10⁴ + b) div 2b — because round(double, 4)
@@ -212,14 +219,17 @@ object PipelineOps {
     // explode is codegen'd. Shares are computed with the exact-integer
     // round-half-up identity (r4) so both engines emit identical doubles.
     "q109_token_repetition" -> ((s, d) => {
+      // map-side bigram build — no window, no exchange (r15, see
+      // TextOps.shingles): the next token comes from the carried array.
       val toks = ld(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
       val tokStats = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
         .groupBy("doc_id").agg(max("c").as("top_tok"), sum("c").as("n_tok"))
       val bgStats = toks
-        .select(col("doc_id"), col("tok"), lead("tok", 1).over(w).as("t1"))
+        .select(col("doc_id"), col("tok"),
+          get(col("toks"), col("pos") + 1).as("t1"))
         .filter(col("t1").isNotNull)
         .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("bg"))
         .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
@@ -429,14 +439,19 @@ object PipelineOps {
     // narrow; n_removed records the attrition. ISOLATED MEDIAN (BenchSome,
     // r8, calm host): 1.86 s at sf0.1 (ratio 6.2× cal).
     "q118_span_scrub" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
+      // map-side 5-gram span starts — no lead window (r15, see
+      // TextOps.shingles); the coverage window below still sorts by
+      // (doc_id, pos), that one is the rebuild's own requirement.
       val toks = ld(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
       val starts = toks
         .select(col("doc_id"), col("pos"), col("tok"),
-          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"),
-          lead("tok", 3).over(w).as("t3"), lead("tok", 4).over(w).as("t4"))
+          get(col("toks"), col("pos") + 1).as("t1"),
+          get(col("toks"), col("pos") + 2).as("t2"),
+          get(col("toks"), col("pos") + 3).as("t3"),
+          get(col("toks"), col("pos") + 4).as("t4"))
         .filter(col("t4").isNotNull)
         .select(col("doc_id"), col("pos"),
           conv(substring(md5(concat_ws(" ", col("tok"), col("t1"),
@@ -1600,21 +1615,40 @@ object PipelineOps {
     // to the discriminative suffix — the corpus-specific tuning the
     // comment-free join form makes explicit.
     "q189_deletion_neighborhood" -> ((s, d) => {
+      // r15 shuffle-bytes rewrite (guide §2.3 "shuffle keys and metadata
+      // instead of payloads"): the variant self-join now carries an
+      // 8-byte xxhash64 of the variant instead of the variant string,
+      // and the names stay OUT of the join + pair-distinct entirely —
+      // they re-attach by customer key afterwards for the levenshtein
+      // verify. A hash collision can only ADD a candidate pair, and the
+      // dist ≤ 1 verify is the output truth (any true dist ≤ 1 pair
+      // already shares a variant by the theorem), so the result set is
+      // bit-identical. levenshtein is also computed once, not twice.
       val v = ld(s, d, "customer")
-        .select(col("c_custkey"), col("c_name"),
-          explode(expr("sequence(1, length(c_name))")).as("i"))
-        .selectExpr("c_custkey", "c_name",
-          "concat(substring(c_name, 1, i - 1), substring(c_name, i + 1))" +
-            " AS variant")
-      v.as("a")
+        .select(col("c_custkey"),
+          explode(expr("sequence(1, length(c_name))")).as("i"),
+          col("c_name"))
+        .selectExpr("c_custkey",
+          "xxhash64(concat(substring(c_name, 1, i - 1)," +
+            " substring(c_name, i + 1))) AS vh")
+      val cand = v.as("a")
         .join(v.as("b").hint("shuffle_hash"),
-          col("a.variant") === col("b.variant") &&
+          col("a.vh") === col("b.vh") &&
             col("a.c_custkey") < col("b.c_custkey"))
-        .select(col("a.c_custkey").as("ka"), col("a.c_name").as("na"),
-          col("b.c_custkey").as("kb"), col("b.c_name").as("nb"))
+        .select(col("a.c_custkey").as("ka"), col("b.c_custkey").as("kb"))
         .distinct()
-        .filter(expr("levenshtein(na, nb) <= 1"))
-        .selectExpr("ka", "kb", "CAST(levenshtein(na, nb) AS INT) AS dist")
+      // name re-attach is KEYED (shuffle_hash, the file convention): the
+      // name table is corpus-proportional — a broadcast would only ever
+      // fit at toy scale.
+      val nm = ld(s, d, "customer").select("c_custkey", "c_name")
+      cand
+        .join(nm.select(col("c_custkey").as("ka"),
+          col("c_name").as("na")).hint("shuffle_hash"), "ka")
+        .join(nm.select(col("c_custkey").as("kb"),
+          col("c_name").as("nb")).hint("shuffle_hash"), "kb")
+        .withColumn("dist", expr("CAST(levenshtein(na, nb) AS INT)"))
+        .filter(col("dist") <= 1)
+        .select("ka", "kb", "dist")
         .orderBy("ka", "kb")
     }),
 
@@ -3232,15 +3266,23 @@ object PipelineOps {
     // Benchmark slice is the house doc_id % 97 convention; half-up
     // integer bp.
     "q417_contamination_curve" -> ((s, d) => {
+      // r15: gram emission via posexplode + slice/array_join — every
+      // expression whole-stage-codegen'd; the old transform(...) lambda
+      // evaluated INTERPRETED per gram × 6 widths (the HOF fallback the
+      // shingles scaladoc documents), which was most of this query's CPU.
+      // Same (doc, n) → gram multiset: i = pos+1 runs 1..size-n+1.
       val grams = ld(s, d, "documents")
         .select(col("doc_id"), (col("doc_id") % 97 === 0).as("is_bench"),
           split(lower(col("text")), " ").as("ws"))
         .crossJoin(broadcast(
           s.range(1, 7).select(col("id").as("n"))))
         .filter(size(col("ws")) >= col("n"))
+        .select(col("doc_id"), col("is_bench"), col("n"), col("ws"),
+          posexplode(col("ws")).as(Seq("pos", "tok")))
+        .filter(col("pos") + col("n") <= size(col("ws")))
         .select(col("doc_id"), col("is_bench"), col("n"),
-          explode(expr("transform(sequence(1, size(ws) - n + 1)," +
-            " i -> array_join(slice(ws, i, n), ' '))")).as("g"))
+          array_join(slice(col("ws"), col("pos") + 1,
+            col("n").cast("int")), " ").as("g"))
         .localCheckpoint() // bench grams + corpus grams share it
       val bg = grams.filter(col("is_bench"))
         .select("n", "g").distinct()

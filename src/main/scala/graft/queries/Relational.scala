@@ -809,13 +809,17 @@ object Relational {
         .localCheckpoint()
       val withDeg = edges.join(deg, "src").localCheckpoint()
       var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+      // No per-round checkpoint (r15): each round's rank frame is consumed
+      // exactly ONCE by the next round, so lineage stays linear in K = 3 —
+      // the checkpoint bought nothing and cost one eager job + one block
+      // write/read per round (3 fewer driver→cluster round-trips; guide
+      // §2.6's job-overhead point). The edge frame (read 3×) stays pinned.
       for (_ <- 1 to 3) {
         ranks = withDeg.join(ranks, col("src") === col("node"))
           .groupBy("dst")
           .agg(sum(expr("(r * 17) DIV (20 * deg)")).as("inflow"))
           .select(col("dst").as("node"),
             (lit(150000L) + col("inflow")).as("r"))
-          .localCheckpoint()
       }
       ranks.orderBy("node")
     }),
@@ -1033,6 +1037,9 @@ object Relational {
       val b = ld(s, d, "lineitem")
         .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
         .distinct()
+        // pinned (r15): feeds the basket count, the item counts, and
+        // both self-join sides — the q293 pin, previously missing here
+        .localCheckpoint()
       val nb = b.agg(countDistinct("k").as("n_baskets"))
       val item = b.groupBy("p").agg(count(lit(1)).as("ci"))
       b.as("a")
@@ -1340,6 +1347,13 @@ object Relational {
       var visited = nodes.filter(col("node") < 10 && col("node") % 2 === 0)
         .withColumn("hop", lit(0L)).localCheckpoint()
       var frontier = visited.select("node")
+      // `visited` stays a LAZY union of the per-round checkpointed
+      // frontiers (r15): every leaf below the union is already
+      // materialized, so re-reading it per anti-join costs block reads
+      // only, and the old per-round visited checkpoint (one extra eager
+      // job + block copy per round) bought nothing. Frontiers keep their
+      // checkpoint — each is consumed by round r+1 AND every later
+      // anti-join, and it bounds the union's depth at K.
       for (r <- 1 to 4) {
         frontier = edges.join(frontier, col("src") === col("node"))
           .select(col("dst").as("node")).distinct()
@@ -1347,7 +1361,6 @@ object Relational {
           .localCheckpoint()
         visited = visited
           .unionByName(frontier.withColumn("hop", lit(r.toLong)))
-          .localCheckpoint()
       }
       nodes.join(visited, Seq("node"), "left")
         .na.fill(-1L, Seq("hop"))
@@ -1466,13 +1479,13 @@ object Relational {
           s" THEN ${m}L ELSE 0L END"
       var ranks = deg.select(col("src").as("node"))
         .withColumn("r", expr(seedMass("node", 1000000L)))
+      // no per-round checkpoint — linear K=3 lineage, same as q131 (r15)
       for (_ <- 1 to 3) {
         ranks = withDeg.join(ranks, col("src") === col("node"))
           .groupBy("dst")
           .agg(sum(expr("(r * 17) DIV (20 * deg)")).as("inflow"))
           .select(col("dst").as("node"),
             (expr(seedMass("dst", 150000L)) + col("inflow")).as("r"))
-          .localCheckpoint()
       }
       ranks.orderBy("node")
     }),
@@ -4281,6 +4294,12 @@ object Relational {
     // honest cost (q131 stance) — you don't cache a 100 TB corpus
     // to save scans.
     "q418_logistic_irls" -> ((s, d) => {
+      // (x, y) pinned ONCE (r15): the md5 label derivation is the
+      // expensive per-row work, and the 4 IRLS rounds + accuracy pass
+      // re-ran it 6× unpinned (guide §1.2 "don't compute things you
+      // throw away"). The pinned frame is 2 doubles/row — smaller than
+      // the source scan at any scale; production would persist the
+      // design matrix the same way before an iterative fit.
       val b = ld(s, d, "lineitem").selectExpr(
         "CAST(l_quantity AS DOUBLE) / 50 AS x",
         """CASE WHEN CAST(l_quantity AS BIGINT)
@@ -4289,6 +4308,7 @@ object Relational {
                   CAST(l_linenumber AS STRING))), 1, 4),
                   16, 10) AS BIGINT) % 25 > 30
              THEN 1.0D ELSE 0.0D END AS y""")
+        .localCheckpoint()
       var coef = s.sql("SELECT 0.0D AS b0, 0.0D AS b1").localCheckpoint()
       for (_ <- 1 to 4) {
         coef = b.crossJoin(broadcast(coef))
@@ -4715,6 +4735,9 @@ object Relational {
       var visited = seeds.select(col("seed"), col("seed").as("node"))
         .withColumn("hop", lit(0L)).localCheckpoint()
       var frontier = visited.select("seed", "node")
+      // visited stays a LAZY union of checkpointed frontiers (r15, the
+      // q240 note): leaves are materialized, the per-round visited
+      // checkpoint was an extra eager job per round for nothing.
       for (r <- 1 to 4) {
         frontier = edges.join(frontier, col("src") === col("node"))
           .select(col("seed"), col("dst").as("node")).distinct()
@@ -4723,7 +4746,6 @@ object Relational {
           .localCheckpoint()
         visited = visited
           .unionByName(frontier.withColumn("hop", lit(r.toLong)))
-          .localCheckpoint()
       }
       val nn = nodes.agg(count(lit(1)).as("n_nodes"))
       visited.filter(col("hop") > 0)

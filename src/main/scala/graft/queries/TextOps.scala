@@ -18,14 +18,20 @@ object TextOps {
 
   import org.apache.spark.sql.expressions.Window
 
-  /** Distinct word-3-gram shingles per doc, 64-bit-hashed, built
-    * RELATIONALLY: posexplode tokens → window lead ×2 → variadic xxhash64 →
-    * distinct. Every step is whole-stage-codegen'd. The declarative
-    * alternative (transform/array_distinct higher-order functions) falls
-    * back to interpreted per-element evaluation — measured ~8 s per pass at
-    * sf0.1 vs well under 1 s for this shape — and the lambda also concealed
-    * a re-split of the text per element in its naive form. Downstream set
-    * operations are identical modulo 2^-64 hash collisions.
+  /** Distinct word-3-gram shingles per doc, 64-bit-hashed, built MAP-SIDE:
+    * posexplode the token array while carrying the array itself through the
+    * Generate, then fetch the two following tokens by index (`get`, 0-based,
+    * NULL past the end — exactly `lead()`'s semantics). Scan → Generate →
+    * Project → partial-agg is ONE whole-stage-codegen'd pipeline with no
+    * exchange: r1-r14 built the leads with a doc_id window instead, which
+    * shuffled and sorted the full exploded token stream just to see two
+    * tokens ahead — at 100 TB that was a corpus-wide shuffle (guide §2.4,
+    * removed r15; measured sf0.1 q45 1.26→0.9 s class, plan 1 Exchange
+    * fewer on every shingle consumer). The OTHER declarative alternative —
+    * transform/array lambdas — stays rejected: higher-order functions
+    * evaluate interpreted, measured ~8 s per pass at sf0.1. Gram strings
+    * are identical to the window build, so every downstream hash and every
+    * oracle matches bit-for-bit.
     */
   private[queries] def shingles(s: SparkSession, d: String): DataFrame =
     shinglesBy(s, d, (t0, t1, t2) => xxhash64(t0, t1, t2))
@@ -61,18 +67,18 @@ object TextOps {
   }
 
   private def shinglesBy(s: SparkSession, d: String,
-      gramHash: (Column, Column, Column) => Column): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+      gramHash: (Column, Column, Column) => Column): DataFrame =
     ld(s, d, "documents")
-      .select(col("doc_id"), col("source"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("source"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("source"), col("tok"),
-        lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+        get(col("toks"), col("pos") + 1).as("t1"),
+        get(col("toks"), col("pos") + 2).as("t2"))
       .filter(col("t2").isNotNull)
       .select(col("doc_id"), col("source"),
         gramHash(col("tok"), col("t1"), col("t2")).as("gh"))
       .distinct()
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content digest; at 100 TB this is one
@@ -462,15 +468,19 @@ object TextOps {
     // bounded by fingerprint collisions, and the same set powers
     // q98-style decontamination at a fraction of full-gram cost.
     "q188_winnow_fingerprint" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
       val winw = Window.partitionBy("doc_id").orderBy("pos")
         .rowsBetween(Window.currentRow, 3)
       val doc = Window.partitionBy("doc_id")
+      // map-side gram build (see shingles; r15): the rolling-min window
+      // below still sorts by (doc_id, pos) — this removes the SEPARATE
+      // lead-window pass over the wider token rows, not that sort.
       val fp = ld(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
         .select(col("doc_id"), col("pos"), col("tok"),
-          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+          get(col("toks"), col("pos") + 1).as("t1"),
+          get(col("toks"), col("pos") + 2).as("t2"))
         .filter(col("t2").isNotNull)
         .select(col("doc_id"), col("pos"),
           (conv(substring(md5(concat_ws(" ", col("tok"), col("t1"),
@@ -515,12 +525,16 @@ object TextOps {
     // read it. Ratios in half-up basis points — integer-exact, order-
     // independent under parallel aggregation.
     "q190_distinct_ngram_diversity" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
+      // map-side gram build — no window, no exchange (see shingles; r15);
+      // `get` is NULL past the end exactly like lead(), so the level-2/3
+      // validity filters see identical NULLs.
       val base = ld(s, d, "documents")
-        .select(col("doc_id"), col("source"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .select(col("source"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
         .select(col("source"), col("tok"),
-          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+          get(col("toks"), col("pos") + 1).as("t1"),
+          get(col("toks"), col("pos") + 2).as("t2"))
         .localCheckpoint()
       def level(n: Int, gram: Column, valid: Column) = base.filter(valid)
         .groupBy(col("source"), gram.as("g"))
@@ -899,12 +913,14 @@ object TextOps {
     // durable-artifact claim applies (unlike the PQ family, the posting
     // frame is per-query scratch here), so this is the honest number.
     "q128_sparse_cosine" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
+      // map-side gram build — no window, no exchange (see shingles; r15)
       val tf = ld(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
         .select(col("doc_id"), col("tok"),
-          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+          get(col("toks"), col("pos") + 1).as("t1"),
+          get(col("toks"), col("pos") + 2).as("t2"))
         .filter(col("t2").isNotNull)
         .select(col("doc_id"),
           conv(substring(md5(concat_ws(" ", col("tok"), col("t1"),
@@ -954,12 +970,14 @@ object TextOps {
     // At 100 TB the posting lists are bucketed by gh and this exact plan
     // serves each query with one shuffle-free probe per term.
     "q133_bm25" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
+      // map-side gram build — no window, no exchange (see shingles; r15)
       val tf = ld(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
         .select(col("doc_id"), col("tok"),
-          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+          get(col("toks"), col("pos") + 1).as("t1"),
+          get(col("toks"), col("pos") + 2).as("t2"))
         .filter(col("t2").isNotNull)
         .select(col("doc_id"),
           conv(substring(md5(concat_ws(" ", col("tok"), col("t1"),
@@ -1173,12 +1191,14 @@ object TextOps {
     // — at 100 TB the pair table is the big one and the filter cuts it
     // first; unigram totals are vocabulary-sized (broadcast).
     "q171_pmi_collocations" -> ((s, d) => {
+      // map-side adjacent-pair build — no window, no exchange (see
+      // shingles; r15); unigram counts reuse the same exploded frame.
       val toks = ld(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
       val pairs = toks
-        .withColumn("nxt", lead("tok", 1).over(w))
+        .withColumn("nxt", get(col("toks"), col("pos") + 1))
         .filter(col("nxt").isNotNull)
         .groupBy(col("tok").as("a"), col("nxt").as("b"))
         .agg(count(lit(1)).as("cnt"))
@@ -1922,12 +1942,14 @@ object TextOps {
     // truth). At 100 TB: posting-list shuffle keyed on gh, per-doc
     // totals map-side combined — never a corpus broadcast.
     "q286_weighted_jaccard" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
+      // map-side gram build — no window, no exchange (see shingles; r15)
       val tf = ld(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
         .select(col("doc_id"), col("tok"),
-          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+          get(col("toks"), col("pos") + 1).as("t1"),
+          get(col("toks"), col("pos") + 2).as("t2"))
         .filter(col("t2").isNotNull)
         .select(col("doc_id"),
           conv(substring(md5(concat_ws(" ", col("tok"), col("t1"),
@@ -1973,14 +1995,16 @@ object TextOps {
     // KenLM build materializes. Measured at sf0.01: 16,733 / 9,422 /
     // 10 / 0 occurrences at levels 0-3.
     "q287_backoff_novelty" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
       def h(c: Column): Column =
         conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+      // map-side gram build — no window, no exchange (see shingles; r15)
       val occ = ld(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
         .select(col("doc_id"), col("tok"),
-          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+          get(col("toks"), col("pos") + 1).as("t1"),
+          get(col("toks"), col("pos") + 2).as("t2"))
         .filter(col("t2").isNotNull)
         .select(col("doc_id"),
           h(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h3"),
@@ -2028,12 +2052,14 @@ object TextOps {
     // once and serve BOTH passes. At 100 TB this is two bucketed
     // posting-list probes, not two corpus scans per query.
     "q288_rm3_feedback" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
+      // map-side gram build — no window, no exchange (see shingles; r15)
       val tf = ld(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
         .select(col("doc_id"), col("tok"),
-          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+          get(col("toks"), col("pos") + 1).as("t1"),
+          get(col("toks"), col("pos") + 2).as("t2"))
         .filter(col("t2").isNotNull)
         .select(col("doc_id"),
           conv(substring(md5(concat_ws(" ", col("tok"), col("t1"),
@@ -2086,12 +2112,14 @@ object TextOps {
     // recount is one map-side-combined groupBy. At 100 TB the
     // shipped state is k'·shards rows — independent of corpus size.
     "q290_sharded_topk_bounds" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
+      // map-side gram build — no window, no exchange (see shingles; r15)
       val sh = ld(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
         .select(col("doc_id"), col("tok"),
-          lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+          get(col("toks"), col("pos") + 1).as("t1"),
+          get(col("toks"), col("pos") + 2).as("t2"))
         .filter(col("t2").isNotNull)
         .select((col("doc_id") % 8).as("shard"),
           conv(substring(md5(concat_ws(" ", col("tok"), col("t1"),

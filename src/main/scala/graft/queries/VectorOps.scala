@@ -656,12 +656,15 @@ object VectorOps {
     // vector list comes from the ANN index (q125) top-N, so both windows
     // stay bounded by list length, never corpus-sized.
     "q152_rrf_fusion" -> ((s, d) => {
-      val wp = Window.partitionBy("doc_id").orderBy("pos")
+      // map-side gram build — no window, no exchange (r15, see
+      // TextOps.shingles): next tokens come from the carried array.
       val grams = ld(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          posexplode(col("toks")).as(Seq("pos", "tok")))
         .select(col("doc_id"), col("tok"),
-          lead("tok", 1).over(wp).as("t1"), lead("tok", 2).over(wp).as("t2"))
+          get(col("toks"), col("pos") + 1).as("t1"),
+          get(col("toks"), col("pos") + 2).as("t2"))
         .filter(col("t2").isNotNull)
         .select(col("doc_id"),
           conv(substring(md5(concat_ws(" ", col("tok"), col("t1"),

@@ -152,8 +152,14 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     "g5 exchange (fused into the pre-shuffle gram filter), and the exact " +
     "semi-join confirm survives") {
     val p = plan("q110_bloom_decontaminate")
+    // r15: the map-side gram build (see TextOps.shingles) collapses the
+    // lead projections, so the fused filter reads isnotnull(toks#..[(pos
+    // + 4)]) instead of isnotnull(t4#..) — accept either spelling; the
+    // property (bloom prunes inside the gram-build Filter, below every
+    // Exchange) is unchanged.
     val fused = p.linesIterator.exists(l =>
-      l.contains("might_contain") && l.contains("isnotnull(t4"))
+      l.contains("might_contain") &&
+        (l.contains("isnotnull(t4") || l.contains("+ 4)])")))
     assert(fused,
       s"bloom must prune in the gram-build filter, before any Exchange:\n$p")
     assert(p.contains("LeftSemi"),
