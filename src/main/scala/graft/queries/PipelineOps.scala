@@ -926,6 +926,17 @@ object PipelineOps {
     // denominators. Two keyed window passes (rank by value, rank by
     // deviation) — exact medians need the sort; at 100 TB you'd swap in
     // q141's mergeable quantile sketch and keep this as the audit pass.
+    // (r15 note: two sort-free shapes were built and MEASURED SLOWER
+    // locally — a flat (flag, cents)-histogram rank selection (cents
+    // are 99 % distinct at sf0.1, so the histogram shrank nothing and
+    // its extra exchanges cost +0.5 s) and an exact two-stage bucketed
+    // selection à la Ranks (coarse DIV-10⁵ histogram + fine rank in the
+    // ≤ 2 straddling buckets per flag; correct and corpus-sort-free,
+    // but 17-20 tiny AQE stage-jobs / coreUtil 0.02 — orchestration
+    // overhead exceeded the 3-task sort it removed: 3.3-3.7 s vs this
+    // shape's 2.7-2.8 s committed). The bucketed shape is the honest
+    // 100 TB plan; at this corpus the sort is not the bottleneck, so
+    // the simpler committed shape stays — see OPTIMIZATION_r15.md.)
     "q156_mad_outliers" -> ((s, d) => {
       val li = ld(s, d, "lineitem").select(col("l_returnflag").as("flag"),
         col("l_orderkey"), col("l_linenumber"),

@@ -799,14 +799,23 @@ object Relational {
     // (power iteration to tolerance is the same loop with q101's
     // observe()-metric convergence read).
     "q131_pagerank" -> ((s, d) => {
+      // r15 (§1.2/§2.6): pin the DISTINCT pair list once — the old shape
+      // ran the corpus scan + distinct TWICE (once inside the deg
+      // checkpoint, once inside the withDeg checkpoint). deg itself no
+      // longer needs its own eager pin: inside the single withDeg action
+      // the edges exchange is shared between the join side and the
+      // groupBy side (ReusedExchange), and the rank-init re-derives deg
+      // from the pinned pair frame (edge-list-sized, not corpus-sized).
+      // Net: one corpus scan + distinct instead of two, 3 eager actions
+      // → 2.
       val pairs = ld(s, d, "lineitem")
         .select((col("l_partkey") * 2).as("p"),
           (col("l_suppkey") * 2 + 1).as("q"))
         .distinct()
+        .localCheckpoint()
       val edges = pairs.select(col("p").as("src"), col("q").as("dst"))
         .unionAll(pairs.select(col("q").as("src"), col("p").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
       val withDeg = edges.join(deg, "src").localCheckpoint()
       var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
       // No per-round checkpoint (r15): each round's rank frame is consumed
@@ -1465,14 +1474,17 @@ object Relational {
     // keyed join + one rollup over the pinned degree'd edge list, and
     // non-seed nodes hold rank only through inflow.
     "q255_personalized_ppr" -> ((s, d) => {
+      // r15: pinned pair list + in-plan deg (ReusedExchange dedups the
+      // edges exchange inside the one withDeg action) — one corpus
+      // scan + distinct instead of two; see q131.
       val pairs = ld(s, d, "lineitem")
         .select((col("l_partkey") * 2).as("p"),
           (col("l_suppkey") * 2 + 1).as("q"))
         .distinct()
+        .localCheckpoint()
       val edges = pairs.select(col("p").as("src"), col("q").as("dst"))
         .unionAll(pairs.select(col("q").as("src"), col("p").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
       val withDeg = edges.join(deg, "src").localCheckpoint()
       def seedMass(node: String, m: Long) =
         s"CASE WHEN $node % 2 = 1 AND (($node - 1) DIV 2) % 10 = 0" +
@@ -2067,13 +2079,18 @@ object Relational {
       val wp = deg.filter(col("dg") >= 2)
         .join(broadcast(lut), Seq("dg"))
         .select(col("p"), col("w_micro"))
+      // r15 (§2.3): the AA weight is a function of the apex part p, so
+      // attach it to the A side BEFORE the pair self-join — the weight
+      // rides into every pair row for free instead of a second keyed
+      // join over the full WEDGE frame (the largest frame in the query,
+      // Σ C(deg,2) rows). The inner pre-join also drops deg-1 parts from
+      // the A side, which produce no pairs anyway (a.sp < b.sp needs two
+      // suppliers) — bit-identical output, one fewer pair-frame shuffle.
       ps.as("a")
+        .join(wp.as("w").hint("shuffle_hash"), col("a.p") === col("w.p"))
         .join(ps.as("b").hint("shuffle_hash"),
           col("a.p") === col("b.p") && col("a.sp") < col("b.sp"))
-        .select(col("a.p").as("p"), col("a.sp").as("s1"),
-          col("b.sp").as("s2"))
-        .join(wp.hint("shuffle_hash"), Seq("p"))
-        .groupBy("s1", "s2")
+        .groupBy(col("a.sp").as("s1"), col("b.sp").as("s2"))
         .agg(count(lit(1)).as("common_parts"),
           sum("w_micro").as("aa_micro"))
         .orderBy(col("aa_micro").desc, col("s1"), col("s2")).limit(50)
@@ -3119,9 +3136,18 @@ object Relational {
     // loop). One pass over the q371 edge frame; everything after is
     // node-sized.
     "q384_boruvka_phase" -> ((s, d) => {
-      // Edge frame checkpointed once (the q371 recipe): pick, the
-      // weight re-join, and the node census all branch off it — CTE
-      // inlining would re-derive the corpus rollup four times.
+      // Edge frame checkpointed once (the q371 recipe): both consumers
+      // branch off it. r15 (§2.3/§2.4): the pick carries (dst, w) as a
+      // struct through min_by, so the picked edge's weight needs NO
+      // re-join against the |edges| frame (w is functionally determined
+      // by the directed edge — pairs is grouped on (p,q) — and the
+      // symmetrized twin carries the same w, so the normalized distinct
+      // over (u, v, w) equals the old distinct over (u, v) + weight
+      // fetch, bit-identically); and the node census is the count of
+      // pick's groups (edges are symmetrized, so every node appears as
+      // src) — sharing pick's src exchange via ReusedExchange instead
+      // of a second full-edge-frame distinct. Removes the two
+      // |edges|-sized passes the old shape paid after the pick.
       val pairs = ld(s, d, "lineitem")
         .groupBy((col("l_partkey") * 2).as("p"),
           (col("l_suppkey") * 2 + 1).as("q"))
@@ -3132,17 +3158,14 @@ object Relational {
           col("w")))
         .localCheckpoint()
       val pick = edges.groupBy("src")
-        .agg(expr("min_by(dst, w * 100000000 + dst)").as("dst"))
+        .agg(min_by(struct(col("dst"), col("w")),
+          col("w") * lit(100000000L) + col("dst")).as("pk"))
       val norm = pick
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
+        .select(least(col("src"), col("pk.dst")).as("u"),
+          greatest(col("src"), col("pk.dst")).as("v"), col("pk.w").as("w"))
         .distinct()
-      val wmin = norm.join(edges,
-          col("u") === col("src") && col("v") === col("dst"))
-        .groupBy("u", "v").agg(min("w").as("w"))
-      val nNodes = edges.select("src").distinct()
-        .agg(count(lit(1)).as("n_nodes"))
-      wmin.agg(count(lit(1)).as("n_forest_edges"),
+      val nNodes = pick.agg(count(lit(1)).as("n_nodes"))
+      norm.agg(count(lit(1)).as("n_forest_edges"),
           sum("w").cast("long").as("forest_weight"))
         .crossJoin(broadcast(nNodes))
         .select(col("n_nodes"), col("n_forest_edges"),
@@ -3996,11 +4019,14 @@ object Relational {
         .filter(col("before") < col("k")) // bucket straddles/below cutoff
         .select("shared", "before", "k")
       val wuv = Window.partitionBy("shared").orderBy("u", "v")
+      // r15 (§2.6): no eager pin on e — it has exactly ONE consumer
+      // (comm), so the pin bought nothing and cost one extra action +
+      // one block write/read of the edge frame; comm's own checkpoint
+      // (4 SQL consumers) now covers the whole chain in one action.
       val e = pairs.join(broadcast(off), "shared")
         .withColumn("r", col("before") + row_number().over(wuv))
         .filter(col("r") <= col("k"))
         .select("u", "v")
-        .localCheckpoint()
       val sup = ld(s, d, "supplier")
         .select(col("s_suppkey"), col("s_nationkey"))
       val comm = e

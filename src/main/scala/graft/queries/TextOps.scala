@@ -739,13 +739,20 @@ object TextOps {
     // positions, keep alternating positions from the run head" — a
     // row_number run-id + a per-run min window, no per-element scan UDF.
     // Each round's vocab is localCheckpoint'd (vocab-sized, bounds the
-    // 5-round lineage exactly like the CC loop's label frame); the 1-row
-    // argmax is checkpointed then broadcast into the rewrite, never
-    // collected. Oracle: the same K rounds as generated chained CTEs.
-    // ISOLATED MEDIAN (BenchSome, r9, cal 0.36 s): 3.37 s at sf0.1
-    // (ratio 9.4) — ~11 sequential vocab-sized jobs (2 checkpoints ×
-    // 5 rounds + the final union), fixed per-job overhead at toy scale,
-    // amortized at 100 TB exactly like the CC loop's rounds.
+    // 5-round lineage exactly like the CC loop's label frame). Oracle:
+    // the same K rounds as generated chained CTEs.
+    // r15 (§2.4/§2.6): the adjacent-pair view fetches `nxt` by ARRAY
+    // INDEX (get(syms, p+1) — NULL past the end, exactly lead()'s
+    // semantics) instead of a per-round Window.partitionBy(w) — that
+    // window cost one Exchange+Sort of the exploded symbol stream per
+    // round per consumer; now adj is pure map-side work fused into its
+    // consumers. And the 1-row argmax is no longer its own eager
+    // checkpoint (was: 2 actions/round): it is deterministic
+    // (cnt desc, a, b — total order) over the ROUND's checkpointed
+    // vocab, so the rewrite's broadcast computes it in-plan and the
+    // final merges union replays each round's argmax from its still-
+    // pinned vocab frame — one eager job per round instead of two,
+    // 63 jobs → ~30 measured (ProfileSome).
     "q124_bpe_train" -> ((s, d) => {
       val K = 5
       var vocab = ld(s, d, "documents")
@@ -756,18 +763,17 @@ object TextOps {
         .localCheckpoint()
       var merges: DataFrame = null
       for (k <- 1 to K) {
-        val wp = Window.partitionBy("w").orderBy("p")
         val adj = vocab
-          .select(col("w"), col("freq"),
+          .select(col("w"), col("freq"), col("syms"),
             posexplode(col("syms")).as(Seq("p", "s")))
-          .withColumn("nxt", lead("s", 1).over(wp))
+          .withColumn("nxt", get(col("syms"), col("p") + 1))
+          .drop("syms")
         // 1-row argmax, deterministic total order (cnt desc, then the
         // pair itself — (a,b) is unique post-group)
         val best = adj.filter(col("nxt").isNotNull)
           .groupBy(col("s").as("a"), col("nxt").as("b"))
           .agg(sum("freq").as("cnt"))
           .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-          .localCheckpoint()
         val cand = adj
           .join(broadcast(best), col("s") === col("a") && col("nxt") === col("b"))
           .select("w", "p")
@@ -876,8 +882,20 @@ object TextOps {
       // it). The lambda is interpreted (the usual HOF caveat), but it
       // replaces per-row text duplication, not codegen'd arithmetic —
       // the rare case where the HOF form wins.
-      val grams = ld(s, d, "documents")
+      // r15 (§2.2): the sf corpora are single-row-group parquet — the
+      // scan is ONE task, so the interpreted per-char gram build (and
+      // the checkpointed gram frame's downstream consumers) ran on one
+      // core (ProfileSome: 8 tasks, coreUtil 0.03). Spread the DOCS
+      // across the session's cores before the build: one linear shuffle
+      // of the text buys a parallel build and a parallel checkpoint
+      // layout for both consumers. Guarded: a no-op at production scale
+      // where the scan already splits into ≥ cores partitions.
+      val docs0 = ld(s, d, "documents")
         .filter(length(col("text")) >= 2) // sequence(1,0) would step -1
+      val para = s.sparkContext.defaultParallelism
+      val docs = if (docs0.rdd.getNumPartitions < para)
+        docs0.repartition(para, col("doc_id")) else docs0
+      val grams = docs
         .select(col("doc_id"),
           explode(expr("transform(sequence(1, length(text) - 1)," +
             " i -> substring(text, i, 2))")).as("bg"))
@@ -2370,17 +2388,29 @@ object TextOps {
       val ks = (se: SparkSession) => broadcast(se.range(0, 3)
         .selectExpr("CAST(element_at(array(20, 10, 5)," +
           " CAST(id + 1 AS INT)) AS BIGINT) AS k"))
-      ld(s, d, "documents")
+      // r15 (§2.2/§4.1): the original-text gram set ga is k-INDEPENDENT
+      // — it was rebuilt per k behind the ×3 cross join (3× the most
+      // expensive lambda in the query for identical results); hoisted
+      // above the cross. And the whole interpreted-lambda pass ran in
+      // the ONE scan task (single-row-group parquet, the q62/q127
+      // disease) — spread the docs across cores first, guarded to a
+      // no-op where the scan already splits.
+      val docs0 = ld(s, d, "documents")
+      val para = s.sparkContext.defaultParallelism
+      val docs = if (docs0.rdd.getNumPartitions < para)
+        docs0.repartition(para, col("doc_id")) else docs0
+      docs
         .select(expr("filter(split(lower(text), ' ')," +
           " w -> length(w) > 0)").as("ws"))
         .filter(size(col("ws")) >= 8)
+        .selectExpr("ws",
+          "array_distinct(transform(sequence(1, size(ws) - 2)," +
+            " i -> array_join(slice(ws, i, 3), ' '))) AS ga")
         .crossJoin(ks(s))
-        .selectExpr("k", "ws",
+        .selectExpr("k", "ga",
           "transform(filter(sequence(1, size(ws))," +
             " i -> i % k != 0), i -> element_at(ws, i)) AS mw")
-        .selectExpr("k",
-          "array_distinct(transform(sequence(1, size(ws) - 2)," +
-            " i -> array_join(slice(ws, i, 3), ' '))) AS ga",
+        .selectExpr("k", "ga",
           "array_distinct(transform(sequence(1, size(mw) - 2)," +
             " i -> array_join(slice(mw, i, 3), ' '))) AS gb")
         .selectExpr("k",

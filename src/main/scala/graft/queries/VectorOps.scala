@@ -169,8 +169,19 @@ object VectorOps {
     // 99.6% of the pair space with measured 100% recall.
     "q62_embed_neardup" -> ((s, d) => {
       val e = withNorm(ld(s, d, "embeddings"))
-      val a = e.select(col("vec_id").as("va"), col("emb").as("ea"),
+      // r15 (§2.2/guide §1): the sf corpora are single-row-group parquet,
+      // so the streamed side of the nested-loop product is ONE scan task
+      // and the O(n²) dot-product kernel ran on one core (ProfileSome:
+      // 5 tasks, coreUtil 0.03). Spread the streamed side across the
+      // session's cores before the product — the shuffle is linear in n
+      // while the compute it parallelizes is quadratic, so this is the
+      // right trade at ANY scale; the guard keeps it a no-op when the
+      // scan already splits (many row groups at production scale).
+      val para = s.sparkContext.defaultParallelism
+      val a0 = e.select(col("vec_id").as("va"), col("emb").as("ea"),
         col("nrm").as("na"))
+      val a = if (a0.rdd.getNumPartitions < para)
+        a0.repartition(para, col("va")) else a0
       val b = e.select(col("vec_id").as("vb"), col("emb").as("eb"),
         col("nrm").as("nb"))
       a.crossJoin(broadcast(b))
