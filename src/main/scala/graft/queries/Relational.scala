@@ -2006,15 +2006,24 @@ object Relational {
           " AS BIGINT)").as("ym"), col("l_partkey"))
         .groupBy("ym", "l_partkey").agg(count(lit(1)).as("n"))
         .localCheckpoint() // both adjacent-month join sides
+      // r15 (§2.3): only the LAST TWO months can contribute to the
+      // report (c.ym = maxym forces p.ym = maxym − 1), so the max-month
+      // filter moves BELOW the rank window and the self-join — the
+      // window partitions BY month, so ranks within a kept month are
+      // unchanged by dropping other months, and the old plan ranked and
+      // joined every month of history only to discard all but the last
+      // pair. At 100 TB this is |2 months| of rank work instead of the
+      // whole calendar.
+      val last = cnt.agg(max("ym").as("maxym"))
+      val tail2 = cnt.crossJoin(broadcast(last))
+        .filter(col("ym") >= col("maxym") - 1)
       val w = Window.partitionBy("ym")
         .orderBy(col("n").desc, col("l_partkey"))
-      val rk = cnt.withColumn("rnk", row_number().over(w))
-      val last = rk.agg(max("ym").as("maxym"))
+      val rk = tail2.withColumn("rnk", row_number().over(w))
       rk.as("p").join(rk.as("c").hint("shuffle_hash"),
           col("c.ym") === col("p.ym") + 1 &&
             col("c.l_partkey") === col("p.l_partkey"))
-        .crossJoin(broadcast(last))
-        .filter(col("c.ym") === col("maxym"))
+        .filter(col("c.ym") === col("c.maxym"))
         .select(col("c.l_partkey").as("l_partkey"),
           col("p.rnk").cast("long").as("rank_prev"),
           col("c.rnk").cast("long").as("rank_now"),
