@@ -94,12 +94,24 @@ object Bench {
     * when the committed file's sf differs from the current run's, the
     * ratio-vs-committed adjudication is disabled (empty map — the
     * within-triple spread check still runs). Committed files predating the
-    * meta line are all full sf0.1 runs (r9–r14), the documented default. */
-  private def committedDetail(sfDir: String): Map[String, (Double, Double)] = {
+    * meta line are all full sf0.1 runs (r9–r14), the documented default.
+    *
+    * CPUS GUARD (r16, VERDICT item 3): ratios are also only comparable at
+    * the SAME core count — the driver's 8-core scaling run compared its
+    * ratios against committed 32-core ratios and mass-flagged 82 bogus
+    * "suspects" (heavy queries legitimately take longer relative to the
+    * CPU-bound calibration workload on fewer cores). `bench_meta` records
+    * cpus; when the committed file's cpus differ from the current run's,
+    * the ratio-vs-committed adjudication is disabled the same way. Files
+    * predating the meta line are all 32-core runs, the driver's main
+    * contract. */
+  private def committedDetail(
+      sfDir: String, cpus: String): Map[String, (Double, Double)] = {
     val re = """BENCH_DETAIL_r(\d+)_local\.jsonl""".r
     val line =
       """"bench_query":"([^"]+)","sec":([0-9.]+),"ratio":([0-9.]+)""".r
     val metaRe = """"bench_meta":\{"sf":"([^"]+)"""".r
+    val cpusRe = """"bench_meta":\{.*?"cpus":(\d+)""".r
     Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
         case re(n) => Some((n.toInt, f))
@@ -112,7 +124,11 @@ object Bench {
           val committedSf = lines.iterator
             .flatMap(metaRe.findFirstMatchIn(_).map(_.group(1)))
             .nextOption().getOrElse("/root/testdata/sf0.1")
-          if (committedSf != sfDir) Map.empty[String, (Double, Double)]
+          val committedCpus = lines.iterator
+            .flatMap(cpusRe.findFirstMatchIn(_).map(_.group(1)))
+            .nextOption().getOrElse("32")
+          if (committedSf != sfDir || committedCpus != cpus)
+            Map.empty[String, (Double, Double)]
           else lines.flatMap(line.findFirstMatchIn(_).map(m =>
             m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))).toMap
         } finally src.close()
@@ -143,7 +159,19 @@ object Bench {
       java.nio.file.Paths.get(detailPath).toAbsolutePath.getParent)
     val detail = new java.io.PrintWriter(
       new java.io.FileWriter(detailPath, /*append=*/ false), /*autoFlush=*/ true)
-    def emit(line: String): Unit = { println(line); detail.println(line) }
+    // CPUS-KEYED MIRROR (r16, VERDICT item 2): the detail path is fixed, so
+    // r15's 8-core scaling run OVERWROTE the 32-core run's per-query detail
+    // an hour after it was written and the round lost its driver-side
+    // per-query evidence (PERF_r15 n_common: 0). Every line is therefore
+    // ALSO written to `<detailPath minus .jsonl>_c${cpus}.jsonl` — runs at
+    // different core counts can never destroy each other's artifact, while
+    // the primary path keeps its contract for existing consumers.
+    val mirrorPath =
+      detailPath.stripSuffix(".jsonl") + s"_c$cpus.jsonl"
+    val mirror = new java.io.PrintWriter(
+      new java.io.FileWriter(mirrorPath, /*append=*/ false), /*autoFlush=*/ true)
+    def emit(line: String): Unit =
+      { println(line); detail.println(line); mirror.println(line) }
     // Meta header: records the run's scale factor so committedDetail's
     // sf guard (and the BenchRegressionSpec live gate) can refuse to
     // compare ratios across different scales. Ignored by every line
@@ -175,7 +203,7 @@ object Bench {
     // it, so the per-round artifact always covers the full inventory).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val committed = committedDetail(sfDir)
+    val committed = committedDetail(sfDir, cpus)
     // Subset mode samples calibration per-QUERY: r13's judge adjudication
     // ran 7 queries against ONE baseline sample (cal n=1) — outlier
     // adjudication needs a sample adjacent to each measured query.
@@ -329,6 +357,7 @@ object Bench {
     // driver's tail capture always ends with a complete JSON record.
     emit(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${good.size},"cal":$calJson,"failed":${names(failed)},"flaky":${names(flaky)},$suspectJson,"slowest":$slowest,"slowest_ratio":$slowestRatio}""")
     detail.close()
+    mirror.close()
     spark.stop()
   }
 }

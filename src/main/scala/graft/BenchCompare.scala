@@ -28,6 +28,16 @@ object BenchCompare {
   val DefaultThreshold = 2.0
   val MinDeltaSec = 0.3
 
+  /** Gate-eligibility floor on the COMMITTED seconds (r16, VERDICT item 5):
+    * r15's live gate went red on q219_observe_metrics at 0.129 → 0.611 s —
+    * scheduler-jitter territory on a 0.13 s query under a calibration burst,
+    * yet it cleared the 0.3 s delta floor. A query must have cost at least
+    * this much in the committed baseline before a ratio move can fail the
+    * build; sub-half-second queries live at the per-job scheduling floor
+    * (OPTIMIZATION_r15 §1: 250 queries <0.5 s, coreUtil ≤0.05) where ratios
+    * measure the scheduler, not the plan. */
+  val MinBaseSec = 0.5
+
   final case class Entry(ratio: Double, sec: Double)
   final case class Regression(
       query: String, oldRatio: Double, newRatio: Double,
@@ -85,15 +95,27 @@ object BenchCompare {
     lines.flatMap(l =>
       if (l.contains("\"bench_meta\"")) field(l, "sf") else None).headOption
 
+  /** The run's core count from the `bench_meta` header line (r16); absent
+    * for pre-r15 committed details, which are all 32-core driver-contract
+    * runs. Ratios are not comparable across core counts: the calibration
+    * workload is embarrassingly parallel while many inventory queries are
+    * not, so an 8-core run's ratios sit systematically above a 32-core
+    * run's (r15: the driver's c8 pass mass-flagged 82 bogus suspects). */
+  def metaCpus(lines: Seq[String]): Option[String] =
+    lines.flatMap(l =>
+      if (l.contains("\"bench_meta\"")) field(l, "cpus") else None).headOption
+
   /** The gate: common queries whose ratio regressed more than `threshold`×
-    * AND slowed by at least `minDeltaSec` absolute seconds. */
+    * AND slowed by at least `minDeltaSec` absolute seconds AND cost at
+    * least `minBaseSec` in the committed baseline (see [[MinBaseSec]]). */
   def regressions(old: Map[String, Entry], next: Map[String, Entry],
       threshold: Double = DefaultThreshold,
-      minDeltaSec: Double = MinDeltaSec): Seq[Regression] =
+      minDeltaSec: Double = MinDeltaSec,
+      minBaseSec: Double = MinBaseSec): Seq[Regression] =
     (old.keySet & next.keySet).toSeq.sorted.flatMap { q =>
       val (o, n) = (old(q), next(q))
       if (o.ratio > 0 && n.ratio > o.ratio * threshold &&
-          n.sec - o.sec >= minDeltaSec)
+          n.sec - o.sec >= minDeltaSec && o.sec >= minBaseSec)
         Some(Regression(q, o.ratio, n.ratio, o.sec, n.sec))
       else None
     }.sortBy(-_.factor)

@@ -67,8 +67,10 @@ object ProfileSome {
     val names =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted else args.toSeq
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      // Lookup inside the try (r16, ADVICE): a mistyped name must print
+      // FAILED and move on, not abort the whole profiling run.
       def run(): Double = {
+        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

@@ -1631,10 +1631,12 @@ object PipelineOps {
       // 8-byte xxhash64 of the variant instead of the variant string,
       // and the names stay OUT of the join + pair-distinct entirely —
       // they re-attach by customer key afterwards for the levenshtein
-      // verify. A hash collision can only ADD a candidate pair, and the
-      // dist ≤ 1 verify is the output truth (any true dist ≤ 1 pair
-      // already shares a variant by the theorem), so the result set is
-      // bit-identical. levenshtein is also computed once, not twice.
+      // verify. A hash collision can only ADD a candidate pair, and any
+      // true dist ≤ 1 pair already shares a variant by the theorem, so
+      // the result set is identical modulo ~2^-64 xxhash64 collisions
+      // between variants of a NON-matching pair that the dist ≤ 1 verify
+      // then admits — the same tolerance TextOps.shingles already
+      // declares. levenshtein is also computed once, not twice.
       val v = ld(s, d, "customer")
         .select(col("c_custkey"),
           explode(expr("sequence(1, length(c_name))")).as("i"),

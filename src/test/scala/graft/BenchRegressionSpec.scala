@@ -80,6 +80,28 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(parsed("q_x") == BenchCompare.Entry(18.0, 9.0))
   }
 
+  test("sub-second committed baselines are not gate-eligible") {
+    // r15's live gate went red on q219_observe_metrics 0.129 -> 0.611 s —
+    // a >2x ratio move with >0.3 s delta, but on a query whose committed
+    // cost sits at the per-job scheduling floor where ratios measure the
+    // scheduler, not the plan. The MinBaseSec floor shields it...
+    val old = BenchCompare.parse(Seq(line("q219_tiny", 0.129, 0.262)))
+    val next = BenchCompare.parse(Seq(line("q219_tiny", 0.611, 1.222)))
+    assert(BenchCompare.regressions(old, next).isEmpty)
+    // ...while a real 3x regression on a half-second-plus query still fails.
+    val old2 = BenchCompare.parse(Seq(line("q_real", 0.9, 1.8)))
+    val next2 = BenchCompare.parse(Seq(line("q_real", 2.8, 5.6)))
+    assert(BenchCompare.regressions(old2, next2).map(_.query) == Seq("q_real"))
+  }
+
+  test("metaCpus reads the bench_meta header; absent pre-r15 means 32") {
+    val lines = Seq(
+      """{"bench_meta":{"sf":"/root/testdata/sf0.1","iters":3,"cpus":8}}""",
+      line("q_x", 1.0, 2.0))
+    assert(BenchCompare.metaCpus(lines).contains("8"))
+    assert(BenchCompare.metaCpus(Seq(line("q_x", 1.0, 2.0))).isEmpty)
+  }
+
   test("metaSf reads the bench_meta header and ignores query lines") {
     val lines = Seq(
       """{"bench_meta":{"sf":"/root/testdata/sf0.01","iters":3,"cpus":32}}""",
@@ -113,6 +135,17 @@ class BenchRegressionSpec extends AnyFunSuite {
     assume(oldSf == freshSf,
       s"fresh detail is $freshSf but committed is $oldSf — " +
         "cross-sf ratios are not comparable, gate not meaningful")
+    // Ratios are also only comparable at the same CORE COUNT (r16, VERDICT
+    // item 3): the driver's 8-core scaling run leaves its detail on the
+    // fixed path, and 8-core ratios sit systematically above 32-core ones
+    // (the calibration workload is embarrassingly parallel; many inventory
+    // queries are not — r15's c8 pass mass-flagged 82 bogus suspects).
+    // Pre-meta committed files are all 32-core driver-contract runs.
+    val oldCpus = BenchCompare.metaCpus(oldLines).getOrElse("32")
+    val freshCpus = BenchCompare.metaCpus(freshLines).getOrElse("32")
+    assume(oldCpus == freshCpus,
+      s"fresh detail ran at $freshCpus cores but committed at $oldCpus — " +
+        "cross-cpus ratios are not comparable, gate not meaningful")
     val old = BenchCompare.parse(oldLines)
     val next = BenchCompare.parse(freshLines)
     // Spot benches (SPARK_GRAFT_BENCH_ONLY) leave tiny details; gating a

@@ -159,7 +159,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // Exchange) is unchanged.
     val fused = p.linesIterator.exists(l =>
       l.contains("might_contain") &&
-        (l.contains("isnotnull(t4") || l.contains("+ 4)])")))
+        (l.contains("isnotnull(t4") ||
+          (l.contains("isnotnull(toks") && l.contains("+ 4)])"))))
     assert(fused,
       s"bloom must prune in the gram-build filter, before any Exchange:\n$p")
     assert(p.contains("LeftSemi"),
