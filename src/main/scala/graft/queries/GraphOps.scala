@@ -141,10 +141,6 @@ object GraphOps {
         })
     var changed = 1L; var iters = 0
     while (changed > 0 && iters < MaxRounds) {
-      val nbrMin = sym.join(labels, sym("db") === labels("doc_id"))
-        .groupBy(sym("da").as("nb_id")).agg(min("cluster_id").as("nbr_min"))
-      val lookup = labels
-        .select(col("doc_id").as("j_id"), col("cluster_id").as("j_cid"))
       // ONE action per round: the convergence count rides the checkpoint
       // job as an observed metric (CollectMetrics accumulates per task —
       // zero extra jobs, zero extra shuffles) instead of r6/r7's separate
@@ -162,13 +158,41 @@ object GraphOps {
       // cannot shortcut. The O(log n) fix would be Large-Star/Small-Star
       // edge restructuring, which rewrites the EDGE frame every round —
       // strictly more expensive at this edge:label ratio.)
-      val next = labels
-        .join(nbrMin, labels("doc_id") === nbrMin("nb_id"), "left")
-        .join(lookup, labels("cluster_id") === col("j_id"), "left")
-        .select(labels("doc_id"), col("cluster_id").as("old_cid"),
-          least(least(col("cluster_id"),
-              coalesce(col("nbr_min"), col("cluster_id"))),
-            coalesce(col("j_cid"), col("cluster_id"))).as("new_cid"))
+      //
+      // r16 (§2.6): TWO propagation hops per checkpointed round. r8
+      // established the binding constraint is propagation walking a chain
+      // one hop per round — so the fix is more HOPS per round, not more
+      // jumps. Hop 1 is the old nbr-min + least; hop 2 repeats it over
+      // hop 1's labels, in the SAME plan, before the single jump and the
+      // single checkpoint. The hop-1 subtree feeds two consumers (the
+      // hop-2 join probe and the final least) — its exchanges dedup via
+      // ReusedExchange; only the cheap post-exchange projections replay.
+      // Per round: 2× the sym-join work, half the rounds ⇒ the same total
+      // propagation joins, but HALF the checkpoints, jump joins, and
+      // driver round-trips. Fixpoint unchanged: stable under a 2-hop
+      // round implies stable under 1 hop (the 2-hop min is ≤ the 1-hop
+      // min ≤ old), so the exit condition still certifies label(u) =
+      // label(v) on every edge = the exact component-min closure the
+      // q101/q102 oracles replay.
+      val nbrMin1 = sym.join(labels, sym("db") === labels("doc_id"))
+        .groupBy(sym("da").as("n1_id")).agg(min("cluster_id").as("m1"))
+      val hop1 = labels
+        .join(nbrMin1, labels("doc_id") === col("n1_id"), "left")
+        .select(labels("doc_id").as("h_id"),
+          labels("cluster_id").as("old_cid"),
+          least(col("cluster_id"), coalesce(col("m1"), col("cluster_id")))
+            .as("h_cid"))
+      val nbrMin = sym.join(hop1, sym("db") === col("h_id"))
+        .groupBy(sym("da").as("nb_id")).agg(min("h_cid").as("nbr_min"))
+      val lookup = labels
+        .select(col("doc_id").as("j_id"), col("cluster_id").as("j_cid"))
+      val next = hop1
+        .join(nbrMin, col("h_id") === nbrMin("nb_id"), "left")
+        .join(lookup, col("h_cid") === col("j_id"), "left")
+        .select(col("h_id").as("doc_id"), col("old_cid"),
+          least(least(col("h_cid"),
+              coalesce(col("nbr_min"), col("h_cid"))),
+            coalesce(col("j_cid"), col("h_cid"))).as("new_cid"))
         .observe("cc_changed", sum(when(col("new_cid") =!= col("old_cid"), 1L)
           .otherwise(0L)).as("changed"))
       val cp = cut(next)

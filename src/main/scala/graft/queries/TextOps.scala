@@ -761,52 +761,80 @@ object TextOps {
         .groupBy("w").agg(count(lit(1)).as("freq"))
         .withColumn("syms", split(col("w"), ""))
         .localCheckpoint()
-      var merges: DataFrame = null
+      // r16 argmax fold + map-side merge application (§2.4/§2.6, VERDICT
+      // item 4). Two changes, output bit-identical (oracle replays the
+      // same chained CTEs):
+      //
+      // 1. The winning pair comes to the DRIVER as one 1-row head() per
+      //    round — the same driver-steers-the-loop pattern as the CC
+      //    loop's observed convergence metric (a merge table is
+      //    driver-resident in every real BPE trainer). This kills the
+      //    in-plan broadcast(best) build inside each round's checkpoint
+      //    AND the old final merges action, which replayed all K argmaxes
+      //    as a Union of K TakeOrdered+Exchange branches over the pinned
+      //    vocabs (10 exchanges at K=5) — the merge table is now a
+      //    LocalRelation of the already-collected rows.
+      //
+      // 2. With (a, b) as driver literals, the merge APPLICATION needs no
+      //    relational machinery at all: the r15 form paid one row_number
+      //    window + two (w, p)-keyed joins + one collect_list groupBy per
+      //    round (~5 exchanges over the exploded symbol stream). BPE's
+      //    greedy left-to-right non-overlap over a known pair is a pure
+      //    per-WORD array rewrite — an aggregate() scan over syms that
+      //    merges (a, b) when not consumed by the previous merge — so
+      //    each round's new vocab is a ZERO-exchange projection of the
+      //    pinned previous vocab. Equivalence to the relational rule
+      //    ("within each run of consecutive candidate positions, keep
+      //    alternating positions from the run head") is exactly the
+      //    greedy-scan characterization the r8 comment derived the rule
+      //    FROM; the end-to-end oracle (5 rows whose counts depend on
+      //    every intermediate vocab) pins it at both sf.
+      //    The lambda is interpreted, but it runs on the VOCABULARY (the
+      //    100 TB invariant: vocab-sized, not corpus-sized) and replaces
+      //    per-round corpus-wide exchanges — the q127 trade, measured.
+      val merged = Seq.newBuilder[(Int, String, String, Long)]
       for (k <- 1 to K) {
-        val adj = vocab
-          .select(col("w"), col("freq"), col("syms"),
-            posexplode(col("syms")).as(Seq("p", "s")))
-          .withColumn("nxt", get(col("syms"), col("p") + 1))
-          .drop("syms")
         // 1-row argmax, deterministic total order (cnt desc, then the
         // pair itself — (a,b) is unique post-group)
-        val best = adj.filter(col("nxt").isNotNull)
+        val bestRow = vocab
+          .select(col("freq"), col("syms"),
+            posexplode(col("syms")).as(Seq("p", "s")))
+          .withColumn("nxt", get(col("syms"), col("p") + 1))
+          .filter(col("nxt").isNotNull)
           .groupBy(col("s").as("a"), col("nxt").as("b"))
           .agg(sum("freq").as("cnt"))
           .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        val cand = adj
-          .join(broadcast(best), col("s") === col("a") && col("nxt") === col("b"))
-          .select("w", "p")
-        // greedy non-overlap: run-id = p - row_number (consecutive
-        // candidates share it), keep even offsets from each run's head
-        val rn = Window.partitionBy("w").orderBy("p")
-        val kept = cand
-          .withColumn("rg", col("p") - row_number().over(rn))
-          .withColumn("off",
-            col("p") - min("p").over(Window.partitionBy("w", "rg")))
-          .filter(col("off") % 2 === 0)
-          .select(col("w").as("kw"), col("p").as("kp"))
-        vocab = adj
-          .join(kept, col("w") === col("kw") && col("p") === col("kp"),
-            "left")
-          .withColumn("merge_start", col("kp").isNotNull)
-          .drop("kw", "kp")
-          .join(kept, col("w") === col("kw") && col("p") === col("kp") + 1,
-            "left")
-          .filter(col("kp").isNull) // the absorbed right half of a merge
-          .withColumn("sym", when(col("merge_start"),
-            concat(col("s"), col("nxt"))).otherwise(col("s")))
-          .groupBy("w", "freq")
-          .agg(array_sort(collect_list(struct(col("p"), col("sym"))))
-            .as("ps"))
-          .withColumn("syms", expr("transform(ps, x -> x.sym)"))
-          .select("w", "freq", "syms")
+          .head()
+        val (ba, bb, bc) =
+          (bestRow.getString(0), bestRow.getString(1), bestRow.getLong(2))
+        merged += ((k, ba, bb, bc))
+        // greedy left-to-right merge of (ba, bb): one pass over syms.
+        // acc = (res: rewritten prefix, skip: next symbol already
+        // consumed by the merge just emitted). get() is 0-based and NULL
+        // past the end (safe under ANSI, unlike element_at).
+        val newSyms = aggregate(
+          sequence(lit(1), size(col("syms"))),
+          struct(array().cast("array<string>").as("res"),
+            lit(false).as("skip")),
+          (acc, i) => {
+            val cur = get(col("syms"), i - 1)
+            val nxt = get(col("syms"), i)
+            when(acc("skip"),
+              struct(acc("res").as("res"), lit(false).as("skip")))
+              .when(cur === lit(ba) && nxt === lit(bb),
+                struct(concat(acc("res"), array(concat(cur, nxt)))
+                  .as("res"), lit(true).as("skip")))
+              .otherwise(struct(concat(acc("res"), array(cur)).as("res"),
+                lit(false).as("skip")))
+          },
+          acc => acc("res"))
+        vocab = vocab.select(col("w"), col("freq"), newSyms.as("syms"))
           .localCheckpoint()
-        val row = best.select(lit(k).as("round"), col("a").as("sym_a"),
-          col("b").as("sym_b"), col("cnt").as("pair_cnt"))
-        merges = if (merges == null) row else merges.unionAll(row)
       }
-      merges.orderBy("round")
+      import s.implicits._
+      merged.result()
+        .toDF("round", "sym_a", "sym_b", "pair_cnt")
+        .orderBy("round")
     }),
 
     // Corpus vocabulary statistics: top-10 terms per source by TF-IDF —
